@@ -1,0 +1,160 @@
+"""Group-by aggregation with the reference's validation and ordering rules.
+
+Mirrors ``ds.aggregate_vectorized`` / ``ds.aggregate`` (reference
+``muller/core/dataset/mixins/query.py:168-217`` and
+``muller/core/query/aggregate_vectorized.py:32-140``):
+
+- one aggregation *method* per call (``count|sum|avg|min|max``) applied to
+  every column in ``aggregate_tensors``; ``"*"`` only valid for ``count``
+- ``selected`` must be a subset of ``group_by``
+  (reference ``aggregate.py:457-481``)
+- ``order_by`` must be drawn from ``selected`` or the aggregate outputs
+- ``order_direction`` ``ASC``/``DESC``; default ordering for the row engine
+  is count-desc (``Counter.most_common``, reference ``aggregate.py:195-199``)
+
+The reference implements this with an ``np.unique(axis=0)`` single pass and
+one-hot matmuls — all in driver RAM.  Here it is a plain
+``groupBy().agg()``: Spark performs partial (map-side) + final hash
+aggregation, which is the distributed generalization of the reference's
+per-worker ``Counter`` + reduce (``aggregate.py:238-252``) and removes the
+whole-column-in-RAM ceiling.
+
+Aggregate output columns are aliased ``{method}_{tensor}`` (``count_star``
+for ``*``) so oracle SQL can match them by name.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_METHODS: dict[str, Callable[[str], Column]] = {
+    "count": F.count,
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def agg_alias(method: str, tensor: str) -> str:
+    return f"{method}_star" if tensor == "*" else f"{method}_{tensor}"
+
+
+def aggregate_vectorized(
+    df: DataFrame,
+    group_by: Sequence[str],
+    selected: Sequence[str] | None = None,
+    order_by: Sequence[str] | None = None,
+    aggregate_tensors: Sequence[str] = ("*",),
+    order_direction: str = "ASC",
+    method: str = "count",
+    pre_filter: Column | None = None,
+) -> DataFrame:
+    if method not in _METHODS:
+        raise ValueError(f"method must be one of {sorted(_METHODS)}, got {method!r}")
+    group_by = list(group_by)
+    selected = list(selected) if selected is not None else list(group_by)
+    order_by = list(order_by or [])
+    aggregate_tensors = list(aggregate_tensors)
+
+    # Validation rules ported from reference aggregate.py:457-481.
+    bad = [c for c in selected if c not in group_by]
+    if bad:
+        raise ValueError(f"selected columns must be in group_by: {bad}")
+    if "*" in aggregate_tensors and method != "count":
+        raise ValueError('"*" aggregate is only valid with method="count"')
+    agg_names = [agg_alias(method, t) for t in aggregate_tensors]
+    orderable = set(selected) | set(agg_names) | set(aggregate_tensors)
+    bad = [c for c in order_by if c not in orderable]
+    if bad:
+        raise ValueError(f"order_by columns must be in selected or aggregates: {bad}")
+    direction = order_direction.upper()
+    if direction not in {"ASC", "DESC"}:
+        raise ValueError(f"order_direction must be ASC or DESC, got {order_direction!r}")
+
+    if pre_filter is not None:
+        df = df.filter(pre_filter)
+
+    fn = _METHODS[method]
+    aggs = [
+        fn("*").alias(name) if tensor == "*" else fn(tensor).alias(name)
+        for tensor, name in zip(aggregate_tensors, agg_names)
+    ]
+    out = df.groupBy(*group_by).agg(*aggs).select(*selected, *agg_names)
+
+    if order_by:
+        # order_by may name the raw tensor; map it to its aggregate alias.
+        def resolve(name: str) -> str:
+            return name if name in set(selected) | set(agg_names) else agg_alias(method, name)
+
+        cols = [
+            F.col(resolve(c)).asc() if direction == "ASC" else F.col(resolve(c)).desc()
+            for c in order_by
+        ]
+        out = out.orderBy(*cols)
+    return out
+
+
+def statistics(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Per-column stats à la ``ds.statistics()`` (reference
+    ``muller/core/dataset/statistics/statistics.py:49-97``): nan/null count
+    + proportion, min, max, mean, median, std for numeric columns; length
+    stats for text.  One output row per column.
+    """
+    import pyspark.sql.types as T
+
+    numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+               T.FloatType, T.DoubleType, T.DecimalType)
+    rows = []
+    total = df.count()
+    fields = [f for f in df.schema.fields
+              if columns is None or f.name in set(columns)]
+    aggs: list[Column] = []
+    layout: list[tuple[str, str]] = []  # (col, kind)
+    for f in fields:
+        name = f.name
+        if isinstance(f.dataType, numeric):
+            aggs += [
+                F.count(F.when(F.col(name).isNull() | F.isnan(F.col(name).cast("double")), 1)).alias(f"{name}__nan"),
+                F.min(name).cast("double").alias(f"{name}__min"),
+                F.max(name).cast("double").alias(f"{name}__max"),
+                F.avg(name).alias(f"{name}__mean"),
+                F.expr(f"percentile_approx(`{name}`, 0.5)").cast("double").alias(f"{name}__median"),
+                F.stddev(name).alias(f"{name}__std"),
+            ]
+            layout.append((name, "numeric"))
+        elif isinstance(f.dataType, T.StringType):
+            aggs += [
+                F.count(F.when(F.col(name).isNull(), 1)).alias(f"{name}__nan"),
+                F.min(F.length(name)).cast("double").alias(f"{name}__min"),
+                F.max(F.length(name)).cast("double").alias(f"{name}__max"),
+                F.avg(F.length(name)).alias(f"{name}__mean"),
+                F.expr(f"percentile_approx(length(`{name}`), 0.5)").cast("double").alias(f"{name}__median"),
+                F.stddev(F.length(name)).alias(f"{name}__std"),
+            ]
+            layout.append((name, "text_length"))
+    if not layout:
+        raise ValueError("no supported columns for statistics")
+    stats = df.agg(*aggs).collect()[0].asDict()
+    for name, kind in layout:
+        nan = stats[f"{name}__nan"]
+        rows.append({
+            "column": name,
+            "kind": kind,
+            "nan_count": nan,
+            "nan_proportion": (nan / total) if total else 0.0,
+            "min": stats[f"{name}__min"],
+            "max": stats[f"{name}__max"],
+            "mean": stats[f"{name}__mean"],
+            "median": stats[f"{name}__median"],
+            "std": stats[f"{name}__std"],
+            "row_count": total,
+        })
+    spark = df.sparkSession
+    return spark.createDataFrame(rows).select(
+        "column", "kind", "nan_count", "nan_proportion",
+        "min", "max", "mean", "median", "std", "row_count",
+    )
