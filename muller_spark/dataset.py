@@ -1,0 +1,713 @@
+"""Dataset facade: a versioned table of tensors over (DataFrame, commit log).
+
+Re-expresses the reference's ``Dataset`` (``muller/core/dataset/dataset.py:114``)
+Spark-first: columnar chunk storage becomes parquet snapshot directories,
+the chunk engine becomes ``spark.read.parquet``, and every mutation is a
+DataFrame transformation that lands as a copy-on-write snapshot at
+``commit()`` (appends are incremental delta directories — O(appended)
+bytes, like the reference's per-commit chunk maps).
+
+Row identity (SURVEY §1.1): every row carries
+- ``_uuid``  — stable 64-bit id allocated at append, merge/diff key
+  (reference ``crud_operations.py:407``, ``uuid/shard_hash.py:36``)
+- ``_row_id`` — 0-based position in commit order; pops renumber it
+  (reference addresses rows positionally: ``pop(0)``, ``labels[3]=30``)
+
+Scale note: positional renumbering and small-append staging use a
+single window; at 100 TB scale appends arrive as DataFrames via
+``extend_df`` and positions are assigned per-partition (offset +
+partition-local index), never through a driver collect.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Callable, Iterable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from muller_spark.errors import (
+    CheckoutError,
+    MergeConflictError,
+    ReadOnlyModeError,
+    TensorAlreadyExistsError,
+    TensorDoesNotExistError,
+)
+from muller_spark.operators.aggregate import aggregate_vectorized, statistics
+from muller_spark.plans.conditions import compile_conditions
+from muller_spark.plans.query_string import compile_query_string
+from muller_spark.schema import (
+    HIDDEN_COLS,
+    ROW_ID_COL,
+    UUID_COL,
+    needs_shape_companion,
+    spark_type_for,
+)
+from muller_spark.versioning.log import FIRST_COMMIT, CommitLog, Snapshot
+
+
+class TensorView:
+    """Column accessor: ``ds.labels`` / ``ds['labels']``
+    (reference ``muller/core/tensor.py:217``)."""
+
+    def __init__(self, dataset: "Dataset", name: str) -> None:
+        self._ds = dataset
+        self.name = name
+
+    def extend(self, values: Iterable[Any]) -> None:
+        self._ds._extend_tensor(self.name, list(values))
+
+    def append(self, value: Any) -> None:
+        self.extend([value])
+
+    def __setitem__(self, index: int, value: Any) -> None:
+        self._ds._update_cell(self.name, index, value)
+
+    def __getitem__(self, index):
+        if isinstance(index, slice):
+            vals = self._ds._column_values(self.name)
+            return vals[index]
+        return self._ds._column_values(self.name)[index]
+
+    def numpy(self):
+        import numpy as np
+
+        return np.array(self._ds._column_values(self.name))
+
+    def data(self) -> dict:
+        return {"value": self._ds._column_values(self.name)}
+
+    def text(self) -> list[str]:
+        return [str(v) for v in self._ds._column_values(self.name)]
+
+    def list(self) -> list:
+        return self._ds._column_values(self.name)
+
+    def __len__(self) -> int:
+        return self._ds._tensor_length(self.name)
+
+
+class Dataset:
+    """A versioned, branch-addressable table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        branch: str = "main",
+        read_only: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.read_only = read_only
+        self.log = CommitLog(path)
+        if not self.log.exists():
+            if read_only:
+                raise ReadOnlyModeError(f"no dataset at {path}")
+            self.log.init(schema_json=None, tensor_meta={})
+        self.branch = branch
+        self._load(self.log.resolve(branch))
+
+    # ------------------------------------------------------------------
+    # state loading
+    # ------------------------------------------------------------------
+    def _load(self, snap: Snapshot) -> None:
+        self._snapshot = snap
+        self.tensor_meta: dict[str, dict] = dict(snap.tensor_meta)
+        self._next_uuid = snap.next_uuid
+        self._work_df = self._read_snapshot_df(snap)
+        self._committed_count = snap.row_count
+        self._pending: dict[str, list] = {}
+        self._rewrite_needed = False
+        self._dirty = False
+
+    def _empty_df(self, tensor_meta: dict | None = None) -> DataFrame:
+        meta = tensor_meta if tensor_meta is not None else self.tensor_meta
+        fields = [
+            T.StructField(UUID_COL, T.LongType(), False),
+            T.StructField(ROW_ID_COL, T.LongType(), False),
+        ] + [
+            T.StructField(name, spark_type_for(m.get("htype", "generic"), m.get("dtype")), True)
+            for name, m in meta.items()
+        ]
+        return self.spark.createDataFrame([], T.StructType(fields))
+
+    def _read_snapshot_df(self, snap: Snapshot) -> DataFrame:
+        """Pure: materialize a snapshot's table state (no instance mutation)."""
+        if not snap.data_dirs:
+            return self._empty_df(dict(snap.tensor_meta))
+        paths = [os.path.join(self.path, d) for d in snap.data_dirs]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        for name, meta in snap.tensor_meta.items():
+            if name not in df.columns:
+                df = df.withColumn(
+                    name,
+                    F.lit(None).cast(spark_type_for(meta.get("htype", "generic"), meta.get("dtype"))),
+                )
+        order = [UUID_COL, ROW_ID_COL] + [t for t in snap.tensor_meta]
+        return df.select(*order)
+
+    # ------------------------------------------------------------------
+    # schema ops
+    # ------------------------------------------------------------------
+    @property
+    def tensors(self) -> list[str]:
+        return list(self.tensor_meta)
+
+    def create_tensor(
+        self,
+        name: str,
+        htype: str = "generic",
+        dtype: str | None = None,
+        **info: Any,
+    ) -> TensorView:
+        self._check_writable()
+        if name in self.tensor_meta:
+            raise TensorAlreadyExistsError(name)
+        self._flush_pending()
+        meta = {"htype": htype, "dtype": dtype, "info": info}
+        self.tensor_meta[name] = meta
+        self._work_df = self._work_df.withColumn(
+            name, F.lit(None).cast(spark_type_for(htype, dtype))
+        )
+        if needs_shape_companion(htype):
+            shape_col = f"_{name}_shape"
+            self.tensor_meta[shape_col] = {"htype": "list", "dtype": None, "hidden": True}
+            self._work_df = self._work_df.withColumn(
+                shape_col, F.lit(None).cast(T.ArrayType(T.IntegerType()))
+            )
+        self._dirty = True
+        self._rewrite_needed = self._committed_count > 0 or self._rewrite_needed
+        return TensorView(self, name)
+
+    def delete_tensor(self, name: str) -> None:
+        self._check_writable()
+        self._require_tensor(name)
+        self._flush_pending()
+        del self.tensor_meta[name]
+        self._work_df = self._work_df.drop(name)
+        shape_col = f"_{name}_shape"
+        if shape_col in self.tensor_meta:
+            del self.tensor_meta[shape_col]
+            self._work_df = self._work_df.drop(shape_col)
+        self._dirty = self._rewrite_needed = True
+
+    def rename_tensor(self, name: str, new_name: str) -> None:
+        self._check_writable()
+        self._require_tensor(name)
+        if new_name in self.tensor_meta:
+            raise TensorAlreadyExistsError(new_name)
+        self._flush_pending()
+        self.tensor_meta = {
+            (new_name if k == name else k): v for k, v in self.tensor_meta.items()
+        }
+        self._work_df = self._work_df.withColumnRenamed(name, new_name)
+        self._dirty = self._rewrite_needed = True
+
+    # ------------------------------------------------------------------
+    # row CRUD
+    # ------------------------------------------------------------------
+    def append(self, sample: Mapping[str, Any]) -> None:
+        self.extend({k: [v] for k, v in sample.items()})
+
+    def extend(self, samples: Mapping[str, Sequence[Any]]) -> None:
+        self._check_writable()
+        for name, values in samples.items():
+            self._extend_tensor(name, list(values))
+
+    def _extend_tensor(self, name: str, values: list) -> None:
+        self._check_writable()
+        self._require_tensor(name)
+        self._pending.setdefault(name, []).extend(values)
+        self._dirty = True
+
+    def extend_df(self, df: DataFrame) -> None:
+        """Distributed append of a DataFrame (the 100 TB ingest path)."""
+        self._check_writable()
+        self._flush_pending()
+        for col in df.columns:
+            self._require_tensor(col)
+        missing = [t for t in self.tensor_meta if t not in df.columns]
+        new = df
+        for t in missing:
+            m = self.tensor_meta[t]
+            new = new.withColumn(
+                t, F.lit(None).cast(spark_type_for(m.get("htype", "generic"), m.get("dtype")))
+            )
+        base_rows = self._count_work()
+        new = _assign_ids(new, self._next_uuid, base_rows)
+        new = new.select(*self._work_df.columns)
+        appended = new.count()
+        self._next_uuid += appended
+        self._work_df = self._work_df.unionByName(new)
+        self._dirty = True
+
+    def _flush_pending(self) -> None:
+        if not any(self._pending.values()):
+            self._pending = {}
+            return
+        import random
+
+        n_new = max(len(v) for v in self._pending.values())
+        base_rows = self._count_work()
+        rows = []
+        for i in range(n_new):
+            # random 63-bit uuid: branches allocate independently, so ids
+            # must not be sequential (two branches would mint colliding ids
+            # for different rows and corrupt the uuid-keyed merge)
+            row: dict[str, Any] = {
+                UUID_COL: random.getrandbits(63),
+                ROW_ID_COL: base_rows + i,
+            }
+            for tensor in self.tensor_meta:
+                buf = self._pending.get(tensor)
+                row[tensor] = _coerce(buf[i]) if buf is not None and i < len(buf) else None
+            rows.append(row)
+        self._next_uuid += n_new
+        new_df = self.spark.createDataFrame(rows, self._work_df.schema)
+        self._work_df = self._work_df.unionByName(new_df)
+        self._pending = {}
+
+    def _update_cell(self, tensor: str, index: int, value: Any) -> None:
+        self._check_writable()
+        self._require_tensor(tensor)
+        self._flush_pending()
+        self._work_df = self._work_df.withColumn(
+            tensor,
+            F.when(
+                F.col(ROW_ID_COL) == F.lit(index),
+                F.lit(_coerce(value)).cast(self._work_df.schema[tensor].dataType),
+            ).otherwise(F.col(tensor)),
+        )
+        self._dirty = self._rewrite_needed = True
+
+    def __setitem__(self, index: int, sample: Mapping[str, Any]) -> None:
+        for tensor, value in sample.items():
+            self._update_cell(tensor, index, value)
+
+    def pop(self, index: int | Sequence[int] = -1) -> None:
+        """Delete rows by position; positions renumber (reference
+        ``crud_operations.py:259``)."""
+        self._check_writable()
+        self._flush_pending()
+        indices = [index] if isinstance(index, int) else list(index)
+        n = self._count_work()
+        indices = [i if i >= 0 else n + i for i in indices]
+        self._work_df = (
+            self._work_df.filter(~F.col(ROW_ID_COL).isin(indices))
+        )
+        self._work_df = _renumber(self._work_df)
+        self._dirty = self._rewrite_needed = True
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        """Current table state (hidden columns included)."""
+        self._flush_pending()
+        return self._work_df
+
+    def to_df(self) -> DataFrame:
+        return self.df.drop(*[c for c in HIDDEN_COLS if c in self.df.columns]).drop(
+            *[t for t, m in self.tensor_meta.items() if m.get("hidden")]
+        )
+
+    def to_dataframe(self):
+        """Export to pandas (reference ``to_dataframe.py:14``)."""
+        return self.df.orderBy(ROW_ID_COL).drop(*HIDDEN_COLS).toPandas()
+
+    def _column_values(self, tensor: str) -> list:
+        self._require_tensor(tensor)
+        rows = self.df.select(tensor, ROW_ID_COL).orderBy(ROW_ID_COL).collect()
+        return [r[0] for r in rows]
+
+    def _tensor_length(self, tensor: str) -> int:
+        return int(self.df.filter(F.col(tensor).isNotNull()).count())
+
+    def _count_work(self) -> int:
+        return int(self._work_df.count())
+
+    def __len__(self) -> int:
+        """min tensor length (reference ``dataset.py:282-297``)."""
+        self._flush_pending()
+        if not self.tensor_meta:
+            return 0
+        return self._count_work()
+
+    def __getattr__(self, name: str):
+        meta = self.__dict__.get("tensor_meta", {})
+        if name in meta:
+            return TensorView(self, name)
+        if name.startswith("_"):
+            raise AttributeError(name)
+        raise TensorDoesNotExistError(name)
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return TensorView(self, key)
+        raise TypeError("row views not supported; use .df / filter APIs")
+
+    # ------------------------------------------------------------------
+    # query facade
+    # ------------------------------------------------------------------
+    def filter_vectorized(
+        self,
+        condition_list: Sequence[Sequence[Any]],
+        connector_list: Sequence[str] | None = None,
+        offset: int = 0,
+        limit: int | None = None,
+    ) -> DataFrame:
+        out = self.df.filter(compile_conditions(condition_list, connector_list))
+        out = out.orderBy(ROW_ID_COL)
+        if offset:
+            out = out.offset(offset)
+        if limit is not None:
+            out = out.limit(limit)
+        return out
+
+    def filter(
+        self,
+        query: str | Callable,
+        offset: int = 0,
+        limit: int | None = None,
+    ) -> DataFrame:
+        if callable(query):
+            # lambda over a row dict — Arrow-batched, never row-at-a-time Python
+            df = self.df
+            schema = df.schema
+
+            def apply(iterator):
+                for pdf in iterator:
+                    mask = pdf.apply(lambda row: bool(query(row.to_dict())), axis=1)
+                    yield pdf[mask]
+
+            out = df.mapInPandas(apply, schema)
+        else:
+            class_labels = {
+                t: m.get("info", {}).get("class_names")
+                for t, m in self.tensor_meta.items()
+                if m.get("info", {}).get("class_names")
+            }
+            cond = compile_query_string(
+                query, columns=list(self.df.columns), class_labels=class_labels
+            )
+            out = self.df.filter(cond)
+        out = out.orderBy(ROW_ID_COL)
+        if offset:
+            out = out.offset(offset)
+        if limit is not None:
+            out = out.limit(limit)
+        return out
+
+    def aggregate_vectorized(self, *args, **kwargs) -> DataFrame:
+        return aggregate_vectorized(self.df, *args, **kwargs)
+
+    aggregate = aggregate_vectorized
+
+    def statistics(self) -> DataFrame:
+        return statistics(self.df.drop(*HIDDEN_COLS))
+
+    def summary(self) -> dict:
+        return {
+            "tensors": {
+                t: {"htype": m.get("htype"), "dtype": m.get("dtype")}
+                for t, m in self.tensor_meta.items()
+                if not m.get("hidden")
+            },
+            "rows": len(self),
+            "branch": self.branch,
+            "commit": self._snapshot.commit_id,
+        }
+
+    # ------------------------------------------------------------------
+    # version control
+    # ------------------------------------------------------------------
+    def commit(self, message: str = "", allow_empty: bool = False) -> str:
+        self._check_writable()
+        self._flush_pending()
+        if not self._dirty and not allow_empty:
+            return self._snapshot.commit_id
+        commit_id = self.log.new_commit_id()
+        rel_dir = os.path.join("data", commit_id)
+        out_dir = os.path.join(self.path, rel_dir)
+
+        if self._rewrite_needed or not self._snapshot.data_dirs:
+            # copy-on-write rewrite of the full table state
+            to_write = self._work_df
+            data_dirs = [rel_dir]
+        else:
+            # append-only fast path: write just the delta rows
+            to_write = self._work_df.filter(F.col(ROW_ID_COL) >= self._committed_count)
+            data_dirs = list(self._snapshot.data_dirs) + [rel_dir]
+
+        to_write.write.mode("overwrite").parquet(out_dir)
+        row_count = self._count_work()
+        snap = self.log.commit(
+            parent_ids=[self._snapshot.commit_id],
+            branch=self.branch,
+            message=message,
+            data_dirs=data_dirs,
+            schema_json=self._work_df.schema.json(),
+            tensor_meta=self.tensor_meta,
+            row_count=row_count,
+            next_uuid=self._next_uuid,
+            commit_id=commit_id,
+        )
+        self._load(snap)
+        return snap.commit_id
+
+    def checkout(self, address: str, create: bool = False) -> None:
+        if self._dirty or any(self._pending.values()):
+            raise CheckoutError("uncommitted changes; commit() or reset() first")
+        if create:
+            if address in self.log.branches():
+                raise CheckoutError(f"branch {address!r} already exists")
+            self.log.set_ref(address, self._snapshot.commit_id)
+        snap = self.log.resolve(address)
+        self.branch = address if address in self.log.branches() else snap.branch
+        self._load(snap)
+
+    def reset(self) -> None:
+        self._load(self.log.resolve(self.branch))
+
+    @property
+    def branches(self) -> list[str]:
+        return self.log.branches()
+
+    def log_history(self) -> list[Snapshot]:
+        return self.log.log(self._snapshot.commit_id)
+
+    def delete_branch(self, branch: str) -> None:
+        if branch == self.branch:
+            raise CheckoutError("cannot delete the checked-out branch")
+        if branch == "main":
+            raise CheckoutError("cannot delete main")
+        self.log.delete_ref(branch)
+
+    # -- merge ----------------------------------------------------------
+    def merge(
+        self,
+        target_id: str,
+        append_resolution: str | None = None,
+        update_resolution: str | None = None,
+        pop_resolution: str | None = None,
+        delete_removed_tensors: bool = False,
+        force: bool = False,
+    ) -> str:
+        """Three-way merge of ``target_id`` into the current branch
+        (semantics from reference ``merge.py:960-1160``; see
+        muller_spark/versioning/merge.py for the resolution matrix)."""
+        from muller_spark.versioning.merge import three_way_merge
+
+        self._check_writable()
+        if self._dirty or any(self._pending.values()):
+            raise CheckoutError("uncommitted changes; commit() before merge")
+        if append_resolution not in (None, "ours", "theirs", "both"):
+            raise ValueError("append_resolution must be None|ours|theirs|both")
+        if update_resolution not in (None, "ours", "theirs"):
+            raise ValueError("update_resolution must be None|ours|theirs")
+        if pop_resolution not in (None, "ours", "theirs", "both"):
+            raise ValueError("pop_resolution must be None|ours|theirs|both")
+
+        ours = self._snapshot
+        theirs = self.log.resolve(target_id)
+        lca_id = self.log.lca(ours.commit_id, theirs.commit_id)
+
+        if lca_id == theirs.commit_id:
+            return ours.commit_id  # already up to date
+        if lca_id == ours.commit_id:
+            # fast-forward (reference fast_forwarding.py:70)
+            self.log.set_ref(self.branch, theirs.commit_id)
+            self._load(self.log.get_snapshot(theirs.commit_id))
+            return theirs.commit_id
+
+        base = self.log.get_snapshot(lca_id)
+        merged_df, merged_meta, next_uuid = three_way_merge(
+            self,
+            ours_df=self._read_snapshot_df(ours),
+            theirs_df=self._read_snapshot_df(theirs),
+            base_df=self._read_snapshot_df(base),
+            ours_meta=dict(ours.tensor_meta),
+            theirs_meta=dict(theirs.tensor_meta),
+            base_meta=dict(base.tensor_meta),
+            append_resolution=append_resolution,
+            update_resolution=update_resolution,
+            pop_resolution=pop_resolution,
+            delete_removed_tensors=delete_removed_tensors,
+            force=force,
+            next_uuid=max(ours.next_uuid, theirs.next_uuid),
+        )
+        commit_id = self.log.new_commit_id()
+        rel_dir = os.path.join("data", commit_id)
+        merged_df.write.mode("overwrite").parquet(os.path.join(self.path, rel_dir))
+        written = self.spark.read.parquet(os.path.join(self.path, rel_dir))
+        snap = self.log.commit(
+            parent_ids=[ours.commit_id, theirs.commit_id],
+            branch=self.branch,
+            message=f"merge {target_id} into {self.branch}",
+            data_dirs=[rel_dir],
+            schema_json=written.schema.json(),
+            tensor_meta=merged_meta,
+            row_count=written.count(),
+            next_uuid=next_uuid,
+            commit_id=commit_id,
+        )
+        self._load(snap)
+        return snap.commit_id
+
+    def detect_merge_conflict(self, target_id: str, show_value: bool = False):
+        from muller_spark.versioning.merge import detect_conflicts
+
+        ours = self._snapshot
+        theirs = self.log.resolve(target_id)
+        lca_id = self.log.lca(ours.commit_id, theirs.commit_id)
+        if lca_id in (ours.commit_id, theirs.commit_id):
+            return [], {}
+        base = self.log.get_snapshot(lca_id)
+        return detect_conflicts(
+            ours_df=self._read_snapshot_df(ours),
+            theirs_df=self._read_snapshot_df(theirs),
+            base_df=self._read_snapshot_df(base),
+            tensors=[t for t in ours.tensor_meta if t in theirs.tensor_meta],
+            show_value=show_value,
+        )
+
+    def diff(self, id_1: str, id_2: str | None = None, as_dict: bool = True):
+        """Change sets of two commits relative to their LCA
+        (reference ``operations/diff.py:188-355``)."""
+        from muller_spark.versioning.merge import snapshot_diff
+
+        snap_1 = self.log.resolve(id_1)
+        snap_2 = self.log.resolve(id_2) if id_2 else self._snapshot
+        lca_id = self.log.lca(snap_1.commit_id, snap_2.commit_id)
+        base = self.log.get_snapshot(lca_id)
+        base_df = self._read_snapshot_df(base)
+        out = {}
+        for label, snap in ((id_1, snap_1), (id_2 or "HEAD", snap_2)):
+            out[label] = snapshot_diff(
+                self._read_snapshot_df(snap), base_df,
+                [t for t in snap.tensor_meta if t in base.tensor_meta],
+            )
+        return out
+
+    # ------------------------------------------------------------------
+    def _require_tensor(self, name: str) -> None:
+        if name not in self.tensor_meta:
+            raise TensorDoesNotExistError(name)
+
+    def _check_writable(self) -> None:
+        if self.read_only:
+            raise ReadOnlyModeError("dataset is read-only")
+
+
+# ----------------------------------------------------------------------
+# helpers
+# ----------------------------------------------------------------------
+
+def _coerce(value: Any) -> Any:
+    """Normalize numpy scalars/arrays to plain Python for createDataFrame."""
+    try:
+        import numpy as np
+
+        if isinstance(value, np.generic):
+            return value.item()
+        if isinstance(value, np.ndarray):
+            return value.tolist()
+    except ImportError:
+        pass
+    return value
+
+
+def _assign_ids(df: DataFrame, start_uuid: int, start_row: int) -> DataFrame:
+    """Assign _uuid/_row_id to an append batch, distributed.
+
+    Positions: partition-local index + per-partition offsets (the
+    zipWithIndex pattern — no global window, only per-partition counts
+    reach the driver).  Uuids: xxhash64 of a batch salt + position, so
+    branches minting ids independently don't collide (random 64-bit space,
+    like the reference's random uuid tensor ``crud_operations.py:407``)."""
+    import uuid as uuidlib
+
+    salt = uuidlib.uuid4().hex
+    with_part = df.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_part.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_map = F.create_map(
+        *[F.lit(x) for pair in offsets.items() for x in pair]
+    )
+    w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    local_idx = F.row_number().over(w) - 1
+    idx = offset_map[F.col("_pid")] + local_idx
+    return (
+        with_part.withColumn(UUID_COL, F.xxhash64(F.lit(salt), idx))
+        .withColumn(ROW_ID_COL, (idx + F.lit(start_row)).cast("long"))
+        .drop("_pid")
+    )
+
+
+def _renumber(df: DataFrame) -> DataFrame:
+    w = Window.orderBy(F.col(ROW_ID_COL).asc())
+    return df.withColumn(ROW_ID_COL, (F.row_number().over(w) - 1).cast("long"))
+
+
+# ----------------------------------------------------------------------
+# top-level API (reference muller/api/dataset/core.py)
+# ----------------------------------------------------------------------
+
+def dataset(
+    path: str,
+    spark: SparkSession | None = None,
+    read_only: bool = False,
+    overwrite: bool = False,
+) -> Dataset:
+    from muller_spark.session import get_spark
+
+    spark = spark or get_spark()
+    if overwrite and os.path.isdir(path):
+        shutil.rmtree(path)
+    return Dataset(spark, path, read_only=read_only)
+
+
+def load(path: str, spark: SparkSession | None = None, read_only: bool = False) -> Dataset:
+    """Open existing dataset; supports ``path@branch`` addressing
+    (reference ``api/dataset/core.py:132``)."""
+    from muller_spark.session import get_spark
+
+    spark = spark or get_spark()
+    branch = "main"
+    if "@" in os.path.basename(path):
+        path, branch = path.rsplit("@", 1)
+    ds = Dataset(spark, path, branch=branch, read_only=read_only)
+    if branch != "main":
+        ds.checkout(branch)
+    return ds
+
+
+def empty(path: str, spark: SparkSession | None = None, overwrite: bool = False) -> Dataset:
+    return dataset(path, spark, overwrite=overwrite)
+
+
+def like(path: str, source: Dataset, spark: SparkSession | None = None) -> Dataset:
+    """Clone schema, not data (reference ``api/dataset/core.py:255``)."""
+    out = dataset(path, spark or source.spark, overwrite=True)
+    for name, meta in source.tensor_meta.items():
+        if not meta.get("hidden") and not name.startswith("_"):
+            out.create_tensor(name, meta.get("htype", "generic"), meta.get("dtype"))
+    out.commit("schema from like()")
+    return out
+
+
+def delete(path: str) -> None:
+    if os.path.isdir(os.path.join(path, "_log")):
+        shutil.rmtree(path)

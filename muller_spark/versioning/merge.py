@@ -1,0 +1,301 @@
+"""Row-level three-way merge, diff, and conflict detection via _uuid joins.
+
+Resolution matrix ported from the reference
+(``muller/core/version_control/operations/merge.py``):
+
+- **appends** (uuid absent from LCA): if *both* branches appended, a
+  resolution is required (``merge.py:1052-1092``): ``ours`` keeps only our
+  appends, ``theirs`` replaces ours with theirs, ``both`` keeps both.
+  Appends on one side only merge silently.
+- **pops** (uuid in LCA, missing from a branch): rows popped on *both*
+  sides are always dropped; any *exclusive* pop requires a resolution
+  (``merge.py:1011-1040``): ``ours`` keeps our delete-state, ``theirs``
+  adopts theirs (restoring rows only-we popped, dropping rows only-they
+  popped), ``both`` drops the union.
+- **updates** (uuid in all three, value differs from LCA): one-sided
+  updates merge silently *per column* (column-level, so two branches
+  touching different tensors of the same row never conflict — the
+  reference detects per tensor too); divergent updates of the same cell
+  need ``ours``/``theirs`` (``merge.py:208-288``).  A row popped by us but
+  updated by them is resurrected when ``update_resolution='theirs'``
+  (reference ``resurrect_indexes``, ``merge.py:277-288``), else follows
+  ``pop_resolution``.
+- **schema**: tensors created on either branch propagate; dtype/htype
+  mismatches raise unless ``force`` (``merge.py:933-977``).
+
+Executed as a single full-outer 3-way join on ``_uuid`` with per-column
+CASE expressions — one shuffle per side, no driver-side row state, which
+is what makes this merge work at 100 TB where the reference's in-RAM
+index maps cannot.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from muller_spark.errors import MergeConflictError, MergeMismatchError
+from muller_spark.schema import ROW_ID_COL, UUID_COL
+
+
+def _prefixed(df: DataFrame, prefix: str, tensors: Sequence[str]) -> DataFrame:
+    cols = [F.col(UUID_COL)]
+    cols.append(F.col(ROW_ID_COL).alias(f"{prefix}{ROW_ID_COL}"))
+    for t in tensors:
+        if t in df.columns:
+            cols.append(F.col(f"`{t}`").alias(f"{prefix}{t}"))
+    out = df.select(*cols).withColumn(f"{prefix}in", F.lit(True))
+    return out
+
+
+def _neq(a: Column, b: Column) -> Column:
+    return ~a.eqNullSafe(b)
+
+
+def merge_schemas(
+    ours_meta: dict,
+    theirs_meta: dict,
+    base_meta: dict,
+    delete_removed_tensors: bool,
+    force: bool,
+) -> dict:
+    merged = dict(ours_meta)
+    for name, meta in theirs_meta.items():
+        if name in merged:
+            ours_m = merged[name]
+            for key in ("htype", "dtype"):
+                if ours_m.get(key) and meta.get(key) and ours_m[key] != meta[key] and not force:
+                    raise MergeMismatchError(
+                        f"tensor {name!r} {key} mismatch: {ours_m[key]} vs {meta[key]}"
+                    )
+        elif name in base_meta:
+            # we deleted it; theirs kept it — stay deleted unless force re-adds
+            if force:
+                merged[name] = meta
+        else:
+            merged[name] = meta  # created on their branch → propagate
+    if delete_removed_tensors:
+        for name in list(merged):
+            if name in base_meta and name not in theirs_meta:
+                del merged[name]  # deleted on their branch
+    return merged
+
+
+def _joined(ours_df, theirs_df, base_df, tensors):
+    o = _prefixed(ours_df, "o_", tensors)
+    t = _prefixed(theirs_df, "t_", tensors)
+    b = _prefixed(base_df, "b_", tensors)
+    j = o.join(t, UUID_COL, "full").join(b, UUID_COL, "full")
+    for p in ("o_", "t_", "b_"):
+        j = j.withColumn(f"{p}in", F.coalesce(F.col(f"{p}in"), F.lit(False)))
+    return j
+
+
+def _changed_row(j: DataFrame, prefix: str, tensors: Sequence[str]) -> Column:
+    """True when any tensor value differs from base for this row."""
+    preds = [
+        _neq(F.col(f"{prefix}{t}"), F.col(f"b_{t}"))
+        for t in tensors
+        if f"{prefix}{t}" in j.columns and f"b_{t}" in j.columns
+    ]
+    if not preds:
+        return F.lit(False)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
+def three_way_merge(
+    ds,
+    ours_df: DataFrame,
+    theirs_df: DataFrame,
+    base_df: DataFrame,
+    ours_meta: dict,
+    theirs_meta: dict,
+    base_meta: dict,
+    append_resolution: str | None,
+    update_resolution: str | None,
+    pop_resolution: str | None,
+    delete_removed_tensors: bool,
+    force: bool,
+    next_uuid: int,
+):
+    merged_meta = merge_schemas(
+        ours_meta, theirs_meta, base_meta, delete_removed_tensors, force
+    )
+    tensors = list(merged_meta)
+    common = [t for t in tensors if t in ours_meta and t in theirs_meta and t in base_meta]
+    j = _joined(ours_df, theirs_df, base_df, tensors).cache()
+
+    in_o, in_t, in_b = F.col("o_in"), F.col("t_in"), F.col("b_in")
+    t_updated = _changed_row(j, "t_", common)
+
+    # -- conflict census (one aggregation pass) -------------------------
+    divergent_any = F.lit(False)
+    for t in common:
+        o_c, t_c, b_c = F.col(f"o_{t}"), F.col(f"t_{t}"), F.col(f"b_{t}")
+        divergent_any = divergent_any | (
+            _neq(o_c, b_c) & _neq(t_c, b_c) & _neq(o_c, t_c)
+        )
+    census = j.agg(
+        F.sum((in_o & ~in_b).cast("long")).alias("app_o"),
+        F.sum((in_t & ~in_b).cast("long")).alias("app_t"),
+        F.sum((in_b & in_o & ~in_t).cast("long")).alias("pop_t_only"),
+        F.sum((in_b & ~in_o & in_t).cast("long")).alias("pop_o_only"),
+        F.sum((in_b & in_o & in_t & divergent_any).cast("long")).alias("upd_conflicts"),
+    ).collect()[0]
+
+    both_appended = (census["app_o"] or 0) > 0 and (census["app_t"] or 0) > 0
+    if both_appended and append_resolution is None:
+        raise MergeConflictError(
+            "both branches appended different samples; pass "
+            "append_resolution='ours'|'theirs'|'both'"
+        )
+    exclusive_pops = (census["pop_t_only"] or 0) + (census["pop_o_only"] or 0)
+    if exclusive_pops > 0 and pop_resolution is None:
+        raise MergeConflictError(
+            "branches deleted different samples; pass "
+            "pop_resolution='ours'|'theirs'|'both'"
+        )
+    if (census["upd_conflicts"] or 0) > 0 and update_resolution is None:
+        raise MergeConflictError(
+            "both branches updated the same samples differently; pass "
+            "update_resolution='ours'|'theirs'"
+        )
+
+    # -- row decisions ---------------------------------------------------
+    keep_merge = in_b & in_o & in_t
+    # theirs popped, we kept
+    keep_ours_despite_their_pop = (
+        in_b & in_o & ~in_t & F.lit(pop_resolution == "ours")
+    )
+    # we popped, theirs kept → resurrect?
+    resurrect = in_b & ~in_o & in_t & (
+        (F.lit(update_resolution == "theirs") & t_updated)
+        | F.lit(pop_resolution == "theirs")
+    )
+    keep_our_append = (in_o & ~in_b) & ~F.lit(
+        both_appended and append_resolution == "theirs"
+    )
+    keep_their_append = (in_t & ~in_b) & (
+        ~F.lit(both_appended) | F.lit(append_resolution in ("theirs", "both"))
+    )
+
+    from_theirs = resurrect | (in_t & ~in_b & keep_their_append)
+    keep = keep_merge | keep_ours_despite_their_pop | resurrect | keep_our_append | keep_their_append
+
+    rows = j.filter(keep)
+
+    # -- column materialization -----------------------------------------
+    out_cols = [F.col(UUID_COL)]
+    sort_key = F.when(
+        F.col("o_in"), F.struct(F.lit(0).alias("pri"), F.col(f"o_{ROW_ID_COL}").alias("pos"))
+    ).otherwise(F.struct(F.lit(1).alias("pri"), F.col(f"t_{ROW_ID_COL}").alias("pos")))
+    for t in tensors:
+        o_c = F.col(f"o_{t}") if f"o_{t}" in j.columns else F.lit(None)
+        t_c = F.col(f"t_{t}") if f"t_{t}" in j.columns else F.lit(None)
+        b_c = F.col(f"b_{t}") if f"b_{t}" in j.columns else F.lit(None)
+        three_way = (
+            F.when(
+                _neq(o_c, b_c) & _neq(t_c, b_c) & _neq(o_c, t_c),
+                t_c if update_resolution == "theirs" else o_c,
+            )
+            .when(_neq(t_c, b_c) & o_c.eqNullSafe(b_c), t_c)
+            .otherwise(o_c)
+        )
+        value = (
+            F.when(keep_merge, three_way)
+            .when(from_theirs, t_c)
+            .otherwise(o_c)
+        )
+        out_cols.append(value.alias(t))
+    result = rows.select(*out_cols, sort_key.alias("_sort"))
+    w = Window.orderBy(F.col("_sort.pri"), F.col("_sort.pos"))
+    result = (
+        result.withColumn(ROW_ID_COL, (F.row_number().over(w) - 1).cast("long"))
+        .drop("_sort")
+        .select(UUID_COL, ROW_ID_COL, *tensors)
+    )
+    j.unpersist()
+    return result, merged_meta, next_uuid
+
+
+def detect_conflicts(
+    ours_df: DataFrame,
+    theirs_df: DataFrame,
+    base_df: DataFrame,
+    tensors: Sequence[str],
+    show_value: bool = False,
+):
+    """Dry-run conflict report (reference ``commits.py:254-302``).
+
+    Returns ``(conflict_tensors, records)`` where records maps each
+    conflict kind to row details.
+    """
+    j = _joined(ours_df, theirs_df, base_df, tensors)
+    in_o, in_t, in_b = F.col("o_in"), F.col("t_in"), F.col("b_in")
+
+    conflict_tensors: list[str] = []
+    records: dict = {"update_conflicts": {}, "pop_conflicts": {}, "append_conflicts": {}}
+
+    for t in tensors:
+        o_c, t_c, b_c = F.col(f"o_{t}"), F.col(f"t_{t}"), F.col(f"b_{t}")
+        divergent = in_b & in_o & in_t & _neq(o_c, b_c) & _neq(t_c, b_c) & _neq(o_c, t_c)
+        sel = [F.col(UUID_COL), F.col(f"o_{ROW_ID_COL}").alias("our_index"),
+               F.col(f"t_{ROW_ID_COL}").alias("their_index")]
+        if show_value:
+            sel += [o_c.alias("our_value"), t_c.alias("their_value")]
+        found = j.filter(divergent).select(*sel).collect()
+        if found:
+            conflict_tensors.append(t)
+            records["update_conflicts"][t] = [r.asDict() for r in found]
+
+    pops_ours = j.filter(in_b & in_o & ~in_t).select(
+        UUID_COL, F.col(f"o_{ROW_ID_COL}").alias("our_index")
+    ).collect()
+    pops_theirs = j.filter(in_b & ~in_o & in_t).select(
+        UUID_COL, F.col(f"t_{ROW_ID_COL}").alias("their_index")
+    ).collect()
+    if pops_ours or pops_theirs:
+        records["pop_conflicts"] = {
+            "theirs_popped": [r.asDict() for r in pops_ours],
+            "ours_popped": [r.asDict() for r in pops_theirs],
+        }
+    app_o = j.filter(in_o & ~in_b).count()
+    app_t = j.filter(in_t & ~in_b).count()
+    if app_o and app_t:
+        records["append_conflicts"] = {"ours_appended": app_o, "theirs_appended": app_t}
+    return conflict_tensors, records
+
+
+def snapshot_diff(df: DataFrame, base_df: DataFrame, tensors: Sequence[str]) -> dict:
+    """Changes of one snapshot vs a base: appended / popped / updated
+    (reference ``operations/diff.py:188-355``)."""
+    o = _prefixed(df, "o_", tensors)
+    b = _prefixed(base_df, "b_", tensors)
+    j = o.join(b, UUID_COL, "full")
+    for p in ("o_", "b_"):
+        j = j.withColumn(f"{p}in", F.coalesce(F.col(f"{p}in"), F.lit(False)))
+    in_o, in_b = F.col("o_in"), F.col("b_in")
+
+    appended = [r[0] for r in j.filter(in_o & ~in_b).select(UUID_COL).collect()]
+    popped = [r[0] for r in j.filter(in_b & ~in_o).select(UUID_COL).collect()]
+    updated: dict[str, list] = {}
+    for t in tensors:
+        o_c, b_c = F.col(f"o_{t}"), F.col(f"b_{t}")
+        rows = (
+            j.filter(in_o & in_b & _neq(o_c, b_c))
+            .select(
+                F.col(UUID_COL),
+                F.col(f"o_{ROW_ID_COL}").alias("index"),
+                b_c.alias("old_value"),
+                o_c.alias("new_value"),
+            )
+            .collect()
+        )
+        if rows:
+            updated[t] = [r.asDict() for r in rows]
+    return {"appended": sorted(appended), "popped": sorted(popped), "updated": updated}

@@ -1,0 +1,275 @@
+"""Version-control behavioral scenarios, ported from the reference's
+README collaborative workflow (reference README.md:262-366) and
+tests/integration/version_control/ (test_version_control.py,
+test_detect_merge.py conflict matrix)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from muller_spark import dataset as ds_mod  # noqa: E402
+from muller_spark.errors import (  # noqa: E402
+    CheckoutError,
+    MergeConflictError,
+    TensorAlreadyExistsError,
+    TensorDoesNotExistError,
+)
+
+
+@pytest.fixture()
+def base_ds(spark, tmp_path):
+    ds = ds_mod.dataset(str(tmp_path / "ds"), spark)
+    ds.create_tensor("labels", htype="generic", dtype="int64")
+    ds.create_tensor("categories", htype="text")
+    ds.create_tensor("description", htype="text")
+    ds.extend({
+        "labels": [0, 1, 2, 3],
+        "categories": ["cat", "dog", "bird", "cat"],
+        "description": ["d0", "d1", "d2", "d3"],
+    })
+    ds.commit("base 4 rows")
+    return ds
+
+
+def _labels(ds):
+    return list(ds.labels.numpy())
+
+
+def test_crud_roundtrip(spark, tmp_path):
+    ds = ds_mod.dataset(str(tmp_path / "crud"), spark)
+    ds.create_tensor("x", dtype="int64")
+    ds.create_tensor("t", htype="text")
+    ds.extend({"x": [1, 2, 3], "t": ["a", "b", "c"]})
+    assert len(ds) == 3
+    ds.commit("init")
+
+    # update by position
+    ds.x[1] = 20
+    assert list(ds.x.numpy()) == [1, 20, 3]
+    # pop renumbers
+    ds.pop(0)
+    assert list(ds.x.numpy()) == [20, 3]
+    ds.commit("mutated")
+
+    # reopen from disk
+    ds2 = ds_mod.load(str(tmp_path / "crud"), spark)
+    assert list(ds2.x.numpy()) == [20, 3]
+    assert list(ds2.t.numpy()) == ["b", "c"]
+
+    ds2.rename_tensor("x", "y")
+    assert list(ds2.y.numpy()) == [20, 3]
+    ds2.delete_tensor("t")
+    assert "t" not in ds2.tensors
+    with pytest.raises(TensorDoesNotExistError):
+        ds2.t.numpy()
+    with pytest.raises(TensorAlreadyExistsError):
+        ds2.create_tensor("y")
+
+
+def test_append_only_commit_is_incremental(spark, tmp_path):
+    ds = ds_mod.dataset(str(tmp_path / "inc"), spark)
+    ds.create_tensor("x", dtype="int64")
+    ds.extend({"x": [1, 2]})
+    ds.commit("c1")
+    ds.extend({"x": [3]})
+    ds.commit("c2")
+    snap = ds.log.resolve("main")
+    assert len(snap.data_dirs) == 2, "append should add a delta dir, not rewrite"
+    assert list(ds.x.numpy()) == [1, 2, 3]
+
+
+def test_branching_and_checkout(base_ds):
+    ds = base_ds
+    ds.checkout("dev-1", create=True)
+    ds.labels.extend([50, 60])
+    ds.categories.extend(["cat", "bird"])
+    ds.description.extend(["a cat", "a bird"])
+    ds.labels[3] = 30
+    ds.pop(1)
+    ds.commit("commit on dev-1")
+    assert _labels(ds) == [0, 2, 30, 50, 60]
+
+    ds.checkout("main")
+    assert _labels(ds) == [0, 1, 2, 3]
+    assert sorted(ds.branches) == ["dev-1", "main"]
+
+    with pytest.raises(CheckoutError):
+        ds.checkout("dev-1", create=True)  # already exists
+
+
+def test_uncommitted_changes_block_checkout(base_ds):
+    ds = base_ds
+    ds.labels.extend([9])
+    with pytest.raises(CheckoutError):
+        ds.checkout("other", create=True)
+    ds.reset()
+    assert _labels(ds) == [0, 1, 2, 3]
+
+
+def test_fast_forward_merge(base_ds):
+    ds = base_ds
+    ds.checkout("dev-1", create=True)
+    ds.labels.extend([50])
+    ds.categories.extend(["x"])
+    ds.description.extend(["y"])
+    ds.commit("dev-1 adds one")
+    ds.checkout("main")
+    ds.merge("dev-1")
+    assert _labels(ds) == [0, 1, 2, 3, 50]
+
+
+def test_three_way_merge_readme_scenario(base_ds):
+    """The full collaborative workflow from reference README.md:300-366."""
+    ds = base_ds
+
+    ds.checkout("dev-1", create=True)
+    ds.labels.extend([50, 60])
+    ds.categories.extend(["cat", "bird"])
+    ds.description.extend(["ginger tabby", "black cat"])
+    ds.labels[3] = 30
+    ds.pop(1)
+    ds.commit("commit on dev-1")
+
+    ds.checkout("main")
+    ds.checkout("dev-2", create=True)
+    ds.labels.extend([500, 600])
+    ds.categories.extend(["cat", "dog"])
+    ds.description.extend(["orange tabby", "golden retriever"])
+    ds.labels[3] = 300
+    ds.pop([1, 2])
+    ds.commit("commit on dev-2")
+    assert _labels(ds) == [0, 300, 500, 600]
+
+    # fast-forward dev-1 into main
+    ds.checkout("main")
+    ds.merge("dev-1", pop_resolution="theirs")
+    assert _labels(ds) == [0, 2, 30, 50, 60]
+
+    # conflicts vs dev-2
+    conflict_tensors, records = ds.detect_merge_conflict("dev-2", show_value=True)
+    assert "labels" in conflict_tensors
+    update_vals = {
+        (r["our_value"], r["their_value"])
+        for r in records["update_conflicts"]["labels"]
+    }
+    assert (30, 300) in update_vals
+    # u1 was popped on both sides → excluded; u2 only in dev-2's pops
+    assert len(records["pop_conflicts"]["theirs_popped"]) == 1
+    assert len(records["pop_conflicts"]["ours_popped"]) == 0
+    assert records["append_conflicts"] == {"ours_appended": 2, "theirs_appended": 2}
+
+    # resolution-less merge must raise
+    with pytest.raises(MergeConflictError):
+        ds.merge("dev-2")
+
+    ds.merge(
+        "dev-2",
+        append_resolution="both",
+        pop_resolution="ours",
+        update_resolution="theirs",
+    )
+    assert _labels(ds) == [0, 2, 300, 50, 60, 500, 600]
+
+
+def test_merge_append_resolution_theirs(base_ds):
+    ds = base_ds
+    ds.checkout("b1", create=True)
+    ds.labels.extend([10])
+    ds.categories.extend(["x"])
+    ds.description.extend(["x"])
+    ds.commit("b1")
+    ds.checkout("main")
+    ds.checkout("b2", create=True)
+    ds.labels.extend([99])
+    ds.categories.extend(["z"])
+    ds.description.extend(["z"])
+    ds.commit("b2")
+    ds.checkout("main")
+    ds.merge("b1")  # ff
+    ds.merge("b2", append_resolution="theirs")
+    assert _labels(ds) == [0, 1, 2, 3, 99]
+
+
+def test_merge_pop_resolution_theirs_restores_and_drops(base_ds):
+    ds = base_ds
+    ds.checkout("p1", create=True)
+    ds.pop(0)  # we pop row 0
+    ds.commit("p1 pops 0")
+    ds.checkout("main")
+    ds.checkout("p2", create=True)
+    ds.pop(3)  # they pop row 3
+    ds.commit("p2 pops 3")
+    ds.checkout("p1")
+    ds.merge("p2", pop_resolution="theirs")
+    # theirs state adopted: row0 restored, row3 dropped
+    assert _labels(ds) == [1, 2, 0]
+
+    ds.checkout("main")
+
+
+def test_schema_evolution_merge(base_ds):
+    ds = base_ds
+    ds.checkout("dev-3", create=True)
+    ds.create_tensor("features", htype="generic", dtype="float64")
+    ds.features[0] = 0.5
+    ds.commit("add features")
+    ds.checkout("main")
+    ds.merge("dev-3")  # fast-forward propagates schema
+    assert "features" in ds.tensors
+    vals = list(ds.features.numpy())
+    assert vals[0] == 0.5
+
+
+def test_schema_merge_three_way(base_ds):
+    ds = base_ds
+    ds.checkout("s1", create=True)
+    ds.labels[0] = 100
+    ds.commit("s1 update")
+    ds.checkout("main")
+    ds.checkout("s2", create=True)
+    ds.create_tensor("score", htype="generic", dtype="float64")
+    ds.score[1] = 0.9
+    ds.commit("s2 new tensor")
+    ds.checkout("s1")
+    ds.merge("s2")
+    assert "score" in ds.tensors
+    assert _labels(ds) == [100, 1, 2, 3]
+    scores = list(ds.score.numpy())
+    assert scores[1] == 0.9
+
+
+def test_diff(base_ds):
+    ds = base_ds
+    ds.checkout("d1", create=True)
+    ds.labels.extend([7])
+    ds.categories.extend(["x"])
+    ds.description.extend(["x"])
+    ds.labels[0] = 42
+    ds.pop(2)
+    ds.commit("d1 changes")
+    out = ds.diff("d1", "main")
+    d1 = out["d1"]
+    assert len(d1["appended"]) == 1
+    assert len(d1["popped"]) == 1
+    assert "labels" in d1["updated"]
+    upd = d1["updated"]["labels"][0]
+    assert upd["old_value"] == 0 and upd["new_value"] == 42
+    main = out["main"]
+    assert main["appended"] == [] and main["popped"] == [] and main["updated"] == {}
+
+
+def test_log_history(base_ds):
+    ds = base_ds
+    ds.labels.extend([5])
+    ds.categories.extend(["e"])
+    ds.description.extend(["e"])
+    ds.commit("second")
+    history = ds.log_history()
+    messages = [s.message for s in history]
+    assert messages[0] == "second"
+    assert messages[-1] == "initial commit"
