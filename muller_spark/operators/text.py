@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting.
+
+All JVM-side (split/filter/aggregate on token arrays — no Python UDFs),
+so they codegen and scale linearly with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from muller_spark.operators.dedup import normalized_text
+from muller_spark.plans.conditions import TOKEN_SPLIT_REGEX
+
+# Tiny deterministic stopword profiles for the n-gram/stopword-overlap
+# language heuristic (top function words per language).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "was"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"),
+    "es": ("el", "la", "de", "que", "y", "los", "un", "es", "en", "una"),
+}
+
+STOPWORDS_EN = frozenset(
+    "a an and are as at be by for from has he in is it its of on that the to was were will with".split()
+)
+
+
+def tokens_of(col: Column) -> Column:
+    return F.filter(
+        F.split(normalized_text(col), TOKEN_SPLIT_REGEX), lambda t: t != ""
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens_of(col))
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-profile language guess: the language whose function words
+    cover the most tokens; 'und' (undetermined) when nothing matches."""
+    toks = tokens_of(col)
+    scores = [
+        (lang, F.size(F.filter(toks, lambda t: t.isin(*profile))))
+        for lang, profile in LANG_PROFILES.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # reversed so the first language in the dict wins ties
+    for lang, score in reversed(scores):
+        out = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Append standard quality-signal columns: n_tokens, mean_token_len,
+    stopword_ratio, punct_ratio, digit_ratio, upper_ratio."""
+    raw = F.col(text_col)
+    toks = tokens_of(raw)
+    n_tok = F.size(toks)
+    n_chars = F.length(raw)
+    non_space = F.length(F.regexp_replace(raw, r"\s+", ""))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*sorted(STOPWORDS_EN))))
+    punct = F.length(raw) - F.length(F.regexp_replace(raw, r"[^\w\s]", ""))
+    digits = F.length(raw) - F.length(F.regexp_replace(raw, r"[0-9]", ""))
+    uppers = F.length(raw) - F.length(F.regexp_replace(raw, r"[A-Z]", ""))
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("mean_token_len", safe(non_space, n_tok))
+        .withColumn("stopword_ratio", safe(stop, n_tok))
+        .withColumn("punct_ratio", safe(punct, n_chars))
+        .withColumn("digit_ratio", safe(digits, n_chars))
+        .withColumn("upper_ratio", safe(uppers, n_chars))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str) -> DataFrame:
+    """Single 0-1 heuristic quality score from the feature columns."""
+    feats = quality_features(df, text_col)
+    length_ok = F.when(
+        (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 1.0
+    ).otherwise(0.3)
+    stop_ok = F.when(F.col("stopword_ratio") >= 0.05, 1.0).otherwise(0.5)
+    punct_ok = F.when(F.col("punct_ratio") <= 0.3, 1.0).otherwise(0.4)
+    digit_ok = F.when(F.col("digit_ratio") <= 0.3, 1.0).otherwise(0.5)
+    return feats.withColumn(
+        "quality_score",
+        F.round((length_ok * stop_ok * punct_ok * digit_ok), 6),
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalized content fingerprint: md5 of the canonical text form."""
+    return F.md5(normalized_text(col))
+
+
+def rolling_fingerprints(col: Column, window: int = 8, keep: int = 4) -> Column:
+    """Winnowing-style fingerprint set: hash each ``window``-token
+    shingle, keep the ``keep`` smallest hashes (a deterministic sketch of
+    the document usable for containment/overlap checks)."""
+    toks = tokens_of(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
+    hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))
+    )
+    return F.slice(F.array_sort(hashes), 1, keep)

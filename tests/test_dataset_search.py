@@ -1,0 +1,80 @@
+"""Dataset-level hybrid search: inverted index + vector index wiring."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from muller_spark import dataset as ds_mod  # noqa: E402
+
+
+@pytest.fixture()
+def text_ds(spark, tmp_path):
+    ds = ds_mod.dataset(str(tmp_path / "textds"), spark)
+    ds.create_tensor("text", htype="text")
+    ds.create_tensor("score", dtype="int64")
+    corpus = ["hi there world", "bye bye", "oops hello", "hello world", "hi hi"]
+    ds.extend({"text": corpus * 4, "score": list(range(20))})
+    ds.commit("corpus")
+    return ds
+
+
+def test_index_search_and_filter_integration(text_ds):
+    ds = text_ds
+    ds.create_index_vectorized("text")
+    hits = ds.query("text", "hello").select("text").collect()
+    assert {r["text"] for r in hits} == {"oops hello", "hello world"}
+
+    # complex fuzzy through the index inside filter_vectorized, mixed with
+    # a scan condition, left-to-right fold
+    out = ds.filter_vectorized(
+        [("text", "CONTAINS", "hi||hello", True), ("score", "<", 10)],
+        ["AND"],
+    )
+    rows = out.select("text", "score").collect()
+    assert all(r["score"] < 10 for r in rows)
+    assert all(
+        ("hi" in r["text"].split()) or ("hello" in r["text"].split()) for r in rows
+    )
+    # equivalent scan-only result must match
+    scan = ds.filter_vectorized(
+        [("text", "CONTAINS", "hi||hello"), ("score", "<", 10)], ["AND"]
+    ).select("text", "score").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, scan))
+
+
+def test_index_staleness_falls_back(text_ds):
+    ds = text_ds
+    ds.create_index_vectorized("text")
+    ds.text.extend(["fresh document hello"])
+    ds.score.extend([99])
+    ds.commit("moved head")
+    # index is stale now → query() refuses, filter falls back to scan
+    with pytest.raises(ValueError):
+        ds.query("text", "hello")
+    out = ds.filter_vectorized([("text", "CONTAINS", "hello", True)], [])
+    assert out.filter(F.col("score") == 99).count() == 1
+
+
+def test_vector_index_flat_and_lsh(spark, tmp_path):
+    ds = ds_mod.dataset(str(tmp_path / "vecds"), spark)
+    ds.create_tensor("emb", htype="embedding")
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(50, 8).astype("float32")
+    ds.extend({"emb": [[float(x) for x in v] for v in vecs]})
+    ds.commit("vectors")
+
+    ds.create_vector_index("emb", index_type="FLAT", metric="l2")
+    out = ds.vector_search(vecs[0], "emb", topk=3).collect()
+    assert out[0]["id"] == 0 and out[0]["rank"] == 1  # self is nearest
+
+    ds.create_vector_index("emb", index_name="lsh", index_type="HNSWFLAT",
+                           metric="cosine", num_planes=3, num_tables=8)
+    approx = ds.vector_search(vecs[0], "emb", index_name="lsh", topk=3).collect()
+    assert any(r["id"] == 0 for r in approx)

@@ -1,0 +1,218 @@
+"""Inverted-index, vector-search, and dedup operator tests.
+
+Models the reference's test strategy (SURVEY §5): dual-engine oracles —
+index search vs scan CONTAINS, ANN recall vs exact KNN (reference
+``test_vector_search_recall.py``), MinHash estimate vs exact Jaccard.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from muller_spark.index.inverted import InvertedIndex  # noqa: E402
+from muller_spark.index.vector import ann_knn, exact_knn  # noqa: E402
+from muller_spark.operators.dedup import (  # noqa: E402
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from muller_spark.operators.text import lang_id, quality_score, token_count  # noqa: E402
+from muller_spark.plans.conditions import contains_predicate  # noqa: E402
+
+DOCS = "/root/testdata/sf0.01/documents.parquet"
+EMB = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB).cache()
+
+
+# ----------------------------------------------------------------- inverted
+def test_inverted_index_fuzzy_matches_scan(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx") / "text_index")
+    idx = InvertedIndex.build(docs, "text", path, id_col="doc_id")
+    for query in ["vector merge", "spark", "stream window"]:
+        via_index = {r["id"] for r in idx.search(query, "fuzzy_match").collect()}
+        via_scan = {
+            r["doc_id"]
+            for r in docs.filter(contains_predicate(F.col("text"), query)).collect()
+        }
+        assert via_index == via_scan, query
+
+
+def test_inverted_index_complex_fuzzy(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx") / "text_index2")
+    idx = InvertedIndex.build(docs, "text", path, id_col="doc_id")
+    via_index = {r["id"] for r in idx.search("vector merge||stream window",
+                                             "complex_fuzzy_match").collect()}
+    pred = contains_predicate(F.col("text"), "vector merge||stream window")
+    via_scan = {r["doc_id"] for r in docs.filter(pred).collect()}
+    assert via_index == via_scan
+
+
+def test_inverted_index_scalar_exact_and_range(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx") / "scalar_index")
+    idx = InvertedIndex.build(docs, "n_chars", path, id_col="doc_id", is_text=False)
+    some = docs.select("n_chars").first()[0]
+    via_index = {r["id"] for r in idx.search(some, "exact_match").collect()}
+    via_scan = {r["doc_id"] for r in docs.filter(F.col("n_chars") == some).collect()}
+    assert via_index == via_scan
+
+    lo, hi = 200, 400
+    via_index = {r["id"] for r in idx.search((lo, hi), "range_match").collect()}
+    via_scan = {
+        r["doc_id"] for r in docs.filter(F.col("n_chars").between(lo, hi)).collect()
+    }
+    assert via_index == via_scan  # inclusive both ends
+
+
+def test_inverted_index_stop_words(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx") / "stop_index")
+    idx = InvertedIndex.build(docs, "text", path, id_col="doc_id",
+                              stop_words=["the", "a"])
+    assert idx.search("the", "fuzzy_match").count() == 0
+
+
+# ------------------------------------------------------------------- vector
+def test_exact_knn_matches_numpy_bruteforce(spark, emb):
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = mat[:3]
+
+    for metric in ("l2", "cosine", "inner_product"):
+        got = exact_knn(emb, "embedding", "vec_id", q, k=5, metric=metric).collect()
+        by_query = {}
+        for r in got:
+            by_query.setdefault(r["query_id"], []).append((r["rank"], r["id"]))
+        if metric == "l2":
+            d = ((mat[:, None, :] - q[None, :, :]) ** 2).sum(axis=2)
+        elif metric == "inner_product":
+            d = -(mat @ q.T)
+        else:
+            d = 1 - (mat @ q.T) / (
+                np.linalg.norm(mat, axis=1)[:, None] * np.linalg.norm(q, axis=1)[None, :]
+            )
+        for qi in range(3):
+            expect = set(ids[np.argsort(d[:, qi], kind="stable")[:5]])
+            mine = {i for _, i in by_query[qi]}
+            assert mine == expect, metric
+
+
+def test_ann_recall_against_exact(spark, emb):
+    rows = emb.limit(3).collect()
+    q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    exact = exact_knn(emb, "embedding", "vec_id", q, k=10, metric="cosine").collect()
+    approx = ann_knn(
+        emb, "embedding", "vec_id", q, k=10, metric="cosine",
+        num_planes=4, num_tables=12,
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = [
+        len(exact_sets[qi] & approx_sets.get(qi, set())) / 10 for qi in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+# -------------------------------------------------------------------- dedup
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog in the morning sun"),
+        (1, "the quick brown fox jumps over the lazy dog in the morning sun"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog in the evening sun"),  # near dup of 0
+        (3, "completely different content about spark distributed computing engines"),
+        (4, "spark distributed computing engines are completely different content about"),
+        (5, "an unrelated short text"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(dup_docs):
+    out = exact_dedup(dup_docs, "text", "doc_id").collect()
+    groups = {r["keep_id"]: r["dup_count"] for r in out}
+    assert groups[0] == 2  # docs 0 and 1 identical
+    assert len(out) == 5
+
+
+def test_minhash_near_dup(dup_docs):
+    pairs = minhash_lsh_pairs(
+        dup_docs, "text", "doc_id",
+        num_hashes=128, shingle_size=2, bands=32, threshold=0.5,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found           # identical
+    assert (0, 2) in found or (1, 2) in found  # near dup
+    assert all({a, b} != {3, 5} for a, b in found)
+
+
+def test_ngram_jaccard_exact(dup_docs):
+    pairs = ngram_jaccard_pairs(dup_docs, "text", "doc_id", n=2, threshold=0.4).collect()
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert jac[(0, 1)] == 1.0
+    assert (0, 2) in jac and 0.4 <= jac[(0, 2)] < 1.0
+
+
+def test_simhash_near_dup(dup_docs):
+    pairs = simhash_near_dups(dup_docs, "text", "doc_id", max_hamming=10).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found
+    # identical docs → identical simhash → distance 0
+    zero = [r for r in pairs if r["id_a"] == 0 and r["id_b"] == 1]
+    assert zero[0]["hamming"] == 0
+
+
+def test_embedding_near_dups(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(20, 16)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # row 20 = near-copy of row 0
+    rows.append((20, [float(x) for x in base[0] + rng.randn(16) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_dups(
+        df, "embedding", "vec_id", threshold=0.98, num_planes=4, num_tables=8
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 20) in found
+
+
+# --------------------------------------------------------------------- text
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog went to the house in that city"),
+            (1, "der Hund und die Katze sind nicht mit der Maus zu Hause"),
+            (2, "le chat et le chien sont pour la maison les amis"),
+            (3, "xyzzy qwerty plugh"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["lang"] for r in df.select("id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "fr" and out[3] == "und"
+
+    scored = quality_score(df, "text").collect()
+    by_id = {r["id"]: r for r in scored}
+    assert by_id[0]["quality_score"] > by_id[3]["quality_score"]
+    assert by_id[0]["n_tokens"] == 12
+    counts = {r["id"]: r["n"] for r in df.select("id", token_count(F.col("text")).alias("n")).collect()}
+    assert counts[3] == 3
