@@ -1,0 +1,86 @@
+"""Structured-Streaming extension (SURVEY §2.12: the reference has no
+streaming; its closest analogue is append-only ingestion with periodic
+checkpoint commits, ``pipeline.py:149``).  We expose the natural Spark
+generalization: file-source streams, event-time tumbling/sliding windows
+with watermarks for late data, and a foreachBatch sink that lands
+micro-batches as dataset commits — append-only ingestion with
+checkpoints, exactly the reference's pattern but incremental.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_from_directory(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """File-source stream: new files appearing under ``path`` become
+    micro-batches."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def windowed_aggregate(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    group_cols: tuple[str, ...] = (),
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Event-time windowed aggregation with a late-data watermark.
+
+    ``aggs`` maps column → {count|sum|avg|min|max}; defaults to count(*).
+    Works identically on batch DataFrames (window() is just an expression),
+    which is how the batch/stream parity tests check it.
+    """
+    win = F.window(F.col(ts_col), window_duration, slide or window_duration)
+    out = stream
+    if stream.isStreaming:
+        out = out.withWatermark(ts_col, watermark)
+    agg_exprs, agg_names = [], []
+    for col, how in (aggs or {}).items():
+        fn = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[how]
+        name = f"{how}_{col}"
+        agg_exprs.append(fn(col).alias(name))
+        agg_names.append(name)
+    if not agg_exprs:
+        agg_exprs = [F.count(F.lit(1)).alias("n_events")]
+        agg_names = ["n_events"]
+    return out.groupBy(win.alias("window"), *group_cols).agg(*agg_exprs).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *group_cols,
+        *agg_names,
+    )
+
+
+def write_stream_to_dataset(stream: DataFrame, ds, checkpoint_dir: str, trigger_seconds: int = 5):
+    """foreachBatch sink: each micro-batch lands as one dataset commit —
+    the streaming generalization of the reference's checkpointed
+    transform pipeline (``pipeline.py:149``)."""
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ds.extend_df(batch_df)
+        ds.commit(f"stream batch {batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

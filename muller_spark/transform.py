@@ -1,0 +1,152 @@
+"""Transform / UDF pipeline surface (reference §2.9).
+
+The reference's ``@muller.compute`` decorates ``fn(sample_in, sample_out,
+*args)`` into a ``ComputeFunction`` executed over worker slices with
+direct chunk writes (``muller/core/transform/transform.py:70``,
+``pipeline.py:258,898``).  Spark-first, a transform is a
+``mapInPandas`` stage: Arrow batches in, Arrow batches out, the cluster
+is the compute provider, and "checkpoint_interval" becomes a commit per
+``eval`` call on the output dataset.
+
+Supported shapes (as in the reference):
+- 1-in-1-out: ``sample_out`` gets exactly one row appended per input
+- 1-in-N-out / filtering: append 0..N rows (UDTF / flatMap semantics,
+  reference ``pipeline.py`` skip_ok path)
+- ``Pipeline`` = composition of ComputeFunctions
+
+``fn`` receives ``sample_in`` as a plain dict and ``sample_out`` as a
+``SampleOut`` accumulator with ``.append(dict)`` (and attribute-style
+``sample_out.tensor.append(v)`` like the reference API).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Iterable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+class SampleOut:
+    """Accumulator passed to compute functions."""
+
+    def __init__(self) -> None:
+        self.rows: list[dict] = []
+        self._current: dict | None = None
+
+    def append(self, row: dict) -> None:
+        self.rows.append(dict(row))
+
+    def __getattr__(self, tensor: str):
+        if tensor.startswith("_"):
+            raise AttributeError(tensor)
+        return _TensorAppender(self, tensor)
+
+
+class _TensorAppender:
+    def __init__(self, out: SampleOut, tensor: str) -> None:
+        self._out = out
+        self._tensor = tensor
+
+    def append(self, value: Any) -> None:
+        # attribute-style appends build up the current row; a row is
+        # flushed when the same tensor is appended again
+        cur = self._out._current
+        if cur is None or self._tensor in cur:
+            if cur is not None:
+                self._out.rows.append(cur)
+            self._out._current = {self._tensor: value}
+        else:
+            cur[self._tensor] = value
+
+
+class ComputeFunction:
+    def __init__(self, fn: Callable, args: tuple = (), kwargs: dict | None = None):
+        self.fn = fn
+        self.args = args
+        self.kwargs = kwargs or {}
+
+    def __call__(self, *args: Any, **kwargs: Any) -> "ComputeFunction":
+        return ComputeFunction(self.fn, args, kwargs)
+
+    # -- execution -------------------------------------------------------
+    def apply(self, df: DataFrame, output_schema: T.StructType | str) -> DataFrame:
+        """Run the transform over a DataFrame → DataFrame (Arrow-batched)."""
+        fn, args, kwargs = self.fn, self.args, self.kwargs
+
+        def run(iterator):
+            import pandas as pd
+
+            for pdf in iterator:
+                out_rows: list[dict] = []
+                for rec in pdf.to_dict("records"):
+                    sample_out = SampleOut()
+                    fn(rec, sample_out, *args, **kwargs)
+                    if sample_out._current is not None:
+                        sample_out.rows.append(sample_out._current)
+                    out_rows.extend(sample_out.rows)
+                if out_rows:
+                    yield pd.DataFrame(out_rows)
+
+        return df.mapInPandas(run, output_schema)
+
+    def eval(
+        self,
+        data_in,
+        ds_out=None,
+        output_schema: T.StructType | str | None = None,
+        message: str = "transform eval",
+        **_: Any,
+    ):
+        """Reference-shaped entry: run over a Dataset/DataFrame, append
+        results to ``ds_out`` (committing, like checkpointed eval) or
+        return the transformed DataFrame."""
+        from muller_spark.dataset import Dataset
+
+        df = data_in.df if isinstance(data_in, Dataset) else data_in
+        if output_schema is None and ds_out is not None:
+            from muller_spark.schema import HIDDEN_COLS, spark_type_for
+
+            fields = [
+                T.StructField(
+                    name, spark_type_for(m.get("htype", "generic"), m.get("dtype")), True
+                )
+                for name, m in ds_out.tensor_meta.items()
+                if not m.get("hidden") and name not in HIDDEN_COLS
+            ]
+            output_schema = T.StructType(fields)
+        if output_schema is None:
+            raise ValueError("output_schema required when ds_out is None")
+        from muller_spark.schema import HIDDEN_COLS as _HC
+
+        out = self.apply(df.drop(*[c for c in _HC if c in df.columns]), output_schema)
+        if ds_out is not None:
+            ds_out.extend_df(out)
+            ds_out.commit(message)
+            return ds_out
+        return out
+
+
+def compute(fn: Callable) -> ComputeFunction:
+    """``@muller.compute`` equivalent (reference ``api/transform.py:11``)."""
+    return functools.wraps(fn)(ComputeFunction(fn))
+
+
+class Pipeline:
+    """Chain of ComputeFunctions (reference ``core/transform/__init__.py``)."""
+
+    def __init__(self, functions: Sequence[ComputeFunction]):
+        self.functions = list(functions)
+
+    def apply(self, df: DataFrame, schemas: Sequence[T.StructType | str]) -> DataFrame:
+        if len(schemas) != len(self.functions):
+            raise ValueError("one output schema per pipeline stage")
+        out = df
+        for fn, schema in zip(self.functions, schemas):
+            out = fn.apply(out, schema)
+        return out
+
+
+def composite(functions: Sequence[ComputeFunction]) -> Pipeline:
+    return Pipeline(functions)

@@ -1,0 +1,192 @@
+"""Transform pipeline, ingest/export connectors, multimodal plumbing,
+and streaming extension tests."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from muller_spark import dataset as ds_mod  # noqa: E402
+from muller_spark.multimodal import (  # noqa: E402
+    decode_image_batch,
+    extract_image_features,
+    sample_video_frames,
+)
+from muller_spark.sources.readers import from_csv, from_file, read_binary_files  # noqa: E402
+from muller_spark.sources.writers import to_arrow, to_json, to_numpy  # noqa: E402
+from muller_spark.streaming.windows import (  # noqa: E402
+    stream_from_directory,
+    windowed_aggregate,
+    write_stream_to_dataset,
+)
+from muller_spark.transform import Pipeline, compute  # noqa: E402
+
+
+# ---------------------------------------------------------------- transform
+def test_compute_one_to_one(spark):
+    @compute
+    def double_it(sample_in, sample_out, factor=2):
+        sample_out.append({"x": sample_in["x"] * factor, "tag": sample_in["tag"].upper()})
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "x long, tag string")
+    out = double_it(factor=3).apply(df, "x long, tag string").collect()
+    got = sorted((r["x"], r["tag"]) for r in out)
+    assert got == [(3, "A"), (6, "B")]
+
+
+def test_compute_one_to_many_and_filter(spark):
+    @compute
+    def explode_evens(sample_in, sample_out):
+        if sample_in["x"] % 2 == 0:
+            for i in range(sample_in["x"]):
+                sample_out.append({"y": i})
+        # odd rows → 0 output rows (filtering)
+
+    df = spark.createDataFrame([(2,), (3,), (4,)], "x long")
+    out = explode_evens().apply(df, "y long").collect()
+    assert sorted(r["y"] for r in out) == [0, 0, 1, 1, 2, 3]
+
+
+def test_compute_attribute_style_append(spark):
+    @compute
+    def attr_style(sample_in, sample_out):
+        sample_out.val.append(sample_in["x"] + 1)
+        sample_out.name.append(f"row{sample_in['x']}")
+
+    df = spark.createDataFrame([(1,), (5,)], "x long")
+    out = attr_style().apply(df, "val long, name string").collect()
+    assert sorted((r["val"], r["name"]) for r in out) == [(2, "row1"), (6, "row5")]
+
+
+def test_compute_eval_into_dataset(spark, tmp_path):
+    ds = ds_mod.dataset(str(tmp_path / "out_ds"), spark)
+    ds.create_tensor("y", dtype="int64")
+    ds.commit("schema")
+
+    @compute
+    def plus_ten(sample_in, sample_out):
+        sample_out.append({"y": sample_in["x"] + 10})
+
+    src = spark.createDataFrame([(1,), (2,)], "x long")
+    plus_ten().eval(src, ds)
+    assert sorted(ds.y.numpy().tolist()) == [11, 12]
+
+
+def test_pipeline_chain(spark):
+    @compute
+    def stage1(sample_in, sample_out):
+        sample_out.append({"x": sample_in["x"] * 2})
+
+    @compute
+    def stage2(sample_in, sample_out):
+        sample_out.append({"x": sample_in["x"] + 1})
+
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    out = Pipeline([stage1(), stage2()]).apply(df, ["x long", "x long"]).collect()
+    assert sorted(r["x"] for r in out) == [3, 5]
+
+
+# ------------------------------------------------------------------ sources
+def test_from_csv_and_schema(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = from_csv(spark, str(p), schema={"a": {"htype": "generic", "dtype": "int64"},
+                                         "b": {"htype": "text"}})
+    assert df.schema["a"].dataType == T.LongType()
+    assert df.count() == 2
+
+
+def test_from_file_jsonl(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text('\n'.join(json.dumps({"a": i, "b": f"t{i}"}) for i in range(3)))
+    df = from_file(spark, str(p))
+    assert df.count() == 3 and set(df.columns) == {"a", "b"}
+
+
+def test_read_binary_files_and_multimodal(spark, tmp_path):
+    for i in range(3):
+        (tmp_path / f"img{i}.bin").write_bytes(bytes([i]) * (100 + i))
+    df = read_binary_files(spark, str(tmp_path), pattern="*.bin")
+    assert df.count() == 3
+
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(df).collect()  # PIL absent → clearly stubbed
+
+    decoded = decode_image_batch(df, fake=True).collect()
+    assert all(r["image_meta"]["height"] >= 16 for r in decoded)
+    # determinism
+    again = decode_image_batch(df, fake=True).collect()
+    assert {r["image_meta"]["checksum"] for r in decoded} == {
+        r["image_meta"]["checksum"] for r in again
+    }
+
+    feats = extract_image_features(df).collect()
+    assert all(abs(sum(x * x for x in r["features"]) - 1.0) < 1e-5 for r in feats)
+
+    frames = sample_video_frames(df, fake=True, every_n=10).collect()
+    assert len(frames) >= 3 and all(r["frame_checksum"] for r in frames)
+
+
+def test_exports(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "x long, t string")
+    to_json(df, str(tmp_path / "j"))
+    back = spark.read.json(str(tmp_path / "j"))
+    assert back.count() == 2
+    tbl = to_arrow(df)
+    assert tbl.num_rows == 2
+    import numpy as np
+
+    assert to_numpy(df, "x").tolist() == [1, 2] or sorted(to_numpy(df, "x").tolist()) == [1, 2]
+
+
+# ---------------------------------------------------------------- streaming
+def test_windowed_aggregate_batch_parity(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # nanos → timestamp
+    events = events.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    out = windowed_aggregate(
+        events, "ts", "1 hour", group_cols=("event_type",),
+        aggs={"value": "sum", "event_id": "count"},
+    )
+    rows = out.collect()
+    assert rows and {"window_start", "window_end", "event_type", "sum_value", "count_event_id"} <= set(out.columns)
+    total = sum(r["count_event_id"] for r in rows)
+    assert total == events.count()
+
+
+def test_stream_to_dataset_commits(spark, tmp_path):
+    src_dir = tmp_path / "stream_in"
+    src_dir.mkdir()
+    schema = T.StructType([
+        T.StructField("x", T.LongType()), T.StructField("t", T.StringType()),
+    ])
+    ds = ds_mod.dataset(str(tmp_path / "stream_ds"), spark)
+    ds.create_tensor("x", dtype="int64")
+    ds.create_tensor("t", htype="text")
+    ds.commit("schema")
+
+    spark.createDataFrame([(1, "a"), (2, "b")], schema).write.parquet(
+        str(src_dir / "batch0.parquet")
+    )
+    stream = stream_from_directory(spark, str(src_dir) + "/*", schema)
+    assert stream.isStreaming
+    q = write_stream_to_dataset(stream, ds, str(tmp_path / "ckpt"), trigger_seconds=1)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if len(ds_mod.load(str(tmp_path / "stream_ds"), spark)) >= 2:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    reloaded = ds_mod.load(str(tmp_path / "stream_ds"), spark)
+    assert sorted(reloaded.x.numpy().tolist()) == [1, 2]
+    assert any("stream batch" in s.message for s in reloaded.log_history())
