@@ -500,6 +500,47 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event gets the timestamp of the latest prior (or
+    same-instant) 'error' event of the same user."""
+    from muller_spark.operators.joins import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("last_error_id")
+    )
+    out = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        errors,
+        on="ts",
+        by=["user_id"],
+        right_cols=["last_error_id"],
+        suffix="",
+    )
+    return out.select("event_id", "user_id", "last_error_id")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: lineitem rows bucketed into price bands via a
+    broadcast inequality join."""
+    from muller_spark.operators.joins import range_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 20000.0), ("mid", 20000.0, 60000.0), ("high", 60000.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    return (
+        range_join(li, bands, "l_extendedprice")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .orderBy("band")
+    )
+
+
 def q_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column statistics (percentile_approx-based — rows-only check)."""
     from muller_spark.operators.aggregate import statistics
@@ -519,6 +560,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash": q_simhash,
     "q_count_distinct": q_count_distinct,
     "q_sessionize": q_sessionize,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
     "q_statistics": q_statistics,
     "q1_pricing_summary": q1_pricing_summary,
     "q_filter_fold": q_filter_fold,
@@ -636,6 +679,23 @@ _ORACLES: dict[str, str] = {
     "q_count_distinct": """
         SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q_asof_join": """
+        SELECT e.event_id, e.user_id, r.last_error_id
+        FROM events e
+        ASOF LEFT JOIN (
+          SELECT user_id, ts, event_id AS last_error_id
+          FROM events WHERE event_type = 'error'
+        ) r ON e.user_id = r.user_id AND e.ts >= r.ts
+    """,
+    "q_range_join": """
+        SELECT band, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        FROM lineitem
+        JOIN (VALUES ('low', 0.0, 20000.0),
+                     ('mid', 20000.0, 60000.0),
+                     ('high', 60000.0, 1e12)) AS bands(band, lo, hi)
+          ON l_extendedprice >= lo AND l_extendedprice < hi
+        GROUP BY band ORDER BY band
     """,
     "q_sessionize": """
         WITH g AS (

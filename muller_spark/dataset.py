@@ -744,6 +744,114 @@ class Dataset:
         return out
 
     # ------------------------------------------------------------------
+    # views per commit (reference view_operations.py:106-258)
+    # ------------------------------------------------------------------
+    def _views_dir(self) -> str:
+        return os.path.join(self.path, "_views")
+
+    def save_view(
+        self,
+        view_df: DataFrame | None = None,
+        view_id: str | None = None,
+        message: str = "",
+        optimize: bool = False,
+    ) -> str:
+        """Persist a filtered view under its source commit.  Stores the
+        member row ids (+ snapshot id); ``optimize=True`` additionally
+        materializes a copy of the rows (the reference's 'optimized'
+        views)."""
+        import json as _json
+        import uuid as uuidlib
+
+        view_id = view_id or uuidlib.uuid4().hex[:16]
+        vdir = os.path.join(self._views_dir(), view_id)
+        os.makedirs(vdir, exist_ok=True)
+        df = view_df if view_df is not None else self.df
+        df.select(ROW_ID_COL).write.mode("overwrite").parquet(
+            os.path.join(vdir, "row_ids")
+        )
+        if optimize:
+            df.write.mode("overwrite").parquet(os.path.join(vdir, "materialized"))
+        with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+            fh.write(_json.dumps({
+                "view_id": view_id,
+                "commit_id": self._snapshot.commit_id,
+                "message": message,
+                "optimized": optimize,
+            }))
+        return view_id
+
+    def load_view(self, view_id: str) -> DataFrame:
+        import json as _json
+
+        vdir = os.path.join(self._views_dir(), view_id)
+        with open(os.path.join(vdir, "manifest.json")) as fh:
+            manifest = _json.loads(fh.read())
+        if manifest.get("optimized"):
+            return self.spark.read.parquet(os.path.join(vdir, "materialized"))
+        snap = self.log.get_snapshot(manifest["commit_id"])
+        base = self._read_snapshot_df(snap)
+        ids = self.spark.read.parquet(os.path.join(vdir, "row_ids"))
+        return base.join(ids, ROW_ID_COL, "semi").orderBy(ROW_ID_COL)
+
+    def get_views(self) -> list[dict]:
+        import json as _json
+
+        root = self._views_dir()
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for vid in sorted(os.listdir(root)):
+            mpath = os.path.join(root, vid, "manifest.json")
+            if os.path.exists(mpath):
+                with open(mpath) as fh:
+                    out.append(_json.loads(fh.read()))
+        return out
+
+    def delete_view(self, view_id: str) -> None:
+        vdir = os.path.join(self._views_dir(), view_id)
+        if os.path.isdir(vdir):
+            shutil.rmtree(vdir)
+
+    # ------------------------------------------------------------------
+    # maintenance / misc (reference dataset.py:1018,1727; statistics/)
+    # ------------------------------------------------------------------
+    def rechunk(self, target_partitions: int | None = None) -> str:
+        """Compaction: rewrite the table state as one optimally-sized
+        snapshot (the reference rewrites chunks to target sizes,
+        ``rechunk_operations.py``; here it folds N delta dirs into one
+        dir and rebalances partitions)."""
+        self._check_writable()
+        self._flush_pending()
+        if target_partitions:
+            self._work_df = self._work_df.repartition(target_partitions)
+        self._dirty = self._rewrite_needed = True
+        return self.commit("rechunk")
+
+    def sub_ds(self, start: int, end: int) -> DataFrame:
+        """Positional sub-range view (reference ``dataset.py:1727``)."""
+        return self.df.filter(
+            (F.col(ROW_ID_COL) >= start) & (F.col(ROW_ID_COL) < end)
+        ).orderBy(ROW_ID_COL)
+
+    def get_col_info(self) -> dict[str, dict]:
+        """Peek columns without loading data (reference
+        ``api/dataset/core.py:272``)."""
+        return {
+            t: {"htype": m.get("htype"), "dtype": m.get("dtype")}
+            for t, m in self.tensor_meta.items()
+            if not m.get("hidden")
+        }
+
+    def size_approx(self) -> int:
+        """Approximate on-disk bytes of the current snapshot."""
+        total = 0
+        for d in self._snapshot.data_dirs:
+            for root, _, files in os.walk(os.path.join(self.path, d)):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    # ------------------------------------------------------------------
     def _require_tensor(self, name: str) -> None:
         if name not in self.tensor_meta:
             raise TensorDoesNotExistError(name)

@@ -1,0 +1,80 @@
+"""Join extensions Spark lacks natively: as-of join and range join.
+
+The reference has no relational joins at all (SURVEY §2.7); these are
+the join shapes a time-series / training-data pipeline needs, built to
+scale:
+
+- **asof_join** — "latest right row at or before the left timestamp, per
+  key".  Implemented with the union + windowed last-value-fill pattern:
+  one shuffle on the key, no per-row range probe, no skew-prone
+  inequality join.  (An inequality-condition join would be O(n·m) per
+  key; this is O((n+m) log) via sort within key partitions.)
+- **range_join** — left rows matched to [lo, hi) band dimensions via a
+  broadcast inequality join: the band table is tiny, so Spark turns it
+  into BroadcastNestedLoopJoin with no shuffle of the fact side.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] = (),
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right[on] <= left[on]`` (inclusive), matching ``by`` keys.
+
+    Returns all left columns plus ``<right_col><suffix>`` columns
+    (null when no prior right row exists).
+    """
+    by = list(by)
+    right_cols = [c for c in (right_cols or right.columns) if c not in by and c != on]
+
+    r = right.select(
+        *by,
+        F.col(on).alias(on),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    l = left.select(
+        *left.columns, F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(r.dtypes)[f"{c}{suffix}"]).alias(f"{c}{suffix}")
+          for c in right_cols],
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort before left rows at equal timestamps → inclusive <=
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u
+    for c in right_cols:
+        filled = filled.withColumn(
+            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+        )
+    return filled.filter(F.col("_side") == 1).drop("_side").select(
+        *left.columns, *[f"{c}{suffix}" for c in right_cols]
+    )
+
+
+def range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+) -> DataFrame:
+    """Join fact rows to [lo, hi) bands; the band side broadcasts."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return fact.join(F.broadcast(bands), cond, how)

@@ -1,0 +1,76 @@
+"""aggregate_vectorized validation rules + property-style parity with a
+pandas oracle (the reference checks the vectorized engine against the
+row engine; we check against pandas groupby)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from muller_spark.operators.aggregate import aggregate_vectorized  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [(i % 3, f"g{i % 4}", float(i), i) for i in range(200)]
+    return spark.createDataFrame(rows, "a int, b string, v double, n long")
+
+
+def test_validation_selected_subset(df):
+    with pytest.raises(ValueError, match="selected"):
+        aggregate_vectorized(df, group_by=["a"], selected=["b"])
+
+
+def test_validation_star_only_count(df):
+    with pytest.raises(ValueError, match='"\\*"'):
+        aggregate_vectorized(df, group_by=["a"], aggregate_tensors=["*"], method="sum")
+
+
+def test_validation_order_by(df):
+    with pytest.raises(ValueError, match="order_by"):
+        aggregate_vectorized(df, group_by=["a"], order_by=["v"], method="count")
+
+
+def test_validation_method(df):
+    with pytest.raises(ValueError, match="method"):
+        aggregate_vectorized(df, group_by=["a"], method="median")
+
+
+def test_validation_direction(df):
+    with pytest.raises(ValueError, match="order_direction"):
+        aggregate_vectorized(df, group_by=["a"], order_by=["a"], order_direction="UP")
+
+
+@pytest.mark.parametrize("method", ["count", "sum", "avg", "min", "max"])
+def test_parity_with_pandas(df, method):
+    out = aggregate_vectorized(
+        df, group_by=["a", "b"], aggregate_tensors=["v"], method=method,
+        order_by=["a", "b"],
+    ).toPandas()
+    pdf = df.toPandas()
+    expected = getattr(pdf.groupby(["a", "b"])["v"], {"avg": "mean"}.get(method, method))()
+    for _, row in out.iterrows():
+        assert row[f"{method}_v"] == pytest.approx(expected.loc[(row["a"], row["b"])])
+
+
+def test_order_desc_on_aggregate(df):
+    out = aggregate_vectorized(
+        df, group_by=["b"], aggregate_tensors=["*"], method="count",
+        order_by=["count_star"], order_direction="DESC",
+    ).toPandas()
+    counts = out["count_star"].tolist()
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_order_by_raw_tensor_name_resolves_to_alias(df):
+    # the reference lets order_by name the aggregated tensor itself
+    out = aggregate_vectorized(
+        df, group_by=["b"], aggregate_tensors=["n"], method="sum",
+        order_by=["n"], order_direction="ASC",
+    ).toPandas()
+    sums = out["sum_n"].tolist()
+    assert sums == sorted(sums)

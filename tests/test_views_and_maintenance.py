@@ -1,0 +1,89 @@
+"""Views-per-commit, compaction, sub-range, and misc dataset ops."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from muller_spark import dataset as ds_mod  # noqa: E402
+from muller_spark.operators.joins import asof_join, range_join  # noqa: E402
+
+
+@pytest.fixture()
+def ds(spark, tmp_path):
+    d = ds_mod.dataset(str(tmp_path / "vds"), spark)
+    d.create_tensor("x", dtype="int64")
+    d.create_tensor("t", htype="text")
+    d.extend({"x": list(range(10)), "t": [f"doc {i}" for i in range(10)]})
+    d.commit("ten rows")
+    return d
+
+
+def test_save_and_load_view(ds):
+    view = ds.filter_vectorized([("x", ">=", 5)], [])
+    vid = ds.save_view(view, message="x >= 5")
+    # mutate the dataset afterwards — the view stays pinned to its commit
+    ds.pop(0)
+    ds.commit("popped")
+    loaded = ds.load_view(vid)
+    assert sorted(r["x"] for r in loaded.select("x").collect()) == [5, 6, 7, 8, 9]
+    metas = ds.get_views()
+    assert len(metas) == 1 and metas[0]["message"] == "x >= 5"
+    ds.delete_view(vid)
+    assert ds.get_views() == []
+
+
+def test_optimized_view(ds):
+    view = ds.filter_vectorized([("x", "<", 3)], [])
+    vid = ds.save_view(view, optimize=True)
+    loaded = ds.load_view(vid)
+    assert sorted(r["x"] for r in loaded.select("x").collect()) == [0, 1, 2]
+
+
+def test_rechunk_compacts_dirs(ds):
+    for i in range(3):
+        ds.extend({"x": [100 + i], "t": [f"extra {i}"]})
+        ds.commit(f"append {i}")
+    assert len(ds.log.resolve("main").data_dirs) == 4
+    ds.rechunk(target_partitions=2)
+    snap = ds.log.resolve("main")
+    assert len(snap.data_dirs) == 1, "rechunk should fold deltas into one dir"
+    assert len(ds) == 13
+    assert ds.size_approx() > 0
+
+
+def test_sub_ds_and_col_info(ds):
+    part = ds.sub_ds(2, 5).select("x").collect()
+    assert [r["x"] for r in part] == [2, 3, 4]
+    info = ds.get_col_info()
+    assert info["x"]["dtype"] == "int64" and info["t"]["htype"] == "text"
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 5), (4, "b", 15)],
+        "id long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, "r1"), ("a", 15, "r2"), ("b", 99, "r3")],
+        "k string, ts long, val string",
+    )
+    out = asof_join(left, right, on="ts", by=["k"], right_cols=["val"])
+    got = {r["id"]: r["val_right"] for r in out.collect()}
+    # id=1 ts=10 → r1 (inclusive); id=2 ts=20 → r2; id=3 ts=5 → none; id=4 b ts=15 → none
+    assert got == {1: "r1", 2: "r2", 3: None, 4: None}
+
+
+def test_range_join_basic(spark):
+    fact = spark.createDataFrame([(1, 5.0), (2, 25.0), (3, 105.0)], "id long, v double")
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 10.0), ("hi", 100.0, 200.0)], "band string, lo double, hi double"
+    )
+    out = range_join(fact, bands, "v")
+    got = {r["id"]: r["band"] for r in out.collect()}
+    assert got == {1: "lo", 3: "hi"}
