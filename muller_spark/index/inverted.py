@@ -222,6 +222,44 @@ class InvertedIndex:
             .distinct()
         )
 
+    def update(self, df: DataFrame, commit_id: str | None = None) -> "InvertedIndex":
+        """Incremental maintenance after append-only commits (reference
+        ``update_index``, ``inverted_index_vectorized.py:397``): index
+        only the delta rows, merge posting lists per term, rewrite.  The
+        delta is usually tiny relative to the corpus, so the merge
+        shuffles O(delta terms), not the full posting table row count."""
+        import json
+
+        m = dict(self.manifest)
+        tmp_path = self.path + "_delta"
+        delta = InvertedIndex.build(
+            df, m["tensor"], tmp_path, id_col=m["id_col"],
+            index_type=m["index_type"], num_shards=m["num_shards"],
+            case_sensitive=m["case_sensitive"],
+            stop_words=m["stop_words"] or None, is_text=m["is_text"],
+        )
+        merged = (
+            self._postings().select("term", "ids")
+            .unionByName(delta._postings().select("term", "ids"))
+            .groupBy("term")
+            .agg(F.sort_array(F.array_distinct(F.flatten(F.collect_list("ids")))).alias("ids"))
+            .withColumn("freq", F.size("ids"))
+            .withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(m["num_shards"])))
+        )
+        out_path = os.path.join(self.path, "postings_new")
+        merged.write.mode("overwrite").partitionBy("shard").parquet(out_path)
+        import shutil
+
+        old = os.path.join(self.path, "postings")
+        shutil.rmtree(old)
+        os.rename(out_path, old)
+        shutil.rmtree(tmp_path)
+        m["commit_id"] = commit_id
+        with open(os.path.join(self.path, "manifest.json"), "w") as fh:
+            fh.write(json.dumps(m))
+        self._manifest = m
+        return self
+
     def _range(self, lo, hi) -> DataFrame:
         """Inclusive range over scalar index keys (reference
         ``inverted_index_vectorized.py:1230-1239``)."""

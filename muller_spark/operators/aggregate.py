@@ -158,3 +158,36 @@ def statistics(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame
         "column", "kind", "nan_count", "nan_proportion",
         "min", "max", "mean", "median", "std", "row_count",
     )
+
+
+def histogram(df: DataFrame, column: str, bins: int = 10) -> DataFrame:
+    """Equi-width histogram (the reference's 10-bin stats histogram,
+    ``statistics.py:49-97``): one pass for min/max, one aggregation on
+    ``width_bucket`` — both map-side combinable."""
+    lo, hi = df.agg(
+        F.min(F.col(column).cast("double")), F.max(F.col(column).cast("double"))
+    ).collect()[0]
+    if lo is None:
+        raise ValueError(f"column {column!r} has no non-null values")
+    if lo == hi:
+        hi = lo + 1.0
+    bucket = F.least(
+        F.lit(bins),
+        F.greatest(
+            F.lit(1),
+            F.expr(f"width_bucket(cast(`{column}` as double), {lo}, {hi}, {bins})"),
+        ),
+    )
+    width = (hi - lo) / bins
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            "bucket",
+            (F.lit(lo) + (F.col("bucket") - 1) * F.lit(width)).alias("lo"),
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("hi"),
+            "count",
+        )
+        .orderBy("bucket")
+    )

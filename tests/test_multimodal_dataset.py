@@ -1,0 +1,109 @@
+"""F4 fixture: class-labeled multimodal table through the Dataset facade
+(reference tests/utils.py:28-39, README.md:190-214): binary image cells
++ companion shape column + class_label name mapping + CONTAINS + stats."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from muller_spark import dataset as ds_mod  # noqa: E402
+from muller_spark.operators.aggregate import histogram  # noqa: E402
+
+CLASS_NAMES = ["airplane", "automobile", "bird", "cat", "deer",
+               "dog", "frog", "horse", "ship", "truck"]
+
+
+@pytest.fixture()
+def mds(spark, tmp_path):
+    ds = ds_mod.dataset(str(tmp_path / "mm"), spark)
+    ds.create_tensor("images", htype="image")
+    ds.create_tensor("labels", htype="class_label", dtype="int32",
+                     class_names=CLASS_NAMES)
+    ds.create_tensor("categories", htype="text")
+    ds.create_tensor("description", htype="text")
+    fake_jpegs = [hashlib.md5(str(i).encode()).digest() * 4 for i in range(8)]
+    labels = [3, 5, 3, 0, 5, 3, 8, 5]
+    ds.extend({
+        "images": fake_jpegs,
+        "_images_shape": [[32, 32, 3]] * 8,
+        "labels": labels,
+        "categories": [CLASS_NAMES[i] for i in labels],
+        "description": [f"a photo of a {CLASS_NAMES[i]} outdoors" for i in labels],
+    })
+    ds.commit("cifar-ish")
+    return ds
+
+
+def test_image_companion_shape_column(mds):
+    assert "_images_shape" in mds.tensor_meta
+    shapes = mds.df.select("_images_shape").collect()
+    assert all(r[0] == [32, 32, 3] for r in shapes)
+    blob = mds.df.select("images").first()[0]
+    assert isinstance(bytes(blob), bytes) and len(blob) == 64
+
+
+def test_class_label_filter_by_name(mds):
+    # query-string engine maps 'cat' → id 3 via class_names info
+    out = mds.filter("labels == 'cat'")
+    assert out.count() == 3
+    out = mds.filter("labels in ['cat', 'dog']")
+    assert out.count() == 6
+
+
+def test_contains_on_description(mds):
+    out = mds.filter_vectorized([("description", "CONTAINS", "cat")], [])
+    assert out.count() == 3
+    both = mds.filter_vectorized(
+        [("description", "CONTAINS", "cat||ship")], []
+    )
+    assert both.count() == 4
+
+
+def test_lambda_filter_mapinpandas(mds):
+    out = mds.filter(lambda row: row["labels"] == 5)
+    assert out.count() == 3
+
+
+def test_groupby_categories(mds):
+    out = {
+        r["categories"]: r["count_star"]
+        for r in mds.aggregate_vectorized(
+            group_by=["categories"], aggregate_tensors=["*"], method="count"
+        ).collect()
+    }
+    assert out == {"cat": 3, "dog": 3, "airplane": 1, "ship": 1}
+
+
+def test_statistics_and_histogram(mds):
+    stats = mds.statistics().collect()
+    by_col = {r["column"]: r for r in stats}
+    assert by_col["labels"]["min"] == 0.0 and by_col["labels"]["max"] == 8.0
+    assert by_col["description"]["kind"] == "text_length"
+
+    hist = histogram(mds.df, "labels", bins=4).collect()
+    assert sum(r["count"] for r in hist) == 8
+    assert all(r["lo"] < r["hi"] for r in hist)
+
+
+def test_index_update_incremental(spark, tmp_path):
+    from muller_spark.index.inverted import InvertedIndex
+
+    df1 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "id long, text string"
+    )
+    idx = InvertedIndex.build(df1, "text", str(tmp_path / "idx"), id_col="id")
+    assert {r["id"] for r in idx.search("beta").collect()} == {0, 1}
+
+    delta = spark.createDataFrame([(2, "beta delta")], "id long, text string")
+    idx.update(delta, commit_id="c2")
+    assert {r["id"] for r in idx.search("beta").collect()} == {0, 1, 2}
+    assert {r["id"] for r in idx.search("delta").collect()} == {2}
+    assert {r["id"] for r in idx.search("alpha").collect()} == {0}
+    assert idx.manifest["commit_id"] == "c2"
