@@ -26,6 +26,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from muller_spark.partitioning import ensure_parallelism
+
 METRICS = ("l2", "cosine", "inner_product")
 
 
@@ -94,7 +96,7 @@ def exact_knn(
                 }))
             yield pd.concat(out_frames)
 
-    partial = df.select(id_col, vec_col).mapInPandas(
+    partial = ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
         partial_topk, "query_id int, id long, distance double"
     )
     from pyspark.sql import Window
@@ -156,7 +158,7 @@ def ann_knn(
                 }))
             yield pd.concat(frames)
 
-    corpus_buckets = df.select(id_col, vec_col).mapInPandas(
+    corpus_buckets = ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
         bucketize, "id long, table int, bucket long"
     )
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from muller_spark.partitioning import ensure_parallelism
 from muller_spark.plans.conditions import TOKEN_SPLIT_REGEX
 
 
@@ -122,7 +123,7 @@ def minhash_signatures(
                 sigs.append(mat.min(axis=0).tolist())
             yield pd.DataFrame({"id": ids, "signature": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         run, "id long, signature array<long>"
     )
 
@@ -234,7 +235,9 @@ def simhash(
                 out.append(int(packed.astype(np.int64)))
             yield pd.DataFrame({"id": ids, "simhash": out})
 
-    return df.select(id_col, text_col).mapInPandas(run, "id long, simhash long")
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        run, "id long, simhash long"
+    )
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
@@ -363,7 +366,9 @@ def embedding_near_dups(
         T.StructField("bucket", T.LongType()),
         T.StructField("vec", T.ArrayType(T.DoubleType())),
     ])
-    buckets = df.select(id_col, vec_col).mapInPandas(lambda it: bucketize(it), schema)
+    buckets = ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        lambda it: bucketize(it), schema
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(b, (F.col("a.table") == F.col("b.table"))

@@ -39,18 +39,33 @@ def token_count(col: Column) -> Column:
 
 def lang_id(col: Column) -> Column:
     """Stopword-profile language guess: the language whose function words
-    cover the most tokens; 'und' (undetermined) when nothing matches."""
-    toks = tokens_of(col)
-    scores = [
-        (lang, F.size(F.filter(toks, lambda t: t.isin(*profile))))
-        for lang, profile in LANG_PROFILES.items()
-    ]
-    best = F.greatest(*[s for _, s in scores])
-    out = F.lit("und")
-    # reversed so the first language in the dict wins ties
-    for lang, score in reversed(scores):
-        out = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(out)
-    return out
+    cover the most tokens; 'und' (undetermined) when nothing matches.
+
+    Single-pass formulation: one ``F.aggregate`` over the token array
+    accumulates all per-language counts in a struct, and the *finish*
+    lambda resolves the winner — so the expensive tokenize (normalize +
+    regex split) is evaluated exactly once per row.  Higher-order
+    functions sit outside whole-stage codegen, so the naive
+    one-filter-per-language version re-tokenizes per profile (measured
+    3× slower at sf0.1)."""
+    langs = list(LANG_PROFILES)
+
+    def merge(acc: Column, t: Column) -> Column:
+        return F.struct(*[
+            (acc[lang] + F.when(t.isin(*LANG_PROFILES[lang]), 1).otherwise(0)).alias(lang)
+            for lang in langs
+        ])
+
+    def finish(acc: Column) -> Column:
+        best = F.greatest(*[acc[lang] for lang in langs])
+        out = F.lit("und")
+        # reversed so the first language in the dict wins ties
+        for lang in reversed(langs):
+            out = F.when((acc[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+        return out
+
+    zero = F.struct(*[F.lit(0).alias(lang) for lang in langs])
+    return F.aggregate(tokens_of(col), zero, merge, finish)
 
 
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
