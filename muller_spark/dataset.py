@@ -609,6 +609,26 @@ class Dataset:
         self._load(snap)
         return snap.commit_id
 
+    def lock_branch(self, branch: str | None = None, timeout: float = 0.0,
+                    ttl: float | None = None):
+        """Exclusive single-writer lease on a branch (reference
+        ``protect_checkout``, ``commits.py:403``).  Use as a context
+        manager around a write session; see versioning/locks.py."""
+        from muller_spark.versioning.locks import DEFAULT_TTL_SECONDS, BranchLock
+
+        return BranchLock(
+            self.log.log_dir, branch or self.branch,
+            timeout=timeout, ttl=ttl or DEFAULT_TTL_SECONDS,
+        )
+
+    def protected_commit(self, message: str = "", allow_empty: bool = False,
+                         timeout: float = 5.0) -> str:
+        """Commit while holding the branch lease (reference
+        ``protected_commit``, ``commits.py:143``): concurrent writers on
+        the same branch serialize instead of losing updates."""
+        with self.lock_branch(timeout=timeout):
+            return self.commit(message, allow_empty=allow_empty)
+
     def checkout(self, address: str, create: bool = False) -> None:
         if self._dirty or any(self._pending.values()):
             raise CheckoutError("uncommitted changes; commit() or reset() first")

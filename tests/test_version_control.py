@@ -273,3 +273,66 @@ def test_log_history(base_ds):
     messages = [s.message for s in history]
     assert messages[0] == "second"
     assert messages[-1] == "initial commit"
+
+
+# ---------------------------------------------------------------------------
+# branch locks / protected commit (reference muller/core/lock/file_lock.py,
+# protected_commit at commits.py:143, protect_checkout at commits.py:403)
+# ---------------------------------------------------------------------------
+
+def test_branch_lock_excludes_second_writer(base_ds):
+    from muller_spark.versioning.locks import BranchLock, BranchLockedError
+
+    with base_ds.lock_branch() as lock:
+        other = BranchLock(base_ds.log.log_dir, "main", owner="other-writer")
+        with pytest.raises(BranchLockedError, match="locked by"):
+            other.acquire()
+        assert lock.holder()["owner"] == lock.owner
+    # released on exit — a new writer may now acquire
+    other.acquire()
+    other.release()
+    assert other.holder() is None
+
+
+def test_branch_lock_stale_lease_takeover(base_ds):
+    from muller_spark.versioning.locks import BranchLock
+
+    crashed = BranchLock(base_ds.log.log_dir, "main", owner="crashed", ttl=0.05)
+    crashed.acquire()  # never released — simulates a dead writer
+    import time
+
+    time.sleep(0.1)
+    fresh = BranchLock(base_ds.log.log_dir, "main", owner="fresh")
+    fresh.acquire()
+    assert fresh.holder()["owner"] == "fresh"
+    fresh.release()
+
+
+def test_branch_lock_reentrant_same_owner(base_ds):
+    from muller_spark.versioning.locks import BranchLock
+
+    a = BranchLock(base_ds.log.log_dir, "main", owner="w1")
+    a.acquire()
+    b = BranchLock(base_ds.log.log_dir, "main", owner="w1")
+    b.acquire()  # same owner: idempotent re-acquire, no deadlock
+    assert b.holder()["owner"] == "w1"
+    b.release()
+
+
+def test_protected_commit_commits_and_releases(base_ds):
+    base_ds.extend({"labels": [9], "categories": ["x"], "description": ["d"]})
+    cid = base_ds.protected_commit("locked append")
+    assert base_ds.log.get_ref("main") == cid
+    assert base_ds.lock_branch().holder() is None  # lease released
+
+
+def test_protected_commit_blocked_by_foreign_lease(base_ds):
+    from muller_spark.versioning.locks import BranchLock, BranchLockedError
+
+    foreign = BranchLock(base_ds.log.log_dir, "main", owner="someone-else")
+    foreign.acquire()
+    base_ds.extend({"labels": [9], "categories": ["x"], "description": ["d"]})
+    with pytest.raises(BranchLockedError):
+        base_ds.protected_commit("should fail", timeout=0.2)
+    foreign.release()
+    assert base_ds.protected_commit("now succeeds") == base_ds.log.get_ref("main")
