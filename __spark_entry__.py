@@ -500,6 +500,24 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level output of the gap sessionizer — the batch oracle of
+    the applyInPandasWithState streaming operator
+    (muller_spark/streaming/stateful.py).  Timestamps are emitted as
+    floor-epoch seconds so nanos-vs-micros storage precision can't skew
+    the hash compare."""
+    from muller_spark.streaming.stateful import sessionize_batch
+
+    events = _t(spark, sf_dir, "events")
+    out = sessionize_batch(events, "ts", "user_id", gap_seconds=1800)
+    return out.select(
+        "key",
+        F.floor(F.col("session_start").cast("double")).cast("long").alias("start_s"),
+        F.floor(F.col("session_end").cast("double")).cast("long").alias("end_s"),
+        "n_events",
+    ).orderBy("key", "start_s")
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event gets the timestamp of the latest prior (or
     same-instant) 'error' event of the same user."""
@@ -560,6 +578,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash": q_simhash,
     "q_count_distinct": q_count_distinct,
     "q_sessionize": q_sessionize,
+    "q_sessions": q_sessions,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
     "q_statistics": q_statistics,
@@ -707,6 +726,27 @@ _ORACLES: dict[str, str] = {
                sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
                count(*) AS n_events
         FROM g GROUP BY user_id ORDER BY user_id
+    """,
+    "q_sessions": """
+        WITH g AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch(ts) - lag(epoch(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR epoch(ts) - lag(epoch(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+        ), s AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM g
+        )
+        SELECT cast(user_id AS varchar) AS key,
+               cast(floor(epoch(min(ts))) AS bigint) AS start_s,
+               cast(floor(epoch(max(ts))) AS bigint) AS end_s,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, session_no ORDER BY key, start_s
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

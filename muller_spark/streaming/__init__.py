@@ -1,3 +1,7 @@
+from muller_spark.streaming.stateful import (
+    sessionize_batch,
+    sessionize_stream,
+)
 from muller_spark.streaming.windows import (
     stream_from_directory,
     windowed_aggregate,
@@ -5,6 +9,8 @@ from muller_spark.streaming.windows import (
 )
 
 __all__ = [
+    "sessionize_batch",
+    "sessionize_stream",
     "stream_from_directory",
     "windowed_aggregate",
     "write_stream_to_dataset",

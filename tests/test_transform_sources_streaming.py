@@ -190,3 +190,71 @@ def test_stream_to_dataset_commits(spark, tmp_path):
     reloaded = ds_mod.load(str(tmp_path / "stream_ds"), spark)
     assert sorted(reloaded.x.numpy().tolist()) == [1, 2]
     assert any("stream batch" in s.message for s in reloaded.log_history())
+
+
+# ------------------------------------------------------- stateful streaming
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization emits the same sessions as
+    the batch-window oracle (gap=60s), across micro-batch boundaries."""
+    import datetime as dt
+
+    from muller_spark.streaming.stateful import sessionize_batch, sessionize_stream
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(key, *offsets):
+        return [(key, t0 + dt.timedelta(seconds=o)) for o in offsets]
+
+    # u1: two sessions (0-30s, 200-210s); u2: one session spanning the
+    # two input files (events 40s apart < gap arrive in separate batches)
+    batch1 = ev("u1", 0, 10, 30) + ev("u2", 5, 20)
+    batch2 = ev("u1", 200, 210) + ev("u2", 60)
+    flush = [("__flush__", t0 + dt.timedelta(days=2))]
+
+    schema = "key string, ts timestamp"
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(str(src / "f2"))
+    spark.createDataFrame(flush, schema).coalesce(1).write.parquet(str(src / "f3"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    sessions = sessionize_stream(stream, "ts", "key", gap_seconds=60, watermark="0 seconds")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import time
+
+        expected = sessionize_batch(
+            spark.createDataFrame(batch1 + batch2, schema), "ts", "key", gap_seconds=60
+        )
+        want = sorted(
+            (r["key"], r["session_start"], r["session_end"], r["n_events"])
+            for r in expected.collect()
+        )
+        deadline = time.time() + 120
+        got = []
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = sorted(
+                (r["key"], r["session_start"], r["session_end"], r["n_events"])
+                for r in spark.sql(
+                    "select * from sessions_out where key != '__flush__'"
+                ).collect()
+            )
+            if len(got) >= len(want):
+                break
+            time.sleep(1)
+        assert got == want
+    finally:
+        q.stop()
