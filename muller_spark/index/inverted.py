@@ -167,19 +167,42 @@ class InvertedIndex:
             stop_words=frozenset(m["stop_words"]) or None,
         )
 
+    def _hot_postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "postings_hot"))
+
     def _lookup_terms(self, terms: list[str]) -> DataFrame:
         """Posting rows for the given terms; shard pruning via the
-        partition column keeps this a K-partition read, not a full scan."""
-        num_shards = self.manifest["num_shards"]
-        p = self._postings()
-        shards = (
-            self.spark.createDataFrame([(t,) for t in terms], ["term"])
-            .withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(num_shards)))
-        )
-        shard_vals = [r["shard"] for r in shards.select("shard").distinct().collect()]
-        return p.filter(F.col("shard").isin(shard_vals)).join(
-            F.broadcast(shards.select("term")), "term", "inner"
-        )
+        partition column keeps this a K-partition read, not a full scan.
+        Terms materialized in the hot shard (manifest-routed, see
+        ``add_hot_shard``) read the small dedicated table instead."""
+        hot_set = set(self.manifest.get("hot_terms") or [])
+        hot = [t for t in terms if t in hot_set]
+        cold = [t for t in terms if t not in hot_set]
+        parts = []
+        if hot:
+            parts.append(
+                self._hot_postings().filter(F.col("term").isin(hot))
+                .select("term", "ids", "freq")
+            )
+        if cold:
+            num_shards = self.manifest["num_shards"]
+            p = self._postings()
+            shards = (
+                self.spark.createDataFrame([(t,) for t in cold], ["term"])
+                .withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(num_shards)))
+            )
+            shard_vals = [r["shard"] for r in shards.select("shard").distinct().collect()]
+            parts.append(
+                p.filter(F.col("shard").isin(shard_vals))
+                .join(F.broadcast(shards.select("term")), "term", "inner")
+                .select("term", "ids", "freq")
+            )
+        if not parts:
+            return self.spark.createDataFrame([], "term string, ids array<long>, freq long")
+        out = parts[0]
+        for extra in parts[1:]:
+            out = out.unionByName(extra)
+        return out
 
     def _fuzzy(self, query: str) -> DataFrame:
         terms = self._terms_of(query)
@@ -255,6 +278,70 @@ class InvertedIndex:
         os.rename(out_path, old)
         shutil.rmtree(tmp_path)
         m["commit_id"] = commit_id
+        with open(os.path.join(self.path, "manifest.json"), "w") as fh:
+            fh.write(json.dumps(m))
+        self._manifest = m
+        if m.get("hot_terms"):
+            # hot-shard postings are a copy — refresh them from the merge
+            self.add_hot_shard(len(m["hot_terms"]))
+        return self
+
+    # -- maintenance -----------------------------------------------------
+    def _swap_postings(self, new_postings: DataFrame, manifest_updates: dict) -> None:
+        """Write a replacement posting table atomically-ish (write to a
+        sibling dir, then rename over the old one) and persist manifest
+        changes."""
+        import shutil
+
+        out_path = os.path.join(self.path, "postings_new")
+        new_postings.write.mode("overwrite").partitionBy("shard").parquet(out_path)
+        old = os.path.join(self.path, "postings")
+        shutil.rmtree(old)
+        os.rename(out_path, old)
+        m = dict(self.manifest)
+        m.update(manifest_updates)
+        with open(os.path.join(self.path, "manifest.json"), "w") as fh:
+            fh.write(json.dumps(m))
+        self._manifest = m
+
+    def reshard(self, num_shards: int) -> "InvertedIndex":
+        """Re-bucket the posting table into a new shard count (reference
+        ``reshard_index``, ``inverted_index_vectorized.py:526``) without
+        re-tokenizing the corpus: one keyed shuffle of the posting rows,
+        O(terms), independent of corpus size."""
+        p = self._postings().drop("shard").withColumn(
+            "shard", F.pmod(F.xxhash64("term"), F.lit(num_shards))
+        )
+        self._swap_postings(p, {"num_shards": num_shards})
+        return self
+
+    def optimize(self) -> "InvertedIndex":
+        """Compact each shard to one parquet file (reference
+        ``optimize_index``, ``inverted_index_vectorized.py:313``) —
+        incremental ``update`` calls and wide builds leave many small
+        files per shard; lookups then open O(files) footers instead of
+        O(1)."""
+        m = self.manifest
+        p = self._postings().repartition(int(m["num_shards"]), "shard")
+        self._swap_postings(p, {})
+        return self
+
+    def add_hot_shard(self, top_n: int = 100) -> "InvertedIndex":
+        """Materialize the ``top_n`` highest-frequency terms into a
+        dedicated un-sharded posting table probed first at query time
+        (reference ``add_hot_shard``, ``inverted_index_vectorized.py:537``).
+        The hot term list itself lives in the manifest, so routing is a
+        driver-side set lookup — zero extra jobs for cold terms."""
+        hot = (
+            self._postings()
+            .orderBy(F.col("freq").desc(), F.col("term"))
+            .limit(int(top_n))
+        )
+        hot_path = os.path.join(self.path, "postings_hot")
+        hot.write.mode("overwrite").parquet(hot_path)
+        terms = [r["term"] for r in hot.select("term").collect()]
+        m = dict(self.manifest)
+        m["hot_terms"] = sorted(terms)
         with open(os.path.join(self.path, "manifest.json"), "w") as fh:
             fh.write(json.dumps(m))
         self._manifest = m

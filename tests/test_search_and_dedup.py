@@ -216,3 +216,74 @@ def test_lang_id_and_quality(spark):
     assert by_id[0]["n_tokens"] == 12
     counts = {r["id"]: r["n"] for r in df.select("id", token_count(F.col("text")).alias("n")).collect()}
     assert counts[3] == 3
+
+
+# ------------------------------------------------- index maintenance ops
+def test_index_reshard_preserves_results(spark, docs, tmp_path_factory):
+    """reshard_index (reference inverted_index_vectorized.py:526):
+    changing the shard count must not change any search result."""
+    path = str(tmp_path_factory.mktemp("idx") / "reshard_index")
+    idx = InvertedIndex.build(docs, "text", path, id_col="doc_id", num_shards=8)
+    before = {r["id"] for r in idx.search("vector merge", "fuzzy_match").collect()}
+    idx.reshard(3)
+    assert idx.manifest["num_shards"] == 3
+    after = {r["id"] for r in idx.search("vector merge", "fuzzy_match").collect()}
+    assert after == before and before
+
+
+def test_index_optimize_compacts_files(spark, docs, tmp_path_factory):
+    """optimize_index (reference :313): one parquet file per shard after
+    compaction, identical results."""
+    import glob
+    import os as _os
+
+    path = str(tmp_path_factory.mktemp("idx") / "opt_index")
+    idx = InvertedIndex.build(docs, "text", path, id_col="doc_id", num_shards=4)
+    before = {r["id"] for r in idx.search("spark", "fuzzy_match").collect()}
+    idx.optimize()
+    for shard_dir in glob.glob(_os.path.join(path, "postings", "shard=*")):
+        files = [f for f in _os.listdir(shard_dir) if f.endswith(".parquet")]
+        assert len(files) == 1, shard_dir
+    after = {r["id"] for r in idx.search("spark", "fuzzy_match").collect()}
+    assert after == before and before
+
+
+def test_index_hot_shard_routing(spark, docs, tmp_path_factory):
+    """add_hot_shard (reference :537): top-frequency terms answer from
+    the dedicated hot table; results identical for hot, cold, and mixed
+    hot+cold queries."""
+    import os as _os
+
+    path = str(tmp_path_factory.mktemp("idx") / "hot_index")
+    idx = InvertedIndex.build(docs, "text", path, id_col="doc_id")
+    queries = ["spark", "vector merge", "stream window"]
+    before = {
+        q: {r["id"] for r in idx.search(q, "fuzzy_match").collect()} for q in queries
+    }
+    idx.add_hot_shard(top_n=20)
+    assert len(idx.manifest["hot_terms"]) == 20
+    assert _os.path.isdir(_os.path.join(path, "postings_hot"))
+    # at least one query must actually route through the hot table
+    hot = set(idx.manifest["hot_terms"])
+    assert any(t in hot for q in queries for t in q.split())
+    for q in queries:
+        got = {r["id"] for r in idx.search(q, "fuzzy_match").collect()}
+        assert got == before[q], q
+
+
+def test_index_update_refreshes_hot_shard(spark, docs, tmp_path_factory):
+    """Incremental update keeps the hot-shard copy consistent."""
+    path = str(tmp_path_factory.mktemp("idx") / "hot_upd_index")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = InvertedIndex.build(half, "text", path, id_col="doc_id")
+    idx.add_hot_shard(top_n=10)
+    idx.update(rest, commit_id="c2")
+    full = InvertedIndex.build(
+        docs, "text", str(tmp_path_factory.mktemp("idx") / "full_index"),
+        id_col="doc_id",
+    )
+    for q in ["spark", "vector merge"]:
+        got = {r["id"] for r in idx.search(q, "fuzzy_match").collect()}
+        want = {r["id"] for r in full.search(q, "fuzzy_match").collect()}
+        assert got == want, q
