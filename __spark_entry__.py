@@ -518,6 +518,22 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key", "start_s")
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bin equi-width histogram of l_extendedprice (the reference's
+    per-column stats histogram, ``statistics.py:49-97``).  Bucket edges
+    use explicit IEEE arithmetic mirrored exactly in the oracle SQL."""
+    from muller_spark.operators.aggregate import histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = histogram(li, "l_extendedprice", bins=10)
+    return out.select(
+        "bucket",
+        F.round("lo", 6).alias("bucket_lo"),
+        F.round("hi", 6).alias("bucket_hi"),
+        F.col("count").alias("n"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event gets the timestamp of the latest prior (or
     same-instant) 'error' event of the same user."""
@@ -579,6 +595,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_count_distinct": q_count_distinct,
     "q_sessionize": q_sessionize,
     "q_sessions": q_sessions,
+    "q_histogram": q_histogram,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
     "q_statistics": q_statistics,
@@ -747,6 +764,23 @@ _ORACLES: dict[str, str] = {
                cast(floor(epoch(max(ts))) AS bigint) AS end_s,
                count(*) AS n_events
         FROM s GROUP BY user_id, session_no ORDER BY key, start_s
+    """,
+    "q_histogram": """
+        WITH b AS (
+          SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+          FROM lineitem
+        ), r AS (
+          SELECT least(cast(10 AS bigint), greatest(cast(1 AS bigint),
+                   cast(floor((l_extendedprice - lo) / ((hi - lo) / 10)) AS bigint) + 1
+                 )) AS bucket, lo, hi
+          FROM lineitem, b
+          WHERE l_extendedprice IS NOT NULL
+        )
+        SELECT bucket,
+               round(lo + (bucket - 1) * ((hi - lo) / 10), 6) AS bucket_lo,
+               round(lo + bucket * ((hi - lo) / 10), 6) AS bucket_hi,
+               count(*) AS n
+        FROM r GROUP BY bucket, lo, hi ORDER BY bucket
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

@@ -171,14 +171,16 @@ def histogram(df: DataFrame, column: str, bins: int = 10) -> DataFrame:
         raise ValueError(f"column {column!r} has no non-null values")
     if lo == hi:
         hi = lo + 1.0
+    # explicit equi-width arithmetic (not width_bucket) so the bucketing
+    # is plain IEEE ops reproducible bit-for-bit by any SQL oracle
+    width = (hi - lo) / bins
     bucket = F.least(
-        F.lit(bins),
+        F.lit(bins).cast("long"),
         F.greatest(
-            F.lit(1),
-            F.expr(f"width_bucket(cast(`{column}` as double), {lo}, {hi}, {bins})"),
+            F.lit(1).cast("long"),
+            (F.floor((F.col(column).cast("double") - F.lit(lo)) / F.lit(width)) + 1),
         ),
     )
-    width = (hi - lo) / bins
     return (
         df.filter(F.col(column).isNotNull())
         .groupBy(bucket.alias("bucket"))
