@@ -518,6 +518,50 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key", "start_s")
 
 
+def q_random_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE Fig 3a analogue: fetch 10 rows by key.  The IN-list is
+    pushed to the parquet scan (PushedFilters: In(l_orderkey,...)), so
+    row-group stats skip everything else — the Spark equivalent of the
+    reference's batch_random_access chunk reads."""
+    li = _t(spark, sf_dir, "lineitem")
+    keys = [1, 3, 7, 32, 69, 96, 130, 195, 227, 290]
+    return (
+        li.filter(F.col("l_orderkey").isin(keys) & (F.col("l_linenumber") == 1))
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .orderBy("l_orderkey")
+    )
+
+
+def q_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE Fig 3c analogue: full single-column scan of l_shipdate.
+    ReadSchema carries exactly one column."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("d").alias("min_shipdate"),
+        F.max("d").alias("max_shipdate"),
+    )
+
+
+def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE Fig 3d analogue: read a 10-column projection of the
+    widest table; per-column aggregates force all 10 through the scan
+    while the other 6 are pruned."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("s_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_discount").alias("max_disc"),
+        F.min("l_tax").alias("min_tax"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+        F.countDistinct("l_linestatus").alias("n_status"),
+        F.min(F.col("l_shipdate").cast("date")).alias("min_ship"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-bin equi-width histogram of l_extendedprice (the reference's
     per-column stats histogram, ``statistics.py:49-97``).  Bucket edges
@@ -596,6 +640,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sessionize": q_sessionize,
     "q_sessions": q_sessions,
     "q_histogram": q_histogram,
+    "q_random_access": q_random_access,
+    "q_full_scan": q_full_scan,
+    "q_projection": q_projection,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
     "q_statistics": q_statistics,
@@ -764,6 +811,32 @@ _ORACLES: dict[str, str] = {
                cast(floor(epoch(max(ts))) AS bigint) AS end_s,
                count(*) AS n_events
         FROM s GROUP BY user_id, session_no ORDER BY key, start_s
+    """,
+    "q_random_access": """
+        SELECT l_orderkey, l_returnflag, l_quantity
+        FROM lineitem
+        WHERE l_orderkey IN (1, 3, 7, 32, 69, 96, 130, 195, 227, 290)
+          AND l_linenumber = 1
+        ORDER BY l_orderkey
+    """,
+    "q_full_scan": """
+        SELECT count(*) AS n_rows,
+               min(cast(l_shipdate AS date)) AS min_shipdate,
+               max(cast(l_shipdate AS date)) AS max_shipdate
+        FROM lineitem
+    """,
+    "q_projection": """
+        SELECT count(*) AS n_rows,
+               sum(l_quantity) AS s_qty,
+               min(l_extendedprice) AS min_price,
+               max(l_discount) AS max_disc,
+               min(l_tax) AS min_tax,
+               count(DISTINCT l_returnflag) AS n_flags,
+               count(DISTINCT l_linestatus) AS n_status,
+               min(cast(l_shipdate AS date)) AS min_ship,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps
+        FROM lineitem
     """,
     "q_histogram": """
         WITH b AS (

@@ -20,6 +20,9 @@ import __spark_entry__ as entrymod  # noqa: E402
 from muller_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    "q_random_access",
+    "q_full_scan",
+    "q_projection",
     "q1_pricing_summary",
     "q_filter_fold",
     "q_contains_fuzzy",
