@@ -428,6 +428,22 @@ def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (coarse-quantizer) approximate top-10 KNN for 3 query vectors
+    (no SQL oracle — approximate result; recall vs exact is asserted in
+    tests/test_search_and_dedup.py::test_ivf_recall_against_exact)."""
+    from muller_spark.index.vector import ivf_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id").isin(0, 1, 2)).orderBy("vec_id").collect()
+    qvecs = [r["embedding"] for r in qrows]
+    out = ivf_knn(emb, "embedding", "vec_id", qvecs, k=10, metric="l2",
+                  num_centroids=16, nprobe=4)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"), "id", "rank"
+    )
+
+
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine similarity ≥ 0.3 (brute force, broadcast side)."""
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -633,6 +649,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_id": q_lang_id,
     "q_fingerprint": q_fingerprint,
     "q_knn_l2": q_knn_l2,
+    "q_knn_ivf": q_knn_ivf,
     "q_embedding_pairs": q_embedding_pairs,
     "q_minhash_pairs": q_minhash_pairs,
     "q_simhash": q_simhash,

@@ -550,11 +550,11 @@ class Dataset:
         topk: int = 10,
     ) -> DataFrame:
         """Top-k similarity search; uses the registered index config
-        (FLAT → exact partial+global top-k; LSH/HNSWFLAT/IVFPQ → LSH
-        approximate path)."""
+        (FLAT → exact partial+global top-k; IVF/IVFPQ/IVFFLAT → coarse
+        quantizer probe path; LSH/HNSWFLAT → hyperplane LSH path)."""
         import json as _json
 
-        from muller_spark.index.vector import ann_knn, exact_knn
+        from muller_spark.index.vector import ann_knn, exact_knn, ivf_knn
 
         path = os.path.join(
             self.path, "_indexes", "vector", tensor_name, index_name, "manifest.json"
@@ -566,6 +566,12 @@ class Dataset:
             metric, index_type, hyper = m["metric"], m["index_type"], m.get("hyper", {})
         if index_type == "FLAT":
             return exact_knn(self.df, tensor_name, ROW_ID_COL, query_vector, topk, metric)
+        if index_type.upper().startswith("IVF"):
+            return ivf_knn(
+                self.df, tensor_name, ROW_ID_COL, query_vector, topk, metric,
+                num_centroids=int(hyper.get("nlist", hyper.get("num_centroids", 16))),
+                nprobe=int(hyper.get("nprobe", 4)),
+            )
         return ann_knn(
             self.df, tensor_name, ROW_ID_COL, query_vector, topk, metric,
             num_planes=int(hyper.get("num_planes", 6)),

@@ -9,10 +9,14 @@ inner_product at ``core/vector/utils.py:25-42``) on Spark:
   ``mapInPandas``), then a global ``orderBy(dist).limit(k)`` re-rank of
   the P·k candidates — the same partial+final shape as a distributed
   aggregation, so the full N×Q distance matrix never leaves executors.
-- **ann_knn** — the IVF/HNSW analogue in spirit: random-hyperplane LSH
-  (signed projections → bucket id), candidates = bucket-join matches,
-  exact re-rank within candidates.  Recall is tunable via
-  ``num_planes``/``num_tables`` exactly like nlist/nprobe.
+- **ann_knn** — hyperplane-LSH path: random projections → bucket id,
+  candidates = bucket-join matches, exact re-rank within candidates.
+  Recall is tunable via ``num_planes``/``num_tables``.
+- **ivf_knn** — inverted-file path (FAISS IVFFLAT/IVFPQ analogue): a
+  coarse k-means quantizer trained on a bounded sample, queries probe
+  their ``nprobe`` nearest cells, a single map-only pass emits
+  per-partition partial top-k over probed rows.  ``num_centroids`` /
+  ``nprobe`` play exactly the roles of nlist/nprobe.
 
 Query vectors ship via broadcast (they're small); the corpus never
 shuffles in the exact path and shuffles once (by bucket) in the ANN path.
@@ -114,6 +118,107 @@ def exact_knn(
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(num_planes, dim)
+
+
+def train_centroids(
+    df: DataFrame,
+    vec_col: str,
+    num_centroids: int = 16,
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer training for IVF: Lloyd's k-means on a bounded
+    driver-side sample — the same train-on-sample regime as FAISS IVF
+    (reference trains on the committed tensor,
+    ``core/vector/vector_index.py:199-255``).  The sample is capped at
+    ``sample_size`` rows regardless of corpus size; the corpus itself is
+    never collected."""
+    rows = df.select(vec_col).limit(sample_size).collect()
+    mat = np.asarray([r[0] for r in rows], dtype=np.float64)
+    k = min(num_centroids, len(mat))
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=k, replace=False)]
+    for _ in range(iters):
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_knn(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vectors,
+    k: int = 10,
+    metric: str = "l2",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file (IVF) coarse quantizer —
+    the FAISS ``IVFPQ``/``IVFFLAT`` analogue (recall tuned by
+    ``num_centroids``/``nprobe`` exactly like nlist/nprobe).
+
+    Single map-only pass over the corpus: each Arrow batch assigns its
+    vectors to the nearest broadcast centroid, keeps only rows whose
+    cell is in a query's probe set, and emits a per-partition partial
+    top-k.  No shuffle touches the corpus; the final re-rank sees at
+    most P·Q·k candidate rows."""
+    if metric not in METRICS:
+        raise ValueError(f"metric must be one of {METRICS}")
+    q = _as_matrix(query_vectors)
+    centroids = train_centroids(df, vec_col, num_centroids, sample_size, seed=seed)
+    # probe sets: the nprobe nearest centroids per query (same metric space)
+    cd = _distances(centroids, q, metric)  # (n_centroids, nq)
+    probes = [set(np.argsort(cd[:, qi])[:nprobe].tolist()) for qi in range(q.shape[0])]
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((centroids, q, probes))
+    m, kk = metric, k
+
+    def probe_topk(iterator):
+        import pandas as pd
+
+        cents, qm, probe_sets = bc.value
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            assign = _distances(mat, cents, "l2").argmin(axis=1)
+            out = []
+            for qi, probe in enumerate(probe_sets):
+                mask = np.isin(assign, list(probe))
+                if not mask.any():
+                    continue
+                sub = mat[mask]
+                dists = _distances(sub, qm[qi][None, :], m)[:, 0]
+                take = min(kk, len(sub))
+                idx = np.argpartition(dists, take - 1)[:take]
+                out.append(pd.DataFrame({
+                    "query_id": qi,
+                    "id": pdf[id_col].to_numpy()[mask][idx],
+                    "distance": dists[idx],
+                }))
+            if out:
+                yield pd.concat(out)
+
+    partial = ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        probe_topk, "query_id int, id long, distance double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "distance", "rank")
+    )
 
 
 def ann_knn(

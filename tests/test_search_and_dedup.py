@@ -287,3 +287,55 @@ def test_index_update_refreshes_hot_shard(spark, docs, tmp_path_factory):
         got = {r["id"] for r in idx.search(q, "fuzzy_match").collect()}
         want = {r["id"] for r in full.search(q, "fuzzy_match").collect()}
         assert got == want, q
+
+
+def test_ivf_recall_against_exact(spark, emb):
+    """IVF coarse-quantizer path (FAISS IVFFLAT analogue): with a healthy
+    nprobe/nlist ratio recall should be high; at nprobe=nlist it is
+    exhaustive and must equal exact search."""
+    from muller_spark.index.vector import ivf_knn
+
+    rows = emb.limit(3).collect()
+    q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    exact = exact_knn(emb, "embedding", "vec_id", q, k=10, metric="l2").collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["id"])
+
+    approx = ivf_knn(
+        emb, "embedding", "vec_id", q, k=10, metric="l2",
+        num_centroids=8, nprobe=4,
+    ).collect()
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = [
+        len(exact_sets[qi] & approx_sets.get(qi, set())) / 10 for qi in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+    # exhaustive probing == exact (same ids, rank order identical)
+    full = ivf_knn(
+        emb, "embedding", "vec_id", q, k=10, metric="l2",
+        num_centroids=8, nprobe=8,
+    ).collect()
+    want = sorted((r["query_id"], r["rank"], r["id"]) for r in exact)
+    got = sorted((r["query_id"], r["rank"], r["id"]) for r in full)
+    assert got == want
+
+
+def test_dataset_vector_search_ivf_route(spark, tmp_path):
+    """Dataset.create_vector_index(index_type='IVFPQ') routes through the
+    IVF probe path and returns k rows per query."""
+    import muller_spark.dataset as ds_mod
+
+    d = ds_mod.dataset(str(tmp_path / "ivfds"), spark)
+    d.create_tensor("v", htype="vector")
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 8).astype(float)
+    d.extend({"v": [v.tolist() for v in vecs]})
+    d.commit("vectors")
+    d.create_vector_index("v", index_type="IVFPQ", metric="l2", nlist=4, nprobe=4)
+    out = d.vector_search(vecs[0].tolist(), "v", topk=5).collect()
+    assert len(out) == 5
+    assert out[0]["rank"] == 1 and abs(out[0]["distance"]) < 1e-9
