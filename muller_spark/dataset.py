@@ -444,8 +444,32 @@ class Dataset:
 
     aggregate = aggregate_vectorized
 
-    def statistics(self) -> DataFrame:
-        return statistics(self.df.drop(*HIDDEN_COLS))
+    def statistics(self, use_cache: bool = True) -> DataFrame:
+        """Per-column stats, cached per commit in the version log
+        (reference caches them in version meta — ``dataset.py:1624``,
+        ``statistics/statistics.py:49-97``).  Uncommitted changes always
+        recompute; the cache is one tiny JSON per commit, so checkout of
+        an old commit answers statistics() with zero Spark jobs."""
+        import json as _json
+
+        cache_dir = os.path.join(self.log.log_dir, "stats")
+        cache_path = os.path.join(cache_dir, f"{self._snapshot.commit_id}.json")
+        cacheable = use_cache and not self._dirty and not any(self._pending.values())
+        if cacheable and os.path.exists(cache_path):
+            with open(cache_path) as fh:
+                rows = _json.loads(fh.read())
+            return self.spark.createDataFrame(
+                rows,
+                "column string, kind string, nan_count long, nan_proportion double, "
+                "min double, max double, mean double, median double, std double, "
+                "row_count long",
+            )
+        out = statistics(self.df.drop(*HIDDEN_COLS))
+        if cacheable:
+            os.makedirs(cache_dir, exist_ok=True)
+            with open(cache_path, "w") as fh:
+                fh.write(_json.dumps([r.asDict() for r in out.collect()]))
+        return out
 
     def summary(self) -> dict:
         return {

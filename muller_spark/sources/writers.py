@@ -35,3 +35,32 @@ def to_numpy(df: DataFrame, tensor: str):
     import numpy as np
 
     return np.array([r[0] for r in _visible(df).select(tensor).collect()])
+
+
+def to_mindrecord(df: DataFrame, path: str, shard_count: int = 1) -> None:
+    """Export to MindSpore MindRecord (reference ``to_mindrecord.py:69``,
+    producer/consumer shard writer).  The MindRecord codec lives in the
+    ``mindspore`` package, which is optional here: when importable we
+    stream Arrow batches into its FileWriter; otherwise this raises with
+    a pointer at the parquet/JSON/Arrow exports that cover the same
+    surface."""
+    try:
+        from mindspore.mindrecord import FileWriter  # type: ignore
+    except ImportError as exc:  # pragma: no cover - mindspore not in env
+        raise NotImplementedError(
+            "to_mindrecord requires the optional 'mindspore' package; "
+            "use to_parquet / to_json / to_arrow for portable exports"
+        ) from exc
+
+    type_map = {"bigint": "int64", "int": "int32", "double": "float64",
+                "float": "float32", "string": "string", "binary": "bytes"}
+    schema = {}
+    for name, dtype in _visible(df).dtypes:
+        if dtype not in type_map:
+            raise ValueError(f"column {name!r} of type {dtype!r} has no MindRecord mapping")
+        schema[name] = {"type": type_map[dtype]}
+    writer = FileWriter(file_name=path, shard_num=shard_count, overwrite=True)
+    writer.add_schema(schema, "muller_spark export")
+    for batch in _visible(df).toArrow().to_batches():
+        writer.write_raw_data(batch.to_pylist())
+    writer.commit()

@@ -87,3 +87,22 @@ def test_range_join_basic(spark):
     out = range_join(fact, bands, "v")
     got = {r["id"]: r["band"] for r in out.collect()}
     assert got == {1: "lo", 3: "hi"}
+
+
+def test_statistics_cached_per_commit(ds, tmp_path):
+    """statistics() caches per commit in the version log (reference keeps
+    stats in version meta); cache hits skip recomputation and survive
+    checkout round-trips."""
+    import os as _os
+
+    first = ds.statistics().collect()
+    cid = ds.log.get_ref("main")
+    cache = _os.path.join(ds.log.log_dir, "stats", f"{cid}.json")
+    assert _os.path.exists(cache)
+    again = ds.statistics().collect()
+    assert sorted(map(str, again)) == sorted(map(str, first))
+    # uncommitted changes bypass the cache (row_count moves)
+    ds.extend({"x": [999], "t": ["late"]})
+    dirty = {r["column"]: r["row_count"] for r in ds.statistics().collect()}
+    assert dirty["x"] == 11
+    ds.reset()
