@@ -78,3 +78,33 @@ def range_join(
     """Join fact rows to [lo, hi) bands; the band side broadcasts."""
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return fact.join(F.broadcast(bands), cond, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the left (skewed) side gets a random
+    salt in [0, num_salts); the right side is exploded ``num_salts``×
+    with every salt value; the join key becomes (key, salt), so one hot
+    key spreads over ``num_salts`` shuffle partitions instead of one
+    straggler task.
+
+    Use when a handful of keys dominate (AQE's skew-join handles
+    *partition*-level skew after the fact; salting fixes *key*-level
+    skew up front, and works for aggregations-after-join too).  The
+    right side is replicated — intended for moderate-size right tables
+    where broadcast is too big but replication ``num_salts``× is fine.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner and left joins")
+    salt = (F.rand(seed=42) * num_salts).cast("int")
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    out = l_salted.join(r_salted, [on, "_salt"], how)
+    return out.drop("_salt")

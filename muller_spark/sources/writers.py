@@ -64,3 +64,32 @@ def to_mindrecord(df: DataFrame, path: str, shard_count: int = 1) -> None:
     for batch in _visible(df).toArrow().to_batches():
         writer.write_raw_data(batch.to_pylist())
     writer.commit()
+
+
+def to_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: "str | list[str]",
+    num_buckets: int = 32,
+    sort_cols: "str | list[str] | None" = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (hive-clustered) table so later equi-joins
+    and aggregations on ``bucket_cols`` are co-located: two tables
+    bucketed the same way join with **zero Exchange** — the shuffle is
+    paid once at write time, not per query.  This is the Spark-native
+    answer to "pre-partition the 100 TB fact table by join key".
+
+    Requires a metastore-backed session (`enableHiveSupport` or the
+    default in-memory catalog); plain ``path``-based parquet cannot
+    carry bucket metadata.
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = (
+        _visible(df).write.mode(mode)
+        .bucketBy(num_buckets, bucket_cols[0], *bucket_cols[1:])
+    )
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(sort_cols[0], *sort_cols[1:])
+    writer.format("parquet").saveAsTable(table_name)

@@ -106,3 +106,53 @@ def test_statistics_cached_per_commit(ds, tmp_path):
     dirty = {r["column"]: r["row_count"] for r in ds.statistics().collect()}
     assert dirty["x"] == 11
     ds.reset()
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must be a drop-in for a plain equi-join, spreading a
+    hot key over num_salts partitions."""
+    from muller_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", i) for i in range(5)],
+        "k string, v long",
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unmatched", "U")], "k string, tag string"
+    )
+    plain = left.join(right, "k").groupBy("k", "tag").count().collect()
+    salted = salted_join(left, right, "k").groupBy("k", "tag").count().collect()
+    assert sorted(map(str, salted)) == sorted(map(str, plain))
+    # left join keeps unmatched-left semantics too
+    lp = left.join(right, "k", "left").count()
+    ls = salted_join(left, right, "k", how="left").count()
+    assert ls == lp
+
+
+def test_bucketed_table_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key must join without a single
+    Exchange in the physical plan (the write-once-shuffle-never story)."""
+    import uuid as _uuid
+
+    from muller_spark.sources.writers import to_bucketed_table
+
+    suffix = _uuid.uuid4().hex[:8]
+    a_name, b_name = f"bkt_a_{suffix}", f"bkt_b_{suffix}"
+    a = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("va", F.col("k") * 2)
+    b = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("vb", F.col("k") + 1)
+    to_bucketed_table(a, a_name, "k", num_buckets=8)
+    to_bucketed_table(b, b_name, "k", num_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path: broadcast would bypass bucketing
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ta, tb = spark.table(a_name), spark.table(b_name)
+        joined = ta.join(tb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"drop table if exists {a_name}")
+        spark.sql(f"drop table if exists {b_name}")
