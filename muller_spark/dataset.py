@@ -407,10 +407,55 @@ class Dataset:
 
     def filter(
         self,
-        query: str | Callable,
+        query: str | Callable | None = None,
+        index_query: str | None = None,
+        index_tensor: str | None = None,
+        connector: str = "AND",
         offset: int = 0,
         limit: int | None = None,
     ) -> DataFrame:
+        """Row filter: Python lambda (Arrow-batched) or query string
+        (compiled to Catalyst), optionally combined with an
+        inverted-index lookup via AND/OR (reference ``ds.filter(function,
+        index_query, connector)``, ``mixins/query.py:95-159``; the
+        reference resolves ``index_query`` through its safe evaluator —
+        here the indexed tensor is named explicitly).  ``query=None``
+        with an ``index_query`` returns the index matches alone."""
+        if index_query is not None:
+            if index_tensor is None:
+                raise ValueError("index_query requires index_tensor")
+            idx = self._load_index(index_tensor)
+            if idx is None:
+                raise ValueError(
+                    f"no fresh inverted index on {index_tensor!r}; "
+                    "create_index_vectorized first"
+                )
+            stype = "complex_fuzzy_match" if "||" in index_query else "fuzzy_match"
+            ids = idx.search(index_query, stype).withColumnRenamed("id", ROW_ID_COL)
+            if query is None:
+                out = self.df.join(ids, ROW_ID_COL, "semi").orderBy(ROW_ID_COL)
+                if offset:
+                    out = out.offset(offset)
+                if limit is not None:
+                    out = out.limit(limit)
+                return out
+            base = self.filter(query)
+            if connector.upper() == "AND":
+                out = base.join(ids, ROW_ID_COL, "semi")
+            elif connector.upper() == "OR":
+                out = base.unionByName(
+                    self.df.join(ids, ROW_ID_COL, "semi")
+                ).dropDuplicates([ROW_ID_COL])
+            else:
+                raise ValueError("connector must be AND or OR")
+            out = out.orderBy(ROW_ID_COL)
+            if offset:
+                out = out.offset(offset)
+            if limit is not None:
+                out = out.limit(limit)
+            return out
+        if query is None:
+            raise ValueError("pass a query, an index_query, or both")
         if callable(query):
             # lambda over a row dict — Arrow-batched, never row-at-a-time Python
             df = self.df

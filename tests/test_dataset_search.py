@@ -78,3 +78,50 @@ def test_vector_index_flat_and_lsh(spark, tmp_path):
                            metric="cosine", num_planes=3, num_tables=8)
     approx = ds.vector_search(vecs[0], "emb", index_name="lsh", topk=3).collect()
     assert any(r["id"] == 0 for r in approx)
+
+
+def test_filter_with_index_query_combination(text_ds):
+    """Reference ds.filter(function, index_query, connector)
+    (mixins/query.py:95-159): the row predicate combines with an
+    inverted-index lookup via AND/OR; index-only when function is None."""
+    ds = text_ds
+    ds.create_index_vectorized("text")
+
+    # index-only: rows containing 'hello'
+    only = ds.filter(index_query="hello", index_tensor="text")
+    assert {r["text"] for r in only.collect()} == {"oops hello", "hello world"}
+
+    # AND: hello-docs with score < 10
+    both = ds.filter(
+        "score < 10", index_query="hello", index_tensor="text", connector="AND"
+    ).collect()
+    assert all(r["score"] < 10 and "hello" in r["text"] for r in both)
+    want_and = {
+        (r["text"], r["score"])
+        for r in ds.df.filter(
+            (F.col("score") < 10) & F.col("text").contains("hello")
+        ).collect()
+    }
+    assert {(r["text"], r["score"]) for r in both} == want_and
+
+    # OR: union of predicate matches and index matches, deduplicated
+    either = ds.filter(
+        "score >= 18", index_query="hello", index_tensor="text", connector="OR"
+    ).collect()
+    want_or = {
+        (r["text"], r["score"])
+        for r in ds.df.filter(
+            (F.col("score") >= 18) | F.col("text").contains("hello")
+        ).collect()
+    }
+    assert {(r["text"], r["score"]) for r in either} == want_or
+
+    # lambda + index combination
+    lam = ds.filter(
+        lambda s: s["score"] % 2 == 0,
+        index_query="hello", index_tensor="text", connector="AND",
+    ).collect()
+    assert all(r["score"] % 2 == 0 and "hello" in r["text"] for r in lam)
+
+    with pytest.raises(ValueError, match="index_tensor"):
+        ds.filter("score < 3", index_query="hello")
