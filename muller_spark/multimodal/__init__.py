@@ -1,5 +1,6 @@
 from muller_spark.multimodal.media import (
     decode_image_batch,
+    extract_audio_features,
     extract_image_features,
     resize_images,
     sample_video_frames,
@@ -7,6 +8,7 @@ from muller_spark.multimodal.media import (
 
 __all__ = [
     "decode_image_batch",
+    "extract_audio_features",
     "extract_image_features",
     "resize_images",
     "sample_video_frames",

@@ -226,3 +226,90 @@ def sample_video_frames(
                 yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, out_schema)
+
+
+def _try_soundfile():
+    try:
+        import soundfile  # type: ignore
+
+        return soundfile
+    except ImportError:
+        return None
+
+
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("checksum", T.StringType()),
+])
+
+
+def _fake_audio_decode(data: bytes) -> tuple[int, int, int, float, float, str]:
+    """Deterministic fake audio decode: pseudo rate/length/loudness +
+    content checksum (same role as ``_fake_decode`` for images)."""
+    digest = hashlib.md5(data or b"").digest()
+    rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
+    n = 1000 + int.from_bytes(digest[1:3], "big")
+    channels = 1 + digest[3] % 2
+    rms = round(digest[4] / 255.0, 6)
+    return rate, n, channels, round(n / rate, 6), rms, digest.hex()
+
+
+def extract_audio_features(
+    df: DataFrame,
+    bytes_col: str = "content",
+    fake: bool = False,
+) -> DataFrame:
+    """Append decoded audio metadata + features (sample_rate, n_samples,
+    channels, duration, RMS loudness, checksum).  Real path uses
+    ``soundfile`` when importable; otherwise ``fake=True`` runs the
+    deterministic stub and ``fake=False`` raises NotImplementedError
+    (reference decodes audio lazily through ``muller.read`` samples,
+    ``muller/api/read.py:21``, ``core/sample.py``)."""
+    sf = _try_soundfile()
+    if sf is None and not fake:
+        raise NotImplementedError(
+            "audio codec (soundfile) not available in this environment; "
+            "pass fake=True for the deterministic stub decode"
+        )
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("audio_meta", AUDIO_META_SCHEMA)]
+    )
+
+    def run(iterator: Iterator):
+        import io
+
+        for pdf in iterator:
+            metas = []
+            for data in pdf[bytes_col]:
+                raw = bytes(data) if data is not None else b""
+                if sf is not None and not fake:
+                    try:
+                        wav, rate = sf.read(io.BytesIO(raw))
+                        n = int(wav.shape[0])
+                        ch = int(wav.shape[1]) if wav.ndim > 1 else 1
+                        rms = float((wav.astype("float64") ** 2).mean() ** 0.5)
+                        metas.append((
+                            int(rate), n, ch, round(n / rate, 6), round(rms, 6),
+                            hashlib.md5(raw).hexdigest(),
+                        ))
+                        continue
+                    except Exception:
+                        metas.append((None, None, None, None, None, None))
+                        continue
+                metas.append(_fake_audio_decode(raw))
+            pdf = pdf.copy()
+            pdf["audio_meta"] = [
+                {
+                    "sample_rate": m[0], "n_samples": m[1], "channels": m[2],
+                    "duration_s": m[3], "rms": m[4], "checksum": m[5],
+                }
+                for m in metas
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

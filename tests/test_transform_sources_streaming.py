@@ -258,3 +258,32 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_extract_audio_features_stub(spark):
+    """Audio plumbing: schema, batching, deterministic fake decode; the
+    real codec path raises clearly when soundfile is absent."""
+    from muller_spark.multimodal import extract_audio_features
+
+    df = spark.createDataFrame(
+        [(1, b"aaa"), (2, b"bbbb"), (3, None)], "id long, content binary"
+    )
+    out = extract_audio_features(df, "content", fake=True)
+    rows = {r["id"]: r["audio_meta"] for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    m = rows[1]
+    assert m["sample_rate"] in (8000, 16000, 22050, 44100)
+    assert m["duration_s"] == round(m["n_samples"] / m["sample_rate"], 6)
+    assert 0.0 <= m["rms"] <= 1.0 and len(m["checksum"]) == 32
+    # determinism: same bytes → same meta
+    again = {r["id"]: r["audio_meta"] for r in
+             extract_audio_features(df, "content", fake=True).collect()}
+    assert again == rows
+    # real-codec path must fail loudly, not guess, when the lib is absent
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="soundfile"):
+            extract_audio_features(df, "content", fake=False).collect()
