@@ -1,0 +1,101 @@
+"""Scale smoke tests: multiply the sf0.1 tables in-plan (no disk) and
+prove the hot operators still complete with sane wall times — the
+"would this survive a scale-up" check run as part of the suite.
+
+These bounds are deliberately loose (CI noise), but they catch
+complexity regressions: an accidental N² pair explosion, a lost
+broadcast, or a kernel that stopped being map-only blows straight
+through them.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _multiplied(df, copies: int, id_col: str, spark):
+    """copies× the rows with distinct ids, still a single narrow plan."""
+    reps = spark.range(copies).withColumnRenamed("id", "_rep")
+    return (
+        df.crossJoin(F.broadcast(reps))
+        .withColumn(id_col, F.col(id_col) * copies + F.col("_rep"))
+        .drop("_rep")
+    )
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def test_group_agg_at_6m_rows(spark, lineitem):
+    """10× lineitem (6M rows): scan → partial agg → 1 shuffle; partial
+    aggregation keeps the shuffle tiny regardless of input size."""
+    big = _multiplied(lineitem, 10, "l_orderkey", spark)
+    start = time.perf_counter()
+    out = (
+        big.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    elapsed = time.perf_counter() - start
+    assert sum(r["n"] for r in out) == 6_000_000
+    assert elapsed < 60, f"6M-row aggregate took {elapsed:.1f}s"
+
+
+def test_broadcast_join_at_6m_rows(spark, lineitem):
+    big = _multiplied(lineitem, 10, "l_orderkey", spark)
+    bands = spark.createDataFrame(
+        [("A",), ("N",), ("R",)], "l_returnflag string"
+    ).withColumn("tag", F.concat(F.lit("t_"), "l_returnflag"))
+    start = time.perf_counter()
+    n = big.join(F.broadcast(bands), "l_returnflag").count()
+    elapsed = time.perf_counter() - start
+    assert n == 6_000_000
+    assert elapsed < 60, f"6M-row broadcast join took {elapsed:.1f}s"
+
+
+def test_minhash_pipeline_at_20k_docs(spark, documents):
+    """4× documents (20k docs): the MinHash-LSH pipeline must stay
+    near-linear — signatures are map-only, the only shuffles are the
+    band join + dedup.  Exact duplicates (the 4 copies of each doc)
+    must all surface as pairs without an N² blow-up."""
+    from muller_spark.operators.dedup import minhash_lsh_pairs
+
+    big = _multiplied(documents.select("doc_id", "text"), 4, "doc_id", spark)
+    start = time.perf_counter()
+    pairs = minhash_lsh_pairs(
+        big, "text", "doc_id", num_hashes=32, bands=8, threshold=0.9
+    )
+    n_pairs = pairs.count()
+    elapsed = time.perf_counter() - start
+    # each of the 5k originals has 4 identical copies → ≥ C(4,2)=6 pairs each
+    assert n_pairs >= 5000 * 6
+    assert elapsed < 120, f"20k-doc minhash pipeline took {elapsed:.1f}s"
+
+
+def test_exact_knn_at_40k_vectors(spark):
+    from muller_spark.index.vector import exact_knn
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    big = _multiplied(emb, 20, "vec_id", spark)  # 40k vectors
+    q = [r["embedding"] for r in emb.limit(2).collect()]
+    start = time.perf_counter()
+    out = exact_knn(big, "embedding", "vec_id", q, k=10, metric="cosine").collect()
+    elapsed = time.perf_counter() - start
+    assert len(out) == 20
+    assert elapsed < 60, f"40k-vector exact knn took {elapsed:.1f}s"
