@@ -9,6 +9,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from muller_spark.session import get_spark  # noqa: E402
 
+def prop_examples(default: int) -> int:
+    """Example count for property tests; raise via PROP_EXAMPLES for
+    soak runs (e.g. PROP_EXAMPLES=60 pytest tests/test_merge_property.py)."""
+    return int(os.environ.get("PROP_EXAMPLES", default))
+
 
 @pytest.fixture(scope="session")
 def spark():

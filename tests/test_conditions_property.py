@@ -20,6 +20,7 @@ from hypothesis import strategies as st
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from conftest import prop_examples  # noqa: E402
 from muller_spark.plans.conditions import compile_conditions  # noqa: E402
 
 ROWS = [
@@ -106,7 +107,7 @@ def table(spark):
 
 
 @settings(
-    max_examples=25,
+    max_examples=prop_examples(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -21,6 +21,7 @@ from hypothesis import strategies as st
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from conftest import prop_examples  # noqa: E402
 from muller_spark import dataset as ds_mod  # noqa: E402
 
 _op = st.one_of(
@@ -32,7 +33,7 @@ _op = st.one_of(
 
 
 @settings(
-    max_examples=12,
+    max_examples=prop_examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

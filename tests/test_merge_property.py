@@ -19,6 +19,7 @@ from hypothesis import strategies as st
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from conftest import prop_examples  # noqa: E402
 from muller_spark import dataset as ds_mod  # noqa: E402
 from muller_spark.schema import ROW_ID_COL, UUID_COL  # noqa: E402
 
@@ -92,7 +93,7 @@ def _model_merge(base, ours, theirs, append_res, update_res, pop_res):
 
 
 @settings(
-    max_examples=10,
+    max_examples=prop_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
