@@ -578,6 +578,46 @@ def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup totals (natural Spark extension of the
+    reference's single-level groupby; subtotal rows coalesce to 'ALL'
+    so the oracle hash is null-order independent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum("l_quantity", 2, "sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: top-3 orders by price within each market segment
+    (rank + tie-break on key so the result is total-order deterministic)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rnk")
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-bin equi-width histogram of l_extendedprice (the reference's
     per-column stats histogram, ``statistics.py:49-97``).  Bucket edges
@@ -658,6 +698,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sessions": q_sessions,
     "q_histogram": q_histogram,
     "q_random_access": q_random_access,
+    "q_rollup": q_rollup,
+    "q_window_rank": q_window_rank,
     "q_full_scan": q_full_scan,
     "q_projection": q_projection,
     "q_asof_join": q_asof_join,
@@ -828,6 +870,25 @@ _ORACLES: dict[str, str] = {
                cast(floor(epoch(max(ts))) AS bigint) AS end_s,
                count(*) AS n_events
         FROM s GROUP BY user_id, session_no ORDER BY key, start_s
+    """,
+    "q_rollup": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n,
+               cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus
+    """,
+    "q_window_rank": """
+        WITH j AS (
+          SELECT c_mktsegment, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+          FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        SELECT c_mktsegment, rnk, o_orderkey, o_totalprice
+        FROM j WHERE rnk <= 3 ORDER BY c_mktsegment, rnk
     """,
     "q_random_access": """
         SELECT l_orderkey, l_returnflag, l_quantity

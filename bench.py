@@ -31,6 +31,8 @@ HEADLINE = [
     "q_agg_count_star",
     "q_join_revenue",
     "q_join_multiway",
+    "q_rollup",
+    "q_window_rank",
     "q_topk_orders",
     "q_dedup_exact",
     "q_token_stats",
