@@ -3,12 +3,14 @@ from muller_spark.streaming.stateful import (
     sessionize_stream,
 )
 from muller_spark.streaming.windows import (
+    enrich_stream,
     stream_from_directory,
     windowed_aggregate,
     write_stream_to_dataset,
 )
 
 __all__ = [
+    "enrich_stream",
     "sessionize_batch",
     "sessionize_stream",
     "stream_from_directory",

@@ -84,3 +84,17 @@ def write_stream_to_dataset(stream: DataFrame, ds, checkpoint_dir: str, trigger_
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: "str | list[str]",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (small) static dimension, broadcast so the stream side never
+    shuffles.  The classic "attach user/product attributes to an event
+    stream" shape; works identically on batch DataFrames, which is how
+    the parity test checks it."""
+    return stream.join(F.broadcast(dim), on, how)

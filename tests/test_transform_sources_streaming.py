@@ -287,3 +287,42 @@ def test_extract_audio_features_stub(spark):
 
         with _pytest.raises(NotImplementedError, match="soundfile"):
             extract_audio_features(df, "content", fake=False).collect()
+
+
+def test_enrich_stream_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment: streaming result equals the
+    batch join on the same data."""
+    from muller_spark.streaming.windows import enrich_stream
+
+    events = [(1, "a"), (2, "b"), (3, "a"), (4, "c")]
+    schema = "event_id long, k string"
+    src = tmp_path / "enrich_src"
+    src.mkdir()
+    spark.createDataFrame(events, schema).coalesce(1).write.parquet(str(src / "f1"))
+    dim = spark.createDataFrame([("a", 10), ("b", 20)], "k string, attr long")
+
+    want = sorted(
+        (r["event_id"], r["attr"])
+        for r in enrich_stream(
+            spark.createDataFrame(events, schema), dim, "k"
+        ).collect()
+    )
+
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    out = enrich_stream(stream, dim, "k")
+    q = (
+        out.writeStream.format("memory").queryName("enriched_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+        got = sorted(
+            (r["event_id"], r["attr"])
+            for r in spark.sql("select * from enriched_out").collect()
+        )
+        assert got == want
+    finally:
+        q.stop()
