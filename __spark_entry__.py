@@ -479,6 +479,19 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-3-gram Jaccard near-dup pairs (threshold 0.5) — the
+    verify stage of the dedup pipeline, hash-checked against a full
+    DuckDB list-function reimplementation."""
+    from muller_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document (no SQL oracle)."""
     from muller_spark.operators.dedup import simhash
@@ -692,6 +705,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_ivf": q_knn_ivf,
     "q_embedding_pairs": q_embedding_pairs,
     "q_minhash_pairs": q_minhash_pairs,
+    "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
     "q_count_distinct": q_count_distinct,
     "q_sessionize": q_sessionize,
@@ -870,6 +884,31 @@ _ORACLES: dict[str, str] = {
                cast(floor(epoch(max(ts))) AS bigint) AS end_s,
                count(*) AS n_events
         FROM s GROUP BY user_id, session_no ORDER BY key, start_s
+    """,
+    "q_ngram_jaccard": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                 ELSE [array_to_string(t, ' ')] END AS shingles
+          FROM toks
+        ), e AS (
+          SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 any_value(a.sz) AS sa, any_value(b.sz) AS sb,
+                 count(*) AS i
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(cast(i AS double) / (sa + sb - i), 6) AS jaccard
+        FROM inter
+        WHERE cast(i AS double) / (sa + sb - i) >= 0.5
+        ORDER BY id_a, id_b
     """,
     "q_rollup": """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -55,8 +55,12 @@ def exact_dedup(
 
 
 def _shingles(col: Column, n: int) -> Column:
-    """Distinct token n-gram shingles of a text column (JVM-side)."""
-    tokens = F.split(normalized_text(col), TOKEN_SPLIT_REGEX)
+    """Distinct token n-gram shingles of a text column (JVM-side).
+    Empty tokens (leading/trailing punctuation splits) are dropped so
+    shingles match the ``tokens_of`` tokenization everywhere else."""
+    tokens = F.filter(
+        F.split(normalized_text(col), TOKEN_SPLIT_REGEX), lambda t: t != ""
+    )
     if n == 1:
         return F.array_distinct(tokens)
     # slide an n-window over the token array with transform+slice
