@@ -4,6 +4,7 @@ from muller_spark.streaming.stateful import (
 )
 from muller_spark.streaming.windows import (
     enrich_stream,
+    join_streams,
     stream_from_directory,
     windowed_aggregate,
     write_stream_to_dataset,
@@ -11,6 +12,7 @@ from muller_spark.streaming.windows import (
 
 __all__ = [
     "enrich_stream",
+    "join_streams",
     "sessionize_batch",
     "sessionize_stream",
     "stream_from_directory",

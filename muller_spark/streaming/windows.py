@@ -98,3 +98,37 @@ def enrich_stream(
     stream" shape; works identically on batch DataFrames, which is how
     the parity test checks it."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: "str | list[str]",
+    left_ts: str,
+    right_ts: str,
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: rows match when their keys
+    are equal AND the right event lands within ``[left_ts - within,
+    left_ts + within]``.  Both sides carry watermarks so Spark can bound
+    the join state (events older than watermark + within are evicted) —
+    the state-store footprint is O(events in the time band), independent
+    of stream length.
+
+    On batch DataFrames the same key + time-band predicate runs as a
+    plain join, which is how the parity test pins the semantics."""
+    on = [on] if isinstance(on, str) else list(on)
+    l, r = left.alias("l"), right.alias("r")
+    if left.isStreaming:
+        l = left.withWatermark(left_ts, watermark).alias("l")
+    if right.isStreaming:
+        r = right.withWatermark(right_ts, watermark).alias("r")
+    band = F.expr(
+        f"r.{right_ts} BETWEEN l.{left_ts} - INTERVAL {within} "
+        f"AND l.{left_ts} + INTERVAL {within}"
+    )
+    cond = band
+    for k in on:
+        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
+    return l.join(r, cond, "inner")

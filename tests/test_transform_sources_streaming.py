@@ -326,3 +326,54 @@ def test_enrich_stream_matches_batch(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_join_streams_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream time-band join equals the batch join
+    with the same key + band predicate."""
+    import datetime as dt
+
+    from muller_spark.streaming.windows import join_streams
+
+    t0 = dt.datetime(2026, 1, 1, 9, 0, 0)
+    clicks = [("u1", t0, "c1"), ("u1", t0 + dt.timedelta(minutes=30), "c2"),
+              ("u2", t0 + dt.timedelta(minutes=5), "c3")]
+    buys = [("u1", t0 + dt.timedelta(minutes=4), "b1"),
+            ("u1", t0 + dt.timedelta(minutes=50), "b2"),
+            ("u2", t0 + dt.timedelta(minutes=12), "b3")]
+    cs = "user string, cts timestamp, click_id string"
+    bs = "user string, bts timestamp, buy_id string"
+    src_c, src_b = tmp_path / "clicks", tmp_path / "buys"
+    src_c.mkdir(), src_b.mkdir()
+    spark.createDataFrame(clicks, cs).coalesce(1).write.parquet(str(src_c / "f"))
+    spark.createDataFrame(buys, bs).coalesce(1).write.parquet(str(src_b / "f"))
+
+    want = sorted(
+        (r["click_id"], r["buy_id"])
+        for r in join_streams(
+            spark.createDataFrame(clicks, cs).alias("l"),
+            spark.createDataFrame(buys, bs).alias("r"),
+            "user", "cts", "bts", within="10 minutes",
+        ).collect()
+    )
+    assert want == [("c1", "b1"), ("c3", "b3")]  # sanity of the fixture
+
+    sc = spark.readStream.schema(cs).parquet(str(src_c) + "/*")
+    sb = spark.readStream.schema(bs).parquet(str(src_b) + "/*")
+    out = join_streams(sc, sb, "user", "cts", "bts", within="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("ss_join_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        got = sorted(
+            (r["click_id"], r["buy_id"])
+            for r in spark.sql("select * from ss_join_out").collect()
+        )
+        assert got == want
+    finally:
+        q.stop()
