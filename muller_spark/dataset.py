@@ -911,15 +911,27 @@ class Dataset:
     # ------------------------------------------------------------------
     # maintenance / misc (reference dataset.py:1018,1727; statistics/)
     # ------------------------------------------------------------------
-    def rechunk(self, target_partitions: int | None = None) -> str:
+    def rechunk(
+        self,
+        target_partitions: int | None = None,
+        target_mb: int | None = None,
+    ) -> str:
         """Compaction: rewrite the table state as one optimally-sized
-        snapshot (the reference rewrites chunks to target sizes,
-        ``rechunk_operations.py``; here it folds N delta dirs into one
-        dir and rebalances partitions)."""
+        snapshot (the reference rewrites chunks to target sizes —
+        128 MB default, ``constants.py:30``, ``rechunk_operations.py``;
+        here it folds N delta dirs into one dir and rebalances
+        partitions).  ``target_mb`` sizes partitions from the current
+        on-disk footprint — the direct analogue of the reference's
+        max-chunk-size knob."""
         self._check_writable()
         self._flush_pending()
+        if target_mb is not None:
+            if target_partitions is not None:
+                raise ValueError("pass target_partitions or target_mb, not both")
+            size = self.size_approx()
+            target_partitions = max(1, -(-size // (target_mb * 1024 * 1024)))
         if target_partitions:
-            self._work_df = self._work_df.repartition(target_partitions)
+            self._work_df = self._work_df.repartition(int(target_partitions))
         self._dirty = self._rewrite_needed = True
         return self.commit("rechunk")
 

@@ -156,3 +156,19 @@ def test_bucketed_table_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"drop table if exists {a_name}")
         spark.sql(f"drop table if exists {b_name}")
+
+
+def test_rechunk_by_target_size(ds):
+    """rechunk(target_mb): partition count derived from on-disk bytes —
+    tiny datasets fold to one file, like the reference's 128 MB chunks."""
+    import glob
+    import os as _os
+
+    ds.rechunk(target_mb=128)
+    snap = ds.log.resolve("main")
+    assert len(snap.data_dirs) == 1
+    files = glob.glob(_os.path.join(ds.path, snap.data_dirs[0], "*.parquet"))
+    assert len(files) == 1, files
+    assert len(ds) == 10
+    with pytest.raises(ValueError, match="not both"):
+        ds.rechunk(target_partitions=2, target_mb=1)
