@@ -305,6 +305,17 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate LLM token counting via the GPT-2-ish pretokenizer
+    regex (lookahead-free so Java regex and the oracle's RE2 agree)."""
+    from muller_spark.operators.text import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_bpe")
+    ).orderBy("doc_id")
+
+
 def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return aggregate_vectorized(
@@ -706,6 +717,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_pairs": q_embedding_pairs,
     "q_minhash_pairs": q_minhash_pairs,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_bpe_tokens": q_bpe_tokens,
     "q_simhash": q_simhash,
     "q_count_distinct": q_count_distinct,
     "q_sessionize": q_sessionize,
@@ -884,6 +896,14 @@ _ORACLES: dict[str, str] = {
                cast(floor(epoch(max(ts))) AS bigint) AS end_s,
                count(*) AS n_events
         FROM s GROUP BY user_id, session_no ORDER BY key, start_s
+    """,
+    "q_bpe_tokens": """
+        SELECT doc_id,
+               len(list_filter(
+                 regexp_extract_all(lower(text),
+                   '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+|\\s+'),
+                 x -> trim(x) <> '')) AS n_bpe
+        FROM documents ORDER BY doc_id
     """,
     "q_ngram_jaccard": f"""
         WITH toks AS (

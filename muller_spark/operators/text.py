@@ -136,3 +136,19 @@ def rolling_fingerprints(col: Column, window: int = 8, keep: int = 4) -> Column:
         idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))
     )
     return F.slice(F.array_sort(hashes), 1, keep)
+
+
+# GPT-2-style pretokenizer family, restricted to a dialect-portable core:
+# contractions | space?+letters | space?+digits | space?+punct-run | spaces.
+# No lookaheads, so the same pattern runs identically under Java regex
+# (Spark) and RE2 (DuckDB oracle).
+BPE_TOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Approximate BPE token count: matches of the GPT-2-ish pretokenizer
+    over the case-folded text, excluding pure-whitespace runs.  The
+    standard 'how many LLM tokens is this corpus' estimator, entirely
+    JVM-side."""
+    pieces = F.regexp_extract_all(F.lower(col), F.lit(BPE_TOKEN_REGEX), 0)
+    return F.size(F.filter(pieces, lambda p: F.trim(p) != ""))
