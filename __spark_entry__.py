@@ -623,6 +623,54 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (returnflag, shipmode): all four grouping
+    combinations in one pass (extends the reference's single-level
+    groupby, ``aggregate_vectorized.py:32-81``, the same way rollup does;
+    Spark computes the lattice in a single shuffle via Expand)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year(F.col("l_shipdate").cast("date"))
+    )
+    return (
+        li.cube("l_returnflag", "ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum("l_extendedprice", 2, "sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("ship_year").cast("long"), F.lit(-1)).alias("shipyear"),
+            "n",
+            "sum_price",
+        )
+        .orderBy("returnflag", "shipyear")
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: per (returnflag, linestatus), per shipmode,
+    and grand total — three aggregation levels sharing one scan."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year(F.col("l_shipdate").cast("date"))
+    )
+    out = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["ship_year"], []],
+        "l_returnflag",
+        "l_linestatus",
+        "ship_year",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum("l_discount", 4, "sum_disc"),
+    )
+    return out.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        F.coalesce(F.col("ship_year").cast("long"), F.lit(-1)).alias("shipyear"),
+        "n",
+        "sum_disc",
+    ).orderBy("returnflag", "linestatus", "shipyear")
+
+
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window: top-3 orders by price within each market segment
     (rank + tie-break on key so the result is total-order deterministic)."""
@@ -725,6 +773,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_histogram": q_histogram,
     "q_random_access": q_random_access,
     "q_rollup": q_rollup,
+    "q_cube": q_cube,
+    "q_grouping_sets": q_grouping_sets,
     "q_window_rank": q_window_rank,
     "q_full_scan": q_full_scan,
     "q_projection": q_projection,
@@ -938,6 +988,35 @@ _ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY returnflag, linestatus
+    """,
+    "q_cube": """
+        WITH li AS (
+          SELECT l_returnflag, l_extendedprice,
+                 year(cast(l_shipdate AS date)) AS ship_year
+          FROM lineitem
+        )
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(cast(ship_year AS bigint), -1) AS shipyear,
+               count(*) AS n,
+               cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_price
+        FROM li
+        GROUP BY CUBE(l_returnflag, ship_year)
+        ORDER BY returnflag, shipyear
+    """,
+    "q_grouping_sets": """
+        WITH li AS (
+          SELECT l_returnflag, l_linestatus, l_discount,
+                 year(cast(l_shipdate AS date)) AS ship_year
+          FROM lineitem
+        )
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               coalesce(cast(ship_year AS bigint), -1) AS shipyear,
+               count(*) AS n,
+               cast(sum(cast(l_discount AS decimal(18,4))) AS double) AS sum_disc
+        FROM li
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
+        ORDER BY returnflag, linestatus, shipyear
     """,
     "q_window_rank": """
         WITH j AS (

@@ -108,16 +108,23 @@ def join_streams(
     right_ts: str,
     within: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: rows match when their keys
+    """Watermarked stream-stream join: rows match when their keys
     are equal AND the right event lands within ``[left_ts - within,
     left_ts + within]``.  Both sides carry watermarks so Spark can bound
     the join state (events older than watermark + within are evicted) —
     the state-store footprint is O(events in the time band), independent
     of stream length.
 
-    On batch DataFrames the same key + time-band predicate runs as a
-    plain join, which is how the parity test pins the semantics."""
+    ``how`` ∈ {inner, left_outer, right_outer, full_outer}.  For outer
+    joins the unmatched rows are emitted only once the watermark passes
+    the end of their time band (that is when Spark can prove no future
+    match exists), so outer results trail the watermark by ``within`` +
+    ``watermark``.
+
+    On batch DataFrames the same key + band predicate runs as a plain
+    join of the same type, which is how the parity tests pin semantics."""
     on = [on] if isinstance(on, str) else list(on)
     l, r = left.alias("l"), right.alias("r")
     if left.isStreaming:
@@ -131,4 +138,4 @@ def join_streams(
     cond = band
     for k in on:
         cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
