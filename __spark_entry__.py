@@ -117,6 +117,17 @@ def q_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(cond).select("doc_id", "lang", "n_chars")
 
 
+def q_like_python_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE with Python-only regex syntax (named group ``(?P<w>…)``):
+    Java regex rejects it, so the condition compiler routes through the
+    Arrow-batched Python-``re`` fallback (SURVEY §4 item 4).  DuckDB's
+    RE2 accepts the same named-group syntax, so this stays
+    oracle-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    cond = compile_conditions([("text", "LIKE", r"(?P<w>merge|batch) join")], [])
+    return docs.filter(cond).select("doc_id", "lang", "n_chars")
+
+
 def q_contains_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTAINS full-text: OR of AND-of-token groups ("a b||c")."""
     docs = _t(spark, sf_dir, "documents")
@@ -785,6 +796,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_filter_fold": q_filter_fold,
     "q_filter_not_between": q_filter_not_between,
     "q_like_regex": q_like_regex,
+    "q_like_python_regex": q_like_python_regex,
     "q_contains_fuzzy": q_contains_fuzzy,
     "q_agg_count_star": q_agg_count_star,
     "q_agg_sum": q_agg_sum,
@@ -1093,6 +1105,12 @@ _ORACLES: dict[str, str] = {
         SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         FROM lineitem
         WHERE l_quantity BETWEEN 10 AND 15 AND NOT (l_returnflag = 'R')
+    """,
+    "q_like_python_regex": """
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE regexp_matches(text, '(?P<w>merge|batch) join')
+        ORDER BY doc_id
     """,
     "q_like_regex": """
         SELECT doc_id, lang, n_chars

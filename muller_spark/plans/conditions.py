@@ -16,6 +16,10 @@ reference repo) on top of Catalyst expressions:
   ``filter_vectorized.py:437-465`` uses ``re.finditer``).  We compile to
   ``rlike`` (Java regex, also unanchored); the overwhelmingly common subset
   (char classes, literals, anchors, quantifiers) behaves identically.
+  Patterns using Python-only syntax (``(?P<name>…)`` groups, ``(?P=name)``
+  back-refs, ``(?#…)`` comments, bare ``\\Z``) — or any pattern Java's
+  ``Pattern.compile`` rejects — fall back to an Arrow-batched pandas UDF
+  running real Python ``re`` for exact parity (SURVEY §4 item 4).
 - ``CONTAINS`` is tokenized full-text match: every token of the query must
   appear in the document's token set; ``"a||b"`` is an OR over such
   AND-of-token groups (reference ``filter_vectorized.py:228-233,329-334``).
@@ -23,7 +27,8 @@ reference repo) on top of Catalyst expressions:
   (reference ``filter_vectorized.py:61-71``).
 
 Everything stays JVM-side (no Python UDFs), so predicates participate in
-whole-stage codegen and parquet pushdown.
+whole-stage codegen and parquet pushdown — except the rare Python-only
+LIKE patterns above, which take the pandas-UDF slow path by necessity.
 """
 
 from __future__ import annotations
@@ -84,6 +89,50 @@ def contains_predicate(col: Column, query: str, case_sensitive: bool = False) ->
     return out
 
 
+_PY_ONLY_REGEX_TOKENS = ("(?P", "(?#", "\\Z")
+
+
+def needs_python_regex(pattern: str) -> bool:
+    """True when ``pattern`` must run under Python ``re`` (Java regex would
+    reject it or silently change meaning)."""
+    if any(tok in pattern for tok in _PY_ONLY_REGEX_TOKENS):
+        return True
+    try:  # eager Java-side validation when a session is live
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            spark._jvm.java.util.regex.Pattern.compile(pattern)
+    except Exception:
+        return True
+    return False
+
+
+def python_regex_predicate(col: Column, pattern: str) -> Column:
+    """Unanchored Python-``re`` search as an Arrow-batched pandas UDF.
+
+    Slow path relative to ``rlike`` (leaves codegen, ships strings over
+    Arrow) — used only when :func:`needs_python_regex` says Java regex
+    can't express the pattern.
+    """
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    _re.compile(pattern)  # surface bad patterns on the driver, not executors
+
+    def _search(s):
+        import warnings
+
+        with warnings.catch_warnings():
+            # pandas warns that contains() ignores match groups — groups are
+            # intentional here (named-group syntax is why we're on this path)
+            warnings.simplefilter("ignore", UserWarning)
+            return s.str.contains(pattern, regex=True, na=False)
+
+    return pandas_udf(_search, "boolean")(col)
+
+
 def compile_condition(condition: Sequence[Any]) -> Column:
     """Compile one condition tuple to a boolean Column."""
     if not 3 <= len(condition) <= 5:
@@ -109,7 +158,10 @@ def compile_condition(condition: Sequence[Any]) -> Column:
         lo, hi = value
         pred = col.between(F.lit(lo), F.lit(hi))
     elif op == "LIKE":
-        pred = col.rlike(value)
+        if needs_python_regex(value):
+            pred = python_regex_predicate(col, value)
+        else:
+            pred = col.rlike(value)
     else:  # CONTAINS
         pred = contains_predicate(col, value)
     return ~pred if negate else pred

@@ -98,3 +98,23 @@ def test_tokenize_query():
     assert tokenize_query("Big Cat") == [["big", "cat"]]
     assert tokenize_query("a b||c d") == [["a", "b"], ["c", "d"]]
     assert tokenize_query("") == []
+
+
+def test_like_python_only_regex_falls_back(df):
+    """Named-group syntax Java rejects runs under real Python re."""
+    from muller_spark.plans.conditions import needs_python_regex
+
+    assert needs_python_regex(r"(?P<w>h[ei])")
+    got = _ids(df, [("text", "LIKE", r"(?P<w>h[ei])")], [])
+    want = _expect(df, lambda r: r["text"] in ("hi", "hello"))
+    assert got == want
+
+
+def test_like_common_regex_stays_jvm_side(df):
+    """Plain patterns must compile to rlike (codegen path), not a UDF."""
+    from muller_spark.plans.conditions import compile_conditions, needs_python_regex
+
+    assert not needs_python_regex("h[ei]")
+    plan = df.filter(compile_conditions([("text", "LIKE", "h[ei]")], []))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "RLIKE" in plan.upper()
