@@ -766,6 +766,34 @@ def q_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return statistics(li, ["l_quantity", "l_extendedprice", "l_returnflag"])
 
 
+def q_statistics_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable exact statistics profile (the reference's
+    ``statistics.py:49-97`` column stats, minus the approx shortcuts):
+    count / nulls / min / max, decimal-exact sum and mean, exact
+    interpolated median via ``percentile``, and variance from decimal
+    power sums so float accumulation order can't perturb the hash.
+
+    Exact percentile sorts the column — right for the correctness gate;
+    at 100 TB use ``q_statistics`` (percentile_approx, one pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("l_quantity").cast("decimal(28,2)"))
+    s2 = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,2)"))
+    return li.agg(
+        n.alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        s1.cast("double").alias("sum_qty"),
+        (s1.cast("double") / n.cast("double")).alias("mean_qty"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        (
+            (s2.cast("double") - s1.cast("double") * s1.cast("double") / n.cast("double"))
+            / (n.cast("double") - F.lit(1.0))
+        ).alias("var_qty"),
+    )
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_normalized": q_dedup_normalized,
     "q_quality_score": q_quality_score,
@@ -784,6 +812,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_histogram": q_histogram,
     "q_random_access": q_random_access,
     "q_rollup": q_rollup,
+    "q_statistics_exact": q_statistics_exact,
     "q_cube": q_cube,
     "q_grouping_sets": q_grouping_sets,
     "q_window_rank": q_window_rank,
@@ -1000,6 +1029,22 @@ _ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY returnflag, linestatus
+    """,
+    "q_statistics_exact": """
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_null,
+               min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty,
+               cast(sum(cast(l_quantity AS decimal(28,2))) AS double) AS sum_qty,
+               cast(sum(cast(l_quantity AS decimal(28,2))) AS double)
+                 / cast(count(*) AS double) AS mean_qty,
+               quantile_cont(l_quantity, 0.5) AS median_qty,
+               (cast(sum(cast(l_quantity * l_quantity AS decimal(28,2))) AS double)
+                 - cast(sum(cast(l_quantity AS decimal(28,2))) AS double)
+                   * cast(sum(cast(l_quantity AS decimal(28,2))) AS double)
+                   / cast(count(*) AS double))
+                 / (cast(count(*) AS double) - 1.0) AS var_qty
+        FROM lineitem
     """,
     "q_cube": """
         WITH li AS (
