@@ -701,6 +701,30 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window frame: per-customer 3-order moving average of order
+    totals (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW).  Frame sums go
+    through decimal so segment-tree vs running-sum window implementations
+    can't perturb the float hash; total order pinned by (date, orderkey)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    ).rowsBetween(-2, 0)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.filter(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            (F.sum(dec).over(w).cast("double") / F.count(F.lit(1)).over(w))
+            .alias("mavg_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-bin equi-width histogram of l_extendedprice (the reference's
     per-column stats histogram, ``statistics.py:49-97``).  Bucket edges
@@ -813,6 +837,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_random_access": q_random_access,
     "q_rollup": q_rollup,
     "q_statistics_exact": q_statistics_exact,
+    "q_moving_avg": q_moving_avg,
     "q_cube": q_cube,
     "q_grouping_sets": q_grouping_sets,
     "q_window_rank": q_window_rank,
@@ -1029,6 +1054,17 @@ _ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY returnflag, linestatus
+    """,
+    "q_moving_avg": """
+        SELECT o_custkey, o_orderkey,
+               cast(sum(cast(o_totalprice AS decimal(18,2))) OVER w AS double)
+                 / count(*) OVER w AS mavg_price
+        FROM orders
+        WHERE o_custkey <= 100
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey
     """,
     "q_statistics_exact": """
         SELECT count(*) AS n_rows,
