@@ -701,6 +701,37 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join (SURVEY §2.7: set-membership ops the reference
+    expresses as index intersections, exposed relationally): customers
+    that placed a 'P'-status order (left_semi) but never an 'F'-status
+    one (left_anti).  Both joins broadcast the filtered key sets, so the
+    customer scan never shuffles."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    p_keys = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        cust.join(F.broadcast(p_keys), cust.c_custkey == p_keys.o_custkey, "left_semi")
+        .join(F.broadcast(f_keys), cust.c_custkey == f_keys.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set algebra over key sets (distinct semantics
+    both sides): custkeys with both 'F' and 'O' orders, minus those with
+    any 'P' order."""
+    orders = _t(spark, sf_dir, "orders")
+    keys = lambda s: orders.filter(F.col("o_orderstatus") == s).select(  # noqa: E731
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        keys("F").intersect(keys("O")).subtract(keys("P")).orderBy("custkey")
+    )
+
+
 def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window frame: per-customer 3-order moving average of order
     totals (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW).  Frame sums go
@@ -838,6 +869,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rollup": q_rollup,
     "q_statistics_exact": q_statistics_exact,
     "q_moving_avg": q_moving_avg,
+    "q_join_semi_anti": q_join_semi_anti,
+    "q_set_ops": q_set_ops,
     "q_cube": q_cube,
     "q_grouping_sets": q_grouping_sets,
     "q_window_rank": q_window_rank,
@@ -1054,6 +1087,24 @@ _ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY returnflag, linestatus
+    """,
+    "q_join_semi_anti": """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        ORDER BY c_custkey
+    """,
+    "q_set_ops": """
+        SELECT custkey FROM (
+          SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        ) ORDER BY custkey
     """,
     "q_moving_avg": """
         SELECT o_custkey, o_orderkey,
