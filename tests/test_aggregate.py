@@ -74,3 +74,33 @@ def test_order_by_raw_tensor_name_resolves_to_alias(df):
     ).toPandas()
     sums = out["sum_n"].tolist()
     assert sums == sorted(sums)
+
+
+# ------------------------------------------------------------- plan audits
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_semi_anti_joins_broadcast(spark):
+    """q_join_semi_anti must broadcast both key sets: the customer scan
+    never shuffles, which is what makes it safe at 100 TB."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_join_semi_anti"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cube_single_aggregation_shuffle(spark):
+    """Cube's grouping lattice is computed via Expand feeding ONE
+    partial+final hash aggregation — one data shuffle (plus the final
+    presentation sort), never one pass per grouping set."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_cube"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Expand" in plan, plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 hash shuffle, saw {n_exchanges}:\n{plan}"
