@@ -97,14 +97,25 @@ def needs_python_regex(pattern: str) -> bool:
     reject it or silently change meaning)."""
     if any(tok in pattern for tok in _PY_ONLY_REGEX_TOKENS):
         return True
-    try:  # eager Java-side validation when a session is live
+    # Eager Java-side validation when a live JVM is reachable.  Only a
+    # rejection of the PATTERN flips us to the slow path — if the JVM
+    # itself is unreachable (connect mode, no active session) we assume
+    # rlike-safe, so an environment quirk can't silently de-optimize
+    # every LIKE in the plan.
+    compile_fn = None
+    try:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
         if spark is not None:
-            spark._jvm.java.util.regex.Pattern.compile(pattern)
+            compile_fn = spark._jvm.java.util.regex.Pattern.compile
     except Exception:
-        return True
+        return False
+    if compile_fn is not None:
+        try:
+            compile_fn(pattern)
+        except Exception:
+            return True
     return False
 
 
