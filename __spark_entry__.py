@@ -701,6 +701,29 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic function bundle over a pinned total order: quartile
+    (ntile), percent_rank, cume_dist, and partition first/last via an
+    explicit unbounded ROWS frame (Spark's default frame stops at
+    CURRENT ROW for last_value — the explicit frame makes both engines
+    compute the same thing)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    w = Window.partitionBy("o_orderstatus").orderBy(*order_cols)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cdist"),
+        F.first("o_orderkey").over(wfull).alias("top_key"),
+        F.last("o_orderkey").over(wfull).alias("bottom_key"),
+    ).orderBy("o_orderstatus", "o_orderkey")
+
+
 def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi + anti join (SURVEY §2.7: set-membership ops the reference
     expresses as index intersections, exposed relationally): customers
@@ -871,6 +894,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_moving_avg": q_moving_avg,
     "q_join_semi_anti": q_join_semi_anti,
     "q_set_ops": q_set_ops,
+    "q_analytic_suite": q_analytic_suite,
     "q_cube": q_cube,
     "q_grouping_sets": q_grouping_sets,
     "q_window_rank": q_window_rank,
@@ -1087,6 +1111,22 @@ _ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY returnflag, linestatus
+    """,
+    "q_analytic_suite": """
+        SELECT o_orderstatus, o_orderkey,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 9) AS pct_rank,
+               round(cume_dist() OVER w, 9) AS cdist,
+               first_value(o_orderkey) OVER wf AS top_key,
+               last_value(o_orderkey) OVER wf AS bottom_key
+        FROM orders
+        WHERE o_custkey <= 50
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey ASC),
+               wf AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice DESC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderstatus, o_orderkey
     """,
     "q_join_semi_anti": """
         SELECT c_custkey, c_mktsegment
