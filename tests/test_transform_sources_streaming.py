@@ -440,3 +440,67 @@ def test_join_streams_left_outer_matches_batch(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_join_streams_full_outer_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream FULL OUTER join: unmatched rows from
+    BOTH sides emit with nulls once the watermark clears their band."""
+    import datetime as dt
+
+    from muller_spark.streaming.windows import join_streams
+
+    t0 = dt.datetime(2026, 1, 1, 9, 0, 0)
+    late = t0 + dt.timedelta(hours=6)
+    clicks = [("u1", t0, "c1"), ("u1", t0 + dt.timedelta(minutes=30), "c2")]
+    buys = [("u1", t0 + dt.timedelta(minutes=4), "b1"),
+            ("u3", t0 + dt.timedelta(minutes=6), "b_orphan")]
+    flush_c = [("zz", late, "c_flush")]
+    flush_b = [("zz", late, "b_flush")]
+    cs = "user string, cts timestamp, click_id string"
+    bs = "user string, bts timestamp, buy_id string"
+    src_c, src_b = tmp_path / "clicks", tmp_path / "buys"
+    src_c.mkdir(), src_b.mkdir()
+    spark.createDataFrame(clicks, cs).coalesce(1).write.parquet(str(src_c / "f0"))
+    spark.createDataFrame(buys, bs).coalesce(1).write.parquet(str(src_b / "f0"))
+    time.sleep(1.1)
+    spark.createDataFrame(flush_c, cs).coalesce(1).write.parquet(str(src_c / "f1"))
+    spark.createDataFrame(flush_b, bs).coalesce(1).write.parquet(str(src_b / "f1"))
+
+    key = lambda t: tuple(v or "" for v in t)  # noqa: E731
+    want = sorted(
+        (
+            (r["click_id"], r["buy_id"])
+            for r in join_streams(
+                spark.createDataFrame(clicks + flush_c, cs).alias("l"),
+                spark.createDataFrame(buys + flush_b, bs).alias("r"),
+                "user", "cts", "bts", within="10 minutes", how="full_outer",
+            ).collect()
+        ),
+        key=key,
+    )
+    assert want == [(None, "b_orphan"), ("c1", "b1"), ("c2", None),
+                    ("c_flush", "b_flush")]
+
+    sc = (spark.readStream.schema(cs).option("maxFilesPerTrigger", 1)
+          .parquet(str(src_c) + "/*"))
+    sb = (spark.readStream.schema(bs).option("maxFilesPerTrigger", 1)
+          .parquet(str(src_b) + "/*"))
+    out = join_streams(sc, sb, "user", "cts", "bts",
+                       within="10 minutes", watermark="5 minutes", how="full_outer")
+    q = (
+        out.writeStream.format("memory").queryName("ss_fouter_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ss_fouter_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+        got = sorted(
+            ((r["click_id"], r["buy_id"])
+             for r in spark.sql("select * from ss_fouter_out").collect()),
+            key=key,
+        )
+        assert got == want
+    finally:
+        q.stop()
