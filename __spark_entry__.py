@@ -701,6 +701,16 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords: IDF computed over the whole
+    corpus, output restricted to doc_id <= 50.  Ties pinned by token."""
+    from muller_spark.operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return out.filter(F.col("doc_id") <= 50).orderBy("doc_id", "rk")
+
+
 def q_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic function bundle over a pinned total order: quartile
     (ntile), percent_rank, cume_dist, and partition first/last via an
@@ -895,6 +905,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_join_semi_anti": q_join_semi_anti,
     "q_set_ops": q_set_ops,
     "q_analytic_suite": q_analytic_suite,
+    "q_tfidf_topterms": q_tfidf_topterms,
     "q_cube": q_cube,
     "q_grouping_sets": q_grouping_sets,
     "q_window_rank": q_window_rank,
@@ -1111,6 +1122,32 @@ _ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY returnflag, linestatus
+    """,
+    "q_tfidf_topterms": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+        ),
+        dfq AS (
+          SELECT token, count(*) AS df FROM tf GROUP BY 1
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        ranked AS (
+          SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                 tf.tf * ln(cast(n.n_docs AS double) / dfq.df) AS score,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(cast(n.n_docs AS double) / dfq.df) DESC,
+                            tf.token ASC
+                 ) AS rk
+          FROM tf JOIN dfq USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, rk, token, tf, df, round(score, 6) AS score
+        FROM ranked
+        WHERE rk <= 3 AND doc_id <= 50
+        ORDER BY doc_id, rk
     """,
     "q_analytic_suite": """
         SELECT o_orderstatus, o_orderkey,

@@ -152,3 +152,40 @@ def bpe_token_count(col: Column) -> Column:
     JVM-side."""
     pieces = F.regexp_extract_all(F.lower(col), F.lit(BPE_TOKEN_REGEX), 0)
     return F.size(F.filter(pieces, lambda p: F.trim(p) != ""))
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords (training-data keyword
+    extraction; natural extension of the reference's token surface,
+    ``inverted_index_vectorized.py:122-158`` tokenizer family).
+
+    Shape: explode → two hash aggregations (term-freq, then doc-freq) →
+    broadcast the vocabulary-sized doc-freq table back onto term rows →
+    per-doc window top-k.  The only big shuffles are the two aggs on
+    (doc, token) / (token); the vocabulary is orders of magnitude
+    smaller than the corpus, so its join broadcasts.  ``score`` =
+    tf · ln(N/df), N from a broadcast 1-row aggregate (never a
+    driver-side count at plan time).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens_of(F.col(text_col))).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "rk", "token", "tf", "df", F.round("score", 6).alias("score"))
+    )
