@@ -104,3 +104,15 @@ def test_cube_single_aggregation_shuffle(spark):
     assert "Expand" in plan, plan
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected 1 hash shuffle, saw {n_exchanges}:\n{plan}"
+
+
+def test_tfidf_broadcasts_vocabulary(spark):
+    """The doc-frequency (vocabulary) side of TF-IDF must broadcast —
+    a sort-merge join there would shuffle the full term-row table a
+    third time for no reason."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_tfidf_topterms"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
