@@ -882,6 +882,27 @@ def q_statistics_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance of (l_quantity,
+    l_extendedprice) computed from decimal-exact power sums, so both
+    engines do identical double arithmetic on exact inputs (built-in
+    ``corr``/``covar_samp`` stream floats in partition order and can't
+    hash-match across engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double")
+    sy = F.sum(F.col("l_extendedprice").cast("decimal(30,2)")).cast("double")
+    sxx = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(30,4)")).cast("double")
+    syy = F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(30,4)")).cast("double")
+    sxy = F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(30,4)")).cast("double")
+    cov = (sxy - sx * sy / n) / (n - F.lit(1.0))
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return li.agg(
+        F.round(cov, 6).alias("covar_qty_price"),
+        F.round(corr, 9).alias("corr_qty_price"),
+    )
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_normalized": q_dedup_normalized,
     "q_quality_score": q_quality_score,
@@ -901,6 +922,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_random_access": q_random_access,
     "q_rollup": q_rollup,
     "q_statistics_exact": q_statistics_exact,
+    "q_corr_covar": q_corr_covar,
     "q_moving_avg": q_moving_avg,
     "q_join_semi_anti": q_join_semi_anti,
     "q_set_ops": q_set_ops,
@@ -1193,6 +1215,22 @@ _ORACLES: dict[str, str] = {
                      ORDER BY o_orderdate ASC, o_orderkey ASC
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         ORDER BY o_custkey, o_orderkey
+    """,
+    "q_corr_covar": """
+        WITH s AS (
+          SELECT cast(count(*) AS double) AS n,
+                 cast(sum(cast(l_quantity AS decimal(30,2))) AS double) AS sx,
+                 cast(sum(cast(l_extendedprice AS decimal(30,2))) AS double) AS sy,
+                 cast(sum(cast(l_quantity * l_quantity AS decimal(30,4))) AS double) AS sxx,
+                 cast(sum(cast(l_extendedprice * l_extendedprice AS decimal(30,4))) AS double) AS syy,
+                 cast(sum(cast(l_quantity * l_extendedprice AS decimal(30,4))) AS double) AS sxy
+          FROM lineitem
+        )
+        SELECT round((sxy - sx * sy / n) / (n - 1.0), 6) AS covar_qty_price,
+               round((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+                 AS corr_qty_price
+        FROM s
     """,
     "q_statistics_exact": """
         SELECT count(*) AS n_rows,
