@@ -882,6 +882,23 @@ def q_statistics_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts spread across one column per event
+    type.  Explicit value list keeps the schema static (no extra
+    distinct-scan job, and a new event type can't silently widen the
+    schema at 100 TB); oracle mirrors with conditional aggregation."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.filter(F.col("user_id") <= 50)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("user_id")
+    )
+
+
 def q_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation + sample covariance of (l_quantity,
     l_extendedprice) computed from decimal-exact power sums, so both
@@ -923,6 +940,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rollup": q_rollup,
     "q_statistics_exact": q_statistics_exact,
     "q_corr_covar": q_corr_covar,
+    "q_pivot_events": q_pivot_events,
     "q_moving_avg": q_moving_avg,
     "q_join_semi_anti": q_join_semi_anti,
     "q_set_ops": q_set_ops,
@@ -1215,6 +1233,18 @@ _ORACLES: dict[str, str] = {
                      ORDER BY o_orderdate ASC, o_orderkey ASC
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         ORDER BY o_custkey, o_orderkey
+    """,
+    "q_pivot_events": """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'error') AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup') AS signup,
+               count(*) FILTER (event_type = 'view') AS view
+        FROM events
+        WHERE user_id <= 50
+        GROUP BY user_id
+        ORDER BY user_id
     """,
     "q_corr_covar": """
         WITH s AS (
