@@ -882,6 +882,25 @@ def q_statistics_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by Knuth
+    multiplicative hash of the row key — row-local (zero shuffle until
+    the audit groupBy), stable across engines/repartitions/appends.
+    The oracle reproduces the split with plain bigint arithmetic."""
+    from muller_spark.operators.sampling import deterministic_split
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    out = deterministic_split(
+        li, key, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        out.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum("l_quantity", 2, "sum_qty"))
+        .orderBy("split")
+    )
+
+
 def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event counts spread across one column per event
     type.  Explicit value list keeps the schema static (no extra
@@ -941,6 +960,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_statistics_exact": q_statistics_exact,
     "q_corr_covar": q_corr_covar,
     "q_pivot_events": q_pivot_events,
+    "q_train_split": q_train_split,
     "q_moving_avg": q_moving_avg,
     "q_join_semi_anti": q_join_semi_anti,
     "q_set_ops": q_set_ops,
@@ -1233,6 +1253,21 @@ _ORACLES: dict[str, str] = {
                      ORDER BY o_orderdate ASC, o_orderkey ASC
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         ORDER BY o_custkey, o_orderkey
+    """,
+    "q_train_split": """
+        WITH h AS (
+          SELECT l_quantity,
+                 ((l_orderkey * 10 + l_linenumber) * 2654435761) % 4294967296 AS hv
+          FROM lineitem
+        )
+        SELECT CASE WHEN hv < 3435973837 THEN 'train'
+                    WHEN hv < 3865470566 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n,
+               cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty
+        FROM h
+        GROUP BY 1
+        ORDER BY split
     """,
     "q_pivot_events": """
         SELECT user_id,

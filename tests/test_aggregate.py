@@ -116,3 +116,25 @@ def test_tfidf_broadcasts_vocabulary(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_deterministic_split_stable_and_partitioned(spark):
+    """Splits are a partition of the rows, invariant under repartition,
+    and within 3 points of the requested fractions."""
+    from pyspark.sql import functions as F
+
+    from muller_spark.operators.sampling import deterministic_sample, deterministic_split
+
+    df = spark.range(20_000).withColumnRenamed("id", "k")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = deterministic_split(df, F.col("k"), w)
+    b = deterministic_split(df.repartition(7), F.col("k"), w)
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 20_000
+    for name, frac in w.items():
+        assert abs(counts[name] / 20_000 - frac) < 0.03, counts
+    # identical assignment regardless of physical partitioning
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    # sample(fraction) == the first `fraction` of hash space
+    n = deterministic_sample(df, F.col("k"), 0.25).count()
+    assert abs(n / 20_000 - 0.25) < 0.03, n
