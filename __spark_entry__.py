@@ -882,6 +882,23 @@ def q_statistics_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-row metrics to long (key, metric, value)
+    form — the feature-normalization inverse of q_pivot_events.  Spark's
+    ``unpivot`` expands rows locally (an Expand node, zero shuffle);
+    the oracle mirrors with UNION ALL."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "metric",
+            "val",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )
+
+
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split by Knuth
     multiplicative hash of the row key — row-local (zero shuffle until
@@ -961,6 +978,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_corr_covar": q_corr_covar,
     "q_pivot_events": q_pivot_events,
     "q_train_split": q_train_split,
+    "q_unpivot_metrics": q_unpivot_metrics,
     "q_moving_avg": q_moving_avg,
     "q_join_semi_anti": q_join_semi_anti,
     "q_set_ops": q_set_ops,
@@ -1253,6 +1271,19 @@ _ORACLES: dict[str, str] = {
                      ORDER BY o_orderdate ASC, o_orderkey ASC
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         ORDER BY o_custkey, o_orderkey
+    """,
+    "q_unpivot_metrics": """
+        SELECT l_orderkey, l_linenumber, metric, val FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+          FROM lineitem WHERE l_orderkey <= 100
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+          FROM lineitem WHERE l_orderkey <= 100
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+          FROM lineitem WHERE l_orderkey <= 100
+        )
+        ORDER BY l_orderkey, l_linenumber, metric
     """,
     "q_train_split": """
         WITH h AS (
