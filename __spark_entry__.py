@@ -537,9 +537,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     events = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # fractional-second epoch (micros) so the 30-min threshold compares
-    # identically with the oracle's epoch() arithmetic
+    # identically with the oracle's epoch() arithmetic; event_id breaks
+    # duplicate-timestamp ties so the lag sequence is total and both
+    # engines see the same gap series
     epoch = F.col("ts").cast("double")
     gap = epoch - F.lag(epoch).over(w)
     is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
@@ -873,11 +875,15 @@ def q_statistics_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
         s1.cast("double").alias("sum_qty"),
-        (s1.cast("double") / n.cast("double")).alias("mean_qty"),
-        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
-        (
+        # derived doubles follow the q_corr_covar rounding discipline
+        # (6 dp) so 1-ulp divergence in double division between engines
+        # can't flip the value hash
+        F.round(s1.cast("double") / n.cast("double"), 6).alias("mean_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(
             (s2.cast("double") - s1.cast("double") * s1.cast("double") / n.cast("double"))
-            / (n.cast("double") - F.lit(1.0))
+            / (n.cast("double") - F.lit(1.0)),
+            6,
         ).alias("var_qty"),
     )
 
@@ -1130,7 +1136,7 @@ _ORACLES: dict[str, str] = {
     "q_sessionize": """
         WITH g AS (
           SELECT user_id,
-                 epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+                 epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
           FROM events
         )
         SELECT user_id,
@@ -1288,7 +1294,8 @@ _ORACLES: dict[str, str] = {
     "q_train_split": """
         WITH h AS (
           SELECT l_quantity,
-                 ((l_orderkey * 10 + l_linenumber) * 2654435761) % 4294967296 AS hv
+                 ((((l_orderkey * 10 + l_linenumber) % 2147483648 + 2147483648)
+                   % 2147483648) * 2654435761) % 4294967296 AS hv
           FROM lineitem
         )
         SELECT CASE WHEN hv < 3435973837 THEN 'train'
@@ -1334,14 +1341,14 @@ _ORACLES: dict[str, str] = {
                min(l_quantity) AS min_qty,
                max(l_quantity) AS max_qty,
                cast(sum(cast(l_quantity AS decimal(28,2))) AS double) AS sum_qty,
-               cast(sum(cast(l_quantity AS decimal(28,2))) AS double)
-                 / cast(count(*) AS double) AS mean_qty,
-               quantile_cont(l_quantity, 0.5) AS median_qty,
-               (cast(sum(cast(l_quantity * l_quantity AS decimal(28,2))) AS double)
+               round(cast(sum(cast(l_quantity AS decimal(28,2))) AS double)
+                 / cast(count(*) AS double), 6) AS mean_qty,
+               round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+               round((cast(sum(cast(l_quantity * l_quantity AS decimal(28,2))) AS double)
                  - cast(sum(cast(l_quantity AS decimal(28,2))) AS double)
                    * cast(sum(cast(l_quantity AS decimal(28,2))) AS double)
                    / cast(count(*) AS double))
-                 / (cast(count(*) AS double) - 1.0) AS var_qty
+                 / (cast(count(*) AS double) - 1.0), 6) AS var_qty
         FROM lineitem
     """,
     "q_cube": """

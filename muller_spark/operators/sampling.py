@@ -19,18 +19,30 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Knuth's multiplicative constant (2^32 / phi); modulus 2^32 keeps every
-# intermediate below 2^63 for keys < 2^31, so the arithmetic never
-# overflows bigint in any engine.
+# Knuth's multiplicative constant (2^32 / phi).  The key is first
+# reduced to [0, 2^31) with a portable pmod — ((x % m) + m) % m, the
+# same expression both Spark and DuckDB evaluate with identical
+# sign/overflow behavior — so (reduced * _KNUTH) peaks at ~5.7e18,
+# safely below 2^63-1 in *both* engines.  Without the reduction,
+# keys >= 2^31 overflow int64 (Spark wraps silently, DuckDB promotes
+# to hugeint → the two engines diverge), and negative keys make
+# Spark's `%` return a negative h (dividend sign), so every such row
+# lands in the first split.
 _KNUTH = 2654435761
 _MOD = 4294967296
+_KEY_MOD = 2147483648  # 2^31
+
+
+def _hash_col(key: Column, salt: int) -> Column:
+    """Engine-portable Knuth hash in [0, _MOD) for any int64 key."""
+    x = key.cast("long") + F.lit(salt)
+    k = (x % F.lit(_KEY_MOD) + F.lit(_KEY_MOD)) % F.lit(_KEY_MOD)
+    return (k * F.lit(_KNUTH)) % F.lit(_MOD)
 
 
 def bucket_of(key: Column, n_buckets: int = 10_000, salt: int = 0) -> Column:
     """Deterministic bucket in ``[0, n_buckets)`` from an integer key."""
-    return ((key.cast("long") + F.lit(salt)) * F.lit(_KNUTH) % F.lit(_MOD)) % F.lit(
-        n_buckets
-    )
+    return _hash_col(key, salt) % F.lit(n_buckets)
 
 
 def deterministic_sample(
@@ -40,8 +52,7 @@ def deterministic_sample(
     re-runs and appends, unlike ``DataFrame.sample`` (seeded per-partition,
     so a repartition reshuffles membership)."""
     cut = int(round(fraction * _MOD))
-    h = (key.cast("long") + F.lit(salt)) * F.lit(_KNUTH) % F.lit(_MOD)
-    return df.filter(h < F.lit(cut))
+    return df.filter(_hash_col(key, salt) < F.lit(cut))
 
 
 def deterministic_split(
@@ -61,7 +72,7 @@ def deterministic_split(
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
-    h = (key.cast("long") + F.lit(salt)) * F.lit(_KNUTH) % F.lit(_MOD)
+    h = _hash_col(key, salt)
     expr = None
     acc = 0.0
     names = list(weights)

@@ -138,3 +138,31 @@ def test_deterministic_split_stable_and_partitioned(spark):
     # sample(fraction) == the first `fraction` of hash space
     n = deterministic_sample(df, F.col("k"), 0.25).count()
     assert abs(n / 20_000 - 0.25) < 0.03, n
+
+
+def test_deterministic_hash_extreme_keys(spark):
+    """Keys >= 2^31 and negative keys still hash into [0, 2^32) and
+    match a pure-Python evaluation of the same formula — the int64
+    overflow / dividend-sign regression guard for _hash_col.  DuckDB
+    evaluates the mirrored SQL to the same values (hugeint promotion
+    can't diverge because no intermediate exceeds 2^63-1)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from muller_spark.operators.sampling import _KNUTH, _MOD, _KEY_MOD, _hash_col
+
+    keys = [-(2**62), -5, -1, 0, 1, 2**31 - 1, 2**31, 2**40, 2**62]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["h"]
+        for r in df.select("k", _hash_col(F.col("k"), 0).alias("h")).collect()
+    }
+    expect = {k: ((k % _KEY_MOD + _KEY_MOD) % _KEY_MOD) * _KNUTH % _MOD for k in keys}
+    assert got == expect, (got, expect)
+    assert all(0 <= h < _MOD for h in got.values())
+    sql = (
+        "SELECT k, ((k % 2147483648 + 2147483648) % 2147483648) * 2654435761 "
+        "% 4294967296 AS h FROM (SELECT unnest($keys) AS k)"
+    )
+    duck = dict(duckdb.connect().execute(sql, {"keys": keys}).fetchall())
+    assert duck == expect, (duck, expect)
