@@ -652,6 +652,23 @@ class Dataset:
     # ------------------------------------------------------------------
     def commit(self, message: str = "", allow_empty: bool = False) -> str:
         self._check_writable()
+        if self.branch is None:
+            raise CheckoutError(
+                "detached checkout (commit id, not a branch); "
+                "checkout(name, create=True) to branch from here before committing"
+            )
+        try:
+            ref = self.log.get_ref(self.branch)
+        except KeyError:
+            ref = None
+        if ref is not None and ref != self._snapshot.commit_id:
+            # the ref moved since this checkout (concurrent writer or a
+            # stale snapshot) — advancing it would orphan newer commits
+            raise CheckoutError(
+                f"branch {self.branch!r} has advanced to {ref[:12]} since this "
+                f"checkout of {self._snapshot.commit_id[:12]}; checkout() the "
+                "branch again (or merge) before committing"
+            )
         self._flush_pending()
         if not self._dirty and not allow_empty:
             return self._snapshot.commit_id
@@ -691,6 +708,8 @@ class Dataset:
         manager around a write session; see versioning/locks.py."""
         from muller_spark.versioning.locks import DEFAULT_TTL_SECONDS, BranchLock
 
+        if (branch or self.branch) is None:
+            raise CheckoutError("detached checkout has no branch to lock")
         return BranchLock(
             self.log.log_dir, branch or self.branch,
             timeout=timeout, ttl=ttl or DEFAULT_TTL_SECONDS,
@@ -705,6 +724,11 @@ class Dataset:
             return self.commit(message, allow_empty=allow_empty)
 
     def checkout(self, address: str, create: bool = False) -> None:
+        """Switch to a branch or commit.  A raw commit id detaches the
+        checkout (``branch = None``): reads work, but ``commit()``
+        refuses until ``checkout(name, create=True)`` forks a new branch
+        here — otherwise a commit would silently re-point the snapshot's
+        recorded branch at a stale parent and orphan its newer commits."""
         if self._dirty or any(self._pending.values()):
             raise CheckoutError("uncommitted changes; commit() or reset() first")
         if create:
@@ -712,11 +736,18 @@ class Dataset:
                 raise CheckoutError(f"branch {address!r} already exists")
             self.log.set_ref(address, self._snapshot.commit_id)
         snap = self.log.resolve(address)
-        self.branch = address if address in self.log.branches() else snap.branch
+        self.branch = address if address in self.log.branches() else None
         self._load(snap)
 
     def reset(self) -> None:
-        self._load(self.log.resolve(self.branch))
+        if self.branch is None:
+            self._load(self.log.resolve(self._snapshot.commit_id))
+        else:
+            self._load(self.log.resolve(self.branch))
+
+    @property
+    def commit_id(self) -> str:
+        return self._snapshot.commit_id
 
     @property
     def branches(self) -> list[str]:
@@ -748,6 +779,8 @@ class Dataset:
         from muller_spark.versioning.merge import three_way_merge
 
         self._check_writable()
+        if self.branch is None:
+            raise CheckoutError("detached checkout; checkout a branch before merge")
         if self._dirty or any(self._pending.values()):
             raise CheckoutError("uncommitted changes; commit() before merge")
         if append_resolution not in (None, "ours", "theirs", "both"):

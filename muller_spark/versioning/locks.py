@@ -30,6 +30,10 @@ from muller_spark.errors import MullerSparkError
 
 DEFAULT_TTL_SECONDS = 600.0
 
+# a crashed mid-takeover marker (<branch>.lock.takeover) is itself
+# reclaimable after this many seconds
+_TAKEOVER_TTL_SECONDS = 10.0
+
 
 class BranchLockedError(MullerSparkError):
     """Another writer holds the branch lease."""
@@ -80,9 +84,19 @@ class BranchLock:
             record = self.holder()
             if record is None:
                 continue  # holder released between probe and read
-            if record.get("owner") == self.owner or self._is_stale(record):
-                # re-entrant same-owner, or expired lease: take over
-                os.remove(self.path)
+            if record.get("owner") == self.owner:
+                # re-entrant same-owner: our own fresh record is never a
+                # steal target, so removing it is safe; tolerate a
+                # concurrent release from another thread of this owner
+                try:
+                    os.remove(self.path)
+                except FileNotFoundError:
+                    pass
+                continue
+            if self._is_stale(record):
+                # expired lease: steal it atomically, then loop back and
+                # COMPETE via _try_acquire — never assume the steal won
+                self._steal_stale(record)
                 continue
             if time.monotonic() >= deadline:
                 raise BranchLockedError(
@@ -91,6 +105,72 @@ class BranchLock:
                     f"ttl {record.get('ttl')}s)"
                 )
             time.sleep(self.poll_interval)
+
+    def _steal_stale(self, observed: dict) -> None:
+        """Remove an expired lease without ever deleting a live one.
+
+        The naive ``os.remove`` is racy: two waiters can both observe the
+        stale record; after A removes it and re-acquires, B's remove
+        deletes A's *fresh* lock and both end up holding.  Three guards
+        close that:
+
+        1. a ``.takeover`` marker (``O_CREAT|O_EXCL``) serializes
+           stealers — only one process attempts a given steal;
+        2. the lease is re-read under the marker and only stolen if it is
+           byte-identical to the record we judged stale;
+        3. the steal is a rename to a unique tombstone followed by an
+           inode check — if the rename captured a different file than the
+           one we verified (the narrowest release/re-acquire race), it is
+           restored via ``os.link``, which refuses to clobber a
+           re-created lock.
+
+        After any outcome the caller loops back to ``_try_acquire`` and
+        competes normally.
+        """
+        takeover = self.path + ".takeover"
+        try:
+            fd = os.open(takeover, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # another waiter is mid-takeover; reclaim its marker only if
+            # it crashed (marker older than the takeover TTL)
+            try:
+                if time.time() - os.path.getmtime(takeover) > _TAKEOVER_TTL_SECONDS:
+                    os.remove(takeover)
+            except FileNotFoundError:
+                pass
+            return
+        os.close(fd)
+        try:
+            try:
+                stat_before = os.stat(self.path)
+                with open(self.path) as fh:
+                    current = json.loads(fh.read())
+            except (FileNotFoundError, json.JSONDecodeError):
+                return  # released or rewritten meanwhile — nothing to steal
+            if current != observed or not self._is_stale(current):
+                return  # lease changed hands since we judged it stale
+            tomb = f"{self.path}.{uuid.uuid4().hex[:8]}.tomb"
+            try:
+                os.rename(self.path, tomb)
+            except FileNotFoundError:
+                return
+            try:
+                if os.stat(tomb).st_ino == stat_before.st_ino:
+                    os.remove(tomb)  # captured exactly the stale file
+                else:
+                    # captured a freshly re-created lock: restore it
+                    try:
+                        os.link(tomb, self.path)
+                    except FileExistsError:
+                        pass
+                    os.remove(tomb)
+            except FileNotFoundError:
+                pass
+        finally:
+            try:
+                os.remove(takeover)
+            except FileNotFoundError:
+                pass
 
     def _try_acquire(self) -> bool:
         record = json.dumps({

@@ -336,3 +336,111 @@ def test_protected_commit_blocked_by_foreign_lease(base_ds):
         base_ds.protected_commit("should fail", timeout=0.2)
     foreign.release()
     assert base_ds.protected_commit("now succeeds") == base_ds.log.get_ref("main")
+
+
+def test_detached_checkout_blocks_commit(base_ds):
+    """checkout(commit_id) detaches: reads work, commit()/merge() refuse
+    until a new branch is forked — otherwise the commit would re-point
+    the snapshot's recorded branch at a stale parent and orphan every
+    newer commit on it (round-1 ADVICE data-loss hazard)."""
+    ds = base_ds
+    c1 = ds.commit_id
+    ds.extend({"labels": [9], "categories": ["x"], "description": ["d9"]})
+    c2 = ds.commit("second")
+
+    ds.checkout(c1)
+    assert ds.branch is None
+    assert _labels(ds) == [0, 1, 2, 3]
+    ds.extend({"labels": [7], "categories": ["y"], "description": ["d7"]})
+    with pytest.raises(CheckoutError, match="detached"):
+        ds.commit("should refuse")
+    ds.reset()  # detached reset returns to the snapshot itself
+    assert ds.commit_id == c1 and _labels(ds) == [0, 1, 2, 3]
+    with pytest.raises(CheckoutError, match="detached"):
+        ds.merge(c2)
+
+    # fork a branch at the detached commit: commit works, main untouched
+    ds.checkout("fork", create=True)
+    assert ds.branch == "fork"
+    ds.extend({"labels": [8], "categories": ["z"], "description": ["d8"]})
+    c3 = ds.commit("on fork")
+    assert ds.log.get_ref("fork") == c3
+    assert ds.log.get_ref("main") == c2  # newer commit still reachable
+
+
+def test_stale_ref_blocks_commit(base_ds, spark, tmp_path):
+    """Two writers on one branch: after A commits, B's commit (parented
+    on the old head) must refuse to advance the ref past A's commit."""
+    ds = base_ds
+    writer_b = ds_mod.load(ds.path, spark)
+    ds.extend({"labels": [5], "categories": ["a"], "description": ["da"]})
+    ds.commit("A wins")
+
+    writer_b.extend({"labels": [6], "categories": ["b"], "description": ["db"]})
+    with pytest.raises(CheckoutError, match="advanced"):
+        writer_b.commit("B stale")
+    writer_b.reset()
+    writer_b.checkout("main")
+    assert _labels(writer_b) == [0, 1, 2, 3, 5]
+
+
+def test_steal_never_deletes_fresh_lock(base_ds):
+    """The round-1 ADVICE race: waiter B judged the lease stale, but by
+    the time it acts, A has already stolen it and re-acquired.  B's
+    steal must leave A's fresh lock in place (content re-verify), so
+    A remains the sole holder."""
+    import json as _json
+
+    from muller_spark.versioning.locks import BranchLock
+
+    crashed = BranchLock(base_ds.log.log_dir, "main", owner="crashed", ttl=0.05)
+    crashed.acquire()
+    stale_record = _json.loads(open(crashed.path).read())
+
+    import time as _time
+
+    _time.sleep(0.1)
+    a = BranchLock(base_ds.log.log_dir, "main", owner="A")
+    a.acquire()  # steals the stale lease and holds a fresh one
+
+    b = BranchLock(base_ds.log.log_dir, "main", owner="B")
+    b._steal_stale(stale_record)  # B acts on its outdated observation
+    assert b.holder()["owner"] == "A"  # A's fresh lock survived
+    assert not b._try_acquire()
+    a.release()
+
+
+def test_concurrent_stale_takeover_single_winner(base_ds):
+    """Eight threads all observe one stale lease and race to take over:
+    exactly one may end up holding."""
+    import threading
+
+    from muller_spark.versioning.locks import BranchLock, BranchLockedError
+
+    crashed = BranchLock(base_ds.log.log_dir, "main", owner="crashed", ttl=0.05)
+    crashed.acquire()
+    import time as _time
+
+    _time.sleep(0.1)
+
+    winners: list[str] = []
+    lock_guard = threading.Lock()
+
+    def contend(name: str) -> None:
+        lk = BranchLock(base_ds.log.log_dir, "main", owner=name, timeout=2.0)
+        try:
+            lk.acquire()
+        except BranchLockedError:
+            return
+        with lock_guard:
+            winners.append(name)
+        # hold to the end so later acquirers must time out
+
+    threads = [threading.Thread(target=contend, args=(f"w{i}",)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(winners) == 1, winners
+    holder = BranchLock(base_ds.log.log_dir, "main").holder()
+    assert holder["owner"] == winners[0]
