@@ -6,12 +6,19 @@ Spark-first re-expression of the reference's hybrid full-text engine
 
 - **build**: tokenize (regex word-split, case-fold, stop words; jieba for
   CJK when importable — same tokenizer family as the reference's
-  jieba+whitespace) → ``posexplode`` → ``groupBy(term)`` →
-  posting lists, written as parquet partitioned by
-  ``shard = pmod(xxhash64(term), num_shards)``.  The reference's
-  multiprocess batch/shard build (``num_of_batches``/``num_of_shards``)
-  maps 1:1 onto Spark partitions; shard-pruned term lookups come free
-  from parquet partition pruning on ``shard``.
+  jieba+whitespace) → ``explode`` → distinct ``(term, id)`` posting ROWS,
+  written as parquet partitioned by
+  ``shard = pmod(xxhash64(term), num_shards)`` and sorted by
+  ``(term, id)`` within each shard file (RLE-friendly, and a hot term's
+  ids delta-encode).  The reference's multiprocess batch/shard build
+  (``num_of_batches``/``num_of_shards``) maps 1:1 onto Spark partitions;
+  shard-pruned term lookups come free from parquet partition pruning on
+  ``shard``.  Postings are deliberately NOT ``collect_set`` arrays: a
+  stop-word-like term appearing in half the corpus would become one
+  unbounded array in one row in one task — the exact skew/OOM the
+  reference shards to avoid.  Plain rows keep every task bounded no
+  matter how hot a term is; term frequency is a count aggregate computed
+  where needed (``add_hot_shard``), never stored state.
 - **search**: ``exact_match`` (whole cell), ``fuzzy_match`` (AND of query
   terms — intersect posting lists via groupBy/count), ``complex_fuzzy``
   (``"a||b"`` = OR over AND-groups), ``range_match`` (keys in [lo, hi],
@@ -62,8 +69,17 @@ def tokenize_py(text: str, case_sensitive: bool = False,
     if not case_sensitive:
         text = text.lower()
     jieba = _get_jieba()
-    if jieba and re.search(r"[一-鿿]", text):
-        toks = [t.strip() for t in jieba.cut(text) if t.strip()]
+    if re.search(r"[一-鿿]", text):
+        if jieba:
+            toks = [t.strip() for t in jieba.cut(text) if t.strip()]
+        else:
+            # vendored forward-maximum-match segmenter (index/cjk.py):
+            # deterministic dictionary longest-match, the same family as
+            # the reference's jieba path — NOT whole-run blocks, so a
+            # two-character query term matches inside a sentence
+            from muller_spark.index.cjk import cut_mixed
+
+            toks = [t.strip() for t in cut_mixed(text, TOKEN_SPLIT_REGEX) if t.strip()]
     else:
         toks = [t for t in re.split(TOKEN_SPLIT_REGEX, text) if t]
     if stop_words:
@@ -95,25 +111,54 @@ class InvertedIndex:
         spark = df.sparkSession
         col = F.col(tensor)
         if is_text:
-            base = col if case_sensitive else F.lower(col)
-            terms = F.split(base, TOKEN_SPLIT_REGEX)
-            exploded = (
-                df.select(F.col(id_col).alias("id"), F.explode(terms).alias("term"))
-                .filter(F.col("term") != "")
-            )
-            if stop_words:
-                exploded = exploded.filter(~F.col("term").isin(list(stop_words)))
+            # one bounded probe job decides the tokenizer for the whole
+            # build: pure regex split stays JVM-side (the fast path);
+            # corpora containing CJK route through the Arrow-batched
+            # Python tokenizer so index-side and query-side tokens agree
+            # (tokenize_py is used for both)
+            has_cjk = bool(df.filter(col.rlike("[一-鿿㐀-䶿]")).limit(1).take(1))
+            if has_cjk:
+                from pyspark.sql.types import ArrayType, StringType
+
+                stop_set = frozenset(stop_words) if stop_words else None
+                # lambda (not a hinted def): stringified hints from
+                # `from __future__ import annotations` are unsupported
+                # by pandas_udf signature inference in pyspark 4.1
+                tok_udf = F.pandas_udf(
+                    lambda batch: batch.map(
+                        lambda t: tokenize_py(
+                            t, case_sensitive=case_sensitive, stop_words=stop_set
+                        )
+                    ),
+                    ArrayType(StringType()),
+                )
+                exploded = (
+                    df.select(
+                        F.col(id_col).alias("id"), F.explode(tok_udf(col)).alias("term")
+                    )
+                    .filter(F.col("term") != "")
+                )
+            else:
+                base = col if case_sensitive else F.lower(col)
+                terms = F.split(base, TOKEN_SPLIT_REGEX)
+                exploded = (
+                    df.select(F.col(id_col).alias("id"), F.explode(terms).alias("term"))
+                    .filter(F.col("term") != "")
+                )
+                if stop_words:
+                    exploded = exploded.filter(~F.col("term").isin(list(stop_words)))
         else:
+            has_cjk = False
             # scalar index: one "term" per cell, the string form of the value
             exploded = df.select(
                 F.col(id_col).alias("id"), col.cast("string").alias("term")
             ).filter(F.col("term").isNotNull())
 
         postings = (
-            exploded.groupBy("term")
-            .agg(F.sort_array(F.collect_set("id")).alias("ids"),
-                 F.count(F.lit(1)).alias("freq"))
+            exploded.distinct()  # one (term, id) row per distinct pair
             .withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(num_shards)))
+            .repartition(num_shards, "shard")
+            .sortWithinPartitions("term", "id")
         )
         postings.write.mode("overwrite").partitionBy("shard").parquet(
             os.path.join(path, "postings")
@@ -127,6 +172,7 @@ class InvertedIndex:
             "stop_words": sorted(stop_words) if stop_words else [],
             "commit_id": commit_id,
             "is_text": is_text,
+            "tokenizer": ("cjk_fmm" if has_cjk else "regex") if is_text else "scalar",
         }
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "manifest.json"), "w") as fh:
@@ -182,7 +228,7 @@ class InvertedIndex:
         if hot:
             parts.append(
                 self._hot_postings().filter(F.col("term").isin(hot))
-                .select("term", "ids", "freq")
+                .select("term", "id")
             )
         if cold:
             num_shards = self.manifest["num_shards"]
@@ -195,10 +241,10 @@ class InvertedIndex:
             parts.append(
                 p.filter(F.col("shard").isin(shard_vals))
                 .join(F.broadcast(shards.select("term")), "term", "inner")
-                .select("term", "ids", "freq")
+                .select("term", "id")
             )
         if not parts:
-            return self.spark.createDataFrame([], "term string, ids array<long>, freq long")
+            return self.spark.createDataFrame([], "term string, id long")
         out = parts[0]
         for extra in parts[1:]:
             out = out.unionByName(extra)
@@ -209,10 +255,9 @@ class InvertedIndex:
         if not terms:
             return self.spark.createDataFrame([], "id long")
         hits = self._lookup_terms(terms)
-        # AND-of-terms: id must appear in all |terms| posting lists
+        # AND-of-terms: id must appear under all |terms| distinct terms
         return (
-            hits.select(F.explode("ids").alias("id"), "term")
-            .groupBy("id")
+            hits.groupBy("id")
             .agg(F.countDistinct("term").alias("nt"))
             .filter(F.col("nt") == len(set(terms)))
             .select("id")
@@ -241,7 +286,7 @@ class InvertedIndex:
             shard = r["shard"]
         return (
             p.filter((F.col("shard") == shard) & (F.col("term") == term))
-            .select(F.explode("ids").alias("id"))
+            .select("id")
             .distinct()
         )
 
@@ -262,12 +307,12 @@ class InvertedIndex:
             stop_words=m["stop_words"] or None, is_text=m["is_text"],
         )
         merged = (
-            self._postings().select("term", "ids")
-            .unionByName(delta._postings().select("term", "ids"))
-            .groupBy("term")
-            .agg(F.sort_array(F.array_distinct(F.flatten(F.collect_list("ids")))).alias("ids"))
-            .withColumn("freq", F.size("ids"))
+            self._postings().select("term", "id")
+            .unionByName(delta._postings().select("term", "id"))
+            .distinct()  # row-level merge: no per-term array ever materializes
             .withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(m["num_shards"])))
+            .repartition(m["num_shards"], "shard")
+            .sortWithinPartitions("term", "id")
         )
         out_path = os.path.join(self.path, "postings_new")
         merged.write.mode("overwrite").partitionBy("shard").parquet(out_path)
@@ -309,8 +354,11 @@ class InvertedIndex:
         ``reshard_index``, ``inverted_index_vectorized.py:526``) without
         re-tokenizing the corpus: one keyed shuffle of the posting rows,
         O(terms), independent of corpus size."""
-        p = self._postings().drop("shard").withColumn(
-            "shard", F.pmod(F.xxhash64("term"), F.lit(num_shards))
+        p = (
+            self._postings().drop("shard")
+            .withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(num_shards)))
+            .repartition(num_shards, "shard")
+            .sortWithinPartitions("term", "id")
         )
         self._swap_postings(p, {"num_shards": num_shards})
         return self
@@ -322,7 +370,11 @@ class InvertedIndex:
         files per shard; lookups then open O(files) footers instead of
         O(1)."""
         m = self.manifest
-        p = self._postings().repartition(int(m["num_shards"]), "shard")
+        p = (
+            self._postings()
+            .repartition(int(m["num_shards"]), "shard")
+            .sortWithinPartitions("term", "id")
+        )
         self._swap_postings(p, {})
         return self
 
@@ -332,14 +384,18 @@ class InvertedIndex:
         (reference ``add_hot_shard``, ``inverted_index_vectorized.py:537``).
         The hot term list itself lives in the manifest, so routing is a
         driver-side set lookup — zero extra jobs for cold terms."""
-        hot = (
-            self._postings()
+        p = self._postings()
+        hot_terms = (
+            p.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("freq"))  # map-side partial count
             .orderBy(F.col("freq").desc(), F.col("term"))
             .limit(int(top_n))
+            .select("term")
         )
+        hot = p.join(F.broadcast(hot_terms), "term", "inner").select("term", "id")
         hot_path = os.path.join(self.path, "postings_hot")
         hot.write.mode("overwrite").parquet(hot_path)
-        terms = [r["term"] for r in hot.select("term").collect()]
+        terms = [r["term"] for r in hot_terms.collect()]
         m = dict(self.manifest)
         m["hot_terms"] = sorted(terms)
         with open(os.path.join(self.path, "manifest.json"), "w") as fh:
@@ -354,6 +410,6 @@ class InvertedIndex:
         key = F.col("term").cast("double")
         return (
             p.filter(key.isNotNull() & key.between(float(lo), float(hi)))
-            .select(F.explode("ids").alias("id"))
+            .select("id")
             .distinct()
         )

@@ -339,3 +339,76 @@ def test_dataset_vector_search_ivf_route(spark, tmp_path):
     out = d.vector_search(vecs[0].tolist(), "v", topk=5).collect()
     assert len(out) == 5
     assert out[0]["rank"] == 1 and abs(out[0]["distance"]) < 1e-9
+
+
+def test_index_hot_term_skew_bounded_rows(spark, tmp_path_factory):
+    """A stop-word-like term in >50% of the corpus must NOT become one
+    unbounded array row (the round-1 scale-killer): postings are plain
+    (term, id) rows, so the hottest term contributes max-1-id-per-row
+    and every search over it still intersects correctly."""
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    df = (
+        spark.range(n).withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text",
+            F.concat(
+                F.lit("common "),  # in every row — maximal skew
+                F.when(F.col("doc_id") % 2 == 0, F.lit("even ")).otherwise(F.lit("odd ")),
+                F.concat(F.lit("tok"), (F.col("doc_id") % 97).cast("string")),
+            ),
+        )
+    )
+    path = str(tmp_path_factory.mktemp("idx") / "skew_index")
+    idx = InvertedIndex.build(df, "text", path, id_col="doc_id", num_shards=4)
+
+    p = idx._postings()
+    assert "id" in p.columns and "ids" not in p.columns
+    # the hot term is n rows, not one n-element array
+    assert p.filter(F.col("term") == "common").count() == n
+    max_per_row = p.groupBy("term", "id").count().agg(F.max("count")).collect()[0][0]
+    assert max_per_row == 1
+
+    got = {r["id"] for r in idx.search("common even", "fuzzy_match").collect()}
+    assert got == set(range(0, n, 2))
+    got2 = {r["id"] for r in idx.search("common tok13 odd", "fuzzy_match").collect()}
+    assert got2 == {d for d in range(n) if d % 97 == 13 and d % 2 == 1}
+
+
+def test_index_cjk_fuzzy_search(spark, tmp_path_factory):
+    """CJK corpus parity (reference
+    tests/integration/indexing/test_inverted_index_local.py poem corpus,
+    jieba tokenizer at inverted_index_vectorized.py:122-158): multi-char
+    word queries must match inside sentences — whole-run tokens (the old
+    regex fallback) can't do this.  jieba is absent here, so the
+    vendored FMM segmenter (index/cjk.py) provides the dictionary
+    longest-match path on both the build and query side."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = [
+        (0, "白日依山尽，黄河入海流，欲穷千里目，更上一层楼"),
+        (1, "床前明月光，疑是地上霜，举头邀明月，低头思故乡"),
+        (2, "京口瓜洲一水间，钟山只隔数重山。 春风又绿江南岸，明月何时照我还？"),
+        (3, "我是deepseek，迅雷不及掩耳盗铃儿响叮当仁不让世界充满爱之势!你是谁？"),
+        (4, "plain english document about spark"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path_factory.mktemp("idx") / "cjk_index")
+    idx = InvertedIndex.build(df, "text", path, id_col="doc_id", num_shards=4)
+    assert idx.manifest["tokenizer"] == "cjk_fmm"
+
+    # index terms are dictionary words, not whole CJK runs
+    terms = {r["term"] for r in idx._postings().select("term").collect()}
+    assert "明月" in terms and "京口" in terms and "世界" in terms
+    assert all(len(t) < 12 for t in terms), sorted(terms, key=len)[-3:]
+
+    def hits(q):
+        return {r["id"] for r in idx.search(q, "fuzzy_match").collect()}
+
+    assert hits("明月") == {1, 2}          # CONTAINS 明月 scenario
+    assert hits("京口") == {2}              # CONTAINS 京口 scenario
+    assert hits("不让世界充满爱") == {3}    # mixed-idiom AND-of-terms
+    assert hits("我是deepseek") == {3}      # mixed CJK + ascii query
+    assert hits("spark") == {4}             # pure ascii still works
+    assert hits("明月 故乡") == {1}         # multi-word AND
