@@ -109,6 +109,9 @@ class Dataset:
                 raise ReadOnlyModeError(f"no dataset at {path}")
             self.log.init(schema_json=None, tensor_meta={})
         self.branch = branch
+        # session cache of loaded vector indexes: (tensor, index_name) →
+        # {"manifest": ..., "centroids": np.ndarray?}; survives checkouts
+        self._vector_loaded: dict = {}
         self._load(self.log.resolve(branch))
 
     # ------------------------------------------------------------------
@@ -592,15 +595,27 @@ class Dataset:
         metric: str = "l2",
         **hyper: Any,
     ) -> None:
-        """Register an ANN index config (FLAT = exact; LSH = hyperplane
-        buckets).  Spark recomputes distances distributed, so 'building'
-        is a manifest write; LSH tables are derived deterministically from
-        the seed at search time."""
+        """Create an ANN index (reference ``create_vector_index``,
+        ``vector_search_ops.py:18-48``).  FLAT = exact (no artifact);
+        LSH/HNSW* tables/graphs derive deterministically from the seed at
+        search time (manifest only); IVF* additionally MATERIALIZES its
+        artifacts — centroids + a cell-partitioned ``(id, cell)``
+        assignment table — so searches partition-prune to the probed
+        cells instead of re-assigning the corpus per query."""
         import json as _json
 
         self._require_tensor(tensor)
         path = os.path.join(self.path, "_indexes", "vector", tensor, index_name)
         os.makedirs(path, exist_ok=True)
+        if index_type.upper().startswith("IVF"):
+            from muller_spark.index.vector import build_ivf_artifacts
+
+            build_ivf_artifacts(
+                self.df, tensor, ROW_ID_COL, path,
+                num_centroids=int(hyper.get("nlist", hyper.get("num_centroids", 16))),
+                sample_size=int(hyper.get("sample_size", 4096)),
+                seed=int(hyper.get("seed", 42)),
+            )
         manifest = {
             "tensor": tensor,
             "index_type": index_type,
@@ -619,33 +634,130 @@ class Dataset:
         topk: int = 10,
     ) -> DataFrame:
         """Top-k similarity search; uses the registered index config
-        (FLAT → exact partial+global top-k; IVF/IVFPQ/IVFFLAT → coarse
-        quantizer probe path; LSH/HNSWFLAT → hyperplane LSH path)."""
-        import json as _json
-
-        from muller_spark.index.vector import ann_knn, exact_knn, ivf_knn
-
-        path = os.path.join(
-            self.path, "_indexes", "vector", tensor_name, index_name, "manifest.json"
+        (FLAT → exact partial+global top-k; IVF/IVFPQ/IVFFLAT → persisted
+        coarse-quantizer artifacts when fresh, else the on-the-fly probe
+        path; HNSW* → per-partition graph path (hnswlib-gated);
+        LSH → hyperplane LSH path).  A stale IVF artifact (dataset HEAD
+        moved past the index's commit) falls back to the exact path, the
+        same staleness discipline as the inverted index."""
+        from muller_spark.index.vector import (
+            ann_knn,
+            exact_knn,
+            hnsw_knn,
+            ivf_knn,
+            ivf_search_prebuilt,
         )
-        metric, index_type, hyper = "l2", "FLAT", {}
-        if os.path.exists(path):
-            with open(path) as fh:
-                m = _json.loads(fh.read())
-            metric, index_type, hyper = m["metric"], m["index_type"], m.get("hyper", {})
+
+        idx_dir = os.path.join(self.path, "_indexes", "vector", tensor_name, index_name)
+        m = self._vector_manifest(tensor_name, index_name)
+        if m is None:
+            return exact_knn(self.df, tensor_name, ROW_ID_COL, query_vector, topk, "l2")
+        metric, index_type, hyper = m["metric"], m["index_type"], m.get("hyper", {})
         if index_type == "FLAT":
             return exact_knn(self.df, tensor_name, ROW_ID_COL, query_vector, topk, metric)
         if index_type.upper().startswith("IVF"):
+            if m.get("commit_id") != self._snapshot.commit_id or self._dirty:
+                # stale artifact: exact scan keeps results correct
+                return exact_knn(
+                    self.df, tensor_name, ROW_ID_COL, query_vector, topk, metric
+                )
+            loaded = self._vector_loaded.get((tensor_name, index_name))
+            if os.path.isdir(os.path.join(idx_dir, "assign")):
+                return ivf_search_prebuilt(
+                    self.df, tensor_name, ROW_ID_COL, idx_dir, query_vector,
+                    topk, metric, nprobe=int(hyper.get("nprobe", 4)),
+                    centroids=loaded.get("centroids") if loaded else None,
+                )
             return ivf_knn(
                 self.df, tensor_name, ROW_ID_COL, query_vector, topk, metric,
                 num_centroids=int(hyper.get("nlist", hyper.get("num_centroids", 16))),
                 nprobe=int(hyper.get("nprobe", 4)),
+            )
+        if index_type.upper().startswith("HNSW"):
+            return hnsw_knn(
+                self.df, tensor_name, ROW_ID_COL, query_vector, topk, metric,
+                m_links=int(hyper.get("M", hyper.get("m_links", 16))),
+                ef_construction=int(hyper.get("ef_construction", 200)),
+                ef_search=int(hyper.get("ef_search", 64)),
             )
         return ann_knn(
             self.df, tensor_name, ROW_ID_COL, query_vector, topk, metric,
             num_planes=int(hyper.get("num_planes", 6)),
             num_tables=int(hyper.get("num_tables", 8)),
         )
+
+    def _vector_manifest(self, tensor_name: str, index_name: str) -> "dict | None":
+        import json as _json
+
+        path = os.path.join(
+            self.path, "_indexes", "vector", tensor_name, index_name, "manifest.json"
+        )
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return _json.loads(fh.read())
+
+    def load_vector_index(self, tensor_name: str, index_name: str = "default") -> None:
+        """Pull the index's small driver-side state (manifest + IVF
+        centroids) into memory so searches skip the artifact read
+        (reference ``load_vector_index``, ``vector_search_ops.py:104``).
+        The cell-partitioned assignment table stays on disk — executors
+        read only the probed partitions."""
+        from muller_spark.errors import VectorIndexNotFoundError
+        from muller_spark.index.vector import load_ivf_centroids
+
+        m = self._vector_manifest(tensor_name, index_name)
+        if m is None:
+            raise VectorIndexNotFoundError(f"{tensor_name}/{index_name}")
+        state: dict = {"manifest": m}
+        idx_dir = os.path.join(self.path, "_indexes", "vector", tensor_name, index_name)
+        if os.path.isdir(os.path.join(idx_dir, "centroids")):
+            state["centroids"] = load_ivf_centroids(self.spark, idx_dir)
+        self._vector_loaded[(tensor_name, index_name)] = state
+
+    def unload_vector_index(self, tensor_name: str, index_name: str = "default") -> None:
+        """Release the in-memory state (reference ``unload_vector_index``,
+        ``vector_search_ops.py:118``); the on-disk artifact remains."""
+        self._vector_loaded.pop((tensor_name, index_name), None)
+
+    def drop_vector_index(self, tensor_name: str, index_name: str = "default") -> None:
+        """Delete the index permanently (reference ``drop_vector_index``,
+        ``vector_search_ops.py:131``)."""
+        import shutil
+
+        self.unload_vector_index(tensor_name, index_name)
+        idx_dir = os.path.join(self.path, "_indexes", "vector", tensor_name, index_name)
+        if os.path.isdir(idx_dir):
+            shutil.rmtree(idx_dir)
+
+    def update_vector_index(self, tensor_name: str, index_name: str = "default") -> None:
+        """Refresh a stale index after commits (reference
+        ``update_vector_index``, ``vector_search_ops.py:51-82``): rows not
+        yet in the assignment table are assigned to the EXISTING centroids
+        and appended — O(delta), no retrain, no rebuild.  No-op when the
+        index already matches HEAD."""
+        import json as _json
+
+        from muller_spark.errors import VectorIndexNotFoundError
+        from muller_spark.index.vector import append_ivf_assignments
+
+        m = self._vector_manifest(tensor_name, index_name)
+        if m is None:
+            raise VectorIndexNotFoundError(f"{tensor_name}/{index_name}")
+        if m.get("commit_id") == self._snapshot.commit_id:
+            return
+        idx_dir = os.path.join(self.path, "_indexes", "vector", tensor_name, index_name)
+        if os.path.isdir(os.path.join(idx_dir, "assign")):
+            known = self.spark.read.parquet(os.path.join(idx_dir, "assign")).select("id")
+            delta = self.df.select(ROW_ID_COL, tensor_name).join(
+                known.withColumnRenamed("id", ROW_ID_COL), ROW_ID_COL, "left_anti"
+            )
+            append_ivf_assignments(delta, tensor_name, ROW_ID_COL, idx_dir)
+        m["commit_id"] = self._snapshot.commit_id
+        with open(os.path.join(idx_dir, "manifest.json"), "w") as fh:
+            fh.write(_json.dumps(m))
+        if (tensor_name, index_name) in self._vector_loaded:
+            self.load_vector_index(tensor_name, index_name)
 
     # ------------------------------------------------------------------
     # version control

@@ -29,3 +29,8 @@ class CheckoutError(MullerSparkError):
 
 class ReadOnlyModeError(MullerSparkError):
     pass
+
+
+class VectorIndexNotFoundError(MullerSparkError, KeyError):
+    """No vector index registered under (tensor, index_name) — reference
+    ``muller/core/vector/exceptions.py`` IndexNotFoundError."""

@@ -133,8 +133,13 @@ def train_centroids(
     (reference trains on the committed tensor,
     ``core/vector/vector_index.py:199-255``).  The sample is capped at
     ``sample_size`` rows regardless of corpus size; the corpus itself is
-    never collected."""
-    rows = df.select(vec_col).limit(sample_size).collect()
+    never collected.
+
+    The sample is UNIFORM (``takeSample``: distributed count + seeded
+    draw), not ``limit()`` — a limit takes whatever partition answers
+    first, so a corpus sorted or clustered on disk would train centroids
+    on one region of the space and IVF recall would collapse."""
+    rows = df.select(vec_col).rdd.takeSample(False, sample_size, seed)
     mat = np.asarray([r[0] for r in rows], dtype=np.float64)
     k = min(num_centroids, len(mat))
     rng = np.random.RandomState(seed)
@@ -284,6 +289,283 @@ def ann_knn(
         .distinct()
     )
     with_vec = candidates.join(df.select(F.col(id_col).alias("id"), vec_col), "id")
+
+    bq = spark.sparkContext.broadcast(q)
+    m = metric
+
+    def rerank(iterator):
+        import pandas as pd
+
+        qm = bq.value
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            dist = np.empty(len(pdf))
+            for qi in np.unique(pdf["query_id"].to_numpy()):
+                mask = (pdf["query_id"] == qi).to_numpy()
+                dist[mask] = _distances(mat[mask], qm[int(qi)][None, :], m)[:, 0]
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"], "id": pdf["id"], "distance": dist,
+            })
+
+    scored = with_vec.mapInPandas(rerank, "query_id int, id long, distance double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "distance", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph ANN (HNSW) — import-gated on hnswlib
+# ---------------------------------------------------------------------------
+
+_HNSWLIB = None
+
+
+def _get_hnswlib():
+    global _HNSWLIB
+    if _HNSWLIB is None:
+        try:
+            import hnswlib  # type: ignore
+
+            _HNSWLIB = hnswlib
+        except ImportError:
+            _HNSWLIB = False
+    return _HNSWLIB
+
+
+def hnsw_knn(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vectors,
+    k: int = 10,
+    metric: str = "l2",
+    m_links: int = 16,
+    ef_construction: int = 200,
+    ef_search: int = 64,
+) -> DataFrame:
+    """Approximate top-k via per-partition HNSW graphs + global re-rank —
+    the FAISS ``HNSWFLAT`` analogue (reference
+    ``core/vector/vector_index.py:199-255``, recall tests at
+    ``tests/integration/indexing/test_vector_search_recall.py``).
+
+    Each executor partition builds an hnswlib graph over its rows inside
+    ``mapInPandas`` (Arrow-batched; the graph lives only for the task),
+    answers all queries locally, and emits its partial top-k; the global
+    re-rank sees P·Q·k candidate rows, identical in shape to
+    ``exact_knn``.  Sharding a graph index per partition keeps build
+    memory bounded at any corpus size — a single global graph cannot be
+    built distributively — at the cost of querying P small graphs
+    instead of one big one (per-query work still drops from O(N) to
+    P·O(log(N/P))).
+
+    **Environment gate**: hnswlib is not installed in this container, so
+    the per-partition kernel falls back to the exact vectorized partial
+    top-k (numpy BLAS) — same outputs, brute-force cost per partition.
+    The gate activates automatically where hnswlib is importable; the
+    recall test asserts the contract either way.
+    """
+    if metric not in METRICS:
+        raise ValueError(f"metric must be one of {METRICS}")
+    q = _as_matrix(query_vectors)
+    spark = df.sparkSession
+    bq = spark.sparkContext.broadcast(q)
+    m, kk = metric, k
+    hp = {"m_links": m_links, "ef_construction": ef_construction, "ef_search": ef_search}
+
+    def partition_graph_topk(iterator):
+        import pandas as pd
+
+        qm = bq.value
+        # accumulate the whole partition: HNSW needs all rows before search
+        frames = [pdf for pdf in iterator if not pdf.empty]
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+        ids = pdf[id_col].to_numpy()
+        take = min(kk, len(mat))
+        hnswlib = _get_hnswlib()
+        if hnswlib:
+            space = {"l2": "l2", "cosine": "cosine", "inner_product": "ip"}[m]
+            index = hnswlib.Index(space=space, dim=mat.shape[1])
+            index.init_index(
+                max_elements=len(mat),
+                ef_construction=hp["ef_construction"],
+                M=hp["m_links"],
+            )
+            index.add_items(mat.astype(np.float32), np.arange(len(mat)))
+            index.set_ef(max(hp["ef_search"], take))
+            labels, dists = index.knn_query(qm.astype(np.float32), k=take)
+            out = []
+            for qi in range(qm.shape[0]):
+                sub = mat[labels[qi]]
+                # re-compute distances in float64 with the shared metric
+                # so ranks merge consistently with other partitions
+                d = _distances(sub, qm[qi][None, :], m)[:, 0]
+                out.append(pd.DataFrame({
+                    "query_id": qi, "id": ids[labels[qi]], "distance": d,
+                }))
+            yield pd.concat(out)
+        else:
+            dists = _distances(mat, qm, m)
+            out = []
+            for qi in range(qm.shape[0]):
+                idx = np.argpartition(dists[:, qi], take - 1)[:take]
+                out.append(pd.DataFrame({
+                    "query_id": qi, "id": ids[idx], "distance": dists[idx, qi],
+                }))
+            yield pd.concat(out)
+
+    partial = ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        partition_graph_topk, "query_id int, id long, distance double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "distance", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF artifacts (index lifecycle backing store)
+# ---------------------------------------------------------------------------
+
+def build_ivf_artifacts(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    num_centroids: int = 16,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> None:
+    """Materialize an IVF index on disk: ``centroids`` (tiny parquet,
+    one row per cell) + ``assign`` (``(id, cell)`` parquet partitioned
+    by cell).  Searches against the artifact prune to the probed cells
+    via parquet partition pruning and never re-assign the corpus —
+    the persisted analogue of the reference's saved FAISS index files
+    (``core/vector/algorithms/faiss_index.py``)."""
+    import os
+
+    spark = df.sparkSession
+    centroids = train_centroids(df, vec_col, num_centroids, sample_size, seed=seed)
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(iterator):
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            cell = _distances(mat, cents, "l2").argmin(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col], "cell": cell.astype(np.int32)})
+
+    (
+        ensure_parallelism(df.select(id_col, vec_col))
+        .mapInPandas(assign, "id long, cell int")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "assign"))
+    )
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    import os
+
+    rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cell")
+        .collect()
+    )
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def append_ivf_assignments(
+    df_delta: DataFrame, vec_col: str, id_col: str, path: str
+) -> None:
+    """Incremental maintenance: assign only the delta rows to the
+    existing centroids and append to the ``assign`` table — the
+    reference's ``update_index`` regime (``vector_search_ops.py:51-82``),
+    O(delta), no rebuild."""
+    import os
+
+    spark = df_delta.sparkSession
+    centroids = load_ivf_centroids(spark, path)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(iterator):
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            cell = _distances(mat, cents, "l2").argmin(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col], "cell": cell.astype(np.int32)})
+
+    (
+        ensure_parallelism(df_delta.select(id_col, vec_col))
+        .mapInPandas(assign, "id long, cell int")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "assign"))
+    )
+
+
+def ivf_search_prebuilt(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    query_vectors,
+    k: int = 10,
+    metric: str = "l2",
+    nprobe: int = 4,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Search against persisted IVF artifacts: probe cells → partition-
+    pruned read of ``assign`` → semi-join the corpus on id → exact
+    re-rank of candidates only.  ``centroids`` may be passed from a
+    loaded index to skip the (tiny) parquet read."""
+    import os
+
+    if metric not in METRICS:
+        raise ValueError(f"metric must be one of {METRICS}")
+    spark = df.sparkSession
+    q = _as_matrix(query_vectors)
+    if centroids is None:
+        centroids = load_ivf_centroids(spark, path)
+    cd = _distances(centroids, q, metric)
+    probe_rows = [
+        (qi, int(c)) for qi in range(q.shape[0]) for c in np.argsort(cd[:, qi])[:nprobe]
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id int, cell int")
+    cells = sorted({c for _, c in probe_rows})
+    assign = spark.read.parquet(os.path.join(path, "assign")).filter(
+        F.col("cell").isin(cells)  # partition pruning on the probed cells
+    )
+    candidates = assign.join(F.broadcast(probes), "cell").select("query_id", "id")
+    with_vec = candidates.join(
+        df.select(F.col(id_col).alias("id"), vec_col), "id"
+    )
 
     bq = spark.sparkContext.broadcast(q)
     m = metric

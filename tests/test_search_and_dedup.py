@@ -412,3 +412,120 @@ def test_index_cjk_fuzzy_search(spark, tmp_path_factory):
     assert hits("我是deepseek") == {3}      # mixed CJK + ascii query
     assert hits("spark") == {4}             # pure ascii still works
     assert hits("明月 故乡") == {1}         # multi-word AND
+
+
+def test_hnsw_recall_against_exact(spark, emb):
+    """Per-partition HNSW graph path (reference HNSWFLAT,
+    vector_index.py:199-255; recall suite
+    test_vector_search_recall.py): recall@10 >= 0.9 vs exact at default
+    params.  With hnswlib absent the partition kernel falls back to the
+    exact partial top-k, which must make recall exactly 1.0 — either
+    way the contract holds and the distributed plumbing is exercised."""
+    from muller_spark.index.vector import hnsw_knn
+
+    rows = emb.limit(3).collect()
+    q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    exact = exact_knn(emb, "embedding", "vec_id", q, k=10, metric="l2").collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["id"])
+
+    got = hnsw_knn(emb, "embedding", "vec_id", q, k=10, metric="l2").collect()
+    got_sets = {}
+    for r in got:
+        got_sets.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = [
+        len(exact_sets[qi] & got_sets.get(qi, set())) / 10 for qi in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ivf_recall_on_clustered_input(spark, emb):
+    """Centroid training must survive a corpus that is SORTED/clustered
+    on disk (the round-1 limit() bug trained on one region): sort the
+    embeddings by their first component, retrain, and require healthy
+    recall."""
+    from muller_spark.index.vector import ivf_knn
+    from pyspark.sql import functions as F
+
+    clustered = emb.orderBy(F.col("embedding")[0]).cache()
+    try:
+        rows = emb.limit(3).collect()
+        q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        exact = exact_knn(clustered, "embedding", "vec_id", q, k=10, metric="l2").collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r["query_id"], set()).add(r["id"])
+        approx = ivf_knn(
+            clustered, "embedding", "vec_id", q, k=10, metric="l2",
+            num_centroids=8, nprobe=4,
+        ).collect()
+        approx_sets = {}
+        for r in approx:
+            approx_sets.setdefault(r["query_id"], set()).add(r["id"])
+        recalls = [
+            len(exact_sets[qi] & approx_sets.get(qi, set())) / 10 for qi in exact_sets
+        ]
+        assert sum(recalls) / len(recalls) >= 0.6, recalls
+    finally:
+        clustered.unpersist()
+
+
+def test_vector_index_lifecycle_roundtrip(spark, tmp_path):
+    """create → load → search (prebuilt artifacts) → append+commit →
+    update (O(delta) assignment append) → unload → drop, mirroring
+    reference vector_search_ops.py:18-141."""
+    import muller_spark.dataset as ds_mod
+    from muller_spark.errors import VectorIndexNotFoundError
+
+    rng = np.random.RandomState(7)
+    ds = ds_mod.dataset(str(tmp_path / "vds"), spark)
+    ds.create_tensor("vec", htype="embedding", dtype="float32")
+    vecs = rng.randn(120, 8)
+    ds.extend({"vec": [[float(x) for x in v] for v in vecs]})
+    ds.commit("base")
+
+    ds.create_vector_index("vec", index_type="IVFFLAT", metric="l2",
+                           nlist=4, nprobe=4, sample_size=120)
+    idx_dir = str(tmp_path / "vds" / "_indexes" / "vector" / "vec" / "default")
+    import os as _os
+
+    assert _os.path.isdir(_os.path.join(idx_dir, "centroids"))
+    assert _os.path.isdir(_os.path.join(idx_dir, "assign"))
+
+    ds.load_vector_index("vec")
+    assert ("vec", "default") in ds._vector_loaded
+    assert ds._vector_loaded[("vec", "default")]["centroids"].shape == (4, 8)
+
+    # nprobe == nlist → exhaustive: prebuilt search must equal exact
+    q = vecs[:2]
+    got = ds.vector_search(q, "vec", topk=5).collect()
+    from muller_spark.index.vector import exact_knn as _exact
+
+    want = _exact(ds.df, "vec", "_row_id", q, k=5, metric="l2").collect()
+    assert sorted((r["query_id"], r["rank"], r["id"]) for r in got) == \
+        sorted((r["query_id"], r["rank"], r["id"]) for r in want)
+
+    # stale index (new commit) falls back to exact and stays correct;
+    # update_vector_index re-freshens with an O(delta) append
+    extra = rng.randn(30, 8)
+    ds.extend({"vec": [[float(x) for x in v] for v in extra]})
+    ds.commit("more rows")
+    n_assign_before = spark.read.parquet(_os.path.join(idx_dir, "assign")).count()
+    got_stale = ds.vector_search(q, "vec", topk=5).collect()
+    assert len(got_stale) == 10
+    ds.update_vector_index("vec")
+    n_assign_after = spark.read.parquet(_os.path.join(idx_dir, "assign")).count()
+    assert n_assign_after - n_assign_before == 30  # delta only, no rebuild
+    assert ds._vector_manifest("vec", "default")["commit_id"] == ds.commit_id
+    got_fresh = ds.vector_search(q, "vec", topk=5).collect()
+    want_fresh = _exact(ds.df, "vec", "_row_id", q, k=5, metric="l2").collect()
+    assert sorted((r["query_id"], r["rank"], r["id"]) for r in got_fresh) == \
+        sorted((r["query_id"], r["rank"], r["id"]) for r in want_fresh)
+
+    ds.unload_vector_index("vec")
+    assert ("vec", "default") not in ds._vector_loaded
+    ds.drop_vector_index("vec")
+    assert not _os.path.isdir(idx_dir)
+    with pytest.raises(VectorIndexNotFoundError):
+        ds.load_vector_index("vec")
