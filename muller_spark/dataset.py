@@ -22,7 +22,6 @@ partition-local index), never through a driver collect.
 from __future__ import annotations
 
 import os
-import shutil
 from typing import Any, Callable, Iterable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -104,6 +103,7 @@ class Dataset:
         self.path = path
         self.read_only = read_only
         self.log = CommitLog(path)
+        self.fs = self.log.fs  # metadata I/O seam (muller_spark/fs.py)
         if not self.log.exists():
             if read_only:
                 raise ReadOnlyModeError(f"no dataset at {path}")
@@ -503,9 +503,8 @@ class Dataset:
         cache_dir = os.path.join(self.log.log_dir, "stats")
         cache_path = os.path.join(cache_dir, f"{self._snapshot.commit_id}.json")
         cacheable = use_cache and not self._dirty and not any(self._pending.values())
-        if cacheable and os.path.exists(cache_path):
-            with open(cache_path) as fh:
-                rows = _json.loads(fh.read())
+        if cacheable and self.fs.exists(cache_path):
+            rows = _json.loads(self.fs.read_text(cache_path))
             return self.spark.createDataFrame(
                 rows,
                 "column string, kind string, nan_count long, nan_proportion double, "
@@ -514,9 +513,10 @@ class Dataset:
             )
         out = statistics(self.df.drop(*HIDDEN_COLS))
         if cacheable:
-            os.makedirs(cache_dir, exist_ok=True)
-            with open(cache_path, "w") as fh:
-                fh.write(_json.dumps([r.asDict() for r in out.collect()]))
+            self.fs.makedirs(cache_dir)
+            self.fs.write_text(
+                cache_path, _json.dumps([r.asDict() for r in out.collect()])
+            )
         return out
 
     def summary(self) -> dict:
@@ -606,7 +606,7 @@ class Dataset:
 
         self._require_tensor(tensor)
         path = os.path.join(self.path, "_indexes", "vector", tensor, index_name)
-        os.makedirs(path, exist_ok=True)
+        self.fs.makedirs(path)
         if index_type.upper().startswith("IVF"):
             from muller_spark.index.vector import build_ivf_artifacts
 
@@ -623,8 +623,7 @@ class Dataset:
             "hyper": hyper,
             "commit_id": self._snapshot.commit_id,
         }
-        with open(os.path.join(path, "manifest.json"), "w") as fh:
-            fh.write(_json.dumps(manifest))
+        self.fs.write_text(os.path.join(path, "manifest.json"), _json.dumps(manifest))
 
     def vector_search(
         self,
@@ -692,10 +691,9 @@ class Dataset:
         path = os.path.join(
             self.path, "_indexes", "vector", tensor_name, index_name, "manifest.json"
         )
-        if not os.path.exists(path):
+        if not self.fs.exists(path):
             return None
-        with open(path) as fh:
-            return _json.loads(fh.read())
+        return _json.loads(self.fs.read_text(path))
 
     def load_vector_index(self, tensor_name: str, index_name: str = "default") -> None:
         """Pull the index's small driver-side state (manifest + IVF
@@ -723,12 +721,10 @@ class Dataset:
     def drop_vector_index(self, tensor_name: str, index_name: str = "default") -> None:
         """Delete the index permanently (reference ``drop_vector_index``,
         ``vector_search_ops.py:131``)."""
-        import shutil
-
         self.unload_vector_index(tensor_name, index_name)
         idx_dir = os.path.join(self.path, "_indexes", "vector", tensor_name, index_name)
-        if os.path.isdir(idx_dir):
-            shutil.rmtree(idx_dir)
+        if self.fs.isdir(idx_dir):
+            self.fs.rmtree(idx_dir)
 
     def update_vector_index(self, tensor_name: str, index_name: str = "default") -> None:
         """Refresh a stale index after commits (reference
@@ -754,8 +750,7 @@ class Dataset:
             )
             append_ivf_assignments(delta, tensor_name, ROW_ID_COL, idx_dir)
         m["commit_id"] = self._snapshot.commit_id
-        with open(os.path.join(idx_dir, "manifest.json"), "w") as fh:
-            fh.write(_json.dumps(m))
+        self.fs.write_text(os.path.join(idx_dir, "manifest.json"), _json.dumps(m))
         if (tensor_name, index_name) in self._vector_loaded:
             self.load_vector_index(tensor_name, index_name)
 
@@ -948,27 +943,48 @@ class Dataset:
         self._load(snap)
         return snap.commit_id
 
-    def detect_merge_conflict(self, target_id: str, show_value: bool = False):
-        from muller_spark.versioning.merge import detect_conflicts
+    def detect_merge_conflict(
+        self,
+        target_id: str,
+        show_value: bool = False,
+        as_dict: bool = True,
+        max_rows: int = 100_000,
+    ):
+        """Dry-run conflict report (reference ``commits.py:254-302``).
+        ``as_dict=False`` returns one distributed DataFrame report
+        (never collects — the 100 TB path); the dict form materializes
+        only under ``max_rows`` and raises beyond it."""
+        from muller_spark.versioning.merge import detect_conflicts, detect_conflicts_df
 
         ours = self._snapshot
         theirs = self.log.resolve(target_id)
         lca_id = self.log.lca(ours.commit_id, theirs.commit_id)
         if lca_id in (ours.commit_id, theirs.commit_id):
-            return [], {}
+            return ([], {}) if as_dict else None
         base = self.log.get_snapshot(lca_id)
-        return detect_conflicts(
+        kwargs = dict(
             ours_df=self._read_snapshot_df(ours),
             theirs_df=self._read_snapshot_df(theirs),
             base_df=self._read_snapshot_df(base),
             tensors=[t for t in ours.tensor_meta if t in theirs.tensor_meta],
-            show_value=show_value,
         )
+        if not as_dict:
+            return detect_conflicts_df(**kwargs)
+        return detect_conflicts(show_value=show_value, max_rows=max_rows, **kwargs)
 
-    def diff(self, id_1: str, id_2: str | None = None, as_dict: bool = True):
+    def diff(
+        self,
+        id_1: str,
+        id_2: str | None = None,
+        as_dict: bool = True,
+        max_rows: int = 100_000,
+    ):
         """Change sets of two commits relative to their LCA
-        (reference ``operations/diff.py:188-355``)."""
-        from muller_spark.versioning.merge import snapshot_diff
+        (reference ``operations/diff.py:188-355``).  ``as_dict=False``
+        maps each label to a distributed report DataFrame
+        ``(kind, _uuid, tensor, index, old_value, new_value)`` — the
+        form that scales; the dict form is capped at ``max_rows``."""
+        from muller_spark.versioning.merge import snapshot_diff, snapshot_diff_df
 
         snap_1 = self.log.resolve(id_1)
         snap_2 = self.log.resolve(id_2) if id_2 else self._snapshot
@@ -977,9 +993,12 @@ class Dataset:
         base_df = self._read_snapshot_df(base)
         out = {}
         for label, snap in ((id_1, snap_1), (id_2 or "HEAD", snap_2)):
-            out[label] = snapshot_diff(
-                self._read_snapshot_df(snap), base_df,
-                [t for t in snap.tensor_meta if t in base.tensor_meta],
+            tensors = [t for t in snap.tensor_meta if t in base.tensor_meta]
+            df = self._read_snapshot_df(snap)
+            out[label] = (
+                snapshot_diff(df, base_df, tensors, max_rows=max_rows)
+                if as_dict
+                else snapshot_diff_df(df, base_df, tensors)
             )
         return out
 
@@ -1005,28 +1024,26 @@ class Dataset:
 
         view_id = view_id or uuidlib.uuid4().hex[:16]
         vdir = os.path.join(self._views_dir(), view_id)
-        os.makedirs(vdir, exist_ok=True)
+        self.fs.makedirs(vdir)
         df = view_df if view_df is not None else self.df
         df.select(ROW_ID_COL).write.mode("overwrite").parquet(
             os.path.join(vdir, "row_ids")
         )
         if optimize:
             df.write.mode("overwrite").parquet(os.path.join(vdir, "materialized"))
-        with open(os.path.join(vdir, "manifest.json"), "w") as fh:
-            fh.write(_json.dumps({
-                "view_id": view_id,
-                "commit_id": self._snapshot.commit_id,
-                "message": message,
-                "optimized": optimize,
-            }))
+        self.fs.write_text(os.path.join(vdir, "manifest.json"), _json.dumps({
+            "view_id": view_id,
+            "commit_id": self._snapshot.commit_id,
+            "message": message,
+            "optimized": optimize,
+        }))
         return view_id
 
     def load_view(self, view_id: str) -> DataFrame:
         import json as _json
 
         vdir = os.path.join(self._views_dir(), view_id)
-        with open(os.path.join(vdir, "manifest.json")) as fh:
-            manifest = _json.loads(fh.read())
+        manifest = _json.loads(self.fs.read_text(os.path.join(vdir, "manifest.json")))
         if manifest.get("optimized"):
             return self.spark.read.parquet(os.path.join(vdir, "materialized"))
         snap = self.log.get_snapshot(manifest["commit_id"])
@@ -1038,20 +1055,19 @@ class Dataset:
         import json as _json
 
         root = self._views_dir()
-        if not os.path.isdir(root):
+        if not self.fs.isdir(root):
             return []
         out = []
-        for vid in sorted(os.listdir(root)):
+        for vid in sorted(self.fs.listdir(root)):
             mpath = os.path.join(root, vid, "manifest.json")
-            if os.path.exists(mpath):
-                with open(mpath) as fh:
-                    out.append(_json.loads(fh.read()))
+            if self.fs.exists(mpath):
+                out.append(_json.loads(self.fs.read_text(mpath)))
         return out
 
     def delete_view(self, view_id: str) -> None:
         vdir = os.path.join(self._views_dir(), view_id)
-        if os.path.isdir(vdir):
-            shutil.rmtree(vdir)
+        if self.fs.isdir(vdir):
+            self.fs.rmtree(vdir)
 
     # ------------------------------------------------------------------
     # maintenance / misc (reference dataset.py:1018,1727; statistics/)
@@ -1183,8 +1199,11 @@ def dataset(
     from muller_spark.session import get_spark
 
     spark = spark or get_spark()
-    if overwrite and os.path.isdir(path):
-        shutil.rmtree(path)
+    from muller_spark.fs import get_fs
+
+    _fs = get_fs(path)
+    if overwrite and _fs.isdir(path):
+        _fs.rmtree(path)
     return Dataset(spark, path, read_only=read_only)
 
 
@@ -1218,5 +1237,8 @@ def like(path: str, source: Dataset, spark: SparkSession | None = None) -> Datas
 
 
 def delete(path: str) -> None:
-    if os.path.isdir(os.path.join(path, "_log")):
-        shutil.rmtree(path)
+    from muller_spark.fs import get_fs
+
+    _fs = get_fs(path)
+    if _fs.isdir(os.path.join(path, "_log")):
+        _fs.rmtree(path)

@@ -42,6 +42,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from muller_spark.fs import get_fs
 from muller_spark.plans.conditions import TOKEN_SPLIT_REGEX
 from muller_spark.schema import ROW_ID_COL
 
@@ -91,6 +92,7 @@ class InvertedIndex:
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
         self.path = path
+        self.fs = get_fs(path)
         self._manifest: dict | None = None
 
     # -- build -----------------------------------------------------------
@@ -174,9 +176,9 @@ class InvertedIndex:
             "is_text": is_text,
             "tokenizer": ("cjk_fmm" if has_cjk else "regex") if is_text else "scalar",
         }
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, "manifest.json"), "w") as fh:
-            fh.write(json.dumps(manifest))
+        fs = get_fs(path)
+        fs.makedirs(path)
+        fs.write_text(os.path.join(path, "manifest.json"), json.dumps(manifest))
         out = cls(spark, path)
         out._manifest = manifest
         return out
@@ -184,8 +186,9 @@ class InvertedIndex:
     @property
     def manifest(self) -> dict:
         if self._manifest is None:
-            with open(os.path.join(self.path, "manifest.json")) as fh:
-                self._manifest = json.loads(fh.read())
+            self._manifest = json.loads(
+                self.fs.read_text(os.path.join(self.path, "manifest.json"))
+            )
         return self._manifest
 
     def _postings(self) -> DataFrame:
@@ -316,15 +319,12 @@ class InvertedIndex:
         )
         out_path = os.path.join(self.path, "postings_new")
         merged.write.mode("overwrite").partitionBy("shard").parquet(out_path)
-        import shutil
-
         old = os.path.join(self.path, "postings")
-        shutil.rmtree(old)
-        os.rename(out_path, old)
-        shutil.rmtree(tmp_path)
+        self.fs.rmtree(old)
+        self.fs.rename(out_path, old)
+        self.fs.rmtree(tmp_path)
         m["commit_id"] = commit_id
-        with open(os.path.join(self.path, "manifest.json"), "w") as fh:
-            fh.write(json.dumps(m))
+        self.fs.write_text(os.path.join(self.path, "manifest.json"), json.dumps(m))
         self._manifest = m
         if m.get("hot_terms"):
             # hot-shard postings are a copy — refresh them from the merge
@@ -336,17 +336,14 @@ class InvertedIndex:
         """Write a replacement posting table atomically-ish (write to a
         sibling dir, then rename over the old one) and persist manifest
         changes."""
-        import shutil
-
         out_path = os.path.join(self.path, "postings_new")
         new_postings.write.mode("overwrite").partitionBy("shard").parquet(out_path)
         old = os.path.join(self.path, "postings")
-        shutil.rmtree(old)
-        os.rename(out_path, old)
+        self.fs.rmtree(old)
+        self.fs.rename(out_path, old)
         m = dict(self.manifest)
         m.update(manifest_updates)
-        with open(os.path.join(self.path, "manifest.json"), "w") as fh:
-            fh.write(json.dumps(m))
+        self.fs.write_text(os.path.join(self.path, "manifest.json"), json.dumps(m))
         self._manifest = m
 
     def reshard(self, num_shards: int) -> "InvertedIndex":
@@ -398,8 +395,7 @@ class InvertedIndex:
         terms = [r["term"] for r in hot_terms.collect()]
         m = dict(self.manifest)
         m["hot_terms"] = sorted(terms)
-        with open(os.path.join(self.path, "manifest.json"), "w") as fh:
-            fh.write(json.dumps(m))
+        self.fs.write_text(os.path.join(self.path, "manifest.json"), json.dumps(m))
         self._manifest = m
         return self
 

@@ -30,6 +30,8 @@ import uuid as uuidlib
 from dataclasses import dataclass, field
 from typing import Any
 
+from muller_spark.fs import get_fs
+
 
 FIRST_COMMIT = "firstdbf9474d461a19e9333c2fd19b46115348f"  # root sentinel
 
@@ -61,6 +63,9 @@ class Snapshot:
 class CommitLog:
     def __init__(self, root: str) -> None:
         self.root = root
+        # all metadata I/O goes through the fs seam (muller_spark/fs.py)
+        # so the commit log works against object stores, not just POSIX
+        self.fs = get_fs(root)
         self.log_dir = os.path.join(root, "_log")
         self.refs_dir = os.path.join(self.log_dir, "refs")
         self.snap_dir = os.path.join(self.log_dir, "snapshots")
@@ -68,12 +73,12 @@ class CommitLog:
 
     # -- lifecycle ---------------------------------------------------------
     def exists(self) -> bool:
-        return os.path.isdir(self.refs_dir) and bool(os.listdir(self.refs_dir))
+        return self.fs.isdir(self.refs_dir) and bool(self.fs.listdir(self.refs_dir))
 
     def init(self, schema_json: str | None, tensor_meta: dict[str, dict]) -> Snapshot:
-        os.makedirs(self.refs_dir, exist_ok=True)
-        os.makedirs(self.snap_dir, exist_ok=True)
-        os.makedirs(self.data_dir, exist_ok=True)
+        self.fs.makedirs(self.refs_dir)
+        self.fs.makedirs(self.snap_dir)
+        self.fs.makedirs(self.data_dir)
         snap = Snapshot(
             commit_id=FIRST_COMMIT,
             parent_ids=[],
@@ -93,33 +98,33 @@ class CommitLog:
 
     # -- refs --------------------------------------------------------------
     def branches(self) -> list[str]:
-        return sorted(os.listdir(self.refs_dir)) if os.path.isdir(self.refs_dir) else []
+        if not self.fs.isdir(self.refs_dir):
+            return []
+        return sorted(self.fs.listdir(self.refs_dir))
 
     def get_ref(self, branch: str) -> str:
         path = os.path.join(self.refs_dir, branch)
-        if not os.path.exists(path):
+        if not self.fs.exists(path):
             raise KeyError(f"branch {branch!r} does not exist")
-        with open(path) as fh:
-            return fh.read().strip()
+        return self.fs.read_text(path).strip()
 
     def set_ref(self, branch: str, commit_id: str) -> None:
-        with open(os.path.join(self.refs_dir, branch), "w") as fh:
-            fh.write(commit_id)
+        self.fs.write_text(os.path.join(self.refs_dir, branch), commit_id)
 
     def delete_ref(self, branch: str) -> None:
-        os.remove(os.path.join(self.refs_dir, branch))
+        self.fs.remove(os.path.join(self.refs_dir, branch))
 
     # -- snapshots ---------------------------------------------------------
     def _write_snapshot(self, snap: Snapshot) -> None:
-        with open(os.path.join(self.snap_dir, f"{snap.commit_id}.json"), "w") as fh:
-            fh.write(snap.to_json())
+        self.fs.write_text(
+            os.path.join(self.snap_dir, f"{snap.commit_id}.json"), snap.to_json()
+        )
 
     def get_snapshot(self, commit_id: str) -> Snapshot:
         path = os.path.join(self.snap_dir, f"{commit_id}.json")
-        if not os.path.exists(path):
+        if not self.fs.exists(path):
             raise KeyError(f"commit {commit_id!r} does not exist")
-        with open(path) as fh:
-            return Snapshot.from_json(fh.read())
+        return Snapshot.from_json(self.fs.read_text(path))
 
     def resolve(self, address: str) -> Snapshot:
         """Branch name or commit id → snapshot."""
@@ -168,8 +173,9 @@ class CommitLog:
             "message": snap.message,
             "timestamp": snap.timestamp,
         }
-        with open(os.path.join(self.log_dir, "commits.jsonl"), "a") as fh:
-            fh.write(json.dumps(record) + "\n")
+        self.fs.append_text(
+            os.path.join(self.log_dir, "commits.jsonl"), json.dumps(record) + "\n"
+        )
 
     # -- history -----------------------------------------------------------
     def log(self, commit_id: str) -> list[Snapshot]:

@@ -229,14 +229,24 @@ def detect_conflicts(
     base_df: DataFrame,
     tensors: Sequence[str],
     show_value: bool = False,
+    max_rows: int = 100_000,
 ):
     """Dry-run conflict report (reference ``commits.py:254-302``).
 
     Returns ``(conflict_tensors, records)`` where records maps each
-    conflict kind to row details.
+    conflict kind to row details.  Driver-side dicts are only built when
+    the report fits under ``max_rows``; larger reports must go through
+    :func:`detect_conflicts_df`, which stays a DataFrame end to end.
     """
     j = _joined(ours_df, theirs_df, base_df, tensors)
     in_o, in_t, in_b = F.col("o_in"), F.col("t_in"), F.col("b_in")
+
+    # one bounded count job before any collect: a 100 TB branch diff
+    # must never stream unbounded row sets to the driver
+    _guard_report_size(
+        _conflict_rows_estimate(j, tensors), max_rows,
+        "conflict report", "detect_merge_conflict(as_dict=False)",
+    )
 
     conflict_tensors: list[str] = []
     records: dict = {"update_conflicts": {}, "pop_conflicts": {}, "append_conflicts": {}}
@@ -271,15 +281,101 @@ def detect_conflicts(
     return conflict_tensors, records
 
 
-def snapshot_diff(df: DataFrame, base_df: DataFrame, tensors: Sequence[str]) -> dict:
-    """Changes of one snapshot vs a base: appended / popped / updated
-    (reference ``operations/diff.py:188-355``)."""
+class DiffReportTooLargeError(MergeMismatchError):
+    """The requested driver-side dict report exceeds the row cap; use the
+    DataFrame-returning variant instead."""
+
+
+def _guard_report_size(n: int, max_rows: int, what: str, alternative: str) -> None:
+    if n > max_rows:
+        raise DiffReportTooLargeError(
+            f"{what} has {n} rows (> cap {max_rows}); a driver-side dict "
+            f"would not scale — use {alternative} to keep it a DataFrame"
+        )
+
+
+def _conflict_rows_estimate(j: DataFrame, tensors: Sequence[str]) -> int:
+    in_o, in_t, in_b = F.col("o_in"), F.col("t_in"), F.col("b_in")
+    pred = (in_b & in_o & ~in_t) | (in_b & ~in_o & in_t)
+    for t in tensors:
+        o_c, t_c, b_c = F.col(f"o_{t}"), F.col(f"t_{t}"), F.col(f"b_{t}")
+        pred = pred | (
+            in_b & in_o & in_t & _neq(o_c, b_c) & _neq(t_c, b_c) & _neq(o_c, t_c)
+        )
+    return j.filter(pred).count()
+
+
+def _diff_joined(df: DataFrame, base_df: DataFrame, tensors: Sequence[str]) -> DataFrame:
     o = _prefixed(df, "o_", tensors)
     b = _prefixed(base_df, "b_", tensors)
     j = o.join(b, UUID_COL, "full")
     for p in ("o_", "b_"):
         j = j.withColumn(f"{p}in", F.coalesce(F.col(f"{p}in"), F.lit(False)))
+    return j
+
+
+def snapshot_diff_df(
+    df: DataFrame, base_df: DataFrame, tensors: Sequence[str]
+) -> DataFrame:
+    """Changes of one snapshot vs a base as ONE distributed report
+    (reference ``operations/diff.py:188-355``): rows of
+    ``(kind, _uuid, tensor, index, old_value, new_value)`` with kind ∈
+    appended | popped | updated and values cast to string for a uniform
+    schema.  This is the primary diff surface — it never collects, so a
+    100 TB branch diff stays on the executors (write it, join it,
+    aggregate it); the dict form below is a capped convenience."""
+    j = _diff_joined(df, base_df, tensors)
     in_o, in_b = F.col("o_in"), F.col("b_in")
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    parts = [
+        j.filter(in_o & ~in_b).select(
+            F.lit("appended").alias("kind"), F.col(UUID_COL), null_s.alias("tensor"),
+            F.col(f"o_{ROW_ID_COL}").alias("index"),
+            null_s.alias("old_value"), null_s.alias("new_value"),
+        ),
+        j.filter(in_b & ~in_o).select(
+            F.lit("popped").alias("kind"), F.col(UUID_COL), null_s.alias("tensor"),
+            F.col(f"b_{ROW_ID_COL}").alias("index"),
+            null_s.alias("old_value"), null_s.alias("new_value"),
+        ),
+    ]
+    for t in tensors:
+        o_c, b_c = F.col(f"o_{t}"), F.col(f"b_{t}")
+        parts.append(
+            j.filter(in_o & in_b & _neq(o_c, b_c)).select(
+                F.lit("updated").alias("kind"), F.col(UUID_COL),
+                F.lit(t).alias("tensor"),
+                F.col(f"o_{ROW_ID_COL}").alias("index"),
+                b_c.cast("string").alias("old_value"),
+                o_c.cast("string").alias("new_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def snapshot_diff(
+    df: DataFrame,
+    base_df: DataFrame,
+    tensors: Sequence[str],
+    max_rows: int = 100_000,
+) -> dict:
+    """Dict form of :func:`snapshot_diff_df` (reference API shape,
+    ``operations/diff.py:188-355``), materialized only under a row cap —
+    one bounded count job runs first, and an oversized report raises
+    instead of collecting."""
+    j = _diff_joined(df, base_df, tensors)
+    in_o, in_b = F.col("o_in"), F.col("b_in")
+
+    changed = (in_o & ~in_b) | (in_b & ~in_o)
+    for t in tensors:
+        changed = changed | (in_o & in_b & _neq(F.col(f"o_{t}"), F.col(f"b_{t}")))
+    _guard_report_size(
+        j.filter(changed).count(), max_rows, "diff report", "diff(as_dict=False)"
+    )
 
     appended = [r[0] for r in j.filter(in_o & ~in_b).select(UUID_COL).collect()]
     popped = [r[0] for r in j.filter(in_b & ~in_o).select(UUID_COL).collect()]
@@ -299,3 +395,67 @@ def snapshot_diff(df: DataFrame, base_df: DataFrame, tensors: Sequence[str]) -> 
         if rows:
             updated[t] = [r.asDict() for r in rows]
     return {"appended": sorted(appended), "popped": sorted(popped), "updated": updated}
+
+
+def detect_conflicts_df(
+    ours_df: DataFrame,
+    theirs_df: DataFrame,
+    base_df: DataFrame,
+    tensors: Sequence[str],
+) -> DataFrame:
+    """Conflict report as ONE distributed DataFrame:
+    ``(kind, tensor, _uuid, our_index, their_index, our_value,
+    their_value)`` with kind ∈ update | pop_ours_kept (theirs popped) |
+    pop_theirs_kept (ours popped) | append_ours | append_theirs.
+    Values are cast to string for a uniform schema.  Never collects."""
+    j = _joined(ours_df, theirs_df, base_df, tensors)
+    in_o, in_t, in_b = F.col("o_in"), F.col("t_in"), F.col("b_in")
+    null_s = F.lit(None).cast("string")
+    o_idx = F.col(f"o_{ROW_ID_COL}").alias("our_index")
+    t_idx = F.col(f"t_{ROW_ID_COL}").alias("their_index")
+    null_ol = F.lit(None).cast("long").alias("our_index")
+    null_tl = F.lit(None).cast("long").alias("their_index")
+    parts = []
+    for t in tensors:
+        o_c, t_c, b_c = F.col(f"o_{t}"), F.col(f"t_{t}"), F.col(f"b_{t}")
+        divergent = in_b & in_o & in_t & _neq(o_c, b_c) & _neq(t_c, b_c) & _neq(o_c, t_c)
+        parts.append(
+            j.filter(divergent).select(
+                F.lit("update").alias("kind"), F.lit(t).alias("tensor"),
+                F.col(UUID_COL), o_idx, t_idx,
+                o_c.cast("string").alias("our_value"),
+                t_c.cast("string").alias("their_value"),
+            )
+        )
+    parts.append(
+        j.filter(in_b & in_o & ~in_t).select(
+            F.lit("pop_ours_kept").alias("kind"), null_s.alias("tensor"),
+            F.col(UUID_COL), o_idx, null_tl,
+            null_s.alias("our_value"), null_s.alias("their_value"),
+        )
+    )
+    parts.append(
+        j.filter(in_b & ~in_o & in_t).select(
+            F.lit("pop_theirs_kept").alias("kind"), null_s.alias("tensor"),
+            F.col(UUID_COL), null_ol, t_idx,
+            null_s.alias("our_value"), null_s.alias("their_value"),
+        )
+    )
+    parts.append(
+        j.filter(in_o & ~in_b).select(
+            F.lit("append_ours").alias("kind"), null_s.alias("tensor"),
+            F.col(UUID_COL), o_idx, null_tl,
+            null_s.alias("our_value"), null_s.alias("their_value"),
+        )
+    )
+    parts.append(
+        j.filter(in_t & ~in_b).select(
+            F.lit("append_theirs").alias("kind"), null_s.alias("tensor"),
+            F.col(UUID_COL), null_ol, t_idx,
+            null_s.alias("our_value"), null_s.alias("their_value"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

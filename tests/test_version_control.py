@@ -444,3 +444,137 @@ def test_concurrent_stale_takeover_single_winner(base_ds):
     assert len(winners) == 1, winners
     holder = BranchLock(base_ds.log.log_dir, "main").holder()
     assert holder["owner"] == winners[0]
+
+
+def test_diff_dataframe_first_and_row_cap(base_ds):
+    """The scalable diff surface returns DataFrames (no driver collect);
+    the dict convenience refuses to materialize reports beyond its row
+    cap instead of streaming them to the driver."""
+    from muller_spark.versioning.merge import DiffReportTooLargeError
+
+    ds = base_ds
+    ds.checkout("dfdiff", create=True)
+    ds.labels.extend([7, 8])
+    ds.categories.extend(["x", "y"])
+    ds.description.extend(["x", "y"])
+    ds.labels[0] = 42
+    ds.pop(2)
+    ds.commit("changes")
+
+    out = ds.diff("dfdiff", "main", as_dict=False)
+    rep = out["dfdiff"]
+    kinds = {r["kind"]: r for r in rep.collect()}
+    assert rep.count() == 4  # 2 appends + 1 pop + 1 update
+    assert set(kinds) == {"appended", "popped", "updated"}
+    upd = rep.filter(rep.kind == "updated").collect()[0]
+    assert upd["tensor"] == "labels"
+    assert upd["old_value"] == "0" and upd["new_value"] == "42"
+    # the base side of the diff is empty relative to the LCA
+    assert out["main"].count() == 0
+
+    # dict form still works under the cap ...
+    d = ds.diff("dfdiff", "main")["dfdiff"]
+    assert len(d["appended"]) == 2 and len(d["popped"]) == 1
+    # ... and refuses beyond it rather than collecting unboundedly
+    with pytest.raises(DiffReportTooLargeError, match="DataFrame"):
+        ds.diff("dfdiff", "main", max_rows=2)
+
+
+def test_detect_conflicts_dataframe_and_cap(base_ds):
+    from muller_spark.versioning.merge import DiffReportTooLargeError
+
+    ds = base_ds
+    ds.checkout("c1", create=True)
+    ds.labels[1] = 111
+    ds.commit("ours")
+    ds.checkout("main")
+    ds.checkout("c2", create=True)
+    ds.labels[1] = 222
+    ds.commit("theirs")
+    ds.checkout("c1")
+
+    rep = ds.detect_merge_conflict("c2", as_dict=False)
+    rows = rep.collect()
+    assert {r["kind"] for r in rows} == {"update"}
+    (u,) = rows
+    assert u["tensor"] == "labels"
+    assert u["our_value"] == "111" and u["their_value"] == "222"
+
+    with pytest.raises(DiffReportTooLargeError):
+        ds.detect_merge_conflict("c2", max_rows=0)
+
+
+def test_commit_log_against_nonlocal_scheme(spark):
+    """The metadata layer (commit log, refs, snapshot manifests) must run
+    against a non-POSIX filesystem: register an in-memory scheme and
+    exercise init/commit/branch/resolve/log end to end through the fs
+    seam (muller_spark/fs.py) — no open()/os.* touches the scheme path."""
+    from muller_spark.fs import register_fs
+    from muller_spark.versioning.log import CommitLog
+
+    class MemFS:
+        files: dict = {}
+        dirs: set = set()
+
+        def _norm(self, p):
+            return p.rstrip("/")
+
+        def read_text(self, p):
+            return self.files[self._norm(p)]
+
+        def write_text(self, p, t):
+            self.files[self._norm(p)] = t
+
+        def append_text(self, p, t):
+            self.files[self._norm(p)] = self.files.get(self._norm(p), "") + t
+
+        def exists(self, p):
+            return self._norm(p) in self.files or self.isdir(p)
+
+        def isdir(self, p):
+            return self._norm(p) in self.dirs
+
+        def listdir(self, p):
+            p = self._norm(p) + "/"
+            names = {f[len(p):].split("/")[0] for f in self.files if f.startswith(p)}
+            names |= {d[len(p):].split("/")[0] for d in self.dirs if d.startswith(p)}
+            return sorted(names)
+
+        def makedirs(self, p):
+            parts = self._norm(p).split("/")
+            for i in range(len(parts)):
+                self.dirs.add("/".join(parts[: i + 1]))
+
+        def remove(self, p):
+            del self.files[self._norm(p)]
+
+        def rename(self, src, dst):
+            raise NotImplementedError
+
+        def rmtree(self, p):
+            p = self._norm(p)
+            for f in [f for f in self.files if f.startswith(p)]:
+                del self.files[f]
+            self.dirs = {d for d in self.dirs if not d.startswith(p)}
+
+    register_fs("memfs", MemFS)
+    log = CommitLog("memfs://bucket/ds1")
+    assert not log.exists()
+    log.init(schema_json=None, tensor_meta={})
+    assert log.exists() and log.branches() == ["main"]
+
+    c1 = log.commit(
+        parent_ids=[log.get_ref("main")], branch="main", message="one",
+        data_dirs=["data/abc"], schema_json=None, tensor_meta={},
+        row_count=10, next_uuid=10,
+    )
+    log.set_ref("dev", c1.commit_id)
+    assert log.branches() == ["dev", "main"]
+    assert log.get_ref("main") == c1.commit_id
+    assert log.resolve("dev").commit_id == c1.commit_id
+    assert [s.message for s in log.log(c1.commit_id)] == ["one", "initial commit"]
+    assert "memfs://bucket/ds1/_log/commits.jsonl".rstrip("/") in MemFS.files or any(
+        "commits.jsonl" in k for k in MemFS.files
+    )
+    log.delete_ref("dev")
+    assert log.branches() == ["main"]
