@@ -490,6 +490,24 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of q_embedding_pairs: hyperplane-LSH buckets +
+    exact re-rank (operators/dedup.embedding_near_dups) instead of the
+    brute-force broadcast cross join.  This is the 100 TB path — the
+    bench exercises it so regressions in the bucketed pipeline (lost
+    map-only kernel, N² blow-up) show up in wall time.  No SQL oracle —
+    the candidate set is LSH-dependent; correctness vs the brute oracle
+    is asserted in tests/test_search_and_dedup.py."""
+    from muller_spark.operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dups(
+        emb, "embedding", "vec_id", threshold=0.3, num_planes=6, num_tables=8,
+        dim=64,
+    )
+    return out.orderBy("id_a", "id_b")
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (no SQL oracle —
     signature-permutation semantics; verified by tests/test_search_and_dedup)."""
@@ -970,6 +988,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_l2": q_knn_l2,
     "q_knn_ivf": q_knn_ivf,
     "q_embedding_pairs": q_embedding_pairs,
+    "q_embedding_near_dups": q_embedding_near_dups,
     "q_minhash_pairs": q_minhash_pairs,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_bpe_tokens": q_bpe_tokens,

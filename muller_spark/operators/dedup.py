@@ -254,11 +254,21 @@ def simhash_near_dups(
     id_col: str,
     max_hamming: int = 3,
     num_blocks: int = 4,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Pairs within a Hamming radius, via the block-permutation trick:
     split 64 bits into ``num_blocks`` blocks; any pair within distance
     ``max_hamming < num_blocks`` shares at least one exact block →
-    bucket-join on (block_idx, block_value), verify bit_count."""
+    bucket-join on (block_idx, block_value), verify bit_count.
+
+    **Hot-bucket guard**: a degenerate block value (e.g. simhash 0 from
+    empty/near-empty docs) can put a huge fraction of the corpus in one
+    bucket and make the self-join quadratic.  Buckets larger than
+    ``max_bucket_size`` are dropped before the join (one extra count
+    aggregation, bounded output).  Pairs inside a dropped bucket are
+    still found through any of their other ``num_blocks - 1`` shared
+    blocks unless those are all equally degenerate — i.e. near-empty
+    junk documents, which exact dedup upstream should remove anyway."""
     sh = simhash(df, text_col, id_col).cache()
     width = 64 // num_blocks
     blocks = F.array(*[
@@ -267,6 +277,16 @@ def simhash_near_dups(
         for i in range(num_blocks)
     ])
     keyed = sh.select("id", "simhash", F.posexplode(blocks).alias("block", "key"))
+    bucket_sizes = keyed.groupBy("block", "key").agg(
+        F.count(F.lit(1)).alias("_bucket_n")
+    )
+    keyed = (
+        keyed.join(
+            F.broadcast(bucket_sizes.filter(F.col("_bucket_n") > max_bucket_size)),
+            ["block", "key"],
+            "left_anti",
+        )
+    )
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
         a.join(b, (F.col("a.block") == F.col("b.block"))
@@ -288,6 +308,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_freq: "int | None" = 10_000,
 ) -> DataFrame:
     """Exact Jaccard over token n-gram sets for pairs sharing ≥1 shingle.
 
@@ -300,6 +321,18 @@ def ngram_jaccard_pairs(
         _shingles(F.col(text_col), n).alias("shingles"),
     ).withColumn("size", F.size("shingles")).cache()
     exploded = sh.select("id", "size", F.explode("shingles").alias("shingle"))
+    if max_shingle_freq is not None:
+        # stop-shingle cutoff: a shingle present in a large fraction of
+        # docs contributes O(freq²) join rows while carrying no
+        # discriminative signal — the classic df-cutoff from IR.  The
+        # |A∩B| undercount this causes is bounded by the dropped
+        # shingles' share of each doc, so high-threshold pairs survive.
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_freq)
+        )
+        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -324,6 +357,7 @@ def embedding_near_dups(
     num_planes: int = 10,
     num_tables: int = 6,
     seed: int = 42,
+    dim: "int | None" = None,
 ) -> DataFrame:
     """Cosine-similarity ≥ threshold pairs via hyperplane-LSH buckets +
     exact re-rank (same tables as index.vector.ann_knn)."""
@@ -332,10 +366,13 @@ def embedding_near_dups(
     from muller_spark.index.vector import _hyperplanes
 
     spark = df.sparkSession
-    first = df.select(vec_col).first()
-    if first is None:
-        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
-    dim = len(first[0])
+    if dim is None:
+        # fallback probe — one extra job; callers that know the
+        # embedding width should pass ``dim`` explicitly
+        first = df.select(vec_col).first()
+        if first is None:
+            return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+        dim = len(first[0])
     planes = [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
     bp = spark.sparkContext.broadcast(planes)
 

@@ -529,3 +529,31 @@ def test_vector_index_lifecycle_roundtrip(spark, tmp_path):
     assert not _os.path.isdir(idx_dir)
     with pytest.raises(VectorIndexNotFoundError):
         ds.load_vector_index("vec")
+
+
+def test_simhash_hot_bucket_guard(spark):
+    """A corpus dominated by empty docs (simhash 0 → one degenerate
+    bucket per block) must not go quadratic: with a small
+    max_bucket_size the join prunes the hot buckets, still finds pairs
+    among real documents, and completes at a size where the unguarded
+    N² join would be 25M bucket pairs."""
+    from muller_spark.operators.dedup import simhash_near_dups
+    from pyspark.sql import functions as F
+
+    n = 10_000
+    df = (
+        spark.range(n).withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") < n - 20, F.lit(""))  # degenerate mass
+            .otherwise(F.concat(F.lit("identical near duplicate document body "),
+                                (F.col("doc_id") % 2).cast("string"))),
+        )
+    )
+    pairs = simhash_near_dups(
+        df, "text", "doc_id", max_hamming=3, max_bucket_size=100
+    ).collect()
+    real = {(r["id_a"], r["id_b"]) for r in pairs}
+    # the 20 real docs form 2 identical groups of 10 → 2*C(10,2)=90 pairs
+    assert len(real) == 90
+    assert all(a >= n - 20 and b >= n - 20 for a, b in real)
