@@ -397,6 +397,93 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function battery (SURVEY §2.11 — the reference ports none
+    because ``pyspark.sql.functions`` covers them natively; this query
+    is the oracle-checked evidence that the common string/math/null
+    functions agree with ANSI SQL semantics engine-to-engine)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderpriority")).alias("prio_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.length(F.col("o_orderpriority")).alias("prio_len"),
+        F.concat_ws("#", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("tag"),
+        F.round(F.col("o_totalprice") * 0.07, 2).alias("tax"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("dist_from_100k"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
+    ).orderBy("o_orderkey")
+
+
+def q_percentile_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the grouped form of
+    q_statistics_exact's median; reference statistics.py histogram/
+    quantile surface).  Full sort per group by declared intent — the
+    100 TB path swaps in percentile_approx (q_statistics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic battery over the order→ship timeline (datediff,
+    date_add, month truncation, extraction) — engine-portable date
+    semantics, broadcast-joining the 1:N orders side."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+    ship = F.col("l_shipdate").cast("date")
+    ordered = F.col("o_orderdate").cast("date")
+    return j.select(
+        "o_orderkey",
+        "l_linenumber",
+        F.datediff(ship, ordered).cast("long").alias("days_to_ship"),
+        F.date_add(ordered, 30).alias("due_date"),
+        F.trunc(ordered, "month").alias("order_month"),
+        F.year(ordered).cast("long").alias("order_year"),
+        F.dayofweek(ordered).cast("long").alias("order_dow"),
+        (F.datediff(ship, ordered) > 60).alias("late"),
+    ).orderBy("o_orderkey", "l_linenumber")
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-style conditional aggregation: per-status metrics computed
+    in one pass over orders (no self-joins, one shuffle)."""
+    orders = _t(spark, sf_dir, "orders")
+    is_urgent = F.col("o_orderpriority") == "1-URGENT"
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(is_urgent, 1).otherwise(0)).alias("n_urgent"),
+            F.sum(F.when(is_urgent, price).otherwise(F.lit(0).cast("decimal(18,2)")))
+            .cast("double")
+            .alias("urgent_revenue"),
+            F.round(
+                F.avg(F.when(~is_urgent, F.col("o_totalprice"))), 6
+            ).alias("avg_non_urgent_price"),
+            F.countDistinct(F.when(is_urgent, F.col("o_custkey"))).alias(
+                "urgent_customers"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized content (case-fold + whitespace collapse)."""
     from muller_spark.operators.dedup import exact_dedup
@@ -982,6 +1069,10 @@ def q_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_normalized": q_dedup_normalized,
+    "q_scalar_functions": q_scalar_functions,
+    "q_percentile_groups": q_percentile_groups,
+    "q_date_arith": q_date_arith,
+    "q_conditional_agg": q_conditional_agg,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
     "q_fingerprint": q_fingerprint,
@@ -1353,6 +1444,58 @@ _ORACLES: dict[str, str] = {
                      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
                  AS corr_qty_price
         FROM s
+    """,
+    "q_scalar_functions": """
+        SELECT o_orderkey,
+               upper(o_orderpriority) AS prio_upper,
+               substring(o_orderpriority, 1, 1) AS prio_code,
+               length(o_orderpriority) AS prio_len,
+               concat_ws('#', o_orderstatus, o_orderpriority) AS tag,
+               round(o_totalprice * 0.07, 2) AS tax,
+               abs(o_totalprice - 100000.0) AS dist_from_100k,
+               cast(floor(o_totalprice / 1000) AS bigint) AS price_band,
+               coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+               cast(((o_orderkey % 7) + 7) % 7 AS bigint) AS key_mod7
+        FROM orders WHERE o_orderkey <= 200
+        ORDER BY o_orderkey
+    """,
+    "q_percentile_groups": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+               round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q_date_arith": """
+        SELECT o_orderkey, l_linenumber,
+               cast(date_diff('day', cast(o_orderdate AS date),
+                              cast(l_shipdate AS date)) AS bigint) AS days_to_ship,
+               cast(cast(o_orderdate AS date) + INTERVAL 30 DAY AS date) AS due_date,
+               cast(date_trunc('month', cast(o_orderdate AS date)) AS date)
+                 AS order_month,
+               cast(year(cast(o_orderdate AS date)) AS bigint) AS order_year,
+               cast(dayofweek(cast(o_orderdate AS date)) + 1 AS bigint) AS order_dow,
+               date_diff('day', cast(o_orderdate AS date),
+                         cast(l_shipdate AS date)) > 60 AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_orderkey <= 200
+        ORDER BY o_orderkey, l_linenumber
+    """,
+    "q_conditional_agg": """
+        SELECT o_orderstatus,
+               count(*) AS n,
+               sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+               cast(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN cast(o_totalprice AS decimal(18,2))
+                             ELSE cast(0 AS decimal(18,2)) END) AS double)
+                 AS urgent_revenue,
+               round(avg(CASE WHEN o_orderpriority <> '1-URGENT'
+                              THEN o_totalprice END), 6) AS avg_non_urgent_price,
+               count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+                                   THEN o_custkey END) AS urgent_customers
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "q_statistics_exact": """
         SELECT count(*) AS n_rows,

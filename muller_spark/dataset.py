@@ -587,6 +587,81 @@ class Dataset:
         ids = idx.search(q, search_type).withColumnRenamed("id", ROW_ID_COL)
         return self.df.join(ids, ROW_ID_COL, "semi").orderBy(ROW_ID_COL)
 
+    def update_index(self, tensor: str):
+        """Refresh a stale inverted index (reference
+        ``inverted_index_vectorized_ops.py:146`` ``_update_old_index`` /
+        ``:220`` update-or-create decision): after append-only commits,
+        tokenize and merge ONLY the delta rows — O(delta); after a
+        rewrite (update/pop), rebuild, since row ids were renumbered.
+        No-op when the index already matches HEAD."""
+        from muller_spark.index.inverted import InvertedIndex
+
+        path = self._index_path(tensor)
+        if not self.fs.exists(os.path.join(path, "manifest.json")):
+            raise ValueError(f"no index on {tensor!r}; create_index_vectorized first")
+        idx = InvertedIndex(self.spark, path)
+        indexed_commit = idx.manifest.get("commit_id")
+        if indexed_commit == self._snapshot.commit_id:
+            return idx
+        try:
+            old_snap = self.log.get_snapshot(indexed_commit)
+        except KeyError:
+            old_snap = None
+        append_only = old_snap is not None and set(old_snap.data_dirs) <= set(
+            self._snapshot.data_dirs
+        )
+        if append_only:
+            delta = self.df.filter(F.col(ROW_ID_COL) >= old_snap.row_count)
+            return idx.update(delta, commit_id=self._snapshot.commit_id)
+        m = idx.manifest
+        return InvertedIndex.build(
+            self.df, tensor, path, id_col=ROW_ID_COL,
+            index_type=m["index_type"], num_shards=m["num_shards"],
+            case_sensitive=m["case_sensitive"],
+            stop_words=m["stop_words"] or None,
+            commit_id=self._snapshot.commit_id, is_text=m["is_text"],
+        )
+
+    def drop_index(self, tensor: str) -> None:
+        """Delete a tensor's inverted index permanently (lifecycle
+        counterpart of ``drop_vector_index``); searches fall back to
+        scan."""
+        path = self._index_path(tensor)
+        if self.fs.isdir(path):
+            self.fs.rmtree(path)
+
+    def list_indexes(self) -> dict:
+        """All persisted indexes: tensor → kind → metadata summary."""
+        import json as _json
+
+        out: dict = {}
+        inv_root = os.path.join(self.path, "_indexes", "inverted")
+        if self.fs.isdir(inv_root):
+            for tensor in self.fs.listdir(inv_root):
+                mpath = os.path.join(inv_root, tensor, "manifest.json")
+                if self.fs.exists(mpath):
+                    m = _json.loads(self.fs.read_text(mpath))
+                    out.setdefault(tensor, {})["inverted"] = {
+                        "commit_id": m.get("commit_id"),
+                        "fresh": m.get("commit_id") == self._snapshot.commit_id,
+                        "num_shards": m.get("num_shards"),
+                        "tokenizer": m.get("tokenizer"),
+                    }
+        vec_root = os.path.join(self.path, "_indexes", "vector")
+        if self.fs.isdir(vec_root):
+            for tensor in self.fs.listdir(vec_root):
+                for name in self.fs.listdir(os.path.join(vec_root, tensor)):
+                    m = self._vector_manifest(tensor, name)
+                    if m is not None:
+                        out.setdefault(tensor, {})[f"vector/{name}"] = {
+                            "commit_id": m.get("commit_id"),
+                            "fresh": m.get("commit_id") == self._snapshot.commit_id,
+                            "index_type": m.get("index_type"),
+                            "metric": m.get("metric"),
+                            "loaded": (tensor, name) in self._vector_loaded,
+                        }
+        return out
+
     def create_vector_index(
         self,
         tensor: str,
@@ -607,7 +682,18 @@ class Dataset:
         self._require_tensor(tensor)
         path = os.path.join(self.path, "_indexes", "vector", tensor, index_name)
         self.fs.makedirs(path)
-        if index_type.upper().startswith("IVF"):
+        if index_type.upper() == "IVFPQ":
+            from muller_spark.index.vector import build_ivfpq_artifacts
+
+            build_ivfpq_artifacts(
+                self.df, tensor, ROW_ID_COL, path,
+                num_centroids=int(hyper.get("nlist", hyper.get("num_centroids", 16))),
+                num_subspaces=int(hyper.get("num_subspaces", hyper.get("m", 8))),
+                codebook_size=int(hyper.get("codebook_size", 256)),
+                sample_size=int(hyper.get("sample_size", 4096)),
+                seed=int(hyper.get("seed", 42)),
+            )
+        elif index_type.upper().startswith("IVF"):
             from muller_spark.index.vector import build_ivf_artifacts
 
             build_ivf_artifacts(
@@ -661,6 +747,18 @@ class Dataset:
                     self.df, tensor_name, ROW_ID_COL, query_vector, topk, metric
                 )
             loaded = self._vector_loaded.get((tensor_name, index_name))
+            if index_type.upper() == "IVFPQ" and os.path.isdir(
+                os.path.join(idx_dir, "codes")
+            ):
+                from muller_spark.index.vector import ivfpq_search
+
+                return ivfpq_search(
+                    self.df, tensor_name, ROW_ID_COL, idx_dir, query_vector,
+                    topk, nprobe=int(hyper.get("nprobe", 4)),
+                    refine=int(hyper.get("refine", 4)),
+                    centroids=loaded.get("centroids") if loaded else None,
+                    codebooks=loaded.get("codebooks") if loaded else None,
+                )
             if os.path.isdir(os.path.join(idx_dir, "assign")):
                 return ivf_search_prebuilt(
                     self.df, tensor_name, ROW_ID_COL, idx_dir, query_vector,
@@ -711,6 +809,10 @@ class Dataset:
         idx_dir = os.path.join(self.path, "_indexes", "vector", tensor_name, index_name)
         if os.path.isdir(os.path.join(idx_dir, "centroids")):
             state["centroids"] = load_ivf_centroids(self.spark, idx_dir)
+        if os.path.isdir(os.path.join(idx_dir, "codebooks")):
+            from muller_spark.index.vector import load_pq_codebooks
+
+            state["codebooks"] = load_pq_codebooks(self.spark, idx_dir)
         self._vector_loaded[(tensor_name, index_name)] = state
 
     def unload_vector_index(self, tensor_name: str, index_name: str = "default") -> None:
@@ -743,7 +845,15 @@ class Dataset:
         if m.get("commit_id") == self._snapshot.commit_id:
             return
         idx_dir = os.path.join(self.path, "_indexes", "vector", tensor_name, index_name)
-        if os.path.isdir(os.path.join(idx_dir, "assign")):
+        if os.path.isdir(os.path.join(idx_dir, "codes")):
+            from muller_spark.index.vector import append_ivfpq_codes
+
+            known = self.spark.read.parquet(os.path.join(idx_dir, "codes")).select("id")
+            delta = self.df.select(ROW_ID_COL, tensor_name).join(
+                known.withColumnRenamed("id", ROW_ID_COL), ROW_ID_COL, "left_anti"
+            )
+            append_ivfpq_codes(delta, tensor_name, ROW_ID_COL, idx_dir)
+        elif os.path.isdir(os.path.join(idx_dir, "assign")):
             known = self.spark.read.parquet(os.path.join(idx_dir, "assign")).select("id")
             delta = self.df.select(ROW_ID_COL, tensor_name).join(
                 known.withColumnRenamed("id", ROW_ID_COL), ROW_ID_COL, "left_anti"

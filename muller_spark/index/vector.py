@@ -595,3 +595,303 @@ def ivf_search_prebuilt(
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "distance", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (IVFPQ) — compressed codes + asymmetric distance
+# ---------------------------------------------------------------------------
+
+def _kmeans(mat: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    k = min(k, len(mat))
+    centroids = mat[rng.choice(len(mat), size=k, replace=False)]
+    for _ in range(iters):
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    num_subspaces: int = 8,
+    codebook_size: int = 256,
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantizer training (FAISS IVFPQ analogue — reference
+    builds ``IVFPQ`` via faiss at ``core/vector/vector_index.py:199-255``,
+    ``algorithms/faiss_index.py``): split the dimension into
+    ``num_subspaces`` contiguous slices and run k-means per slice on a
+    bounded uniform sample.  Returns ``(m, codebook_size, dsub)``.
+
+    A d-dim float32 vector compresses to ``num_subspaces`` uint8 codes —
+    e.g. 64-d → 8 bytes, a 32× reduction — which is what makes a
+    billion-vector corpus scannable from memory/parquet at 100 TB scale.
+    """
+    rows = df.select(vec_col).rdd.takeSample(False, sample_size, seed)
+    mat = np.asarray([r[0] for r in rows], dtype=np.float64)
+    dim = mat.shape[1]
+    if dim % num_subspaces:
+        raise ValueError(f"dim {dim} not divisible by num_subspaces {num_subspaces}")
+    dsub = dim // num_subspaces
+    books = np.empty((num_subspaces, min(codebook_size, len(mat)), dsub))
+    for m_i in range(num_subspaces):
+        sub = mat[:, m_i * dsub : (m_i + 1) * dsub]
+        books[m_i] = _kmeans(sub, codebook_size, iters, seed + m_i)
+    return books
+
+
+def build_ivfpq_artifacts(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    num_centroids: int = 16,
+    num_subspaces: int = 8,
+    codebook_size: int = 256,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> None:
+    """Materialize an IVFPQ index: coarse ``centroids`` + PQ
+    ``codebooks`` (both tiny parquet) + ``codes`` — one row per vector
+    ``(id, cell, code array<short>)``, partitioned by cell.  The codes
+    table is the compressed corpus representation ADC scans read; the
+    raw vectors are only touched again by the optional refine stage."""
+    import os
+
+    spark = df.sparkSession
+    centroids = train_centroids(df, vec_col, num_centroids, sample_size, seed=seed)
+    books = train_pq_codebooks(
+        df, vec_col, num_subspaces, codebook_size, sample_size, seed=seed
+    )
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    book_rows = [
+        (int(m_i), int(c_i), [float(x) for x in books[m_i, c_i]])
+        for m_i in range(books.shape[0])
+        for c_i in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        book_rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+
+    bc = spark.sparkContext.broadcast((centroids, books))
+
+    def encode(iterator):
+        import pandas as pd
+
+        cents, bks = bc.value
+        m_sub, _, dsub = bks.shape
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            cell = _distances(mat, cents, "l2").argmin(axis=1)
+            codes = np.empty((len(mat), m_sub), dtype=np.int16)
+            for m_i in range(m_sub):
+                sub = mat[:, m_i * dsub : (m_i + 1) * dsub]
+                codes[:, m_i] = _distances(sub, bks[m_i], "l2").argmin(axis=1)
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "cell": cell.astype(np.int32),
+                "code": list(codes),
+            })
+
+    (
+        ensure_parallelism(df.select(id_col, vec_col))
+        .mapInPandas(encode, "id long, cell int, code array<smallint>")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "codes"))
+    )
+
+
+def load_pq_codebooks(spark, path: str) -> np.ndarray:
+    import os
+
+    rows = (
+        spark.read.parquet(os.path.join(path, "codebooks"))
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    m_sub = max(r["subspace"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["centroid"])
+    books = np.empty((m_sub, k, dsub))
+    for r in rows:
+        books[r["subspace"], r["code"]] = r["centroid"]
+    return books
+
+
+def ivfpq_search(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    query_vectors,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+    centroids: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVFPQ search with asymmetric distance computation (ADC):
+
+    1. probe the ``nprobe`` nearest coarse cells per query;
+    2. per query, precompute the (m, codebook_size) lookup table of
+       squared L2 from each query subvector to every codebook entry —
+       driver-side, tiny, broadcast;
+    3. scan only the probed partitions of the ``codes`` table: distance
+       ≈ sum over subspaces of LUT[m, code] — a uint8-indexed gather,
+       no float vectors read at all;
+    4. keep ``refine * k`` ADC candidates per query, then re-rank them
+       EXACTLY against the raw vectors (the FAISS refine/rerank stage),
+       so small quantization error cannot reorder the final top-k.
+
+    L2 metric (ADC decomposes over subspaces for squared L2)."""
+    import os
+
+    spark = df.sparkSession
+    q = _as_matrix(query_vectors)
+    if centroids is None:
+        centroids = load_ivf_centroids(spark, path)
+    if codebooks is None:
+        codebooks = load_pq_codebooks(spark, path)
+    m_sub, book_k, dsub = codebooks.shape
+
+    cd = _distances(centroids, q, "l2")
+    probe_rows = [
+        (qi, int(c)) for qi in range(q.shape[0]) for c in np.argsort(cd[:, qi])[:nprobe]
+    ]
+    cells = sorted({c for _, c in probe_rows})
+    probe_sets = {}
+    for qi, c in probe_rows:
+        probe_sets.setdefault(qi, set()).add(c)
+
+    # ADC lookup tables: (nq, m, book_k)
+    luts = np.empty((q.shape[0], m_sub, book_k))
+    for qi in range(q.shape[0]):
+        for m_i in range(m_sub):
+            sub_q = q[qi, m_i * dsub : (m_i + 1) * dsub][None, :]
+            luts[qi, m_i] = _distances(codebooks[m_i], sub_q, "l2")[:, 0]
+
+    bc = spark.sparkContext.broadcast((luts, probe_sets))
+    cand_per_part = max(refine * k, k)
+
+    def adc_scan(iterator):
+        import pandas as pd
+
+        lut, probes = bc.value
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            codes = np.stack(pdf["code"].map(np.asarray))  # (n, m)
+            cells_col = pdf["cell"].to_numpy()
+            out = []
+            for qi, probe in probes.items():
+                mask = np.isin(cells_col, list(probe))
+                if not mask.any():
+                    continue
+                sub_codes = codes[mask]
+                dist = np.zeros(len(sub_codes))
+                for m_i in range(sub_codes.shape[1]):
+                    dist += lut[qi, m_i, sub_codes[:, m_i]]
+                take = min(cand_per_part, len(dist))
+                idx = np.argpartition(dist, take - 1)[:take]
+                out.append(pd.DataFrame({
+                    "query_id": qi,
+                    "id": pdf["id"].to_numpy()[mask][idx],
+                    "adc": dist[idx],
+                }))
+            if out:
+                yield pd.concat(out)
+
+    codes_df = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("cell").isin(cells)  # partition pruning on probed cells
+    )
+    adc = codes_df.mapInPandas(adc_scan, "query_id int, id long, adc double")
+    from pyspark.sql import Window
+
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("id").asc())
+    shortlist = (
+        adc.withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= refine * k)
+        .select("query_id", "id")
+    )
+
+    # exact refine of the shortlist against the raw vectors
+    with_vec = shortlist.join(df.select(F.col(id_col).alias("id"), vec_col), "id")
+    bq = spark.sparkContext.broadcast(q)
+
+    def rerank(iterator):
+        import pandas as pd
+
+        qm = bq.value
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            dist = np.empty(len(pdf))
+            for qi in np.unique(pdf["query_id"].to_numpy()):
+                mask = (pdf["query_id"] == qi).to_numpy()
+                dist[mask] = _distances(mat[mask], qm[int(qi)][None, :], "l2")[:, 0]
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"], "id": pdf["id"], "distance": dist,
+            })
+
+    scored = with_vec.mapInPandas(rerank, "query_id int, id long, distance double")
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "distance", "rank")
+    )
+
+
+def append_ivfpq_codes(
+    df_delta: DataFrame, vec_col: str, id_col: str, path: str
+) -> None:
+    """Incremental IVFPQ maintenance: encode only the delta rows with the
+    EXISTING centroids and codebooks, append to ``codes`` — O(delta)."""
+    import os
+
+    spark = df_delta.sparkSession
+    centroids = load_ivf_centroids(spark, path)
+    books = load_pq_codebooks(spark, path)
+    bc = spark.sparkContext.broadcast((centroids, books))
+
+    def encode(iterator):
+        import pandas as pd
+
+        cents, bks = bc.value
+        m_sub, _, dsub = bks.shape
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            cell = _distances(mat, cents, "l2").argmin(axis=1)
+            codes = np.empty((len(mat), m_sub), dtype=np.int16)
+            for m_i in range(m_sub):
+                sub = mat[:, m_i * dsub : (m_i + 1) * dsub]
+                codes[:, m_i] = _distances(sub, bks[m_i], "l2").argmin(axis=1)
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "cell": cell.astype(np.int32),
+                "code": list(codes),
+            })
+
+    (
+        ensure_parallelism(df_delta.select(id_col, vec_col))
+        .mapInPandas(encode, "id long, cell int, code array<smallint>")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "codes"))
+    )

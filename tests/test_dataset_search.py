@@ -125,3 +125,44 @@ def test_filter_with_index_query_combination(text_ds):
 
     with pytest.raises(ValueError, match="index_tensor"):
         ds.filter("score < 3", index_query="hello")
+
+
+def test_inverted_index_lifecycle(spark, tmp_path):
+    """update_index refreshes an append-only-stale inverted index with
+    an O(delta) merge, rebuilds after a rewrite, drop_index removes it,
+    and list_indexes reports freshness — the inverted twin of the
+    vector lifecycle (reference inverted_index_vectorized_ops.py:146,
+    vector_search_ops.py:131)."""
+    import muller_spark.dataset as ds_mod
+
+    ds = ds_mod.dataset(str(tmp_path / "ids"), spark)
+    ds.create_tensor("text", htype="text")
+    ds.extend({"text": ["alpha beta", "beta gamma", "gamma delta"]})
+    ds.commit("base")
+    ds.create_index_vectorized("text")
+
+    assert ds.list_indexes()["text"]["inverted"]["fresh"]
+    assert ds.query("text", "beta").count() == 2
+
+    # append-only commit → stale → O(delta) update
+    ds.extend({"text": ["beta epsilon", "zeta"]})
+    ds.commit("more")
+    assert not ds.list_indexes()["text"]["inverted"]["fresh"]
+    with pytest.raises(ValueError, match="no fresh index"):
+        ds.query("text", "beta")
+    ds.update_index("text")
+    assert ds.list_indexes()["text"]["inverted"]["fresh"]
+    assert ds.query("text", "beta").count() == 3
+    assert ds.query("text", "zeta").count() == 1
+
+    # rewrite (update a cell) → rebuild path
+    ds.text[0] = "omega only"
+    ds.commit("rewrite")
+    ds.update_index("text")
+    assert ds.query("text", "omega").count() == 1
+    assert ds.query("text", "alpha").count() == 0
+
+    ds.drop_index("text")
+    assert "text" not in ds.list_indexes() or "inverted" not in ds.list_indexes().get("text", {})
+    with pytest.raises(ValueError, match="no fresh index"):
+        ds.query("text", "beta")

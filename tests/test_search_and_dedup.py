@@ -557,3 +557,83 @@ def test_simhash_hot_bucket_guard(spark):
     # the 20 real docs form 2 identical groups of 10 → 2*C(10,2)=90 pairs
     assert len(real) == 90
     assert all(a >= n - 20 and b >= n - 20 for a, b in real)
+
+
+def test_ivfpq_recall_and_lifecycle(spark, emb, tmp_path):
+    """IVFPQ parity (reference builds FAISS IVFPQ,
+    vector_index.py:199-255): ADC over uint8 codes + exact refine must
+    reach recall@10 >= 0.8 vs exact on the 64-d embeddings, and the
+    Dataset IVFPQ route must serve searches from the persisted codes
+    table (32x-compressed corpus representation) including O(delta)
+    update after a commit."""
+    from muller_spark.index.vector import (
+        build_ivfpq_artifacts,
+        ivfpq_search,
+    )
+
+    path = str(tmp_path / "pq")
+    build_ivfpq_artifacts(
+        emb, "embedding", "vec_id", path,
+        num_centroids=8, num_subspaces=8, codebook_size=64, sample_size=500,
+    )
+    rows = emb.limit(3).collect()
+    q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    exact = exact_knn(emb, "embedding", "vec_id", q, k=10, metric="l2").collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["id"])
+
+    # exhaustive coarse probe isolates what this test is about: the
+    # PQ/ADC+refine quality itself.  (The coarse-probe recall ceiling at
+    # partial nprobe matches plain IVF — the near-uniform synthetic
+    # embeddings cluster poorly — and is covered by the IVF tests.)
+    got = ivfpq_search(
+        emb, "embedding", "vec_id", path, q, k=10, nprobe=8, refine=8
+    ).collect()
+    got_sets = {}
+    for r in got:
+        got_sets.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = [
+        len(exact_sets[qi] & got_sets.get(qi, set())) / 10 for qi in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    # codes table really is the compressed representation: m smallints
+    codes = spark.read.parquet(path + "/codes")
+    assert codes.columns == ["id", "code", "cell"] or set(codes.columns) == {"id", "code", "cell"}
+    (first,) = codes.limit(1).collect()
+    assert len(first["code"]) == 8
+
+    # Dataset route: IVFPQ index end to end with update after commit
+    import muller_spark.dataset as ds_mod
+
+    ds = ds_mod.dataset(str(tmp_path / "pqds"), spark)
+    ds.create_tensor("vec", htype="embedding", dtype="float32")
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(160, 16)
+    ds.extend({"vec": [[float(x) for x in v] for v in vecs]})
+    ds.commit("base")
+    ds.create_vector_index("vec", index_type="IVFPQ", metric="l2",
+                           nlist=4, nprobe=4, num_subspaces=4,
+                           codebook_size=32, sample_size=160, refine=8)
+    ds.load_vector_index("vec")
+    assert ds._vector_loaded[("vec", "default")]["codebooks"].shape == (4, 32, 4)
+    got = ds.vector_search(vecs[:2], "vec", topk=5).collect()
+    assert len(got) == 10
+    # the true nearest neighbor of a corpus vector is itself — refine
+    # must surface it at rank 1 despite quantization
+    top1 = {r["query_id"]: r["id"] for r in got if r["rank"] == 1}
+    assert top1[0] == 0 and top1[1] == 1
+
+    more = rng.randn(40, 16)
+    ds.extend({"vec": [[float(x) for x in v] for v in more]})
+    ds.commit("delta")
+    import os as _os
+
+    idx_dir = str(tmp_path / "pqds" / "_indexes" / "vector" / "vec" / "default")
+    before = spark.read.parquet(_os.path.join(idx_dir, "codes")).count()
+    ds.update_vector_index("vec")
+    after = spark.read.parquet(_os.path.join(idx_dir, "codes")).count()
+    assert after - before == 40
+    got2 = ds.vector_search(vecs[:1], "vec", topk=5).collect()
+    assert len(got2) == 5 and got2[0]["id"] == 0
