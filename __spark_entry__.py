@@ -553,6 +553,23 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN top-k via per-partition HNSW (index/vector.hnsw_knn;
+    hnswlib-gated with an exact partition-kernel fallback).  Rows-only —
+    graph search is approximate when hnswlib is present, so no SQL
+    oracle; the recall contract is asserted in
+    tests/test_search_and_dedup.py::test_hnsw_recall_against_exact."""
+    from muller_spark.index.vector import hnsw_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id").isin(0, 1, 2)).orderBy("vec_id").collect()
+    qvecs = [r["embedding"] for r in qrows]
+    out = hnsw_knn(emb, "embedding", "vec_id", qvecs, k=10, metric="l2")
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"), "id", "rank"
+    )
+
+
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine similarity ≥ 0.3 (brute force, broadcast side)."""
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -1080,6 +1097,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_ivf": q_knn_ivf,
     "q_embedding_pairs": q_embedding_pairs,
     "q_embedding_near_dups": q_embedding_near_dups,
+    "q_knn_hnsw": q_knn_hnsw,
     "q_minhash_pairs": q_minhash_pairs,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_bpe_tokens": q_bpe_tokens,

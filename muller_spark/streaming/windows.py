@@ -139,3 +139,28 @@ def join_streams(
     for k in on:
         cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
     return l.join(r, cond, how)
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: "tuple[str, ...]",
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication — the ingest-time twin of
+    ``operators/dedup.exact_dups`` for a training-data firehose: rows
+    whose ``key_cols`` already appeared are dropped as they stream in.
+
+    With ``ts_col`` set, state is watermark-bounded
+    (``dropDuplicatesWithinWatermark``): a duplicate arriving within the
+    watermark horizon of its first occurrence is dropped, and state for
+    keys older than the watermark is evicted — bounded memory forever,
+    the only shape that survives an unbounded 100 TB/day stream.
+    Without ``ts_col`` it falls back to global ``dropDuplicates``
+    (state grows with distinct keys — fine for bounded backfills).
+    """
+    if ts_col is not None:
+        return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return stream.dropDuplicates(list(key_cols))

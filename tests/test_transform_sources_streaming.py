@@ -504,3 +504,48 @@ def test_join_streams_full_outer_matches_batch(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_dedup_stream_drops_duplicates(spark, tmp_path):
+    """Streaming exact dedup (dedup_stream): duplicate keys arriving
+    across micro-batches are dropped; watermark bounds the state.  Run
+    a two-batch file stream with overlap and compare against batch
+    dropDuplicates."""
+    import datetime as dt
+
+    from muller_spark.streaming.windows import dedup_stream, stream_from_directory
+
+    src = tmp_path / "dd_in"
+    src.mkdir()
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ])
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(ids, offset):
+        return [(i, t0 + dt.timedelta(seconds=offset + i), f"doc {i}") for i in ids]
+
+    spark.createDataFrame(rows([1, 2, 3, 2], 0), schema).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    spark.createDataFrame(rows([3, 4, 5, 1], 10), schema).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+
+    stream = stream_from_directory(spark, str(src) + "/*", schema,
+                                   max_files_per_trigger=1)
+    out = dedup_stream(stream, ("doc_id",), ts_col="ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("dd_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT doc_id FROM dd_out").collect()
+    ids = sorted(r["doc_id"] for r in got)
+    assert ids == [1, 2, 3, 4, 5], ids

@@ -578,3 +578,53 @@ def test_commit_log_against_nonlocal_scheme(spark):
     )
     log.delete_ref("dev")
     assert log.branches() == ["main"]
+
+
+def test_delta_log_export(base_ds, spark):
+    """export_delta_log writes a protocol-conformant _delta_log: one
+    version per commit (first-parent), add actions whose paths are real
+    parquet files that reconstruct each version's row count, remove
+    actions on rewrites, and a metaData/protocol header at version 0."""
+    import glob
+    import json as _json
+    import os as _os
+
+    from muller_spark.versioning.delta_export import export_delta_log
+
+    ds = base_ds
+    ds.extend({"labels": [9], "categories": ["x"], "description": ["d"]})
+    ds.commit("append one")          # append-only: adds only
+    ds.labels[0] = 77
+    ds.commit("rewrite")             # copy-on-write: removes + adds
+
+    delta_dir = export_delta_log(ds)
+    files = sorted(glob.glob(_os.path.join(delta_dir, "*.json")))
+    # initial + base fixture commit + append + rewrite = 4 versions
+    assert len(files) == 4
+    assert _os.path.basename(files[0]) == "00000000000000000000.json"
+
+    def actions(path):
+        return [_json.loads(line) for line in open(path) if line.strip()]
+
+    v0 = actions(files[0])
+    assert any("protocol" in a for a in v0)
+    live: set = set()
+    for f in files:
+        for a in actions(f):
+            if "add" in a:
+                live.add(a["add"]["path"])
+                assert _os.path.exists(_os.path.join(ds.path, a["add"]["path"]))
+            elif "remove" in a:
+                live.discard(a["remove"]["path"])
+            elif "metaData" in a:
+                assert "fields" in a["metaData"]["schemaString"]
+    # the surviving file set IS the current table state
+    got = spark.read.parquet(*[
+        _os.path.join(ds.path, p) for p in sorted(live)
+    ])
+    assert got.count() == len(ds)
+    assert sorted(r["labels"] for r in got.select("labels").collect()) == \
+        sorted(ds.labels.numpy().tolist())
+    # the rewrite version must carry remove actions
+    last = actions(files[-1])
+    assert any("remove" in a for a in last)
