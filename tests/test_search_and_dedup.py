@@ -637,3 +637,37 @@ def test_ivfpq_recall_and_lifecycle(spark, emb, tmp_path):
     assert after - before == 40
     got2 = ds.vector_search(vecs[:1], "vec", topk=5).collect()
     assert len(got2) == 5 and got2[0]["id"] == 0
+
+
+def test_index_scans_partition_prune(spark, emb, tmp_path, tmp_path_factory):
+    """The scale claims in EXPLAIN.md, asserted: (1) an inverted-index
+    term lookup reads only the probed posting shards (PartitionFilters
+    on `shard`), (2) an IVF prebuilt search reads only the probed cells
+    of the assignment table (PartitionFilters on `cell`)."""
+    from muller_spark.index.vector import build_ivf_artifacts, ivf_search_prebuilt
+    from pyspark.sql import functions as F
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i % 50} common text") for i in range(500)],
+        "doc_id long, text string",
+    )
+    ipath = str(tmp_path_factory.mktemp("idx") / "prune_index")
+    idx = InvertedIndex.build(docs, "text", ipath, id_col="doc_id", num_shards=8)
+    lookup_plan = plan_of(idx._lookup_terms(["word7"]))
+    assert "PartitionFilters: [" in lookup_plan
+    # the shard filter must actually reach the parquet scan
+    assert "shard" in lookup_plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+
+    vpath = str(tmp_path / "ivf")
+    build_ivf_artifacts(emb, "embedding", "vec_id", vpath,
+                        num_centroids=8, sample_size=500)
+    (qrow,) = emb.limit(1).collect()
+    search_plan = plan_of(
+        ivf_search_prebuilt(emb, "embedding", "vec_id", vpath,
+                            [qrow["embedding"]], k=5, nprobe=2)
+    )
+    seg = search_plan.split("PartitionFilters: [", 1)
+    assert len(seg) == 2 and "cell" in seg[1].split("]", 1)[0], search_plan[:2000]
