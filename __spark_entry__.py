@@ -263,6 +263,31 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (operators/joins.salted_join): the
+    orders→customer join runs on (key, salt) so a hot customer spreads
+    over 8 shuffle partitions; the aggregate result is salt-invariant,
+    so the plain-join SQL is a full value oracle — correctness of the
+    skew machinery itself is what's being checked."""
+    from muller_spark.operators.joins import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = salted_join(orders, cust, on="o_custkey", num_salts=8)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k (TakeOrderedAndProject, no full sort at scale)."""
     orders = _t(spark, sf_dir, "orders")
@@ -1143,6 +1168,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagination": q_pagination,
     "q_join_revenue": q_join_revenue,
     "q_join_multiway": q_join_multiway,
+    "q_salted_join": q_salted_join,
     "q_topk_orders": q_topk_orders,
     "q_dedup_exact": q_dedup_exact,
     "q_token_stats": q_token_stats,
@@ -1462,6 +1488,13 @@ _ORACLES: dict[str, str] = {
                      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
                  AS corr_qty_price
         FROM s
+    """,
+    "q_salted_join": """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     "q_scalar_functions": """
         SELECT o_orderkey,
