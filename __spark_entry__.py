@@ -669,6 +669,32 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, "text", "doc_id").orderBy("id")
 
 
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs via the engine-portable hash family
+    (operators/dedup.minhash_portable_pairs) — every signature value,
+    band bucket, and est_jaccard is reproduced bit-for-bit by a DuckDB
+    list-function oracle, making the full LSH pipeline value-checked,
+    not just rows-counted."""
+    from muller_spark.operators.dedup import minhash_portable_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_portable_pairs(
+        docs, "text", "doc_id", num_hashes=64, shingle_size=3, bands=16,
+        threshold=0.5,
+    )
+    return out.orderBy("id_a", "id_b")
+
+
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints from the portable md5-prefix hash
+    (operators/dedup.simhash_portable), value-checked against a DuckDB
+    list-function oracle."""
+    from muller_spark.operators.dedup import simhash_portable
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_portable(docs, "text", "doc_id").orderBy("id")
+
+
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -1124,6 +1150,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_near_dups": q_embedding_near_dups,
     "q_knn_hnsw": q_knn_hnsw,
     "q_minhash_pairs": q_minhash_pairs,
+    "q_minhash_portable": q_minhash_portable,
+    "q_simhash_portable": q_simhash_portable,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_bpe_tokens": q_bpe_tokens,
     "q_simhash": q_simhash,
@@ -1189,6 +1217,18 @@ _STOP_EN_SQL = (
     "('a','an','and','are','as','at','be','by','for','from','has','he','in','is',"
     "'it','its','of','on','that','the','to','was','were','will','with')"
 )
+
+# Portable-hash dedup oracles share literals with the Spark operators.
+from muller_spark.operators.dedup import minhash_coefficients  # noqa: E402
+
+_MH_A, _MH_B = minhash_coefficients(64)
+# list of {'a':…,'b':…} structs so the per-hash coefficients are a bound
+# lambda variable, not a 64-element list literal re-indexed per element
+_MH_COEFFS_SQL = "[" + ",".join(
+    "{'a':%d,'b':%d}" % (a, b) for a, b in zip(_MH_A, _MH_B)
+) + "]"
+# 60-bit md5-prefix hash — must mirror operators/dedup.portable_hash60
+_H60_SQL = "('0x'||substr(md5({v}),1,15))::BIGINT"
 
 _ORACLES: dict[str, str] = {
     "q_dedup_normalized": f"""
@@ -1351,6 +1391,64 @@ _ORACLES: dict[str, str] = {
         FROM inter
         WHERE cast(i AS double) / (sa + sb - i) >= 0.5
         ORDER BY id_a, id_b
+    """,
+    "q_minhash_portable": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                 ELSE [array_to_string(t, ' ')] END AS shingles
+          FROM toks
+        ), hs AS (
+          SELECT doc_id,
+                 list_transform(shingles,
+                   s -> {_H60_SQL.format(v='s')} % 2147483647) AS hs
+          FROM sh
+        ), sig AS MATERIALIZED (
+          SELECT doc_id,
+                 list_transform({_MH_COEFFS_SQL},
+                   c -> list_min(list_transform(hs,
+                     h -> (c.a * h + c.b) % 2147483647))) AS sig
+          FROM hs
+        ), banded AS (
+          SELECT doc_id, sig, band,
+                 md5(array_to_string(
+                   list_transform(sig[band*4+1 : band*4+4], x -> x::VARCHAR),
+                   ',')) AS band_hash
+          FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS band)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.sig AS sa, b.sig AS sb
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0
+                 AS est_jaccard
+        FROM cand
+        WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    "q_simhash_portable": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), hs AS (
+          SELECT doc_id,
+                 list_transform(t, s -> {_H60_SQL.format(v='s')}) AS hs
+          FROM toks
+        )
+        SELECT doc_id AS id,
+               cast(coalesce(list_sum(list_transform(generate_series(0, 59),
+                 j -> CASE WHEN 2 * len(list_filter(hs,
+                              h -> (h // cast(pow(2, j) AS BIGINT)) % 2 = 1))
+                            > len(hs)
+                      THEN cast(pow(2, j) AS BIGINT) ELSE 0 END)), 0)
+                 AS BIGINT) AS simhash60
+        FROM hs ORDER BY id
     """,
     "q_rollup": """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -188,6 +188,167 @@ def minhash_lsh_pairs(
     return out
 
 
+def portable_hash60(col: Column) -> Column:
+    """Engine-portable 60-bit string hash: the first 15 hex chars of
+    md5, parsed as an integer.  Identical in Spark
+    (``conv(substr(md5(s),1,15),16,10)``) and DuckDB
+    (``('0x'||substr(md5(s),1,15))::BIGINT``) — the primitive that lets
+    MinHash/SimHash results be value-checked against a SQL oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_coefficients(num_hashes: int) -> "tuple[list[int], list[int]]":
+    """Deterministic affine-permutation coefficients (a_i, b_i) for the
+    portable MinHash family ``(a_i·h + b_i) mod (2^31−1)``.  Generated
+    by fixed integer formulas (not an RNG) so the exact same literals
+    can be embedded in oracle SQL."""
+    p = _MINHASH_PRIME
+    a = [((2654435761 * (i + 1)) % p) or 1 for i in range(num_hashes)]
+    b = [(40503 * (i + 1) * (i + 1) + 12345) % p for i in range(num_hashes)]
+    return a, b
+
+
+def minhash_portable_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Oracle-checkable twin of :func:`minhash_lsh_pairs`: the same
+    shingle → signature → banded-LSH → verify pipeline, but built
+    entirely from JVM higher-order array expressions over the
+    :func:`portable_hash60` family, so a DuckDB list-function oracle
+    reproduces every value bit-for-bit (est_jaccard = k/num_hashes is
+    exact in double when num_hashes is a power of two).
+
+    The numpy-kernel variant stays the production default (measured
+    ~5× faster per signature — HOFs sit outside whole-stage codegen);
+    this one is the cross-engine correctness witness with the identical
+    shuffle shape: map-only signatures, one banded self-join.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    p = _MINHASH_PRIME
+    coeff_a, coeff_b = minhash_coefficients(num_hashes)
+
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            _shingles(F.col(text_col), shingle_size),
+            lambda s: portable_hash60(s) % p,
+        ).alias("hs"),
+    )
+    # Signature as ONE aggregate pass that references `hs` exactly once.
+    # A transform-per-coefficient formulation references `hs` k times,
+    # and projection collapse then inlines the md5+conv shingle pipeline
+    # into every reference — a k× recompute (measured 82 s vs ~2 s at
+    # sf0.01).  The running state zips (current_min, a, b) so every
+    # inner operand is a bound lambda variable.
+    init = F.array(*[
+        F.struct(
+            F.lit(p).cast("long").alias("m"),
+            F.lit(x).cast("long").alias("a"),
+            F.lit(y).cast("long").alias("b"),
+        )
+        for x, y in zip(coeff_a, coeff_b)
+    ])
+    sig_col = F.transform(
+        F.aggregate(
+            F.col("hs"),
+            init,
+            lambda acc, h: F.transform(
+                acc,
+                lambda s: F.struct(
+                    F.least(s["m"], (s["a"] * h + s["b"]) % p).alias("m"),
+                    s["a"].alias("a"),
+                    s["b"].alias("b"),
+                ),
+            ),
+        ),
+        lambda s: s["m"],
+    )
+    # cache: the 16 band hashes and both sides of the self-join each
+    # re-reference `signature` — without a materialization barrier the
+    # whole pipeline re-runs ~30×
+    sig = hashed.select("id", sig_col.alias("signature")).cache()
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice("signature", b * rows + 1, rows),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ),
+    )
+    banded = sig.select(
+        "id", "signature", F.posexplode(band_hashes).alias("band", "band_hash")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    )
+    return candidates.select(
+        "id_a", "id_b",
+        (matches / F.lit(num_hashes)).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= threshold)
+
+
+def simhash_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Oracle-checkable twin of :func:`simhash`: a 60-bit fingerprint
+    from sign-of-bit-votes over :func:`portable_hash60` token hashes
+    (tokens counted with multiplicity, like the kernel).  Pure integer
+    JVM expressions — a DuckDB list-function oracle reproduces every
+    fingerprint exactly.  Returns (id, simhash60)."""
+    tokens = F.filter(
+        F.split(normalized_text(F.col(text_col)), TOKEN_SPLIT_REGEX),
+        lambda t: t != "",
+    )
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens, portable_hash60).alias("hs"),
+    )
+    # bit j set iff strictly more than half the token hashes have bit j
+    # set: 2·ones_j > n.  pow(2, j) is a power of two — exact in double,
+    # so the bigint cast is exact in both engines.
+    packed = F.expr(
+        """
+        aggregate(
+          sequence(0, 59),
+          cast(0 as bigint),
+          (acc, j) -> acc + IF(
+            2 * size(filter(hs, h -> (h div cast(pow(2, j) as bigint)) % 2 = 1))
+              > size(hs),
+            cast(pow(2, j) as bigint),
+            cast(0 as bigint))
+        )
+        """
+    )
+    return hashed.select("id", packed.alias("simhash60"))
+
+
 def simhash(
     df: DataFrame,
     text_col: str,

@@ -173,6 +173,31 @@ def test_ngram_jaccard_exact(dup_docs):
     assert (0, 2) in jac and 0.4 <= jac[(0, 2)] < 1.0
 
 
+def test_minhash_portable_pairs(dup_docs):
+    from muller_spark.operators.dedup import minhash_portable_pairs
+
+    pairs = minhash_portable_pairs(
+        dup_docs, "text", "doc_id",
+        num_hashes=64, shingle_size=2, bands=16, threshold=0.5,
+    ).collect()
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert est[(0, 1)] == 1.0            # identical docs → identical signatures
+    assert (0, 2) in est or (1, 2) in est
+    assert all({a, b} != {3, 5} for a, b in est)
+
+
+def test_simhash_portable_fingerprints(dup_docs):
+    from muller_spark.operators.dedup import simhash_portable
+
+    fp = {r["id"]: r["simhash60"] for r in
+          simhash_portable(dup_docs, "text", "doc_id").collect()}
+    assert fp[0] == fp[1]                # identical docs, identical fingerprint
+    assert 0 <= fp[0] < (1 << 60)
+    # near-dup within small Hamming distance; unrelated docs far apart
+    assert bin(fp[0] ^ fp[2]).count("1") <= 16
+    assert bin(fp[0] ^ fp[3]).count("1") > 16
+
+
 def test_simhash_near_dup(dup_docs):
     pairs = simhash_near_dups(dup_docs, "text", "doc_id", max_hamming=10).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
