@@ -695,6 +695,37 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_portable(docs, "text", "doc_id").orderBy("id")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition signals
+    (operators/quality.repetition_stats): distinct-word fraction,
+    adjacent-duplicate fraction, top bigram/trigram mass — value-checked
+    against a DuckDB list-function oracle."""
+    from muller_spark.operators.quality import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id").orderBy("id")
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (operators/quality.gopher_filter):
+    word-count / mean-word-length / stopword / repetition rules folded
+    into per-rule flags + keep verdict, all oracle-checked."""
+    from muller_spark.operators.quality import gopher_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_filter(docs, "text", "doc_id").orderBy("id")
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / link surface counts (operators/quality.pii_scan): regex
+    match counts with identical leftmost-non-overlap semantics in both
+    engines."""
+    from muller_spark.operators.quality import pii_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    return pii_scan(docs, "text", "doc_id").orderBy("id")
+
+
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -1152,6 +1183,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_pairs": q_minhash_pairs,
     "q_minhash_portable": q_minhash_portable,
     "q_simhash_portable": q_simhash_portable,
+    "q_repetition_stats": q_repetition_stats,
+    "q_gopher_filter": q_gopher_filter,
+    "q_pii_scan": q_pii_scan,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_bpe_tokens": q_bpe_tokens,
     "q_simhash": q_simhash,
@@ -1217,6 +1251,8 @@ _STOP_EN_SQL = (
     "('a','an','and','are','as','at','be','by','for','from','has','he','in','is',"
     "'it','its','of','on','that','the','to','was','were','will','with')"
 )
+# list-literal form of the same stopword set (operators/quality.STOP_WORDS_EN)
+_STOP_EN_SQL_LIST = "[" + _STOP_EN_SQL[1:-1] + "]"
 
 # Portable-hash dedup oracles share literals with the Spark operators.
 from muller_spark.operators.dedup import minhash_coefficients  # noqa: E402
@@ -1449,6 +1485,112 @@ _ORACLES: dict[str, str] = {
                       THEN cast(pow(2, j) AS BIGINT) ELSE 0 END)), 0)
                  AS BIGINT) AS simhash60
         FROM hs ORDER BY id
+    """,
+    "q_repetition_stats": f"""
+        WITH toks AS (
+          SELECT doc_id AS id, {_TOKENS_SQL} AS t FROM documents
+        ), base AS (
+          SELECT id, len(t) AS n_words,
+                 round(CASE WHEN len(t) > 0
+                   THEN len(list_distinct(t)) / cast(len(t) AS double)
+                   ELSE 0 END, 6) AS distinct_word_frac,
+                 round(CASE WHEN len(t) > 1
+                   THEN len(list_filter(range(1, len(t)), i -> t[i] = t[i+1]))
+                        / cast(len(t) - 1 AS double)
+                   ELSE 0 END, 6) AS consec_dup_frac
+          FROM toks
+        ), bi AS (
+          SELECT id, round(max(c) / cast(sum(c) AS double), 6) AS top_bigram_frac
+          FROM (SELECT id, gram, count(*) AS c
+                FROM (SELECT id, unnest(CASE WHEN len(t) >= 2
+                        THEN list_transform(range(1, len(t)),
+                               i -> concat_ws(' ', t[i], t[i+1]))
+                        ELSE []::VARCHAR[] END) AS gram
+                      FROM toks)
+                GROUP BY id, gram)
+          GROUP BY id
+        ), tri AS (
+          SELECT id, round(max(c) / cast(sum(c) AS double), 6) AS top_trigram_frac
+          FROM (SELECT id, gram, count(*) AS c
+                FROM (SELECT id, unnest(CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                        ELSE []::VARCHAR[] END) AS gram
+                      FROM toks)
+                GROUP BY id, gram)
+          GROUP BY id
+        )
+        SELECT base.id, n_words, distinct_word_frac, consec_dup_frac,
+               coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+               coalesce(top_trigram_frac, 0.0) AS top_trigram_frac
+        FROM base LEFT JOIN bi ON base.id = bi.id
+                  LEFT JOIN tri ON base.id = tri.id
+        ORDER BY base.id
+    """,
+    "q_gopher_filter": f"""
+        WITH toks AS (
+          SELECT doc_id AS id, {_TOKENS_SQL} AS t FROM documents
+        ), base AS (
+          SELECT id, len(t) AS n_words,
+                 round(CASE WHEN len(t) > 1
+                   THEN len(list_filter(range(1, len(t)), i -> t[i] = t[i+1]))
+                        / cast(len(t) - 1 AS double)
+                   ELSE 0 END, 6) AS consec_dup_frac,
+                 round(CASE WHEN len(t) > 0
+                   THEN list_sum(list_transform(t, w -> length(w)))
+                        / cast(len(t) AS double)
+                   ELSE 0 END, 6) AS mean_word_len,
+                 len(list_intersect(t, {_STOP_EN_SQL_LIST})) AS stop_hits
+          FROM toks
+        ), bi AS (
+          SELECT id, round(max(c) / cast(sum(c) AS double), 6) AS top_bigram_frac
+          FROM (SELECT id, gram, count(*) AS c
+                FROM (SELECT id, unnest(CASE WHEN len(t) >= 2
+                        THEN list_transform(range(1, len(t)),
+                               i -> concat_ws(' ', t[i], t[i+1]))
+                        ELSE []::VARCHAR[] END) AS gram
+                      FROM toks)
+                GROUP BY id, gram)
+          GROUP BY id
+        ), j AS (
+          SELECT base.id, n_words, mean_word_len, stop_hits,
+                 coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+                 consec_dup_frac
+          FROM base LEFT JOIN bi ON base.id = bi.id
+        )
+        SELECT id, n_words, mean_word_len, stop_hits, top_bigram_frac,
+               consec_dup_frac,
+               (n_words BETWEEN 50 AND 100000) AS pass_n_words,
+               (mean_word_len BETWEEN 3.0 AND 10.0) AS pass_word_len,
+               (stop_hits >= 2) AS pass_stop,
+               (top_bigram_frac <= 0.18) AS pass_bigram,
+               (consec_dup_frac <= 0.30) AS pass_consec,
+               ((n_words BETWEEN 50 AND 100000)
+                AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                AND stop_hits >= 2
+                AND top_bigram_frac <= 0.18
+                AND consec_dup_frac <= 0.30) AS keep
+        FROM j ORDER BY id
+    """,
+    "q_pii_scan": """
+        SELECT doc_id AS id,
+               len(regexp_extract_all(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,
+               len(regexp_extract_all(text,
+                 '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS n_ipv4,
+               len(regexp_extract_all(text,
+                 '\\+[0-9][0-9() .-]{7,}[0-9]')) AS n_phones,
+               len(regexp_extract_all(text,
+                 'https?://[^ \\t\\n]+')) AS n_urls,
+               (len(regexp_extract_all(text,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) > 0
+                OR len(regexp_extract_all(text,
+                  '([0-9]{1,3}\\.){3}[0-9]{1,3}')) > 0
+                OR len(regexp_extract_all(text,
+                  '\\+[0-9][0-9() .-]{7,}[0-9]')) > 0
+                OR len(regexp_extract_all(text,
+                  'https?://[^ \\t\\n]+')) > 0) AS has_pii
+        FROM documents ORDER BY id
     """,
     "q_rollup": """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -1,0 +1,211 @@
+"""Corpus quality filtering for training-data pipelines.
+
+The reference engine has no quality filters; these are the standard
+pre-training corpus gates (Gopher §A1.1-style repetition and word
+rules, C4-style content flags, PII surface scans) re-expressed as
+DataFrame transforms:
+
+- **repetition_stats** — per-document repetition signals: distinct-word
+  fraction, adjacent-duplicate fraction, most-frequent-bigram/trigram
+  mass.  The n-gram mode is an explode → (id, gram) count → per-id
+  max/sum — two id-keyed shuffles, no per-doc state on the driver.
+- **gopher_filter** — word-count / mean-word-length / stopword /
+  repetition thresholds folded into per-rule flags + a `keep` verdict.
+- **pii_scan** — regex surface counts (emails, IPv4, phone-ish runs,
+  URLs) per document; patterns stay in the RE2 ∩ java.util.regex
+  dialect so SQL oracles reproduce counts exactly.
+
+Everything is built from JVM-side expressions (split / filter /
+zip_with / regexp_count); fractions are rounded to 6 dp so
+cross-engine value hashes match (same float discipline as
+`__spark_entry__`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from muller_spark.operators.dedup import normalized_text
+from muller_spark.plans.conditions import TOKEN_SPLIT_REGEX
+
+STOP_WORDS_EN = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "has", "he", "in", "is", "it", "its", "of", "on", "that", "the",
+    "to", "was", "were", "will", "with",
+)
+
+# RE2 ∩ java.util.regex — no lookaround, no \b (dialect-safe)
+PII_PATTERNS = {
+    "n_emails": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "n_ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+    "n_phones": r"\+[0-9][0-9() .-]{7,}[0-9]",
+    "n_urls": r"https?://[^ \t\n]+",
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(
+        F.split(normalized_text(col), TOKEN_SPLIT_REGEX), lambda t: t != ""
+    )
+
+
+def _round6(col: Column) -> Column:
+    return F.round(col, 6)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-document repetition signals (Gopher §A1.1 analogues).
+
+    Returns (id, n_words, distinct_word_frac, consec_dup_frac,
+    top_bigram_frac, top_trigram_frac):
+
+    - ``distinct_word_frac`` — |set(words)| / |words|
+    - ``consec_dup_frac`` — adjacent equal-word positions / (n−1)
+    - ``top_{bi,tri}gram_frac`` — occurrences of the most frequent
+      n-gram / total n-gram occurrences
+
+    The adjacent-duplicate check uses ``zip_with`` over two shifted
+    slices (each referencing the token array once) rather than indexing
+    the array inside a lambda — projection collapse would otherwise
+    inline the tokenizer per element.  The n-gram modes shuffle on
+    (id, gram) then (id): scale is bounded by corpus token count, never
+    by per-document state.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("t")
+    )
+    n = F.size("t")
+    base = toks.select(
+        "id",
+        n.alias("n_words"),
+        _round6(
+            F.when(n > 0, F.size(F.array_distinct("t")) / n).otherwise(F.lit(0.0))
+        ).alias("distinct_word_frac"),
+        _round6(
+            F.when(
+                n > 1,
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.slice("t", 1, n - 1),
+                            F.slice("t", 2, n - 1),
+                            lambda x, y: x == y,
+                        ),
+                        lambda eq: eq,
+                    )
+                ) / (n - 1),
+            ).otherwise(F.lit(0.0))
+        ).alias("consec_dup_frac"),
+    )
+
+    def top_gram_frac(gram_n: int, out_name: str) -> DataFrame:
+        grams = toks.select(
+            "id",
+            F.explode(
+                F.when(
+                    F.size("t") >= gram_n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - gram_n),
+                        lambda i: F.concat_ws(" ", F.slice("t", i + 1, gram_n)),
+                    ),
+                ).otherwise(F.array())
+            ).alias("gram"),
+        )
+        counts = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
+        return counts.groupBy("id").agg(
+            _round6(F.max("c") / F.sum("c")).alias(out_name)
+        )
+
+    out = (
+        base
+        .join(top_gram_frac(2, "top_bigram_frac"), "id", "left")
+        .join(top_gram_frac(3, "top_trigram_frac"), "id", "left")
+        .fillna(0.0, ["top_bigram_frac", "top_trigram_frac"])
+    )
+    return out
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stop_hits: int = 2,
+    max_top_bigram_frac: float = 0.18,
+    max_consec_dup_frac: float = 0.30,
+) -> DataFrame:
+    """Gopher-style document quality gate.
+
+    Returns per-document rule flags plus ``keep`` (all rules pass):
+    (id, n_words, mean_word_len, stop_hits, top_bigram_frac,
+    consec_dup_frac, pass_n_words, pass_word_len, pass_stop,
+    pass_bigram, pass_consec, keep).
+    """
+    rep = repetition_stats(df, text_col, id_col)
+    toks = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("t")
+    )
+    n = F.size("t")
+    stop_arr = F.array(*[F.lit(w) for w in STOP_WORDS_EN])
+    words = toks.select(
+        "id",
+        _round6(
+            F.when(
+                n > 0,
+                F.aggregate(
+                    F.transform("t", lambda w: F.length(w)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ) / n,
+            ).otherwise(F.lit(0.0))
+        ).alias("mean_word_len"),
+        F.size(F.array_intersect("t", stop_arr)).alias("stop_hits"),
+    )
+    j = rep.join(words, "id")
+    pass_n_words = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    pass_word_len = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    pass_stop = F.col("stop_hits") >= min_stop_hits
+    pass_bigram = F.col("top_bigram_frac") <= max_top_bigram_frac
+    pass_consec = F.col("consec_dup_frac") <= max_consec_dup_frac
+    return j.select(
+        "id", "n_words", "mean_word_len", "stop_hits",
+        "top_bigram_frac", "consec_dup_frac",
+        pass_n_words.alias("pass_n_words"),
+        pass_word_len.alias("pass_word_len"),
+        pass_stop.alias("pass_stop"),
+        pass_bigram.alias("pass_bigram"),
+        pass_consec.alias("pass_consec"),
+        (pass_n_words & pass_word_len & pass_stop & pass_bigram & pass_consec)
+        .alias("keep"),
+    )
+
+
+def pii_scan(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-document PII / link surface counts: (id, n_emails, n_ipv4,
+    n_phones, n_urls, has_pii).  Counts are leftmost non-overlapping
+    regex matches — identical semantics in Spark ``regexp_count`` and
+    DuckDB ``len(regexp_extract_all(...))``."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(name)
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = df.select(F.col(id_col).alias("id"), *counts)
+    any_pii = None
+    for name in PII_PATTERNS:
+        c = F.col(name) > 0
+        any_pii = c if any_pii is None else (any_pii | c)
+    return out.withColumn("has_pii", any_pii)
