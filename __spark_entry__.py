@@ -695,6 +695,35 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_portable(docs, "text", "doc_id").orderBy("id")
 
 
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-passage report
+    (operators/dedup.duplicate_passages): 3-gram windows in ≥2 distinct
+    docs, top-100 by spread with a total tie-break order."""
+    from muller_spark.operators.dedup import duplicate_passages
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_passages(docs, "text", "doc_id", n=3, min_docs=2, top_k=100)
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel over events
+    (operators/analytics.funnel): single user-keyed pass, conversion
+    times chained via array_min over per-step event-time arrays."""
+    from muller_spark.operators.analytics import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"]).orderBy("step")
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly retention cohorts (operators/analytics.cohort_retention):
+    integer year*12+month arithmetic keeps both engines exact."""
+    from muller_spark.operators.analytics import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-document repetition signals
     (operators/quality.repetition_stats): distinct-word fraction,
@@ -1186,6 +1215,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_repetition_stats": q_repetition_stats,
     "q_gopher_filter": q_gopher_filter,
     "q_pii_scan": q_pii_scan,
+    "q_dup_passages": q_dup_passages,
+    "q_funnel": q_funnel,
+    "q_cohort_retention": q_cohort_retention,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_bpe_tokens": q_bpe_tokens,
     "q_simhash": q_simhash,
@@ -1485,6 +1517,61 @@ _ORACLES: dict[str, str] = {
                       THEN cast(pow(2, j) AS BIGINT) ELSE 0 END)), 0)
                  AS BIGINT) AS simhash60
         FROM hs ORDER BY id
+    """,
+    "q_dup_passages": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), w AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(t) >= 3
+                   THEN list_transform(range(1, len(t) - 1),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                   ELSE []::VARCHAR[] END) AS passage
+          FROM toks
+        )
+        SELECT passage, count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences
+        FROM w GROUP BY passage
+        HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, n_occurrences DESC, passage
+        LIMIT 100
+    """,
+    "q_funnel": """
+        WITH ev AS (
+          SELECT user_id AS u, event_type AS t, ts FROM events
+        ), c0 AS (
+          SELECT u, min(ts) AS conv FROM ev WHERE t = 'view' GROUP BY u
+        ), c1 AS (
+          SELECT ev.u, min(ev.ts) AS conv
+          FROM ev JOIN c0 ON ev.u = c0.u
+          WHERE ev.t = 'click' AND ev.ts >= c0.conv GROUP BY ev.u
+        ), c2 AS (
+          SELECT ev.u, min(ev.ts) AS conv
+          FROM ev JOIN c1 ON ev.u = c1.u
+          WHERE ev.t = 'purchase' AND ev.ts >= c1.conv GROUP BY ev.u
+        )
+        SELECT 1 AS step, 'view' AS step_name,
+               (SELECT count(*) FROM c0) AS n_users
+        UNION ALL
+        SELECT 2, 'click', (SELECT count(*) FROM c1)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT count(*) FROM c2)
+        ORDER BY step
+    """,
+    "q_cohort_retention": """
+        WITH ev AS (
+          SELECT DISTINCT user_id AS u, year(ts) * 12 + month(ts) AS ym
+          FROM events
+        ), f AS (
+          SELECT u, min(ym) AS ym0 FROM ev GROUP BY u
+        )
+        SELECT make_date(cast((ym0 - 1) // 12 AS int),
+                         cast((ym0 - 1) % 12 + 1 AS int), 1) AS cohort_month,
+               (ym - ym0) AS month_offset,
+               count(DISTINCT u) AS n_users
+        FROM ev JOIN f USING (u)
+        GROUP BY ym0, ym - ym0
+        ORDER BY cohort_month, month_offset
     """,
     "q_repetition_stats": f"""
         WITH toks AS (

@@ -1,0 +1,122 @@
+"""Event-analytics operators: ordered funnels and retention cohorts.
+
+Beyond the reference's query surface (it has no event analytics), these
+are the standard product-analytics shapes a 100 TB event store needs,
+expressed as user-keyed aggregations:
+
+- **funnel** — ordered-step conversion: a user converts step k only if
+  step k's event happens at-or-after their first step-(k−1) conversion
+  time.  One groupBy per step, every shuffle keyed on the user column —
+  co-partitioned, no skew beyond user hot-keys, never a self-join over
+  raw events.
+- **cohort_retention** — users bucketed by first-activity month; counts
+  of distinct active users per (cohort, month-offset).  Month math is
+  integer ``year*12 + month`` so both engines agree exactly.
+
+Both return small aggregate DataFrames suitable for driver display.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    steps: "list[str]",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion counts: (step, step_name, n_users).
+
+    A user converts step k only if a step-k event occurs at-or-after
+    their first step-(k−1) conversion time (conv_0 = first step-0
+    event).  Single plan: one user-keyed aggregation collects each
+    user's per-step event times (bounded by that user's event count),
+    conversion times chain through array_min over filtered arrays, and
+    a final global aggregate emits one row per step — one shuffle on
+    the user key, no self-joins over raw events, no driver-side loops.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = df.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"),
+    )
+    per_user = ev.groupBy("u").agg(
+        *[
+            F.min(F.when(F.col("t") == s, F.col("ts"))).alias(f"_first_{i}")
+            for i, s in enumerate(steps)
+        ],
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col("t") == s, F.col("ts")))
+            ).alias(f"_all_{i}")
+            for i, s in enumerate(steps[1:], start=1)
+        ],
+    )
+    # conv_0 = first step-0 event; conv_k = earliest step-k event ≥ conv_{k-1}
+    conv = F.col("_first_0")
+    convs = [conv]
+    for i in range(1, len(steps)):
+        prev = convs[-1]
+        nxt = F.array_min(
+            F.filter(F.col(f"_all_{i}"), lambda x: x >= prev)  # noqa: B023
+        )
+        convs.append(F.when(prev.isNotNull(), nxt))
+    marked = per_user.select(
+        *[c.alias(f"conv_{i}") for i, c in enumerate(convs)]
+    )
+    agg = marked.agg(
+        *[
+            F.count(F.col(f"conv_{i}")).alias(f"n_{i}")
+            for i in range(len(steps))
+        ]
+    )
+    pairs = F.array(*[
+        F.struct(
+            F.lit(i + 1).alias("step"),
+            F.lit(s).alias("step_name"),
+            F.col(f"n_{i}").alias("n_users"),
+        )
+        for i, s in enumerate(steps)
+    ])
+    return (
+        agg.select(F.explode(pairs).alias("r"))
+        .select("r.step", "r.step_name", F.col("r.n_users").cast("long").alias("n_users"))
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Monthly retention cohorts: (cohort_month date, month_offset int,
+    n_users long) — distinct users active ``month_offset`` months after
+    their first-ever activity month.  Two user-keyed shuffles (first
+    month, then distinct-activity dedup); month arithmetic is integer
+    ``year*12+month`` so Spark and SQL oracles agree exactly."""
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        (F.year(ts_col) * 12 + F.month(ts_col)).alias("ym"),
+    ).distinct()
+    first = ev.groupBy("u").agg(F.min("ym").alias("ym0"))
+    j = ev.join(first, "u")
+    out = (
+        j.groupBy("ym0", (F.col("ym") - F.col("ym0")).alias("month_offset"))
+        .agg(F.countDistinct("u").alias("n_users"))
+        .select(
+            F.make_date(
+                ((F.col("ym0") - 1) / 12).cast("int"),
+                ((F.col("ym0") - 1) % 12) + 1,
+                F.lit(1),
+            ).alias("cohort_month"),
+            "month_offset",
+            "n_users",
+        )
+        .orderBy("cohort_month", "month_offset")
+    )
+    return out

@@ -510,6 +510,56 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def duplicate_passages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_docs: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """Cross-document duplicate-passage detection: token n-gram windows
+    appearing in at least ``min_docs`` distinct documents, ranked by
+    spread.  Returns (passage, n_docs, n_occurrences) — the corpus-level
+    boilerplate/template report a pre-training pipeline runs before
+    near-dedup.
+
+    Scale shape: explode windows (corpus-token bounded), one groupBy on
+    the passage string (count + distinct-doc count in the same
+    aggregate), global top-k via TakeOrderedAndProject — no joins, no
+    per-doc state.
+    """
+    windows = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingle_windows(F.col(text_col), n)).alias("passage"),
+    )
+    return (
+        windows.groupBy("passage")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "passage")
+        .limit(top_k)
+    )
+
+
+def _shingle_windows(col: Column, n: int) -> Column:
+    """All token n-gram windows (positional, NOT distinct — a passage
+    repeated inside one document counts each occurrence)."""
+    tokens = F.filter(
+        F.split(normalized_text(col), TOKEN_SPLIT_REGEX), lambda t: t != ""
+    )
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        ),
+    ).otherwise(F.array())
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str,
