@@ -49,6 +49,10 @@ HEADLINE = [
     "q_embedding_near_dups",
     "q_sessionize",
     "q_count_distinct",
+    "q_gopher_filter",
+    "q_dup_passages",
+    "q_funnel",
+    "q_cohort_retention",
 ]
 
 

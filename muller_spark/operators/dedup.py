@@ -54,6 +54,18 @@ def exact_dedup(
     )
 
 
+def let_bound(arr: Column, body) -> Column:
+    """SQL let-binding: evaluate ``arr`` once, hand it to ``body`` as a
+    bound lambda variable.  Any lambda that references a *projected
+    column expression* (rather than a lambda variable) re-evaluates
+    that expression per element after projection collapse — e.g.
+    ``slice(tokens_expr, i, n)`` inside a window transform re-tokenizes
+    the document once per window (measured 16 s → 1 s on the
+    duplicate-passage report at sf0.1).  ``transform(array(x), f)[1]``
+    is the cheapest collapse-proof binder Spark offers."""
+    return F.element_at(F.transform(F.array(arr), body), 1)
+
+
 def _shingles(col: Column, n: int) -> Column:
     """Distinct token n-gram shingles of a text column (JVM-side).
     Empty tokens (leading/trailing punctuation splits) are dropped so
@@ -63,13 +75,19 @@ def _shingles(col: Column, n: int) -> Column:
     )
     if n == 1:
         return F.array_distinct(tokens)
-    # slide an n-window over the token array with transform+slice
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
-    return F.array_distinct(
-        F.when(
-            F.size(tokens) >= n,
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))),
-        ).otherwise(F.array(F.concat_ws(" ", tokens)))
+    # slide an n-window over the let-bound token array — binding keeps
+    # the tokenizer from re-running per window element
+    return let_bound(
+        tokens,
+        lambda t: F.array_distinct(
+            F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", t)))
+        ),
     )
 
 
@@ -235,7 +253,7 @@ def minhash_portable_pairs(
     p = _MINHASH_PRIME
     coeff_a, coeff_b = minhash_coefficients(num_hashes)
 
-    hashed = df.select(
+    hashed = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.transform(
             _shingles(F.col(text_col), shingle_size),
@@ -326,25 +344,32 @@ def simhash_portable(
         F.split(normalized_text(F.col(text_col)), TOKEN_SPLIT_REGEX),
         lambda t: t != "",
     )
-    hashed = df.select(
+    hashed = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.transform(tokens, portable_hash60).alias("hs"),
     )
+
+    def p2(e: Column) -> Column:
+        # pow(2, j) is a power of two — exact in double, so the bigint
+        # cast is exact in both engines
+        return F.pow(F.lit(2.0), e).cast("long")
+
     # bit j set iff strictly more than half the token hashes have bit j
-    # set: 2·ones_j > n.  pow(2, j) is a power of two — exact in double,
-    # so the bigint cast is exact in both engines.
-    packed = F.expr(
-        """
-        aggregate(
-          sequence(0, 59),
-          cast(0 as bigint),
-          (acc, j) -> acc + IF(
-            2 * size(filter(hs, h -> (h div cast(pow(2, j) as bigint)) % 2 = 1))
-              > size(hs),
-            cast(pow(2, j) as bigint),
-            cast(0 as bigint))
-        )
-        """
+    # set (2·ones_j > n); bit test via  h % 2^(j+1) >= 2^j  — identical
+    # integer math to the oracle's (h // 2^j) % 2 = 1.  hs is let-bound
+    # so the md5 token-hash pipeline runs once per row, not 2× per bit.
+    packed = let_bound(
+        F.col("hs"),
+        lambda hs: F.aggregate(
+            F.sequence(F.lit(0), F.lit(59)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc + F.when(
+                2 * F.size(
+                    F.filter(hs, lambda h: (h % p2(j + 1)) >= p2(j))
+                ) > F.size(hs),
+                p2(j),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
     )
     return hashed.select("id", packed.alias("simhash60"))
 
@@ -529,7 +554,7 @@ def duplicate_passages(
     aggregate), global top-k via TakeOrderedAndProject — no joins, no
     per-doc state.
     """
-    windows = df.select(
+    windows = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.explode(_shingle_windows(F.col(text_col), n)).alias("passage"),
     )
@@ -551,13 +576,16 @@ def _shingle_windows(col: Column, n: int) -> Column:
     tokens = F.filter(
         F.split(normalized_text(col), TOKEN_SPLIT_REGEX), lambda t: t != ""
     )
-    return F.when(
-        F.size(tokens) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tokens) - n),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-        ),
-    ).otherwise(F.array())
+    return let_bound(
+        tokens,
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def embedding_near_dups(

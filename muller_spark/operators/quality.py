@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from muller_spark.operators.dedup import normalized_text
+from muller_spark.operators.dedup import let_bound, normalized_text
+from muller_spark.partitioning import ensure_parallelism
 from muller_spark.plans.conditions import TOKEN_SPLIT_REGEX
 
 STOP_WORDS_EN = (
@@ -76,30 +77,41 @@ def repetition_stats(
     (id, gram) then (id): scale is bounded by corpus token count, never
     by per-document state.
     """
-    toks = df.select(
+    # every multi-reference of the token array goes through let_bound:
+    # after projection collapse a plain column reference re-runs the
+    # tokenizer per lambda element (see dedup.let_bound)
+    toks = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("t")
     )
-    n = F.size("t")
     base = toks.select(
         "id",
-        n.alias("n_words"),
+        F.size("t").alias("n_words"),
         _round6(
-            F.when(n > 0, F.size(F.array_distinct("t")) / n).otherwise(F.lit(0.0))
+            let_bound(
+                F.col("t"),
+                lambda t: F.when(
+                    F.size(t) > 0,
+                    F.size(F.array_distinct(t)) / F.size(t),
+                ).otherwise(F.lit(0.0)),
+            )
         ).alias("distinct_word_frac"),
         _round6(
-            F.when(
-                n > 1,
-                F.size(
-                    F.filter(
-                        F.zip_with(
-                            F.slice("t", 1, n - 1),
-                            F.slice("t", 2, n - 1),
-                            lambda x, y: x == y,
-                        ),
-                        lambda eq: eq,
-                    )
-                ) / (n - 1),
-            ).otherwise(F.lit(0.0))
+            let_bound(
+                F.col("t"),
+                lambda t: F.when(
+                    F.size(t) > 1,
+                    F.size(
+                        F.filter(
+                            F.zip_with(
+                                F.slice(t, 1, F.size(t) - 1),
+                                F.slice(t, 2, F.size(t) - 1),
+                                lambda x, y: x == y,
+                            ),
+                            lambda eq: eq,
+                        )
+                    ) / (F.size(t) - 1),
+                ).otherwise(F.lit(0.0)),
+            )
         ).alias("consec_dup_frac"),
     )
 
@@ -107,13 +119,16 @@ def repetition_stats(
         grams = toks.select(
             "id",
             F.explode(
-                F.when(
-                    F.size("t") >= gram_n,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("t") - gram_n),
-                        lambda i: F.concat_ws(" ", F.slice("t", i + 1, gram_n)),
-                    ),
-                ).otherwise(F.array())
+                let_bound(
+                    F.col("t"),
+                    lambda t: F.when(
+                        F.size(t) >= gram_n,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(t) - gram_n),
+                            lambda i: F.concat_ws(" ", F.slice(t, i + 1, gram_n)),
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                )
             ).alias("gram"),
         )
         counts = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
@@ -150,22 +165,24 @@ def gopher_filter(
     pass_bigram, pass_consec, keep).
     """
     rep = repetition_stats(df, text_col, id_col)
-    toks = df.select(
+    toks = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("t")
     )
-    n = F.size("t")
     stop_arr = F.array(*[F.lit(w) for w in STOP_WORDS_EN])
     words = toks.select(
         "id",
         _round6(
-            F.when(
-                n > 0,
-                F.aggregate(
-                    F.transform("t", lambda w: F.length(w)),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ) / n,
-            ).otherwise(F.lit(0.0))
+            let_bound(
+                F.col("t"),
+                lambda t: F.when(
+                    F.size(t) > 0,
+                    F.aggregate(
+                        F.transform(t, lambda w: F.length(w)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ) / F.size(t),
+                ).otherwise(F.lit(0.0)),
+            )
         ).alias("mean_word_len"),
         F.size(F.array_intersect("t", stop_arr)).alias("stop_hits"),
     )
