@@ -705,6 +705,21 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_passages(docs, "text", "doc_id", n=3, min_docs=2, top_k=100)
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination report
+    (operators/dedup.contamination_report): documents from source
+    'src0' act as the held-out set, the rest as training corpus; pairs
+    sharing ≥3 token 3-gram windows are flagged with the fraction of
+    the test doc's windows found in the train doc."""
+    from muller_spark.operators.dedup import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    test = docs.filter(F.col("source") == "src0")
+    out = contamination_report(train, test, "text", "doc_id", n=3, min_overlap=3)
+    return out.orderBy("train_id", "test_id")
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel over events
     (operators/analytics.funnel): single user-keyed pass, conversion
@@ -1216,6 +1231,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gopher_filter": q_gopher_filter,
     "q_pii_scan": q_pii_scan,
     "q_dup_passages": q_dup_passages,
+    "q_decontamination": q_decontamination,
     "q_funnel": q_funnel,
     "q_cohort_retention": q_cohort_retention,
     "q_ngram_jaccard": q_ngram_jaccard,
@@ -1535,6 +1551,34 @@ _ORACLES: dict[str, str] = {
         HAVING count(DISTINCT doc_id) >= 2
         ORDER BY n_docs DESC, n_occurrences DESC, passage
         LIMIT 100
+    """,
+    "q_decontamination": f"""
+        WITH toks AS (
+          SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents
+        ), w AS (
+          SELECT doc_id, source,
+                 unnest(CASE WHEN len(t) >= 3
+                   THEN list_transform(range(1, len(t) - 1),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                   ELSE []::VARCHAR[] END) AS w
+          FROM toks
+        ), train_d AS (
+          SELECT DISTINCT doc_id AS train_id, w FROM w WHERE source <> 'src0'
+        ), test_d AS (
+          SELECT DISTINCT doc_id AS test_id, w FROM w WHERE source = 'src0'
+        ), sizes AS (
+          SELECT test_id, count(*) AS test_total FROM test_d GROUP BY test_id
+        ), shared AS (
+          SELECT train_id, test_id, count(*) AS n_shared
+          FROM train_d JOIN test_d USING (w)
+          GROUP BY train_id, test_id
+          HAVING count(*) >= 3
+        )
+        SELECT train_id, test_id, n_shared,
+               round(n_shared / cast(test_total AS double), 6)
+                 AS test_window_frac
+        FROM shared JOIN sizes USING (test_id)
+        ORDER BY train_id, test_id
     """,
     "q_funnel": """
         WITH ev AS (

@@ -51,6 +51,7 @@ HEADLINE = [
     "q_count_distinct",
     "q_gopher_filter",
     "q_dup_passages",
+    "q_decontamination",
     "q_funnel",
     "q_cohort_retention",
 ]

@@ -588,6 +588,67 @@ def _shingle_windows(col: Column, n: int) -> Column:
     )
 
 
+def contamination_report(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_overlap: int = 1,
+    max_window_freq: "int | None" = 10_000,
+) -> DataFrame:
+    """Train/test contamination (decontamination pass): for every
+    (train_doc, test_doc) pair sharing ≥ ``min_overlap`` token
+    ``n``-gram windows, report the overlap count and the fraction of
+    the *test* document's windows found in that train document.
+
+    Returns (train_id, test_id, n_shared, test_window_frac).
+
+    Scale shape: both sides explode to (id, window) rows; the join key
+    is the window string, so cost is bounded by window selectivity —
+    the standard 8-gram decontamination setup makes collisions rare by
+    construction.  ``max_window_freq`` drops degenerate boilerplate
+    windows (df-cutoff) before the join, same guard as
+    :func:`ngram_jaccard_pairs`.
+    """
+    def windows(df: DataFrame, side: str) -> DataFrame:
+        return ensure_parallelism(df.select(id_col, text_col)).select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.explode(_shingle_windows(F.col(text_col), n)).alias("w"),
+        )
+
+    train_w = windows(train_df, "train")
+    test_w = windows(test_df, "test")
+    # per-test-doc distinct window counts (denominator)
+    test_sizes = test_w.groupBy("test_id").agg(
+        F.countDistinct("w").alias("test_total")
+    )
+    train_d = train_w.dropDuplicates(["train_id", "w"])
+    test_d = test_w.dropDuplicates(["test_id", "w"])
+    if max_window_freq is not None:
+        hot = (
+            train_d.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_window_freq)
+        )
+        train_d = train_d.join(F.broadcast(hot), "w", "left_anti")
+        test_d = test_d.join(F.broadcast(hot), "w", "left_anti")
+    shared = (
+        train_d.join(test_d, "w")
+        .groupBy("train_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+    return (
+        shared.join(test_sizes, "test_id")
+        .select(
+            "train_id", "test_id", "n_shared",
+            F.round(F.col("n_shared") / F.col("test_total"), 6)
+            .alias("test_window_frac"),
+        )
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str,

@@ -67,6 +67,58 @@ def test_cohort_retention(spark):
     }
 
 
+def test_contamination_report(spark):
+    from muller_spark.operators.dedup import contamination_report
+
+    train = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta nothing else"),   # overlaps doc 0
+            (101, "completely fresh held out words here"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_report(
+        train, test, "text", "doc_id", n=3, min_overlap=1
+    ).collect()
+    rows = {(r["train_id"], r["test_id"]): r for r in out}
+    assert set(rows) == {(0, 100)}
+    r = rows[(0, 100)]
+    # test doc 100 has 4 windows; "alpha beta gamma"+"beta gamma delta" shared
+    assert r["n_shared"] == 2
+    assert r["test_window_frac"] == 0.5
+
+
+def test_funnel_plan_single_user_shuffle(ev):
+    plan = (
+        funnel(ev, ["view", "click", "purchase"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one user-keyed Exchange + one single-partition final aggregate,
+    # no joins over raw events
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_duplicate_passages_plan_topk(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c e")], "doc_id long, text string"
+    )
+    plan = (
+        duplicate_passages(docs, "text", "doc_id", n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # global top-k must be TakeOrderedAndProject, never a full sort
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_duplicate_passages(spark):
     rows = [
         (0, "the quick brown fox sleeps"),
