@@ -77,12 +77,7 @@ def repetition_stats(
     (id, gram) then (id): scale is bounded by corpus token count, never
     by per-document state.
     """
-    # every multi-reference of the token array goes through let_bound:
-    # after projection collapse a plain column reference re-runs the
-    # tokenizer per lambda element (see dedup.let_bound)
-    toks = ensure_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("t")
-    )
+    toks = _tok_df(df, text_col, id_col)
     base = toks.select(
         "id",
         F.size("t").alias("n_words"),
@@ -95,54 +90,84 @@ def repetition_stats(
                 ).otherwise(F.lit(0.0)),
             )
         ).alias("distinct_word_frac"),
-        _round6(
-            let_bound(
-                F.col("t"),
-                lambda t: F.when(
-                    F.size(t) > 1,
-                    F.size(
-                        F.filter(
-                            F.zip_with(
-                                F.slice(t, 1, F.size(t) - 1),
-                                F.slice(t, 2, F.size(t) - 1),
-                                lambda x, y: x == y,
-                            ),
-                            lambda eq: eq,
-                        )
-                    ) / (F.size(t) - 1),
-                ).otherwise(F.lit(0.0)),
-            )
-        ).alias("consec_dup_frac"),
+        _consec_dup_frac_col(),
     )
-
-    def top_gram_frac(gram_n: int, out_name: str) -> DataFrame:
-        grams = toks.select(
-            "id",
-            F.explode(
-                let_bound(
-                    F.col("t"),
-                    lambda t: F.when(
-                        F.size(t) >= gram_n,
-                        F.transform(
-                            F.sequence(F.lit(0), F.size(t) - gram_n),
-                            lambda i: F.concat_ws(" ", F.slice(t, i + 1, gram_n)),
-                        ),
-                    ).otherwise(F.array().cast("array<string>")),
-                )
-            ).alias("gram"),
-        )
-        counts = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
-        return counts.groupBy("id").agg(
-            _round6(F.max("c") / F.sum("c")).alias(out_name)
-        )
-
     out = (
         base
-        .join(top_gram_frac(2, "top_bigram_frac"), "id", "left")
-        .join(top_gram_frac(3, "top_trigram_frac"), "id", "left")
+        .join(_top_gram_frac(toks, 2, "top_bigram_frac"), "id", "left")
+        .join(_top_gram_frac(toks, 3, "top_trigram_frac"), "id", "left")
         .fillna(0.0, ["top_bigram_frac", "top_trigram_frac"])
     )
     return out
+
+
+def _tok_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, t=token array), width-corrected for single-file inputs.
+    Every multi-reference of ``t`` downstream goes through let_bound:
+    after projection collapse a plain column reference re-runs the
+    tokenizer per lambda element (see dedup.let_bound)."""
+    return ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("t")
+    )
+
+
+def _consec_dup_frac_col() -> Column:
+    return _round6(
+        let_bound(
+            F.col("t"),
+            lambda t: F.when(
+                F.size(t) > 1,
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.slice(t, 1, F.size(t) - 1),
+                            F.slice(t, 2, F.size(t) - 1),
+                            lambda x, y: x == y,
+                        ),
+                        lambda eq: eq,
+                    )
+                ) / (F.size(t) - 1),
+            ).otherwise(F.lit(0.0)),
+        )
+    ).alias("consec_dup_frac")
+
+
+def _mean_word_len_col() -> Column:
+    return _round6(
+        let_bound(
+            F.col("t"),
+            lambda t: F.when(
+                F.size(t) > 0,
+                F.aggregate(
+                    F.transform(t, lambda w: F.length(w)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ) / F.size(t),
+            ).otherwise(F.lit(0.0)),
+        )
+    ).alias("mean_word_len")
+
+
+def _top_gram_frac(toks: DataFrame, gram_n: int, out_name: str) -> DataFrame:
+    grams = toks.select(
+        "id",
+        F.explode(
+            let_bound(
+                F.col("t"),
+                lambda t: F.when(
+                    F.size(t) >= gram_n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(t) - gram_n),
+                        lambda i: F.concat_ws(" ", F.slice(t, i + 1, gram_n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("id").agg(
+        _round6(F.max("c") / F.sum("c")).alias(out_name)
+    )
 
 
 def gopher_filter(
@@ -164,29 +189,22 @@ def gopher_filter(
     consec_dup_frac, pass_n_words, pass_word_len, pass_stop,
     pass_bigram, pass_consec, keep).
     """
-    rep = repetition_stats(df, text_col, id_col)
-    toks = ensure_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("t")
-    )
+    # one token scan: every per-row stat is a projection over the same
+    # toks frame; only the bigram mode needs an aggregate + join
+    toks = _tok_df(df, text_col, id_col)
     stop_arr = F.array(*[F.lit(w) for w in STOP_WORDS_EN])
-    words = toks.select(
+    per_row = toks.select(
         "id",
-        _round6(
-            let_bound(
-                F.col("t"),
-                lambda t: F.when(
-                    F.size(t) > 0,
-                    F.aggregate(
-                        F.transform(t, lambda w: F.length(w)),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ) / F.size(t),
-                ).otherwise(F.lit(0.0)),
-            )
-        ).alias("mean_word_len"),
+        F.size("t").alias("n_words"),
+        _mean_word_len_col(),
         F.size(F.array_intersect("t", stop_arr)).alias("stop_hits"),
+        _consec_dup_frac_col(),
     )
-    j = rep.join(words, "id")
+    j = (
+        per_row
+        .join(_top_gram_frac(toks, 2, "top_bigram_frac"), "id", "left")
+        .fillna(0.0, ["top_bigram_frac"])
+    )
     pass_n_words = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
     pass_word_len = (F.col("mean_word_len") >= min_mean_word_len) & (
         F.col("mean_word_len") <= max_mean_word_len
