@@ -1206,6 +1206,36 @@ class Dataset:
         self._dirty = self._rewrite_needed = True
         return self.commit("rechunk")
 
+    def optimize_layout(
+        self,
+        cluster_by: "list[str]",
+        target_partitions: int | None = None,
+    ) -> str:
+        """Data-skipping compaction: rewrite the table range-clustered on
+        ``cluster_by`` so parquet row-group / file min-max stats become
+        selective for those columns (the lakehouse OPTIMIZE ... ZORDER
+        analogue; single-key clustering uses range partitioning + an
+        in-file sort, which dominates Z-order for 1-2 key prefixes).
+
+        At 100 TB this is the difference between a filter on the cluster
+        key pruning ~all files versus scanning the corpus: Spark's
+        parquet reader skips whole row groups whose [min, max] miss the
+        predicate.  One range-exchange + per-partition sort, then the
+        normal commit path."""
+        if not cluster_by:
+            raise ValueError("cluster_by needs at least one column")
+        self._check_writable()
+        self._flush_pending()
+        cols = [F.col(c) for c in cluster_by]
+        df = self._work_df
+        if target_partitions:
+            df = df.repartitionByRange(int(target_partitions), *cols)
+        else:
+            df = df.repartitionByRange(*cols)
+        self._work_df = df.sortWithinPartitions(*cols)
+        self._dirty = self._rewrite_needed = True
+        return self.commit(f"optimize_layout({','.join(cluster_by)})")
+
     def sub_ds(self, start: int, end: int) -> DataFrame:
         """Positional sub-range view (reference ``dataset.py:1727``)."""
         return self.df.filter(

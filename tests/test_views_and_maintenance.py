@@ -57,6 +57,43 @@ def test_rechunk_compacts_dirs(ds):
     assert ds.size_approx() > 0
 
 
+def test_optimize_layout_clusters_files(spark, tmp_path):
+    """optimize_layout range-clusters files on the key: per-file
+    [min, max] ranges must be pairwise disjoint so parquet row-group
+    stats prune scans on that column."""
+    import glob
+    import random
+
+    d = ds_mod.dataset(str(tmp_path / "zds"), spark)
+    d.create_tensor("k", dtype="int64")
+    d.create_tensor("t", htype="text")
+    vals = list(range(400))
+    random.Random(7).shuffle(vals)
+    d.extend({"k": vals, "t": [f"doc {v}" for v in vals]})
+    d.commit("shuffled")
+    d.optimize_layout(["k"], target_partitions=4)
+
+    snap = d.log.resolve("main")
+    assert len(snap.data_dirs) == 1
+    files = sorted(
+        glob.glob(os.path.join(d.path, snap.data_dirs[0], "*.parquet"))
+    )
+    assert len(files) >= 2, files
+    ranges = []
+    for f in files:
+        row = (
+            spark.read.parquet(f)
+            .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+            .first()
+        )
+        ranges.append((row["lo"], row["hi"]))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next, ranges
+    # data intact
+    assert sorted(r["k"] for r in d.df.select("k").collect()) == list(range(400))
+
+
 def test_sub_ds_and_col_info(ds):
     part = ds.sub_ds(2, 5).select("x").collect()
     assert [r["x"] for r in part] == [2, 3, 4]
