@@ -705,6 +705,18 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_passages(docs, "text", "doc_id", n=3, min_docs=2, top_k=100)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters (operators/dedup.dedup_clusters): connected
+    components via iterative min-label propagation over the exact
+    3-gram Jaccard pair graph; oracle = DuckDB recursive-CTE
+    reachability, so the component labels are value-checked."""
+    from muller_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return dedup_clusters(pairs).orderBy("id")
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination report
     (operators/dedup.contamination_report): documents from source
@@ -1231,6 +1243,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gopher_filter": q_gopher_filter,
     "q_pii_scan": q_pii_scan,
     "q_dup_passages": q_dup_passages,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_decontamination": q_decontamination,
     "q_funnel": q_funnel,
     "q_cohort_retention": q_cohort_retention,
@@ -1551,6 +1564,39 @@ _ORACLES: dict[str, str] = {
         HAVING count(DISTINCT doc_id) >= 2
         ORDER BY n_docs DESC, n_occurrences DESC, passage
         LIMIT 100
+    """,
+    "q_dedup_clusters": f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                 ELSE [array_to_string(t, ' ')] END AS shingles
+          FROM toks
+        ), e AS (
+          SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 any_value(a.sz) AS sa, any_value(b.sz) AS sb,
+                 count(*) AS i
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ), pairs AS (
+          SELECT id_a, id_b FROM inter
+          WHERE cast(i AS double) / (sa + sb - i) >= 0.5
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ), reach AS (
+          SELECT DISTINCT src AS id, src AS r FROM edges
+          UNION
+          SELECT e.dst AS id, reach.r
+          FROM reach JOIN edges e ON e.src = reach.id
+        )
+        SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
     """,
     "q_decontamination": f"""
         WITH toks AS (

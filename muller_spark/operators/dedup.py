@@ -588,6 +588,98 @@ def _shingle_windows(col: Column, n: int) -> Column:
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: the stage
+    after MinHash/SimHash pair generation that turns pairs into
+    duplicate *clusters* so one canonical document per cluster survives.
+
+    Returns (id, cluster_id) with ``cluster_id`` = the minimum member
+    id of the component (every node in the pair graph gets a row).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; converges
+    in O(component diameter) rounds (near-dup clusters are small and
+    dense, so typically 2-4).  Each round is one join + one aggregate,
+    both keyed on node id; the driver only sees a changed-row *count*
+    per round (convergence test), never rows.  Iterations cap at
+    ``max_iterations`` as a pathological-graph guard (a path graph of
+    length > 2^20 would need salting through a different algorithm —
+    alternating large-star/small-star — before this cap matters).
+    """
+    # localCheckpoint (not cache) each round: an iterative plan grows
+    # lineage multiplicatively — by ~10 rounds the nested logical plan
+    # overflows the analyzer stack and re-optimizes from scratch each
+    # count.  Checkpointing truncates lineage to the materialized RDD.
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def canonical_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-document dedup verdict: (id, cluster_id, keep) — the minimum
+    member of each near-dup cluster survives; documents in no cluster
+    keep themselves.  Composes :func:`dedup_clusters` with a broadcast-
+    friendly left join back to the corpus."""
+    clusters = dedup_clusters(pairs, id_a, id_b)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(clusters, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+            (F.coalesce(F.col("cluster_id"), F.col("id")) == F.col("id"))
+            .alias("keep"),
+        )
+    )
+
+
 def contamination_report(
     train_df: DataFrame,
     test_df: DataFrame,

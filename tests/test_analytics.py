@@ -67,6 +67,36 @@ def test_cohort_retention(spark):
     }
 
 
+def test_dedup_clusters_components(spark):
+    from muller_spark.operators.dedup import canonical_keep_list, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long"
+    )
+    keep = {r["id"]: (r["cluster_id"], r["keep"]) for r in
+            canonical_keep_list(docs, pairs, "doc_id").collect()}
+    assert keep[1] == (1, True) and keep[2] == (1, False) and keep[3] == (1, False)
+    assert keep[10] == (10, True) and keep[11] == (10, False)
+    assert keep[99] == (99, True)   # not in any pair → keeps itself
+
+
+def test_dedup_clusters_chain_convergence(spark):
+    from muller_spark.operators.dedup import dedup_clusters
+
+    # path graph 0-1-2-...-9: worst-case diameter for label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert out == {i: 0 for i in range(10)}
+
+
 def test_contamination_report(spark):
     from muller_spark.operators.dedup import contamination_report
 
