@@ -751,6 +751,36 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling
+    (operators/sampling.stratified_sample): languages rebalanced with
+    per-lang keep fractions; membership is the Knuth-hash contract so
+    the oracle reproduces the exact kept set."""
+    from muller_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, F.col("doc_id"), "lang",
+        {"en": 0.5, "zh": 1.0, "es": 0.2}, default_fraction=0.1,
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_group_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization (operators/quality.group_zscores):
+    top-20 |z| order totals within their priority group; mean/std from
+    decimal power sums so z is engine-exact at 6 dp."""
+    from muller_spark.operators.quality import group_zscores
+
+    orders = _t(spark, sf_dir, "orders")
+    out = group_zscores(orders, "o_totalprice", ["o_orderpriority"])
+    return (
+        out.select("o_orderkey", "o_orderpriority", "o_totalprice", "z")
+        .orderBy(F.abs("z").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-document repetition signals
     (operators/quality.repetition_stats): distinct-word fraction,
@@ -1242,6 +1272,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_repetition_stats": q_repetition_stats,
     "q_gopher_filter": q_gopher_filter,
     "q_pii_scan": q_pii_scan,
+    "q_stratified_sample": q_stratified_sample,
+    "q_group_zscores": q_group_zscores,
     "q_dup_passages": q_dup_passages,
     "q_dedup_clusters": q_dedup_clusters,
     "q_decontamination": q_decontamination,
@@ -1662,6 +1694,45 @@ _ORACLES: dict[str, str] = {
         FROM ev JOIN f USING (u)
         GROUP BY ym0, ym - ym0
         ORDER BY cohort_month, month_offset
+    """,
+    "q_stratified_sample": """
+        WITH h AS (
+          SELECT doc_id, lang,
+                 (((doc_id % 2147483648 + 2147483648) % 2147483648)
+                  * 2654435761) % 4294967296 AS hv
+          FROM documents
+        )
+        SELECT doc_id, lang FROM h
+        WHERE CASE WHEN lang = 'en' THEN hv < 2147483648
+                   WHEN lang = 'zh' THEN hv < 4294967296
+                   WHEN lang = 'es' THEN hv < 858993459
+                   ELSE hv < 429496730 END
+        ORDER BY doc_id
+    """,
+    "q_group_zscores": """
+        WITH stats AS (
+          SELECT o_orderpriority, count(*) AS n,
+                 sum(cast(o_totalprice AS decimal(28,2))) AS s1,
+                 sum(cast(o_totalprice AS decimal(28,2))
+                     * cast(o_totalprice AS decimal(28,2))) AS s2
+          FROM orders GROUP BY o_orderpriority
+        ), m AS (
+          SELECT o_orderpriority,
+                 round(cast(s1 AS double) / n, 6) AS group_mean,
+                 round(sqrt(CASE WHEN n > 1 THEN
+                   (cast(s2 AS double) - cast(s1 AS double) * cast(s1 AS double) / n)
+                   / (n - 1) END), 6) AS group_std
+          FROM stats
+        )
+        SELECT o_orderkey, o_orderpriority, o_totalprice, z
+        FROM (
+          SELECT o_orderkey, o.o_orderpriority, o_totalprice,
+                 round((o_totalprice - group_mean) / nullif(group_std, 0.0), 6)
+                   AS z
+          FROM orders o JOIN m USING (o_orderpriority)
+        )
+        ORDER BY abs(z) DESC, o_orderkey
+        LIMIT 20
     """,
     "q_repetition_stats": f"""
         WITH toks AS (

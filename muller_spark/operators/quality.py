@@ -225,6 +225,47 @@ def gopher_filter(
     )
 
 
+def group_zscores(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "list[str]",
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group standardization / outlier scoring: appends
+    (group_mean, group_std, z) for ``value_col`` within each group.
+
+    Mean and sample variance come from decimal power sums (exact,
+    accumulation-order independent — the repo's float discipline), so a
+    SQL oracle reproduces every z bit-for-bit after 6-dp rounding.
+    One aggregate + one broadcast-friendly join back on the group keys;
+    ``z`` is NULL for degenerate groups (n < 2 or zero variance).
+    """
+    n = F.count(F.lit(1)).alias("_n")
+    s1 = F.sum(F.col(value_col).cast(f"decimal(28,{scale})")).alias("_s1")
+    s2 = F.sum(
+        (F.col(value_col).cast(f"decimal(28,{scale})")
+         * F.col(value_col).cast(f"decimal(28,{scale})"))
+    ).alias("_s2")
+    stats = df.groupBy(*group_cols).agg(n, s1, s2)
+    nn = F.col("_n").cast("double")
+    s1d = F.col("_s1").cast("double")
+    s2d = F.col("_s2").cast("double")
+    mean = s1d / nn
+    var = F.when(
+        F.col("_n") > 1, (s2d - s1d * s1d / nn) / (nn - 1)
+    )
+    stats = stats.select(
+        *group_cols,
+        F.round(mean, 6).alias("group_mean"),
+        F.round(F.sqrt(var), 6).alias("group_std"),
+    )
+    joined = df.join(F.broadcast(stats), group_cols)
+    z = (F.col(value_col) - F.col("group_mean")) / F.nullif(
+        F.col("group_std"), F.lit(0.0)
+    )
+    return joined.withColumn("z", F.round(z, 6))
+
+
 def pii_scan(
     df: DataFrame,
     text_col: str,

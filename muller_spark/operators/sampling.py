@@ -55,6 +55,32 @@ def deterministic_sample(
     return df.filter(_hash_col(key, salt) < F.lit(cut))
 
 
+def stratified_sample(
+    df: DataFrame,
+    key: Column,
+    strata_col: str,
+    fractions: "dict[str, float]",
+    default_fraction: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value gets its
+    own keep-fraction (corpus rebalancing — e.g. downsample the
+    dominant language, keep all of a rare one).  Same Knuth-hash
+    contract as :func:`deterministic_sample`: row-local, zero shuffle,
+    stable under appends/repartition, engine-portable.  Strata missing
+    from ``fractions`` use ``default_fraction``."""
+    h = _hash_col(key, salt)
+    expr = None
+    for value, frac in fractions.items():
+        cut = F.lit(int(round(frac * _MOD)))
+        cond = F.col(strata_col) == value
+        branch = F.when(cond, h < cut)
+        expr = branch if expr is None else expr.when(cond, h < cut)
+    default_cut = F.lit(int(round(default_fraction * _MOD)))
+    expr = (h < default_cut) if expr is None else expr.otherwise(h < default_cut)
+    return df.filter(expr)
+
+
 def deterministic_split(
     df: DataFrame,
     key: Column,

@@ -55,6 +55,44 @@ def test_gopher_filter_flags(qdocs):
     assert out[1]["stop_hits"] == 1              # 'the'
 
 
+def test_stratified_sample_fractions(spark):
+    from pyspark.sql import functions as F
+
+    from muller_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = stratified_sample(
+        df, F.col("id"), "s", {"a": 1.0, "b": 0.25}
+    )
+    counts = {r["s"]: r["n"] for r in
+              out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["a"] == 1000                       # keep-all stratum
+    assert 150 <= counts.get("b", 0) <= 350          # ~25% of 1000
+    # deterministic: identical second evaluation
+    ids1 = sorted(r["id"] for r in out.collect())
+    ids2 = sorted(r["id"] for r in stratified_sample(
+        df, F.col("id"), "s", {"a": 1.0, "b": 0.25}).collect())
+    assert ids1 == ids2
+    # strata not listed fall back to default_fraction=0
+    extra = spark.createDataFrame([(1, "zz")], "id long, s string")
+    assert stratified_sample(extra, F.col("id"), "s", {"a": 1.0}).count() == 0
+
+
+def test_group_zscores_values(spark):
+    from muller_spark.operators.quality import group_zscores
+
+    df = spark.createDataFrame(
+        [(1, "g", 10.0), (2, "g", 20.0), (3, "g", 30.0), (4, "h", 5.0)],
+        "id long, g string, v double",
+    )
+    out = {r["id"]: r for r in group_zscores(df, "v", ["g"]).collect()}
+    assert out[1]["group_mean"] == 20.0
+    assert out[1]["group_std"] == 10.0               # sample std of {10,20,30}
+    assert out[1]["z"] == -1.0 and out[3]["z"] == 1.0 and out[2]["z"] == 0.0
+    assert out[4]["z"] is None                       # n=1 group → NULL
+
+
 def test_pii_scan_counts(spark):
     rows = [
         (0, "mail me at a@b.co or c.d@e-f.org today"),
