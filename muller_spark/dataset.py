@@ -1206,6 +1206,63 @@ class Dataset:
         self._dirty = self._rewrite_needed = True
         return self.commit("rechunk")
 
+    def vacuum(
+        self,
+        dry_run: bool = False,
+        prune_snapshots: bool = False,
+    ) -> dict:
+        """Garbage-collect data directories no reachable commit
+        references (the lakehouse VACUUM analogue for the CoW commit
+        log).  Reachable = ancestors of every branch ref, every
+        view-pinned commit, and the current checkout — so time travel
+        within live history always survives; garbage only appears after
+        ``delete_branch`` / ``reset`` orphan a rewrite lineage.
+
+        ``prune_snapshots=True`` additionally removes the snapshot
+        manifests of unreachable commits.  ``dry_run=True`` reports
+        without deleting.  Callers running concurrent writers should
+        hold the branch lease (``lock_branch``) around vacuum, as with
+        any store-wide GC."""
+        live: set[str] = set()
+        for b in self.log.branches():
+            live |= self.log.ancestors(self.log.get_ref(b))
+        live |= self.log.ancestors(self._snapshot.commit_id)
+        for view in self.get_views():
+            cid = view.get("commit_id")
+            if cid:
+                try:
+                    live |= self.log.ancestors(cid)
+                except (KeyError, FileNotFoundError, ValueError):
+                    pass  # view pinned to an already-pruned commit
+        referenced: set[str] = set()
+        for cid in live:
+            try:
+                referenced |= set(self.log.get_snapshot(cid).data_dirs)
+            except (KeyError, FileNotFoundError, ValueError):
+                pass
+        data_root = self.log.data_dir
+        on_disk = self.fs.listdir(data_root) if self.fs.isdir(data_root) else []
+        removed = []
+        for name in sorted(on_disk):
+            rel = os.path.join("data", name)
+            if rel not in referenced:
+                removed.append(rel)
+                if not dry_run:
+                    self.fs.rmtree(os.path.join(self.path, rel))
+        snapshots_removed = []
+        if prune_snapshots:
+            for fname in sorted(self.fs.listdir(self.log.snap_dir)):
+                cid = fname[:-5] if fname.endswith(".json") else fname
+                if cid not in live:
+                    snapshots_removed.append(cid)
+                    if not dry_run:
+                        self.fs.remove(os.path.join(self.log.snap_dir, fname))
+        return {
+            "removed": removed,
+            "kept": len(referenced),
+            "snapshots_removed": snapshots_removed,
+        }
+
     def optimize_layout(
         self,
         cluster_by: "list[str]",

@@ -57,6 +57,51 @@ def test_rechunk_compacts_dirs(ds):
     assert ds.size_approx() > 0
 
 
+def test_vacuum_removes_orphaned_rewrites(spark, tmp_path):
+    """delete_branch orphans a CoW rewrite lineage; vacuum reclaims it
+    while every live-history dir survives."""
+    d = ds_mod.dataset(str(tmp_path / "gcds"), spark)
+    d.create_tensor("x", dtype="int64")
+    d.extend({"x": [1, 2, 3]})
+    d.commit("base")
+    d.checkout("scratch", create=True)
+    d.pop(0)                      # mutation → CoW rewrite on commit
+    d.commit("rewrite on scratch")
+    scratch_snap = d.log.resolve("scratch")
+    d.checkout("main")
+    d.delete_branch("scratch")
+
+    report = d.vacuum(dry_run=True)
+    assert report["removed"] == scratch_snap.data_dirs
+    # dry run deleted nothing
+    assert os.path.isdir(os.path.join(d.path, scratch_snap.data_dirs[0]))
+
+    report = d.vacuum(prune_snapshots=True)
+    assert report["removed"] == scratch_snap.data_dirs
+    assert scratch_snap.commit_id in report["snapshots_removed"]
+    assert not os.path.isdir(os.path.join(d.path, scratch_snap.data_dirs[0]))
+    # live history intact and readable
+    assert sorted(r["x"] for r in d.df.select("x").collect()) == [1, 2, 3]
+    assert d.vacuum() == {"removed": [], "kept": report["kept"],
+                          "snapshots_removed": []}
+
+
+def test_vacuum_keeps_view_pinned_commits(spark, tmp_path):
+    d = ds_mod.dataset(str(tmp_path / "gcv"), spark)
+    d.create_tensor("x", dtype="int64")
+    d.extend({"x": [1, 2, 3]})
+    d.commit("base")
+    d.checkout("scratch", create=True)
+    d.pop(0)
+    d.commit("rewrite")
+    vid = d.save_view(d.filter_vectorized([("x", ">", 1)], []), message="pin")
+    d.checkout("main")
+    d.delete_branch("scratch")
+    # the view pins the scratch rewrite commit → nothing to remove
+    assert d.vacuum()["removed"] == []
+    assert sorted(r["x"] for r in d.load_view(vid).select("x").collect()) == [2, 3]
+
+
 def test_optimize_layout_clusters_files(spark, tmp_path):
     """optimize_layout range-clusters files on the key: per-file
     [min, max] ranges must be pairwise disjoint so parquet row-group
