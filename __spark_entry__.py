@@ -751,6 +751,33 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev)
 
 
+def q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data expectations (operators/validate.validate): four
+    named constraints over orders evaluated in ONE aggregate pass —
+    per-rule violation counts reproduce in the SQL oracle."""
+    from muller_spark.operators.validate import validate
+
+    orders = _t(spark, sf_dir, "orders")
+    return validate(orders, {
+        "custkey_not_null": F.col("o_custkey").isNotNull(),
+        "date_in_range": F.col("o_orderdate").between("1992-01-01", "1998-12-31"),
+        "priority_known": F.col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+        ),
+        "totalprice_under_300k": F.col("o_totalprice") < 300000,
+    }).orderBy("rule")
+
+
+def q_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness expectation (operators/validate.duplicate_keys):
+    l_orderkey alone is NOT unique in lineitem — the report lists every
+    multi-line order with its line count."""
+    from muller_spark.operators.validate import duplicate_keys
+
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, ["l_orderkey"]).orderBy("l_orderkey")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum deterministic sampling
     (operators/sampling.stratified_sample): languages rebalanced with
@@ -1274,6 +1301,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pii_scan": q_pii_scan,
     "q_stratified_sample": q_stratified_sample,
     "q_group_zscores": q_group_zscores,
+    "q_validate": q_validate,
+    "q_unique_violations": q_unique_violations,
     "q_dup_passages": q_dup_passages,
     "q_dedup_clusters": q_dedup_clusters,
     "q_decontamination": q_decontamination,
@@ -1694,6 +1723,45 @@ _ORACLES: dict[str, str] = {
         FROM ev JOIN f USING (u)
         GROUP BY ym0, ym - ym0
         ORDER BY cohort_month, month_offset
+    """,
+    "q_validate": """
+        WITH a AS (
+          SELECT count(*) AS n,
+            sum(CASE WHEN NOT(o_custkey IS NOT NULL) THEN 1 ELSE 0 END) AS v0,
+            sum(CASE WHEN NOT(o_orderdate BETWEEN '1992-01-01' AND '1998-12-31')
+                       OR (o_orderdate BETWEEN '1992-01-01' AND '1998-12-31') IS NULL
+                     THEN 1 ELSE 0 END) AS v1,
+            sum(CASE WHEN NOT(o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',
+                                                  '4-NOT SPECIFIED','5-LOW'))
+                       OR (o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',
+                                               '4-NOT SPECIFIED','5-LOW')) IS NULL
+                     THEN 1 ELSE 0 END) AS v2,
+            sum(CASE WHEN NOT(o_totalprice < 300000)
+                       OR (o_totalprice < 300000) IS NULL
+                     THEN 1 ELSE 0 END) AS v3
+          FROM orders
+        )
+        SELECT 'custkey_not_null' AS rule, n AS n_rows, v0 AS n_violations,
+               round(CASE WHEN n > 0 THEN v0 / cast(n AS double) ELSE 0 END, 6)
+                 AS violation_frac FROM a
+        UNION ALL
+        SELECT 'date_in_range', n, v1,
+               round(CASE WHEN n > 0 THEN v1 / cast(n AS double) ELSE 0 END, 6)
+          FROM a
+        UNION ALL
+        SELECT 'priority_known', n, v2,
+               round(CASE WHEN n > 0 THEN v2 / cast(n AS double) ELSE 0 END, 6)
+          FROM a
+        UNION ALL
+        SELECT 'totalprice_under_300k', n, v3,
+               round(CASE WHEN n > 0 THEN v3 / cast(n AS double) ELSE 0 END, 6)
+          FROM a
+        ORDER BY rule
+    """,
+    "q_unique_violations": """
+        SELECT l_orderkey, count(*) AS n_occurrences
+        FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        ORDER BY l_orderkey
     """,
     "q_stratified_sample": """
         WITH h AS (

@@ -93,6 +93,39 @@ def test_group_zscores_values(spark):
     assert out[4]["z"] is None                       # n=1 group → NULL
 
 
+def test_validate_expectations(spark):
+    from pyspark.sql import functions as F
+
+    from muller_spark.operators.validate import (
+        ExpectationError,
+        duplicate_keys,
+        validate,
+        validate_or_raise,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (1, 3.0)],
+        "id long, v double",
+    )
+    rules = {
+        "v_not_null": F.col("v").isNotNull(),
+        "v_positive": F.col("v") > 0,
+    }
+    rep = {r["rule"]: r for r in validate(df, rules).collect()}
+    assert rep["v_not_null"]["n_violations"] == 1
+    # NULL predicate counts as violation, plus the genuine negative
+    assert rep["v_positive"]["n_violations"] == 2
+    assert rep["v_positive"]["violation_frac"] == 0.5
+
+    dups = duplicate_keys(df, ["id"]).collect()
+    assert [(r["id"], r["n_occurrences"]) for r in dups] == [(1, 2)]
+
+    with pytest.raises(ExpectationError, match="v_positive"):
+        validate_or_raise(df, rules)
+    # tolerant gate passes through
+    assert validate_or_raise(df, rules, max_violation_frac=0.6) is df
+
+
 def test_pii_scan_counts(spark):
     rows = [
         (0, "mail me at a@b.co or c.d@e-f.org today"),
