@@ -394,6 +394,42 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid scalar-filter + exact KNN: restrict the corpus to English
+    documents (attribute predicate on a *different* table), then cosine
+    top-10 against vec 0 — the compose-filter-then-vector_search path
+    as one relational plan, semi-join pushed before the distance math."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    allowed = docs.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    sub = emb.join(F.broadcast(allowed), "vec_id", "semi")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    e = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(e, F.col("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(v):
+        return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+    return (
+        sub.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(dot / (norm(e) * norm(F.col("qv"))), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling window aggregate (streaming-style, batch run)."""
     events = _t(spark, sf_dir, "events")
@@ -1303,6 +1339,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_group_zscores": q_group_zscores,
     "q_validate": q_validate,
     "q_unique_violations": q_unique_violations,
+    "q_knn_hybrid": q_knn_hybrid,
     "q_dup_passages": q_dup_passages,
     "q_dedup_clusters": q_dedup_clusters,
     "q_decontamination": q_decontamination,
@@ -2335,6 +2372,16 @@ _ORACLES: dict[str, str] = {
                round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos_sim
         FROM embeddings, q
         WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "q_knn_hybrid": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id <> 0
+          AND vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
         ORDER BY cos_sim DESC, vec_id ASC
         LIMIT 10
     """,

@@ -9,7 +9,7 @@ checkpoints, exactly the reference's pattern but incremental.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -64,6 +64,44 @@ def windowed_aggregate(
         F.col("window.end").alias("window_end"),
         *group_cols,
         *agg_names,
+    )
+
+
+def expectations_stream(
+    stream: DataFrame,
+    rules: "dict[str, Column]",
+    ts_col: str,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming data-quality monitor: per event-time window, row count
+    plus one violation count per named expectation (NULL predicates
+    count as violations, same contract as ``operators.validate``).
+
+    Use over an ingestion stream to catch schema drift / corruption as
+    it lands instead of in the next batch audit.  Works identically on
+    batch frames (window() is an expression) — that is the parity test.
+    Output: (window_start, window_end, n_rows, viol_<rule>...).
+    """
+    if not rules:
+        raise ValueError("expectations_stream needs at least one rule")
+    out = stream
+    if stream.isStreaming:
+        out = out.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window_duration)
+    viols = [
+        F.sum(F.when(~cond | cond.isNull(), 1).otherwise(0)).alias(f"viol_{name}")
+        for name, cond in sorted(rules.items())
+    ]
+    return (
+        out.groupBy(win.alias("window"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), *viols)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_rows",
+            *[f"viol_{name}" for name in sorted(rules)],
+        )
     )
 
 

@@ -162,6 +162,51 @@ def test_windowed_aggregate_batch_parity(spark):
     assert total == events.count()
 
 
+def test_expectations_stream_batch_parity_and_live(spark, tmp_path):
+    """Windowed violation counts agree between batch evaluation and a
+    live file-source micro-batch stream of the same rows."""
+    import datetime as dt
+
+    from muller_spark.streaming.windows import expectations_stream
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 10.0, t0),
+        (2, -1.0, t0 + dt.timedelta(seconds=10)),       # violation
+        (3, None, t0 + dt.timedelta(seconds=20)),       # violation (NULL)
+        (4, 5.0, t0 + dt.timedelta(seconds=70)),        # next window
+    ]
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    rules = {"v_positive": F.col("v") > 0}
+    batch = spark.createDataFrame(rows, schema)
+    got = {
+        r["window_start"]: (r["n_rows"], r["viol_v_positive"])
+        for r in expectations_stream(batch, rules, "ts").collect()
+    }
+    assert got == {t0.replace(second=0): (3, 2),
+                   t0.replace(second=0) + dt.timedelta(minutes=1): (1, 0)}
+
+    src = tmp_path / "exp_src"
+    src.mkdir()
+    batch.write.parquet(str(src / "b0.parquet"))
+    stream = stream_from_directory(spark, str(src) + "/*", schema)
+    out = expectations_stream(stream, rules, "ts")
+    q = (
+        out.writeStream.format("memory").queryName("exp_stream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    live = {
+        r["window_start"]: (r["n_rows"], r["viol_v_positive"])
+        for r in spark.sql("SELECT * FROM exp_stream").collect()
+    }
+    assert live == got
+
+
 def test_stream_to_dataset_commits(spark, tmp_path):
     src_dir = tmp_path / "stream_in"
     src_dir.mkdir()
