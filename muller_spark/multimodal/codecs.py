@@ -1,0 +1,189 @@
+"""Zero-dependency media codecs (pure Python + numpy + stdlib).
+
+The container has no PIL/av/soundfile, but a large share of real media
+work doesn't need them:
+
+- **Image metadata** (height/width/channels) parses straight out of the
+  container headers for PNG, JPEG, GIF, BMP and PPM — that is what
+  ``decode_image_batch`` needs, and header parsing at 100 TB is also
+  the *right* call (decode-free metadata scans touch ~64 bytes/object).
+- **Pixel decode + re-encode** is implemented for the uncompressed
+  formats (BMP 24-bit, binary PPM) with numpy, which is enough to make
+  ``resize_images`` a real resize on those formats.
+- **WAV/PCM audio** decodes completely with the stdlib ``wave`` module;
+  RMS/duration features come out exact.
+
+PIL/av/soundfile still take priority when importable (they cover the
+compressed payloads); these functions are the fallback tier between
+"library present" and "deterministic fake".
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+
+def parse_image_header(raw: bytes) -> "tuple[int, int, int, str] | None":
+    """(height, width, channels, format) from container headers, or
+    None if the bytes are not a recognized image format."""
+    if len(raw) < 16:
+        return None
+    # PNG: 8-byte signature then IHDR
+    if raw[:8] == b"\x89PNG\r\n\x1a\n" and raw[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", raw[16:24])
+        color_type = raw[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
+        return h, w, channels, "png"
+    # GIF87a / GIF89a: logical screen descriptor
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", raw[6:10])
+        return h, w, 3, "gif"
+    # BMP: BITMAPINFOHEADER
+    if raw[:2] == b"BM" and len(raw) >= 30:
+        w, h = struct.unpack("<ii", raw[18:26])
+        bpp = struct.unpack("<H", raw[28:30])[0]
+        return abs(h), w, max(1, bpp // 8), "bmp"
+    # PPM / PGM binary (P6 / P5)
+    if raw[:2] in (b"P6", b"P5"):
+        try:
+            fields: list[int] = []
+            pos = 2
+            while len(fields) < 3 and pos < min(len(raw), 512):
+                c = raw[pos:pos + 1]
+                if c == b"#":  # comment to end of line
+                    while pos < len(raw) and raw[pos:pos + 1] != b"\n":
+                        pos += 1
+                elif c.isspace():
+                    pos += 1
+                else:
+                    start = pos
+                    while pos < len(raw) and raw[pos:pos + 1].isdigit():
+                        pos += 1
+                    fields.append(int(raw[start:pos]))
+            w, h = fields[0], fields[1]
+            return h, w, 3 if raw[:2] == b"P6" else 1, "ppm"
+        except (IndexError, ValueError):
+            return None
+    # JPEG: scan markers for SOF0/1/2 (baseline/extended/progressive)
+    if raw[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 9 < len(raw):
+            if raw[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = raw[pos + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                h, w = struct.unpack(">HH", raw[pos + 5:pos + 9])
+                channels = raw[pos + 9]
+                return h, w, channels, "jpeg"
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seg_len = struct.unpack(">H", raw[pos + 2:pos + 4])[0]
+            pos += 2 + seg_len
+        return None
+    return None
+
+
+def decode_pixels(raw: bytes):
+    """numpy (h, w, c) uint8 array for the uncompressed formats
+    (BMP 24-bit bottom-up, binary PPM P6), else None."""
+    import numpy as np
+
+    meta = parse_image_header(raw)
+    if meta is None:
+        return None
+    h, w, c, fmt = meta
+    if fmt == "bmp" and c == 3:
+        offset = struct.unpack("<I", raw[10:14])[0]
+        row_size = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        if len(raw) < offset + row_size * h:
+            return None
+        arr = np.frombuffer(
+            raw, dtype=np.uint8, count=row_size * h, offset=offset
+        ).reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+        return arr[::-1, :, ::-1].copy()  # bottom-up BGR → top-down RGB
+    if fmt == "ppm" and c == 3:
+        # pixel data starts after the single whitespace following maxval
+        fields, pos = 0, 2
+        while fields < 3 and pos < len(raw):
+            ch = raw[pos:pos + 1]
+            if ch == b"#":
+                while pos < len(raw) and raw[pos:pos + 1] != b"\n":
+                    pos += 1
+            elif ch.isspace():
+                pos += 1
+            else:
+                while pos < len(raw) and raw[pos:pos + 1].isdigit():
+                    pos += 1
+                fields += 1
+        pos += 1  # the single whitespace byte after maxval
+        need = h * w * 3
+        if len(raw) < pos + need:
+            return None
+        return np.frombuffer(raw, dtype=np.uint8, count=need, offset=pos).reshape(
+            h, w, 3
+        ).copy()
+    return None
+
+
+def encode_bmp(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit BMP."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    row_size = (w * 3 + 3) & ~3
+    data_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    bgr = arr[::-1, :, ::-1]  # top-down RGB → bottom-up BGR
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + rows.tobytes()
+
+
+def resize_nearest(arr, height: int, width: int):
+    """Nearest-neighbor resize of an (h, w, c) array with numpy index
+    math — the deterministic, dependency-free resize kernel."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    rows = (np.arange(height) * h // height).clip(0, h - 1)
+    cols = (np.arange(width) * w // width).clip(0, w - 1)
+    return arr[rows][:, cols]
+
+
+def parse_wav(raw: bytes) -> "tuple[int, int, int, object] | None":
+    """(sample_rate, n_frames, channels, float64 samples in [-1, 1])
+    for PCM WAV bytes via stdlib ``wave``, else None."""
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(raw)) as wf:
+            rate = wf.getframerate()
+            n = wf.getnframes()
+            ch = wf.getnchannels()
+            width = wf.getsampwidth()
+            frames = wf.readframes(n)
+    except (wave.Error, EOFError):
+        return None
+    if width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (
+            np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    elif width == 4:
+        samples = (
+            np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+        )
+    else:
+        return None
+    if ch > 1:
+        samples = samples.reshape(-1, ch)
+    return rate, n, ch, samples

@@ -7,12 +7,14 @@ never decoded at rest, mirroring the reference's ``sample_compression``
 storage.  Processing runs in Arrow-batched ``mapInPandas`` stages so a
 1000-executor cluster decodes in parallel with no driver involvement.
 
-The actual codecs (PIL / av / soundfile) are NOT installed in this
-container, so the decode kernels are stubbed: when the library import
-fails, ``decode_image_batch`` raises ``NotImplementedError`` unless
-``fake=True``, which produces a deterministic fake decode (shape +
-checksum derived from the bytes) so the Spark-side plumbing — schema,
-batching, partitioning, UDF signatures — is fully real and testable.
+Codec tiers: the full libraries (PIL / av / soundfile) take priority
+when importable; below them sit the zero-dependency builtin codecs
+(``multimodal/codecs.py``: header parsing for PNG/JPEG/GIF/BMP/PPM,
+numpy pixel decode + resize for BMP/PPM, stdlib ``wave`` for PCM
+audio) — REAL decodes, active in this container; only payloads neither
+tier understands fall through to ``NotImplementedError`` or, with
+``fake=True``, a deterministic stub so the Spark-side plumbing stays
+testable on arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -57,16 +59,12 @@ def decode_image_batch(
 ) -> DataFrame:
     """Append decoded image metadata (height/width/channels/checksum).
 
-    Real path uses PIL when importable; otherwise ``fake=True`` runs the
-    deterministic stub, and ``fake=False`` raises NotImplementedError —
-    clearly marking the codec gap rather than silently guessing.
+    Tiered decode: PIL when importable → builtin header parsers
+    (PNG/JPEG/GIF/BMP/PPM — real, zero-dependency) → with ``fake=True``
+    a deterministic stub for unrecognized payloads; ``fake=False``
+    leaves NULL metadata for bytes neither real tier understands.
     """
     pil = _try_pil()
-    if pil is None and not fake:
-        raise NotImplementedError(
-            "image codec (PIL) not available in this environment; "
-            "pass fake=True for the deterministic stub decode"
-        )
 
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("image_meta", IMAGE_META_SCHEMA)]
@@ -76,6 +74,8 @@ def decode_image_batch(
         import io
 
         import pandas as pd
+
+        from muller_spark.multimodal.codecs import parse_image_header
 
         for pdf in iterator:
             metas = []
@@ -89,9 +89,16 @@ def decode_image_batch(
                         metas.append((h, w, c, hashlib.md5(raw).hexdigest()))
                         continue
                     except Exception:
-                        metas.append((None, None, None, None))
-                        continue
-                metas.append(_fake_decode(raw))
+                        pass  # fall through to the builtin parsers
+                parsed = parse_image_header(raw)
+                if parsed is not None:
+                    h, w, c, _fmt = parsed
+                    metas.append((h, w, c, hashlib.md5(raw).hexdigest()))
+                    continue
+                if fake:
+                    metas.append(_fake_decode(raw))
+                else:
+                    metas.append((None, None, None, None))
             pdf = pdf.copy()
             pdf["image_meta"] = [
                 {"height": m[0], "width": m[1], "channels": m[2], "checksum": m[3]}
@@ -108,11 +115,11 @@ def resize_images(
     size: tuple[int, int] = (224, 224),
     fake: bool = False,
 ) -> DataFrame:
-    """Re-encode images at a target size (PIL path), or pass bytes
-    through with the target shape recorded (stub path)."""
+    """Re-encode images at a target size.  Tiered: PIL (any format) →
+    builtin numpy nearest-neighbor for BMP/PPM pixels re-encoded as BMP
+    (real, zero-dependency) → with ``fake=True`` bytes pass through
+    unchanged; otherwise unrecognized payloads get NULL output."""
     pil = _try_pil()
-    if pil is None and not fake:
-        raise NotImplementedError("image codec (PIL) not available; pass fake=True")
     h, w = size
 
     out_schema = T.StructType(
@@ -126,18 +133,36 @@ def resize_images(
     def run(iterator: Iterator):
         import io
 
+        from muller_spark.multimodal.codecs import (
+            decode_pixels,
+            encode_bmp,
+            resize_nearest,
+        )
+
         for pdf in iterator:
             resized, shapes = [], []
             for data in pdf[bytes_col]:
                 raw = bytes(data) if data is not None else b""
                 if pil is not None and not fake:
-                    with pil.open(io.BytesIO(raw)) as img:
-                        buf = io.BytesIO()
-                        img.resize((w, h)).save(buf, format=img.format or "PNG")
-                        resized.append(buf.getvalue())
-                else:
+                    try:
+                        with pil.open(io.BytesIO(raw)) as img:
+                            buf = io.BytesIO()
+                            img.resize((w, h)).save(buf, format=img.format or "PNG")
+                            resized.append(buf.getvalue())
+                            shapes.append([h, w, 3])
+                        continue
+                    except Exception:
+                        pass
+                pixels = decode_pixels(raw)
+                if pixels is not None:
+                    resized.append(encode_bmp(resize_nearest(pixels, h, w)))
+                    shapes.append([h, w, 3])
+                elif fake:
                     resized.append(raw)  # stub: bytes unchanged
-                shapes.append([h, w, 3])
+                    shapes.append([h, w, 3])
+                else:
+                    resized.append(None)
+                    shapes.append(None)
             pdf = pdf.copy()
             pdf["resized"] = resized
             pdf["resized_shape"] = shapes
@@ -264,17 +289,13 @@ def extract_audio_features(
     fake: bool = False,
 ) -> DataFrame:
     """Append decoded audio metadata + features (sample_rate, n_samples,
-    channels, duration, RMS loudness, checksum).  Real path uses
-    ``soundfile`` when importable; otherwise ``fake=True`` runs the
-    deterministic stub and ``fake=False`` raises NotImplementedError
-    (reference decodes audio lazily through ``muller.read`` samples,
+    channels, duration, RMS loudness, checksum).  Tiered decode:
+    ``soundfile`` when importable (any format) → stdlib ``wave`` for
+    PCM WAV (real, zero-dependency) → ``fake=True`` deterministic stub;
+    unrecognized payloads otherwise get NULL metadata (reference
+    decodes audio lazily through ``muller.read`` samples,
     ``muller/api/read.py:21``, ``core/sample.py``)."""
     sf = _try_soundfile()
-    if sf is None and not fake:
-        raise NotImplementedError(
-            "audio codec (soundfile) not available in this environment; "
-            "pass fake=True for the deterministic stub decode"
-        )
 
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("audio_meta", AUDIO_META_SCHEMA)]
@@ -282,6 +303,8 @@ def extract_audio_features(
 
     def run(iterator: Iterator):
         import io
+
+        from muller_spark.multimodal.codecs import parse_wav
 
         for pdf in iterator:
             metas = []
@@ -299,9 +322,21 @@ def extract_audio_features(
                         ))
                         continue
                     except Exception:
-                        metas.append((None, None, None, None, None, None))
-                        continue
-                metas.append(_fake_audio_decode(raw))
+                        pass
+                parsed = parse_wav(raw)
+                if parsed is not None:
+                    rate, n, ch, samples = parsed
+                    rms = float((samples.reshape(-1) ** 2).mean() ** 0.5) if n else 0.0
+                    metas.append((
+                        int(rate), int(n), int(ch),
+                        round(n / rate, 6) if rate else None, round(rms, 6),
+                        hashlib.md5(raw).hexdigest(),
+                    ))
+                    continue
+                if fake:
+                    metas.append(_fake_audio_decode(raw))
+                else:
+                    metas.append((None, None, None, None, None, None))
             pdf = pdf.copy()
             pdf["audio_meta"] = [
                 {

@@ -1,0 +1,136 @@
+"""Zero-dependency media codecs (multimodal/codecs.py) — real decodes
+of crafted PNG/JPEG/GIF/BMP/PPM/WAV bytes, no PIL/av/soundfile."""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+import sys
+import wave
+import zlib
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from muller_spark.multimodal.codecs import (  # noqa: E402
+    decode_pixels,
+    encode_bmp,
+    parse_image_header,
+    parse_wav,
+    resize_nearest,
+)
+
+
+def make_png(w, h, color_type=2):
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    raw_rows = b"".join(b"\x00" + b"\x7f" * (w * nch) for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw_rows)) + chunk(b"IEND", b""))
+
+
+def make_jpeg(w, h, channels=3):
+    # minimal marker stream: SOI, APP0, SOF0, EOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof = (b"\xff\xc0" + struct.pack(">H", 8 + 3 * channels) + b"\x08"
+           + struct.pack(">HH", h, w) + bytes([channels])
+           + bytes(3 * channels))
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def make_ppm(arr):
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def make_wav(samples_i16, rate=16000, channels=1):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples_i16, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_parse_image_headers():
+    assert parse_image_header(make_png(20, 10)) == (10, 20, 3, "png")
+    assert parse_image_header(make_png(5, 7, color_type=6)) == (7, 5, 4, "png")
+    assert parse_image_header(make_jpeg(33, 44)) == (44, 33, 3, "jpeg")
+    assert parse_image_header(make_jpeg(8, 9, channels=1)) == (9, 8, 1, "jpeg")
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 10
+    assert parse_image_header(gif) == (34, 12, 3, "gif")
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert parse_image_header(make_ppm(arr)) == (2, 3, 3, "ppm")
+    assert parse_image_header(encode_bmp(arr)) == (2, 3, 3, "bmp")
+    assert parse_image_header(b"not an image at all" * 3) is None
+
+
+def test_bmp_roundtrip_and_resize():
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    back = decode_pixels(encode_bmp(arr))
+    assert np.array_equal(back, arr)
+    ppm_back = decode_pixels(make_ppm(arr))
+    assert np.array_equal(ppm_back, arr)
+    up = resize_nearest(arr, 14, 10)
+    assert up.shape == (14, 10, 3)
+    assert np.array_equal(up[::2, ::2], arr)  # exact 2x nearest-neighbor
+
+
+def test_parse_wav_features():
+    # constant half-scale amplitude → rms = 0.5 exactly
+    wav = make_wav([16384, -16384] * 800, rate=16000)
+    rate, n, ch, samples = parse_wav(wav)
+    assert (rate, n, ch) == (16000, 1600, 1)
+    assert abs(float((samples ** 2).mean() ** 0.5) - 0.5) < 1e-9
+    assert parse_wav(b"junkjunkjunk") is None
+
+
+def test_media_pipeline_with_real_codecs(spark):
+    """decode/resize/audio kernels use the builtin codecs end-to-end on
+    a DataFrame of real (crafted) media bytes — no fake flag."""
+    from muller_spark.multimodal import (
+        decode_image_batch,
+        extract_audio_features,
+        resize_images,
+    )
+
+    arr = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    rows = [
+        (0, make_png(20, 10)),
+        (1, make_jpeg(33, 44)),
+        (2, encode_bmp(arr)),
+        (3, make_ppm(arr)),
+        (4, b"garbage bytes"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    metas = {r["id"]: r["image_meta"] for r in decode_image_batch(df).collect()}
+    assert (metas[0]["height"], metas[0]["width"]) == (10, 20)
+    assert (metas[1]["height"], metas[1]["width"]) == (44, 33)
+    assert (metas[2]["height"], metas[2]["width"], metas[2]["channels"]) == (6, 4, 3)
+    assert metas[3]["height"] == 6 and metas[4]["height"] is None
+
+    resizable = df.filter("id IN (2, 3)")
+    out = {r["id"]: r for r in resize_images(resizable, size=(3, 2)).collect()}
+    for rid in (2, 3):
+        pixels = decode_pixels(bytes(out[rid]["resized"]))
+        assert pixels.shape == (3, 2, 3)
+        assert out[rid]["resized_shape"] == [3, 2, 3]
+
+    adf = spark.createDataFrame(
+        [(0, make_wav([16384, -16384] * 100, rate=8000, channels=1)),
+         (1, b"not audio")],
+        "id long, content binary",
+    )
+    ameta = {r["id"]: r["audio_meta"] for r in
+             extract_audio_features(adf, "content").collect()}
+    assert ameta[0]["sample_rate"] == 8000 and ameta[0]["n_samples"] == 200
+    assert ameta[0]["rms"] == pytest.approx(0.5, abs=1e-6)
+    assert ameta[1]["sample_rate"] is None

@@ -117,8 +117,10 @@ def test_read_binary_files_and_multimodal(spark, tmp_path):
     df = read_binary_files(spark, str(tmp_path), pattern="*.bin")
     assert df.count() == 3
 
-    with pytest.raises(NotImplementedError):
-        decode_image_batch(df).collect()  # PIL absent → clearly stubbed
+    # unrecognized payloads (not a real image format) → NULL metadata
+    # on the honest path, deterministic stub with fake=True
+    strict = decode_image_batch(df).collect()
+    assert all(r["image_meta"]["height"] is None for r in strict)
 
     decoded = decode_image_batch(df, fake=True).collect()
     assert all(r["image_meta"]["height"] >= 16 for r in decoded)
@@ -324,14 +326,11 @@ def test_extract_audio_features_stub(spark):
     again = {r["id"]: r["audio_meta"] for r in
              extract_audio_features(df, "content", fake=True).collect()}
     assert again == rows
-    # real-codec path must fail loudly, not guess, when the lib is absent
-    try:
-        import soundfile  # noqa: F401
-    except ImportError:
-        import pytest as _pytest
-
-        with _pytest.raises(NotImplementedError, match="soundfile"):
-            extract_audio_features(df, "content", fake=False).collect()
+    # honest path: bytes that are not PCM WAV decode to NULL metadata,
+    # never a guess (real WAV decode is covered in test_codecs.py)
+    strict = {r["id"]: r["audio_meta"] for r in
+              extract_audio_features(df, "content", fake=False).collect()}
+    assert all(m["sample_rate"] is None for m in strict.values())
 
 
 def test_enrich_stream_matches_batch(spark, tmp_path):
