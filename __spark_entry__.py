@@ -778,6 +778,17 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, ["view", "click", "purchase"]).orderBy("step")
 
 
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed funnel: each step must convert within 24 h of the
+    previous conversion (operators/analytics.funnel within_seconds)."""
+    from muller_spark.operators.analytics import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(
+        ev, ["view", "click", "purchase"], within_seconds=86400
+    ).orderBy("step")
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly retention cohorts (operators/analytics.cohort_retention):
     integer year*12+month arithmetic keeps both engines exact."""
@@ -1344,6 +1355,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_decontamination": q_decontamination,
     "q_funnel": q_funnel,
+    "q_funnel_windowed": q_funnel_windowed,
     "q_cohort_retention": q_cohort_retention,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_bpe_tokens": q_bpe_tokens,
@@ -1737,6 +1749,32 @@ _ORACLES: dict[str, str] = {
           SELECT ev.u, min(ev.ts) AS conv
           FROM ev JOIN c1 ON ev.u = c1.u
           WHERE ev.t = 'purchase' AND ev.ts >= c1.conv GROUP BY ev.u
+        )
+        SELECT 1 AS step, 'view' AS step_name,
+               (SELECT count(*) FROM c0) AS n_users
+        UNION ALL
+        SELECT 2, 'click', (SELECT count(*) FROM c1)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT count(*) FROM c2)
+        ORDER BY step
+    """,
+    "q_funnel_windowed": """
+        WITH ev AS (
+          SELECT user_id AS u, event_type AS t, ts FROM events
+        ), c0 AS (
+          SELECT u, min(ts) AS conv FROM ev WHERE t = 'view' GROUP BY u
+        ), c1 AS (
+          SELECT ev.u, min(ev.ts) AS conv
+          FROM ev JOIN c0 ON ev.u = c0.u
+          WHERE ev.t = 'click' AND ev.ts >= c0.conv
+            AND ev.ts <= c0.conv + INTERVAL 86400 SECOND
+          GROUP BY ev.u
+        ), c2 AS (
+          SELECT ev.u, min(ev.ts) AS conv
+          FROM ev JOIN c1 ON ev.u = c1.u
+          WHERE ev.t = 'purchase' AND ev.ts >= c1.conv
+            AND ev.ts <= c1.conv + INTERVAL 86400 SECOND
+          GROUP BY ev.u
         )
         SELECT 1 AS step, 'view' AS step_name,
                (SELECT count(*) FROM c0) AS n_users

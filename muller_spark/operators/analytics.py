@@ -28,13 +28,16 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within_seconds: "int | None" = None,
 ) -> DataFrame:
     """Ordered-funnel conversion counts: (step, step_name, n_users).
 
     A user converts step k only if a step-k event occurs at-or-after
     their first step-(k−1) conversion time (conv_0 = first step-0
-    event).  Single plan: one user-keyed aggregation collects each
-    user's per-step event times (bounded by that user's event count),
+    event) — and, when ``within_seconds`` is set, no later than that
+    many seconds after it (the classic "converted within 24 h" form).
+    Single plan: one user-keyed aggregation collects each user's
+    per-step event times (bounded by that user's event count),
     conversion times chain through array_min over filtered arrays, and
     a final global aggregate emits one row per step — one shuffle on
     the user key, no self-joins over raw events, no driver-side loops.
@@ -57,14 +60,23 @@ def funnel(
             for i, s in enumerate(steps[1:], start=1)
         ],
     )
+    gap = (
+        F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+        if within_seconds is not None else None
+    )
     # conv_0 = first step-0 event; conv_k = earliest step-k event ≥ conv_{k-1}
+    # (single-arg predicate factory: a 2-parameter lambda would be
+    # treated by F.filter as an (element, index) lambda)
+    def in_range(p):
+        if gap is None:
+            return lambda x: x >= p
+        return lambda x: (x >= p) & (x <= p + gap)
+
     conv = F.col("_first_0")
     convs = [conv]
     for i in range(1, len(steps)):
         prev = convs[-1]
-        nxt = F.array_min(
-            F.filter(F.col(f"_all_{i}"), lambda x: x >= prev)  # noqa: B023
-        )
+        nxt = F.array_min(F.filter(F.col(f"_all_{i}"), in_range(prev)))
         convs.append(F.when(prev.isNotNull(), nxt))
     marked = per_user.select(
         *[c.alias(f"conv_{i}") for i, c in enumerate(convs)]

@@ -42,6 +42,14 @@ def test_funnel_ordered_conversion(ev):
     assert out == {"view": 3, "click": 2, "purchase": 1}
 
 
+def test_funnel_within_window(ev):
+    # user 3 clicks 4 days after viewing → drops out of a 1-day funnel
+    out = {r["step_name"]: r["n_users"] for r in
+           funnel(ev, ["view", "click", "purchase"],
+                  within_seconds=86400).collect()}
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
 def test_funnel_same_timestamp_counts(spark):
     rows = [(1, "view", _ts(1)), (1, "click", _ts(1))]
     df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
