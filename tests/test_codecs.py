@@ -93,6 +93,33 @@ def test_parse_wav_features():
     assert parse_wav(b"junkjunkjunk") is None
 
 
+def test_portable_hash_cross_engine_parity(spark):
+    """portable_hash60 (the primitive behind every oracle-checked
+    MinHash/SimHash value) agrees with the DuckDB formula on adversarial
+    strings: unicode, empties, newlines, quotes, long runs."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from muller_spark.operators.dedup import portable_hash60
+
+    strings = [
+        "", " ", "a", "hello world", "naïve café", "日本語のテキスト",
+        "line\nbreak", "tab\tsep", "quote'quote", 'double"quote',
+        "emoji 🎉🎊", "a" * 500, "\\backslash\\", "%percent%",
+        "mixed 英文 and ascii 123", "\x00-ish\x01control",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)],
+                               "i long, s string")
+    got = {r["i"]: r["h"] for r in
+           df.select("i", portable_hash60(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(strings):
+        expected = con.execute(
+            "SELECT ('0x'||substr(md5(?),1,15))::BIGINT", [s]
+        ).fetchone()[0]
+        assert got[i] == expected, (s, got[i], expected)
+
+
 def test_media_pipeline_with_real_codecs(spark):
     """decode/resize/audio kernels use the builtin codecs end-to-end on
     a DataFrame of real (crafted) media bytes — no fake flag."""
