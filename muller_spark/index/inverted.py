@@ -109,6 +109,7 @@ class InvertedIndex:
         stop_words: Sequence[str] | None = None,
         commit_id: str | None = None,
         is_text: bool = True,
+        positions: bool = False,
     ) -> "InvertedIndex":
         spark = df.sparkSession
         col = F.col(tensor)
@@ -134,21 +135,50 @@ class InvertedIndex:
                     ),
                     ArrayType(StringType()),
                 )
-                exploded = (
-                    df.select(
-                        F.col(id_col).alias("id"), F.explode(tok_udf(col)).alias("term")
+                tok_arr = tok_udf(col)
+                if positions:
+                    exploded = df.select(
+                        F.col(id_col).alias("id"),
+                        F.posexplode(tok_arr).alias("pos", "term"),
+                    ).filter(F.col("term") != "")
+                else:
+                    exploded = (
+                        df.select(
+                            F.col(id_col).alias("id"),
+                            F.explode(tok_arr).alias("term"),
+                        )
+                        .filter(F.col("term") != "")
                     )
-                    .filter(F.col("term") != "")
-                )
             else:
                 base = col if case_sensitive else F.lower(col)
                 terms = F.split(base, TOKEN_SPLIT_REGEX)
-                exploded = (
-                    df.select(F.col(id_col).alias("id"), F.explode(terms).alias("term"))
-                    .filter(F.col("term") != "")
-                )
-                if stop_words:
-                    exploded = exploded.filter(~F.col("term").isin(list(stop_words)))
+                if positions:
+                    # positions index the FILTERED token stream (empties
+                    # and stop words removed before numbering), matching
+                    # the query-side tokenize_py stream — adjacency is
+                    # over surviving tokens on both sides
+                    kept = F.filter(terms, lambda t: t != "")
+                    if stop_words:
+                        stop_arr = F.array(*[F.lit(w) for w in stop_words])
+                        kept = F.filter(
+                            kept, lambda t: ~F.array_contains(stop_arr, t)
+                        )
+                    exploded = df.select(
+                        F.col(id_col).alias("id"),
+                        F.posexplode(kept).alias("pos", "term"),
+                    )
+                else:
+                    exploded = (
+                        df.select(
+                            F.col(id_col).alias("id"),
+                            F.explode(terms).alias("term"),
+                        )
+                        .filter(F.col("term") != "")
+                    )
+                    if stop_words:
+                        exploded = exploded.filter(
+                            ~F.col("term").isin(list(stop_words))
+                        )
         else:
             has_cjk = False
             # scalar index: one "term" per cell, the string form of the value
@@ -156,8 +186,11 @@ class InvertedIndex:
                 F.col(id_col).alias("id"), col.cast("string").alias("term")
             ).filter(F.col("term").isNotNull())
 
+        if not positions:
+            exploded = exploded.distinct()  # one (term, id) row per pair
+        # positional rows are unique by construction (one per token slot)
         postings = (
-            exploded.distinct()  # one (term, id) row per distinct pair
+            exploded
             .withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(num_shards)))
             .repartition(num_shards, "shard")
             .sortWithinPartitions("term", "id")
@@ -175,6 +208,7 @@ class InvertedIndex:
             "commit_id": commit_id,
             "is_text": is_text,
             "tokenizer": ("cjk_fmm" if has_cjk else "regex") if is_text else "scalar",
+            "positions": bool(positions),
         }
         fs = get_fs(path)
         fs.makedirs(path)
@@ -206,7 +240,37 @@ class InvertedIndex:
         if search_type == "range_match":
             lo, hi = query
             return self._range(lo, hi)
+        if search_type == "phrase_match":
+            return self._phrase(query)
         raise ValueError(f"unknown search_type {search_type!r}")
+
+    def _phrase(self, query: str) -> DataFrame:
+        """Exact token-adjacency phrase match over a positional index:
+        document matches iff tokens of ``query`` appear consecutively
+        (in the post-filter token stream).  Each term's postings are
+        shard-pruned reads; the phrase is an AND of k joins on
+        (id, pos - offset) — candidate sets shrink with every join, so
+        the plan is bounded by the rarest term's posting list."""
+        if not self.manifest.get("positions"):
+            raise ValueError(
+                "phrase_match needs a positional index: build with "
+                "positions=True"
+            )
+        terms = self._terms_of(query)
+        if not terms:
+            return self.spark.createDataFrame([], "id long")
+        posts = self._lookup_terms(terms)
+        anchored = None
+        for i, t in enumerate(terms):
+            side = (
+                posts.filter(F.col("term") == t)
+                .select("id", (F.col("pos") - F.lit(i)).alias("base"))
+                .alias(f"t{i}")
+            )
+            anchored = side if anchored is None else anchored.join(
+                side, ["id", "base"]
+            )
+        return anchored.select("id").distinct()
 
     def _terms_of(self, query: str) -> list[str]:
         m = self.manifest
@@ -224,6 +288,10 @@ class InvertedIndex:
         partition column keeps this a K-partition read, not a full scan.
         Terms materialized in the hot shard (manifest-routed, see
         ``add_hot_shard``) read the small dedicated table instead."""
+        cols = (
+            ["term", "id", "pos"] if self.manifest.get("positions")
+            else ["term", "id"]
+        )
         hot_set = set(self.manifest.get("hot_terms") or [])
         hot = [t for t in terms if t in hot_set]
         cold = [t for t in terms if t not in hot_set]
@@ -231,7 +299,7 @@ class InvertedIndex:
         if hot:
             parts.append(
                 self._hot_postings().filter(F.col("term").isin(hot))
-                .select("term", "id")
+                .select(*cols)
             )
         if cold:
             num_shards = self.manifest["num_shards"]
@@ -244,10 +312,13 @@ class InvertedIndex:
             parts.append(
                 p.filter(F.col("shard").isin(shard_vals))
                 .join(F.broadcast(shards.select("term")), "term", "inner")
-                .select("term", "id")
+                .select(*cols)
             )
         if not parts:
-            return self.spark.createDataFrame([], "term string, id long")
+            return self.spark.createDataFrame(
+                [], "term string, id long, pos int"
+                if self.manifest.get("positions") else "term string, id long"
+            )
         out = parts[0]
         for extra in parts[1:]:
             out = out.unionByName(extra)
@@ -308,10 +379,12 @@ class InvertedIndex:
             index_type=m["index_type"], num_shards=m["num_shards"],
             case_sensitive=m["case_sensitive"],
             stop_words=m["stop_words"] or None, is_text=m["is_text"],
+            positions=m.get("positions", False),
         )
+        cols = ["term", "id", "pos"] if m.get("positions") else ["term", "id"]
         merged = (
-            self._postings().select("term", "id")
-            .unionByName(delta._postings().select("term", "id"))
+            self._postings().select(*cols)
+            .unionByName(delta._postings().select(*cols))
             .distinct()  # row-level merge: no per-term array ever materializes
             .withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(m["num_shards"])))
             .repartition(m["num_shards"], "shard")

@@ -55,6 +55,42 @@ def test_inverted_index_fuzzy_matches_scan(spark, docs, tmp_path_factory):
         assert via_index == via_scan, query
 
 
+def test_inverted_index_phrase_search(spark, docs, tmp_path_factory):
+    """Positional index: phrase_match = token-adjacency, verified
+    against a regex scan oracle over the normalized token stream."""
+    path = str(tmp_path_factory.mktemp("idx") / "pos_index")
+    idx = InvertedIndex.build(docs, "text", path, id_col="doc_id",
+                              positions=True)
+    assert idx.manifest["positions"] is True
+    for phrase in ["table part", "fast merge batch", "spark"]:
+        via_index = {r["id"] for r in
+                     idx.search(phrase, "phrase_match").collect()}
+        pattern = r"(^|[^a-z0-9])" + r"[^a-z0-9]+".join(
+            phrase.split()) + r"($|[^a-z0-9])"
+        via_scan = {r["doc_id"] for r in
+                    docs.filter(F.lower("text").rlike(pattern)).collect()}
+        assert via_index == via_scan, phrase
+    # phrase absent from the corpus → empty
+    assert idx.search("zzz qqq xxx", "phrase_match").count() == 0
+    # incremental update preserves positions: new doc becomes findable
+    extra = spark.createDataFrame(
+        [(990001, "wholly novel table part phrase appended later")],
+        "doc_id long, text string",
+    )
+    idx.update(extra.withColumn("lang", F.lit("en"))
+               .withColumn("source", F.lit("srcX"))
+               .withColumn("n_chars", F.length("text")), commit_id="c2")
+    hits = {r["id"] for r in idx.search("table part", "phrase_match").collect()}
+    assert 990001 in hits
+
+
+def test_phrase_requires_positional_index(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx") / "nopos_index")
+    idx = InvertedIndex.build(docs, "text", path, id_col="doc_id")
+    with pytest.raises(ValueError, match="positional"):
+        idx.search("table part", "phrase_match")
+
+
 def test_inverted_index_complex_fuzzy(spark, docs, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("idx") / "text_index2")
     idx = InvertedIndex.build(docs, "text", path, id_col="doc_id")
