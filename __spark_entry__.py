@@ -855,6 +855,21 @@ def q_group_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-≤8 near-dup pairs over the portable SimHash
+    (operators/dedup.simhash_portable_near_dups, 12 blocks).  The
+    brute-force O(N²) oracle verifies the bucketed candidate
+    generation loses NO pair within the radius — the completeness
+    guarantee of block-permutation bucketing, value-checked."""
+    from muller_spark.operators.dedup import simhash_portable_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    out = simhash_portable_near_dups(
+        docs, "text", "doc_id", max_hamming=8, num_blocks=12
+    )
+    return out.orderBy("id_a", "id_b")
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-document repetition signals
     (operators/quality.repetition_stats): distinct-word fraction,
@@ -1343,6 +1358,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_pairs": q_minhash_pairs,
     "q_minhash_portable": q_minhash_portable,
     "q_simhash_portable": q_simhash_portable,
+    "q_simhash_near_dups": q_simhash_near_dups,
     "q_repetition_stats": q_repetition_stats,
     "q_gopher_filter": q_gopher_filter,
     "q_pii_scan": q_pii_scan,
@@ -1876,6 +1892,29 @@ _ORACLES: dict[str, str] = {
         )
         ORDER BY abs(z) DESC, o_orderkey
         LIMIT 20
+    """,
+    "q_simhash_near_dups": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), hs AS (
+          SELECT doc_id,
+                 list_transform(t, s -> {_H60_SQL.format(v='s')}) AS hs
+          FROM toks
+        ), fp AS (
+          SELECT doc_id AS id,
+                 cast(coalesce(list_sum(list_transform(generate_series(0, 59),
+                   j -> CASE WHEN 2 * len(list_filter(hs,
+                                h -> (h // cast(pow(2, j) AS BIGINT)) % 2 = 1))
+                              > len(hs)
+                        THEN cast(pow(2, j) AS BIGINT) ELSE 0 END)), 0)
+                   AS BIGINT) AS s
+          FROM hs
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               bit_count(xor(a.s, b.s)) AS hamming
+        FROM fp a JOIN fp b ON a.id < b.id
+        WHERE bit_count(xor(a.s, b.s)) <= 8
+        ORDER BY id_a, id_b
     """,
     "q_repetition_stats": f"""
         WITH toks AS (

@@ -544,9 +544,12 @@ class Dataset:
         num_of_shards: int = 8,
         stop_words_list: Sequence[str] | None = None,
         case_sensitive: bool = False,
+        positions: bool = False,
         **_: Any,
     ):
-        """Build a sharded inverted (posting-table) index on a tensor."""
+        """Build a sharded inverted (posting-table) index on a tensor.
+        ``positions=True`` keeps token positions so ``search(...,
+        'phrase_match')`` answers exact-adjacency phrase queries."""
         from muller_spark.index.inverted import InvertedIndex
 
         self._require_tensor(tensor)
@@ -562,6 +565,7 @@ class Dataset:
             stop_words=stop_words_list,
             commit_id=self._snapshot.commit_id,
             is_text=is_text,
+            positions=positions,
         )
 
     create_index = create_index_vectorized

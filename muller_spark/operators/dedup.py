@@ -374,6 +374,48 @@ def simhash_portable(
     return hashed.select("id", packed.alias("simhash60"))
 
 
+def simhash_portable_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Hamming-radius pairs over the portable 60-bit fingerprint, via
+    the same block-permutation bucketing as :func:`simhash_near_dups`
+    (any pair within distance < num_blocks shares ≥1 exact block).
+
+    Because the fingerprint is engine-portable, a brute-force O(N²) SQL
+    oracle can verify BOTH the fingerprint math and the *completeness*
+    of the bucketed candidate generation — the guarantee that block
+    bucketing misses nothing when ``max_hamming < num_blocks``.
+    Returns (id_a, id_b, hamming)."""
+    if max_hamming >= num_blocks:
+        raise ValueError("completeness requires max_hamming < num_blocks")
+    sh = simhash_portable(df, text_col, id_col).cache()
+    width = 60 // num_blocks
+    blocks = F.array(*[
+        F.shiftright(F.col("simhash60"), i * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        for i in range(num_blocks)
+    ])
+    keyed = sh.select("id", "simhash60", F.posexplode(blocks).alias("block", "key"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            hamming_distance(
+                F.col("a.simhash60"), F.col("b.simhash60")
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str,

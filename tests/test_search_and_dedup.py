@@ -234,6 +234,19 @@ def test_simhash_portable_fingerprints(dup_docs):
     assert bin(fp[0] ^ fp[3]).count("1") > 16
 
 
+def test_simhash_portable_near_dups(dup_docs):
+    from muller_spark.operators.dedup import simhash_portable_near_dups
+
+    pairs = simhash_portable_near_dups(
+        dup_docs, "text", "doc_id", max_hamming=10, num_blocks=12
+    ).collect()
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert ham[(0, 1)] == 0            # identical docs
+    with pytest.raises(ValueError, match="completeness"):
+        simhash_portable_near_dups(dup_docs, "text", "doc_id",
+                                   max_hamming=4, num_blocks=4)
+
+
 def test_simhash_near_dup(dup_docs):
     pairs = simhash_near_dups(dup_docs, "text", "doc_id", max_hamming=10).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
