@@ -855,6 +855,22 @@ def q_group_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search (index/inverted.phrase_match):
+    builds a positional posting table and answers the exact-adjacency
+    phrase 'table part'; the oracle is the equivalent regex scan —
+    CORRECTNESS coverage for the index access path itself."""
+    import tempfile
+
+    from muller_spark.index.inverted import InvertedIndex
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="phrase_idx_"), "idx")
+    idx = InvertedIndex.build(docs, "text", path, id_col="doc_id",
+                              positions=True)
+    return idx.search("table part", "phrase_match").orderBy("id")
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-≤8 near-dup pairs over the portable SimHash
     (operators/dedup.simhash_portable_near_dups, 12 blocks).  The
@@ -1358,6 +1374,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_pairs": q_minhash_pairs,
     "q_minhash_portable": q_minhash_portable,
     "q_simhash_portable": q_simhash_portable,
+    "q_phrase_search": q_phrase_search,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_repetition_stats": q_repetition_stats,
     "q_gopher_filter": q_gopher_filter,
@@ -1892,6 +1909,12 @@ _ORACLES: dict[str, str] = {
         )
         ORDER BY abs(z) DESC, o_orderkey
         LIMIT 20
+    """,
+    "q_phrase_search": """
+        SELECT doc_id AS id FROM documents
+        WHERE regexp_matches(lower(text),
+          '(^|[^a-z0-9])table[^a-z0-9]+part($|[^a-z0-9])')
+        ORDER BY id
     """,
     "q_simhash_near_dups": f"""
         WITH toks AS (
