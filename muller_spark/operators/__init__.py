@@ -1,4 +1,47 @@
 from muller_spark.operators.aggregate import aggregate_vectorized
+from muller_spark.operators.analytics import cohort_retention, funnel
+from muller_spark.operators.dedup import (
+    canonical_keep_list,
+    contamination_report,
+    dedup_clusters,
+    duplicate_passages,
+    exact_dedup,
+    embedding_near_dups,
+    minhash_lsh_pairs,
+    minhash_portable_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+    simhash_portable,
+    simhash_portable_near_dups,
+)
 from muller_spark.operators.pagination import paginate
+from muller_spark.operators.quality import (
+    gopher_filter,
+    group_zscores,
+    pii_scan,
+    repetition_stats,
+)
+from muller_spark.operators.sampling import (
+    deterministic_sample,
+    deterministic_split,
+    stratified_sample,
+)
+from muller_spark.operators.validate import (
+    duplicate_keys,
+    validate,
+    validate_or_raise,
+)
 
-__all__ = ["aggregate_vectorized", "paginate"]
+__all__ = [
+    "aggregate_vectorized", "paginate",
+    "funnel", "cohort_retention",
+    "exact_dedup", "minhash_lsh_pairs", "minhash_portable_pairs",
+    "simhash", "simhash_portable", "simhash_near_dups",
+    "simhash_portable_near_dups", "ngram_jaccard_pairs",
+    "embedding_near_dups", "duplicate_passages", "contamination_report",
+    "dedup_clusters", "canonical_keep_list",
+    "repetition_stats", "gopher_filter", "pii_scan", "group_zscores",
+    "deterministic_sample", "deterministic_split", "stratified_sample",
+    "validate", "duplicate_keys", "validate_or_raise",
+]
