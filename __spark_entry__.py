@@ -855,6 +855,29 @@ def q_group_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form (label, dim,
+    centroid): element-wise mean over array columns via posexplode +
+    (label, dim) aggregation — exact decimal(18,12) per-dim sums make
+    the float means engine-identical before the 6-dp round."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "val")
+    )
+    return (
+        e.groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional-index phrase search (index/inverted.phrase_match):
     builds a positional posting table and answers the exact-adjacency
@@ -1374,6 +1397,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_pairs": q_minhash_pairs,
     "q_minhash_portable": q_minhash_portable,
     "q_simhash_portable": q_simhash_portable,
+    "q_label_centroids": q_label_centroids,
     "q_phrase_search": q_phrase_search,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_repetition_stats": q_repetition_stats,
@@ -1909,6 +1933,17 @@ _ORACLES: dict[str, str] = {
         )
         ORDER BY abs(z) DESC, o_orderkey
         LIMIT 20
+    """,
+    "q_label_centroids": """
+        SELECT label, s.dim,
+               round(cast(sum(s.val) AS double) / count(*), 6) AS centroid,
+               count(*) AS n_vecs
+        FROM embeddings,
+             unnest(list_transform(generate_series(1, len(embedding)),
+                    i -> {'dim': i - 1,
+                          'val': cast(embedding[i] AS decimal(18,12))}))
+               AS t(s)
+        GROUP BY label, s.dim ORDER BY label, s.dim
     """,
     "q_phrase_search": """
         SELECT doc_id AS id FROM documents
