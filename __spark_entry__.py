@@ -1520,12 +1520,12 @@ _ORACLES: dict[str, str] = {
         SELECT doc_id, n_tokens,
                round(stopword_ratio, 6) AS stopword_ratio,
                round(punct_ratio, 6) AS punct_ratio,
-               round(
+               round(cast(
                  (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END)
                  * (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.5 END)
                  * (CASE WHEN punct_ratio <= 0.3 THEN 1.0 ELSE 0.4 END)
                  * (CASE WHEN digit_ratio <= 0.3 THEN 1.0 ELSE 0.5 END)
-               , 6) AS quality_score
+               AS double), 6) AS quality_score
         FROM r
     """,
     "q_lang_id": f"""
@@ -1598,7 +1598,8 @@ _ORACLES: dict[str, str] = {
           FROM events
         )
         SELECT user_id,
-               sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+               cast(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                    AS bigint) AS n_sessions,
                count(*) AS n_events
         FROM g GROUP BY user_id ORDER BY user_id
     """,
@@ -1859,18 +1860,19 @@ _ORACLES: dict[str, str] = {
     "q_validate": """
         WITH a AS (
           SELECT count(*) AS n,
-            sum(CASE WHEN NOT(o_custkey IS NOT NULL) THEN 1 ELSE 0 END) AS v0,
-            sum(CASE WHEN NOT(o_orderdate BETWEEN '1992-01-01' AND '1998-12-31')
+            cast(sum(CASE WHEN NOT(o_custkey IS NOT NULL) THEN 1 ELSE 0 END)
+                 AS bigint) AS v0,
+            cast(sum(CASE WHEN NOT(o_orderdate BETWEEN '1992-01-01' AND '1998-12-31')
                        OR (o_orderdate BETWEEN '1992-01-01' AND '1998-12-31') IS NULL
-                     THEN 1 ELSE 0 END) AS v1,
-            sum(CASE WHEN NOT(o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',
+                     THEN 1 ELSE 0 END) AS bigint) AS v1,
+            cast(sum(CASE WHEN NOT(o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',
                                                   '4-NOT SPECIFIED','5-LOW'))
                        OR (o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',
                                                '4-NOT SPECIFIED','5-LOW')) IS NULL
-                     THEN 1 ELSE 0 END) AS v2,
-            sum(CASE WHEN NOT(o_totalprice < 300000)
+                     THEN 1 ELSE 0 END) AS bigint) AS v2,
+            cast(sum(CASE WHEN NOT(o_totalprice < 300000)
                        OR (o_totalprice < 300000) IS NULL
-                     THEN 1 ELSE 0 END) AS v3
+                     THEN 1 ELSE 0 END) AS bigint) AS v3
           FROM orders
         )
         SELECT 'custkey_not_null' AS rule, n AS n_rows, v0 AS n_violations,
@@ -2265,7 +2267,8 @@ _ORACLES: dict[str, str] = {
     "q_conditional_agg": """
         SELECT o_orderstatus,
                count(*) AS n,
-               sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+               cast(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                    AS bigint) AS n_urgent,
                cast(sum(CASE WHEN o_orderpriority = '1-URGENT'
                              THEN cast(o_totalprice AS decimal(18,2))
                              ELSE cast(0 AS decimal(18,2)) END) AS double)
@@ -2278,7 +2281,8 @@ _ORACLES: dict[str, str] = {
     """,
     "q_statistics_exact": """
         SELECT count(*) AS n_rows,
-               sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_null,
+               cast(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                    AS bigint) AS n_null,
                min(l_quantity) AS min_qty,
                max(l_quantity) AS max_qty,
                cast(sum(cast(l_quantity AS decimal(28,2))) AS double) AS sum_qty,
