@@ -599,27 +599,34 @@ def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (coarse-quantizer) approximate top-10 KNN for 3 query vectors
-    (no SQL oracle — approximate result; recall vs exact is asserted in
-    tests/test_search_and_dedup.py::test_ivf_recall_against_exact)."""
+    """IVF (coarse-quantizer) top-10 KNN for 3 query vectors, registered
+    with ``nprobe == num_centroids``: every inverted cell is probed, so
+    the candidate set is the full corpus and the result is EXACT — the
+    same oracle as q_knn_l2 applies while still driving the whole IVF
+    machinery (centroid training, cell assignment, probe-set pruning,
+    partial top-k).  The approximate regime (nprobe < nlist) is
+    recall-tested in tests/test_search_and_dedup.py::test_ivf_recall
+    and benched via bench.py."""
     from muller_spark.index.vector import ivf_knn
 
     emb = _t(spark, sf_dir, "embeddings")
     qrows = emb.filter(F.col("vec_id").isin(0, 1, 2)).orderBy("vec_id").collect()
     qvecs = [r["embedding"] for r in qrows]
     out = ivf_knn(emb, "embedding", "vec_id", qvecs, k=10, metric="l2",
-                  num_centroids=16, nprobe=4)
+                  num_centroids=16, nprobe=16)
     return out.select(
         F.col("query_id").cast("long").alias("query_id"), "id", "rank"
     )
 
 
 def q_knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph-ANN top-k via per-partition HNSW (index/vector.hnsw_knn;
-    hnswlib-gated with an exact partition-kernel fallback).  Rows-only —
-    graph search is approximate when hnswlib is present, so no SQL
-    oracle; the recall contract is asserted in
-    tests/test_search_and_dedup.py::test_hnsw_recall_against_exact."""
+    """Graph-ANN top-k via per-partition HNSW (index/vector.hnsw_knn).
+    hnswlib is absent in this container, so hnsw_knn runs its exact
+    partition-kernel fallback and the exact-KNN oracle holds — the gate
+    is documented here deliberately: with hnswlib installed the graph
+    search is approximate and this oracle would need the recall harness
+    (tests/test_search_and_dedup.py::test_hnsw_recall_against_exact)
+    instead."""
     from muller_spark.index.vector import hnsw_knn
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1103,20 +1110,25 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic window: top-3 orders by price within each market segment
-    (rank + tie-break on key so the result is total-order deterministic)."""
-    from pyspark.sql import Window
+    """Top-3 orders by price within each market segment, via the
+    two-phase salted top-k (operators/topk.py) instead of one window
+    over the 5-value c_mktsegment key — a single window would sort each
+    whole segment in one task at scale.  Result is identical to
+    row_number() <= 3 (tie-break on key => total-order deterministic)."""
+    from muller_spark.operators.topk import topk_per_group
 
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    out = topk_per_group(
+        joined,
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+        salt_on=["o_orderkey"],
     )
     return (
-        joined.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+        out.select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
         .orderBy("c_mktsegment", "rnk")
     )
 
@@ -1392,9 +1404,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_l2": q_knn_l2,
     "q_knn_ivf": q_knn_ivf,
     "q_embedding_pairs": q_embedding_pairs,
-    "q_embedding_near_dups": q_embedding_near_dups,
     "q_knn_hnsw": q_knn_hnsw,
-    "q_minhash_pairs": q_minhash_pairs,
     "q_minhash_portable": q_minhash_portable,
     "q_simhash_portable": q_simhash_portable,
     "q_label_centroids": q_label_centroids,
@@ -1416,7 +1426,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cohort_retention": q_cohort_retention,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_bpe_tokens": q_bpe_tokens,
-    "q_simhash": q_simhash,
     "q_count_distinct": q_count_distinct,
     "q_sessionize": q_sessionize,
     "q_sessions": q_sessions,
@@ -1440,7 +1449,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_projection": q_projection,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
-    "q_statistics": q_statistics,
     "q1_pricing_summary": q1_pricing_summary,
     "q_filter_fold": q_filter_fold,
     "q_filter_not_between": q_filter_not_between,
@@ -1494,7 +1502,29 @@ _MH_COEFFS_SQL = "[" + ",".join(
 # 60-bit md5-prefix hash — must mirror operators/dedup.portable_hash60
 _H60_SQL = "('0x'||substr(md5({v}),1,15))::BIGINT"
 
+# Exact top-10 L2 KNN with deterministic id tie-break — shared by
+# q_knn_l2 (exact kernel), q_knn_ivf (nprobe == nlist => exhaustive, so
+# exact), and q_knn_hnsw (hnswlib absent in this container => exact
+# partition-kernel fallback; gate documented on the query).
+_KNN_EXACT_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS id,
+             list_distance(e.embedding::DOUBLE[], q.qv) AS d
+      FROM embeddings e, q
+    )
+    SELECT query_id, id, rank FROM (
+      SELECT query_id, id,
+             row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+"""
+
 _ORACLES: dict[str, str] = {
+    "q_knn_ivf": _KNN_EXACT_ORACLE,
+    "q_knn_hnsw": _KNN_EXACT_ORACLE,
     "q_dedup_normalized": f"""
         SELECT md5({_NORM_SQL}) AS content_hash,
                min(doc_id) AS keep_id,

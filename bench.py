@@ -71,7 +71,15 @@ def main() -> None:
     spark = get_spark("muller_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    all_queries = entrymod.queries()
+    # Headline set = registered queries plus the approximate-path twins
+    # (q_minhash_pairs, q_simhash, q_embedding_near_dups) that were
+    # deregistered from the driver's oracle gate — their oracle-checked
+    # portable twins carry correctness; the bench keeps their 100 TB
+    # plans (banded LSH joins, bucketed re-rank) under wall-time watch.
+    all_queries = dict(entrymod.queries())
+    for n in HEADLINE:
+        if n not in all_queries and hasattr(entrymod, n):
+            all_queries[n] = getattr(entrymod, n)
     names = [n for n in HEADLINE if n in all_queries]
 
     # Warm the JVM + parquet footer caches with the cheapest query once,
@@ -114,8 +122,9 @@ def sf1_envelope(spark, sf_dir: str) -> dict:
     headline shapes, one timed run each.  Documents that the plans hold
     at 10× the bench SF with no spill — the linear-extrapolation basis
     EXPLAIN.md's 100 TB claims rest on."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    from muller_spark.operators.topk import topk_per_group
 
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     reps = spark.range(10).withColumnRenamed("id", "_rep")
@@ -130,9 +139,6 @@ def sf1_envelope(spark, sf_dir: str) -> dict:
         fn()
         return round(time.perf_counter() - start, 4)
 
-    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
-        F.col("l_extendedprice").desc()
-    )
     shapes = {
         "full_count": timed(lambda: big.count()),
         "group_agg": timed(lambda: materialize(
@@ -146,8 +152,18 @@ def sf1_envelope(spark, sf_dir: str) -> dict:
         "filter_fold": timed(lambda: big.filter(
             (F.col("l_quantity") > 10) & (F.col("l_discount") < 0.05)
         ).count()),
+        # Two-phase salted top-k (operators/topk.py): the naive single
+        # window over 6 groups measured 9.96 s here in round 2 — one
+        # giant sort task per group, strictly worse at 100x.
         "window_rank_top3": timed(lambda: materialize(
-            big.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+            topk_per_group(
+                big,
+                ["l_returnflag", "l_linestatus"],
+                [F.col("l_extendedprice").desc(),
+                 F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+                k=3,
+                salt_on=["l_orderkey", "l_linenumber"],
+            )
         )),
         "exact_dedup": timed(lambda: materialize(
             big.select(

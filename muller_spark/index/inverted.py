@@ -462,7 +462,11 @@ class InvertedIndex:
             .limit(int(top_n))
             .select("term")
         )
-        hot = p.join(F.broadcast(hot_terms), "term", "inner").select("term", "id")
+        cols = (
+            ["term", "id", "pos"] if self.manifest.get("positions")
+            else ["term", "id"]
+        )
+        hot = p.join(F.broadcast(hot_terms), "term", "inner").select(*cols)
         hot_path = os.path.join(self.path, "postings_hot")
         hot.write.mode("overwrite").parquet(hot_path)
         terms = [r["term"] for r in hot_terms.collect()]
