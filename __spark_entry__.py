@@ -34,14 +34,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark 4 refuses by
-    default — read nanos as long and rebuild a (microsecond) timestamp."""
+    """Normalize events.ts to TIMESTAMP_LTZ whatever the parquet stores.
+    Earlier testdata generations wrote TIMESTAMP(NANOS) (Spark 4 refuses
+    it unless read as long), current ones write timestamp[us] with no UTC
+    flag, which Spark reads as TIMESTAMP_NTZ — not castable to double.
+    Session tz is UTC, so NTZ→LTZ matches DuckDB's naive reading."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

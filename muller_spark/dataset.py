@@ -624,6 +624,7 @@ class Dataset:
             case_sensitive=m["case_sensitive"],
             stop_words=m["stop_words"] or None,
             commit_id=self._snapshot.commit_id, is_text=m["is_text"],
+            positions=m.get("positions", False),
         )
 
     def drop_index(self, tensor: str) -> None:

@@ -37,6 +37,10 @@ from typing import Any, Callable
 class LocalFS:
     """POSIX filesystem (default)."""
 
+    # O_APPEND writes of one small record are atomic on POSIX, so the
+    # commit log may safely append to a single jsonl file here
+    atomic_append = True
+
     def read_text(self, path: str) -> str:
         with open(path) as fh:
             return fh.read()
@@ -85,8 +89,15 @@ class FsspecFS:
         with self._fs.open(path, "w") as fh:
             fh.write(text)
 
+    # Object stores have no append: append_text below is a non-atomic
+    # read-modify-write, and two concurrent writers can interleave and
+    # silently drop a record.  Callers that may race (the commit-log
+    # audit trail) must check this flag and write one object per record
+    # instead — CommitLog._append_commit_record does exactly that.
+    atomic_append = False
+
     def append_text(self, path: str, text: str) -> None:
-        # object stores have no append; read-modify-write at manifest scale
+        # non-atomic read-modify-write; see atomic_append above
         prev = self.read_text(path) if self.exists(path) else ""
         self.write_text(path, prev + text)
 

@@ -65,7 +65,10 @@ def tokenize_py(text: str, case_sensitive: bool = False,
                 stop_words: frozenset | None = None) -> list[str]:
     """Driver/executor-side tokenizer for query strings (and jieba parity
     when available)."""
-    if text is None:
+    # not `is None`: Arrow-backed pandas delivers string nulls as pd.NA
+    # (and plain pandas sometimes as float NaN), which would reach
+    # .lower() and crash the whole index-build task
+    if not isinstance(text, str):
         return []
     if not case_sensitive:
         text = text.lower()

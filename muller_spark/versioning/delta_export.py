@@ -26,6 +26,7 @@ the extended version chain.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid as uuidlib
@@ -63,7 +64,10 @@ def export_delta_log(ds, branch: str | None = None) -> str:
         fs.rmtree(delta_dir)
     fs.makedirs(delta_dir)
 
-    table_id = str(uuidlib.UUID(int=abs(hash(ds.path)) % (1 << 128)))
+    # stable digest, not builtin hash(): PYTHONHASHSEED salts hash() per
+    # process, and Delta readers cache table identity by metaData.id — a
+    # re-export must produce the same id for the same table
+    table_id = str(uuidlib.UUID(hashlib.md5(ds.path.encode("utf-8")).hexdigest()))
     prev_files: list[tuple[str, int]] = []
     for version, snap in enumerate(chain):
         actions = []

@@ -4,6 +4,9 @@ Layout (SURVEY §7 storage decision):
 
     <root>/data/<snapshot_id>/*.parquet   immutable data files
     <root>/_log/commits.jsonl             append-only commit records
+                                          (atomic-append backends only;
+                                          object stores write one
+                                          _log/commits/<id>.json each)
     <root>/_log/refs/<branch>             branch → commit id
     <root>/_log/snapshots/<id>.json       snapshot manifest
 
@@ -173,9 +176,21 @@ class CommitLog:
             "message": snap.message,
             "timestamp": snap.timestamp,
         }
-        self.fs.append_text(
-            os.path.join(self.log_dir, "commits.jsonl"), json.dumps(record) + "\n"
-        )
+        if getattr(self.fs, "atomic_append", False):
+            self.fs.append_text(
+                os.path.join(self.log_dir, "commits.jsonl"),
+                json.dumps(record) + "\n",
+            )
+        else:
+            # backends without atomic append (object stores) would lose
+            # records to the read-modify-write race; one unique object
+            # per commit has no shared write target to race on
+            rec_dir = os.path.join(self.log_dir, "commits")
+            self.fs.makedirs(rec_dir)
+            self.fs.write_text(
+                os.path.join(rec_dir, f"{snap.commit_id}.json"),
+                json.dumps(record) + "\n",
+            )
 
     # -- history -----------------------------------------------------------
     def log(self, commit_id: str) -> list[Snapshot]:

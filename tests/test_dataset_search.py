@@ -166,3 +166,21 @@ def test_inverted_index_lifecycle(spark, tmp_path):
     assert "text" not in ds.list_indexes() or "inverted" not in ds.list_indexes().get("text", {})
     with pytest.raises(ValueError, match="no fresh index"):
         ds.query("text", "beta")
+
+
+def test_update_index_rebuild_preserves_positions(spark, tmp_path):
+    """A rewrite commit forces update_index down the rebuild path; the
+    rebuild must carry positions through (ADVICE r2: it silently rebuilt
+    non-positional, breaking phrase_match on a positions=True index)."""
+    ds = ds_mod.dataset(str(tmp_path / "posidx"), spark)
+    ds.create_tensor("text", htype="text")
+    ds.extend({"text": ["alpha beta gamma", "beta alpha", "gamma beta alpha"]})
+    ds.commit("base")
+    ds.create_index_vectorized("text", positions=True)
+
+    ds.text[1] = "alpha beta"          # rewrite → renumber → rebuild
+    ds.commit("rewrite")
+    idx = ds.update_index("text")
+    assert idx.manifest.get("positions") is True
+    hits = {r["id"] for r in idx.search("alpha beta", "phrase_match").collect()}
+    assert hits == {0, 1}

@@ -745,3 +745,27 @@ def test_index_scans_partition_prune(spark, emb, tmp_path, tmp_path_factory):
     )
     seg = search_plan.split("PartitionFilters: [", 1)
     assert len(seg) == 2 and "cell" in seg[1].split("]", 1)[0], search_plan[:2000]
+
+
+def test_index_build_with_nulls_and_cjk(spark, tmp_path_factory):
+    """NULL text cells must not crash the Arrow-batched CJK tokenizer
+    (ADVICE r2: a null reaching .lower() fails the whole build task) —
+    and tokenize_py must ignore every null spelling pandas can deliver
+    (None, float NaN, pd.NA)."""
+    import pandas as pd
+
+    from muller_spark.index.inverted import tokenize_py
+
+    assert tokenize_py(None) == []
+    assert tokenize_py(float("nan")) == []
+    assert tokenize_py(pd.NA) == []
+
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, None), (2, "中文分词测试"), (3, None),
+         (4, "hello 中文")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path_factory.mktemp("idx") / "null_cjk_index")
+    idx = InvertedIndex.build(df, "text", path, id_col="doc_id")
+    assert {r["id"] for r in idx.search("hello", "fuzzy_match").collect()} == {0, 4}
+    assert {r["id"] for r in idx.search("中文", "fuzzy_match").collect()} == {2, 4}

@@ -573,9 +573,10 @@ def test_commit_log_against_nonlocal_scheme(spark):
     assert log.get_ref("main") == c1.commit_id
     assert log.resolve("dev").commit_id == c1.commit_id
     assert [s.message for s in log.log(c1.commit_id)] == ["one", "initial commit"]
-    assert "memfs://bucket/ds1/_log/commits.jsonl".rstrip("/") in MemFS.files or any(
-        "commits.jsonl" in k for k in MemFS.files
-    )
+    # MemFS has no atomic append, so the audit trail is one object per
+    # commit (commits/<id>.json), never an appended jsonl
+    assert f"memfs://bucket/ds1/_log/commits/{c1.commit_id}.json" in MemFS.files
+    assert not any("commits.jsonl" in k for k in MemFS.files)
     log.delete_ref("dev")
     assert log.branches() == ["main"]
 
@@ -628,3 +629,33 @@ def test_delta_log_export(base_ds, spark):
     # the rewrite version must carry remove actions
     last = actions(files[-1])
     assert any("remove" in a for a in last)
+
+
+def test_delta_export_table_id_stable(base_ds):
+    """metaData.id must be a stable digest of the table path, not a
+    PYTHONHASHSEED-salted builtin hash (ADVICE r2): re-exports — and
+    exports from other processes — must agree on table identity."""
+    import glob
+    import hashlib
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    from muller_spark.versioning.delta_export import export_delta_log
+
+    ds = base_ds
+
+    def exported_id():
+        delta_dir = export_delta_log(ds)
+        # the root commit has no schema, so metaData is first emitted at
+        # the earliest version with one — scan versions in order
+        for f in sorted(glob.glob(_os.path.join(delta_dir, "*.json"))):
+            for line in open(f):
+                a = _json.loads(line)
+                if "metaData" in a:
+                    return a["metaData"]["id"]
+        raise AssertionError("no metaData action in any version")
+
+    expected = str(_uuid.UUID(hashlib.md5(ds.path.encode("utf-8")).hexdigest()))
+    assert exported_id() == expected
+    assert exported_id() == expected
