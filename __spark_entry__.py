@@ -1116,11 +1116,12 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders by price within each market segment, via the
-    two-phase salted top-k (operators/topk.py) instead of one window
-    over the 5-value c_mktsegment key — a single window would sort each
-    whole segment in one task at scale.  Result is identical to
-    row_number() <= 3 (tie-break on key => total-order deterministic)."""
+    """Top-3 orders by price within each market segment.  The plan is
+    scale-safe despite the 5-value partition key because Spark 4's
+    rank-limit pushdown puts a Partial WindowGroupLimit before the
+    shuffle (map-side top-3 per segment, shuffle carries <= tasks*5*3
+    rows) — measured 3x faster than a hand-salted two-phase rewrite;
+    see operators/topk.py.  Tie-break on o_orderkey => deterministic."""
     from muller_spark.operators.topk import topk_per_group
 
     orders = _t(spark, sf_dir, "orders")
@@ -1131,7 +1132,6 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_mktsegment"],
         [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
         k=3,
-        salt_on=["o_orderkey"],
     )
     return (
         out.select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")

@@ -152,9 +152,11 @@ def sf1_envelope(spark, sf_dir: str) -> dict:
         "filter_fold": timed(lambda: big.filter(
             (F.col("l_quantity") > 10) & (F.col("l_discount") < 0.05)
         ).count()),
-        # Two-phase salted top-k (operators/topk.py): the naive single
-        # window over 6 groups measured 9.96 s here in round 2 — one
-        # giant sort task per group, strictly worse at 100x.
+        # Despite 6 groups this plan never sorts a whole group in one
+        # task: Spark 4's rank-limit pushdown keeps a map-side Partial
+        # WindowGroupLimit before the shuffle (~tasks*6*3 shuffled
+        # rows); measured 3x faster than the hand-salted two-phase
+        # rewrite at this size — see operators/topk.py.
         "window_rank_top3": timed(lambda: materialize(
             topk_per_group(
                 big,
@@ -162,7 +164,6 @@ def sf1_envelope(spark, sf_dir: str) -> dict:
                 [F.col("l_extendedprice").desc(),
                  F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
                 k=3,
-                salt_on=["l_orderkey", "l_linenumber"],
             )
         )),
         "exact_dedup": timed(lambda: materialize(

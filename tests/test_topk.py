@@ -1,5 +1,5 @@
-"""topk_per_group: result identical to the single-window plan, plan is
-salted (no per-group single-task sort)."""
+"""topk_per_group: both strategies identical to the single-window plan;
+the native plan's scale proof is the map-side Partial WindowGroupLimit."""
 
 from __future__ import annotations
 
@@ -33,12 +33,12 @@ def _naive(df, k):
 
 
 @pytest.mark.parametrize("k", [1, 3, 25])
-def test_matches_single_window(spark, k):
+@pytest.mark.parametrize("strategy", ["native", "salted"])
+def test_matches_single_window(spark, k, strategy):
     df = _corpus(spark)
     order = [F.col("score").desc(), F.col("key").asc()]
-    got = topk_per_group(df, ["grp"], order, k=k).collect()
+    got = topk_per_group(df, ["grp"], order, k=k, strategy=strategy).collect()
     want = _naive(df, k).collect()
-    key = lambda r: (r["grp"], r["rnk"])
     assert sorted([tuple(r) for r in got], key=lambda t: (t[0], t[3])) == sorted(
         [tuple(r) for r in want], key=lambda t: (t[0], t[3])
     )
@@ -55,14 +55,35 @@ def test_group_smaller_than_k(spark):
     assert {r["rnk"] for r in rows} == {1, 2}
 
 
+def test_native_plan_has_partial_group_limit(spark):
+    """The scale property of the default strategy: Catalyst must place a
+    Partial WindowGroupLimit BELOW the group-key Exchange, so each map
+    task keeps only k rows per group and the shuffle carries at most
+    tasks * groups * k rows — no per-group single-task sort of the full
+    input ever exists.  If a Spark upgrade dropped this rewrite, the
+    salted strategy would become the required default again; this test
+    is the tripwire."""
+    df = _corpus(spark)
+    out = topk_per_group(
+        df, ["grp"], [F.col("score").desc(), F.col("key").asc()], k=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    partial = plan.find("WindowGroupLimit")
+    assert partial != -1 and "Partial" in plan, plan[:2000]
+    # the Partial node must sit below (after, in toString order) the
+    # Exchange: map-side, pre-shuffle
+    exchange = plan.find("Exchange hashpartitioning(grp")
+    partial_node = plan.find(", 3, Partial")
+    assert exchange != -1 and partial_node > exchange, plan[:2000]
+
+
 def test_salted_plan_shape(spark):
-    """Phase-1 exchange must key on (group, salt), not group alone —
-    that is the whole point: no low-cardinality hash partitioning of the
-    full input."""
+    """The fallback strategy's phase-1 exchange must key on
+    (group, salt), not group alone."""
     df = _corpus(spark)
     out = topk_per_group(
         df, ["grp"], [F.col("score").desc(), F.col("key").asc()], k=3,
-        salt_on=["key"],
+        strategy="salted", salt_on=["key"],
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan
@@ -76,3 +97,6 @@ def test_rejects_bad_args(spark):
         topk_per_group(df, ["grp"], [F.col("score").desc()], k=0)
     with pytest.raises(ValueError):
         topk_per_group(df, ["grp"], [], k=3)
+    with pytest.raises(ValueError):
+        topk_per_group(df, ["grp"], [F.col("score").desc()], k=3,
+                       strategy="bogus")
