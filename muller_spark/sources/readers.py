@@ -7,12 +7,20 @@ shape ``{column: {"htype": ..., "dtype": ...}}``.
 
 from __future__ import annotations
 
+import os
 from typing import Mapping, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from muller_spark.schema import spark_type_for
+
+# Path-column ingest loads blobs per parent DIRECTORY, so the only
+# driver-side materialization is the distinct dirname set — bounded by
+# this cap (a media corpus has few directories; a corpus with one dir
+# per file should be ingested with read_binary_files + an explicit join
+# instead).
+_MAX_PATH_DIRS = 1024
 
 
 def _apply_schema(df: DataFrame, schema: Mapping[str, Mapping] | None) -> DataFrame:
@@ -25,6 +33,18 @@ def _apply_schema(df: DataFrame, schema: Mapping[str, Mapping] | None) -> DataFr
     return df.select(*[c for c in schema if c in df.columns])
 
 
+def _abs_path_key(col: Column, cwd: str) -> Column:
+    """Normalize a path string column to an absolute-path join key:
+    strip any ``file:`` scheme and ``./`` prefix, absolutize relative
+    paths against the driver cwd (the same base the old per-path
+    ``binaryFile.load`` resolved against)."""
+    p = F.regexp_replace(col, "^file:(//)?", "")
+    p = F.regexp_replace(p, "^\\./", "")
+    return F.when(p.startswith("/"), p).otherwise(
+        F.concat(F.lit(cwd.rstrip("/") + "/"), p)
+    )
+
+
 def from_csv(
     spark: SparkSession,
     path: str,
@@ -35,23 +55,42 @@ def from_csv(
     """CSV ingest with per-column htype schema (reference
     ``import_data.py:16``, ``csv_add_data.py:14``).  Columns listed in
     ``path_columns`` contain file paths; their bytes are joined in from a
-    binaryFile read (the reference loads them via ``muller.read``)."""
+    binaryFile read (the reference loads them via ``muller.read``).
+
+    Scale shape: the blob side is loaded per parent *directory* (the
+    only driver materialization is the distinct dirname set, capped at
+    ``_MAX_PATH_DIRS``) and attached with a hash equi-join on the
+    normalized absolute path — never a per-row path collect, never a
+    non-equi (nested-loop) join."""
     df = spark.read.option("header", str(header).lower()).option(
         "inferSchema", "true"
     ).csv(path)
     df = _apply_schema(df, schema)
+    cwd = os.getcwd()
     for col in path_columns:
-        paths = [r[0] for r in df.select(col).distinct().collect() if r[0]]
-        if not paths:
+        key = _abs_path_key(F.col(col), cwd)
+        dirname = F.regexp_extract(key, "^(.*)/[^/]*$", 1)
+        dir_rows = (
+            df.filter(F.col(col).isNotNull())
+            .select(dirname.alias("d")).distinct()
+            .limit(_MAX_PATH_DIRS + 1).collect()
+        )
+        dirs = sorted(r["d"] for r in dir_rows if r["d"])
+        if not dirs:
             continue
-        blob = spark.read.format("binaryFile").load(paths)
-        blob = blob.select(F.col("path").alias(f"__{col}_path"), F.col("content").alias(f"{col}_bytes"))
-        # binaryFile yields file: URIs; compare on suffix
+        if len(dirs) > _MAX_PATH_DIRS:
+            raise ValueError(
+                f"path column {col!r} spans more than {_MAX_PATH_DIRS} "
+                "directories; load the blobs with read_binary_files and "
+                "join explicitly instead"
+            )
+        blob = spark.read.format("binaryFile").load(dirs).select(
+            _abs_path_key(F.col("path"), cwd).alias(f"__{col}_key"),
+            F.col("content").alias(f"{col}_bytes"),
+        )
         df = df.join(
-            blob,
-            F.col(f"__{col}_path").endswith(F.col(col)),
-            "left",
-        ).drop(f"__{col}_path")
+            blob, key == F.col(f"__{col}_key"), "left"
+        ).drop(f"__{col}_key")
     return df
 
 

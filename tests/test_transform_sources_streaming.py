@@ -104,6 +104,35 @@ def test_from_csv_and_schema(spark, tmp_path):
     assert df.count() == 2
 
 
+def test_from_csv_path_columns_equi_join(spark, tmp_path):
+    """Path columns attach blob bytes via a directory-scoped binaryFile
+    load and a hash EQUI-join on the normalized absolute path — the
+    round-2 advisory shape (collect every path to the driver, then an
+    endswith condition => BroadcastNestedLoopJoin) must not come back."""
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {}
+    for i in range(4):
+        payloads[f"f{i}.bin"] = bytes([65 + i]) * (10 + i)
+        (media / f"f{i}.bin").write_bytes(payloads[f"f{i}.bin"])
+    csv = tmp_path / "in.csv"
+    csv.write_text(
+        "doc,img\n"
+        + "".join(f"d{i},{media}/f{i}.bin\n" for i in range(3))
+        # row whose file does not exist in the dir → left-join null
+        + f"d9,{media}/missing.bin\n"
+    )
+    df = from_csv(spark, str(csv), path_columns=["img"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:2000]
+    assert "Join" in plan
+    rows = {r["doc"]: r["img_bytes"] for r in df.collect()}
+    assert len(rows) == 4
+    for i in range(3):
+        assert bytes(rows[f"d{i}"]) == payloads[f"f{i}.bin"]
+    assert rows["d9"] is None
+
+
 def test_from_file_jsonl(spark, tmp_path):
     p = tmp_path / "in.jsonl"
     p.write_text('\n'.join(json.dumps({"a": i, "b": f"t{i}"}) for i in range(3)))
@@ -151,9 +180,11 @@ def test_exports(spark, tmp_path):
 
 # ---------------------------------------------------------------- streaming
 def test_windowed_aggregate_batch_parity(spark):
-    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    # nanos → timestamp
-    events = events.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    import __spark_entry__ as entry
+
+    # normalizes ts to TIMESTAMP_LTZ whatever generation the parquet is
+    # (nanos-as-long or timestamp[us]/NTZ)
+    events = entry._events(spark, "/root/testdata/sf0.001")
     out = windowed_aggregate(
         events, "ts", "1 hour", group_cols=("event_type",),
         aggs={"value": "sum", "event_id": "count"},
