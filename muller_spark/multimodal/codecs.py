@@ -8,8 +8,10 @@ work doesn't need them:
   ``decode_image_batch`` needs, and header parsing at 100 TB is also
   the *right* call (decode-free metadata scans touch ~64 bytes/object).
 - **Pixel decode + re-encode** is implemented for the uncompressed
-  formats (BMP 24-bit, binary PPM) with numpy, which is enough to make
-  ``resize_images`` a real resize on those formats.
+  formats (BMP 24-bit, binary PPM) with numpy, and for 8-bit
+  non-interlaced PNG (zlib inflate + per-row unfilter, all five filter
+  types, palette expansion) — which makes the dominant image htype
+  decodable and ``resize_images`` a real resize with zero deps.
 - **WAV/PCM audio** decodes completely with the stdlib ``wave`` module;
   RMS/duration features come out exact.
 
@@ -87,15 +89,146 @@ def parse_image_header(raw: bytes) -> "tuple[int, int, int, str] | None":
     return None
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(raw: bytes):
+    """numpy (h, w, c) uint8 pixels for 8-bit non-interlaced PNG
+    (gray / gray+alpha / RGB / RGBA / palette), pure stdlib+numpy:
+    concatenate IDAT, zlib-inflate, undo the per-row filter (None /
+    Sub / Up / Average / Paeth), expand PLTE for palette images.
+    Returns None for anything outside that envelope (16-bit, Adam7).
+
+    Sub/Average/Paeth filters depend on the left neighbor, so those
+    rows unfilter in a per-byte Python loop — fine for the fallback
+    tier; PIL takes priority when importable."""
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != b"\x89PNG\r\n\x1a\n" or raw[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", raw[16:24])
+    bit_depth, color_type, _comp, _filt, interlace = raw[24:29]
+    if bit_depth != 8 or interlace != 0:
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None or w == 0 or h == 0:
+        return None
+
+    idat, plte = [], b""
+    pos = 8
+    while pos + 8 <= len(raw):
+        (length,), ctype = struct.unpack(">I", raw[pos:pos + 4]), raw[pos + 4:pos + 8]
+        data = raw[pos + 8:pos + 8 + length]
+        if ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if not idat:
+        return None
+    try:
+        stream = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(stream) != (stride + 1) * h:
+        return None
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for y in range(h):
+        ftype = stream[y * (stride + 1)]
+        row = bytearray(stream[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+        elif ftype == 2:  # Up — vectorized
+            out[y] = np.frombuffer(bytes(row), dtype=np.uint8) + prev
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+            out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+            out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                row[x] = (row[x] + _paeth(a, b, c)) & 0xFF
+            out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+        else:
+            return None
+
+    if color_type == 3:
+        if len(plte) < 3:
+            return None
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if idx.max() >= len(pal):
+            return None
+        return pal[idx].copy()
+    return out.reshape(h, w, channels).copy()
+
+
+def encode_png(arr) -> bytes:
+    """Encode an (h, w[, c]) uint8 array (gray / gray+alpha / RGB /
+    RGBA) as a non-interlaced 8-bit PNG, stdlib-only (filter type 0
+    rows + one zlib stream)."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_pixels(raw: bytes):
-    """numpy (h, w, c) uint8 array for the uncompressed formats
-    (BMP 24-bit bottom-up, binary PPM P6), else None."""
+    """numpy (h, w, c) uint8 array for the formats decodable without
+    libraries (BMP 24-bit bottom-up, binary PPM P6, 8-bit
+    non-interlaced PNG), else None."""
     import numpy as np
 
     meta = parse_image_header(raw)
     if meta is None:
         return None
     h, w, c, fmt = meta
+    if fmt == "png":
+        return decode_png(raw)
     if fmt == "bmp" and c == 3:
         offset = struct.unpack("<I", raw[10:14])[0]
         row_size = (w * 3 + 3) & ~3  # rows pad to 4 bytes
@@ -145,6 +278,25 @@ def encode_bmp(arr) -> bytes:
     rows = np.zeros((h, row_size), dtype=np.uint8)
     rows[:, : w * 3] = bgr.reshape(h, w * 3)
     return header + rows.tobytes()
+
+
+def to_rgb(arr):
+    """Normalize an (h, w, c) uint8 array to 3-channel RGB: gray
+    repeats, alpha drops (gray+alpha → gray repeated, RGBA → RGB)."""
+    import numpy as np
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    c = arr.shape[2]
+    if c == 3:
+        return arr
+    if c == 1:
+        return np.repeat(arr, 3, axis=2)
+    if c == 2:  # gray + alpha
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    if c == 4:  # RGBA
+        return np.ascontiguousarray(arr[:, :, :3])
+    raise ValueError(f"cannot normalize {c}-channel array to RGB")
 
 
 def resize_nearest(arr, height: int, width: int):

@@ -116,8 +116,8 @@ def resize_images(
     fake: bool = False,
 ) -> DataFrame:
     """Re-encode images at a target size.  Tiered: PIL (any format) →
-    builtin numpy nearest-neighbor for BMP/PPM pixels re-encoded as BMP
-    (real, zero-dependency) → with ``fake=True`` bytes pass through
+    builtin numpy nearest-neighbor for BMP/PPM/PNG pixels re-encoded as
+    BMP (real, zero-dependency) → with ``fake=True`` bytes pass through
     unchanged; otherwise unrecognized payloads get NULL output."""
     pil = _try_pil()
     h, w = size
@@ -137,6 +137,7 @@ def resize_images(
             decode_pixels,
             encode_bmp,
             resize_nearest,
+            to_rgb,
         )
 
         for pdf in iterator:
@@ -155,7 +156,11 @@ def resize_images(
                         pass
                 pixels = decode_pixels(raw)
                 if pixels is not None:
-                    resized.append(encode_bmp(resize_nearest(pixels, h, w)))
+                    # PNG may decode gray/gray+alpha/RGBA — normalize
+                    # to RGB for the BMP re-encode
+                    resized.append(
+                        encode_bmp(resize_nearest(to_rgb(pixels), h, w))
+                    )
                     shapes.append([h, w, 3])
                 elif fake:
                     resized.append(raw)  # stub: bytes unchanged

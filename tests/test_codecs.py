@@ -16,11 +16,14 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from muller_spark.multimodal.codecs import (  # noqa: E402
+    decode_png,
     decode_pixels,
     encode_bmp,
+    encode_png,
     parse_image_header,
     parse_wav,
     resize_nearest,
+    to_rgb,
 )
 
 
@@ -82,6 +85,111 @@ def test_bmp_roundtrip_and_resize():
     up = resize_nearest(arr, 14, 10)
     assert up.shape == (14, 10, 3)
     assert np.array_equal(up[::2, ::2], arr)  # exact 2x nearest-neighbor
+
+
+def _png_chunk(tag, data):
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data)))
+
+
+def _png_filter_forward(arr, filters):
+    """Build a PNG whose row y uses filter type filters[y], by applying
+    the spec's FORWARD filter to known pixels — decode_png must invert
+    every one of them back to the original array."""
+    h, w, c = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[c], 0, 0, 0)
+    stream = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        row = arr[y].reshape(-1).astype(np.int32)
+        f = filters[y]
+        out = np.empty(w * c, dtype=np.int32)
+        for x in range(w * c):
+            a = int(row[x - c]) if x >= c else 0          # left
+            b = int(prev[x])                               # up
+            cc = int(prev[x - c]) if x >= c else 0         # up-left
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            out[x] = (int(row[x]) - pred) & 0xFF
+        stream.append(f)
+        stream.extend(out.astype(np.uint8).tobytes())
+        prev = row
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + _png_chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip(channels):
+    rng = np.random.RandomState(channels)
+    arr = rng.randint(0, 256, size=(9, 6, channels), dtype=np.uint8)
+    back = decode_png(encode_png(arr))
+    assert np.array_equal(back, arr)
+    # decode_pixels routes PNG bytes to the PNG decoder
+    assert np.array_equal(decode_pixels(encode_png(arr)), arr)
+
+
+def test_png_all_filter_types():
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    # every filter type, including each one following every other
+    filters = [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]
+    assert np.array_equal(decode_png(_png_filter_forward(arr, filters)), arr)
+
+
+def test_png_palette():
+    pal = bytes(range(48))  # 16 RGB entries
+    idx = np.array([[0, 1, 2], [3, 4, 15]], dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    stream = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"PLTE", pal)
+           + _png_chunk(b"IDAT", zlib.compress(stream))
+           + _png_chunk(b"IEND", b""))
+    got = decode_png(png)
+    want = np.frombuffer(pal, dtype=np.uint8).reshape(16, 3)[idx.reshape(-1)]
+    assert np.array_equal(got, want.reshape(2, 3, 3))
+
+
+def test_png_rejects_out_of_envelope():
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    png = bytearray(encode_png(arr))
+    png[24] = 16  # bit depth 16 → out of envelope
+    assert decode_png(bytes(png)) is None
+    png = bytearray(encode_png(arr))
+    png[28] = 1   # Adam7 interlace → out of envelope
+    assert decode_png(bytes(png)) is None
+    assert decode_png(b"junk" * 8) is None
+
+
+def test_to_rgb_normalization():
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    assert to_rgb(gray).shape == (3, 4, 3)
+    assert np.array_equal(to_rgb(gray)[:, :, 0], gray[:, :, 0])
+    rgba = np.arange(48, dtype=np.uint8).reshape(3, 4, 4)
+    assert np.array_equal(to_rgb(rgba), rgba[:, :, :3])
+    ga = np.arange(24, dtype=np.uint8).reshape(3, 4, 2)
+    assert np.array_equal(to_rgb(ga)[:, :, 1], ga[:, :, 0])
+
+
+def test_png_resize_through_media_pipeline():
+    """A real PNG flows through decode_pixels → to_rgb → nearest resize
+    → BMP re-encode with exact 2x pixel agreement."""
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, size=(8, 8, 4), dtype=np.uint8)
+    pixels = decode_pixels(encode_png(arr))
+    out = resize_nearest(to_rgb(pixels), 16, 16)
+    assert np.array_equal(out[::2, ::2], arr[:, :, :3])
 
 
 def test_parse_wav_features():
