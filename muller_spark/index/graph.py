@@ -1,0 +1,242 @@
+"""Disk-resident graph ANN index — the DiskANN analogue.
+
+Reference parity target: ``muller/core/vector/algorithms/diskann_index.py``
+(a Vamana graph on SSD searched with a bounded in-memory beam).  The
+Spark-first translation keeps the defining property — **the graph and
+the vectors live on disk (parquet); search memory is bounded by the
+beam, never by the corpus** — and expresses traversal as a short
+driver-side loop of id-keyed equi-joins, the same iterative pattern as
+``operators/dedup.py`` connected components:
+
+Artifacts (``build_graph_artifacts``):
+
+- ``vectors``   — ``(id, vec)`` parquet, partitioned by coarse cell;
+- ``adjacency`` — ``(id, neighbors array<long>)``: each node links to
+  its ``R`` nearest neighbors *within its cell* (cells are spatially
+  coherent, so in-cell edges are the short Vamana-style edges) plus its
+  cell medoid;
+- ``medoids``   — one row per cell, the vector nearest the centroid;
+  medoids are mutually fully connected, forming a tiny global backbone
+  so any cell is reachable from any entry in ≤ 2 backbone hops.
+
+Search (``graph_search``) is best-first beam search: seed with the
+``entry_probe`` nearest medoids per query (driver-side, tiny), then per
+hop expand every unexpanded beam member — neighbors via an equi-join on
+``adjacency``, distances via an equi-join on ``vectors`` + an
+Arrow-batched kernel, state truncated to the top-``beam`` rows per query
+(rank-limit pushdown keeps that shuffle map-bounded).  Per-hop state is
+``≤ nq x (beam + frontier x R)`` rows regardless of corpus size, and
+lineage is cut with ``localCheckpoint`` each hop so plans stay flat.
+
+In-cell graph construction is exact KNN per cell (numpy, one Arrow
+batch per cell) — cells are sized by the coarse k-means the same way
+IVF cells are, so a cell fits an executor even when the corpus does
+not.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from muller_spark.index.vector import _as_matrix, _distances, train_centroids
+from muller_spark.partitioning import ensure_parallelism
+
+
+def build_graph_artifacts(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    num_cells: int = 16,
+    R: int = 12,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> None:
+    """Materialize the disk graph: cell-partitioned ``vectors``, in-cell
+    KNN ``adjacency`` (+ medoid links), and the ``medoids`` backbone."""
+    spark = df.sparkSession
+    centroids = train_centroids(df, vec_col, num_cells, sample_size, seed=seed)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(iterator):
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            cell = _distances(mat, cents, "l2").argmin(axis=1)
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "vec": pdf[vec_col],
+                "cell": cell.astype(np.int32),
+            })
+
+    assigned = ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        assign, "id long, vec array<double>, cell int"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "vectors")
+    )
+
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+
+    # one Arrow batch per cell => exact in-cell KNN graph + medoid
+    def cell_graph(key, pdf):
+        import pandas as pd
+
+        cents = bc.value
+        cell = int(key[0])
+        mat = np.stack(pdf["vec"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        ids = pdf["id"].to_numpy()
+        medoid = int(
+            ids[_distances(mat, cents[cell][None, :], "l2")[:, 0].argmin()]
+        )
+        n = len(ids)
+        r = min(R, n - 1)
+        sq = (mat * mat).sum(axis=1)
+        rows = []
+        # block-wise KNN: O(block x n) scratch instead of an n x n
+        # matrix, so a cell's graph builds even when n^2 would not fit
+        block = 256
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            d = sq[lo:hi, None] - 2.0 * (mat[lo:hi] @ mat.T) + sq[None, :]
+            d[np.arange(hi - lo), np.arange(lo, hi)] = np.inf
+            for bi, i in enumerate(range(lo, hi)):
+                nbrs = (
+                    [] if r <= 0
+                    else [int(ids[j]) for j in np.argpartition(d[bi], r - 1)[:r]]
+                )
+                if medoid != int(ids[i]) and medoid not in nbrs:
+                    nbrs.append(medoid)
+                rows.append((int(ids[i]), nbrs, int(ids[i]) == medoid, cell))
+        return pd.DataFrame(rows, columns=["id", "neighbors", "is_medoid", "cell"])
+
+    graph = vectors.groupBy("cell").applyInPandas(
+        cell_graph,
+        "id long, neighbors array<long>, is_medoid boolean, cell int",
+    )
+    graph.persist()
+    try:
+        # medoid backbone: every medoid additionally links to all others
+        medoid_rows = graph.filter("is_medoid").select("id", "cell").collect()
+        medoid_ids = sorted(r["id"] for r in medoid_rows)
+        backbone = spark.createDataFrame(
+            [(m, [x for x in medoid_ids if x != m]) for m in medoid_ids],
+            "id long, extra array<long>",
+        )
+        adjacency = (
+            graph.join(F.broadcast(backbone), "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("extra").isNotNull(),
+                    F.array_union("neighbors", "extra"),
+                ).otherwise(F.col("neighbors")).alias("neighbors"),
+            )
+        )
+        adjacency.write.mode("overwrite").parquet(os.path.join(path, "adjacency"))
+        (
+            graph.filter("is_medoid")
+            .join(vectors.select("id", "vec"), "id")
+            .select("cell", "id", "vec")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "medoids"))
+        )
+    finally:
+        graph.unpersist()
+
+
+def graph_search(
+    spark,
+    path: str,
+    query_vectors,
+    k: int = 10,
+    beam: int = 32,
+    max_hops: int = 6,
+    entry_probe: int = 4,
+) -> DataFrame:
+    """Best-first beam search over the disk graph.  Returns
+    ``(query_id, id, distance, rank)`` — rank 1..k per query, L2.
+
+    Memory: the only driver-side materialization is the medoid table
+    (one row per cell) and a per-hop frontier count; per-hop executor
+    state is bounded by ``nq x (beam + frontier x degree)`` rows.  The
+    corpus (``vectors``) and graph (``adjacency``) are read through
+    id-keyed equi-joins only — never collected, never held resident."""
+    q = _as_matrix(query_vectors)
+    nq = q.shape[0]
+    bq = spark.sparkContext.broadcast(q)
+
+    medoids = spark.read.parquet(os.path.join(path, "medoids")).collect()
+    mvecs = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in medoids])
+    mids = np.array([r["id"] for r in medoids])
+    md = _distances(mvecs, q, "l2")  # (n_medoids, nq)
+
+    seeds = [
+        (qi, int(mids[j]), float(md[j, qi]), False)
+        for qi in range(nq)
+        for j in np.argsort(md[:, qi])[: min(entry_probe, len(mids))]
+    ]
+    state = spark.createDataFrame(
+        seeds, "query_id int, id long, distance double, expanded boolean"
+    ).localCheckpoint()
+
+    adjacency = spark.read.parquet(os.path.join(path, "adjacency"))
+    vectors = spark.read.parquet(os.path.join(path, "vectors")).select("id", "vec")
+
+    def score(iterator):
+        import pandas as pd
+
+        qm = bq.value
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["vec"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            dist = np.empty(len(pdf))
+            for qi in np.unique(pdf["query_id"].to_numpy()):
+                mask = (pdf["query_id"] == qi).to_numpy()
+                dist[mask] = _distances(mat[mask], qm[int(qi)][None, :], "l2")[:, 0]
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"], "id": pdf["id"], "distance": dist,
+            })
+
+    w_beam = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("id").asc()
+    )
+    for _hop in range(max_hops):
+        frontier = state.filter(~F.col("expanded")).select("query_id", "id")
+        if frontier.isEmpty():
+            break
+        candidates = (
+            frontier.join(adjacency, "id")
+            .select("query_id", F.explode("neighbors").alias("id"))
+            # a node reached for one query may be known to another —
+            # dedup per (query, node), then drop already-scored nodes
+            .distinct()
+            .join(state.select("query_id", "id"), ["query_id", "id"], "left_anti")
+        )
+        scored = candidates.join(vectors, "id").mapInPandas(
+            score, "query_id int, id long, distance double"
+        ).withColumn("expanded", F.lit(False))
+        state = (
+            state.withColumn("expanded", F.lit(True))
+            .unionByName(scored)
+            .withColumn("_r", F.row_number().over(w_beam))
+            .filter(F.col("_r") <= beam)
+            .drop("_r")
+            .localCheckpoint()  # cut lineage: plans stay flat across hops
+        )
+
+    return (
+        state.withColumn("rank", F.row_number().over(w_beam))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "distance", "rank")
+    )
