@@ -345,6 +345,26 @@ def test_index_hot_shard_routing(spark, docs, tmp_path_factory):
         assert got == before[q], q
 
 
+def test_index_hot_shard_positional_phrase(spark, docs, tmp_path_factory):
+    """ADVICE r2: the hot posting table dropped the pos column on a
+    positional index, so any phrase/fuzzy query touching a hot term
+    died with UNRESOLVED_COLUMN.  The hot table must carry positions
+    and phrase_match must return identical hits through it."""
+    path = str(tmp_path_factory.mktemp("idx") / "hot_pos_index")
+    idx = InvertedIndex.build(docs, "text", path, id_col="doc_id", positions=True)
+    phrase_queries = ["vector merge", "stream window"]
+    before = {
+        q: {r["id"] for r in idx.search(q, "phrase_match").collect()}
+        for q in phrase_queries
+    }
+    idx.add_hot_shard(top_n=20)
+    hot = set(idx.manifest["hot_terms"])
+    assert any(t in hot for q in phrase_queries for t in q.split())
+    for q in phrase_queries:
+        got = {r["id"] for r in idx.search(q, "phrase_match").collect()}
+        assert got == before[q], q
+
+
 def test_index_update_refreshes_hot_shard(spark, docs, tmp_path_factory):
     """Incremental update keeps the hot-shard copy consistent."""
     path = str(tmp_path_factory.mktemp("idx") / "hot_upd_index")
