@@ -8,10 +8,11 @@ work doesn't need them:
   ``decode_image_batch`` needs, and header parsing at 100 TB is also
   the *right* call (decode-free metadata scans touch ~64 bytes/object).
 - **Pixel decode + re-encode** is implemented for the uncompressed
-  formats (BMP 24-bit, binary PPM) with numpy, and for 8-bit
-  non-interlaced PNG (zlib inflate + per-row unfilter, all five filter
-  types, palette expansion) — which makes the dominant image htype
-  decodable and ``resize_images`` a real resize with zero deps.
+  formats (BMP 24-bit, binary PPM) with numpy, for 8-bit non-interlaced
+  PNG (zlib inflate + per-row unfilter, all five filter types, palette
+  expansion), and for baseline JPEG (grayscale / 4:4:4 — see
+  ``multimodal/jpeg.py``) — the two dominant image htypes decode with
+  zero deps and ``resize_images`` is a real resize on them.
 - **WAV/PCM audio** decodes completely with the stdlib ``wave`` module;
   RMS/duration features come out exact.
 
@@ -229,6 +230,13 @@ def decode_pixels(raw: bytes):
     h, w, c, fmt = meta
     if fmt == "png":
         return decode_png(raw)
+    if fmt == "jpeg":
+        from muller_spark.multimodal.jpeg import decode_jpeg
+
+        pix = decode_jpeg(raw)
+        if pix is not None and pix.ndim == 2:
+            pix = pix[:, :, None]
+        return pix
     if fmt == "bmp" and c == 3:
         offset = struct.unpack("<I", raw[10:14])[0]
         row_size = (w * 3 + 3) & ~3  # rows pad to 4 bytes

@@ -116,9 +116,10 @@ def resize_images(
     fake: bool = False,
 ) -> DataFrame:
     """Re-encode images at a target size.  Tiered: PIL (any format) →
-    builtin numpy nearest-neighbor for BMP/PPM/PNG pixels re-encoded as
-    BMP (real, zero-dependency) → with ``fake=True`` bytes pass through
-    unchanged; otherwise unrecognized payloads get NULL output."""
+    builtin numpy nearest-neighbor for BMP/PPM/PNG/baseline-JPEG pixels
+    re-encoded as BMP (real, zero-dependency) → with ``fake=True``
+    bytes pass through unchanged; otherwise unrecognized payloads get
+    NULL output."""
     pil = _try_pil()
     h, w = size
 

@@ -1,0 +1,95 @@
+"""Baseline JPEG codec (multimodal/jpeg.py): lossy round-trips with
+bounded error, envelope rejection, integration with decode_pixels."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from muller_spark.multimodal.codecs import decode_pixels, parse_image_header  # noqa: E402
+from muller_spark.multimodal.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+
+
+def _smooth_rgb(h, w, seed=0):
+    """Low-frequency test image — JPEG is built for smooth content, so
+    quality-90 round-trip error stays small and assertable."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    r = 128 + 100 * np.sin(xx / 9.0 + seed)
+    g = 128 + 100 * np.cos(yy / 7.0 - seed)
+    b = 128 + 80 * np.sin((xx + yy) / 11.0)
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def test_rgb_roundtrip_bounded_error():
+    arr = _smooth_rgb(40, 56)
+    raw = encode_jpeg(arr, quality=90)
+    back = decode_jpeg(raw)
+    assert back.shape == arr.shape
+    err = np.abs(back.astype(np.int32) - arr.astype(np.int32))
+    assert float(err.mean()) < 3.0 and int(err.max()) <= 40, (
+        err.mean(), err.max()
+    )
+
+
+def test_gray_roundtrip_bounded_error():
+    yy, xx = np.mgrid[0:24, 0:33].astype(np.float64)
+    arr = np.clip(128 + 90 * np.sin(xx / 6.0) * np.cos(yy / 5.0), 0, 255).astype(
+        np.uint8
+    )
+    back = decode_jpeg(encode_jpeg(arr, quality=95))
+    assert back.shape == arr.shape and back.ndim == 2
+    err = np.abs(back.astype(np.int32) - arr.astype(np.int32))
+    assert float(err.mean()) < 3.0, err.mean()
+
+
+def test_non_multiple_of_8_dimensions():
+    arr = _smooth_rgb(13, 19, seed=2)  # forces edge-padded partial blocks
+    back = decode_jpeg(encode_jpeg(arr, quality=92))
+    assert back.shape == (13, 19, 3)
+    err = np.abs(back.astype(np.int32) - arr.astype(np.int32))
+    assert float(err.mean()) < 4.0, err.mean()
+
+
+def test_flat_image_is_near_exact():
+    arr = np.full((16, 16, 3), 77, dtype=np.uint8)
+    back = decode_jpeg(encode_jpeg(arr, quality=90))
+    assert int(np.abs(back.astype(np.int32) - 77).max()) <= 2
+
+
+def test_header_and_decode_pixels_integration():
+    arr = _smooth_rgb(17, 21, seed=1)
+    raw = encode_jpeg(arr, quality=90)
+    assert parse_image_header(raw) == (17, 21, 3, "jpeg")
+    pix = decode_pixels(raw)
+    assert pix is not None and pix.shape == (17, 21, 3)
+    gray = decode_pixels(encode_jpeg(arr[:, :, 0], quality=90))
+    assert gray is not None and gray.shape == (17, 21, 1)  # channel-dim'd
+
+
+def test_rejects_out_of_envelope():
+    arr = _smooth_rgb(16, 16)
+    raw = bytearray(encode_jpeg(arr))
+    # flip SOF0 to SOF2 (progressive) — must refuse, not misdecode
+    idx = raw.find(b"\xff\xc0")
+    raw[idx + 1] = 0xC2
+    assert decode_jpeg(bytes(raw)) is None
+    assert decode_jpeg(b"\xff\xd8not a jpeg") is None
+    assert decode_jpeg(b"junk") is None
+
+
+@pytest.mark.parametrize("quality", [70, 85, 98])
+def test_quality_monotonicity(quality):
+    """Higher quality must not increase reconstruction error."""
+    arr = _smooth_rgb(32, 32, seed=3)
+    err = {}
+    for q in (quality, 100):
+        back = decode_jpeg(encode_jpeg(arr, quality=q))
+        err[q] = float(
+            np.abs(back.astype(np.int32) - arr.astype(np.int32)).mean()
+        )
+    assert err[100] <= err[quality] + 0.25, err
