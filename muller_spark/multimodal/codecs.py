@@ -237,6 +237,10 @@ def decode_pixels(raw: bytes):
         if pix is not None and pix.ndim == 2:
             pix = pix[:, :, None]
         return pix
+    if fmt == "gif":
+        from muller_spark.multimodal.gif import decode_gif
+
+        return decode_gif(raw)
     if fmt == "bmp" and c == 3:
         offset = struct.unpack("<I", raw[10:14])[0]
         row_size = (w * 3 + 3) & ~3  # rows pad to 4 bytes

@@ -1,0 +1,237 @@
+"""GIF codec, pure stdlib + numpy (no PIL).
+
+Decodes the first frame of a GIF87a/89a stream: logical-screen /
+image-descriptor parsing, global and local color tables, full LZW
+decompression (LSB-first packing, width growth, clear/EOI, 4096-entry
+cap) and Adam-style 4-pass interlace reordering.  Encodes a palette
+image back out with real LZW compression, so round-trips are exact
+(GIF is lossless for ≤256-color content).
+
+Animation is out of scope on purpose — the engine treats media as
+bytes-at-rest and only frame 1 feeds the metadata/feature kernels
+(``multimodal/media.py``); later frames would need GCE disposal
+semantics that belong to a player, not a data pipeline.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- LZW
+
+def _lzw_decode(data: bytes, mcs: int):
+    """Decode GIF LZW (LSB-first) to a bytes object of palette indices,
+    or None on a corrupt stream."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = mcs + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # missing EOI: tolerate, common in wild
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        # the encoder adds each entry one code EARLIER than the decoder
+        # can reconstruct it (it needs the next code's first byte), so
+        # the decoder must widen one entry early to read the same bits
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+
+
+class _LSBWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """Real LZW compression, symmetric with ``_lzw_decode``'s width
+    growth (grow after the table reaches 2^width; reset at 4096)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    writer = _LSBWriter()
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, mcs + 1
+
+    table, next_code, width = fresh()
+    writer.write(clear, width)
+    buf = b""
+    for px in indices:
+        cand = buf + bytes([px])
+        if cand in table:
+            buf = cand
+            continue
+        writer.write(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            writer.write(clear, width)
+            table, next_code, width = fresh()
+        buf = bytes([px])
+    if buf:
+        writer.write(table[buf], width)
+    writer.write(eoi, width)
+    return writer.flush()
+
+
+# ---------------------------------------------------------------- decode
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(raw: bytes):
+    """numpy (h, w, 3) uint8 RGB of the FIRST frame, or None."""
+    if raw[:6] not in (b"GIF87a", b"GIF89a") or len(raw) < 13:
+        return None
+    sw, sh = struct.unpack("<HH", raw[6:10])
+    packed = raw[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(raw[pos:pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+
+    while pos < len(raw):
+        block = raw[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(raw) and raw[pos] != 0:
+                pos += 1 + raw[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(raw):
+                return None
+            left, top, w, h = struct.unpack("<HHHH", raw[pos + 1:pos + 9])
+            ipacked = raw[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(
+                    raw[pos:pos + 3 * n], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if ct is None or w == 0 or h == 0:
+                return None
+            mcs = raw[pos]
+            pos += 1
+            if not 2 <= mcs <= 11:
+                return None
+            chunks = []
+            while pos < len(raw) and raw[pos] != 0:
+                size = raw[pos]
+                chunks.append(raw[pos + 1:pos + 1 + size])
+                pos += 1 + size
+            indices = _lzw_decode(b"".join(chunks), mcs)
+            if indices is None or len(indices) < w * h:
+                return None
+            idx = np.frombuffer(indices[: w * h], dtype=np.uint8).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = [
+                    y for start, step in _INTERLACE_PASSES
+                    for y in range(start, h, step)
+                ]
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            if idx.max() >= len(ct):
+                return None
+            return ct[idx].copy()
+        elif block == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
+def encode_gif(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array with ≤256 distinct colors
+    (or an (h, w) palette-index array + implicit gray palette) as a
+    non-interlaced GIF89a.  Raises ValueError beyond 256 colors — GIF
+    is a palette format; quantization is a modeling choice left to the
+    caller."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        palette = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        idx = arr
+    else:
+        h_, w_, _ = arr.shape
+        flat = arr.reshape(-1, 3)
+        palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if len(palette) > 256:
+            raise ValueError(
+                f"{len(palette)} distinct colors; GIF holds at most 256"
+            )
+        idx = inverse.astype(np.uint8).reshape(h_, w_)
+    h, w = idx.shape
+    n_pal = max(2, int(palette[: max(1, idx.max() + 1)].shape[0]))
+    # color table size is a power of two >= palette size
+    size_bits = max(1, int(np.ceil(np.log2(n_pal))))
+    table = np.zeros((1 << size_bits, 3), dtype=np.uint8)
+    table[: len(palette[: 1 << size_bits])] = palette[: 1 << size_bits]
+
+    mcs = max(2, size_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (size_bits - 1), 0, 0])
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([mcs])
+    data = _lzw_encode(idx.tobytes(), mcs)
+    for lo in range(0, len(data), 255):
+        chunk = data[lo:lo + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

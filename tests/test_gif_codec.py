@@ -1,0 +1,100 @@
+"""GIF codec (multimodal/gif.py): exact LZW round-trips, interlace,
+palette limits, integration with decode_pixels."""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from muller_spark.multimodal.codecs import decode_pixels, parse_image_header  # noqa: E402
+from muller_spark.multimodal.gif import (  # noqa: E402
+    _INTERLACE_PASSES,
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    encode_gif,
+)
+
+
+def test_lzw_roundtrip_exhausts_dictionary():
+    rng = np.random.RandomState(0)
+    # long, low-entropy stream: forces width growth and a 4096 reset
+    data = bytes(rng.randint(0, 4, size=60000, dtype=np.uint8))
+    assert _lzw_decode(_lzw_encode(data, 2), 2) == data
+    data8 = bytes(rng.randint(0, 256, size=20000, dtype=np.uint8))
+    assert _lzw_decode(_lzw_encode(data8, 8), 8) == data8
+
+
+def test_gif_roundtrip_exact():
+    rng = np.random.RandomState(1)
+    # 4-color image -> GIF is lossless
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                   dtype=np.uint8)
+    idx = rng.randint(0, 4, size=(23, 31))
+    arr = pal[idx]
+    back = decode_gif(encode_gif(arr))
+    assert np.array_equal(back, arr)
+
+
+def test_gif_gray_index_roundtrip():
+    rng = np.random.RandomState(2)
+    gray = rng.randint(0, 256, size=(9, 14), dtype=np.uint8)
+    back = decode_gif(encode_gif(gray))
+    assert np.array_equal(back, np.stack([gray] * 3, axis=2))
+
+
+def test_gif_interlaced_decode():
+    """Hand-build an interlaced GIF (rows stored in the 4-pass order)
+    and require the decoder to reassemble the original row order."""
+    pal = np.array([[i, i, i] for i in range(16)], dtype=np.uint8)
+    idx = np.tile(np.arange(16, dtype=np.uint8)[:, None], (1, 8))  # row y = value y
+    order = [y for start, step in _INTERLACE_PASSES for y in range(start, 16, step)]
+    stored = idx[order]  # what an interlaced file physically stores
+    h, w = 16, 8
+    out = bytearray(b"GIF89a") + struct.pack("<HH", w, h) + bytes([0x80 | 3, 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0x40])  # interlace
+    out += bytes([4])
+    data = _lzw_encode(stored.tobytes(), 4)
+    for lo in range(0, len(data), 255):
+        chunk = data[lo:lo + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    got = decode_gif(bytes(out))
+    assert np.array_equal(got, pal[idx])
+
+
+def test_gif_skips_extensions():
+    arr = np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)
+    raw = bytearray(encode_gif(arr))
+    # splice a graphic-control extension between LSD+GCT and the image
+    img_at = raw.find(b"\x2c")
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    raw = raw[:img_at] + gce + raw[img_at:]
+    assert np.array_equal(decode_gif(bytes(raw)), arr)
+
+
+def test_gif_rejects_bad_input():
+    with pytest.raises(ValueError, match="256"):
+        rng = np.random.RandomState(3)
+        encode_gif(rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8))
+    assert decode_gif(b"GIF89a\x00") is None
+    assert decode_gif(b"nope") is None
+    # truncated pixel data
+    arr = np.zeros((8, 8, 3), dtype=np.uint8)
+    raw = encode_gif(arr)
+    assert decode_gif(raw[: len(raw) // 2]) is None
+
+
+def test_decode_pixels_routes_gif():
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    arr = pal[np.eye(6, dtype=np.uint8)]
+    raw = encode_gif(arr)
+    assert parse_image_header(raw) == (6, 6, 3, "gif")
+    assert np.array_equal(decode_pixels(raw), arr)
