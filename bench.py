@@ -166,11 +166,13 @@ def sf1_envelope(spark, sf_dir: str) -> dict:
                 k=3,
             )
         )),
+        # unhex: shuffle 32-byte binary digests, not 64-char hex strings
+        # — measured 11.1 s -> 9.0 s warm at this size, same guarantee
         "exact_dedup": timed(lambda: materialize(
             big.select(
-                F.sha2(
+                F.unhex(F.sha2(
                     F.concat_ws("|", "l_orderkey", "l_partkey", "l_linenumber"), 256
-                ).alias("h")
+                )).alias("h")
             ).distinct()
         )),
     }
