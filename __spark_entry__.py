@@ -327,6 +327,25 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.py): global
+    token offsets via a two-phase parallel prefix sum (bucket totals +
+    driver prefix + per-bucket windows) — never a single-task global
+    window; the oracle computes the same integers with a plain ORDER BY
+    window, which DuckDB can afford at sf0.01."""
+    from muller_spark.operators.packing import pack_concat_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    out = pack_concat_chunks(
+        docs.select("doc_id", n_tokens.alias("nt")), "doc_id", "nt", seq_len=512
+    )
+    return out.select(
+        "doc_id", "n_tokens", "start_pos", "chunk_start", "chunk_end",
+        "offset_in_chunk",
+    ).orderBy("doc_id")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token count, stopword ratio, mean token length."""
     docs = _t(spark, sf_dir, "documents")
@@ -1476,6 +1495,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_topk_orders": q_topk_orders,
     "q_dedup_exact": q_dedup_exact,
     "q_token_stats": q_token_stats,
+    "q_sequence_pack": q_sequence_pack,
     "q_text_quality": q_text_quality,
     "q_lang_distribution": q_lang_distribution,
     "q_knn_cosine": q_knn_cosine,
@@ -2526,6 +2546,30 @@ _ORACLES: dict[str, str] = {
                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
                n_chars
         FROM documents
+    """,
+    "q_sequence_pack": """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS start_pos
+            FROM t
+        )
+        SELECT doc_id, n_tokens, start_pos,
+               CAST(start_pos // 512 AS BIGINT) AS chunk_start,
+               CAST(GREATEST(
+                   (start_pos + GREATEST(n_tokens - 1, 0)) // 512,
+                   start_pos // 512
+               ) AS BIGINT) AS chunk_end,
+               CAST(start_pos % 512 AS BIGINT) AS offset_in_chunk
+        FROM c
+        ORDER BY doc_id
     """,
     "q_text_quality": f"""
         SELECT doc_id,

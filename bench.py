@@ -36,6 +36,7 @@ HEADLINE = [
     "q_topk_orders",
     "q_dedup_exact",
     "q_token_stats",
+    "q_sequence_pack",
     "q_text_quality",
     "q_knn_cosine",
     "q_window_events",

@@ -16,6 +16,7 @@ from muller_spark.operators.dedup import (
     simhash_portable_near_dups,
 )
 from muller_spark.operators.pagination import paginate
+from muller_spark.operators.packing import global_cumsum, pack_concat_chunks
 from muller_spark.operators.topk import topk_per_group
 from muller_spark.operators.quality import (
     gopher_filter,
@@ -36,6 +37,7 @@ from muller_spark.operators.validate import (
 
 __all__ = [
     "aggregate_vectorized", "paginate", "topk_per_group",
+    "global_cumsum", "pack_concat_chunks",
     "funnel", "cohort_retention",
     "exact_dedup", "minhash_lsh_pairs", "minhash_portable_pairs",
     "simhash", "simhash_portable", "simhash_near_dups",

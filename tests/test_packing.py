@@ -1,0 +1,88 @@
+"""Sequence packing (operators/packing.py): two-phase prefix sum equals
+the single-task window bit-for-bit, plan stays bucket-parallel, chunk
+assignment matches a driver-side reference."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from muller_spark.operators.packing import global_cumsum, pack_concat_chunks  # noqa: E402
+
+
+def _corpus(spark, n=5000, seed=0):
+    rng = np.random.RandomState(seed)
+    rows = [(int(i), int(t)) for i, t in enumerate(rng.randint(0, 900, size=n))]
+    return spark.createDataFrame(rows, "id long, tokens long")
+
+
+def test_cumsum_matches_single_task_window(spark):
+    df = _corpus(spark)
+    got = {
+        r["id"]: r["cum_excl"]
+        for r in global_cumsum(df, "id", "tokens").collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["want"]
+        for r in df.withColumn(
+            "want", F.coalesce(F.sum("tokens").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_cumsum_plan_is_bucket_parallel(spark):
+    """The window must partition by the range bucket — a global ORDER BY
+    window (SinglePartition exchange feeding a Window node) is the
+    one-task shape this operator exists to avoid."""
+    df = _corpus(spark, n=2000)
+    out = global_cumsum(df, "id", "tokens")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__pk_bucket" in plan, plan[:2000]
+    window_at = plan.find("Window ")
+    single_at = plan.find("Exchange SinglePartition")
+    assert single_at == -1 or single_at < window_at or window_at == -1, plan[:3000]
+
+
+def test_cumsum_handles_degenerate_distributions(spark):
+    # constant order column values are impossible (unique id), but a
+    # tiny corpus collapses every quantile to one boundary
+    df = spark.createDataFrame([(1, 10), (2, 0), (3, 5)], "id long, tokens long")
+    got = {r["id"]: r["cum_excl"] for r in global_cumsum(df, "id", "tokens").collect()}
+    assert got == {1: 0, 2: 10, 3: 10}
+
+
+def test_pack_concat_chunks_reference(spark):
+    df = spark.createDataFrame(
+        [(0, 100), (1, 400), (2, 0), (3, 600), (4, 24)],
+        "id long, tokens long",
+    )
+    rows = {
+        r["id"]: r
+        for r in pack_concat_chunks(df, "id", "tokens", seq_len=512).collect()
+    }
+    # stream: doc0 [0,100), doc1 [100,500), doc2 at 500 (empty),
+    # doc3 [500,1100), doc4 [1100,1124)
+    assert rows[0]["start_pos"] == 0 and rows[0]["chunk_start"] == 0
+    assert rows[0]["chunk_end"] == 0
+    assert rows[1]["chunk_start"] == 0 and rows[1]["chunk_end"] == 0
+    assert rows[2]["n_tokens"] == 0 and rows[2]["chunk_end"] == rows[2]["chunk_start"]
+    assert rows[3]["start_pos"] == 500
+    assert rows[3]["chunk_start"] == 0 and rows[3]["chunk_end"] == 2
+    assert rows[3]["offset_in_chunk"] == 500
+    assert rows[4]["start_pos"] == 1100 and rows[4]["chunk_start"] == 2
+    assert rows[4]["chunk_end"] == 2
+
+
+def test_pack_rejects_bad_seq_len(spark):
+    df = _corpus(spark, n=10)
+    with pytest.raises(ValueError):
+        pack_concat_chunks(df, "id", "tokens", seq_len=0)
