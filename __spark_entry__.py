@@ -327,6 +327,16 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative rare-token profile (operators/text.py
+    rare_token_stats): integer-exact quality signal, token-keyed
+    shuffles only."""
+    from muller_spark.operators.text import rare_token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return rare_token_stats(docs, "doc_id", "text", max_df=2).orderBy("doc_id")
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (operators/packing.py): global
     token offsets via a two-phase parallel prefix sum (bucket totals +
@@ -1495,6 +1505,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_topk_orders": q_topk_orders,
     "q_dedup_exact": q_dedup_exact,
     "q_token_stats": q_token_stats,
+    "q_rare_tokens": q_rare_tokens,
     "q_sequence_pack": q_sequence_pack,
     "q_text_quality": q_text_quality,
     "q_lang_distribution": q_lang_distribution,
@@ -2546,6 +2557,26 @@ _ORACLES: dict[str, str] = {
                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
                n_chars
         FROM documents
+    """,
+    "q_rare_tokens": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents
+        ), dfr AS (
+            SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t
+        ), per AS (
+            SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id
+        ), rare AS (
+            SELECT tok.doc_id, count(*) AS n_rare
+            FROM tok JOIN dfr USING (t)
+            WHERE dfr.df <= 2
+            GROUP BY tok.doc_id
+        )
+        SELECT per.doc_id,
+               CAST(per.n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(rare.n_rare, 0) AS BIGINT) AS n_rare,
+               round(COALESCE(rare.n_rare, 0) / per.n_tokens, 6) AS rare_ratio
+        FROM per LEFT JOIN rare ON per.doc_id = rare.doc_id
+        ORDER BY per.doc_id
     """,
     "q_sequence_pack": """
         WITH t AS (

@@ -154,6 +154,50 @@ def bpe_token_count(col: Column) -> Column:
     return F.size(F.filter(pieces, lambda p: F.trim(p) != ""))
 
 
+def rare_token_stats(
+    df: DataFrame, id_col: str, text_col: str, max_df: int = 2
+) -> DataFrame:
+    """Corpus-relative rarity profile per document: ``n_tokens``,
+    ``n_rare`` (occurrences of tokens whose corpus *document frequency*
+    is ≤ ``max_df``) and ``rare_ratio`` — the integer-exact cousin of
+    LM-perplexity quality filters (a high rare-token ratio flags
+    boilerplate-free but garbled text; transcendental-free so the
+    cross-engine oracle is bit-exact: one correctly-rounded IEEE
+    division per row, then round).
+
+    Shape: explode → token-keyed distinct + aggregate for document
+    frequency → token-keyed hash join back onto occurrences → id-keyed
+    aggregates.  Every shuffle is keyed on token or id; the rare-token
+    table stays distributed (it is vocabulary-sized, often too big to
+    broadcast at corpus scale)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_of(F.col(text_col))).alias("t")
+    )
+    dfreq = (
+        tok.distinct()
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    rare = dfreq.filter(F.col("df") <= max_df).select("t")
+    per_doc = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    n_rare = (
+        tok.join(rare, "t")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_rare"))
+    )
+    return (
+        per_doc.join(n_rare, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_rare"), F.lit(0)).alias("n_rare"),
+            F.round(
+                F.coalesce(F.col("n_rare"), F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("rare_ratio"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

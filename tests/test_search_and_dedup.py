@@ -767,6 +767,26 @@ def test_index_scans_partition_prune(spark, emb, tmp_path, tmp_path_factory):
     assert len(seg) == 2 and "cell" in seg[1].split("]", 1)[0], search_plan[:2000]
 
 
+def test_rare_token_stats_reference(spark):
+    """Hand-checked corpus: 'zzz' appears in 1 doc, 'qq' in 2, 'the' in
+    3 → with max_df=2 both zzz and qq are rare; ratios are exact."""
+    from muller_spark.operators.text import rare_token_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "the zzz zzz"),        # 3 tokens, zzz rare x2
+            (1, "the qq"),             # 2 tokens, qq rare x1
+            (2, "the qq common"),      # common df=1 -> rare too
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in rare_token_stats(df, "doc_id", "text").collect()}
+    assert rows[0]["n_tokens"] == 3 and rows[0]["n_rare"] == 2
+    assert rows[0]["rare_ratio"] == round(2 / 3, 6)
+    assert rows[1]["n_tokens"] == 2 and rows[1]["n_rare"] == 1
+    assert rows[2]["n_tokens"] == 3 and rows[2]["n_rare"] == 2
+
+
 def test_index_build_with_nulls_and_cjk(spark, tmp_path_factory):
     """NULL text cells must not crash the Arrow-batched CJK tokenizer
     (ADVICE r2: a null reaching .lower() fails the whole build task) —
