@@ -920,6 +920,19 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle embedding covariance, exact path
+    (operators/embedding.py): posexplode-squared pair expansion with
+    decimal-exact sums of IEEE products, so both engines produce the
+    same bits before the 6-dp round.  The Gram-accumulation fast path
+    (exact=False) is the corpus-scale plan and is equivalence-tested
+    in pytest."""
+    from muller_spark.operators.embedding import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding", exact=True)
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional-index phrase search (index/inverted.phrase_match):
     builds a positional posting table and answers the exact-adjacency
@@ -1443,6 +1456,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_portable": q_minhash_portable,
     "q_simhash_portable": q_simhash_portable,
     "q_label_centroids": q_label_centroids,
+    "q_embedding_covariance": q_embedding_covariance,
     "q_phrase_search": q_phrase_search,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_repetition_stats": q_repetition_stats,
@@ -2013,6 +2027,31 @@ _ORACLES: dict[str, str] = {
                           'val': cast(embedding[i] AS decimal(18,12))}))
                AS t(s)
         GROUP BY label, s.dim ORDER BY label, s.dim
+    """,
+    "q_embedding_covariance": """
+        WITH ex AS (
+            SELECT vec_id, s.i, s.vi FROM embeddings,
+                unnest(list_transform(generate_series(1, len(embedding)),
+                    k -> {'i': k - 1,
+                          'vi': cast(embedding[k] AS DOUBLE)})) AS t(s)
+        ), pairs AS (
+            SELECT a.i AS i, b.i AS j,
+                   cast(a.vi * b.vi AS decimal(28,14)) AS p
+            FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+        ), sp AS (
+            SELECT i, j, cast(sum(p) AS double) AS sp, count(*) AS n
+            FROM pairs GROUP BY i, j
+        ), m AS (
+            SELECT i AS dim,
+                   cast(sum(cast(vi AS decimal(18,12))) AS double)
+                       / count(*) AS mean
+            FROM ex GROUP BY i
+        )
+        SELECT sp.i, sp.j,
+               round(sp.sp / sp.n - mi.mean * mj.mean, 6) + 0.0 AS cov,
+               sp.n AS n
+        FROM sp JOIN m mi ON sp.i = mi.dim JOIN m mj ON sp.j = mj.dim
+        ORDER BY sp.i, sp.j
     """,
     "q_phrase_search": """
         SELECT doc_id AS id FROM documents

@@ -1,0 +1,197 @@
+"""Embedding-matrix statistics: covariance and PCA/whitening.
+
+Two covariance paths with different contracts:
+
+- ``embedding_covariance(exact=True)`` — posexplode² pair expansion +
+  decimal-exact sums.  Bit-reproducible across engines (its DuckDB
+  oracle is ``q_embedding_covariance``), but the expansion is N·d²
+  rows: right for correctness gates and modest dimensions, wrong for
+  d≫100 at corpus scale.
+- ``embedding_covariance(exact=False)`` — Arrow-batched partition-local
+  Gram accumulation (each task computes its own ``Xᵀ X``, d×d, plus
+  column sums and a count; one tiny final reduce of P matrices).  The
+  data-volume-optimal plan: one pass, no expansion, shuffle size
+  P · d² floats.  Float summation order differs per partitioning, so
+  results are 1e-9-close, not bit-equal.
+
+``embedding_pca`` rides the fast path: covariance → driver ``eigh``
+(d×d is driver-sized by definition) → broadcast the projection matrix →
+map-only matmul per batch.  The reference's vector pipeline has no PCA;
+this is part of the training-data extension surface (embedding
+whitening / dimensionality reduction before ANN or clustering).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str,
+    exact: bool = False,
+) -> DataFrame:
+    """Upper-triangle covariance of an ``array<float|double>`` column in
+    long form: ``(i, j, cov, n)`` with ``j >= i``, population (1/n)
+    normalization."""
+    if exact:
+        arr = df.select(F.col(vec_col).cast("array<double>").alias("arr"))
+        ex = arr.select("arr", F.posexplode("arr").alias("i", "vi"))
+        pairs = (
+            ex.select("i", "vi", F.posexplode("arr").alias("j", "vj"))
+            .filter(F.col("j") >= F.col("i"))
+        )
+        sp = pairs.groupBy("i", "j").agg(
+            F.sum((F.col("vi") * F.col("vj")).cast("decimal(28,14)"))
+            .cast("double")
+            .alias("sp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        means = (
+            arr.select(F.posexplode("arr").alias("dim", "v"))
+            .groupBy("dim")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(18,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mean")
+            )
+        )
+        mi = means.select(F.col("dim").alias("i"), F.col("mean").alias("mi"))
+        mj = means.select(F.col("dim").alias("j"), F.col("mean").alias("mj"))
+        return (
+            sp.join(F.broadcast(mi), "i")
+            .join(F.broadcast(mj), "j")
+            .select(
+                "i", "j",
+                # + 0.0 canonicalizes IEEE negative zero after rounding
+                (F.round(
+                    F.col("sp") / F.col("n") - F.col("mi") * F.col("mj"), 6
+                ) + F.lit(0.0)).alias("cov"),
+                "n",
+            )
+            .orderBy("i", "j")
+        )
+
+    sums, gram, n = _gram_moments(df, vec_col)
+    d = len(sums)
+    mean = sums / n
+    cov = gram / n - np.outer(mean, mean)
+    rows = [
+        (int(i), int(j), float(cov[i, j]), int(n))
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "i int, j int, cov double, n long"
+    )
+
+
+def _gram_moments(df: DataFrame, vec_col: str):
+    """One distributed pass → (column sums (d,), Gram matrix XᵀX (d,d),
+    row count).  Each partition ships three numbers' worth of state —
+    never rows."""
+    part_schema = "sums array<double>, gram array<double>, n long"
+
+    def partial(iterator):
+        import pandas as pd
+
+        acc_s = None
+        acc_g = None
+        count = 0
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            mat = np.stack(
+                pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            s = mat.sum(axis=0)
+            g = mat.T @ mat
+            acc_s = s if acc_s is None else acc_s + s
+            acc_g = g if acc_g is None else acc_g + g
+            count += len(mat)
+        if count:
+            yield pd.DataFrame({
+                "sums": [acc_s.tolist()],
+                "gram": [acc_g.reshape(-1).tolist()],
+                "n": [count],
+            })
+
+    parts = df.select(vec_col).mapInPandas(partial, part_schema).collect()
+    if not parts:
+        raise ValueError("empty embedding column")
+    d = len(parts[0]["sums"])
+    sums = np.zeros(d)
+    gram = np.zeros((d, d))
+    n = 0
+    for r in parts:  # bounded: one row per partition
+        sums += np.asarray(r["sums"])
+        gram += np.asarray(r["gram"]).reshape(d, d)
+        n += r["n"]
+    return sums, gram, n
+
+
+def embedding_pca(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    id_col: str | None = None,
+    out_col: str = "pca",
+    whiten: bool = False,
+    eps: float = 1e-9,
+) -> "tuple[DataFrame, np.ndarray, np.ndarray]":
+    """Project embeddings onto their top-``k`` principal components.
+
+    Returns ``(projected_df, components (k,d), explained_var (k,))``.
+    Component signs are pinned (largest-|coeff| entry positive) so runs
+    are deterministic.  ``whiten=True`` scales each component to unit
+    variance."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    sums, gram, n = _gram_moments(df, vec_col)
+    d = len(sums)
+    if k > d:
+        raise ValueError(f"k={k} exceeds embedding dim {d}")
+    mean = sums / n
+    cov = gram / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # (k, d)
+    var = np.maximum(vals[order], 0.0)
+    # deterministic sign: largest-|coeff| entry of each component > 0
+    for r in range(k):
+        pivot = np.argmax(np.abs(comps[r]))
+        if comps[r, pivot] < 0:
+            comps[r] = -comps[r]
+    scale = 1.0 / np.sqrt(var + eps) if whiten else np.ones(k)
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((mean, comps, scale))
+    cols = df.columns if id_col is None else [id_col, vec_col]
+    src = df if id_col is None else df.select(*cols)
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    )
+
+    def project(iterator):
+        import pandas as pd
+
+        mu, c, sc = bc.value
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            mat = np.stack(
+                pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            proj = (mat - mu) @ c.T * sc
+            pdf = pdf.copy()
+            pdf[out_col] = list(proj)
+            yield pdf
+
+    return (
+        src.mapInPandas(project, f"{out_fields}, {out_col} array<double>"),
+        comps,
+        var,
+    )
