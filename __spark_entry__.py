@@ -920,6 +920,23 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture sampling (operators/sampling.mixture_sample):
+    flatten the language distribution to equal weights within a 40%%
+    character budget.  Engine-portable: per-domain rates use the same
+    left-to-right double arithmetic as the oracle SQL ((b*w)/sz, floor
+    cut), membership is the Knuth row hash."""
+    from muller_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.sum("n_chars").alias("t"), F.countDistinct("lang").alias("k")
+    ).first()
+    budget = 0.4 * float(agg["t"])
+    out = mixture_sample(docs, F.col("doc_id"), "lang", budget, size_col="n_chars")
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle embedding covariance, exact path
     (operators/embedding.py): posexplode-squared pair expansion with
@@ -1457,6 +1474,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash_portable": q_simhash_portable,
     "q_label_centroids": q_label_centroids,
     "q_embedding_covariance": q_embedding_covariance,
+    "q_mixture_sample": q_mixture_sample,
     "q_phrase_search": q_phrase_search,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_repetition_stats": q_repetition_stats,
@@ -2027,6 +2045,26 @@ _ORACLES: dict[str, str] = {
                           'val': cast(embedding[i] AS decimal(18,12))}))
                AS t(s)
         GROUP BY label, s.dim ORDER BY label, s.dim
+    """,
+    "q_mixture_sample": """
+        WITH sizes AS (
+            SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS sz
+            FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT 0.4 * CAST(sum(n_chars) AS DOUBLE) AS b,
+                   1.0 / CAST(count(DISTINCT lang) AS DOUBLE) AS w
+            FROM documents
+        ), cuts AS (
+            SELECT lang,
+                   CAST(floor(LEAST(1.0, (b * w) / sz) * 4294967296) AS BIGINT)
+                       AS cut
+            FROM sizes, tot
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN cuts USING (lang)
+        WHERE (((d.doc_id % 2147483648 + 2147483648) % 2147483648)
+               * 2654435761) % 4294967296 < cut
+        ORDER BY d.doc_id
     """,
     "q_embedding_covariance": """
         WITH ex AS (

@@ -26,6 +26,7 @@ from muller_spark.operators.quality import (
 )
 from muller_spark.operators.sampling import (
     deterministic_sample,
+    mixture_sample,
     deterministic_split,
     stratified_sample,
 )
@@ -46,5 +47,6 @@ __all__ = [
     "dedup_clusters", "canonical_keep_list",
     "repetition_stats", "gopher_filter", "pii_scan", "group_zscores",
     "deterministic_sample", "deterministic_split", "stratified_sample",
+    "mixture_sample",
     "validate", "duplicate_keys", "validate_or_raise",
 ]

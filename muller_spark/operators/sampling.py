@@ -81,6 +81,57 @@ def stratified_sample(
     return df.filter(expr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    key: Column,
+    domain_col: str,
+    budget: float,
+    weights: "dict[str, float] | None" = None,
+    size_col: "str | None" = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Sample a target data *mixture*: each domain ``d`` keeps
+    ``min(1, budget·w_d / size_d)`` of its rows, so the surviving
+    corpus approaches the target proportions ``w_d`` within a total
+    ``budget`` (rows, or ``size_col`` units such as chars/tokens).
+
+    ``weights=None`` means equal weight per observed domain — the
+    common "flatten the language distribution" case.  The only driver
+    materialization is the per-domain size aggregate (one row per
+    domain); the keep decision is the same row-local engine-portable
+    Knuth hash as :func:`deterministic_sample`, with ``floor`` cuts so
+    any engine derives identical membership from the same arithmetic.
+    """
+    import math
+
+    size = (
+        F.sum(F.col(size_col).cast("long")) if size_col else F.count(F.lit(1))
+    )
+    sizes = {
+        r["d"]: r["sz"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(size.alias("sz"))
+        .collect()  # bounded: one row per domain
+        if r["d"] is not None
+    }
+    if not sizes:
+        return df.filter(F.lit(False))
+    if weights is None:
+        weights = {d: 1.0 / len(sizes) for d in sizes}
+    cuts = {}
+    for d, sz in sizes.items():
+        w = weights.get(d, 0.0)
+        rate = min(1.0, (budget * w) / sz) if sz else 0.0
+        cuts[d] = math.floor(rate * _MOD)
+    h = _hash_col(key, salt)
+    expr = None
+    for d, cut in cuts.items():
+        cond = F.col(domain_col) == d
+        branch = F.when(cond, h < F.lit(cut))
+        expr = branch if expr is None else expr.when(cond, h < F.lit(cut))
+    return df.filter(expr.otherwise(F.lit(False)))
+
+
 def deterministic_split(
     df: DataFrame,
     key: Column,

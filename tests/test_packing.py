@@ -86,3 +86,24 @@ def test_pack_rejects_bad_seq_len(spark):
     df = _corpus(spark, n=10)
     with pytest.raises(ValueError):
         pack_concat_chunks(df, "id", "tokens", seq_len=0)
+
+
+def test_mixture_sample_flattens_distribution(spark):
+    """90/10 two-domain corpus sampled to equal weights within a 40%
+    budget: the dominant domain downsamples toward the target share,
+    the rare one keeps everything; membership is deterministic."""
+    from muller_spark.operators.sampling import mixture_sample
+    from pyspark.sql import functions as F
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(20000)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    budget = 0.4 * 20000
+    out = mixture_sample(df, F.col("id"), "dom", budget)
+    counts = {r["dom"]: r["n"] for r in
+              out.groupBy("dom").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # small domain: rate = min(1, 4000/2000) = 1 -> all 2000 kept
+    assert counts["small"] == 2000
+    # big domain: rate = 4000/18000 ~ 0.222 -> ~4000 of 18000
+    assert abs(counts["big"] - 4000) < 300
+    again = mixture_sample(df, F.col("id"), "dom", budget)
+    assert {r["id"] for r in out.collect()} == {r["id"] for r in again.collect()}
