@@ -327,6 +327,18 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (operators/text.py
+    chunk_documents): 64-token windows, 16-token overlap.  Map-only —
+    zero shuffle before the presentation sort."""
+    from muller_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", 64, overlap=16).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
 def q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative rare-token profile (operators/text.py
     rare_token_stats): integer-exact quality signal, token-keyed
@@ -1537,6 +1549,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_topk_orders": q_topk_orders,
     "q_dedup_exact": q_dedup_exact,
     "q_token_stats": q_token_stats,
+    "q_chunk_documents": q_chunk_documents,
     "q_rare_tokens": q_rare_tokens,
     "q_sequence_pack": q_sequence_pack,
     "q_text_quality": q_text_quality,
@@ -2634,6 +2647,21 @@ _ORACLES: dict[str, str] = {
                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
                n_chars
         FROM documents
+    """,
+    "q_chunk_documents": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+        ), s AS (
+            SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               CAST(start // 48 AS BIGINT) AS chunk_id,
+               len(list_slice(toks, start + 1, start + 64)) AS n_tokens,
+               array_to_string(list_slice(toks, start + 1, start + 64), ' ')
+                   AS chunk_text
+        FROM s
+        ORDER BY doc_id, chunk_id
     """,
     "q_rare_tokens": f"""
         WITH tok AS (

@@ -154,6 +154,45 @@ def bpe_token_count(col: Column) -> Column:
     return F.size(F.filter(pieces, lambda p: F.trim(p) != ""))
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into token windows of ``chunk_tokens`` with
+    ``overlap`` tokens shared between consecutive chunks (stride =
+    chunk_tokens - overlap) — the RAG / pretraining chunking primitive.
+
+    One row per chunk: ``(id, chunk_id, n_tokens, chunk_text)``; the
+    final chunk may be short, empty documents emit nothing.  Pure
+    JVM expression (sequence + explode + slice inside whole-stage
+    codegen): map-only, zero shuffle — chunking 100 TB is a scan."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_of(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    ex = df.filter(n > 0).select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(starts).alias("__start"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return ex.select(
+        F.col(id_col),
+        F.floor(F.col("__start") / stride).cast("long").alias("chunk_id"),
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def rare_token_stats(
     df: DataFrame, id_col: str, text_col: str, max_df: int = 2
 ) -> DataFrame:

@@ -767,6 +767,32 @@ def test_index_scans_partition_prune(spark, emb, tmp_path, tmp_path_factory):
     assert len(seg) == 2 and "cell" in seg[1].split("]", 1)[0], search_plan[:2000]
 
 
+def test_chunk_documents_windows(spark):
+    """10 tokens, chunk=4, overlap=1 (stride 3): starts 0,3,6,9 →
+    chunks of 4,4,4,1 tokens; map-only plan (no Exchange)."""
+    from muller_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10))), (1, ""), (2, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", 4, overlap=1)
+    rows = sorted(
+        ((r["chunk_id"], r["n_tokens"], r["chunk_text"]) for r in out.collect())
+    )
+    assert [r[0] for r in rows] == [0, 1, 2, 3]
+    assert [r[1] for r in rows] == [4, 4, 4, 1]
+    assert rows[0][2] == "t0 t1 t2 t3"
+    assert rows[1][2] == "t3 t4 t5 t6"   # 1-token overlap
+    assert rows[3][2] == "t9"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]  # chunking is a scan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", 4, overlap=4)
+
+
 def test_rare_token_stats_reference(spark):
     """Hand-checked corpus: 'zzz' appears in 1 doc, 'qq' in 2, 'the' in
     3 → with max_df=2 both zzz and qq are rare; ratios are exact."""
