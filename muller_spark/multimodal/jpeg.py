@@ -2,8 +2,10 @@
 
 Covers the interchange-format baseline subset: DCT + quantization +
 canonical Huffman entropy coding, SOI/APP/DQT/SOF0/DHT/SOS/EOI segment
-structure, byte stuffing, grayscale and YCbCr 4:4:4 (every sampling
-factor 1).  Progressive scans, subsampled chroma (4:2:0/4:2:2),
+structure, byte stuffing, MCU-interleaved component scan.  Decodes
+grayscale, 4:4:4 and subsampled-chroma layouts (4:2:0/4:2:2 and any
+integer-ratio sampling, nearest-neighbor chroma upsample); encodes
+4:4:4 or 4:2:0 (2x2-mean chroma subsample).  Progressive scans,
 arithmetic coding and 12-bit precision return ``None`` so callers fall
 back to the header tier (``codecs.parse_image_header`` already reads
 dimensions for those).
@@ -184,55 +186,88 @@ def _extend(offset: int, size: int) -> int:
 
 # ---------------------------------------------------------------- encoder
 
-def _encode_blocks(planes, q_tables, w, h):
+def _encode_one_block(writer, block, q, prev_dc, ci):
+    coef = _D @ (block.astype(np.float64) - 128.0) @ _D.T
+    quant = np.round(coef / q).astype(np.int32)
+    zz = quant[_ZZ_ROWS, _ZZ_COLS]
+    diff = int(zz[0]) - prev_dc[ci]
+    prev_dc[ci] = int(zz[0])
+    size, offset = _magnitude(diff)
+    code, length = _DC_CODES[size]
+    writer.write(code, length)
+    if size:
+        writer.write(offset, size)
+    run = 0
+    last_nz = int(np.nonzero(zz[1:])[0].max()) + 1 if zz[1:].any() else 0
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = _AC_CODES[0xF0]  # ZRL
+            writer.write(c, ln)
+            run -= 16
+        size, offset = _magnitude(v)
+        c, ln = _AC_CODES[(run << 4) | size]
+        writer.write(c, ln)
+        writer.write(offset, size)
+        run = 0
+    if last_nz < 63:
+        c, ln = _AC_CODES[0x00]  # EOB
+        writer.write(c, ln)
+
+
+def _block_at(plane, row8, col8):
+    block = plane[row8 * 8:row8 * 8 + 8, col8 * 8:col8 * 8 + 8]
+    if block.size == 0:  # MCU padding block entirely outside the plane
+        return np.full((8, 8), 128.0)
+    if block.shape != (8, 8):  # edge-replicate pad
+        block = np.pad(
+            block, ((0, 8 - block.shape[0]), (0, 8 - block.shape[1])),
+            mode="edge",
+        )
+    return block
+
+
+def _encode_blocks(planes, q_tables, samplings):
+    """MCU-interleaved entropy coding.  ``planes[i]`` is already at its
+    component resolution; ``samplings[i] = (h, v)`` block factors."""
     writer = _BitWriter()
     prev_dc = [0] * len(planes)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    for by in range(bh):
-        for bx in range(bw):
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    ph, pw = planes[0].shape  # luma drives MCU count
+    mcu_rows = (ph + 8 * vmax - 1) // (8 * vmax)
+    mcu_cols = (pw + 8 * hmax - 1) // (8 * hmax)
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
             for ci, (plane, q) in enumerate(zip(planes, q_tables)):
-                block = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                if block.shape != (8, 8):  # edge-replicate pad
-                    block = np.pad(
-                        block,
-                        ((0, 8 - block.shape[0]), (0, 8 - block.shape[1])),
-                        mode="edge",
-                    )
-                coef = _D @ (block.astype(np.float64) - 128.0) @ _D.T
-                quant = np.round(coef / q).astype(np.int32)
-                zz = quant[_ZZ_ROWS, _ZZ_COLS]
-                diff = int(zz[0]) - prev_dc[ci]
-                prev_dc[ci] = int(zz[0])
-                size, offset = _magnitude(diff)
-                code, length = _DC_CODES[size]
-                writer.write(code, length)
-                if size:
-                    writer.write(offset, size)
-                run = 0
-                last_nz = int(np.nonzero(zz[1:])[0].max()) + 1 if zz[1:].any() else 0
-                for i in range(1, last_nz + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        c, ln = _AC_CODES[0xF0]  # ZRL
-                        writer.write(c, ln)
-                        run -= 16
-                    size, offset = _magnitude(v)
-                    c, ln = _AC_CODES[(run << 4) | size]
-                    writer.write(c, ln)
-                    writer.write(offset, size)
-                    run = 0
-                if last_nz < 63:
-                    c, ln = _AC_CODES[0x00]  # EOB
-                    writer.write(c, ln)
+                hs, vs = samplings[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        block = _block_at(plane, my * vs + by, mx * hs + bx)
+                        _encode_one_block(writer, block, q, prev_dc, ci)
     return writer.flush()
 
 
-def encode_jpeg(arr, quality: int = 90) -> bytes:
+def _subsample2(plane: np.ndarray) -> np.ndarray:
+    """2x2 mean subsample with edge replication to even dimensions."""
+    h, w = plane.shape
+    if h % 2 or w % 2:
+        plane = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    return (
+        plane[0::2, 0::2] + plane[1::2, 0::2]
+        + plane[0::2, 1::2] + plane[1::2, 1::2]
+    ) / 4.0
+
+
+def encode_jpeg(arr, quality: int = 90, subsampling: str = "444") -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-    baseline 4:4:4 JFIF JPEG."""
+    baseline JFIF JPEG.  ``subsampling``: ``"444"`` (full chroma) or
+    ``"420"`` (2x2-subsampled chroma, the common-camera layout)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2 or arr.shape[2] == 1
     if arr.ndim == 3 and arr.shape[2] == 1:
@@ -244,13 +279,19 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
     if gray:
         planes = [arr.astype(np.float64)]
         q_tables = [ql]
+        samplings = [(1, 1)]
     else:
         rgb = arr.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y, cb, cr]
+        if subsampling == "420":
+            planes = [y, _subsample2(cb), _subsample2(cr)]
+            samplings = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samplings = [(1, 1), (1, 1), (1, 1)]
         q_tables = [ql, qc, qc]
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -266,7 +307,8 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+        hs, vs = samplings[ci]
+        sof += struct.pack(">BBB", ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1)
     out += seg(0xC0, sof)
     out += seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_SYMS))
     out += seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_SYMS))
@@ -275,7 +317,7 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
         sos += struct.pack(">BB", ci + 1, 0x00)  # DC table 0 / AC table 0
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, sos)
-    out += _encode_blocks(planes, q_tables, w, h)
+    out += _encode_blocks(planes, q_tables, samplings)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -283,8 +325,10 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
 # ---------------------------------------------------------------- decoder
 
 def decode_jpeg(raw: bytes):
-    """numpy (h, w) or (h, w, 3) uint8 pixels for baseline JPEG with all
-    sampling factors 1 (grayscale / 4:4:4); None outside that envelope."""
+    """numpy (h, w) or (h, w, 3) uint8 pixels for baseline JPEG —
+    grayscale, 4:4:4, and subsampled-chroma layouts (4:2:0/4:2:2/any
+    integer-ratio sampling, nearest-neighbor chroma upsample); None
+    outside the baseline envelope (progressive, 12-bit, arithmetic)."""
     if raw[:2] != b"\xff\xd8":
         return None
     pos = 2
@@ -332,9 +376,10 @@ def decode_jpeg(raw: bytes):
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = payload[6 + ci * 3:9 + ci * 3]
-                if hv != 0x11:
-                    return None  # subsampled chroma unsupported
-                comps.append((cid, tq))
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    return None
+                comps.append((cid, tq, hs, vs))
             frame = (fh, fw, comps)
         elif marker == 0xDA:
             ns = payload[0]
@@ -355,56 +400,81 @@ def decode_jpeg(raw: bytes):
     if fh == 0 or fw == 0:
         return None
 
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    for _, _, hs, vs in comps:
+        if hmax % hs or vmax % vs:
+            return None  # non-integer upsample ratio (spec-legal, rare)
     reader = _BitReader(raw[data_start:])
-    bh, bw = (fh + 7) // 8, (fw + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+    mcu_rows = (fh + 8 * vmax - 1) // (8 * vmax)
+    mcu_cols = (fw + 8 * hmax - 1) // (8 * hmax)
+    planes = [
+        np.zeros((mcu_rows * 8 * vs, mcu_cols * 8 * hs))
+        for _, _, hs, vs in comps
+    ]
     prev_dc = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (cid, tq) in enumerate(comps):
+
+    def decode_block(ci, cid, tq, row8, col8):
+        dc_t = huff.get((0, tables[cid][0]))
+        ac_t = huff.get((1, tables[cid][1]))
+        if dc_t is None or ac_t is None:
+            return False
+        zz = np.zeros(64)
+        size = reader.read_huffman(dc_t)
+        if size is None or size > 11:
+            return False
+        offset = reader.read(size) if size else 0
+        if offset is None:
+            return False
+        prev_dc[ci] += _extend(offset, size)
+        zz[0] = prev_dc[ci]
+        i = 1
+        while i < 64:
+            sym = reader.read_huffman(ac_t)
+            if sym is None:
+                return False
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    return False
+                i += 16  # ZRL
+                continue
+            i += run
+            if i >= 64:
+                return False
+            offset = reader.read(size)
+            if offset is None:
+                return False
+            zz[i] = _extend(offset, size)
+            i += 1
+        block = np.zeros((8, 8))
+        block[_ZZ_ROWS, _ZZ_COLS] = zz
+        block *= q_tables[tq]
+        pix = _D.T @ block @ _D + 128.0
+        planes[ci][row8 * 8:row8 * 8 + 8, col8 * 8:col8 * 8 + 8] = pix
+        return True
+
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            for ci, (cid, tq, hs, vs) in enumerate(comps):
                 if tq not in q_tables or cid not in tables:
                     return None
-                dc_t = huff.get((0, tables[cid][0]))
-                ac_t = huff.get((1, tables[cid][1]))
-                if dc_t is None or ac_t is None:
-                    return None
-                zz = np.zeros(64)
-                size = reader.read_huffman(dc_t)
-                if size is None or size > 11:
-                    return None
-                offset = reader.read(size) if size else 0
-                if offset is None:
-                    return None
-                prev_dc[ci] += _extend(offset, size)
-                zz[0] = prev_dc[ci]
-                i = 1
-                while i < 64:
-                    sym = reader.read_huffman(ac_t)
-                    if sym is None:
-                        return None
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
+                for by in range(vs):
+                    for bx in range(hs):
+                        if not decode_block(ci, cid, tq, my * vs + by, mx * hs + bx):
                             return None
-                        i += 16  # ZRL
-                        continue
-                    i += run
-                    if i >= 64:
-                        return None
-                    offset = reader.read(size)
-                    if offset is None:
-                        return None
-                    zz[i] = _extend(offset, size)
-                    i += 1
-                block = np.zeros((8, 8))
-                block[_ZZ_ROWS, _ZZ_COLS] = zz
-                block *= q_tables[tq]
-                pix = _D.T @ block @ _D + 128.0
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
 
-    planes = [p[:fh, :fw] for p in planes]
+    # upsample subsampled components to full resolution, crop to frame
+    full = []
+    for plane, (_, _, hs, vs) in zip(planes, comps):
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        full.append(plane[:fh, :fw])
+    planes = full
     if len(comps) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes

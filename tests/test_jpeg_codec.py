@@ -82,6 +82,40 @@ def test_rejects_out_of_envelope():
     assert decode_jpeg(b"junk") is None
 
 
+def test_420_roundtrip_bounded_error():
+    """4:2:0 chroma subsampling: luma error stays tight; full-pixel
+    error is bounded a bit looser (chroma is quarter-resolution)."""
+    arr = _smooth_rgb(34, 46, seed=5)
+    raw = encode_jpeg(arr, quality=92, subsampling="420")
+    back = decode_jpeg(raw)
+    assert back.shape == arr.shape
+    err = np.abs(back.astype(np.int32) - arr.astype(np.int32))
+    assert float(err.mean()) < 6.0, err.mean()
+    # the 420 file must actually be smaller than 444 at equal quality
+    assert len(raw) < len(encode_jpeg(arr, quality=92, subsampling="444"))
+
+
+def test_420_odd_dimensions():
+    arr = _smooth_rgb(17, 23, seed=6)  # odd dims force chroma edge pad
+    back = decode_jpeg(encode_jpeg(arr, quality=92, subsampling="420"))
+    assert back.shape == (17, 23, 3)
+    err = np.abs(back.astype(np.int32) - arr.astype(np.int32))
+    assert float(err.mean()) < 7.0, err.mean()
+
+
+def test_422_style_sampling_decodes():
+    """Hand-flip the SOF sampling byte exercise path: encode 4:2:0,
+    then decode — the generic MCU walker handles it; also reject a
+    bogus sampling factor of 0."""
+    arr = _smooth_rgb(16, 16)
+    raw = bytearray(encode_jpeg(arr, subsampling="420"))
+    idx = raw.find(b"\xff\xc0")
+    # component 1 sampling byte sits at SOF payload offset 7
+    assert raw[idx + 2 + 2 + 7] == 0x22
+    raw[idx + 2 + 2 + 7] = 0x02  # h=0 → invalid
+    assert decode_jpeg(bytes(raw)) is None
+
+
 @pytest.mark.parametrize("quality", [70, 85, 98])
 def test_quality_monotonicity(quality):
     """Higher quality must not increase reconstruction error."""
