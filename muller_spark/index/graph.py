@@ -56,12 +56,28 @@ def build_graph_artifacts(
     sample_size: int = 4096,
     seed: int = 42,
 ) -> None:
-    """Materialize the disk graph: cell-partitioned ``vectors``, in-cell
-    KNN ``adjacency`` (+ medoid links), and the ``medoids`` backbone."""
+    """Materialize the disk graph: ``centroids``, cell-partitioned
+    ``vectors`` and ``adjacency`` (in-cell KNN + medoid links), and the
+    ``medoids`` backbone."""
     spark = df.sparkSession
     centroids = train_centroids(df, vec_col, num_cells, sample_size, seed=seed)
     bc = spark.sparkContext.broadcast(centroids)
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
+    assigned = ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        _assigner(bc, vec_col, id_col), "id long, vec array<double>, cell int"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "vectors")
+    )
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    _write_cells(spark, path, vectors, bc, R, prior_medoids=[])
+
+
+def _assigner(bc, vec_col: str, id_col: str):
     def assign(iterator):
         import pandas as pd
 
@@ -73,19 +89,16 @@ def build_graph_artifacts(
             cell = _distances(mat, cents, "l2").argmin(axis=1)
             yield pd.DataFrame({
                 "id": pdf[id_col],
-                "vec": pdf[vec_col],
+                "vec": pdf[vec_col].map(
+                    lambda v: [float(x) for x in v]
+                ),
                 "cell": cell.astype(np.int32),
             })
 
-    assigned = ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
-        assign, "id long, vec array<double>, cell int"
-    )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "vectors")
-    )
+    return assign
 
-    vectors = spark.read.parquet(os.path.join(path, "vectors"))
 
+def _make_cell_graph(bc, R: int):
     # one Arrow batch per cell => exact in-cell KNN graph + medoid
     def cell_graph(key, pdf):
         import pandas as pd
@@ -118,15 +131,30 @@ def build_graph_artifacts(
                 rows.append((int(ids[i]), nbrs, int(ids[i]) == medoid, cell))
         return pd.DataFrame(rows, columns=["id", "neighbors", "is_medoid", "cell"])
 
-    graph = vectors.groupBy("cell").applyInPandas(
-        cell_graph,
+    return cell_graph
+
+
+def _write_cells(spark, path, cell_vectors, bc, R, prior_medoids):
+    """Build graph rows for every cell present in ``cell_vectors`` and
+    write adjacency (dynamic partition overwrite: only those cells'
+    partitions are replaced) + the merged medoid table.
+    ``prior_medoids``: (cell, id, vec) rows of cells NOT being rebuilt."""
+    graph = cell_vectors.groupBy("cell").applyInPandas(
+        _make_cell_graph(bc, R),
         "id long, neighbors array<long>, is_medoid boolean, cell int",
     )
     graph.persist()
     try:
-        # medoid backbone: every medoid additionally links to all others
-        medoid_rows = graph.filter("is_medoid").select("id", "cell").collect()
-        medoid_ids = sorted(r["id"] for r in medoid_rows)
+        new_medoids = (
+            graph.filter("is_medoid")
+            .join(cell_vectors.select("id", "vec"), "id")
+            .select("cell", "id", "vec")
+            .collect()
+        )  # bounded: one row per rebuilt cell
+        all_medoids = list(prior_medoids) + [
+            (r["cell"], r["id"], list(r["vec"])) for r in new_medoids
+        ]
+        medoid_ids = sorted(m[1] for m in all_medoids)
         backbone = spark.createDataFrame(
             [(m, [x for x in medoid_ids if x != m]) for m in medoid_ids],
             "id long, extra array<long>",
@@ -139,19 +167,62 @@ def build_graph_artifacts(
                     F.col("extra").isNotNull(),
                     F.array_union("neighbors", "extra"),
                 ).otherwise(F.col("neighbors")).alias("neighbors"),
+                "cell",
             )
         )
-        adjacency.write.mode("overwrite").parquet(os.path.join(path, "adjacency"))
         (
-            graph.filter("is_medoid")
-            .join(vectors.select("id", "vec"), "id")
-            .select("cell", "id", "vec")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(path, "medoids"))
+            adjacency.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(os.path.join(path, "adjacency"))
+        )
+        spark.createDataFrame(
+            all_medoids, "cell int, id long, vec array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "medoids")
         )
     finally:
         graph.unpersist()
+
+
+def append_graph_vectors(
+    df_delta: DataFrame, vec_col: str, id_col: str, path: str, R: int = 12
+) -> None:
+    """Incremental maintenance, O(affected cells) not O(corpus): assign
+    the delta to the persisted centroids, append to ``vectors``, rebuild
+    the in-cell graphs of ONLY the touched cells (partition-pruned read,
+    dynamic partition overwrite of their adjacency), refresh the medoid
+    table and backbone.  Untouched cells' nodes keep links to any
+    replaced medoid — still a valid graph node in its cell, so search
+    through a stale backbone edge still descends correctly; fresh seeds
+    always come from the updated medoid table."""
+    spark = df_delta.sparkSession
+    cent_rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cell").collect()
+    )
+    centroids = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    delta = df_delta.select(id_col, vec_col).mapInPandas(
+        _assigner(bc, vec_col, id_col), "id long, vec array<double>, cell int"
+    )
+    delta.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "vectors")
+    )
+    affected = sorted(
+        r["cell"] for r in delta.select("cell").distinct().collect()
+    )  # bounded: <= num_cells
+    if not affected:
+        return
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    cell_vectors = vectors.filter(F.col("cell").isin(affected))
+    prior = [
+        (r["cell"], r["id"], list(r["vec"]))
+        for r in spark.read.parquet(os.path.join(path, "medoids")).collect()
+        if r["cell"] not in set(affected)
+    ]
+    _write_cells(spark, path, cell_vectors, bc, R, prior_medoids=prior)
 
 
 def graph_search(

@@ -82,6 +82,45 @@ def test_graph_search_deterministic(spark, artifacts, emb):
     assert sorted(a, key=key) == sorted(b, key=key)
 
 
+def test_append_graph_vectors_incremental(spark, emb, tmp_path_factory):
+    """Build on half the corpus, append the rest: appended vectors are
+    reachable (an appended vector's own id comes back at rank 1), the
+    medoid table stays one-row-per-cell, adjacency covers every row,
+    and recall holds on the merged corpus."""
+    from pyspark.sql import functions as F
+
+    from muller_spark.index.graph import append_graph_vectors
+
+    path = str(tmp_path_factory.mktemp("graphapp") / "idx")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    build_graph_artifacts(half, "embedding", "vec_id", path, num_cells=8, R=12)
+    append_graph_vectors(rest, "embedding", "vec_id", path)
+
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    adjacency = spark.read.parquet(os.path.join(path, "adjacency"))
+    medoids = spark.read.parquet(os.path.join(path, "medoids"))
+    assert vectors.count() == emb.count()
+    assert adjacency.count() == emb.count()
+    assert medoids.count() == medoids.select("cell").distinct().count()
+
+    probe = rest.limit(3).collect()
+    q = np.array([r["embedding"] for r in probe], dtype=np.float64)
+    got = graph_search(spark, path, q, k=5, beam=48, max_hops=6).collect()
+    rank1 = {r["query_id"]: r["id"] for r in got if r["rank"] == 1}
+    for qi, row in enumerate(probe):
+        assert rank1[qi] == row["vec_id"], (qi, rank1)
+
+    exact = _recall_sets(
+        exact_knn(emb, "embedding", "vec_id", q, k=10, metric="l2").collect()
+    )
+    full = _recall_sets(
+        graph_search(spark, path, q, k=10, beam=48, max_hops=6).collect()
+    )
+    recalls = [len(exact[qi] & full.get(qi, set())) / 10 for qi in exact]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
 def test_graph_search_state_is_beam_bounded(spark, artifacts, emb):
     """The defining DiskANN property: search never holds the corpus —
     the returned frontier/state per query is capped by the beam, so a
