@@ -354,3 +354,74 @@ def extract_audio_features(
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+AUDIO_SPECTRUM_SCHEMA = T.StructType([
+    T.StructField("dominant_hz", T.DoubleType()),
+    T.StructField("spectral_centroid_hz", T.DoubleType()),
+    T.StructField("rolloff85_hz", T.DoubleType()),
+    T.StructField("zero_crossing_rate", T.DoubleType()),
+])
+
+
+def extract_audio_spectrum(
+    df: DataFrame,
+    bytes_col: str = "content",
+    max_samples: int = 1 << 18,
+) -> DataFrame:
+    """Append real spectral features for PCM WAV payloads — numpy rFFT
+    periodogram over the (mono-mixed) signal, no audio libraries:
+    dominant frequency, magnitude-weighted spectral centroid, 85%%
+    energy rolloff, and zero-crossing rate.  Non-WAV payloads get NULL
+    features (soundfile-decodable formats flow through
+    ``extract_audio_features`` for metadata; spectral analysis needs
+    raw samples, which the stdlib tier only has for WAV)."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("audio_spectrum", AUDIO_SPECTRUM_SCHEMA)]
+    )
+
+    def run(iterator: Iterator):
+        import numpy as np
+
+        from muller_spark.multimodal.codecs import parse_wav
+
+        for pdf in iterator:
+            feats = []
+            for data in pdf[bytes_col]:
+                raw = bytes(data) if data is not None else b""
+                parsed = parse_wav(raw)
+                if parsed is None or parsed[1] == 0:
+                    feats.append((None, None, None, None))
+                    continue
+                rate, _n, ch, samples = parsed
+                mono = samples.mean(axis=1) if samples.ndim > 1 else samples
+                mono = mono[:max_samples]
+                mag = np.abs(np.fft.rfft(mono))
+                freqs = np.fft.rfftfreq(len(mono), 1.0 / rate)
+                mag[0] = 0.0  # ignore DC
+                total = float(mag.sum())
+                if total <= 0:
+                    feats.append((0.0, 0.0, 0.0, 0.0))
+                    continue
+                dominant = float(freqs[int(np.argmax(mag))])
+                centroid = float((freqs * mag).sum() / total)
+                energy = np.cumsum(mag ** 2)
+                roll_idx = int(np.searchsorted(energy, 0.85 * energy[-1]))
+                rolloff = float(freqs[min(roll_idx, len(freqs) - 1)])
+                zcr = float(np.mean(np.abs(np.diff(np.signbit(mono)))))
+                feats.append((
+                    round(dominant, 3), round(centroid, 3),
+                    round(rolloff, 3), round(zcr, 6),
+                ))
+            pdf = pdf.copy()
+            pdf["audio_spectrum"] = [
+                {
+                    "dominant_hz": f[0], "spectral_centroid_hz": f[1],
+                    "rolloff85_hz": f[2], "zero_crossing_rate": f[3],
+                }
+                for f in feats
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

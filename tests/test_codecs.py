@@ -201,6 +201,36 @@ def test_parse_wav_features():
     assert parse_wav(b"junkjunkjunk") is None
 
 
+def test_audio_spectrum_known_sine(spark, tmp_path):
+    """A 440 Hz sine at 16 kHz must report dominant_hz ~ 440 within one
+    FFT bin and zcr ~ 2*440/16000; white noise must have a much higher
+    rolloff than the pure tone."""
+    from muller_spark.multimodal.media import extract_audio_spectrum
+    from muller_spark.sources.readers import read_binary_files
+
+    rate, n = 16000, 16000
+    t = np.arange(n) / rate
+    sine = (10000 * np.sin(2 * np.pi * 440 * t)).astype("<i2")
+    rng = np.random.RandomState(0)
+    noise = rng.randint(-8000, 8000, size=n).astype("<i2")
+    (tmp_path / "sine.wav").write_bytes(make_wav(sine, rate=rate))
+    (tmp_path / "noise.wav").write_bytes(make_wav(noise, rate=rate))
+    (tmp_path / "junk.wav").write_bytes(b"not audio")
+
+    df = read_binary_files(spark, str(tmp_path), pattern="*.wav")
+    rows = {
+        r["path"].rsplit("/", 1)[-1]: r["audio_spectrum"]
+        for r in extract_audio_spectrum(df).collect()
+    }
+    bin_hz = rate / n
+    s = rows["sine.wav"]
+    assert abs(s["dominant_hz"] - 440) <= bin_hz
+    assert abs(s["zero_crossing_rate"] - 2 * 440 / rate) < 0.005
+    assert s["rolloff85_hz"] < 600
+    assert rows["noise.wav"]["rolloff85_hz"] > 3000
+    assert rows["junk.wav"]["dominant_hz"] is None
+
+
 def test_portable_hash_cross_engine_parity(spark):
     """portable_hash60 (the primitive behind every oracle-checked
     MinHash/SimHash value) agrees with the DuckDB formula on adversarial
