@@ -707,6 +707,18 @@ class Dataset:
                 sample_size=int(hyper.get("sample_size", 4096)),
                 seed=int(hyper.get("seed", 42)),
             )
+        elif index_type.upper() in ("DISKANN", "GRAPH"):
+            # disk-resident graph (reference DISKANN index type,
+            # vector_search_ops.py:18-48 / diskann_index.py)
+            from muller_spark.index.graph import build_graph_artifacts
+
+            build_graph_artifacts(
+                self.df, tensor, ROW_ID_COL, path,
+                num_cells=int(hyper.get("num_cells", hyper.get("nlist", 16))),
+                R=int(hyper.get("R", 12)),
+                sample_size=int(hyper.get("sample_size", 4096)),
+                seed=int(hyper.get("seed", 42)),
+            )
         manifest = {
             "tensor": tensor,
             "index_type": index_type,
@@ -774,6 +786,20 @@ class Dataset:
                 self.df, tensor_name, ROW_ID_COL, query_vector, topk, metric,
                 num_centroids=int(hyper.get("nlist", hyper.get("num_centroids", 16))),
                 nprobe=int(hyper.get("nprobe", 4)),
+            )
+        if index_type.upper() in ("DISKANN", "GRAPH"):
+            if m.get("commit_id") != self._snapshot.commit_id or self._dirty:
+                # stale artifact: exact scan keeps results correct
+                return exact_knn(
+                    self.df, tensor_name, ROW_ID_COL, query_vector, topk, metric
+                )
+            from muller_spark.index.graph import graph_search
+
+            return graph_search(
+                self.df.sparkSession, idx_dir, query_vector, k=topk,
+                beam=int(hyper.get("beam", 48)),
+                max_hops=int(hyper.get("max_hops", 6)),
+                entry_probe=int(hyper.get("entry_probe", 4)),
             )
         if index_type.upper().startswith("HNSW"):
             return hnsw_knn(

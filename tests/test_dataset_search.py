@@ -80,6 +80,31 @@ def test_vector_index_flat_and_lsh(spark, tmp_path):
     assert any(r["id"] == 0 for r in approx)
 
 
+def test_vector_index_diskann(spark, tmp_path):
+    """create_vector_index(index_type='DISKANN') routes through the
+    disk graph (reference vector_search_ops.py DISKANN type): self at
+    rank 1 through the artifact, exact fallback once the dataset moves
+    past the indexed commit."""
+    ds = ds_mod.dataset(str(tmp_path / "dads"), spark)
+    ds.create_tensor("emb", htype="embedding")
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(80, 8).astype("float32")
+    ds.extend({"emb": [[float(x) for x in v] for v in vecs]})
+    ds.commit("vectors")
+
+    ds.create_vector_index("emb", index_type="DISKANN", num_cells=4, R=8)
+    idx_dir = tmp_path / "dads" / "_indexes" / "vector" / "emb" / "default"
+    assert (idx_dir / "adjacency").is_dir() and (idx_dir / "medoids").is_dir()
+    out = ds.vector_search(vecs[3], "emb", topk=3).collect()
+    assert out[0]["id"] == 3 and out[0]["rank"] == 1
+
+    # stale: new commit → exact fallback still returns correct result
+    ds.extend({"emb": [[0.0] * 8]})
+    ds.commit("more")
+    out2 = ds.vector_search(vecs[3], "emb", topk=3).collect()
+    assert out2[0]["id"] == 3 and out2[0]["rank"] == 1
+
+
 def test_filter_with_index_query_combination(text_ds):
     """Reference ds.filter(function, index_query, connector)
     (mixins/query.py:95-159): the row predicate combines with an
