@@ -93,3 +93,94 @@ def to_bucketed_table(
         sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         writer = writer.sortBy(sort_cols[0], *sort_cols[1:])
     writer.format("parquet").saveAsTable(table_name)
+
+
+def to_webdataset(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    num_shards: int = 8,
+    bytes_cols: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """Export rows as WebDataset-style tar shards — the de-facto
+    training-data layout for multimodal loaders (one ``{key}.{ext}``
+    entry per column, samples grouped by key, ``.tar`` shards streamed
+    sequentially by data loaders).
+
+    Sharding is deterministic: ``pmod(xxhash64(key), num_shards)`` picks
+    the shard, rows sort by key inside it, and each shard is written by
+    the executor that owns its partition — no driver I/O, shard count =
+    task count.  ``bytes_cols`` maps binary columns to extensions (e.g.
+    ``{"content": "jpg"}``); every other column lands in a single
+    ``{key}.json`` entry.  Returns a manifest DataFrame
+    ``(shard, n_samples, n_bytes)`` (also written to ``_manifest``).
+
+    Extension beyond the reference's exporters (``to_mindrecord.py``
+    producer/consumer regime) — same role, open format, stdlib-only.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    _os.makedirs(path, exist_ok=True)
+    bytes_cols = dict(bytes_cols or {})
+    src = _visible(df)
+    for c in (key_col, *bytes_cols):
+        if c not in src.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    shard = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_shards))
+    arranged = (
+        src.withColumn("__shard", shard)
+        .repartition(num_shards, "__shard")
+        .sortWithinPartitions("__shard", key_col)
+    )
+    json_cols = [c for c in src.columns if c not in bytes_cols]
+    out_dir = path
+
+    def write_shards(iterator):
+        import io
+        import json as _json
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            rows = []
+            for shard_id, group in pdf.groupby("__shard"):
+                name = f"shard-{int(shard_id):05d}.tar"
+                full = _os.path.join(out_dir, name)
+                n_bytes = 0
+                with tarfile.open(full, "w") as tar:
+                    for _, row in group.iterrows():
+                        key = str(row[key_col])
+                        meta = {
+                            c: (row[c].tolist() if hasattr(row[c], "tolist")
+                                else row[c])
+                            for c in json_cols if c != "__shard"
+                        }
+                        payload = _json.dumps(meta, default=str).encode()
+                        entries = [(f"{key}.json", payload)]
+                        for c, ext in bytes_cols.items():
+                            data = row[c]
+                            if data is None:
+                                continue
+                            entries.append((f"{key}.{ext}", bytes(data)))
+                        for entry_name, data in entries:
+                            info = tarfile.TarInfo(entry_name)
+                            info.size = len(data)
+                            info.mtime = 0  # deterministic archives
+                            tar.addfile(info, io.BytesIO(data))
+                            n_bytes += len(data)
+                rows.append((name, len(group), n_bytes))
+            if rows:
+                yield pd.DataFrame(rows, columns=["shard", "n_samples", "n_bytes"])
+
+    manifest = arranged.mapInPandas(
+        write_shards, "shard string, n_samples long, n_bytes long"
+    )
+    # mapInPandas is lazy: materialize through the manifest write so the
+    # shards exist when this returns
+    manifest.write.mode("overwrite").json(_os.path.join(path, "_manifest"))
+    return df.sparkSession.read.json(_os.path.join(path, "_manifest"))
