@@ -941,10 +941,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from muller_spark.operators.sampling import mixture_sample
 
     docs = _t(spark, sf_dir, "documents")
-    agg = docs.agg(
-        F.sum("n_chars").alias("t"), F.countDistinct("lang").alias("k")
-    ).first()
-    budget = 0.4 * float(agg["t"])
+    budget = 0.4 * float(docs.agg(F.sum("n_chars").alias("t")).first()["t"])
     out = mixture_sample(docs, F.col("doc_id"), "lang", budget, size_col="n_chars")
     return out.select("doc_id", "lang").orderBy("doc_id")
 

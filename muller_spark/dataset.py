@@ -710,6 +710,11 @@ class Dataset:
         elif index_type.upper() in ("DISKANN", "GRAPH"):
             # disk-resident graph (reference DISKANN index type,
             # vector_search_ops.py:18-48 / diskann_index.py)
+            if metric != "l2":
+                raise ValueError(
+                    "DISKANN/GRAPH index supports metric='l2' only; "
+                    "normalize vectors and use l2 for cosine ranking"
+                )
             from muller_spark.index.graph import build_graph_artifacts
 
             build_graph_artifacts(

@@ -42,7 +42,12 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from muller_spark.index.vector import _as_matrix, _distances, train_centroids
+from muller_spark.index.vector import (
+    _as_matrix,
+    _distances,
+    load_ivf_centroids,
+    train_centroids,
+)
 from muller_spark.partitioning import ensure_parallelism
 
 
@@ -197,11 +202,9 @@ def append_graph_vectors(
     through a stale backbone edge still descends correctly; fresh seeds
     always come from the updated medoid table."""
     spark = df_delta.sparkSession
-    cent_rows = (
-        spark.read.parquet(os.path.join(path, "centroids"))
-        .orderBy("cell").collect()
-    )
-    centroids = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
+    # same (cell, centroid) parquet layout as the IVF artifacts — reuse
+    # its loader rather than a second copy of the read
+    centroids = load_ivf_centroids(spark, path)
     bc = spark.sparkContext.broadcast(centroids)
 
     delta = df_delta.select(id_col, vec_col).mapInPandas(

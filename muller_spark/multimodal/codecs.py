@@ -30,7 +30,15 @@ import wave
 
 def parse_image_header(raw: bytes) -> "tuple[int, int, int, str] | None":
     """(height, width, channels, format) from container headers, or
-    None if the bytes are not a recognized image format."""
+    None if the bytes are not a recognized image format (including a
+    recognized signature with a truncated header — never raises)."""
+    try:
+        return _parse_image_header(raw)
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _parse_image_header(raw: bytes) -> "tuple[int, int, int, str] | None":
     if len(raw) < 16:
         return None
     # PNG: 8-byte signature then IHDR
@@ -221,7 +229,11 @@ def encode_png(arr) -> bytes:
 def decode_pixels(raw: bytes):
     """numpy (h, w, c) uint8 array for the formats decodable without
     libraries (BMP 24-bit bottom-up, binary PPM P6, 8-bit
-    non-interlaced PNG), else None."""
+    non-interlaced PNG, baseline JPEG, GIF frame 1), else None.
+
+    Never raises: a payload whose header parses but whose body is
+    corrupt/truncated returns None — one bad file in a corpus must
+    yield a NULL row, not kill a Spark task (and its 4 retries)."""
     import numpy as np
 
     meta = parse_image_header(raw)
@@ -229,18 +241,27 @@ def decode_pixels(raw: bytes):
         return None
     h, w, c, fmt = meta
     if fmt == "png":
-        return decode_png(raw)
+        try:
+            return decode_png(raw)
+        except Exception:
+            return None
     if fmt == "jpeg":
         from muller_spark.multimodal.jpeg import decode_jpeg
 
-        pix = decode_jpeg(raw)
+        try:
+            pix = decode_jpeg(raw)
+        except Exception:
+            return None
         if pix is not None and pix.ndim == 2:
             pix = pix[:, :, None]
         return pix
     if fmt == "gif":
         from muller_spark.multimodal.gif import decode_gif
 
-        return decode_gif(raw)
+        try:
+            return decode_gif(raw)
+        except Exception:
+            return None
     if fmt == "bmp" and c == 3:
         offset = struct.unpack("<I", raw[10:14])[0]
         row_size = (w * 3 + 3) & ~3  # rows pad to 4 bytes

@@ -61,10 +61,10 @@ def _lzw_decode(data: bytes, mcs: int):
         out += entry
         if prev is not None and len(table) < 4096:
             table.append(prev + entry[:1])
-        # the encoder adds each entry one code EARLIER than the decoder
-        # can reconstruct it (it needs the next code's first byte), so
-        # the decoder must widen one entry early to read the same bits
-        if len(table) == (1 << width) - 1 and width < 12:
+        # standard (giflib) convention: widen when the next code the
+        # encoder could emit — the KwKwK case, value == len(table) —
+        # would no longer fit the current width
+        if len(table) == (1 << width) and width < 12:
             width += 1
         prev = entry
 
@@ -113,7 +113,14 @@ def _lzw_encode(indices: bytes, mcs: int) -> bytes:
         if next_code < 4096:
             table[cand] = next_code
             next_code += 1
-            if next_code == (1 << width) and width < 12:
+            # widen LATE (only once an assigned code value no longer
+            # fits): the decoder reconstructs each entry one code after
+            # the encoder assigns it, so it widens at len(table) ==
+            # 1<<width — these two rules land on the same bit position.
+            # Widening at next_code == 1<<width (one step early) makes
+            # streams that only this codec can read; verified against
+            # real-world GIFs in test_gif_codec.
+            if next_code > (1 << width) and width < 12:
                 width += 1
         else:
             writer.write(clear, width)

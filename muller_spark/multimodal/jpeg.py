@@ -117,10 +117,19 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+    def emit_marker(self, marker: int) -> None:
+        """Byte-align and append a raw marker (NOT byte-stuffed)."""
+        self.pad_to_byte()
+        self.buf.append(0xFF)
+        self.buf.append(marker)
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.buf)
 
 
@@ -154,6 +163,20 @@ class _BitReader:
         val = (self.acc >> self.nbits) & ((1 << n) - 1)
         self.acc &= (1 << self.nbits) - 1
         return val
+
+    def restart(self) -> bool:
+        """Consume an RSTn marker at a restart boundary: discard pad
+        bits, expect FF D0-D7."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+            return True
+        return False
 
     def read_huffman(self, table: dict) -> int | None:
         """table: (code, length) -> symbol."""
@@ -230,9 +253,10 @@ def _block_at(plane, row8, col8):
     return block
 
 
-def _encode_blocks(planes, q_tables, samplings):
+def _encode_blocks(planes, q_tables, samplings, restart_interval=0):
     """MCU-interleaved entropy coding.  ``planes[i]`` is already at its
-    component resolution; ``samplings[i] = (h, v)`` block factors."""
+    component resolution; ``samplings[i] = (h, v)`` block factors.
+    ``restart_interval``: emit RSTn every that many MCUs (0 = none)."""
     writer = _BitWriter()
     prev_dc = [0] * len(planes)
     hmax = max(s[0] for s in samplings)
@@ -240,6 +264,9 @@ def _encode_blocks(planes, q_tables, samplings):
     ph, pw = planes[0].shape  # luma drives MCU count
     mcu_rows = (ph + 8 * vmax - 1) // (8 * vmax)
     mcu_cols = (pw + 8 * hmax - 1) // (8 * hmax)
+    total = mcu_rows * mcu_cols
+    done = 0
+    rst = 0
     for my in range(mcu_rows):
         for mx in range(mcu_cols):
             for ci, (plane, q) in enumerate(zip(planes, q_tables)):
@@ -248,6 +275,11 @@ def _encode_blocks(planes, q_tables, samplings):
                     for bx in range(hs):
                         block = _block_at(plane, my * vs + by, mx * hs + bx)
                         _encode_one_block(writer, block, q, prev_dc, ci)
+            done += 1
+            if restart_interval and done % restart_interval == 0 and done < total:
+                writer.emit_marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                prev_dc = [0] * len(planes)
     return writer.flush()
 
 
@@ -262,10 +294,17 @@ def _subsample2(plane: np.ndarray) -> np.ndarray:
     ) / 4.0
 
 
-def encode_jpeg(arr, quality: int = 90, subsampling: str = "444") -> bytes:
+def encode_jpeg(
+    arr,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     baseline JFIF JPEG.  ``subsampling``: ``"444"`` (full chroma) or
-    ``"420"`` (2x2-subsampled chroma, the common-camera layout)."""
+    ``"420"`` (2x2-subsampled chroma, the common-camera layout);
+    ``restart_interval`` emits a DRI segment + RSTn markers every that
+    many MCUs (camera-style error-resilient streams)."""
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
@@ -315,9 +354,11 @@ def encode_jpeg(arr, quality: int = 90, subsampling: str = "444") -> bytes:
     sos = struct.pack(">B", ncomp)
     for ci in range(ncomp):
         sos += struct.pack(">BB", ci + 1, 0x00)  # DC table 0 / AC table 0
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, sos)
-    out += _encode_blocks(planes, q_tables, samplings)
+    out += _encode_blocks(planes, q_tables, samplings, restart_interval)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -336,6 +377,7 @@ def decode_jpeg(raw: bytes):
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> (code,len)->sym
     frame = None
     scan = None
+    restart_interval = 0
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             pos += 1
@@ -381,6 +423,8 @@ def decode_jpeg(raw: bytes):
                     return None
                 comps.append((cid, tq, hs, vs))
             frame = (fh, fw, comps)
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:
             ns = payload[0]
             tables = {}
@@ -456,6 +500,8 @@ def decode_jpeg(raw: bytes):
         planes[ci][row8 * 8:row8 * 8 + 8, col8 * 8:col8 * 8 + 8] = pix
         return True
 
+    done = 0
+    total = mcu_rows * mcu_cols
     for my in range(mcu_rows):
         for mx in range(mcu_cols):
             for ci, (cid, tq, hs, vs) in enumerate(comps):
@@ -465,6 +511,12 @@ def decode_jpeg(raw: bytes):
                     for bx in range(hs):
                         if not decode_block(ci, cid, tq, my * vs + by, mx * hs + bx):
                             return None
+            done += 1
+            if restart_interval and done % restart_interval == 0 and done < total:
+                if not reader.restart():
+                    return None
+                for ci in range(len(comps)):
+                    prev_dc[ci] = 0
 
     # upsample subsampled components to full resolution, crop to frame
     full = []

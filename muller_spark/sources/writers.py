@@ -144,9 +144,14 @@ def to_webdataset(
 
         import pandas as pd
 
-        for pdf in iterator:
-            if pdf.empty:
-                continue
+        # A shard's rows can span several Arrow batches; concatenate the
+        # whole partition before writing or a later batch's
+        # tarfile.open(..., "w") would truncate an earlier batch's shard
+        # (silently dropping samples).  Bounded: one shard's samples
+        # must fit its writing task anyway.
+        batches = [pdf for pdf in iterator if not pdf.empty]
+        if batches:
+            pdf = pd.concat(batches, ignore_index=True)
             rows = []
             for shard_id, group in pdf.groupby("__shard"):
                 name = f"shard-{int(shard_id):05d}.tar"

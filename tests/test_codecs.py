@@ -201,6 +201,34 @@ def test_parse_wav_features():
     assert parse_wav(b"junkjunkjunk") is None
 
 
+def test_decode_pixels_never_raises_on_corrupt_bodies():
+    """Payloads whose HEADER parses but whose body is garbage must come
+    back as None — a corrupt file in a corpus yields a NULL row, never a
+    task-killing exception (code-review finding: truncated DQT/DHT and
+    color tables raised through mapInPandas)."""
+    from muller_spark.multimodal.gif import encode_gif
+    from muller_spark.multimodal.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(4)
+    arr = rng.randint(0, 4, size=(16, 16), dtype=np.uint8)
+    sources = [
+        encode_jpeg(np.repeat(arr[:, :, None] * 60, 3, axis=2)),
+        encode_gif(arr),
+        # png with plausible header, garbage body
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0) + b"\xff" * 64,
+    ]
+    for raw in sources:
+        for cut in (20, len(raw) // 3, len(raw) // 2, len(raw) - 3):
+            mutated = bytearray(raw[:cut])
+            out = decode_pixels(bytes(mutated))          # truncated
+            assert out is None or hasattr(out, "shape")
+            mutated = bytearray(raw)
+            mutated[len(raw) // 2] ^= 0xFF               # bit-flipped
+            out = decode_pixels(bytes(mutated))
+            assert out is None or hasattr(out, "shape")
+
+
 def test_audio_spectrum_known_sine(spark, tmp_path):
     """A 440 Hz sine at 16 kHz must report dominant_hz ~ 440 within one
     FFT bin and zcr ~ 2*440/16000; white noise must have a much higher

@@ -3,6 +3,7 @@ palette limits, integration with decode_pixels."""
 
 from __future__ import annotations
 
+import glob
 import os
 import struct
 import sys
@@ -78,6 +79,68 @@ def test_gif_skips_extensions():
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
     raw = raw[:img_at] + gce + raw[img_at:]
     assert np.array_equal(decode_gif(bytes(raw)), arr)
+
+
+_REAL_GIFS = sorted(glob.glob("/usr/share/doc/libxslt1-dev/html/*.gif"))[:8]
+
+
+@pytest.mark.skipif(not _REAL_GIFS, reason="no system GIFs available")
+def test_decodes_real_world_gifs():
+    """The LZW width convention must match giflib/browsers, not merely
+    self-round-trip (the round-2→3 off-by-one made the codec consistent
+    only with itself).  Every system GIF must decode to its header
+    dimensions."""
+    from muller_spark.multimodal.codecs import parse_image_header
+
+    for p in _REAL_GIFS:
+        raw = open(p, "rb").read()
+        out = decode_gif(raw)
+        assert out is not None, p
+        h, w, _c, fmt = parse_image_header(raw)
+        assert fmt == "gif" and out.shape[:2] == (h, w), (p, out.shape)
+
+
+def _reference_lzw_decode(data, mcs):
+    """Independent textbook GIF-LZW decoder (standard width rule),
+    written differently from the production code on purpose — proves
+    encoder output is readable by third-party implementations."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table = {i: bytes([i]) for i in range(clear)}
+    next_code, width = eoi + 1, mcs + 1
+    acc = nbits = pos = 0
+    out, prev = bytearray(), None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code, width, prev = eoi + 1, mcs + 1, None
+            continue
+        if code == eoi:
+            return bytes(out)
+        entry = table.get(code) if code != next_code else prev + prev[:1]
+        if entry is None:
+            raise AssertionError(f"bad code {code}")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def test_encoder_readable_by_reference_decoder():
+    rng = np.random.RandomState(9)
+    data = bytes(rng.randint(0, 7, size=40000, dtype=np.uint8))
+    assert _reference_lzw_decode(_lzw_encode(data, 3), 3) == data
 
 
 def test_gif_rejects_bad_input():

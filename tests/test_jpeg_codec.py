@@ -116,6 +116,22 @@ def test_422_style_sampling_decodes():
     assert decode_jpeg(bytes(raw)) is None
 
 
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_restart_interval_roundtrip(subsampling):
+    """DRI/RSTn streams (camera-style): markers every 2 MCUs must
+    decode identically to the marker-free stream."""
+    arr = _smooth_rgb(40, 40, seed=8)
+    plain = decode_jpeg(encode_jpeg(arr, quality=90, subsampling=subsampling))
+    with_rst = encode_jpeg(
+        arr, quality=90, subsampling=subsampling, restart_interval=2
+    )
+    assert b"\xff\xdd" in with_rst and b"\xff\xd0" in with_rst
+    rst = decode_jpeg(with_rst)
+    assert np.array_equal(rst, plain)
+    err = np.abs(rst.astype(np.int32) - arr.astype(np.int32))
+    assert float(err.mean()) < 6.0, err.mean()
+
+
 @pytest.mark.parametrize("quality", [70, 85, 98])
 def test_quality_monotonicity(quality):
     """Higher quality must not increase reconstruction error."""

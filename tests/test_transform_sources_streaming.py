@@ -178,10 +178,17 @@ def test_to_webdataset_shards(spark, tmp_path):
     rows = [(i, f"text {i}", bytes([i % 251]) * (5 + i % 7)) for i in range(100)]
     df = spark.createDataFrame(rows, "doc_id long, text string, content binary")
     out = str(tmp_path / "wds")
-    manifest = to_webdataset(
-        df, out, key_col="doc_id", num_shards=4, bytes_cols={"content": "bin"}
-    ).collect()
+    # tiny Arrow batches: a shard MUST span multiple mapInPandas batches
+    # (regression: per-batch tarfile.open("w") truncated prior batches)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        manifest = to_webdataset(
+            df, out, key_col="doc_id", num_shards=4, bytes_cols={"content": "bin"}
+        ).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     assert sum(r["n_samples"] for r in manifest) == 100
+    assert len({r["shard"] for r in manifest}) == len(manifest)  # no dup shards
 
     seen = {}
     for m in manifest:
