@@ -132,6 +132,28 @@ def test_restart_interval_roundtrip(subsampling):
     assert float(err.mean()) < 6.0, err.mean()
 
 
+_REAL_JPEGS = [
+    p for p in [
+        "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/requests/ext/flower-of-life.jpg",
+        "/usr/lib/google-cloud-sdk/platform/google_appengine/google/appengine/tools/java/jetty12/jetty-home/modules/demo.d/root/images/webtide_logo.jpg",
+    ]
+    if os.path.exists(p)
+]
+
+
+@pytest.mark.skipif(not _REAL_JPEGS, reason="no system JPEGs available")
+def test_decodes_real_world_baseline_jpegs():
+    """Files produced by real encoders (Annex-K Huffman tables, real
+    quant matrices) must decode to their header dimensions — the codec
+    must interoperate, not merely self-round-trip."""
+    for p in _REAL_JPEGS:
+        raw = open(p, "rb").read()
+        h, w, _c, fmt = parse_image_header(raw)
+        out = decode_jpeg(raw)
+        assert fmt == "jpeg" and out is not None, p
+        assert out.shape[:2] == (h, w), (p, out.shape)
+
+
 @pytest.mark.parametrize("quality", [70, 85, 98])
 def test_quality_monotonicity(quality):
     """Higher quality must not increase reconstruction error."""
