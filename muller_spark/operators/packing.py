@@ -49,7 +49,12 @@ def global_cumsum(
         num_buckets = max(2 * spark.sparkContext.defaultParallelism, 8)
 
     probes = [i / num_buckets for i in range(1, num_buckets)]
-    bounds = sorted(set(df.stat.approxQuantile(order_col, probes, 0.001)))
+    # num_buckets=1 → no interior boundaries (and approxQuantile NPEs
+    # on an empty probability list)
+    bounds = (
+        sorted(set(df.stat.approxQuantile(order_col, probes, 0.001)))
+        if probes else []
+    )
     if bounds:
         barr = F.array(*[F.lit(b) for b in bounds])
         bucket = F.size(F.filter(barr, lambda b: b < F.col(order_col)))

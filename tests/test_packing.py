@@ -88,6 +88,33 @@ def test_pack_rejects_bad_seq_len(spark):
         pack_concat_chunks(df, "id", "tokens", seq_len=0)
 
 
+def test_cumsum_property_random_corpora(spark):
+    """Randomized sizes/buckets: the two-phase result must equal a
+    pandas exclusive cumsum exactly, including empty-bucket layouts and
+    token counts of zero."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for trial in range(4):
+        n = int(rng.randint(1, 800))
+        ids = rng.choice(10_000, size=n, replace=False)
+        toks = rng.randint(0, 50, size=n)
+        toks[rng.rand(n) < 0.2] = 0
+        df = spark.createDataFrame(
+            [(int(i), int(t)) for i, t in zip(ids, toks)], "id long, tokens long"
+        )
+        buckets = int(rng.choice([1, 2, 7, 64]))
+        got = {
+            r["id"]: r["cum_excl"]
+            for r in global_cumsum(df, "id", "tokens", num_buckets=buckets).collect()
+        }
+        order = np.argsort(ids)
+        run = 0
+        for idx in order:
+            assert got[int(ids[idx])] == run, (trial, buckets)
+            run += int(toks[idx])
+
+
 def test_mixture_sample_flattens_distribution(spark):
     """90/10 two-domain corpus sampled to equal weights within a 40%
     budget: the dominant domain downsamples toward the target share,
