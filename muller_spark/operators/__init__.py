@@ -1,6 +1,8 @@
 from muller_spark.operators.aggregate import aggregate_vectorized
 from muller_spark.operators.analytics import cohort_retention, funnel
 from muller_spark.operators.dedup import (
+    dedup_against_ledger,
+    init_dedup_ledger,
     canonical_keep_list,
     contamination_report,
     dedup_clusters,
@@ -45,6 +47,7 @@ __all__ = [
     "simhash_portable_near_dups", "ngram_jaccard_pairs",
     "embedding_near_dups", "duplicate_passages", "contamination_report",
     "dedup_clusters", "canonical_keep_list",
+    "init_dedup_ledger", "dedup_against_ledger",
     "repetition_stats", "gopher_filter", "pii_scan", "group_zscores",
     "deterministic_sample", "deterministic_split", "stratified_sample",
     "mixture_sample",

@@ -860,3 +860,61 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup ledger — batch-append production flow
+# ---------------------------------------------------------------------------
+
+def init_dedup_ledger(
+    df: DataFrame,
+    text_col: str,
+    path: str,
+    normalize: bool = True,
+) -> None:
+    """Seed a persistent content-hash ledger from an existing corpus.
+
+    The production regime for a continuously-ingested corpus: corpus-wide
+    dedup runs once; every later batch anti-joins against the ledger
+    instead of re-hashing 100 TB (``dedup_against_ledger``).  The ledger
+    is a parquet table of distinct md5 hashes — one narrow column, the
+    minimum state that decides membership."""
+    content = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
+    (
+        df.select(F.md5(content).alias("content_hash"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def dedup_against_ledger(
+    new_df: DataFrame,
+    text_col: str,
+    path: str,
+    normalize: bool = True,
+    update: bool = True,
+) -> DataFrame:
+    """Filter a new batch to rows unseen in the ledger (and in the batch
+    itself — first row per hash wins under the batch's existing order),
+    then append the survivors' hashes.
+
+    Cost is O(batch) + one hash anti-join against the ledger — never a
+    corpus re-scan.  The anti-join and the intra-batch dedup are both
+    keyed on the hash, so the only shuffles are hash-keyed.  With
+    ``update=False`` the ledger is left untouched (dry-run / retry
+    safety: the append is the caller's commit point)."""
+    spark = new_df.sparkSession
+    content = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
+    hashed = new_df.withColumn("content_hash", F.md5(content))
+    ledger = spark.read.parquet(path).select("content_hash")
+    fresh = (
+        hashed.join(ledger, "content_hash", "left_anti")
+        .dropDuplicates(["content_hash"])
+    )
+    if update:
+        # materialize survivors BEFORE appending: the append would
+        # otherwise race the lazy anti-join reading the same parquet
+        fresh = fresh.localCheckpoint()
+        fresh.select("content_hash").write.mode("append").parquet(path)
+    return fresh.drop("content_hash")

@@ -767,6 +767,49 @@ def test_index_scans_partition_prune(spark, emb, tmp_path, tmp_path_factory):
     assert len(seg) == 2 and "cell" in seg[1].split("]", 1)[0], search_plan[:2000]
 
 
+def test_dedup_ledger_incremental(spark, tmp_path):
+    """Batch-append flow: seed a ledger, feed two batches — duplicates
+    of the seed corpus, intra-batch duplicates, and cross-batch
+    duplicates are all dropped; each batch costs one hash anti-join,
+    never a corpus re-scan."""
+    from muller_spark.operators.dedup import (
+        dedup_against_ledger,
+        init_dedup_ledger,
+    )
+
+    path = str(tmp_path / "ledger")
+    seed = spark.createDataFrame(
+        [(0, "alpha doc"), (1, "beta doc")], "id long, text string"
+    )
+    init_dedup_ledger(seed, "text", path)
+
+    batch1 = spark.createDataFrame(
+        [(10, "ALPHA   doc"),   # normalized dup of seed -> dropped
+         (11, "gamma doc"),     # fresh
+         (12, "gamma doc"),     # intra-batch dup -> dropped
+         (13, "delta doc")],    # fresh
+        "id long, text string",
+    )
+    out1 = {r["id"] for r in dedup_against_ledger(batch1, "text", path).collect()}
+    assert out1 == {11, 13}
+
+    batch2 = spark.createDataFrame(
+        [(20, "gamma doc"),     # dup of batch1 survivor -> dropped
+         (21, "epsilon doc")],  # fresh
+        "id long, text string",
+    )
+    out2 = {r["id"] for r in dedup_against_ledger(batch2, "text", path).collect()}
+    assert out2 == {21}
+
+    # update=False leaves the ledger untouched
+    batch3 = spark.createDataFrame([(30, "zeta doc")], "id long, text string")
+    dedup_against_ledger(batch3, "text", path, update=False).collect()
+    again = {r["id"] for r in dedup_against_ledger(batch3, "text", path).collect()}
+    assert again == {30}  # still fresh: dry run did not commit
+    n_hashes = spark.read.parquet(path).distinct().count()
+    assert n_hashes == 6  # alpha beta gamma delta epsilon zeta
+
+
 def test_chunk_documents_windows(spark):
     """10 tokens, chunk=4, overlap=1 (stride 3): starts 0,3,6,9 →
     chunks of 4,4,4,1 tokens; map-only plan (no Exchange)."""
