@@ -1030,6 +1030,18 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/analytics.event_transitions): one user-keyed
+    lag window + one (from,to) aggregation."""
+    from muller_spark.operators.analytics import event_transitions
+
+    events = _t(spark, sf_dir, "events")
+    return event_transitions(
+        events, "user_id", "event_type", "ts", tie_col="event_id"
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: count sessions per user with a 30-minute gap rule
     (event-time windowing over a lag)."""
@@ -1504,6 +1516,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bpe_tokens": q_bpe_tokens,
     "q_count_distinct": q_count_distinct,
     "q_sessionize": q_sessionize,
+    "q_event_transitions": q_event_transitions,
     "q_sessions": q_sessions,
     "q_histogram": q_histogram,
     "q_random_access": q_random_access,
@@ -1699,6 +1712,24 @@ _ORACLES: dict[str, str] = {
                      ('high', 60000.0, 1e12)) AS bands(band, lo, hi)
           ON l_extendedprice >= lo AND l_extendedprice < hi
         GROUP BY band ORDER BY band
+    """,
+    "q_event_transitions": """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM events
+        ), pairs AS (
+            SELECT prev AS from_event, event_type AS to_event,
+                   count(*) AS n
+            FROM seq WHERE prev IS NOT NULL
+            GROUP BY prev, event_type
+        )
+        SELECT from_event, to_event, n,
+               round(n / sum(n) OVER (PARTITION BY from_event), 6) AS p
+        FROM pairs
+        ORDER BY from_event, to_event
     """,
     "q_sessionize": """
         WITH g AS (

@@ -1,5 +1,9 @@
 from muller_spark.operators.aggregate import aggregate_vectorized
-from muller_spark.operators.analytics import cohort_retention, funnel
+from muller_spark.operators.analytics import (
+    cohort_retention,
+    event_transitions,
+    funnel,
+)
 from muller_spark.operators.dedup import (
     dedup_against_ledger,
     init_dedup_ledger,
@@ -41,7 +45,7 @@ from muller_spark.operators.validate import (
 __all__ = [
     "aggregate_vectorized", "paginate", "topk_per_group",
     "global_cumsum", "pack_concat_chunks",
-    "funnel", "cohort_retention",
+    "funnel", "cohort_retention", "event_transitions",
     "exact_dedup", "minhash_lsh_pairs", "minhash_portable_pairs",
     "simhash", "simhash_portable", "simhash_near_dups",
     "simhash_portable_near_dups", "ngram_jaccard_pairs",

@@ -132,3 +132,39 @@ def cohort_retention(
         .orderBy("cohort_month", "month_offset")
     )
     return out
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    event_col: str,
+    ts_col: str,
+    tie_col: "str | None" = None,
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences: ``(from_event, to_event, n, p)`` where ``p`` is the
+    row-normalized transition probability (one correctly-rounded
+    division — engine-exact).
+
+    One user-keyed window (lag) + one (from, to) aggregation — the same
+    single-pass shape as the sessionizer; the transition matrix is
+    |event types|² rows, map-side-combined.  ``tie_col`` breaks
+    duplicate timestamps so both engines see the same sequence."""
+    from pyspark.sql import Window
+
+    order = [ts_col] + ([tie_col] if tie_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        df.withColumn("__prev", F.lag(F.col(event_col)).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("from_event"),
+                 F.col(event_col).alias("to_event"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = Window.partitionBy("from_event")
+    return (
+        pairs.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(w_from), 6)
+        )
+        .orderBy("from_event", "to_event")
+    )
