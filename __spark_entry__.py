@@ -1030,6 +1030,27 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ledger dedup (operators/dedup.py): seed a hash
+    ledger from even doc_ids, dedup the odd-id batch against it with
+    one anti-join (dry-run, keep_by pins the intra-batch winner)."""
+    import tempfile
+
+    from muller_spark.operators.dedup import (
+        dedup_against_ledger,
+        init_dedup_ledger,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="ledger_"), "hashes")
+    init_dedup_ledger(docs.filter(F.col("doc_id") % 2 == 0), "text", path)
+    out = dedup_against_ledger(
+        docs.filter(F.col("doc_id") % 2 == 1), "text", path,
+        update=False, keep_by="doc_id",
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences (operators/analytics.event_transitions): one user-keyed
@@ -1517,6 +1538,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_count_distinct": q_count_distinct,
     "q_sessionize": q_sessionize,
     "q_event_transitions": q_event_transitions,
+    "q_dedup_incremental": q_dedup_incremental,
     "q_sessions": q_sessions,
     "q_histogram": q_histogram,
     "q_random_access": q_random_access,
@@ -1712,6 +1734,20 @@ _ORACLES: dict[str, str] = {
                      ('high', 60000.0, 1e12)) AS bands(band, lo, hi)
           ON l_extendedprice >= lo AND l_extendedprice < hi
         GROUP BY band ORDER BY band
+    """,
+    "q_dedup_incremental": f"""
+        WITH seed AS (
+            SELECT DISTINCT md5({_NORM_SQL}) AS h
+            FROM documents WHERE doc_id % 2 = 0
+        ), cand AS (
+            SELECT doc_id, md5({_NORM_SQL}) AS h
+            FROM documents WHERE doc_id % 2 = 1
+        ), fresh AS (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM cand WHERE h NOT IN (SELECT h FROM seed)
+        )
+        SELECT doc_id FROM fresh WHERE rn = 1 ORDER BY doc_id
     """,
     "q_event_transitions": """
         WITH seq AS (

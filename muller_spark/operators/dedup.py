@@ -894,10 +894,15 @@ def dedup_against_ledger(
     path: str,
     normalize: bool = True,
     update: bool = True,
+    keep_by: "str | None" = None,
 ) -> DataFrame:
-    """Filter a new batch to rows unseen in the ledger (and in the batch
-    itself — first row per hash wins under the batch's existing order),
-    then append the survivors' hashes.
+    """Filter a new batch to rows unseen in the ledger (and in the
+    batch itself), then append the survivors' hashes.
+
+    ``keep_by`` picks the intra-batch winner deterministically (min of
+    that column per hash); without it ``dropDuplicates`` keeps an
+    arbitrary row — fine when any representative will do, not
+    reproducible across engines or reruns.
 
     Cost is O(batch) + one hash anti-join against the ledger — never a
     corpus re-scan.  The anti-join and the intra-batch dedup are both
@@ -908,10 +913,18 @@ def dedup_against_ledger(
     content = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
     hashed = new_df.withColumn("content_hash", F.md5(content))
     ledger = spark.read.parquet(path).select("content_hash")
-    fresh = (
-        hashed.join(ledger, "content_hash", "left_anti")
-        .dropDuplicates(["content_hash"])
-    )
+    unseen = hashed.join(ledger, "content_hash", "left_anti")
+    if keep_by is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("content_hash").orderBy(keep_by)
+        fresh = (
+            unseen.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        fresh = unseen.dropDuplicates(["content_hash"])
     if update:
         # materialize survivors BEFORE appending: the append would
         # otherwise race the lazy anti-join reading the same parquet
