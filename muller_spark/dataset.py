@@ -889,6 +889,20 @@ class Dataset:
                 known.withColumnRenamed("id", ROW_ID_COL), ROW_ID_COL, "left_anti"
             )
             append_ivfpq_codes(delta, tensor_name, ROW_ID_COL, idx_dir)
+        elif os.path.isdir(os.path.join(idx_dir, "adjacency")):
+            # disk graph: rebuild only the delta's touched cells
+            from muller_spark.index.graph import append_graph_vectors
+
+            known = self.spark.read.parquet(
+                os.path.join(idx_dir, "vectors")
+            ).select("id")
+            delta = self.df.select(ROW_ID_COL, tensor_name).join(
+                known.withColumnRenamed("id", ROW_ID_COL), ROW_ID_COL, "left_anti"
+            )
+            append_graph_vectors(
+                delta, tensor_name, ROW_ID_COL, idx_dir,
+                R=int(m.get("hyper", {}).get("R", 12)),
+            )
         elif os.path.isdir(os.path.join(idx_dir, "assign")):
             known = self.spark.read.parquet(os.path.join(idx_dir, "assign")).select("id")
             delta = self.df.select(ROW_ID_COL, tensor_name).join(
