@@ -37,6 +37,9 @@ HEADLINE = [
     "q_dedup_exact",
     "q_token_stats",
     "q_sequence_pack",
+    "q_chunk_documents",
+    "q_event_transitions",
+    "q_dedup_incremental",
     "q_text_quality",
     "q_knn_cosine",
     "q_window_events",
