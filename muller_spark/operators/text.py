@@ -167,29 +167,50 @@ def chunk_documents(
 
     One row per chunk: ``(id, chunk_id, n_tokens, chunk_text)``; the
     final chunk may be short, empty documents emit nothing.  Pure
-    JVM expression (sequence + explode + slice inside whole-stage
-    codegen): map-only, zero shuffle — chunking 100 TB is a scan."""
+    JVM expression (sequence + transform + explode inside whole-stage
+    codegen): map-only, zero shuffle — chunking 100 TB is a scan.
+
+    Two deliberate shapes for scale:
+
+    * The token array is materialized in its own projection first, so
+      tokenization runs exactly once per document.  Referencing the
+      raw ``tokens_of`` expression from inside the chunk lambda would
+      inline it there (CollapseProject does not merge projections when
+      it would duplicate a non-cheap expression — this separate select
+      is what prevents that), re-tokenizing once per *chunk*.
+    * The slice happens *inside* ``transform(starts, ...)`` before the
+      explode, so each generated row carries only its own chunk (total
+      copy = O(total chunk tokens)).  Slicing after the explode would
+      drag the full token array into every generated row — O(chunks ×
+      doc_tokens), a ~2000× copy amplification for a 1M-token document
+      at chunk 512."""
     if chunk_tokens <= 0:
         raise ValueError("chunk_tokens must be positive")
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = tokens_of(F.col(text_col))
+    base = df.select(
+        F.col(id_col), tokens_of(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    toks = F.col("__toks")
     n = F.size(toks)
     starts = F.sequence(
         F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
     )
-    ex = df.filter(n > 0).select(
-        F.col(id_col),
-        toks.alias("__toks"),
-        F.explode(starts).alias("__start"),
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("long").alias("cid"),
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias("txt"),
+            F.least(F.lit(chunk_tokens), n - s).cast("int").alias("nt"),
+        ),
     )
-    piece = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    ex = base.select(F.col(id_col), F.explode(chunks).alias("__c"))
     return ex.select(
         F.col(id_col),
-        F.floor(F.col("__start") / stride).cast("long").alias("chunk_id"),
-        F.size(piece).alias("n_tokens"),
-        F.array_join(piece, " ").alias("chunk_text"),
+        F.col("__c.cid").alias("chunk_id"),
+        F.col("__c.nt").alias("n_tokens"),
+        F.col("__c.txt").alias("chunk_text"),
     )
 
 
