@@ -89,11 +89,52 @@ def embedding_covariance(
     )
 
 
-def _gram_moments(df: DataFrame, vec_col: str):
+_GRAM_SCHEMA = "sums array<double>, gram array<double>, n long"
+
+
+def _combine_gram_partials(partials: DataFrame, nparts: int, fanin: int):
+    """Tree-reduce the per-partition (sums, gram, n) partials down to
+    ≤ ``fanin`` rows with intermediate mapInPandas levels, so the
+    driver never sees O(input partitions) × d² state.  Each level
+    shuffles only the partial rows themselves (P · d² doubles spread
+    across the cluster), never data rows."""
+    import math
+
+    def combine(iterator):
+        import pandas as pd
+
+        acc_s = None
+        acc_g = None
+        count = 0
+        for pdf in iterator:
+            for s, g, c in zip(pdf["sums"], pdf["gram"], pdf["n"]):
+                s = np.asarray(s, dtype=np.float64)
+                g = np.asarray(g, dtype=np.float64)
+                acc_s = s if acc_s is None else acc_s + s
+                acc_g = g if acc_g is None else acc_g + g
+                count += int(c)
+        if count:
+            yield pd.DataFrame({
+                "sums": [acc_s.tolist()],
+                "gram": [acc_g.tolist()],
+                "n": [count],
+            })
+
+    while nparts > fanin:
+        nparts = max(1, math.ceil(nparts / fanin))
+        partials = partials.repartition(nparts).mapInPandas(
+            combine, _GRAM_SCHEMA
+        )
+    return partials
+
+
+def _gram_moments(df: DataFrame, vec_col: str, fanin: int = 64):
     """One distributed pass → (column sums (d,), Gram matrix XᵀX (d,d),
     row count).  Each partition ships three numbers' worth of state —
-    never rows."""
-    part_schema = "sums array<double>, gram array<double>, n long"
+    never rows — and partials are tree-combined so at most ``fanin``
+    rows (not one per input partition) ever reach the driver: at
+    d=1024 a partial is ~8 MB, so a 10⁵-partition corpus would
+    otherwise put ~800 GB on the driver."""
 
     def partial(iterator):
         import pandas as pd
@@ -119,14 +160,17 @@ def _gram_moments(df: DataFrame, vec_col: str):
                 "n": [count],
             })
 
-    parts = df.select(vec_col).mapInPandas(partial, part_schema).collect()
+    src = df.select(vec_col)
+    partials = src.mapInPandas(partial, _GRAM_SCHEMA)
+    nparts = src.rdd.getNumPartitions()
+    parts = _combine_gram_partials(partials, nparts, fanin).collect()
     if not parts:
         raise ValueError("empty embedding column")
     d = len(parts[0]["sums"])
     sums = np.zeros(d)
     gram = np.zeros((d, d))
     n = 0
-    for r in parts:  # bounded: one row per partition
+    for r in parts:  # bounded: ≤ fanin rows regardless of partitioning
         sums += np.asarray(r["sums"])
         gram += np.asarray(r["gram"]).reshape(d, d)
         n += r["n"]

@@ -13,6 +13,8 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from muller_spark.operators.embedding import (  # noqa: E402
+    _combine_gram_partials,
+    _gram_moments,
     embedding_covariance,
     embedding_pca,
 )
@@ -69,6 +71,41 @@ def test_pca_whitening_unit_variance(spark, emb):
     out, _, _ = embedding_pca(emb, "embedding", k=3, id_col="vec_id", whiten=True)
     proj = np.stack([np.asarray(r["pca"]) for r in out.collect()])
     assert np.allclose(proj.var(axis=0), 1.0, atol=1e-3)
+
+
+def test_gram_partials_tree_combined_before_driver(spark, emb, mat):
+    """The combine ladder bounds driver fan-in: with 40 input partitions
+    and fanin=4, at most 4 partial rows are collected — and the moments
+    still match numpy exactly enough."""
+    wide = emb.repartition(40)
+    sums, gram, n = _gram_moments(wide, "embedding", fanin=4)
+    assert n == mat.shape[0]
+    assert np.allclose(sums, mat.sum(axis=0), atol=1e-9)
+    assert np.allclose(gram, mat.T @ mat, atol=1e-6)
+    # the ladder itself: 40 partitions of partials reduce to ≤4 rows
+    src = wide.select("embedding")
+    from muller_spark.operators.embedding import _GRAM_SCHEMA
+
+    def partial(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            m = np.stack(
+                pdf["embedding"].map(
+                    lambda v: np.asarray(v, dtype=np.float64)
+                )
+            )
+            yield pd.DataFrame({
+                "sums": [m.sum(axis=0).tolist()],
+                "gram": [(m.T @ m).reshape(-1).tolist()],
+                "n": [len(m)],
+            })
+
+    partials = src.mapInPandas(partial, _GRAM_SCHEMA)
+    reduced = _combine_gram_partials(partials, 40, fanin=4)
+    assert reduced.count() <= 4
 
 
 def test_pca_rejects_bad_k(spark, emb):
