@@ -53,10 +53,16 @@ def funnel(
             F.min(F.when(F.col("t") == s, F.col("ts"))).alias(f"_first_{i}")
             for i, s in enumerate(steps)
         ],
+        # unsorted: the only consumer is array_min(filter(...)), which
+        # doesn't need order — sorting here is O(m log m) per user/step
+        # of pure waste.  The full per-step time lists (not just the
+        # first event) are semantically required even without a window:
+        # the first step-k event may precede conv_{k-1} while a later
+        # one still qualifies.
         *[
-            F.sort_array(
-                F.collect_list(F.when(F.col("t") == s, F.col("ts")))
-            ).alias(f"_all_{i}")
+            F.collect_list(F.when(F.col("t") == s, F.col("ts"))).alias(
+                f"_all_{i}"
+            )
             for i, s in enumerate(steps[1:], start=1)
         ],
     )
