@@ -50,6 +50,10 @@ from muller_spark.index.vector import (
 )
 from muller_spark.partitioning import ensure_parallelism
 
+# The medoid backbone is a driver-built full mesh: cells² adjacency
+# entries.  4096² longs ≈ 128 MB — the driver-sized ceiling.
+MAX_CELLS = 4096
+
 
 def build_graph_artifacts(
     df: DataFrame,
@@ -63,7 +67,18 @@ def build_graph_artifacts(
 ) -> None:
     """Materialize the disk graph: ``centroids``, cell-partitioned
     ``vectors`` and ``adjacency`` (in-cell KNN + medoid links), and the
-    ``medoids`` backbone."""
+    ``medoids`` backbone.
+
+    ``num_cells`` is capped at ``MAX_CELLS`` (4096): the medoid
+    backbone is a full mesh built driver-side — O(cells²) adjacency
+    entries — so cell count must stay driver-sized.  4096 cells ×
+    ~1M-vector cells is ~4B vectors; shard above that."""
+    if num_cells > MAX_CELLS:
+        raise ValueError(
+            f"num_cells={num_cells} exceeds MAX_CELLS={MAX_CELLS}: the "
+            "medoid backbone is a driver-built full mesh (cells^2 "
+            "entries); use fewer, larger cells or shard the index"
+        )
     spark = df.sparkSession
     centroids = train_centroids(df, vec_col, num_cells, sample_size, seed=seed)
     bc = spark.sparkContext.broadcast(centroids)

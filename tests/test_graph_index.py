@@ -135,3 +135,15 @@ def test_graph_search_state_is_beam_bounded(spark, artifacts, emb):
     for r in out:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert per_q and all(v <= 7 for v in per_q.values())
+
+
+def test_build_rejects_driver_sized_cell_overflow(spark, emb, tmp_path_factory):
+    """num_cells above MAX_CELLS must fail fast with a clear error —
+    the medoid backbone is a driver-built cells^2 mesh."""
+    from muller_spark.index.graph import MAX_CELLS
+
+    path = str(tmp_path_factory.mktemp("graph_guard"))
+    with pytest.raises(ValueError, match="MAX_CELLS"):
+        build_graph_artifacts(
+            emb, "embedding", "vec_id", path, num_cells=MAX_CELLS + 1
+        )
