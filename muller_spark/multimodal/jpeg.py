@@ -383,6 +383,9 @@ def decode_jpeg(raw: bytes):
             pos += 1
             continue
         marker = raw[pos + 1]
+        if marker == 0xFF:  # legal 0xFF fill byte before a marker
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,

@@ -908,7 +908,15 @@ def dedup_against_ledger(
     corpus re-scan.  The anti-join and the intra-batch dedup are both
     keyed on the hash, so the only shuffles are hash-keyed.  With
     ``update=False`` the ledger is left untouched (dry-run / retry
-    safety: the append is the caller's commit point)."""
+    safety: the append is the caller's commit point).
+
+    **Single-writer contract** (like ``fs.py``'s ``atomic_append``
+    note): batches must be processed serially.  Two jobs running this
+    concurrently both anti-join before either appends, so content
+    present in both batches is admitted twice — the ``localCheckpoint``
+    only closes the intra-job read-while-append race.  Serialize
+    batches externally (one ingest job at a time, or gate the append
+    behind the dataset commit log's lease lock)."""
     spark = new_df.sparkSession
     content = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
     hashed = new_df.withColumn("content_hash", F.md5(content))

@@ -101,6 +101,13 @@ def mixture_sample(
     domain); the keep decision is the same row-local engine-portable
     Knuth hash as :func:`deterministic_sample`, with ``floor`` cuts so
     any engine derives identical membership from the same arithmetic.
+
+    Two drop rules, by design (not data loss): rows whose
+    ``domain_col`` is NULL are always dropped (no domain → no budget
+    share), and with an explicit ``weights`` dict an observed domain
+    absent from the dict gets weight 0 — i.e. fully dropped.  Pass
+    ``weights=None`` to keep every observed domain, or include the
+    domain with an explicit weight.
     """
     import math
 

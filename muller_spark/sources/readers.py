@@ -61,7 +61,15 @@ def from_csv(
     only driver materialization is the distinct dirname set, capped at
     ``_MAX_PATH_DIRS``) and attached with a hash equi-join on the
     normalized absolute path — never a per-row path collect, never a
-    non-equi (nested-loop) join."""
+    non-equi (nested-loop) join.
+
+    Note the trade: binaryFile loads **every file in each referenced
+    directory**, not just the referenced ones — a CSV pointing at a few
+    files inside a directory that also holds large unrelated blobs
+    scans (and shuffles) all of them before the left join discards the
+    extras.  Keep blob directories dedicated to the referenced files,
+    or pre-load with ``read_binary_files`` +
+    ``pathGlobFilter``/explicit paths and join manually."""
     df = spark.read.option("header", str(header).lower()).option(
         "inferSchema", "true"
     ).csv(path)

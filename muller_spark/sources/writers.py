@@ -151,13 +151,22 @@ def to_webdataset(
         # must fit its writing task anyway.
         batches = [pdf for pdf in iterator if not pdf.empty]
         if batches:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            attempt = ctx.taskAttemptId() if ctx else _os.getpid()
             pdf = pd.concat(batches, ignore_index=True)
             rows = []
             for shard_id, group in pdf.groupby("__shard"):
                 name = f"shard-{int(shard_id):05d}.tar"
                 full = _os.path.join(out_dir, name)
+                # Task-attempt-unique temp + atomic rename: a retried or
+                # speculative attempt never truncates the winner's shard
+                # mid-read, and a failed job leaves only .tmp-* litter,
+                # never a half-written shard under its final name.
+                tmp = f"{full}.tmp-{attempt}"
                 n_bytes = 0
-                with tarfile.open(full, "w") as tar:
+                with tarfile.open(tmp, "w") as tar:
                     for _, row in group.iterrows():
                         key = str(row[key_col])
                         meta = {
@@ -178,14 +187,31 @@ def to_webdataset(
                             info.mtime = 0  # deterministic archives
                             tar.addfile(info, io.BytesIO(data))
                             n_bytes += len(data)
+                _os.replace(tmp, full)  # atomic on POSIX
                 rows.append((name, len(group), n_bytes))
             if rows:
                 yield pd.DataFrame(rows, columns=["shard", "n_samples", "n_bytes"])
 
-    manifest = arranged.mapInPandas(
+    written = arranged.mapInPandas(
         write_shards, "shard string, n_samples long, n_bytes long"
+    ).collect()  # bounded: ≤ num_shards rows
+    # Emit empty tars for shards no row hashed into, so loaders always
+    # see exactly num_shards files.
+    seen = {r["shard"] for r in written}
+    rows = [(r["shard"], r["n_samples"], r["n_bytes"]) for r in written]
+    import tarfile as _tarfile
+
+    for s in range(num_shards):
+        name = f"shard-{s:05d}.tar"
+        if name not in seen:
+            with _tarfile.open(_os.path.join(path, name), "w"):
+                pass
+            rows.append((name, 0, 0))
+    rows.sort()
+    manifest = df.sparkSession.createDataFrame(
+        rows, "shard string, n_samples long, n_bytes long"
     )
-    # mapInPandas is lazy: materialize through the manifest write so the
-    # shards exist when this returns
-    manifest.write.mode("overwrite").json(_os.path.join(path, "_manifest"))
+    manifest.coalesce(1).write.mode("overwrite").json(
+        _os.path.join(path, "_manifest")
+    )
     return df.sparkSession.read.json(_os.path.join(path, "_manifest"))

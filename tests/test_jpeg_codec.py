@@ -165,3 +165,15 @@ def test_quality_monotonicity(quality):
             np.abs(back.astype(np.int32) - arr.astype(np.int32)).mean()
         )
     assert err[100] <= err[quality] + 0.25, err
+
+
+def test_fill_bytes_before_markers_are_consumed():
+    """Runs of 0xFF fill bytes before a marker are legal padding (ITU
+    T.81 B.1.1.2); the segment loop must consume them one at a time
+    instead of misreading a bogus length from the padding."""
+    arr = _smooth_rgb(16, 16)
+    raw = encode_jpeg(arr, quality=90)
+    padded = raw[:2] + b"\xff\xff\xff" + raw[2:]
+    got = decode_jpeg(padded)
+    want = decode_jpeg(raw)
+    assert got is not None and np.array_equal(got, want)

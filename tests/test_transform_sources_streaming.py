@@ -674,3 +674,29 @@ def test_dedup_stream_drops_duplicates(spark, tmp_path):
     got = spark.sql("SELECT doc_id FROM dd_out").collect()
     ids = sorted(r["doc_id"] for r in got)
     assert ids == [1, 2, 3, 4, 5], ids
+
+
+def test_to_webdataset_always_emits_num_shards_files(spark, tmp_path):
+    """Loaders size their worker pools from shard count: shards no key
+    hashed into must still exist as empty tars with manifest rows, and
+    no .tmp-* litter remains after a clean run."""
+    import tarfile
+
+    from muller_spark.sources.writers import to_webdataset
+
+    df = spark.createDataFrame(
+        [(1, "only row")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "wds_sparse")
+    manifest = to_webdataset(df, out, key_col="doc_id", num_shards=6).collect()
+    names = sorted(r["shard"] for r in manifest)
+    assert names == [f"shard-{i:05d}.tar" for i in range(6)]
+    assert sum(r["n_samples"] for r in manifest) == 1
+    import os as _os
+
+    on_disk = sorted(f for f in _os.listdir(out) if f.endswith(".tar"))
+    assert on_disk == names
+    assert not [f for f in _os.listdir(out) if ".tmp-" in f]
+    for r in manifest:
+        with tarfile.open(_os.path.join(out, r["shard"])) as tar:
+            assert len(tar.getmembers()) == (1 if r["n_samples"] else 0)
