@@ -15,6 +15,9 @@ work doesn't need them:
   zero deps and ``resize_images`` is a real resize on them.
 - **WAV/PCM audio** decodes completely with the stdlib ``wave`` module;
   RMS/duration features come out exact.
+- **NIfTI-1 volumes** (``.nii`` / ``.nii.gz``) decode completely —
+  fixed 348-byte header + typed dense array, gzip via stdlib — with a
+  header-only scan path that never inflates gzipped voxel data.
 
 PIL/av/soundfile still take priority when importable (they cover the
 compressed payloads); these functions are the fallback tier between
@@ -372,3 +375,139 @@ def parse_wav(raw: bytes) -> "tuple[int, int, int, object] | None":
     if ch > 1:
         samples = samples.reshape(-1, ch)
     return rate, n, ch, samples
+
+
+# ---------------------------------------------------------------------------
+# NIfTI-1 medical-imaging volumes (.nii / .nii.gz) — stdlib + numpy.
+#
+# NIfTI-1 is a fixed 348-byte header over a typed dense array (the
+# nifti1.h public spec); the reference decodes it via nibabel
+# (muller/compression.py:84, htype "nifti" at
+# muller/core/types/htype.py:204-206).  Gzip containers stream-decompress
+# with zlib, so header-only scans never inflate the voxel payload.
+# ---------------------------------------------------------------------------
+
+_NIFTI_DTYPES = {
+    2: "uint8", 4: "int16", 8: "int32", 16: "float32", 64: "float64",
+    256: "int8", 512: "uint16", 768: "uint32", 1024: "int64", 1280: "uint64",
+}
+
+
+def _nifti_head_bytes(raw: bytes, need: int) -> "bytes | None":
+    """First ``need`` bytes of the (possibly gzipped) payload.  For
+    .nii.gz this stream-decompresses only enough compressed input to
+    produce the header — a metadata scan over a 100 TB corpus never
+    inflates voxel data."""
+    import zlib
+
+    if raw[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        out = b""
+        pos = 0
+        try:
+            while len(out) < need and pos < len(raw):
+                out += d.decompress(raw[pos:pos + 4096], need - len(out))
+                pos += 4096
+        except zlib.error:
+            return None
+        return out if len(out) >= need else None
+    return raw[:need] if len(raw) >= need else None
+
+
+def parse_nifti_header(raw: bytes):
+    """(shape tuple, dtype str, vox_offset, endian, scl_slope,
+    scl_inter) from a NIfTI-1 single-file payload, or None if the bytes
+    are not NIfTI-1 / use an unsupported datatype.  Never raises."""
+    try:
+        head = _nifti_head_bytes(raw, 348)
+        if head is None:
+            return None
+        for endian in ("<", ">"):
+            (sizeof_hdr,) = struct.unpack(endian + "i", head[:4])
+            if sizeof_hdr == 348:
+                break
+        else:
+            return None
+        magic = head[344:348]
+        if magic not in (b"n+1\x00", b"ni1\x00"):
+            return None
+        dim = struct.unpack(endian + "8h", head[40:56])
+        ndim = dim[0]
+        if not 1 <= ndim <= 7:
+            return None
+        shape = tuple(max(1, int(d)) for d in dim[1:1 + ndim])
+        (datatype,) = struct.unpack(endian + "h", head[70:72])
+        dtype = _NIFTI_DTYPES.get(datatype)
+        if dtype is None:
+            return None
+        (vox_offset,) = struct.unpack(endian + "f", head[108:112])
+        slope, inter = struct.unpack(endian + "2f", head[112:120])
+        return shape, dtype, int(vox_offset), endian, float(slope), float(inter)
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def decode_nifti(raw: bytes):
+    """Voxel array for a single-file NIfTI-1 payload (.nii or .nii.gz),
+    or None.  Data is stored first-axis-fastest, so the buffer reshapes
+    in Fortran order.  When the header carries a real scaling
+    (scl_slope not in {0, 1} or scl_inter != 0) the nibabel-equivalent
+    ``slope * data + inter`` float64 array is returned; otherwise the
+    raw typed array.  Never raises on corrupt payloads."""
+    import gzip
+
+    import numpy as np
+
+    meta = parse_nifti_header(raw)
+    if meta is None:
+        return None
+    shape, dtype, vox_offset, endian, slope, inter = meta
+    try:
+        body = gzip.decompress(raw) if raw[:2] == b"\x1f\x8b" else raw
+    except (OSError, EOFError):
+        return None
+    count = 1
+    for s in shape:
+        count *= s
+    dt = np.dtype(dtype).newbyteorder(endian)
+    need = vox_offset + count * dt.itemsize
+    if vox_offset < 348 or len(body) < need:
+        return None
+    arr = np.frombuffer(body, dtype=dt, count=count, offset=vox_offset)
+    arr = arr.reshape(shape, order="F")
+    if (slope not in (0.0, 1.0)) or inter != 0.0:
+        return (arr.astype(np.float64) * (slope or 1.0) + inter)
+    return arr.copy()
+
+
+def encode_nifti(arr, gz: bool = False, scl_slope: float = 0.0,
+                 scl_inter: float = 0.0) -> bytes:
+    """Minimal single-file NIfTI-1 writer (little-endian, magic n+1,
+    voxel data at offset 352) — enough for round-trip tests and
+    interop with nibabel-family readers."""
+    import gzip
+
+    import numpy as np
+
+    arr = np.asarray(arr)
+    code = {v: k for k, v in _NIFTI_DTYPES.items()}.get(arr.dtype.name)
+    if code is None:
+        raise ValueError(f"unsupported NIfTI dtype {arr.dtype}")
+    if not 1 <= arr.ndim <= 7:
+        raise ValueError("NIfTI supports 1-7 dimensions")
+    head = bytearray(348)
+    struct.pack_into("<i", head, 0, 348)
+    dim = [arr.ndim] + list(arr.shape) + [1] * (7 - arr.ndim)
+    struct.pack_into("<8h", head, 40, *dim)
+    struct.pack_into("<h", head, 70, code)
+    struct.pack_into("<h", head, 72, arr.dtype.itemsize * 8)
+    # pixdim[0..7]: unit grid
+    struct.pack_into("<8f", head, 76, 1, 1, 1, 1, 1, 1, 1, 1)
+    struct.pack_into("<f", head, 108, 352.0)  # vox_offset
+    struct.pack_into("<2f", head, 112, scl_slope, scl_inter)
+    head[344:348] = b"n+1\x00"
+    # 4 pad bytes between header and data (the standard 352 offset)
+    out = bytes(head) + b"\x00" * 4 + np.asfortranarray(
+        arr.astype(arr.dtype.newbyteorder("<"))
+    ).tobytes(order="F")
+    return gzip.compress(out, mtime=0) if gz else out

@@ -425,3 +425,64 @@ def extract_audio_spectrum(
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+VOLUME_META_SCHEMA = T.StructType([
+    T.StructField("shape", T.ArrayType(T.IntegerType())),
+    T.StructField("dtype", T.StringType()),
+    T.StructField("n_voxels", T.LongType()),
+    T.StructField("checksum", T.StringType()),
+])
+
+
+def extract_volume_metadata(
+    df: DataFrame,
+    bytes_col: str = "content",
+    decode: bool = False,
+) -> DataFrame:
+    """Append NIfTI-1 volume metadata (shape/dtype/n_voxels/checksum)
+    for ``.nii`` / ``.nii.gz`` payloads; non-NIfTI bytes get NULLs
+    (reference decodes these via nibabel, ``muller/compression.py:84``,
+    htype ``nifti`` at ``core/types/htype.py:204-206``).
+
+    ``decode=False`` (default) parses only the 348-byte header — for
+    gzipped payloads it stream-decompresses just the header, so a
+    metadata sweep over a 100 TB corpus never inflates voxel data.
+    ``decode=True`` additionally verifies the voxel payload decodes
+    (truncated bodies get NULL metadata), the integrity-scan mode.
+    The ``shape`` field is companion-ready: write it to a
+    ``_<tensor>_shape`` column for dataset nifti tensors."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("volume_meta", VOLUME_META_SCHEMA)]
+    )
+
+    def run(iterator: Iterator):
+        from muller_spark.multimodal.codecs import (
+            decode_nifti,
+            parse_nifti_header,
+        )
+
+        for pdf in iterator:
+            metas = []
+            for data in pdf[bytes_col]:
+                raw = bytes(data) if data is not None else b""
+                parsed = parse_nifti_header(raw)
+                if parsed is None or (decode and decode_nifti(raw) is None):
+                    metas.append((None, None, None, None))
+                    continue
+                shape, dtype, _off, _endian, _slope, _inter = parsed
+                n = 1
+                for s in shape:
+                    n *= s
+                metas.append((
+                    [int(s) for s in shape], dtype, n,
+                    hashlib.md5(raw).hexdigest(),
+                ))
+            pdf = pdf.copy()
+            pdf["volume_meta"] = [
+                {"shape": m[0], "dtype": m[1], "n_voxels": m[2], "checksum": m[3]}
+                for m in metas
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

@@ -327,3 +327,95 @@ def test_media_pipeline_with_real_codecs(spark):
     assert ameta[0]["sample_rate"] == 8000 and ameta[0]["n_samples"] == 200
     assert ameta[0]["rms"] == pytest.approx(0.5, abs=1e-6)
     assert ameta[1]["sample_rate"] is None
+
+
+# ---------------------------------------------------------------------------
+# NIfTI-1 volumes
+# ---------------------------------------------------------------------------
+
+
+def _vol(dtype="int16"):
+    import numpy as np
+
+    return (np.arange(60) % 37).reshape(5, 4, 3).astype(dtype)
+
+
+def test_nifti_roundtrip_nii_and_gz():
+    import numpy as np
+
+    from muller_spark.multimodal.codecs import (
+        decode_nifti,
+        encode_nifti,
+        parse_nifti_header,
+    )
+
+    vol = _vol()
+    for gz in (False, True):
+        raw = encode_nifti(vol, gz=gz)
+        shape, dtype, off, endian, slope, inter = parse_nifti_header(raw)
+        assert shape == (5, 4, 3) and dtype == "int16" and off == 352
+        back = decode_nifti(raw)
+        assert back.dtype == np.int16 and np.array_equal(back, vol)
+
+
+def test_nifti_fortran_order_is_respected():
+    """NIfTI stores first-axis-fastest: the element at [i,j,k] must
+    land at flat offset i + j*ni + k*ni*nj."""
+    import struct as _struct
+
+    import numpy as np
+
+    from muller_spark.multimodal.codecs import decode_nifti, encode_nifti
+
+    vol = np.zeros((3, 2, 2), dtype=np.float32)
+    vol[1, 0, 1] = 7.5
+    raw = encode_nifti(vol)
+    flat = np.frombuffer(raw[352:], dtype="<f4")
+    assert flat[1 + 0 * 3 + 1 * 6] == 7.5
+    assert decode_nifti(raw)[1, 0, 1] == 7.5
+    assert _struct.unpack("<i", raw[:4])[0] == 348
+
+
+def test_nifti_scaling_and_dtypes():
+    import numpy as np
+
+    from muller_spark.multimodal.codecs import decode_nifti, encode_nifti
+
+    vol = _vol()
+    back = decode_nifti(encode_nifti(vol, scl_slope=2.5, scl_inter=-1.0))
+    assert back.dtype == np.float64
+    assert np.allclose(back, vol * 2.5 - 1.0)
+    for dt in ("uint8", "int32", "float32", "float64"):
+        b = decode_nifti(encode_nifti(_vol(dt)))
+        assert b.dtype == np.dtype(dt) and np.array_equal(b, _vol(dt))
+
+
+def test_nifti_corrupt_inputs_return_none():
+    from muller_spark.multimodal.codecs import (
+        decode_nifti,
+        encode_nifti,
+        parse_nifti_header,
+    )
+
+    assert parse_nifti_header(b"") is None
+    assert parse_nifti_header(b"\x1f\x8b" + b"junk" * 10) is None
+    assert parse_nifti_header(b"P6 1 1 255 xxx") is None
+    raw = encode_nifti(_vol())
+    assert parse_nifti_header(raw[:100]) is None  # truncated header
+    assert decode_nifti(raw[:400]) is None  # truncated voxels
+    bad_magic = raw[:344] + b"XXXX" + raw[348:]
+    assert parse_nifti_header(bad_magic) is None
+
+
+def test_nifti_header_only_scan_never_inflates_gz_body():
+    """Header parse of .nii.gz must not need the whole compressed
+    stream: truncating the gzip payload after a few KB still parses."""
+    import numpy as np
+
+    from muller_spark.multimodal.codecs import encode_nifti, parse_nifti_header
+
+    big = np.random.default_rng(0).random((64, 64, 64))
+    raw = encode_nifti(big, gz=True)
+    assert len(raw) > 8192
+    got = parse_nifti_header(raw[:8192])
+    assert got is not None and got[0] == (64, 64, 64)

@@ -107,3 +107,54 @@ def test_index_update_incremental(spark, tmp_path):
     assert {r["id"] for r in idx.search("delta").collect()} == {2}
     assert {r["id"] for r in idx.search("alpha").collect()} == {0}
     assert idx.manifest["commit_id"] == "c2"
+
+
+def test_nifti_tensor_shape_companion_from_header(spark, tmp_path):
+    """NIfTI volumes as a dataset tensor: bytes at rest in a binary
+    column, decoded shape/dtype surfaced through extract_volume_metadata
+    and written to the _volumes_shape companion — the same
+    bytes+companion pattern as images, now with a real zero-dep NIfTI
+    decode behind it."""
+    import numpy as np
+
+    from muller_spark.multimodal.codecs import decode_nifti, encode_nifti
+    from muller_spark.multimodal.media import extract_volume_metadata
+
+    vols = [
+        (np.arange(24, dtype=np.int16).reshape(4, 3, 2), False),
+        (np.linspace(0, 1, 30, dtype=np.float32).reshape(5, 3, 2), True),
+    ]
+    payloads = [encode_nifti(v, gz=gz) for v, gz in vols]
+
+    ds = ds_mod.dataset(str(tmp_path / "nii"), spark)
+    ds.create_tensor("volumes", htype="nifti")
+    ds.create_tensor("patient", htype="text")
+    ds.extend({"volumes": payloads, "patient": ["a", "b"]})
+
+    meta = extract_volume_metadata(
+        ds.df.select("_row_id", "volumes"), bytes_col="volumes", decode=True
+    ).collect()
+    got = {r["_row_id"]: r["volume_meta"] for r in meta}
+    assert got[0]["shape"] == [4, 3, 2] and got[0]["dtype"] == "int16"
+    assert got[1]["shape"] == [5, 3, 2] and got[1]["dtype"] == "float32"
+    assert got[0]["n_voxels"] == 24 and got[1]["n_voxels"] == 30
+
+    # write the decoded shapes into the companion, htype-pattern style
+    assert "_volumes_shape" in ds.tensor_meta
+    for i in range(2):
+        ds["_volumes_shape"][i] = got[i]["shape"]
+    shapes = {
+        r["_row_id"]: r["_volumes_shape"]
+        for r in ds.df.select("_row_id", "_volumes_shape").collect()
+    }
+    assert shapes == {0: [4, 3, 2], 1: [5, 3, 2]}
+
+    # stored bytes decode back to the exact voxels
+    rows = {r["_row_id"]: bytes(r["volumes"]) for r in ds.df.select("_row_id", "volumes").collect()}
+    for i, (v, _gz) in enumerate(vols):
+        assert np.array_equal(decode_nifti(rows[i]), v)
+
+    # non-NIfTI payloads yield NULL metadata, not errors
+    junk = spark.createDataFrame([(b"not a volume",)], "volumes binary")
+    out = extract_volume_metadata(junk, bytes_col="volumes").collect()
+    assert out[0]["volume_meta"]["shape"] is None
