@@ -192,6 +192,30 @@ class CommitLog:
                 json.dumps(record) + "\n",
             )
 
+    def commit_records(self) -> "list[dict]":
+        """The audit trail, newest-last by timestamp, from whichever
+        layout this backend uses (appended ``commits.jsonl`` on
+        atomic-append filesystems, one ``commits/<id>.json`` object per
+        commit elsewhere).  Reads both so a dataset moved between
+        backends keeps its full history."""
+        records: list[dict] = []
+        jsonl = os.path.join(self.log_dir, "commits.jsonl")
+        if self.fs.exists(jsonl):
+            for line in self.fs.read_text(jsonl).splitlines():
+                if line.strip():
+                    records.append(json.loads(line))
+        rec_dir = os.path.join(self.log_dir, "commits")
+        if self.fs.isdir(rec_dir):
+            for name in self.fs.listdir(rec_dir):
+                if name.endswith(".json"):
+                    records.append(
+                        json.loads(
+                            self.fs.read_text(os.path.join(rec_dir, name))
+                        )
+                    )
+        records.sort(key=lambda r: (r.get("timestamp", 0), r.get("commit_id", "")))
+        return records
+
     # -- history -----------------------------------------------------------
     def log(self, commit_id: str) -> list[Snapshot]:
         """First-parent history from a commit back to the root."""

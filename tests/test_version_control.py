@@ -81,6 +81,11 @@ def test_append_only_commit_is_incremental(spark, tmp_path):
     snap = ds.log.resolve("main")
     assert len(snap.data_dirs) == 2, "append should add a delta dir, not rewrite"
     assert list(ds.x.numpy()) == [1, 2, 3]
+    # POSIX backend appends commits.jsonl; the unified reader sees
+    # init + c1 + c2 in order
+    assert [r["message"] for r in ds.log.commit_records()] == [
+        "initial commit", "c1", "c2",
+    ]
 
 
 def test_branching_and_checkout(base_ds):
@@ -579,6 +584,97 @@ def test_commit_log_against_nonlocal_scheme(spark):
     assert not any("commits.jsonl" in k for k in MemFS.files)
     log.delete_ref("dev")
     assert log.branches() == ["main"]
+
+
+def test_interleaved_committers_lose_no_records(spark):
+    """Two committers interleaving against a non-atomic-append backend:
+    every commit record survives, because each commit writes its own
+    commits/<id>.json object — there is no shared append target to
+    race on.  (An appended jsonl under MemFS's read-modify-write
+    append_text would drop interleaved lines.)"""
+    from muller_spark.fs import register_fs
+    from muller_spark.versioning.log import CommitLog
+
+    class MemFS2:
+        files: dict = {}
+        dirs: set = set()
+
+        def _norm(self, p):
+            return p.rstrip("/")
+
+        def read_text(self, p):
+            return self.files[self._norm(p)]
+
+        def write_text(self, p, t):
+            self.files[self._norm(p)] = t
+
+        def append_text(self, p, t):
+            self.files[self._norm(p)] = self.files.get(self._norm(p), "") + t
+
+        def exists(self, p):
+            return self._norm(p) in self.files or self.isdir(p)
+
+        def isdir(self, p):
+            return self._norm(p) in self.dirs
+
+        def listdir(self, p):
+            p = self._norm(p) + "/"
+            names = {f[len(p):].split("/")[0] for f in self.files if f.startswith(p)}
+            names |= {d[len(p):].split("/")[0] for d in self.dirs if d.startswith(p)}
+            return sorted(names)
+
+        def makedirs(self, p):
+            parts = self._norm(p).split("/")
+            for i in range(len(parts)):
+                self.dirs.add("/".join(parts[: i + 1]))
+
+        def remove(self, p):
+            del self.files[self._norm(p)]
+
+        def rename(self, src, dst):
+            raise NotImplementedError
+
+        def rmtree(self, p):
+            p = self._norm(p)
+            for f in [f for f in self.files if f.startswith(p)]:
+                del self.files[f]
+            self.dirs = {d for d in self.dirs if not d.startswith(p)}
+
+    register_fs("memfs2", MemFS2)
+    # two independent CommitLog handles on the same root — the
+    # "two writers" regime (each caches nothing between calls)
+    writer_a = CommitLog("memfs2://bucket/shared")
+    writer_b = CommitLog("memfs2://bucket/shared")
+    writer_a.init(schema_json=None, tensor_meta={})
+
+    ids = []
+    for i, (writer, branch) in enumerate([
+        (writer_a, "main"), (writer_b, "dev"),
+        (writer_a, "main"), (writer_b, "dev"),
+    ]):
+        parent = (
+            [writer.get_ref(branch)] if branch in writer.branches()
+            else [writer.get_ref("main")]
+        )
+        snap = writer.commit(
+            parent_ids=parent, branch=branch, message=f"c{i}",
+            data_dirs=[f"data/d{i}"], schema_json=None, tensor_meta={},
+            row_count=i, next_uuid=i,
+        )
+        ids.append(snap.commit_id)
+
+    records = writer_a.commit_records()
+    got = [r["commit_id"] for r in records]
+    # init + all four interleaved commits, each exactly once
+    assert len(got) == len(set(got)) == 5
+    for cid in ids:
+        assert cid in got
+    # and each is its own object on "disk"
+    for cid in ids:
+        assert f"memfs2://bucket/shared/_log/commits/{cid}.json" in MemFS2.files
+    # both branch heads point at their writer's last commit
+    assert writer_b.get_ref("main") == ids[2]
+    assert writer_b.get_ref("dev") == ids[3]
 
 
 def test_delta_log_export(base_ds, spark):
