@@ -141,17 +141,7 @@ def train_centroids(
     on one region of the space and IVF recall would collapse."""
     rows = df.select(vec_col).rdd.takeSample(False, sample_size, seed)
     mat = np.asarray([r[0] for r in rows], dtype=np.float64)
-    k = min(num_centroids, len(mat))
-    rng = np.random.RandomState(seed)
-    centroids = mat[rng.choice(len(mat), size=k, replace=False)]
-    for _ in range(iters):
-        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(k):
-            members = mat[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-    return centroids
+    return _kmeans(mat, num_centroids, iters, seed)
 
 
 def ivf_knn(
@@ -602,16 +592,21 @@ def ivf_search_prebuilt(
 # ---------------------------------------------------------------------------
 
 def _kmeans(mat: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Lloyd's k-means with O(n·k) memory: distances go through the
+    |x|²+|c|²−2x·c matmul form (never an n×k×d broadcast intermediate —
+    at k=1000, d=960, a 64k sample that broadcast would be ~50 TB) and
+    the centroid update is a bincount-weighted scatter-add, not a
+    per-cluster boolean scan."""
     rng = np.random.RandomState(seed)
     k = min(k, len(mat))
-    centroids = mat[rng.choice(len(mat), size=k, replace=False)]
+    centroids = mat[rng.choice(len(mat), size=k, replace=False)].copy()
     for _ in range(iters):
-        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(k):
-            members = mat[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
+        assign = _distances(mat, centroids, "l2").argmin(axis=1)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
     return centroids
 
 
