@@ -438,13 +438,21 @@ def build_ivf_artifacts(
     num_centroids: int = 16,
     sample_size: int = 4096,
     seed: int = 42,
+    store_vectors: bool = False,
 ) -> None:
     """Materialize an IVF index on disk: ``centroids`` (tiny parquet,
     one row per cell) + ``assign`` (``(id, cell)`` parquet partitioned
     by cell).  Searches against the artifact prune to the probed cells
     via parquet partition pruning and never re-assign the corpus —
     the persisted analogue of the reference's saved FAISS index files
-    (``core/vector/algorithms/faiss_index.py``)."""
+    (``core/vector/algorithms/faiss_index.py``).
+
+    ``store_vectors=True`` writes the vectors (float32) into the
+    ``assign`` table — FAISS's inverted-list layout, where the lists
+    hold the vectors themselves.  Search then reads ~nprobe/nlist of
+    the corpus via partition pruning and never shuffle-joins the
+    corpus for the re-rank; the cost is one extra at-rest copy of the
+    vector column."""
     import os
 
     spark = df.sparkSession
@@ -465,11 +473,17 @@ def build_ivf_artifacts(
                 continue
             mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
             cell = _distances(mat, cents, "l2").argmin(axis=1)
-            yield pd.DataFrame({"id": pdf[id_col], "cell": cell.astype(np.int32)})
+            out = {"id": pdf[id_col], "cell": cell.astype(np.int32)}
+            if store_vectors:
+                out["vec"] = [r.astype(np.float32) for r in mat]
+            yield pd.DataFrame(out)
 
+    schema = "id long, cell int" + (
+        ", vec array<float>" if store_vectors else ""
+    )
     (
         ensure_parallelism(df.select(id_col, vec_col))
-        .mapInPandas(assign, "id long, cell int")
+        .mapInPandas(assign, schema)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(path, "assign"))
@@ -532,9 +546,13 @@ def ivf_search_prebuilt(
     centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Search against persisted IVF artifacts: probe cells → partition-
-    pruned read of ``assign`` → semi-join the corpus on id → exact
-    re-rank of candidates only.  ``centroids`` may be passed from a
-    loaded index to skip the (tiny) parquet read."""
+    pruned read of ``assign`` → exact re-rank of candidates only.  When
+    the artifact stores vectors (``store_vectors=True`` at build), the
+    probed cells carry their own vectors and the search touches
+    ~nprobe/nlist of the corpus with no join against ``df`` at all;
+    otherwise the candidates semi-join the corpus on id.  ``centroids``
+    may be passed from a loaded index to skip the (tiny) parquet
+    read."""
     import os
 
     if metric not in METRICS:
@@ -552,10 +570,19 @@ def ivf_search_prebuilt(
     assign = spark.read.parquet(os.path.join(path, "assign")).filter(
         F.col("cell").isin(cells)  # partition pruning on the probed cells
     )
-    candidates = assign.join(F.broadcast(probes), "cell").select("query_id", "id")
-    with_vec = candidates.join(
-        df.select(F.col(id_col).alias("id"), vec_col), "id"
-    )
+    if "vec" in assign.columns:
+        # inverted-list layout: vectors live in the probed partitions
+        with_vec = assign.join(F.broadcast(probes), "cell").select(
+            "query_id", "id", F.col("vec").alias("__v")
+        )
+    else:
+        candidates = assign.join(F.broadcast(probes), "cell").select(
+            "query_id", "id"
+        )
+        with_vec = candidates.join(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")),
+            "id",
+        )
 
     bq = spark.sparkContext.broadcast(q)
     m = metric
@@ -567,7 +594,7 @@ def ivf_search_prebuilt(
         for pdf in iterator:
             if pdf.empty:
                 continue
-            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            mat = np.stack(pdf["__v"].map(lambda v: np.asarray(v, dtype=np.float64)))
             dist = np.empty(len(pdf))
             for qi in np.unique(pdf["query_id"].to_numpy()):
                 mask = (pdf["query_id"] == qi).to_numpy()
@@ -652,12 +679,19 @@ def build_ivfpq_artifacts(
     codebook_size: int = 256,
     sample_size: int = 4096,
     seed: int = 42,
+    store_vectors: bool = False,
 ) -> None:
     """Materialize an IVFPQ index: coarse ``centroids`` + PQ
     ``codebooks`` (both tiny parquet) + ``codes`` — one row per vector
     ``(id, cell, code array<short>)``, partitioned by cell.  The codes
     table is the compressed corpus representation ADC scans read; the
-    raw vectors are only touched again by the optional refine stage."""
+    raw vectors are only touched again by the optional refine stage.
+
+    ``store_vectors=True`` adds a float32 ``vec`` column to ``codes``:
+    the ADC scan still reads only ``(id, cell, code)`` (parquet column
+    pruning), while the refine stage reads ``(id, vec)`` from the same
+    probed partitions instead of shuffle-joining the corpus — the
+    layout that keeps a 10-query search from touching 100 TB twice."""
     import os
 
     spark = df.sparkSession
@@ -694,15 +728,21 @@ def build_ivfpq_artifacts(
             for m_i in range(m_sub):
                 sub = mat[:, m_i * dsub : (m_i + 1) * dsub]
                 codes[:, m_i] = _distances(sub, bks[m_i], "l2").argmin(axis=1)
-            yield pd.DataFrame({
+            out = {
                 "id": pdf[id_col],
                 "cell": cell.astype(np.int32),
                 "code": list(codes),
-            })
+            }
+            if store_vectors:
+                out["vec"] = [r.astype(np.float32) for r in mat]
+            yield pd.DataFrame(out)
 
+    schema = "id long, cell int, code array<smallint>" + (
+        ", vec array<float>" if store_vectors else ""
+    )
     (
         ensure_parallelism(df.select(id_col, vec_col))
-        .mapInPandas(encode, "id long, cell int, code array<smallint>")
+        .mapInPandas(encode, schema)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(path, "codes"))
@@ -812,7 +852,12 @@ def ivfpq_search(
     codes_df = spark.read.parquet(os.path.join(path, "codes")).filter(
         F.col("cell").isin(cells)  # partition pruning on probed cells
     )
-    adc = codes_df.mapInPandas(adc_scan, "query_id int, id long, adc double")
+    has_stored_vec = "vec" in codes_df.columns
+    # explicit projection so the ADC scan never reads a stored vec
+    # column off disk (parquet column pruning)
+    adc = codes_df.select("id", "cell", "code").mapInPandas(
+        adc_scan, "query_id int, id long, adc double"
+    )
     from pyspark.sql import Window
 
     w_adc = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("id").asc())
@@ -822,8 +867,17 @@ def ivfpq_search(
         .select("query_id", "id")
     )
 
-    # exact refine of the shortlist against the raw vectors
-    with_vec = shortlist.join(df.select(F.col(id_col).alias("id"), vec_col), "id")
+    # exact refine of the shortlist against the raw vectors — from the
+    # probed partitions themselves when the artifact stores them, else
+    # a join against the corpus
+    if has_stored_vec:
+        vec_src = codes_df.select("id", F.col("vec").alias("__v"))
+        with_vec = vec_src.join(F.broadcast(shortlist), "id")
+    else:
+        with_vec = shortlist.join(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")),
+            "id",
+        )
     bq = spark.sparkContext.broadcast(q)
 
     def rerank(iterator):
@@ -833,7 +887,7 @@ def ivfpq_search(
         for pdf in iterator:
             if pdf.empty:
                 continue
-            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            mat = np.stack(pdf["__v"].map(lambda v: np.asarray(v, dtype=np.float64)))
             dist = np.empty(len(pdf))
             for qi in np.unique(pdf["query_id"].to_numpy()):
                 mask = (pdf["query_id"] == qi).to_numpy()

@@ -878,3 +878,64 @@ def test_index_build_with_nulls_and_cjk(spark, tmp_path_factory):
     idx = InvertedIndex.build(df, "text", path, id_col="doc_id")
     assert {r["id"] for r in idx.search("hello", "fuzzy_match").collect()} == {0, 4}
     assert {r["id"] for r in idx.search("中文", "fuzzy_match").collect()} == {2, 4}
+
+
+def test_ivf_store_vectors_inverted_list_layout(spark, emb, tmp_path):
+    """store_vectors=True is FAISS's inverted-list layout: the probed
+    cells carry their own float32 vectors, search never joins the
+    corpus, and results match the join-based layout exactly (the
+    source embeddings are float32-representable)."""
+    from muller_spark.index.vector import (
+        build_ivf_artifacts,
+        build_ivfpq_artifacts,
+        ivf_search_prebuilt,
+        ivfpq_search,
+    )
+
+    plain = str(tmp_path / "ivf_plain")
+    stored = str(tmp_path / "ivf_stored")
+    build_ivf_artifacts(emb, "embedding", "vec_id", plain,
+                        num_centroids=8, sample_size=500)
+    build_ivf_artifacts(emb, "embedding", "vec_id", stored,
+                        num_centroids=8, sample_size=500, store_vectors=True)
+    assert "vec" in spark.read.parquet(stored + "/assign").columns
+
+    rows = emb.limit(3).collect()
+    q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def sets(res):
+        out = {}
+        for r in res:
+            out.setdefault(r["query_id"], []).append((r["rank"], r["id"]))
+        return {k: sorted(v) for k, v in out.items()}
+
+    a = sets(ivf_search_prebuilt(emb, "embedding", "vec_id", plain,
+                                 q, k=5, nprobe=8).collect())
+    b = sets(ivf_search_prebuilt(emb, "embedding", "vec_id", stored,
+                                 q, k=5, nprobe=8).collect())
+    assert a == b and len(a) == 3
+
+    # the stored-vector search plan has no scan of the corpus df at all
+    plan = (
+        ivf_search_prebuilt(emb, "embedding", "vec_id", stored, q, k=5, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "embeddings.parquet" not in plan
+
+    # IVFPQ: same contract through the codes table
+    pq_stored = str(tmp_path / "pq_stored")
+    build_ivfpq_artifacts(
+        emb, "embedding", "vec_id", pq_stored,
+        num_centroids=8, num_subspaces=8, codebook_size=64, sample_size=500,
+        store_vectors=True,
+    )
+    got = ivfpq_search(emb, "embedding", "vec_id", pq_stored,
+                       q, k=10, nprobe=8, refine=8).collect()
+    exact = exact_knn(emb, "embedding", "vec_id", q, k=10, metric="l2").collect()
+    es, gs = {}, {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["id"])
+    for r in got:
+        gs.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = [len(es[qi] & gs.get(qi, set())) / 10 for qi in es]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
