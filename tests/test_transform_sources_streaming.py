@@ -700,3 +700,29 @@ def test_to_webdataset_always_emits_num_shards_files(spark, tmp_path):
     for r in manifest:
         with tarfile.open(_os.path.join(out, r["shard"])) as tar:
             assert len(tar.getmembers()) == (1 if r["n_samples"] else 0)
+
+
+def test_to_mindrecord_gate_contract(spark):
+    """to_mindrecord is permanently gated on the optional mindspore
+    package (PARITY §sinks): the MindRecord container is a
+    mindspore-internal page-based binary with a SQLite index sidecar
+    per shard, and with no independent decoder available a from-scratch
+    writer would be unverifiable (a self-round-trip proves nothing
+    about conformance).  The gate's error contract is the API: a
+    NotImplementedError naming the package and the portable exports."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    from muller_spark.sources.writers import to_mindrecord
+
+    if importlib.util.find_spec("mindspore") is not None:
+        _pytest.skip("mindspore present: the real writer path applies")
+    df = spark.createDataFrame([(1, "a")], "id long, text string")
+    with _pytest.raises(NotImplementedError) as exc:
+        to_mindrecord(df, "/tmp/never_written.mindrecord")
+    msg = str(exc.value)
+    assert "mindspore" in msg and "to_parquet" in msg
+    import os as _os
+
+    assert not _os.path.exists("/tmp/never_written.mindrecord")
