@@ -895,6 +895,7 @@ def dedup_against_ledger(
     normalize: bool = True,
     update: bool = True,
     keep_by: "str | None" = None,
+    stage_dir: "str | None" = None,
 ) -> DataFrame:
     """Filter a new batch to rows unseen in the ledger (and in the
     batch itself), then append the survivors' hashes.
@@ -916,7 +917,15 @@ def dedup_against_ledger(
     present in both batches is admitted twice — the ``localCheckpoint``
     only closes the intra-job read-while-append race.  Serialize
     batches externally (one ingest job at a time, or gate the append
-    behind the dataset commit log's lease lock)."""
+    behind the dataset commit log's lease lock).
+
+    ``stage_dir``: survivors must materialize before the ledger append
+    (the lazy anti-join would otherwise race its own append reading
+    the same parquet).  Default is ``localCheckpoint`` — fast, but it
+    pins the batch in executor memory/disk and dies with the executors.
+    Pass a ``stage_dir`` to stage survivors as parquet instead:
+    reliable storage, nothing pinned, the right mode when a batch is
+    itself hundreds of GB."""
     spark = new_df.sparkSession
     content = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
     hashed = new_df.withColumn("content_hash", F.md5(content))
@@ -936,6 +945,13 @@ def dedup_against_ledger(
     if update:
         # materialize survivors BEFORE appending: the append would
         # otherwise race the lazy anti-join reading the same parquet
-        fresh = fresh.localCheckpoint()
+        if stage_dir is not None:
+            import uuid as _uuid
+
+            staged = f"{stage_dir.rstrip('/')}/batch-{_uuid.uuid4().hex}"
+            fresh.write.mode("overwrite").parquet(staged)
+            fresh = spark.read.parquet(staged)
+        else:
+            fresh = fresh.localCheckpoint()
         fresh.select("content_hash").write.mode("append").parquet(path)
     return fresh.drop("content_hash")

@@ -939,3 +939,45 @@ def test_ivf_store_vectors_inverted_list_layout(spark, emb, tmp_path):
         gs.setdefault(r["query_id"], set()).add(r["id"])
     recalls = [len(es[qi] & gs.get(qi, set())) / 10 for qi in es]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_dedup_ledger_staged_materialization(spark, tmp_path):
+    """stage_dir mode: survivors materialize as parquet (reliable
+    storage, nothing pinned in executor memory) with identical
+    semantics to the localCheckpoint default — including the
+    cross-batch dedup that depends on the ledger append landing."""
+    from muller_spark.operators.dedup import (
+        dedup_against_ledger,
+        init_dedup_ledger,
+    )
+
+    path = str(tmp_path / "ledger")
+    stage = str(tmp_path / "stage")
+    init_dedup_ledger(
+        spark.createDataFrame([(0, "alpha doc")], "id long, text string"),
+        "text", path,
+    )
+    b1 = spark.createDataFrame(
+        [(10, "alpha doc"), (11, "gamma doc"), (12, "gamma doc")],
+        "id long, text string",
+    )
+    out1 = {
+        r["id"]
+        for r in dedup_against_ledger(
+            b1, "text", path, keep_by="id", stage_dir=stage
+        ).collect()
+    }
+    assert out1 == {11}
+    b2 = spark.createDataFrame(
+        [(20, "gamma doc"), (21, "epsilon doc")], "id long, text string"
+    )
+    out2 = {
+        r["id"]
+        for r in dedup_against_ledger(
+            b2, "text", path, keep_by="id", stage_dir=stage
+        ).collect()
+    }
+    assert out2 == {21}
+    import os as _os
+
+    assert _os.listdir(stage), "survivors staged as parquet"
