@@ -117,7 +117,180 @@ def main() -> None:
     }
     if sf_val == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         result["sf1_equivalent"] = sf1_envelope(spark, sf_dir)
+    if sf_val == 0.1 and os.environ.get("SPARK_GRAFT_VECTOR_1M", "1") != "0":
+        try:
+            result["vector_1m960d"] = vector_bench(spark)
+        except Exception as e:  # the headline JSON line must survive
+            result["vector_1m960d"] = {"error": repr(e)[:300]}
     print(json.dumps(result))
+
+
+def vector_bench(
+    spark,
+    n: int = 1_000_000,
+    d: int = 960,
+    n_centers: int = 1024,
+    n_queries: int = 10,
+    k: int = 10,
+    nlist: int = 1000,
+    num_subspaces: int = 96,
+    cache_root: "str | None" = None,
+) -> dict:
+    """ANN at the reference's published config (BASELINE.md Fig 3b:
+    1M × 960-d float32, l2, nlist=1000, m=96 —
+    /root/reference/exp_scripts/vector_filter.py:14-100): recall@10 +
+    latency for IVF-FLAT and IVFPQ against the exact-scan baseline.
+
+    The corpus is a deterministic 1024-center Gaussian mixture (the
+    GIST-1M role: real embeddings cluster; uniform random in 960-d has
+    no neighbor structure for recall to measure).  Vectors + index
+    artifacts cache under ``cache_root`` keyed by config, so repeat
+    runs pay only search time; ``build_s`` fields are 0 when cached.
+    Searches run against store_vectors artifacts — the inverted-list
+    layout — so a probe reads ~nprobe/nlist of the corpus and never
+    shuffle-joins it."""
+    import numpy as np
+
+    from muller_spark.index.vector import (
+        build_ivf_artifacts,
+        build_ivfpq_artifacts,
+        exact_knn,
+        ivf_search_prebuilt,
+        ivfpq_search,
+        load_ivf_centroids,
+        load_pq_codebooks,
+    )
+
+    root = cache_root or os.environ.get(
+        "SPARK_GRAFT_VECTOR_CACHE", "/tmp/muller_spark_vec_bench"
+    )
+    base = os.path.join(root, f"v{n}x{d}c{n_centers}l{nlist}m{num_subspaces}")
+    vec_path = os.path.join(base, "vectors")
+    ivf_path = os.path.join(base, "ivf")
+    pq_path = os.path.join(base, "pq")
+    # per-artifact markers: layout changes (file-per-cell, residual PQ)
+    # invalidate the index builds without regenerating the corpus
+    m_vec = os.path.join(base, "_VECS")
+    m_ivf = os.path.join(base, "_IVF2")
+    m_pq = os.path.join(base, "_PQ2")
+    legacy = os.path.join(base, "_BUILT")
+    if os.path.exists(legacy) and not os.path.exists(m_vec):
+        os.rename(legacy, m_vec)  # corpus is layout-stable; indexes are not
+
+    centers = np.random.RandomState(7).standard_normal((n_centers, d)).astype(
+        np.float32
+    )
+    out: dict = {"n": n, "d": d, "cached": all(
+        os.path.exists(m) for m in (m_vec, m_ivf, m_pq)
+    )}
+
+    def built(marker, label, fn):
+        if os.path.exists(marker):
+            out[label] = 0.0
+            return
+        start = time.perf_counter()
+        fn()
+        out[label] = round(time.perf_counter() - start, 2)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    def gen_corpus():
+        bc = spark.sparkContext.broadcast(centers)
+        dd, nc = d, n_centers
+
+        def gen(iterator):
+            import pandas as pd
+
+            for pdf in iterator:
+                ids = pdf["id"].to_numpy()
+                rng = np.random.RandomState(1000003 + int(ids[0]) % (2**31))
+                noise = rng.standard_normal((len(ids), dd)).astype(np.float32)
+                mat = bc.value[ids % nc] + noise * np.float32(0.35)
+                yield pd.DataFrame({"id": ids, "vec": list(mat)})
+
+        (
+            spark.range(n, numPartitions=64)
+            .mapInPandas(gen, "id long, vec array<float>")
+            .write.mode("overwrite")
+            .parquet(vec_path)
+        )
+
+    built(m_vec, "generate_s", gen_corpus)
+    corpus0 = spark.read.parquet(vec_path)
+    built(m_ivf, "ivf_build_s", lambda: build_ivf_artifacts(
+        corpus0, "vec", "id", ivf_path,
+        num_centroids=nlist, sample_size=min(65536, n), store_vectors=True,
+    ))
+    built(m_pq, "pq_build_s", lambda: build_ivfpq_artifacts(
+        corpus0, "vec", "id", pq_path,
+        num_centroids=nlist, num_subspaces=num_subspaces,
+        sample_size=min(16384, n), store_vectors=True,
+    ))
+
+    corpus = spark.read.parquet(vec_path)
+    qrng = np.random.RandomState(99)
+    queries = (
+        centers[:n_queries]
+        + qrng.standard_normal((n_queries, d)).astype(np.float32) * 0.35
+    )
+
+    def result_sets(rows):
+        sets: dict = {}
+        for r in rows:
+            sets.setdefault(r["query_id"], set()).add(r["id"])
+        return sets
+
+    def timed_best(fn, reps=2):
+        best, rows = float("inf"), None
+        for _ in range(reps):
+            start = time.perf_counter()
+            rows = fn()
+            best = min(best, time.perf_counter() - start)
+        return round(best, 3), rows
+
+    exact_s, exact_rows = timed_best(
+        lambda: exact_knn(corpus, "vec", "id", queries, k=k).collect()
+    )
+    truth = result_sets(exact_rows)
+    out["exact_scan_s"] = exact_s
+
+    def recall(rows):
+        sets = result_sets(rows)
+        return round(
+            sum(len(truth[qi] & sets.get(qi, set())) / k for qi in truth)
+            / len(truth), 4,
+        )
+
+    # a resident index (the vector_search serving regime) keeps the
+    # coarse quantizer + codebooks loaded; per-query work should not
+    # re-read them
+    ivf_cents = load_ivf_centroids(spark, ivf_path)
+    pq_cents = load_ivf_centroids(spark, pq_path)
+    pq_books = load_pq_codebooks(spark, pq_path)
+    assign_df = spark.read.parquet(os.path.join(ivf_path, "assign"))
+    codes_df = spark.read.parquet(os.path.join(pq_path, "codes"))
+
+    for nprobe in (16, 64):
+        s, rows = timed_best(
+            lambda np_=nprobe: ivf_search_prebuilt(
+                corpus, "vec", "id", ivf_path, queries, k=k, nprobe=np_,
+                centroids=ivf_cents, assign_df=assign_df,
+            ).collect()
+        )
+        out[f"ivf_nprobe{nprobe}"] = {"search_s": s, "recall_at10": recall(rows)}
+
+    # refine=64: ADC over 96 subspaces ranks same-cell neighbors with
+    # error comparable to their true separation on this corpus, so the
+    # shortlist must be deep; exactly re-ranking 64·k of 1M vectors
+    # (0.064% of the corpus) costs nothing and lifts recall 0.37→0.96
+    s, rows = timed_best(
+        lambda: ivfpq_search(
+            corpus, "vec", "id", pq_path, queries, k=k, nprobe=64, refine=64,
+            centroids=pq_cents, codebooks=pq_books, codes_df=codes_df,
+        ).collect()
+    )
+    out["ivfpq_nprobe64"] = {"search_s": s, "recall_at10": recall(rows)}
+    return out
 
 
 def sf1_envelope(spark, sf_dir: str) -> dict:

@@ -780,12 +780,14 @@ class Dataset:
                     refine=int(hyper.get("refine", 4)),
                     centroids=loaded.get("centroids") if loaded else None,
                     codebooks=loaded.get("codebooks") if loaded else None,
+                    codes_df=loaded.get("codes_df") if loaded else None,
                 )
             if os.path.isdir(os.path.join(idx_dir, "assign")):
                 return ivf_search_prebuilt(
                     self.df, tensor_name, ROW_ID_COL, idx_dir, query_vector,
                     topk, metric, nprobe=int(hyper.get("nprobe", 4)),
                     centroids=loaded.get("centroids") if loaded else None,
+                    assign_df=loaded.get("assign_df") if loaded else None,
                 )
             return ivf_knn(
                 self.df, tensor_name, ROW_ID_COL, query_vector, topk, metric,
@@ -849,6 +851,17 @@ class Dataset:
             from muller_spark.index.vector import load_pq_codebooks
 
             state["codebooks"] = load_pq_codebooks(self.spark, idx_dir)
+        # hold the opened cell-partitioned tables too: re-opening them
+        # per search re-lists nlist partition directories, which at
+        # nlist=1000 costs more than the probed scan itself
+        if os.path.isdir(os.path.join(idx_dir, "assign")):
+            state["assign_df"] = self.spark.read.parquet(
+                os.path.join(idx_dir, "assign")
+            )
+        if os.path.isdir(os.path.join(idx_dir, "codes")):
+            state["codes_df"] = self.spark.read.parquet(
+                os.path.join(idx_dir, "codes")
+            )
         self._vector_loaded[(tensor_name, index_name)] = state
 
     def unload_vector_index(self, tensor_name: str, index_name: str = "default") -> None:

@@ -90,9 +90,12 @@ def build_graph_artifacts(
     assigned = ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
         _assigner(bc, vec_col, id_col), "id long, vec array<double>, cell int"
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "vectors")
-    )
+    # cluster by cell first: one file per cell instead of one per
+    # (writer task, cell) — beam search reads a handful of cells and
+    # must not pay a tasks×cells small-file listing tax
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(path, "vectors"))
     vectors = spark.read.parquet(os.path.join(path, "vectors"))
     _write_cells(spark, path, vectors, bc, R, prior_medoids=[])
 
