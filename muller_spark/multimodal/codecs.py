@@ -18,6 +18,10 @@ work doesn't need them:
 - **NIfTI-1 volumes** (``.nii`` / ``.nii.gz``) decode completely —
   fixed 348-byte header + typed dense array, gzip via stdlib — with a
   header-only scan path that never inflates gzipped voxel data.
+- **DICOM** (``.dcm``): tag walker for Implicit/Explicit VR Little
+  Endian, uncompressed pixel decode (8/16-bit, multi-frame,
+  multi-sample), and JPEG-baseline encapsulated frames through the
+  builtin JPEG decoder.
 
 PIL/av/soundfile still take priority when importable (they cover the
 compressed payloads); these functions are the fallback tier between
@@ -80,6 +84,9 @@ def _parse_image_header(raw: bytes) -> "tuple[int, int, int, str] | None":
             return h, w, 3 if raw[:2] == b"P6" else 1, "ppm"
         except (IndexError, ValueError):
             return None
+    # DICOM: 128-byte preamble + "DICM"
+    if len(raw) > 132 and raw[128:132] == b"DICM":
+        return parse_dicom_header(raw)
     # JPEG: scan markers for SOF0/1/2 (baseline/extended/progressive)
     if raw[:2] == b"\xff\xd8":
         pos = 2
@@ -265,6 +272,23 @@ def decode_pixels(raw: bytes):
             return decode_gif(raw)
         except Exception:
             return None
+    if fmt == "dicom":
+        # image-pipeline contract is (h, w, c) uint8: take frame 1 and
+        # min-max window 16-bit data (decode_dicom keeps exact values)
+        pix = decode_dicom(raw)
+        if pix is None:
+            return None
+        if pix.ndim == 3 and pix.shape[2] not in (1, 3):  # frames first
+            pix = pix[0]
+        elif pix.ndim == 4:
+            pix = pix[0]
+        if pix.dtype != np.uint8:
+            lo, hi = int(pix.min()), int(pix.max())
+            span = (hi - lo) or 1
+            pix = ((pix.astype(np.int64) - lo) * 255 // span).astype(np.uint8)
+        if pix.ndim == 2:
+            pix = pix[:, :, None]
+        return pix
     if fmt == "bmp" and c == 3:
         offset = struct.unpack("<I", raw[10:14])[0]
         row_size = (w * 3 + 3) & ~3  # rows pad to 4 bytes
@@ -511,3 +535,273 @@ def encode_nifti(arr, gz: bool = False, scl_slope: float = 0.0,
         arr.astype(arr.dtype.newbyteorder("<"))
     ).tobytes(order="F")
     return gzip.compress(out, mtime=0) if gz else out
+
+
+# ---------------------------------------------------------------------------
+# DICOM (.dcm) — stdlib + numpy.
+#
+# Reference lists "dcm" among read-only IMAGE compressions
+# (muller/compression.py:78,87, decoded via PIL plugins).  Here: a real
+# tag walker for Implicit/Explicit VR Little Endian, uncompressed pixel
+# decode, and JPEG-baseline encapsulated decode through decode_jpeg —
+# the three syntaxes that cover the bulk of archive DICOM.
+# ---------------------------------------------------------------------------
+
+_DICOM_IMPLICIT = "1.2.840.10008.1.2"
+_DICOM_EXPLICIT_LE = "1.2.840.10008.1.2.1"
+_DICOM_JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
+# VRs with a 2-byte reserved field + 4-byte length in explicit mode
+_DICOM_LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
+
+
+def _dicom_skip_undefined(body: bytes, pos: int) -> int:
+    """Skip an undefined-length sequence/item run: items (FFFE,E000)
+    until the sequence delimiter (FFFE,E0DD)."""
+    while pos + 8 <= len(body):
+        group, elem = struct.unpack("<HH", body[pos:pos + 4])
+        (length,) = struct.unpack("<I", body[pos + 4:pos + 8])
+        pos += 8
+        if (group, elem) == (0xFFFE, 0xE0DD):  # sequence delimiter
+            return pos
+        if (group, elem) == (0xFFFE, 0xE000):  # item
+            if length == 0xFFFFFFFF:
+                # undefined-length item: ends at (FFFE,E00D)
+                while pos + 8 <= len(body):
+                    g2, e2 = struct.unpack("<HH", body[pos:pos + 4])
+                    (l2,) = struct.unpack("<I", body[pos + 4:pos + 8])
+                    pos += 8
+                    if (g2, e2) == (0xFFFE, 0xE00D):
+                        break
+                    pos += 0 if l2 == 0xFFFFFFFF else l2
+            else:
+                pos += length
+        else:
+            pos += 0 if length == 0xFFFFFFFF else length
+    return pos
+
+
+def _dicom_elements(body: bytes, explicit: bool, stop_after_pixels: bool = True):
+    """Yield (group, elem, value_bytes_or_None, pos_after) for a Little
+    Endian DICOM dataset.  Undefined-length values (sequences,
+    encapsulated pixel data) yield value=None plus the byte range so
+    callers can parse fragments; their bodies are skipped."""
+    pos = 0
+    n = len(body)
+    while pos + 8 <= n:
+        group, elem = struct.unpack("<HH", body[pos:pos + 4])
+        if explicit and group != 0xFFFE:
+            vr = body[pos + 4:pos + 6]
+            if vr in _DICOM_LONG_VRS:
+                (length,) = struct.unpack("<I", body[pos + 8:pos + 12])
+                data_pos = pos + 12
+            else:
+                (length,) = struct.unpack("<H", body[pos + 6:pos + 8])
+                data_pos = pos + 8
+        else:
+            (length,) = struct.unpack("<I", body[pos + 4:pos + 8])
+            data_pos = pos + 8
+        if length == 0xFFFFFFFF:
+            end = _dicom_skip_undefined(body, data_pos)
+            yield group, elem, None, (data_pos, end)
+            pos = end
+        else:
+            if data_pos + length > n:
+                return
+            yield group, elem, body[data_pos:data_pos + length], None
+            pos = data_pos + length
+        if stop_after_pixels and (group, elem) == (0x7FE0, 0x0010):
+            return
+
+
+def _parse_dicom(raw: bytes):
+    """(rows, cols, samples, frames, bits, signed, syntax, pixel_info)
+    or None.  pixel_info: (bytes, None) for native pixel data or
+    (None, (start, end)) for encapsulated."""
+    if len(raw) < 158 or raw[128:132] != b"DICM":
+        return None
+    # file meta group: always Explicit VR LE
+    syntax = None
+    for group, elem, val, _rng in _dicom_elements(
+        raw[132:], explicit=True, stop_after_pixels=False
+    ):
+        if group != 0x0002:
+            break
+        if elem == 0x0010 and val is not None:
+            syntax = val.rstrip(b"\x00").decode("ascii", "replace")
+    end_meta = 132 + _dicom_meta_extent(raw[132:])
+    if syntax is None:
+        syntax = _DICOM_EXPLICIT_LE
+    explicit = syntax != _DICOM_IMPLICIT
+    body = raw[end_meta:]
+    rows = cols = None
+    samples, frames, bits, signed = 1, 1, 16, False
+    pixel = None
+    for group, elem, val, rng in _dicom_elements(body, explicit=explicit):
+        if group == 0x0028 and val is not None:
+            if elem == 0x0010:
+                (rows,) = struct.unpack("<H", val[:2])
+            elif elem == 0x0011:
+                (cols,) = struct.unpack("<H", val[:2])
+            elif elem == 0x0002:
+                (samples,) = struct.unpack("<H", val[:2])
+            elif elem == 0x0008:
+                try:
+                    frames = int(val.strip(b"\x00 ").decode("ascii"))
+                except ValueError:
+                    frames = 1
+            elif elem == 0x0100:
+                (bits,) = struct.unpack("<H", val[:2])
+            elif elem == 0x0103:
+                signed = struct.unpack("<H", val[:2])[0] == 1
+        elif (group, elem) == (0x7FE0, 0x0010):
+            # rng offsets are body-relative; rebase to the whole payload
+            pixel = (
+                val,
+                None if rng is None else (end_meta + rng[0], end_meta + rng[1]),
+            )
+    if rows is None or cols is None:
+        return None
+    return rows, cols, samples, frames, bits, signed, syntax, pixel
+
+
+def _dicom_meta_extent(meta: bytes) -> int:
+    """Length of the (Explicit VR LE) file meta group."""
+    pos = 0
+    while pos + 8 <= len(meta):
+        group, _elem = struct.unpack("<HH", meta[pos:pos + 4])
+        if group != 0x0002:
+            return pos
+        vr = meta[pos + 4:pos + 6]
+        if vr in _DICOM_LONG_VRS:
+            (length,) = struct.unpack("<I", meta[pos + 8:pos + 12])
+            pos += 12 + length
+        else:
+            (length,) = struct.unpack("<H", meta[pos + 6:pos + 8])
+            pos += 8 + length
+    return pos
+
+
+def parse_dicom_header(raw: bytes):
+    """(height, width, channels, format) for a DICOM payload, or None.
+    Never raises."""
+    try:
+        meta = _parse_dicom(raw)
+    except (struct.error, IndexError, ValueError, UnicodeDecodeError):
+        return None
+    if meta is None:
+        return None
+    rows, cols, samples, _frames, _bits, _signed, _syntax, _pixel = meta
+    return rows, cols, samples, "dicom"
+
+
+def decode_dicom(raw: bytes):
+    """Pixel array for a DICOM payload: native (uncompressed Implicit/
+    Explicit VR LE) or JPEG-baseline encapsulated (decoded through the
+    zero-dep decode_jpeg).  Shape (rows, cols), (rows, cols, samples)
+    or (frames, rows, cols[, samples]); dtype uint8/int8/uint16/int16
+    per BitsAllocated + PixelRepresentation.  None on anything else.
+    Never raises on corrupt payloads."""
+    import numpy as np
+
+    try:
+        meta = _parse_dicom(raw)
+        if meta is None:
+            return None
+        rows, cols, samples, frames, bits, signed, syntax, pixel = meta
+        if pixel is None:
+            return None
+        val, rng = pixel
+        if syntax == _DICOM_JPEG_BASELINE and rng is not None:
+            # encapsulated: items inside [start, end); item 1 is the
+            # Basic Offset Table, fragments follow
+            start, end = rng
+            frags = []
+            pos = start
+            while pos + 8 <= end:
+                group, elem = struct.unpack("<HH", raw[pos:pos + 4])
+                (length,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+                pos += 8
+                if (group, elem) == (0xFFFE, 0xE0DD):
+                    break
+                if (group, elem) == (0xFFFE, 0xE000):
+                    frags.append(raw[pos:pos + length])
+                    pos += length
+                else:
+                    break
+            frames_px = [
+                f for f in frags[1:] if f[:2] == b"\xff\xd8"
+            ] or [f for f in frags if f[:2] == b"\xff\xd8"]
+            if not frames_px:
+                return None
+            from muller_spark.multimodal.jpeg import decode_jpeg
+
+            decoded = [decode_jpeg(f) for f in frames_px]
+            if any(d is None for d in decoded):
+                return None
+            out = decoded[0] if len(decoded) == 1 else np.stack(decoded)
+            return out
+        if val is None or syntax not in (_DICOM_IMPLICIT, _DICOM_EXPLICIT_LE):
+            return None
+        if bits == 8:
+            dt = np.int8 if signed else np.uint8
+        elif bits == 16:
+            dt = np.dtype("<i2") if signed else np.dtype("<u2")
+        else:
+            return None
+        count = rows * cols * samples * frames
+        arr = np.frombuffer(val, dtype=dt, count=count)
+        if arr.size < count:
+            return None
+        shape = [rows, cols]
+        if samples > 1:
+            shape.append(samples)
+        if frames > 1:
+            shape = [frames] + shape
+        return arr.reshape(shape).copy()
+    except (struct.error, IndexError, ValueError, UnicodeDecodeError):
+        return None
+
+
+def encode_dicom(arr, samples: int = 1) -> bytes:
+    """Minimal single-frame DICOM writer (Explicit VR LE, uncompressed)
+    — enough for round-trip tests and interop with standard readers."""
+    import numpy as np
+
+    arr = np.asarray(arr)
+    if arr.ndim == 3:
+        samples = arr.shape[2]
+    rows, cols = arr.shape[0], arr.shape[1]
+    if arr.dtype in (np.uint8, np.int8):
+        bits = 8
+    elif arr.dtype in (np.dtype("<u2"), np.dtype("<i2"), np.uint16, np.int16):
+        bits = 16
+    else:
+        raise ValueError(f"unsupported DICOM dtype {arr.dtype}")
+    signed = arr.dtype.kind == "i"
+
+    def elem_short(group, el, vr, val):
+        if len(val) % 2:
+            val += b"\x00"
+        return struct.pack("<HH2sH", group, el, vr, len(val)) + val
+
+    def elem_long(group, el, vr, val):
+        if len(val) % 2:
+            val += b"\x00"
+        return struct.pack("<HH2sHI", group, el, vr, 0, len(val)) + val
+
+    ts = _DICOM_EXPLICIT_LE.encode()
+    meta = elem_short(0x0002, 0x0010, b"UI", ts)
+    meta = elem_short(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta))) + meta
+    us = lambda v: struct.pack("<H", v)  # noqa: E731
+    body = b"".join([
+        elem_short(0x0028, 0x0002, b"US", us(samples)),
+        elem_short(0x0028, 0x0008, b"IS", str(1).encode()),
+        elem_short(0x0028, 0x0010, b"US", us(rows)),
+        elem_short(0x0028, 0x0011, b"US", us(cols)),
+        elem_short(0x0028, 0x0100, b"US", us(bits)),
+        elem_short(0x0028, 0x0101, b"US", us(bits)),
+        elem_short(0x0028, 0x0103, b"US", us(1 if signed else 0)),
+        elem_long(0x7FE0, 0x0010, b"OW" if bits == 16 else b"OB",
+                  arr.tobytes()),
+    ])
+    return b"\x00" * 128 + b"DICM" + meta + body

@@ -419,3 +419,122 @@ def test_nifti_header_only_scan_never_inflates_gz_body():
     assert len(raw) > 8192
     got = parse_nifti_header(raw[:8192])
     assert got is not None and got[0] == (64, 64, 64)
+
+
+# ---------------------------------------------------------------------------
+# DICOM
+# ---------------------------------------------------------------------------
+
+
+def test_dicom_roundtrip_dtypes():
+    import numpy as np
+
+    from muller_spark.multimodal.codecs import (
+        decode_dicom,
+        encode_dicom,
+        parse_dicom_header,
+        parse_image_header,
+    )
+
+    u16 = (np.arange(12 * 10) % 4001).reshape(12, 10).astype(np.uint16)
+    raw = encode_dicom(u16)
+    assert parse_dicom_header(raw) == (12, 10, 1, "dicom")
+    assert parse_image_header(raw) == (12, 10, 1, "dicom")
+    assert np.array_equal(decode_dicom(raw), u16)
+
+    i16 = (np.arange(48).reshape(8, 6) - 24).astype(np.int16)
+    assert np.array_equal(decode_dicom(encode_dicom(i16)), i16)
+    rgb = (np.arange(4 * 5 * 3) % 255).reshape(4, 5, 3).astype(np.uint8)
+    out = decode_dicom(encode_dicom(rgb))
+    assert out.shape == (4, 5, 3) and np.array_equal(out, rgb)
+
+
+def test_dicom_through_image_pipeline():
+    """decode_pixels windows 16-bit DICOM to uint8 so resize/feature
+    stages work unchanged on medical images."""
+    import numpy as np
+
+    from muller_spark.multimodal.codecs import decode_pixels, encode_dicom
+
+    grad = np.linspace(1000, 3000, 12 * 10).reshape(12, 10).astype(np.uint16)
+    pix = decode_pixels(encode_dicom(grad))
+    assert pix.shape == (12, 10, 1) and pix.dtype == np.uint8
+    assert pix.min() == 0 and pix.max() == 255
+    assert (np.diff(pix[:, :, 0].reshape(-1).astype(int)) >= 0).all()
+
+
+def test_dicom_jpeg_encapsulated():
+    """JPEG-baseline transfer syntax: fragments decode through the
+    zero-dep decode_jpeg."""
+    import struct as _struct
+
+    import numpy as np
+
+    from muller_spark.multimodal.codecs import (
+        _DICOM_JPEG_BASELINE,
+        decode_dicom,
+        encode_dicom,
+    )
+    from muller_spark.multimodal.jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:32].astype(np.float64)
+    img = np.clip(128 + 90 * np.sin(xx / 7) * np.cos(yy / 5), 0, 255).astype(
+        np.uint8
+    )
+    frag = encode_jpeg(np.stack([img] * 3, axis=2), quality=92)
+
+    # build an encapsulated file from scratch: meta group with the JPEG
+    # baseline syntax, image attributes, then an undefined-length pixel
+    # data element holding BOT + one fragment
+    def elem_short(group, el, vr, val):
+        if len(val) % 2:
+            val += b"\x00"
+        return _struct.pack("<HH2sH", group, el, vr, len(val)) + val
+
+    ts = _DICOM_JPEG_BASELINE.encode()
+    meta = elem_short(0x0002, 0x0010, b"UI", ts)
+    meta = (
+        elem_short(0x0002, 0x0000, b"UL", _struct.pack("<I", len(meta)))
+        + meta
+    )
+    us = lambda v: _struct.pack("<H", v)  # noqa: E731
+    attrs = b"".join([
+        elem_short(0x0028, 0x0002, b"US", us(3)),
+        elem_short(0x0028, 0x0010, b"US", us(24)),
+        elem_short(0x0028, 0x0011, b"US", us(32)),
+        elem_short(0x0028, 0x0100, b"US", us(8)),
+        elem_short(0x0028, 0x0103, b"US", us(0)),
+    ])
+    head = b"\x00" * 128 + b"DICM" + meta + attrs
+
+    def item(payload):
+        pad = payload + (b"\x00" if len(payload) % 2 else b"")
+        return _struct.pack("<HHI", 0xFFFE, 0xE000, len(pad)) + pad
+
+    encap = (
+        _struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF)
+        + item(b"")  # empty Basic Offset Table
+        + item(frag)
+        + _struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    )
+    out = decode_dicom(head + encap)
+    assert out is not None and out.shape[0] == 24 and out.shape[1] == 32
+    err = np.abs(out[:, :, 0].astype(int) - img.astype(int))
+    assert float(err.mean()) < 4.0
+
+
+def test_dicom_corrupt_inputs_return_none():
+    import numpy as np
+
+    from muller_spark.multimodal.codecs import (
+        decode_dicom,
+        encode_dicom,
+        parse_dicom_header,
+    )
+
+    assert parse_dicom_header(b"\x00" * 200) is None
+    assert parse_dicom_header(b"DICM" + b"\x00" * 200) is None  # no preamble
+    raw = encode_dicom((np.arange(20) % 7).reshape(4, 5).astype(np.uint8))
+    assert decode_dicom(raw[:150]) is None
+    truncated_px = raw[:-6]
+    assert decode_dicom(truncated_px) is None
