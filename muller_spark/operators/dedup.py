@@ -955,3 +955,235 @@ def dedup_against_ledger(
             fresh = fresh.localCheckpoint()
         fresh.select("content_hash").write.mode("append").parquet(path)
     return fresh.drop("content_hash")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup) — k-means cells + intra-cell cosine pruning
+# ---------------------------------------------------------------------------
+
+
+def train_semantic_centroids(
+    df: DataFrame,
+    vec_col: str,
+    num_clusters: int = 64,
+    sample_size: int = 65536,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Fit the SemDeDup coarse quantizer: k-means centroids trained on a
+    bounded uniform sample (same regime as index.vector IVF training —
+    the sample is driver-side but capped, never the corpus).  Returns an
+    ``(k, d)`` float64 ndarray callers pass to :func:`assign_clusters` /
+    :func:`semantic_dup_pairs` so one fit serves many batches."""
+    import numpy as np
+
+    from muller_spark.index.vector import _kmeans
+
+    rows = df.select(vec_col).rdd.takeSample(False, sample_size, seed)
+    mat = np.asarray([r[0] for r in rows], dtype=np.float64)
+    return _kmeans(mat, num_clusters, iters, seed)
+
+
+def assign_clusters(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids,
+) -> DataFrame:
+    """Map each row to its nearest centroid (l2) and unit-normalize the
+    vector: ``(id, cluster, unit, cdist)`` where ``cdist`` is the l2
+    distance to the assigned centroid (the SemDeDup keep-rank signal).
+    Arrow-batched numpy; one map-only stage, no shuffle."""
+    import numpy as np
+    import pyspark.sql.types as T
+
+    from muller_spark.index.vector import _distances
+
+    bc = df.sparkSession.sparkContext.broadcast(centroids)
+
+    def run(iterator):
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            d = _distances(mat, cents, "l2")
+            assign = d.argmin(axis=1)
+            cdist = d[np.arange(len(mat)), assign]
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            unit = mat / norms[:, None]
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "cluster": assign.astype(np.int32),
+                "unit": list(unit),
+                "cdist": np.sqrt(np.maximum(cdist, 0.0)),
+            })
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("unit", T.ArrayType(T.DoubleType())),
+        T.StructField("cdist", T.DoubleType()),
+    ])
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(run, schema)
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_clusters: int = 64,
+    seed: int = 42,
+    centroids=None,
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023): k-means the
+    embeddings into cells, then emit every intra-cell pair with cosine
+    ≥ ``threshold`` as ``(id_a, id_b, cluster, cosine)`` with
+    ``id_a < id_b``.  Cross-cell near-dups are out of contract — that
+    recall/cost trade IS the SemDeDup design (reference has no dedup at
+    all; its FAISS IVF at ``core/vector/vector_index.py:199`` makes the
+    same cell-local bet for search).
+
+    Scale shape: one map-only assign stage, one shuffle on ``cluster``,
+    then per-cell O(n_cell²) block-tiled numpy inside applyInPandas —
+    memory is bounded by the 4096-row tile, never the full cell matrix
+    pair product.  Compute is quadratic per cell by design; size
+    ``num_clusters`` so cells stay ~O(corpus/k).  Cells larger than
+    ``max_cluster_size`` raise (same guard pattern as the graph-index
+    cell ceiling) rather than silently running a 10¹⁰-pair tile loop.
+    """
+    import numpy as np
+    import pyspark.sql.types as T
+
+    if centroids is None:
+        centroids = train_semantic_centroids(
+            df, vec_col, num_clusters=num_clusters, seed=seed
+        )
+    assigned = assign_clusters(df, vec_col, id_col, centroids)
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+    tile = 4096
+
+    def pairs_of_cell(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n > max_cluster_size:
+            raise ValueError(
+                f"semantic_dup_pairs: cluster {int(pdf['cluster'].iloc[0])} has "
+                f"{n} rows > max_cluster_size={max_cluster_size}; raise "
+                "num_clusters (pairs are quadratic per cell)"
+            )
+        if n < 2:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cluster": pd.Series([], dtype="int32"),
+                "cosine": pd.Series([], dtype="float64"),
+            })
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        unit = np.stack(pdf["unit"].to_numpy()[order])
+        cl = int(pdf["cluster"].iloc[0])
+        frames = []
+        for i0 in range(0, n, tile):
+            a = unit[i0 : i0 + tile]
+            for j0 in range(i0, n, tile):
+                b = unit[j0 : j0 + tile]
+                cos = a @ b.T
+                ai, bj = np.nonzero(cos >= threshold)
+                gi, gj = ai + i0, bj + j0
+                keep = gi < gj
+                if not keep.any():
+                    continue
+                frames.append(pd.DataFrame({
+                    "id_a": ids[gi[keep]],
+                    "id_b": ids[gj[keep]],
+                    "cluster": np.full(int(keep.sum()), cl, dtype=np.int32),
+                    "cosine": cos[ai[keep], bj[keep]],
+                }))
+        if not frames:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cluster": pd.Series([], dtype="int32"),
+                "cosine": pd.Series([], dtype="float64"),
+            })
+        return pd.concat(frames)
+
+    return assigned.groupBy("cluster").applyInPandas(
+        lambda pdf: pairs_of_cell(pdf), out_schema
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_clusters: int = 64,
+    seed: int = 42,
+    keep: str = "min_id",
+    centroids=None,
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """SemDeDup survivors: drop every row that has an intra-cluster
+    neighbor with cosine ≥ ``threshold`` AND a better keep-rank.
+
+    ``keep='min_id'`` ranks by ascending id; ``keep='far_from_centroid'``
+    ranks by descending distance-to-centroid (the SemDeDup paper's
+    keep-the-outlier policy; ties broken by id so the result is always
+    deterministic).  The rule is one-pass ("dominated by ANY
+    better-ranked neighbor"), not sequential-greedy — a row whose only
+    better-ranked neighbor was itself dropped still drops, matching the
+    common epsilon-dedup implementation and keeping the plan a single
+    anti-join over the pair list.
+
+    Returns the surviving rows of ``df`` (original columns) plus
+    ``cluster``."""
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(f"keep must be min_id|far_from_centroid, got {keep!r}")
+    if centroids is None:
+        centroids = train_semantic_centroids(
+            df, vec_col, num_clusters=num_clusters, seed=seed
+        )
+    assigned = assign_clusters(df, vec_col, id_col, centroids)
+    pairs = semantic_dup_pairs(
+        df, vec_col, id_col, threshold=threshold, centroids=centroids,
+        max_cluster_size=max_cluster_size,
+    )
+    if keep == "min_id":
+        dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    else:
+        rank = assigned.select("id", "cdist")
+        e = (
+            pairs.join(rank.withColumnRenamed("cdist", "da"), pairs.id_a == rank.id)
+            .drop("id")
+            .join(
+                rank.withColumnRenamed("cdist", "db").withColumnRenamed("id", "idb_r"),
+                pairs.id_b == F.col("idb_r"),
+            )
+        )
+        # better rank = larger cdist, ties → smaller id wins
+        a_wins = (F.col("da") > F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("id_a") < F.col("id_b"))
+        )
+        dropped = e.select(
+            F.when(a_wins, F.col("id_b")).otherwise(F.col("id_a")).alias("id")
+        ).distinct()
+    survivors = df.join(
+        dropped.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    return survivors.join(
+        assigned.select(F.col("id").alias(id_col), "cluster"), id_col, "left"
+    )
