@@ -1499,6 +1499,72 @@ def q_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by (lang, source): doc/token/char counts and
+    each group's share of the corpus (operators/text.corpus_report).
+    One hash aggregate; window totals run over the post-agg frame."""
+    from muller_spark.operators.text import corpus_report
+
+    return corpus_report(_t(spark, sf_dir, "documents"), "text")
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 bigrams per language, deterministic tie-break
+    (operators/text.top_ngrams): explode → hash agg → per-group top-k
+    window over aggregated counts."""
+    from muller_spark.operators.text import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), "text", n=2, k=5)
+
+
+def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-cascade survival report (operators/quality.pipeline_survival):
+    four curation gates folded into ONE aggregate pass, unpivoted with
+    stack — per-stage survivors / drops / pct_of_input."""
+    from muller_spark.operators.quality import STOP_WORDS_EN, _tokens
+    from muller_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = token_count(F.col("text"))
+    word_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.when(
+        n_tok > 0, word_chars / n_tok.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in sorted(STOP_WORDS_EN)]))
+    )
+    from muller_spark.operators.quality import pipeline_survival
+
+    return pipeline_survival(docs, [
+        ("min_chars", F.col("n_chars") >= 150),
+        ("token_range", n_tok.between(30, 10000)),
+        ("word_len", (mean_wl >= 3.0) & (mean_wl <= 10.0)),
+        ("stop_en", stop_hits >= 1),
+    ])
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivors (operators/dedup.semantic_dedup): seeded
+    k-means cells + tiled intra-cell cosine dominance pruning at
+    threshold 0.35.  k-means is not SQL-expressible, so this is a
+    rows-only driver check; tests/test_semantic_dedup.py holds the
+    brute-force numpy value oracle."""
+    from muller_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup(
+            emb, "embedding", "vec_id",
+            threshold=0.35, num_clusters=8, seed=42,
+        )
+        .select("vec_id", "label", "cluster")
+        .orderBy("vec_id")
+    )
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_normalized": q_dedup_normalized,
     "q_scalar_functions": q_scalar_functions,
@@ -1589,6 +1655,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_cosine": q_knn_cosine,
     "q_window_events": q_window_events,
     "q_json_extract": q_json_extract,
+    "q_corpus_report": q_corpus_report,
+    "q_top_ngrams": q_top_ngrams,
+    "q_pipeline_report": q_pipeline_report,
+    "q_semantic_dedup": q_semantic_dedup,
 }
 
 _STOPWORD_SQL = "('a','the','of','and','to')"
@@ -2814,6 +2884,85 @@ _ORACLES: dict[str, str] = {
         SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k,
                count(*) AS n
         FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "q_corpus_report": f"""
+        WITH per AS (
+          SELECT lang, source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens,
+                 CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                 round(CAST(sum(length(text)) AS BIGINT)
+                       / CAST(count(*) AS DOUBLE), 6) AS avg_chars
+          FROM documents GROUP BY lang, source
+        )
+        SELECT lang, source, n_docs, total_tokens, total_chars, avg_chars,
+               round(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 6)
+                 AS pct_docs,
+               round(total_tokens
+                     / CAST(sum(total_tokens) OVER () AS DOUBLE), 6)
+                 AS pct_tokens
+        FROM per ORDER BY lang, source
+    """,
+    "q_top_ngrams": f"""
+        WITH toks AS (
+          SELECT lang, {_TOKENS_SQL} AS t FROM documents
+        ), grams AS (
+          SELECT lang, unnest(CASE WHEN len(t) >= 2
+                   THEN list_transform(range(1, len(t)),
+                          i -> concat_ws(' ', t[i], t[i+1]))
+                   ELSE []::VARCHAR[] END) AS ngram
+          FROM toks
+        ), counts AS (
+          SELECT lang, ngram, CAST(count(*) AS BIGINT) AS cnt
+          FROM grams GROUP BY lang, ngram
+        )
+        SELECT lang, ngram, cnt, rank FROM (
+          SELECT lang, ngram, cnt,
+                 CAST(row_number() OVER (
+                   PARTITION BY lang ORDER BY cnt DESC, ngram ASC
+                 ) AS INT) AS rank
+          FROM counts
+        ) WHERE rank <= 5 ORDER BY lang, rank
+    """,
+    "q_pipeline_report": f"""
+        WITH t AS (
+          SELECT n_chars, {_TOKENS_SQL} AS toks FROM documents
+        ), feats AS (
+          SELECT n_chars, len(toks) AS n_tok,
+                 CASE WHEN len(toks) > 0
+                   THEN list_sum(list_transform(toks, w -> length(w)))
+                        / CAST(len(toks) AS DOUBLE)
+                   ELSE 0.0 END AS mean_wl,
+                 len(list_intersect(toks, {_STOP_EN_SQL_LIST})) AS stop_hits
+          FROM t
+        ), flags AS (
+          SELECT (n_chars >= 150) AS k1,
+                 (n_chars >= 150 AND n_tok BETWEEN 30 AND 10000) AS k2,
+                 (n_chars >= 150 AND n_tok BETWEEN 30 AND 10000
+                  AND mean_wl >= 3.0 AND mean_wl <= 10.0) AS k3,
+                 (n_chars >= 150 AND n_tok BETWEEN 30 AND 10000
+                  AND mean_wl >= 3.0 AND mean_wl <= 10.0
+                  AND stop_hits >= 1) AS k4
+          FROM feats
+        ), a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n0,
+                 CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+                 CAST(sum(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+                 CAST(sum(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+                 CAST(sum(CASE WHEN k4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+          FROM flags
+        )
+        SELECT stage_idx, stage, survivors, dropped_here,
+               CASE WHEN n0 = 0 THEN 0.0
+                    ELSE round(survivors / CAST(n0 AS DOUBLE), 6)
+               END AS pct_of_input
+        FROM (
+          SELECT 1 AS stage_idx, 'min_chars' AS stage,
+                 s1 AS survivors, n0 - s1 AS dropped_here, n0 FROM a
+          UNION ALL SELECT 2, 'token_range', s2, s1 - s2, n0 FROM a
+          UNION ALL SELECT 3, 'word_len', s3, s2 - s3, n0 FROM a
+          UNION ALL SELECT 4, 'stop_en', s4, s3 - s4, n0 FROM a
+        ) ORDER BY stage_idx
     """,
 }
 

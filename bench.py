@@ -58,6 +58,10 @@ HEADLINE = [
     "q_decontamination",
     "q_funnel",
     "q_cohort_retention",
+    "q_semantic_dedup",
+    "q_top_ngrams",
+    "q_pipeline_report",
+    "q_corpus_report",
 ]
 
 

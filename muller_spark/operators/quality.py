@@ -285,3 +285,57 @@ def pii_scan(
         c = F.col(name) > 0
         any_pii = c if any_pii is None else (any_pii | c)
     return out.withColumn("has_pii", any_pii)
+
+
+def pipeline_survival(
+    df: DataFrame,
+    stages: "list[tuple[str, Column]]",
+) -> DataFrame:
+    """Filter-cascade survival report — the per-stage accounting every
+    curation pipeline (RefinedWeb/Dolma-style) publishes next to its
+    corpus: for each named stage, how many documents survive all stages
+    up to and including it.
+
+    ``stages`` is an ordered list of ``(name, boolean Column)``; a NULL
+    predicate counts as NOT passing (coalesced to false).  Returns
+    ``(stage_idx, stage, survivors, dropped_here, pct_of_input)`` with
+    ``pct_of_input`` rounded to 6 places.
+
+    Scale shape: ONE aggregate pass over the corpus — every stage's
+    cumulative conditions are folded into sums in the same partial
+    aggregation (map-side combine), then the single result row is
+    unpivoted driver-free with ``stack``.  N stages never means N scans.
+    """
+    import re
+
+    for name, _ in stages:
+        if not re.fullmatch(r"[A-Za-z0-9_ .\-]+", name):
+            raise ValueError(f"stage name {name!r} must be [A-Za-z0-9_ .-]+")
+    cum = F.lit(True)
+    aggs = [F.count(F.lit(1)).alias("n0")]
+    for i, (_, cond) in enumerate(stages, 1):
+        cum = cum & F.coalesce(cond, F.lit(False))
+        aggs.append(F.sum(cum.cast("long")).alias(f"s{i}"))
+    one = df.agg(*aggs)
+    parts = []
+    prev = "n0"
+    for i, (name, _) in enumerate(stages, 1):
+        parts.append(f"{i}, '{name}', s{i}, {prev} - s{i}")
+        prev = f"s{i}"
+    stacked = one.selectExpr(
+        "n0",
+        f"stack({len(stages)}, {', '.join(parts)}) as "
+        "(stage_idx, stage, survivors, dropped_here)",
+    )
+    return (
+        stacked.select(
+            "stage_idx",
+            "stage",
+            "survivors",
+            "dropped_here",
+            F.when(F.col("n0") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("survivors") / F.col("n0"), 6))
+            .alias("pct_of_input"),
+        )
+        .orderBy("stage_idx")
+    )

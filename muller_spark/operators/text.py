@@ -293,3 +293,83 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "rk", "token", "tf", "df", F.round("score", 6).alias("score"))
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str,
+    group_cols: "tuple[str, ...]" = ("lang", "source"),
+) -> DataFrame:
+    """Corpus composition report: per group, document/token/char counts
+    plus each group's share of corpus documents and tokens (round6).
+
+    Scale shape: one hash aggregate on ``group_cols`` (map-side partial
+    token counting — the token arrays never shuffle, only per-group
+    sums), then window totals over the POST-aggregation frame, whose
+    cardinality is the number of groups, not rows — the single-partition
+    window is deliberate and safe."""
+    from pyspark.sql import Window
+
+    toks = token_count(F.col(text_col))
+    per = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks.cast("long")).alias("total_tokens"),
+        F.sum(F.length(text_col).cast("long")).alias("total_chars"),
+        F.round(F.avg(F.length(text_col)), 6).alias("avg_chars"),
+    )
+    w = Window.partitionBy()
+    return (
+        per.select(
+            *group_cols,
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            "avg_chars",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("pct_docs"),
+            F.round(
+                F.col("total_tokens") / F.sum("total_tokens").over(w), 6
+            ).alias("pct_tokens"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str,
+    n: int = 2,
+    k: int = 5,
+    by: str = "lang",
+) -> DataFrame:
+    """Top-k most frequent word n-grams per ``by`` group, deterministic
+    tie-break (count desc, gram asc).  Returns
+    ``(by, ngram, cnt, rank)`` with rank ≤ k.
+
+    Scale shape: tokens → n-gram strings inside ``transform`` (no
+    Python), explode, ONE hash aggregate on (group, gram) with map-side
+    combine, then a per-group top-k window.  The window partitions by
+    the group key over already-aggregated counts — never over corpus
+    rows; skew is bounded by distinct-gram cardinality per group."""
+    from pyspark.sql import Window
+
+    toks = tokens_of(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        df.select(F.col(by), F.explode(grams).alias("ngram"))
+        .groupBy(by, "ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(by).orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(by, "rank")
+    )
