@@ -1565,6 +1565,33 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram log-probability per document
+    (operators/text.unigram_logprob) — CCNet-perplexity analogue.
+    round5: log2 is transcendental, engines differ in the last ulp."""
+    from muller_spark.operators.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "text", "doc_id").orderBy("id")
+
+
+def q_quality_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30%-per-source quality curation
+    (operators/sampling.top_fraction_per_group over text.quality_score):
+    rank by the hash-proven round6 score, doc_id tie-break, keep
+    ceil(0.3·n) per source."""
+    from muller_spark.operators.sampling import top_fraction_per_group
+    from muller_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs, "text").select(
+        "doc_id", "source", "quality_score"
+    )
+    return top_fraction_per_group(
+        scored, "source", "quality_score", 0.3, tie_break="doc_id"
+    ).orderBy("doc_id")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_normalized": q_dedup_normalized,
     "q_scalar_functions": q_scalar_functions,
@@ -1659,6 +1686,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_top_ngrams": q_top_ngrams,
     "q_pipeline_report": q_pipeline_report,
     "q_semantic_dedup": q_semantic_dedup,
+    "q_unigram_logprob": q_unigram_logprob,
+    "q_quality_filtered": q_quality_filtered,
 }
 
 _STOPWORD_SQL = "('a','the','of','and','to')"
@@ -2963,6 +2992,61 @@ _ORACLES: dict[str, str] = {
           UNION ALL SELECT 3, 'word_len', s3, s2 - s3, n0 FROM a
           UNION ALL SELECT 4, 'stop_en', s4, s3 - s4, n0 FROM a
         ) ORDER BY stage_idx
+    """,
+    "q_unigram_logprob": f"""
+        WITH toks AS (
+          SELECT doc_id AS id, unnest({_TOKENS_SQL}) AS tok FROM documents
+        ), pdt AS (
+          SELECT id, tok, CAST(count(*) AS BIGINT) AS k
+          FROM toks GROUP BY id, tok
+        ), vocab AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+        ), tot AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab
+        ), per AS (
+          SELECT id, CAST(sum(k) AS BIGINT) AS n_tokens,
+                 sum(k * log2(cnt)) AS slc
+          FROM pdt JOIN vocab USING (tok) GROUP BY id
+        )
+        SELECT id, n_tokens,
+               round((slc - n_tokens * log2(total)) / n_tokens, 5)
+                 AS avg_logprob
+        FROM per, tot ORDER BY id
+    """,
+    "q_quality_filtered": f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+                 length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+                 len({_TOKENS_SQL}) AS n_tokens,
+                 len(list_filter({_TOKENS_SQL}, x -> x IN {_STOP_EN_SQL})) AS stop
+          FROM documents
+        ), r AS (
+          SELECT doc_id, source,
+                 round(cast(
+                   (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END)
+                   * (CASE WHEN (CASE WHEN n_tokens > 0
+                        THEN CAST(stop AS DOUBLE)/n_tokens ELSE 0.0 END) >= 0.05
+                      THEN 1.0 ELSE 0.5 END)
+                   * (CASE WHEN (CASE WHEN n_chars > 0
+                        THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END) <= 0.3
+                      THEN 1.0 ELSE 0.4 END)
+                   * (CASE WHEN (CASE WHEN n_chars > 0
+                        THEN CAST(digits AS DOUBLE)/n_chars ELSE 0.0 END) <= 0.3
+                      THEN 1.0 ELSE 0.5 END)
+                 AS double), 6) AS quality_score
+          FROM t
+        )
+        SELECT doc_id, source, quality_score FROM (
+          SELECT doc_id, source, quality_score,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY quality_score DESC, doc_id ASC
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM r
+        ) WHERE rn <= ceil(n * 0.3) ORDER BY doc_id
     """,
 }
 

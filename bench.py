@@ -62,6 +62,8 @@ HEADLINE = [
     "q_top_ngrams",
     "q_pipeline_report",
     "q_corpus_report",
+    "q_unigram_logprob",
+    "q_quality_filtered",
 ]
 
 

@@ -315,7 +315,10 @@ def pipeline_survival(
     aggs = [F.count(F.lit(1)).alias("n0")]
     for i, (_, cond) in enumerate(stages, 1):
         cum = cum & F.coalesce(cond, F.lit(False))
-        aggs.append(F.sum(cum.cast("long")).alias(f"s{i}"))
+        # coalesce: sum over zero rows is NULL, the report wants 0
+        aggs.append(
+            F.coalesce(F.sum(cum.cast("long")), F.lit(0).cast("long")).alias(f"s{i}")
+        )
     one = df.agg(*aggs)
     parts = []
     prev = "n0"

@@ -168,3 +168,36 @@ def deterministic_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col,
+    fraction: float,
+    tie_break: "str | None" = None,
+) -> DataFrame:
+    """Keep the top ``fraction`` of rows per group by ``order_col``
+    (descending) — quality-filtered mixture curation ("best 30% per
+    domain by LM score").  ``ceil(n_group · fraction)`` rows survive per
+    group; ``tie_break`` (a column name, ascending) makes the cut
+    deterministic when scores tie.
+
+    Scale shape: one shuffle on ``group_col``; rank and group size come
+    from the same window pass (row_number + count over the group), so no
+    second aggregate or self-join.  Skewed domains bound the single-task
+    cost — salt upstream or split the domain if one group is a large
+    fraction of the corpus."""
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).desc() if isinstance(order_col, str) else order_col]
+    if tie_break is not None:
+        order.append(F.col(tie_break).asc())
+    w = Window.partitionBy(group_col).orderBy(*order)
+    wall = Window.partitionBy(group_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wall))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .drop("__rn", "__n")
+    )

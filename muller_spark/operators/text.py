@@ -373,3 +373,60 @@ def top_ngrams(
         .filter(F.col("rank") <= k)
         .orderBy(by, "rank")
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    round_to: int = 5,
+) -> DataFrame:
+    """Corpus-trained unigram log-probability per document — the
+    zero-dependency analogue of CCNet's LM-perplexity quality signal:
+    ``avg_logprob = mean over tokens of log2 P(token)`` with P from the
+    corpus's own unigram counts (MLE, no smoothing — every scored token
+    is in-vocabulary by construction).  Low values flag gibberish /
+    rare-token-heavy documents.  Returns ``(id, n_tokens, avg_logprob)``.
+
+    Rounded to ``round_to`` (default 5) places: log2 is transcendental,
+    so engines may differ in the last ulp — round5 keeps cross-engine
+    value-hash parity while preserving the signal.
+
+    Scale shape: two passes over the exploded tokens — (1) one hash
+    aggregate to the vocab count table, (2) per-doc token counts joined
+    to vocab on the token key (AQE broadcasts when the vocab is small;
+    otherwise a token-keyed shuffle join — never a driver collect) and
+    one final per-doc aggregate.  The log factorization
+    ``sum log2 cnt_t − n·log2 total`` means the corpus total is folded
+    in as a literal-free cross join of a 1-row aggregate, not a window
+    over the corpus."""
+    toks = tokens_of(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
+    )
+    # (doc, token) multiplicities first: the join then moves one row per
+    # DISTINCT token per doc, not one per occurrence
+    per_doc_tok = exploded.groupBy("id", "tok").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    vocab = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum(F.col("cnt").cast("long")).alias("total"))
+    scored = (
+        per_doc_tok.join(vocab, "tok")
+        .groupBy("id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(F.col("k") * F.log2(F.col("cnt"))).alias("_sum_log_cnt"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            "n_tokens",
+            F.round(
+                (F.col("_sum_log_cnt") - F.col("n_tokens") * F.log2("total"))
+                / F.col("n_tokens"),
+                round_to,
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored

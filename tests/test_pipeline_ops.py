@@ -1,0 +1,89 @@
+"""Round-4 pipeline operators: pipeline_survival semantics (NULL =
+fail, one-pass), unigram_logprob vs hand math, top_fraction_per_group
+ceil-cut + tie-break, top_ngrams n=3."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from muller_spark.operators.quality import pipeline_survival  # noqa: E402
+from muller_spark.operators.sampling import top_fraction_per_group  # noqa: E402
+from muller_spark.operators.text import top_ngrams, unigram_logprob  # noqa: E402
+
+
+def test_pipeline_survival_basic_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "en"), (2, 20, None), (3, 30, "en"), (4, 40, "de")],
+        "id long, n int, lang string",
+    )
+    out = pipeline_survival(df, [
+        ("big", F.col("n") >= 20),
+        ("lang_en", F.col("lang") == "en"),  # NULL lang -> fails
+    ]).collect()
+    assert [(r["stage"], r["survivors"], r["dropped_here"]) for r in out] == [
+        ("big", 3, 1),
+        ("lang_en", 1, 2),
+    ]
+    assert out[0]["pct_of_input"] == 0.75
+    assert out[1]["pct_of_input"] == 0.25
+
+
+def test_pipeline_survival_empty_input(spark):
+    df = spark.createDataFrame([], "id long, n int")
+    out = pipeline_survival(df, [("any", F.col("n") > 0)]).collect()
+    assert out[0]["survivors"] == 0 and out[0]["pct_of_input"] == 0.0
+
+
+def test_pipeline_survival_bad_stage_name(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="stage name"):
+        pipeline_survival(df, [("bad'name", F.lit(True))])
+
+
+def test_unigram_logprob_hand_math(spark):
+    # corpus: doc1 = "a a b", doc2 = "b c"  -> counts a:2 b:2 c:1, total 5
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in unigram_logprob(df, "text", "doc_id").collect()}
+    lp = lambda c: math.log2(c) - math.log2(5)
+    exp1 = (2 * lp(2) + lp(2)) / 3
+    exp2 = (lp(2) + lp(1)) / 2
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    assert abs(out[1]["avg_logprob"] - round(exp1, 5)) < 1e-9
+    assert abs(out[2]["avg_logprob"] - round(exp2, 5)) < 1e-9
+
+
+def test_top_fraction_per_group_cut_and_ties(spark):
+    rows = [(i, "g1", float(i % 3)) for i in range(10)]  # scores 0,1,2 tied
+    rows += [(100 + i, "g2", 5.0) for i in range(4)]  # all tied
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+    out = top_fraction_per_group(df, "grp", "score", 0.5, tie_break="id")
+    got = sorted(r["id"] for r in out.collect())
+    # g1: ceil(10*0.5)=5 -> scores desc (2.0: ids 2,5,8), then 1.0: ids 1,4
+    # g2: ceil(4*0.5)=2 -> tie broken by id -> 100,101
+    assert got == [1, 2, 4, 5, 8, 100, 101]
+
+
+def test_top_fraction_keeps_at_least_one(spark):
+    df = spark.createDataFrame([(1, "g", 1.0)], "id long, grp string, score double")
+    assert top_fraction_per_group(df, "grp", "score", 0.01).count() == 1
+
+
+def test_top_ngrams_trigram(spark):
+    df = spark.createDataFrame(
+        [("en", "x y z x y z"), ("en", "x y z"), ("de", "a b")],
+        "lang string, text string",
+    )
+    out = top_ngrams(df, "text", n=3, k=2).collect()
+    en = [(r["ngram"], r["cnt"], r["rank"]) for r in out if r["lang"] == "en"]
+    assert en[0] == ("x y z", 3, 1)  # 2 in doc1 + 1 in doc2
+    # "de" doc has only 2 tokens -> no trigram rows at all
+    assert not [r for r in out if r["lang"] == "de"]
