@@ -1040,6 +1040,7 @@ def semantic_dup_pairs(
     seed: int = 42,
     centroids=None,
     max_cluster_size: int = 100_000,
+    assigned: "DataFrame | None" = None,
 ) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023): k-means the
     embeddings into cells, then emit every intra-cell pair with cosine
@@ -1060,11 +1061,12 @@ def semantic_dup_pairs(
     import numpy as np
     import pyspark.sql.types as T
 
-    if centroids is None:
-        centroids = train_semantic_centroids(
-            df, vec_col, num_clusters=num_clusters, seed=seed
-        )
-    assigned = assign_clusters(df, vec_col, id_col, centroids)
+    if assigned is None:
+        if centroids is None:
+            centroids = train_semantic_centroids(
+                df, vec_col, num_clusters=num_clusters, seed=seed
+            )
+        assigned = assign_clusters(df, vec_col, id_col, centroids)
 
     out_schema = T.StructType([
         T.StructField("id_a", T.LongType()),
@@ -1160,7 +1162,7 @@ def semantic_dedup(
     assigned = assign_clusters(df, vec_col, id_col, centroids)
     pairs = semantic_dup_pairs(
         df, vec_col, id_col, threshold=threshold, centroids=centroids,
-        max_cluster_size=max_cluster_size,
+        max_cluster_size=max_cluster_size, assigned=assigned,
     )
     if keep == "min_id":
         dropped = pairs.select(F.col("id_b").alias("id")).distinct()
@@ -1187,3 +1189,33 @@ def semantic_dedup(
     return survivors.join(
         assigned.select(F.col("id").alias(id_col), "cluster"), id_col, "left"
     )
+
+
+def compact_dedup_ledger(spark, path: str) -> None:
+    """Rewrite the ledger to distinct hashes — heals the harmless
+    duplicate rows ``ledger_dedup_stream``'s crash-replay appends and
+    shrinks many small append files into one compact table.  Run it
+    offline between ingest jobs (same single-writer contract as
+    ``dedup_against_ledger``)."""
+    import uuid as _uuid
+
+    compacted = f"{path.rstrip('/')}-compact-{_uuid.uuid4().hex}"
+    spark.read.parquet(path).select("content_hash").distinct().write.mode(
+        "overwrite"
+    ).parquet(compacted)
+    # two-step swap through a real rename (parquet dirs are not
+    # atomically replaceable in-place); readers between the two renames
+    # see the old or the new ledger, never a partial one
+    jvm = spark._jvm
+    hadoop_conf = spark._jsc.hadoopConfiguration()
+    p_old = jvm.org.apache.hadoop.fs.Path(path)
+    p_new = jvm.org.apache.hadoop.fs.Path(compacted)
+    p_bak = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}-pre-compact")
+    fs = p_old.getFileSystem(hadoop_conf)
+    if fs.exists(p_bak):
+        fs.delete(p_bak, True)
+    fs.rename(p_old, p_bak)
+    if not fs.rename(p_new, p_old):
+        fs.rename(p_bak, p_old)  # roll back, keep the ledger readable
+        raise IOError(f"compact_dedup_ledger: rename {compacted} -> {path} failed")
+    fs.delete(p_bak, True)

@@ -202,3 +202,89 @@ def dedup_stream(
             list(key_cols)
         )
     return stream.dropDuplicates(list(key_cols))
+
+
+def ledger_dedup_stream(
+    stream: DataFrame,
+    text_col: str,
+    ledger_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    normalize: bool = True,
+    keep_by=None,
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+):
+    """Restart-durable streaming dedup: each micro-batch anti-joins the
+    persistent hash ledger (``operators/dedup.dedup_against_ledger``),
+    survivors append to ``out_path`` parquet and their hashes to the
+    ledger.  The complement of :func:`dedup_stream` — watermark state
+    dies with the query, the ledger survives restarts AND is shared
+    with batch ingest, so a firehose and a backfill dedup against the
+    same history.
+
+    foreachBatch serializes micro-batches, which satisfies the ledger's
+    single-writer contract.  Crash-safety per batch, in order:
+
+    1. survivors land in ``out_path/ingest_batch=<id>/`` (overwrite +
+       ``_SUCCESS`` marker → output is EXACTLY-once: a replay that sees
+       the marker never rewrites the directory);
+    2. the landed survivors' hashes append to the ledger — and a replay
+       that sees the marker RE-appends them, because a crash between
+       (1) and (2) is the one window where the ledger lags the output.
+       Duplicate hash rows in the ledger are harmless (it is read as an
+       anti-join set); compact with ``compact_dedup_ledger`` when churn
+       accumulates.
+
+    The ledger must exist (``init_dedup_ledger``, possibly on an empty
+    frame).  Survivor rows keep their ``content_hash`` column so the
+    heal step re-reads hashes from the landed parquet, not the input.
+
+    ``available_now=True`` drains all available input then stops — the
+    batch-backfill trigger used by the tests."""
+    from muller_spark.operators.dedup import normalized_text
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_out = f"{out_path.rstrip('/')}/ingest_batch={batch_id}"
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(batch_out + "/_SUCCESS")
+        fs = jvm_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        already_landed = fs.exists(jvm_path)
+        if not already_landed:
+            if batch_df.isEmpty():
+                return
+            content = (
+                normalized_text(F.col(text_col)) if normalize else F.col(text_col)
+            )
+            hashed = batch_df.withColumn("content_hash", F.md5(content))
+            ledger = spark.read.parquet(ledger_path).select("content_hash")
+            unseen = hashed.join(ledger, "content_hash", "left_anti")
+            if keep_by is not None:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy("content_hash").orderBy(keep_by)
+                fresh = (
+                    unseen.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            else:
+                fresh = unseen.dropDuplicates(["content_hash"])
+            fresh.write.mode("overwrite").parquet(batch_out)
+        # heal-or-advance: hashes always (re-)append from the LANDED
+        # parquet, so a replay after a crash between land and append
+        # still completes the ledger write
+        spark.read.parquet(batch_out).select("content_hash").write.mode(
+            "append"
+        ).parquet(ledger_path)
+
+    writer = stream.writeStream.foreachBatch(land).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -1,0 +1,104 @@
+"""ledger_dedup_stream: restart-durable streaming dedup against the
+persistent hash ledger — survivors are exactly the ledger-unseen
+contents, a second run (fresh query, same ledger) admits nothing seen
+before, and compact_dedup_ledger heals duplicate hash rows."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyspark.sql.types as T
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from muller_spark.operators.dedup import (  # noqa: E402
+    compact_dedup_ledger,
+    init_dedup_ledger,
+)
+from muller_spark.streaming.windows import (  # noqa: E402
+    ledger_dedup_stream,
+    stream_from_directory,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _write_batch(spark, src_dir, name, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src_dir}/{name}")
+
+
+def _run_drain(spark, src_glob, ledger, out, ckpt):
+    stream = stream_from_directory(spark, src_glob, SCHEMA)
+    q = ledger_dedup_stream(
+        stream, "text", ledger, out, ckpt,
+        keep_by="doc_id", available_now=True,
+    )
+    q.awaitTermination(120)
+
+
+def test_ledger_stream_dedups_within_and_across_runs(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "out")
+    ckpt1 = str(tmp_path / "ckpt1")
+    os.makedirs(src)
+
+    # seed the ledger with one known content
+    init_dedup_ledger(
+        spark.createDataFrame([(0, "seen before")], SCHEMA), "text", ledger
+    )
+
+    # batch 1: one ledger-dup, one intra-batch dup pair, one fresh
+    _write_batch(spark, src, "b1", [
+        (1, "seen before"),          # dropped: in ledger
+        (2, "fresh one"),
+        (3, "twin"), (4, "twin"),    # intra-batch: keep_by doc_id -> 3
+    ])
+    _run_drain(spark, src + "/*", ledger, out, ckpt1)
+
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    assert got == {(2, "fresh one"), (3, "twin")}
+
+    # run 2: FRESH query + checkpoint (simulates a restart after the
+    # checkpoint is gone) — only ledger state protects history
+    _write_batch(spark, src, "b2", [
+        (5, "fresh one"),            # dropped: landed by run 1
+        (6, "twin"),                 # dropped: landed by run 1
+        (7, "brand new"),
+    ])
+    ckpt2 = str(tmp_path / "ckpt2")
+    _run_drain(spark, src + "/b2", ledger, out, ckpt2)
+
+    got2 = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    assert got2 == got | {(7, "brand new")}
+
+    # output keeps content_hash so the heal step reads hashes from the
+    # landed parquet
+    assert "content_hash" in spark.read.parquet(out).columns
+
+
+def test_compact_ledger_distinct_and_swap(spark, tmp_path):
+    ledger = str(tmp_path / "ledger")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA)
+    init_dedup_ledger(df, "text", ledger)
+    # simulate crash-replay duplicate appends
+    spark.read.parquet(ledger).write.mode("append").parquet(ledger)
+    assert spark.read.parquet(ledger).count() == 4
+    compact_dedup_ledger(spark, ledger)
+    post = spark.read.parquet(ledger)
+    assert post.count() == 2
+    assert post.columns == ["content_hash"]
+    # backup dir is cleaned up
+    assert not os.path.exists(ledger + "-pre-compact")
