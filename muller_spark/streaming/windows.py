@@ -240,17 +240,56 @@ def ledger_dedup_stream(
     frame).  Survivor rows keep their ``content_hash`` column so the
     heal step re-reads hashes from the landed parquet, not the input.
 
+    Batch directories are namespaced by a hash of ``checkpoint_dir``:
+    micro-batch ids restart at 0 for every fresh checkpoint, so two
+    queries (or a restart after deleting the checkpoint) landing in the
+    same ``out_path`` would otherwise collide on ``ingest_batch=0`` and
+    skip real data.  Consequence: deleting the checkpoint but keeping
+    ``out_path`` is safe as long as the checkpoint path CHANGES; reusing
+    the identical path string after deleting its contents resurrects
+    the old markers — use a new checkpoint dir instead.
+
     ``available_now=True`` drains all available input then stops — the
     batch-backfill trigger used by the tests."""
+    import hashlib
+
+    run_ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:10]
+    land = make_ledger_batch_handler(
+        text_col, ledger_path, out_path, run_ns,
+        normalize=normalize, keep_by=keep_by,
+    )
+    writer = stream.writeStream.foreachBatch(land).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def make_ledger_batch_handler(
+    text_col: str,
+    ledger_path: str,
+    out_path: str,
+    run_ns: str,
+    normalize: bool = True,
+    keep_by=None,
+):
+    """The foreachBatch handler behind :func:`ledger_dedup_stream`,
+    exposed so the crash-replay contract is directly testable: calling
+    the handler twice with the same ``batch_id`` must not rewrite the
+    landed output (marker skip) and must re-append its hashes (ledger
+    heal)."""
     from muller_spark.operators.dedup import normalized_text
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_out = f"{out_path.rstrip('/')}/ingest_batch={batch_id}"
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(batch_out + "/_SUCCESS")
-        fs = jvm_path.getFileSystem(
-            spark._jsc.hadoopConfiguration()
+        batch_out = (
+            f"{out_path.rstrip('/')}/ingest_run={run_ns}/ingest_batch={batch_id}"
         )
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(batch_out + "/_SUCCESS")
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
         already_landed = fs.exists(jvm_path)
         if not already_landed:
             if batch_df.isEmpty():
@@ -280,11 +319,4 @@ def ledger_dedup_stream(
             "append"
         ).parquet(ledger_path)
 
-    writer = stream.writeStream.foreachBatch(land).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    return land

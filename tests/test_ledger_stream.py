@@ -102,3 +102,36 @@ def test_compact_ledger_distinct_and_swap(spark, tmp_path):
     assert post.columns == ["content_hash"]
     # backup dir is cleaned up
     assert not os.path.exists(ledger + "-pre-compact")
+
+
+def test_replay_marker_skip_and_ledger_heal(spark, tmp_path):
+    """Direct crash-replay contract: calling the handler again with the
+    same batch_id (1) does not rewrite the landed output even though
+    the input changed, and (2) re-appends the landed hashes — healing a
+    crash between output land and ledger append."""
+    from muller_spark.streaming.windows import make_ledger_batch_handler
+
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "out")
+    init_dedup_ledger(
+        spark.createDataFrame([], SCHEMA), "text", ledger
+    )
+    land = make_ledger_batch_handler("text", ledger, out, "testns")
+
+    b0 = spark.createDataFrame([(1, "alpha"), (2, "beta")], SCHEMA)
+    land(b0, 0)
+    assert spark.read.parquet(out).count() == 2
+    assert spark.read.parquet(ledger).count() == 2
+
+    # replay with DIFFERENT content: marker wins, output unchanged,
+    # hashes re-appended (duplicates in the ledger are harmless)
+    b0_replay = spark.createDataFrame([(9, "gamma")], SCHEMA)
+    land(b0_replay, 0)
+    got = {r["text"] for r in spark.read.parquet(out).collect()}
+    assert got == {"alpha", "beta"}
+    assert spark.read.parquet(ledger).count() == 4  # healed append
+    assert spark.read.parquet(ledger).distinct().count() == 2
+
+    # compaction restores the minimal ledger
+    compact_dedup_ledger(spark, ledger)
+    assert spark.read.parquet(ledger).count() == 2
