@@ -231,6 +231,7 @@ def vector_bench(
         corpus0, "vec", "id", pq_path,
         num_centroids=nlist, num_subspaces=num_subspaces,
         sample_size=min(16384, n), store_vectors=True,
+        centroids=load_ivf_centroids(spark, ivf_path),
     ))
 
     corpus = spark.read.parquet(vec_path)

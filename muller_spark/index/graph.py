@@ -253,10 +253,19 @@ def graph_search(
     k: int = 10,
     beam: int = 32,
     max_hops: int = 6,
-    entry_probe: int = 4,
+    entry_probe: "int | None" = None,
 ) -> DataFrame:
     """Best-first beam search over the disk graph.  Returns
     ``(query_id, id, distance, rank)`` — rank 1..k per query, L2.
+
+    ``entry_probe=None`` (default) seeds the beam from EVERY cell's
+    medoid: the medoid table is tiny (cell ceiling is ~4k) and per-cell
+    entry guarantees the search starts one intra-cell graph away from
+    any target's cell — on unstructured/high-entropy vectors, greedy
+    routing between cells is nearly blind, and nearest-few-medoid entry
+    measurably loses exact self-matches that all-cell entry finds.
+    Pass an int to probe only the closest N medoids (cheaper first hop
+    when cells are many and the corpus is well clustered).
 
     Memory: the only driver-side materialization is the medoid table
     (one row per cell) and a per-hop frontier count; per-hop executor
@@ -272,10 +281,11 @@ def graph_search(
     mids = np.array([r["id"] for r in medoids])
     md = _distances(mvecs, q, "l2")  # (n_medoids, nq)
 
+    n_entry = len(mids) if entry_probe is None else min(entry_probe, len(mids))
     seeds = [
         (qi, int(mids[j]), float(md[j, qi]), False)
         for qi in range(nq)
-        for j in np.argsort(md[:, qi])[: min(entry_probe, len(mids))]
+        for j in np.argsort(md[:, qi])[:n_entry]
     ]
     state = spark.createDataFrame(
         seeds, "query_id int, id long, distance double, expanded boolean"

@@ -975,12 +975,9 @@ def train_semantic_centroids(
     the sample is driver-side but capped, never the corpus).  Returns an
     ``(k, d)`` float64 ndarray callers pass to :func:`assign_clusters` /
     :func:`semantic_dup_pairs` so one fit serves many batches."""
-    import numpy as np
+    from muller_spark.index.vector import _kmeans, sample_matrix
 
-    from muller_spark.index.vector import _kmeans
-
-    rows = df.select(vec_col).rdd.takeSample(False, sample_size, seed)
-    mat = np.asarray([r[0] for r in rows], dtype=np.float64)
+    mat = sample_matrix(df, vec_col, sample_size, seed)
     return _kmeans(mat, num_clusters, iters, seed)
 
 

@@ -33,6 +33,14 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    # one BLAS thread per python worker: N concurrent pandas-UDF tasks
+    # each spawning an N-thread BLAS pool oversubscribes the box N-fold
+    # (measured on the 1M x 960-d IVFPQ encode); task-level parallelism
+    # already saturates the cores. Driver-side numpy (k-means training)
+    # keeps the full pool — this only reaches executor python workers.
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
 }
 
 
