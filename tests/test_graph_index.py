@@ -104,7 +104,10 @@ def test_append_graph_vectors_incremental(spark, emb, tmp_path_factory):
     assert adjacency.count() == emb.count()
     assert medoids.count() == medoids.select("cell").distinct().count()
 
-    probe = rest.limit(3).collect()
+    # orderBy before limit: a bare limit(3) takes whichever partition
+    # answers first, so the probed ids (and thus recall marginality)
+    # changed run-to-run
+    probe = rest.orderBy("vec_id").limit(3).collect()
     q = np.array([r["embedding"] for r in probe], dtype=np.float64)
     got = graph_search(spark, path, q, k=5, beam=48, max_hops=6).collect()
     rank1 = {r["query_id"]: r["id"] for r in got if r["rank"] == 1}
