@@ -1592,6 +1592,30 @@ def q_quality_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-label quality-classifier workflow
+    (operators/classifier.py): IRLS logistic regression trained
+    distributedly (treeAggregate Hessian partials) on quality features
+    with lang=='en' as the weak label, scored as pure JVM expressions.
+    Rows-only check (IRLS is not SQL-expressible; the numpy value
+    oracle lives in tests/test_classifier.py)."""
+    from muller_spark.operators.classifier import score_logreg, train_logreg
+    from muller_spark.operators.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(docs, "text").withColumn(
+        "label", (F.col("lang") == "en").cast("double")
+    )
+    cols = ["n_tokens", "stopword_ratio", "punct_ratio", "digit_ratio"]
+    w = train_logreg(feats, cols, "label")
+    scored = score_logreg(feats, cols, w)
+    return (
+        scored.groupBy((F.col("quality_prob") >= 0.5).alias("pred_en"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("pred_en")
+    )
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_normalized": q_dedup_normalized,
     "q_scalar_functions": q_scalar_functions,
@@ -1688,6 +1712,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semantic_dedup": q_semantic_dedup,
     "q_unigram_logprob": q_unigram_logprob,
     "q_quality_filtered": q_quality_filtered,
+    "q_quality_classifier": q_quality_classifier,
 }
 
 _STOPWORD_SQL = "('a','the','of','and','to')"
