@@ -818,7 +818,12 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") != "src0")
     test = docs.filter(F.col("source") == "src0")
-    out = contamination_report(train, test, "text", "doc_id", n=3, min_overlap=3)
+    out = contamination_report(
+        train, test, "text", "doc_id", n=3, min_overlap=3,
+        # the held-out side is one source of twenty: broadcast its
+        # windows so the train side never shuffles on the window key
+        broadcast_test=True,
+    )
     return out.orderBy("train_id", "test_id")
 
 

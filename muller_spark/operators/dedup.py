@@ -730,6 +730,7 @@ def contamination_report(
     n: int = 8,
     min_overlap: int = 1,
     max_window_freq: "int | None" = 10_000,
+    broadcast_test: bool = False,
 ) -> DataFrame:
     """Train/test contamination (decontamination pass): for every
     (train_doc, test_doc) pair sharing ≥ ``min_overlap`` token
@@ -744,6 +745,13 @@ def contamination_report(
     construction.  ``max_window_freq`` drops degenerate boilerplate
     windows (df-cutoff) before the join, same guard as
     :func:`ngram_jaccard_pairs`.
+
+    ``broadcast_test=True`` broadcasts the deduped test-side windows
+    into the join — the right call whenever the held-out set is a
+    benchmark-sized fraction of the corpus, because it removes the
+    window-keyed shuffle of the TRAIN side entirely (at 100 TB the
+    train windows are the corpus ×n; the eval windows fit in a
+    broadcast).  Semantics are identical either way.
     """
     def windows(df: DataFrame, side: str) -> DataFrame:
         return ensure_parallelism(df.select(id_col, text_col)).select(
@@ -767,8 +775,9 @@ def contamination_report(
         )
         train_d = train_d.join(F.broadcast(hot), "w", "left_anti")
         test_d = test_d.join(F.broadcast(hot), "w", "left_anti")
+    join_rhs = F.broadcast(test_d) if broadcast_test else test_d
     shared = (
-        train_d.join(test_d, "w")
+        train_d.join(join_rhs, "w")
         .groupBy("train_id", "test_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
