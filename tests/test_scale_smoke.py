@@ -99,3 +99,91 @@ def test_exact_knn_at_40k_vectors(spark):
     elapsed = time.perf_counter() - start
     assert len(out) == 20
     assert elapsed < 60, f"40k-vector exact knn took {elapsed:.1f}s"
+
+
+def test_semantic_dedup_at_50k_vectors(spark):
+    """50k × 64-d SemDeDup: assignment is map-only, the pair scan is
+    cluster-keyed and tile-bounded — cells of ~800 rows each stay far
+    from the quadratic ceiling, and the whole pass finishes in seconds.
+    A lost cluster shuffle or an all-pairs regression blows the bound."""
+    import numpy as np
+
+    from muller_spark.operators.dedup import semantic_dedup
+
+    n = 50_000
+    base = (
+        spark.range(n)
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: F.sin(F.col("id") * i * 0.7),
+            ),
+        )
+        .withColumnRenamed("id", "vec_id")
+    )
+    start = time.perf_counter()
+    survivors = semantic_dedup(
+        base, "embedding", "vec_id", threshold=0.999, num_clusters=64
+    ).count()
+    elapsed = time.perf_counter() - start
+    assert 0 < survivors <= n
+    assert elapsed < 90, f"50k semantic dedup took {elapsed:.1f}s"
+
+
+def test_pipeline_survival_at_6m_rows(spark, lineitem):
+    """Cascade survival at 6M rows is ONE aggregate pass — adding
+    stages adds sums, not scans."""
+    from muller_spark.operators.quality import pipeline_survival
+
+    big = _multiplied(lineitem, 10, "l_orderkey", spark)
+    start = time.perf_counter()
+    out = pipeline_survival(big, [
+        ("qty", F.col("l_quantity") >= 10),
+        ("price", F.col("l_extendedprice") >= 1000),
+        ("disc", F.col("l_discount") <= 0.05),
+    ]).collect()
+    elapsed = time.perf_counter() - start
+    assert out[0]["survivors"] + out[0]["dropped_here"] == 6_000_000
+    assert elapsed < 45, f"6M-row cascade took {elapsed:.1f}s"
+
+
+def test_top_ngrams_at_20k_docs(spark, documents):
+    """4× documents (20k docs): tokenize-once + explode + hash agg +
+    post-agg window.  The O(tokens²) lambda regression this guards
+    against took 26 s at 5k docs — 20k docs would be minutes."""
+    from muller_spark.operators.text import top_ngrams
+
+    big = _multiplied(documents, 4, "doc_id", spark)
+    start = time.perf_counter()
+    out = top_ngrams(big, "text", n=2, k=5).collect()
+    elapsed = time.perf_counter() - start
+    assert len(out) > 0
+    assert elapsed < 45, f"20k-doc top_ngrams took {elapsed:.1f}s"
+
+
+def test_logreg_train_at_1m_rows(spark):
+    """IRLS at 1M rows: 8 passes over cached feature blocks, d×d
+    partials through treeAggregate — driver traffic is KBs."""
+    from muller_spark.operators.classifier import score_logreg, train_logreg
+
+    base = (
+        spark.range(1_000_000)
+        .withColumn("f0", F.sin(F.col("id") * 0.01))
+        .withColumn("f1", F.cos(F.col("id") * 0.003))
+        .withColumn("f2", (F.col("id") % 97).cast("double") / 97.0)
+        .withColumn(
+            "label",
+            ((F.col("f0") + F.col("f1") * 0.5 - F.col("f2")) > 0).cast("double"),
+        )
+    )
+    start = time.perf_counter()
+    w = train_logreg(base, ["f0", "f1", "f2"], "label")
+    elapsed = time.perf_counter() - start
+    scored = score_logreg(base.limit(2000), ["f0", "f1", "f2"], w)
+    pred = scored.select(
+        "label", (F.col("quality_prob") >= 0.5).cast("double").alias("p")
+    ).collect()
+    acc = sum(1 for r in pred if r["label"] == r["p"]) / len(pred)
+    assert acc >= 0.9
+    assert elapsed < 90, f"1M-row IRLS took {elapsed:.1f}s"
