@@ -17,6 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 from muller_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -128,6 +129,16 @@ def main() -> None:
             result["vector_1m960d"] = vector_bench(spark)
         except Exception as e:  # the headline JSON line must survive
             result["vector_1m960d"] = {"error": repr(e)[:300]}
+    if sf_val == 0.1 and os.environ.get("SPARK_GRAFT_FIG3D", "1") != "0":
+        try:
+            result["projection_fig3d"] = projection_bench(spark)
+        except Exception as e:
+            result["projection_fig3d"] = {"error": repr(e)[:300]}
+    if sf_val == 0.1 and os.environ.get("SPARK_GRAFT_TABLE2", "1") != "0":
+        try:
+            result["version_control_table2"] = vc_bench(spark)
+        except Exception as e:
+            result["version_control_table2"] = {"error": repr(e)[:300]}
     print(json.dumps(result))
 
 
@@ -362,6 +373,128 @@ def sf1_envelope(spark, sf_dir: str) -> dict:
     }
     shapes["rows"] = int(big.count())
     return shapes
+
+
+
+
+def projection_bench(
+    spark,
+    n_rows: int = 20_000,
+    widths: "tuple[int, ...]" = (100, 1000, 5000),
+    n_read: int = 10,
+    cache_root: "str | None" = None,
+) -> dict:
+    """BASELINE Fig 3d: read 10 of N float64 columns as N grows
+    (reference: exp_scripts/projection.py:53-80, N up to 20000 x 80000
+    rows).  Measures what the reference's chunk-per-column layout is
+    designed around: projection cost should track the 10 read columns,
+    not N — for parquet that means footer parse + column pruning are
+    the only width-dependent costs.  Wide tables cache under
+    ``cache_root``; widths capped at 5000 to keep the one-off generate
+    inside the bench budget."""
+    import numpy as np
+
+    root = cache_root or os.environ.get(
+        "SPARK_GRAFT_VECTOR_CACHE", "/tmp/muller_spark_vec_bench"
+    )
+    out: dict = {"n_rows": n_rows, "n_read": n_read}
+    for width in widths:
+        path = os.path.join(root, f"proj_w{width}_r{n_rows}")
+        marker = os.path.join(path, "_BUILT")
+        if not os.path.exists(marker):
+            cols = [f"c{i}" for i in range(width)]
+
+            def gen(iterator, width=width, cols=cols):
+                import pandas as pd
+
+                for pdf in iterator:
+                    ids = pdf["id"].to_numpy()
+                    rng = np.random.RandomState(17 + int(ids[0]) % 65521)
+                    mat = rng.standard_normal((len(ids), width))
+                    frame = pd.DataFrame(
+                        dict(zip(cols, mat.T)), copy=False
+                    )
+                    yield frame
+
+            schema = ", ".join(f"{c} double" for c in cols)
+            start = time.perf_counter()
+            (
+                spark.range(n_rows, numPartitions=8)
+                .mapInPandas(gen, schema)
+                .write.mode("overwrite").parquet(path)
+            )
+            gen_s = round(time.perf_counter() - start, 2)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        else:
+            gen_s = 0.0
+        # fixed projection (the reference fixes its N=1000 projection):
+        # first n_read columns, aggregated so the scan materializes
+        sel = [f"c{i}" for i in range(n_read)]
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            spark.read.parquet(path).select(
+                *[F.sum(c) for c in sel]
+            ).collect()
+            best = min(best, time.perf_counter() - start)
+        out[f"w{width}"] = {"read10_s": round(best, 3), "generate_s": gen_s}
+    return out
+
+
+def vc_bench(spark, n_rows: int = 10_000, n_commits: int = 5) -> dict:
+    """BASELINE Table 2: version-control op wall times (reference:
+    exp_scripts/version_control.py:12-90 — commit/checkout/merge over a
+    benchmark dataset).  Measures commit (snapshot manifest write),
+    branch checkout, historical checkout, a row-level 3-way merge, and
+    log traversal on a dataset of ``n_rows`` x ``n_commits`` appends."""
+    import shutil
+    import tempfile
+
+    from muller_spark import dataset as ds_mod
+
+    root = tempfile.mkdtemp(prefix="muller_vc_bench_")
+    out: dict = {"n_rows_per_commit": n_rows, "n_commits": n_commits}
+    try:
+        ds = ds_mod.dataset(os.path.join(root, "ds"), spark)
+        ds.create_tensor("x", dtype="int64")
+        ds.create_tensor("t", htype="text")
+        payload = {
+            "x": list(range(n_rows)),
+            "t": [f"row {i}" for i in range(n_rows)],
+        }
+        start = time.perf_counter()
+        for c in range(n_commits):
+            ds.extend(payload)
+            ds.commit(f"append {c}")
+        out["commit_avg_s"] = round((time.perf_counter() - start) / n_commits, 3)
+
+        first = ds.log_history()[-1].commit_id
+        start = time.perf_counter()
+        ds.checkout("dev", create=True)
+        out["branch_create_s"] = round(time.perf_counter() - start, 3)
+
+        ds.extend(payload)
+        ds.commit("dev work")
+        start = time.perf_counter()
+        ds.checkout("main")
+        out["checkout_branch_s"] = round(time.perf_counter() - start, 3)
+
+        start = time.perf_counter()
+        ds.checkout(first)
+        out["checkout_history_s"] = round(time.perf_counter() - start, 3)
+        ds.checkout("main")
+
+        start = time.perf_counter()
+        ds.merge("dev")
+        out["merge_s"] = round(time.perf_counter() - start, 3)
+
+        start = time.perf_counter()
+        out["log_entries"] = len(ds.log_history())
+        out["log_s"] = round(time.perf_counter() - start, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":
