@@ -65,6 +65,11 @@ HEADLINE = [
     "q_corpus_report",
     "q_unigram_logprob",
     "q_quality_filtered",
+    "q_asof_join",
+    "q_range_join",
+    "q_moving_avg",
+    "q_histogram",
+    "q_unique_violations",
 ]
 
 
