@@ -1621,6 +1621,16 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (operators/dedup.source_overlap):
+    shared distinct 5-gram windows + window-set Jaccard per source pair
+    — one window-keyed shuffle, output bounded by sources²."""
+    from muller_spark.operators.dedup import source_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_overlap(docs, "text", "source", n=5)
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_normalized": q_dedup_normalized,
     "q_scalar_functions": q_scalar_functions,
@@ -1718,6 +1728,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_unigram_logprob": q_unigram_logprob,
     "q_quality_filtered": q_quality_filtered,
     "q_quality_classifier": q_quality_classifier,
+    "q_source_overlap": q_source_overlap,
 }
 
 _STOPWORD_SQL = "('a','the','of','and','to')"
@@ -3077,6 +3088,36 @@ _ORACLES: dict[str, str] = {
                  count(*) OVER (PARTITION BY source) AS n
           FROM r
         ) WHERE rn <= ceil(n * 0.3) ORDER BY doc_id
+    """,
+    "q_source_overlap": f"""
+        WITH toks AS (
+          SELECT source AS g, {_TOKENS_SQL} AS t FROM documents
+        ), w0 AS (
+          SELECT DISTINCT g,
+                 unnest(CASE WHEN len(t) >= 5
+                   THEN list_transform(range(1, len(t) - 3),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+                   ELSE []::VARCHAR[] END) AS w
+          FROM toks
+        ), keep AS (
+          SELECT w FROM w0 GROUP BY w HAVING count(*) <= 1000
+        ), w1 AS (
+          SELECT w0.g, w0.w FROM w0 JOIN keep USING (w)
+        ), totals AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS tot FROM w1 GROUP BY g
+        ), shared AS (
+          SELECT a.g AS group_a, b.g AS group_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM w1 a JOIN w1 b ON a.w = b.w AND a.g < b.g
+          GROUP BY 1, 2
+        )
+        SELECT group_a, group_b, n_shared,
+               round(n_shared / CAST(ta.tot + tb.tot - n_shared AS DOUBLE), 6)
+                 AS jaccard
+        FROM shared
+        JOIN totals ta ON ta.g = group_a
+        JOIN totals tb ON tb.g = group_b
+        ORDER BY group_a, group_b
     """,
 }
 

@@ -70,6 +70,7 @@ HEADLINE = [
     "q_moving_avg",
     "q_histogram",
     "q_unique_violations",
+    "q_source_overlap",
 ]
 
 

@@ -1225,3 +1225,82 @@ def compact_dedup_ledger(spark, path: str) -> None:
         fs.rename(p_bak, p_old)  # roll back, keep the ledger readable
         raise IOError(f"compact_dedup_ledger: rename {compacted} -> {path} failed")
     fs.delete(p_bak, True)
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    n: int = 5,
+    max_groups_per_window: int = 1000,
+) -> DataFrame:
+    """Cross-group contamination matrix: for every pair of groups
+    (sources / crawl dumps / snapshots), how much token n-gram window
+    content they share — the "did these two crawls scrape the same
+    sites" curation diagnostic.
+
+    Returns ``(group_a, group_b, n_shared, jaccard)`` with
+    ``group_a < group_b``; ``jaccard`` is over the groups' DISTINCT
+    window sets (round6).
+
+    Scale shape: one explode → ONE shuffle on the window key, grouping
+    each window to its sorted set of containing groups; pairs are then
+    generated JVM-side from that array (no self-join, so the window
+    frame is computed once, not three times) and aggregated — output is
+    bounded by groups², not rows.  Windows present in more than
+    ``max_groups_per_window`` groups are dropped before pair generation
+    (universal boilerplate would contribute a groups²-sized constant to
+    every pair while carrying no signal; a hot window's pair fan-out is
+    also quadratic in its group count, so the guard bounds the Generate
+    as well)."""
+    w = (
+        ensure_parallelism(df.select(group_col, text_col))
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(_shingle_windows(F.col(text_col), n)).alias("w"),
+        )
+        .dropDuplicates(["g", "w"])
+    )
+    grouped = w.groupBy("w").agg(F.sort_array(F.collect_set("g")).alias("gs"))
+    if max_groups_per_window is not None:
+        grouped = grouped.filter(F.size("gs") <= max_groups_per_window)
+    # totals and pairs are two branches over the same grouped frame;
+    # the shuffle is identical so Spark reuses the Exchange — no
+    # checkpoint pin needed (the grouped frame is corpus-sized)
+    totals = (
+        grouped.select(F.explode("gs").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("tot"))
+    )
+    # ordered pairs from the sorted group array: (gs[i], gs[j]) for i<j
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("gs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("gs"), i + 2, F.size("gs")),
+                lambda y: F.struct(x.alias("group_a"), y.alias("group_b")),
+            ),
+        )
+    )
+    shared = (
+        grouped.filter(F.size("gs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.group_a").alias("group_a"),
+                 F.col("p.group_b").alias("group_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = totals.select(F.col("g").alias("group_a"), F.col("tot").alias("_ta"))
+    tb = totals.select(F.col("g").alias("group_b"), F.col("tot").alias("_tb"))
+    return (
+        shared.join(F.broadcast(ta), "group_a")
+        .join(F.broadcast(tb), "group_b")
+        .select(
+            "group_a", "group_b", "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("_ta") + F.col("_tb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("group_a", "group_b")
+    )

@@ -87,3 +87,36 @@ def test_top_ngrams_trigram(spark):
     assert en[0] == ("x y z", 3, 1)  # 2 in doc1 + 1 in doc2
     # "de" doc has only 2 tokens -> no trigram rows at all
     assert not [r for r in out if r["lang"] == "de"]
+
+
+def test_source_overlap_guard_and_values(spark):
+    from muller_spark.operators.dedup import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "alpha beta gamma delta"),
+            ("s2", "alpha beta gamma echo"),
+            ("s3", "zeta eta theta iota"),
+            # boilerplate present in EVERY source
+            ("s1", "common one two three"),
+            ("s2", "common one two three"),
+            ("s3", "common one two three"),
+        ],
+        "source string, text string",
+    )
+    out = {
+        (r["group_a"], r["group_b"]): (r["n_shared"], r["jaccard"])
+        for r in source_overlap(df, "text", "source", n=3).collect()
+    }
+    # s1/s2 share 'alpha beta gamma' + 2 boilerplate windows
+    assert out[("s1", "s2")][0] == 3
+    # with the guard at 2 groups, the everywhere-boilerplate drops and
+    # only the real shared trigram remains
+    guarded = {
+        (r["group_a"], r["group_b"]): r["n_shared"]
+        for r in source_overlap(
+            df, "text", "source", n=3, max_groups_per_window=2
+        ).collect()
+    }
+    assert guarded[("s1", "s2")] == 1
+    assert ("s1", "s3") not in guarded  # only boilerplate linked them
