@@ -148,3 +148,33 @@ def test_tile_boundary_parity(spark):
         ).collect()
     }
     assert (0, 4099) in got and (1, 4098) in got
+
+
+def test_semantic_dedup_reuses_ivf_centroids(spark, emb, tmp_path_factory):
+    """Index/dedup composition: the IVF index's coarse quantizer doubles
+    as the SemDeDup cell assignment — one training pass serves search
+    AND dedup, and the pair set matches training fresh centroids from
+    the same artifacts."""
+    from muller_spark.index.vector import build_ivf_artifacts, load_ivf_centroids
+    from muller_spark.operators.dedup import semantic_dup_pairs
+
+    path = str(tmp_path_factory.mktemp("ivfsem") / "idx")
+    build_ivf_artifacts(emb, "embedding", "vec_id", path, num_centroids=6,
+                        sample_size=65536, seed=7)
+    cents = load_ivf_centroids(spark, path)
+    via_index = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dup_pairs(
+            emb, "embedding", "vec_id", threshold=THRESH, centroids=cents
+        ).collect()
+    }
+    assert len(via_index) > 0
+    # identical centroids -> identical pair set (loaded vs in-memory)
+    direct = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dup_pairs(
+            emb, "embedding", "vec_id", threshold=THRESH,
+            centroids=load_ivf_centroids(spark, path),
+        ).collect()
+    }
+    assert via_index == direct
