@@ -1621,6 +1621,16 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score (operators/text.bigram_logprob):
+    lam=0.75 so both interpolation literals are exactly representable
+    doubles in both engines; round5 for the transcendental log2."""
+    from muller_spark.operators.text import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "text", "doc_id", lam=0.75).orderBy("id")
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix (operators/dedup.source_overlap):
     shared distinct 5-gram windows + window-set Jaccard per source pair
@@ -1729,6 +1739,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quality_filtered": q_quality_filtered,
     "q_quality_classifier": q_quality_classifier,
     "q_source_overlap": q_source_overlap,
+    "q_bigram_logprob": q_bigram_logprob,
 }
 
 _STOPWORD_SQL = "('a','the','of','and','to')"
@@ -3088,6 +3099,43 @@ _ORACLES: dict[str, str] = {
                  count(*) OVER (PARTITION BY source) AS n
           FROM r
         ) WHERE rn <= ceil(n * 0.3) ORDER BY doc_id
+    """,
+    "q_bigram_logprob": f"""
+        WITH toks AS (
+          SELECT doc_id AS id, {_TOKENS_SQL} AS t FROM documents
+        ), pos AS (
+          SELECT id, unnest(t) AS tok,
+                 generate_subscripts(t, 1) AS pos
+          FROM toks
+        ), uni AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS uc FROM pos GROUP BY tok
+        ), tot AS (
+          SELECT CAST(sum(uc) AS BIGINT) AS total FROM uni
+        ), bi AS (
+          SELECT a.id, a.tok AS prev, b.tok AS tok
+          FROM pos a JOIN pos b ON a.id = b.id AND b.pos = a.pos + 1
+        ), bic AS (
+          SELECT prev, tok, CAST(count(*) AS BIGINT) AS bc
+          FROM bi GROUP BY 1, 2
+        ), per AS (
+          SELECT id, prev, tok, CAST(count(*) AS BIGINT) AS k
+          FROM bi GROUP BY 1, 2, 3
+        ), prevc AS (
+          SELECT tok AS prev, uc AS pc FROM uni
+        ), sc AS (
+          SELECT id, CAST(sum(k) AS BIGINT) AS nb,
+                 sum(k * log2(0.75 * (bc / CAST(pc AS DOUBLE))
+                              + 0.25 * (uc / CAST(total AS DOUBLE)))) AS slp
+          FROM per
+          JOIN bic USING (prev, tok)
+          JOIN prevc USING (prev)
+          JOIN uni USING (tok), tot
+          GROUP BY id
+        ), nt AS (
+          SELECT id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+        )
+        SELECT nt.id, n_tokens, round(slp / nb, 5) AS avg_logprob
+        FROM nt LEFT JOIN sc ON nt.id = sc.id ORDER BY nt.id
     """,
     "q_source_overlap": f"""
         WITH toks AS (

@@ -437,3 +437,79 @@ def unigram_logprob(
         )
     )
     return scored
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lam: float = 0.7,
+    round_to: int = 5,
+) -> DataFrame:
+    """Interpolated bigram LM score per document:
+    ``P(tok|prev) = lam·P_bi + (1−lam)·P_uni`` with both distributions
+    trained on the corpus itself (MLE; the unigram interpolation floor
+    makes unseen-in-train bigrams impossible only for the first token,
+    which scores as unigram).  Better gibberish separation than
+    :func:`unigram_logprob` because shuffled real words keep their
+    unigram mass but lose their bigram mass.
+
+    Returns ``(id, n_tokens, avg_logprob)`` — avg over positions 2..n
+    of log2 of the interpolated probability, round5 (log2 is
+    transcendental).  Documents with < 2 tokens get NULL avg_logprob.
+
+    Scale shape: one explode with position (posexplode), bigram pairs
+    by (id, pos)→(id, pos+1) self-alignment done as a shifted join on
+    the SAME exploded frame — both sides shuffle once on the id key —
+    then count tables join on their token keys (AQE broadcasts small
+    vocabularies).  No window over the corpus: the shift uses the
+    position column, not lag()."""
+    toks = tokens_of(F.col(text_col))
+    pos = df.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    # bigram frame: (id, prev, tok) via position shift
+    nxt = pos.select(
+        F.col("id"), (F.col("pos") - 1).alias("pos"), F.col("tok").alias("tok2")
+    )
+    bi = pos.join(nxt, ["id", "pos"]).select("id", F.col("tok").alias("prev"),
+                                             F.col("tok2").alias("tok"))
+    uni = pos.groupBy("tok").agg(F.count(F.lit(1)).alias("uc"))
+    total = uni.agg(F.sum(F.col("uc").cast("long")).alias("total"))
+    bic = bi.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("bc"))
+    prevc = pos.groupBy("tok").agg(F.count(F.lit(1)).alias("pc")).withColumnRenamed(
+        "tok", "prev"
+    )
+    # per-(doc, prev, tok) multiplicities so joins move distinct keys
+    per = bi.groupBy("id", "prev", "tok").agg(F.count(F.lit(1)).alias("k"))
+    scored = (
+        per.join(bic, ["prev", "tok"])
+        .join(prevc, "prev")
+        .join(uni, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_lp",
+            F.log2(
+                F.lit(lam) * (F.col("bc") / F.col("pc"))
+                + F.lit(1.0 - lam) * (F.col("uc") / F.col("total"))
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("_lp")).alias("_slp"),
+        )
+    )
+    n_tok = df.select(
+        F.col(id_col).alias("id"), F.size(tokens_of(F.col(text_col))).alias("n_tokens")
+    )
+    return (
+        n_tok.join(scored, "id", "left")
+        .select(
+            "id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("_slp") / F.col("n_bigrams"), round_to).alias(
+                "avg_logprob"
+            ),
+        )
+    )

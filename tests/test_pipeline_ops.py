@@ -120,3 +120,53 @@ def test_source_overlap_guard_and_values(spark):
     }
     assert guarded[("s1", "s2")] == 1
     assert ("s1", "s3") not in guarded  # only boilerplate linked them
+
+
+def test_bigram_logprob_hand_math(spark):
+    # corpus: doc1 "a b a b", doc2 "b a"
+    # uni: a:3 b:3 total 6; bigrams: (a,b):2 (b,a):2
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a")], "doc_id long, text string"
+    )
+    from muller_spark.operators.text import bigram_logprob
+
+    out = {r["id"]: r for r in bigram_logprob(df, "text", "doc_id", lam=0.75).collect()}
+    lam = 0.75
+    p_ab = lam * (2 / 3) + (1 - lam) * (3 / 6)  # P(b|a)
+    p_ba = lam * (2 / 3) + (1 - lam) * (3 / 6)  # P(a|b), symmetric here
+    exp1 = (math.log2(p_ab) + math.log2(p_ba) + math.log2(p_ab)) / 3
+    exp2 = math.log2(p_ba) / 1
+    assert out[1]["n_tokens"] == 4
+    assert abs(out[1]["avg_logprob"] - round(exp1, 5)) < 1e-9
+    assert abs(out[2]["avg_logprob"] - round(exp2, 5)) < 1e-9
+    # single-token doc -> NULL score, still present
+    df2 = spark.createDataFrame([(1, "a b a b"), (3, "only")], "doc_id long, text string")
+    row = {r["id"]: r for r in bigram_logprob(df2, "text", "doc_id").collect()}[3]
+    assert row["n_tokens"] == 1 and row["avg_logprob"] is None
+
+
+def test_bigram_beats_unigram_on_shuffled_text(spark):
+    """Shuffled real words keep unigram mass but lose bigram mass: the
+    bigram score separates scrambled docs where unigram cannot."""
+    import random
+
+    from muller_spark.operators.text import bigram_logprob, unigram_logprob
+
+    sent = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rng = random.Random(5)
+    words = sent.split()
+    rows = [(i, sent) for i in range(20)]
+    scrambled = []
+    for i in range(20, 30):
+        w = words[:]
+        rng.shuffle(w)
+        scrambled.append((i, " ".join(w)))
+    df = spark.createDataFrame(rows + scrambled, "doc_id long, text string")
+    bi = {r["id"]: r["avg_logprob"] for r in bigram_logprob(df, "text", "doc_id").collect()}
+    un = {r["id"]: r["avg_logprob"] for r in unigram_logprob(df, "text", "doc_id").collect()}
+    bi_real = sum(bi[i] for i in range(20)) / 20
+    bi_scr = sum(bi[i] for i in range(20, 30)) / 10
+    un_real = sum(un[i] for i in range(20)) / 20
+    un_scr = sum(un[i] for i in range(20, 30)) / 10
+    assert abs(un_real - un_scr) < 1e-6  # unigram is blind to order
+    assert bi_real > bi_scr + 0.2  # bigram separates clearly
