@@ -1621,6 +1621,22 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style normalization + char entropy
+    (operators/text.ccnet_normalize/char_entropy): the accent-fold
+    translate table is shared VERBATIM with the oracle, so parity is by
+    construction; entropy is a single run-length pass over the sorted
+    char array (round5)."""
+    from muller_spark.operators.text import ccnet_normalize, char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        ccnet_normalize(F.col("text")).alias("norm_text"),
+        char_entropy(F.col("text")).alias("entropy"),
+    ).orderBy("id")
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM score (operators/text.bigram_logprob):
     lam=0.75 so both interpolation literals are exactly representable
@@ -1740,6 +1756,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quality_classifier": q_quality_classifier,
     "q_source_overlap": q_source_overlap,
     "q_bigram_logprob": q_bigram_logprob,
+    "q_text_normalize": q_text_normalize,
 }
 
 _STOPWORD_SQL = "('a','the','of','and','to')"
@@ -1757,6 +1774,10 @@ _STOP_EN_SQL_LIST = "[" + _STOP_EN_SQL[1:-1] + "]"
 
 # Portable-hash dedup oracles share literals with the Spark operators.
 from muller_spark.operators.dedup import minhash_coefficients  # noqa: E402
+from muller_spark.operators.text import (  # noqa: E402
+    ACCENT_DST as _ACCENT_DST,
+    ACCENT_SRC as _ACCENT_SRC,
+)
 
 _MH_A, _MH_B = minhash_coefficients(64)
 # list of {'a':…,'b':…} structs so the per-hash coefficients are a bound
@@ -3136,6 +3157,31 @@ _ORACLES: dict[str, str] = {
         )
         SELECT nt.id, n_tokens, round(slp / nb, 5) AS avg_logprob
         FROM nt LEFT JOIN sc ON nt.id = sc.id ORDER BY nt.id
+    """,
+    "q_text_normalize": f"""
+        WITH n AS (
+          SELECT doc_id AS id,
+                 regexp_replace(trim(regexp_replace(regexp_replace(
+                   translate(lower(text), '{_ACCENT_SRC}', '{_ACCENT_DST}'),
+                   '[0-9]', '0', 'g'),
+                   '[^a-z0一-鿿\\s]+', ' ', 'g')), '\\s+', ' ', 'g')
+                   AS norm_text
+          FROM documents
+        ), chars AS (
+          SELECT doc_id AS id, unnest(string_split(text, '')) AS ch
+          FROM documents WHERE length(text) > 0
+        ), cnts AS (
+          SELECT id, ch, CAST(count(*) AS BIGINT) AS c
+          FROM chars GROUP BY id, ch
+        ), ent AS (
+          SELECT id,
+                 round(log2(CAST(sum(c) AS DOUBLE))
+                       - sum(c * log2(CAST(c AS DOUBLE)))
+                         / CAST(sum(c) AS DOUBLE), 5) AS entropy
+          FROM cnts GROUP BY id
+        )
+        SELECT n.id, n.norm_text, coalesce(ent.entropy, 0.0) AS entropy
+        FROM n LEFT JOIN ent ON n.id = ent.id ORDER BY n.id
     """,
     "q_source_overlap": f"""
         WITH toks AS (

@@ -71,6 +71,8 @@ HEADLINE = [
     "q_histogram",
     "q_unique_violations",
     "q_source_overlap",
+    "q_bigram_logprob",
+    "q_text_normalize",
 ]
 
 

@@ -513,3 +513,64 @@ def bigram_logprob(
             ),
         )
     )
+
+
+# accent-fold table (shared verbatim with the DuckDB oracle so both
+# engines translate identically — Latin-1/Latin-Extended-A coverage)
+ACCENT_SRC = "àáâãäåāăąçćĉċčèéêëēĕėęěìíîïĩīĭįıñńņňòóôõöøōŏőùúûüũūŭůűųýÿŷšśŝşžźżđðþß"
+ACCENT_DST = "aaaaaaaaaccccceeeeeeeeeiiiiiiiiinnnnoooooooooouuuuuuuuuuyyyssssszzzddtb"
+
+
+def ccnet_normalize(col: Column) -> Column:
+    """CCNet-style text normalization for dedup/LM training: lowercase,
+    fold accents (fixed translate table — the SAME table string feeds
+    the SQL oracle, so parity is by construction), map every digit to
+    0, strip non-text punctuation to spaces, collapse whitespace.
+    Entirely JVM-side (translate + regexp) — codegen, no UDF."""
+    x = F.lower(col)
+    x = F.translate(x, ACCENT_SRC, ACCENT_DST)
+    x = F.regexp_replace(x, "[0-9]", "0")
+    x = F.regexp_replace(x, r"[^a-z0一-鿿\s]+", " ")
+    return F.regexp_replace(F.trim(x), r"\s+", " ")
+
+
+def char_entropy(col: Column, round_to: int = 5) -> Column:
+    """Shannon entropy (bits/char) of the character distribution —
+    near-zero entropy flags repeated-character junk; unusually high
+    entropy flags base64/binary spill.
+
+    Single O(chars) pass: sort the char array, accumulate run lengths
+    and Σ r·log2(r) at run boundaries in one struct-accumulator
+    aggregate, then H = log2(n) − Σ r·log2(r) / n.  (The obvious
+    count-map formulation re-evaluates the map per element inside HOF
+    lambdas — the same subexpression trap as chunk/top_ngrams — and a
+    run of it measured ~30× slower.)  round5: log2 is transcendental."""
+    chars = F.array_sort(F.filter(F.split(col, ""), lambda c: c != ""))
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0.0).alias("s"),
+        F.lit(0).alias("cnt"),
+    )
+
+    def step(acc, c):
+        same = acc["prev"] == c
+        closed = F.when(
+            (~same) & (acc["run"] > 0),
+            acc["s"] + acc["run"] * F.log2(acc["run"]),
+        ).otherwise(acc["s"])
+        return F.struct(
+            c.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            closed.alias("s"),
+            (acc["cnt"] + 1).alias("cnt"),
+        )
+
+    def finish(acc):
+        s = F.when(
+            acc["run"] > 0, acc["s"] + acc["run"] * F.log2(acc["run"])
+        ).otherwise(acc["s"])
+        n = acc["cnt"].cast("double")
+        return F.when(acc["cnt"] > 0, F.log2(n) - s / n).otherwise(F.lit(0.0))
+
+    return F.round(F.aggregate(chars, zero, step, finish), round_to)

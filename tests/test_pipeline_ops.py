@@ -170,3 +170,22 @@ def test_bigram_beats_unigram_on_shuffled_text(spark):
     un_scr = sum(un[i] for i in range(20, 30)) / 10
     assert abs(un_real - un_scr) < 1e-6  # unigram is blind to order
     assert bi_real > bi_scr + 0.2  # bigram separates clearly
+
+
+def test_ccnet_normalize_and_entropy(spark):
+    from muller_spark.operators.text import ccnet_normalize, char_entropy
+
+    df = spark.createDataFrame(
+        [("Héllo, Wörld 123!",), ("aaaa",), ("",), ("aab",)], "t string"
+    )
+    rows = df.select(
+        ccnet_normalize(F.col("t")).alias("n"),
+        char_entropy(F.col("t")).alias("e"),
+    ).collect()
+    got = [(r["n"], r["e"]) for r in rows]
+    assert got[0][0] == "hello world 000"
+    assert got[1] == ("aaaa", 0.0)
+    assert got[2] == ("", 0.0)
+    # p(a)=2/3, p(b)=1/3
+    exp = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(got[3][1] - round(exp, 5)) < 1e-9
