@@ -1621,6 +1621,22 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift (operators/text.vocab_drift): top-50 tokens by
+    add-1-smoothed KL(P‖Q) contribution between the English slice and
+    the rest — per-side hash agg + token-keyed full-outer join, never a
+    corpus-sized sort."""
+    from muller_spark.operators.text import vocab_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_drift(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "text",
+        k=50,
+    )
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style normalization + char entropy
     (operators/text.ccnet_normalize/char_entropy): the accent-fold
@@ -1757,6 +1773,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_source_overlap": q_source_overlap,
     "q_bigram_logprob": q_bigram_logprob,
     "q_text_normalize": q_text_normalize,
+    "q_vocab_drift": q_vocab_drift,
 }
 
 _STOPWORD_SQL = "('a','the','of','and','to')"
@@ -3157,6 +3174,38 @@ _ORACLES: dict[str, str] = {
         )
         SELECT nt.id, n_tokens, round(slp / nb, 5) AS avg_logprob
         FROM nt LEFT JOIN sc ON nt.id = sc.id ORDER BY nt.id
+    """,
+    "q_vocab_drift": f"""
+        WITH ta AS (
+          SELECT unnest({_TOKENS_SQL}) AS token FROM documents
+          WHERE lang = 'en'
+        ), tb AS (
+          SELECT unnest({_TOKENS_SQL}) AS token FROM documents
+          WHERE lang <> 'en'
+        ), ca AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS ca FROM ta GROUP BY token
+        ), cb AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS cb FROM tb GROUP BY token
+        ), j AS (
+          SELECT coalesce(ca.token, cb.token) AS token,
+                 CAST(coalesce(ca, 0) AS BIGINT) AS ca,
+                 CAST(coalesce(cb, 0) AS BIGINT) AS cb
+          FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
+        ), tot AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS tta,
+                 CAST(sum(cb) AS BIGINT) AS ttb,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM j
+        )
+        SELECT token,
+               round((ca + 1) / CAST(tta + v AS DOUBLE), 9) AS p,
+               round((cb + 1) / CAST(ttb + v AS DOUBLE), 9) AS q,
+               round(((ca + 1) / CAST(tta + v AS DOUBLE))
+                     * log2(((ca + 1) / CAST(tta + v AS DOUBLE))
+                            / ((cb + 1) / CAST(ttb + v AS DOUBLE))), 5)
+                 AS kl_bits
+        FROM j, tot
+        ORDER BY kl_bits DESC, token ASC LIMIT 50
     """,
     "q_text_normalize": f"""
         WITH n AS (

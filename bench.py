@@ -73,6 +73,7 @@ HEADLINE = [
     "q_source_overlap",
     "q_bigram_logprob",
     "q_text_normalize",
+    "q_vocab_drift",
 ]
 
 

@@ -574,3 +574,57 @@ def char_entropy(col: Column, round_to: int = 5) -> Column:
         return F.when(acc["cnt"] > 0, F.log2(n) - s / n).otherwise(F.lit(0.0))
 
     return F.round(F.aggregate(chars, zero, step, finish), round_to)
+
+
+def vocab_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str,
+    k: int = 50,
+    round_to: int = 5,
+) -> DataFrame:
+    """Token-distribution drift between two corpus slices (snapshots,
+    sources, train vs incoming batch): per-token contribution to
+    KL(P‖Q) in bits, P from ``df_a`` and Q from ``df_b``, add-1
+    smoothed over the union vocabulary so unseen tokens stay finite.
+    Returns the top ``k`` drift-driving tokens
+    ``(token, p, q, kl_bits)`` ordered by contribution (desc, token
+    tie-break) — the drift-monitoring primitive for detecting topic /
+    pipeline changes between ingests.
+
+    Scale shape: one hash aggregate per side, a full-outer join on the
+    token key, and a top-k sort of the (vocabulary-sized, not
+    corpus-sized) result.  Totals fold in via broadcast 1-row
+    aggregates."""
+    def counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(tokens_of(F.col(text_col))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    ca = counts(df_a).withColumnRenamed("c", "ca")
+    cb = counts(df_b).withColumnRenamed("c", "cb")
+    joined = ca.join(cb, "token", "full_outer").select(
+        "token",
+        F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+        F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+    )
+    tot = joined.agg(
+        F.sum("ca").alias("ta"),
+        F.sum("cb").alias("tb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p = (F.col("ca") + 1) / (F.col("ta") + F.col("v")).cast("double")
+    q = (F.col("cb") + 1) / (F.col("tb") + F.col("v")).cast("double")
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            F.round(p, round_to + 4).alias("p"),
+            F.round(q, round_to + 4).alias("q"),
+            F.round(p * F.log2(p / q), round_to).alias("kl_bits"),
+        )
+        .orderBy(F.col("kl_bits").desc(), F.col("token").asc())
+        .limit(k)
+    )

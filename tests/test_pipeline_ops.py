@@ -189,3 +189,24 @@ def test_ccnet_normalize_and_entropy(spark):
     # p(a)=2/3, p(b)=1/3
     exp = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
     assert abs(got[3][1] - round(exp, 5)) < 1e-9
+
+
+def test_vocab_drift_direction(spark):
+    """A token exclusive to side A dominates KL(P||Q); a B-exclusive
+    token contributes ~nothing to it (it shrinks P's mass, not grows)."""
+    from muller_spark.operators.text import vocab_drift
+
+    a = spark.createDataFrame(
+        [("common words here shifted shifted shifted",)] * 5, "text string"
+    )
+    b = spark.createDataFrame(
+        [("common words here other other other",)] * 5, "text string"
+    )
+    out = vocab_drift(a, b, "text", k=10).collect()
+    assert out[0]["token"] == "shifted"
+    ranks = {r["token"]: i for i, r in enumerate(out)}
+    assert ranks["shifted"] < ranks["other"]
+    kl = {r["token"]: r["kl_bits"] for r in out}
+    assert kl["shifted"] > 0 and kl["other"] < kl["shifted"]
+    # shared tokens with equal frequency contribute ~0
+    assert abs(kl["common"]) < 0.01
