@@ -1621,6 +1621,19 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix over four lineitem measures
+    (operators/aggregate.correlation_matrix): every sum / square /
+    cross-product as a decimal-exact power sum in ONE aggregate pass,
+    unpivoted to pairs."""
+    from muller_spark.operators.aggregate import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary drift (operators/text.vocab_drift): top-50 tokens by
     add-1-smoothed KL(P‖Q) contribution between the English slice and
@@ -1774,6 +1787,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bigram_logprob": q_bigram_logprob,
     "q_text_normalize": q_text_normalize,
     "q_vocab_drift": q_vocab_drift,
+    "q_corr_matrix": q_corr_matrix,
 }
 
 _STOPWORD_SQL = "('a','the','of','and','to')"
@@ -3174,6 +3188,44 @@ _ORACLES: dict[str, str] = {
         )
         SELECT nt.id, n_tokens, round(slp / nb, 5) AS avg_logprob
         FROM nt LEFT JOIN sc ON nt.id = sc.id ORDER BY nt.id
+    """,
+    "q_corr_matrix": """
+        WITH a AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS s_l_quantity,\n                 CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS q_l_quantity,\n                 CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS s_l_extendedprice,\n                 CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS q_l_extendedprice,\n                 CAST(sum(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE) AS s_l_discount,\n                 CAST(sum(CAST(l_discount * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS q_l_discount,\n                 CAST(sum(CAST(l_tax AS DECIMAL(30,4))) AS DOUBLE) AS s_l_tax,\n                 CAST(sum(CAST(l_tax * l_tax AS DECIMAL(30,4))) AS DOUBLE) AS q_l_tax,\n                 CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS x_l_quantity_l_extendedprice,\n                 CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS x_l_quantity_l_discount,\n                 CAST(sum(CAST(l_quantity * l_tax AS DECIMAL(30,4))) AS DOUBLE) AS x_l_quantity_l_tax,\n                 CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS x_l_extendedprice_l_discount,\n                 CAST(sum(CAST(l_extendedprice * l_tax AS DECIMAL(30,4))) AS DOUBLE) AS x_l_extendedprice_l_tax,\n                 CAST(sum(CAST(l_discount * l_tax AS DECIMAL(30,4))) AS DOUBLE) AS x_l_discount_l_tax
+          FROM lineitem
+        )
+          SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                 round((n * x_l_quantity_l_extendedprice - s_l_quantity * s_l_extendedprice)
+                       / sqrt((n * q_l_quantity - s_l_quantity * s_l_quantity)
+                              * (n * q_l_extendedprice - s_l_extendedprice * s_l_extendedprice)), 6) AS corr
+          FROM a          UNION ALL
+          SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+                 round((n * x_l_quantity_l_discount - s_l_quantity * s_l_discount)
+                       / sqrt((n * q_l_quantity - s_l_quantity * s_l_quantity)
+                              * (n * q_l_discount - s_l_discount * s_l_discount)), 6) AS corr
+          FROM a          UNION ALL
+          SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b,
+                 round((n * x_l_quantity_l_tax - s_l_quantity * s_l_tax)
+                       / sqrt((n * q_l_quantity - s_l_quantity * s_l_quantity)
+                              * (n * q_l_tax - s_l_tax * s_l_tax)), 6) AS corr
+          FROM a          UNION ALL
+          SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b,
+                 round((n * x_l_extendedprice_l_discount - s_l_extendedprice * s_l_discount)
+                       / sqrt((n * q_l_extendedprice - s_l_extendedprice * s_l_extendedprice)
+                              * (n * q_l_discount - s_l_discount * s_l_discount)), 6) AS corr
+          FROM a          UNION ALL
+          SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b,
+                 round((n * x_l_extendedprice_l_tax - s_l_extendedprice * s_l_tax)
+                       / sqrt((n * q_l_extendedprice - s_l_extendedprice * s_l_extendedprice)
+                              * (n * q_l_tax - s_l_tax * s_l_tax)), 6) AS corr
+          FROM a          UNION ALL
+          SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
+                 round((n * x_l_discount_l_tax - s_l_discount * s_l_tax)
+                       / sqrt((n * q_l_discount - s_l_discount * s_l_discount)
+                              * (n * q_l_tax - s_l_tax * s_l_tax)), 6) AS corr
+          FROM a
+        ORDER BY col_a, col_b
     """,
     "q_vocab_drift": f"""
         WITH ta AS (

@@ -74,6 +74,7 @@ HEADLINE = [
     "q_bigram_logprob",
     "q_text_normalize",
     "q_vocab_drift",
+    "q_corr_matrix",
 ]
 
 

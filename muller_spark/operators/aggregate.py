@@ -193,3 +193,58 @@ def histogram(df: DataFrame, column: str, bins: int = 10) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: "list[str]",
+    round_to: int = 6,
+) -> DataFrame:
+    """Pearson correlation for every column pair in ONE aggregate pass:
+    all sums, squares, and cross-products accumulate as decimal-exact
+    power sums in the same partial aggregation (d + d + d(d-1)/2
+    aggregates, map-side combined), then the single result row unpivots
+    to ``(col_a, col_b, corr)`` pairs with ``col_a < col_b``.
+
+    Decimal casts make both engines do identical double arithmetic on
+    exact inputs — the same float discipline as the corr/covar query
+    (built-in ``corr`` streams floats in partition order and cannot
+    hash-match across engines)."""
+    n = F.count(F.lit(1)).cast("double").alias("_n")
+    aggs = [n]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(30,4)")).cast("double").alias(f"_s_{c}")
+        )
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast("decimal(30,4)"))
+            .cast("double").alias(f"_q_{c}")
+        )
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast("decimal(30,4)"))
+            .cast("double").alias(f"_x_{a}_{b}")
+        )
+    one = df.agg(*aggs)
+    out_rows = []
+    for a, b in pairs:
+        num = F.col("_n") * F.col(f"_x_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}")
+        den = F.sqrt(
+            (F.col("_n") * F.col(f"_q_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}"))
+            * (F.col("_n") * F.col(f"_q_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}"))
+        )
+        out_rows.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(num / den, round_to).alias("corr"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*out_rows)).alias("p"))
+        .select("p.col_a", "p.col_b", "p.corr")
+        .orderBy("col_a", "col_b")
+    )
