@@ -228,23 +228,32 @@ def correlation_matrix(
             F.sum((F.col(a) * F.col(b)).cast("decimal(30,4)"))
             .cast("double").alias(f"_x_{a}_{b}")
         )
-    one = df.agg(*aggs)
-    out_rows = []
+    # land the 1-row power-sum aggregate, then assemble the tiny pair
+    # frame locally.  This is a bounded scalar collect, not a corpus
+    # collect — and it matters: expressing the pair unpivot as
+    # explode(array(struct(<full corr expression>, ...))) made Catalyst
+    # + AQE re-optimize the blown-up Generate tree on every action
+    # (~0.7 s per re-plan, 4 s per materialization at ANY data size).
+    # The ratio arithmetic runs in numpy float64 — the same IEEE ops in
+    # the same order the JVM would execute, so values are bit-identical
+    # — and the final round stays Spark-side to keep HALF_UP parity
+    # with the SQL oracle.
+    import numpy as np
+
+    row = df.agg(*aggs).collect()[0]
+    n = np.float64(row["_n"])
+    out = []
     for a, b in pairs:
-        num = F.col("_n") * F.col(f"_x_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}")
-        den = F.sqrt(
-            (F.col("_n") * F.col(f"_q_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}"))
-            * (F.col("_n") * F.col(f"_q_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}"))
-        )
-        out_rows.append(
-            F.struct(
-                F.lit(a).alias("col_a"),
-                F.lit(b).alias("col_b"),
-                F.round(num / den, round_to).alias("corr"),
-            )
-        )
+        sa, sb = np.float64(row[f"_s_{a}"]), np.float64(row[f"_s_{b}"])
+        qa, qb = np.float64(row[f"_q_{a}"]), np.float64(row[f"_q_{b}"])
+        x = np.float64(row[f"_x_{a}_{b}"])
+        num = n * x - sa * sb
+        den = np.sqrt((n * qa - sa * sa) * (n * qb - sb * sb))
+        v = num / den
+        out.append((a, b, None if np.isnan(v) else float(v)))
+    spark = df.sparkSession
     return (
-        one.select(F.explode(F.array(*out_rows)).alias("p"))
-        .select("p.col_a", "p.col_b", "p.corr")
+        spark.createDataFrame(out, "col_a string, col_b string, corr double")
+        .select("col_a", "col_b", F.round("corr", round_to).alias("corr"))
         .orderBy("col_a", "col_b")
     )
