@@ -1621,6 +1621,55 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function battery over per-user event sequences: lag /
+    lead / ntile / percent_rank / cume_dist with a fully deterministic
+    ordering (ts, event_id) — §2.11-adjacent evidence that the whole
+    window family hash-matches DuckDB."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.lag("event_type", 1).over(w).alias("prev_type"),
+            F.lead("event_type", 1).over(w).alias("next_type"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function battery over embeddings: aggregate
+    (sum/mean), zip_with dot-with-self (= squared l2 norm), filter
+    count, sorted head — the §2.11 array-surface evidence, all JVM
+    expressions."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    # float32 at rest; compute in double like the oracle's ::DOUBLE[]
+    v = F.col("embedding").cast("array<double>")
+    total = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    sq = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.round(total, 6).alias("sum_v"),
+            F.round(total / F.size(v), 6).alias("mean_v"),
+            F.round(F.sqrt(sq), 6).alias("l2_norm"),
+            F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+            F.round(F.element_at(F.array_sort(v), 1), 6).alias("min_v"),
+            F.round(F.element_at(F.reverse(F.array_sort(v)), 1), 6).alias("max_v"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson matrix over four lineitem measures
     (operators/aggregate.correlation_matrix): every sum / square /
@@ -1788,6 +1837,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_normalize": q_text_normalize,
     "q_vocab_drift": q_vocab_drift,
     "q_corr_matrix": q_corr_matrix,
+    "q_window_battery": q_window_battery,
+    "q_array_battery": q_array_battery,
 }
 
 _STOPWORD_SQL = "('a','the','of','and','to')"
@@ -3188,6 +3239,32 @@ _ORACLES: dict[str, str] = {
         )
         SELECT nt.id, n_tokens, round(slp / nb, 5) AS avg_logprob
         FROM nt LEFT JOIN sc ON nt.id = sc.id ORDER BY nt.id
+    """,
+    "q_window_battery": """
+        SELECT user_id, event_id,
+               lag(event_type, 1) OVER w AS prev_type,
+               lead(event_type, 1) OVER w AS next_type,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM events WHERE user_id <= 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id
+    """,
+    "q_array_battery": """
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e
+          FROM embeddings WHERE vec_id < 100
+        )
+        SELECT vec_id,
+               round(list_sum(e), 6) AS sum_v,
+               round(list_sum(e) / len(e), 6) AS mean_v,
+               round(sqrt(list_sum(list_transform(e, x -> x * x))), 6)
+                 AS l2_norm,
+               CAST(len(list_filter(e, x -> x > 0)) AS INT) AS n_positive,
+               round(list_sort(e)[1], 6) AS min_v,
+               round(list_reverse_sort(e)[1], 6) AS max_v
+        FROM v ORDER BY vec_id
     """,
     "q_corr_matrix": """
         WITH a AS (
