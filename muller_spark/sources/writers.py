@@ -215,3 +215,47 @@ def to_webdataset(
         _os.path.join(path, "_manifest")
     )
     return df.sparkSession.read.json(_os.path.join(path, "_manifest"))
+
+
+def to_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC export — the second columnar interchange format Spark ships
+    natively (reference's export surface is parquet/json/numpy/arrow at
+    ``muller/core/dataset/export_data/``; ORC is the Spark-side bonus
+    for Hive-ecosystem consumers).  Same visible-columns contract as
+    ``to_parquet``."""
+    _visible(df).write.mode(mode).orc(path)
+
+
+def from_orc(spark, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def to_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int = 100_000,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Sharded JSONL export — the LLM-data interchange format (one JSON
+    object per line, bounded shard sizes so downstream loaders stream
+    without a 100 GB file).  ``maxRecordsPerFile`` bounds rows per
+    file; the partition count is pre-sized from a distributed count so
+    writers don't emit one giant task.  Returns a manifest DataFrame
+    ``(file, rows)`` read back from the landed output — the loader-side
+    contract, verified against what is actually on disk."""
+    from pyspark.sql import functions as F
+
+    out = _visible(df)
+    n = out.count()
+    parts = max(1, (n + rows_per_shard - 1) // rows_per_shard)
+    (
+        out.repartition(parts)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", rows_per_shard)
+        .json(path)
+    )
+    spark = df.sparkSession
+    landed = spark.read.json(path).withColumn(
+        "file", F.input_file_name()
+    )
+    return landed.groupBy("file").agg(F.count(F.lit(1)).alias("rows"))

@@ -726,3 +726,31 @@ def test_to_mindrecord_gate_contract(spark):
     import os as _os
 
     assert not _os.path.exists("/tmp/never_written.mindrecord")
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from muller_spark.sources.writers import from_orc, to_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (2, "b", [3.0, 4.0])],
+        "id long, t string, v array<double>",
+    )
+    path = str(tmp_path / "orc")
+    to_orc(df, path)
+    back = from_orc(spark, path)
+    assert sorted((r["id"], r["t"], tuple(r["v"])) for r in back.collect()) == [
+        (1, "a", (1.0, 2.0)), (2, "b", (3.0, 4.0)),
+    ]
+
+
+def test_jsonl_shards_bounded(spark, tmp_path):
+    from muller_spark.sources.writers import to_jsonl_shards
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    path = str(tmp_path / "jsonl")
+    manifest = to_jsonl_shards(df, path, rows_per_shard=150)
+    rows = manifest.collect()
+    assert sum(r["rows"] for r in rows) == 1000
+    assert max(r["rows"] for r in rows) <= 150
+    # loader-side read agrees
+    assert spark.read.json(path).count() == 1000
