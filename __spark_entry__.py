@@ -1621,6 +1621,32 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget provisioning (operators/sampling.token_budget_sample):
+    per-language token budgets filled in portable-Knuth-hash order;
+    survivors reported per language with their exact token spend —
+    membership is engine-portable, so the oracle checks the SELECTION,
+    not just counts."""
+    from muller_spark.operators.sampling import token_budget_sample
+    from muller_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = token_budget_sample(
+        docs, "text", "lang", F.col("doc_id"),
+        {"en": 5000, "zh": 1500, "de": 1000},
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text")).cast("long")).alias("tokens_spent"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function battery over per-user event sequences: lag /
     lead / ntile / percent_rank / cume_dist with a fully deterministic
@@ -1839,6 +1865,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_corr_matrix": q_corr_matrix,
     "q_window_battery": q_window_battery,
     "q_array_battery": q_array_battery,
+    "q_token_budget": q_token_budget,
 }
 
 _STOPWORD_SQL = "('a','the','of','and','to')"
@@ -3239,6 +3266,26 @@ _ORACLES: dict[str, str] = {
         )
         SELECT nt.id, n_tokens, round(slp / nb, 5) AS avg_logprob
         FROM nt LEFT JOIN sc ON nt.id = sc.id ORDER BY nt.id
+    """,
+    "q_token_budget": f"""
+        WITH h AS (
+          SELECT doc_id, lang, len({_TOKENS_SQL}) AS n_tok,
+                 (((doc_id % 2147483648 + 2147483648) % 2147483648)
+                  * 2654435761) % 4294967296 AS hv
+          FROM documents
+        ), c AS (
+          SELECT doc_id, lang, n_tok,
+                 sum(n_tok) OVER (PARTITION BY lang ORDER BY hv, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                 CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 1500
+                           WHEN 'de' THEN 1000 ELSE 0 END AS budget
+          FROM h
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tokens_spent,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c WHERE cum <= budget
+        GROUP BY lang ORDER BY lang
     """,
     "q_window_battery": """
         SELECT user_id, event_id,

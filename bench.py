@@ -76,6 +76,7 @@ HEADLINE = [
     "q_vocab_drift",
     "q_window_battery",
     "q_array_battery",
+    "q_token_budget",
     # q_corr_matrix stays out of the wall-time set: ~90% of its time is
     # whole-stage-codegen COMPILE of the 15-decimal-agg plan (~0.2 s per
     # decimal aggregate per fresh plan, measured 1/5/10/15-agg sweep),

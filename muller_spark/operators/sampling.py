@@ -201,3 +201,58 @@ def top_fraction_per_group(
         .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
         .drop("__rn", "__n")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    text_col: str,
+    domain_col: str,
+    key: Column,
+    budgets: "dict[str, int]",
+    default_budget: int = 0,
+    salt: int = 0,
+) -> DataFrame:
+    """Token-budget provisioning: per domain, keep the deterministic
+    hash-ordered prefix of rows whose CUMULATIVE token count stays
+    within the domain's budget — how LLM training data is actually
+    provisioned ("3 B tokens of web, 400 M of code"), vs row-count
+    sampling.  A row survives iff its running total INCLUDING itself is
+    ≤ ``budgets[domain]`` (domains absent from ``budgets`` get
+    ``default_budget`` — 0 drops them, like ``mixture_sample``'s
+    documented behavior).
+
+    Determinism: rows order by the same engine-portable Knuth hash as
+    :func:`deterministic_sample` (tie-broken by the key itself), so
+    membership is stable under re-runs, appends, and repartitioning,
+    and reproducible in any engine.
+
+    Scale shape: one shuffle on the domain key and one explicit
+    ROWS-frame window pass; the token count is computed once in the
+    window projection.  Skewed domains bound the single-task window
+    cost — split a dominant domain upstream (same caveat as
+    :func:`top_fraction_per_group`)."""
+    from pyspark.sql import Window
+
+    from muller_spark.operators.text import token_count
+
+    h = _hash_col(key, salt)
+    budget = None
+    for d, b in sorted(budgets.items()):
+        cond = F.col(domain_col) == d
+        budget = F.when(cond, b) if budget is None else budget.when(cond, b)
+    budget = (
+        budget.otherwise(F.lit(default_budget))
+        if budget is not None
+        else F.lit(default_budget)
+    )
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(h.asc(), key.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_count(F.col(text_col)).cast("long")).over(w)
+    return (
+        df.withColumn("__cum", cum)
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )

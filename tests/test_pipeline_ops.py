@@ -210,3 +210,30 @@ def test_vocab_drift_direction(spark):
     assert kl["shifted"] > 0 and kl["other"] < kl["shifted"]
     # shared tokens with equal frequency contribute ~0
     assert abs(kl["common"]) < 0.01
+
+
+def test_token_budget_sample_semantics(spark):
+    from muller_spark.operators.sampling import token_budget_sample
+
+    # every doc is exactly 4 tokens -> budget 10 keeps exactly 2 docs
+    rows = [(i, "w x y z", "a") for i in range(10)]
+    rows += [(100 + i, "p q", "b") for i in range(3)]  # 2-token docs
+    df = spark.createDataFrame(rows, "doc_id long, text string, dom string")
+    kept = token_budget_sample(
+        df, "text", "dom", F.col("doc_id"), {"a": 10, "b": 4}
+    ).collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r["dom"], set()).add(r["doc_id"])
+    assert len(by_dom["a"]) == 2  # 4+4=8 <= 10, third crosses -> dropped
+    assert len(by_dom["b"]) == 2  # 2+2=4 == budget, inclusive
+    # unknown domains drop by default
+    df2 = df.withColumn("dom", F.lit("unlisted"))
+    assert token_budget_sample(
+        df2, "text", "dom", F.col("doc_id"), {"a": 10}
+    ).count() == 0
+    # membership is repartition-stable
+    again = token_budget_sample(
+        df.repartition(7), "text", "dom", F.col("doc_id"), {"a": 10, "b": 4}
+    ).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in kept}
