@@ -412,11 +412,16 @@ def unigram_logprob(
         F.col(id_col).alias("id"), F.explode(toks).alias("tok")
     )
     # (doc, token) multiplicities first: the join then moves one row per
-    # DISTINCT token per doc, not one per occurrence
+    # DISTINCT token per doc, not one per occurrence.  The vocab counts
+    # DERIVE from this frame (sum of multiplicities == occurrence count)
+    # so every branch shares one explode + one (id, tok) shuffle via
+    # ReusedExchange instead of re-tokenizing the corpus per branch.
     per_doc_tok = exploded.groupBy("id", "tok").agg(
         F.count(F.lit(1)).alias("k")
     )
-    vocab = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = per_doc_tok.groupBy("tok").agg(
+        F.sum("k").cast("long").alias("cnt")
+    )
     total = vocab.agg(F.sum(F.col("cnt").cast("long")).alias("total"))
     scored = (
         per_doc_tok.join(vocab, "tok")
