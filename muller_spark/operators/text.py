@@ -463,28 +463,39 @@ def bigram_logprob(
     of log2 of the interpolated probability, round5 (log2 is
     transcendental).  Documents with < 2 tokens get NULL avg_logprob.
 
-    Scale shape: one explode with position (posexplode), bigram pairs
-    by (id, pos)→(id, pos+1) self-alignment done as a shifted join on
-    the SAME exploded frame — both sides shuffle once on the id key —
-    then count tables join on their token keys (AQE broadcasts small
-    vocabularies).  No window over the corpus: the shift uses the
-    position column, not lag()."""
-    toks = tokens_of(F.col(text_col))
-    pos = df.select(
-        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    Scale shape: bigram pairs come straight from the token array — a
+    map-only ``transform`` over positions inside the projected array,
+    then one explode — so there is NO corpus self-join and no window;
+    the only shuffles are the count aggregations and the token-keyed
+    count joins (AQE broadcasts small vocabularies).  The token array
+    is projected into a column before the pair lambda (the
+    tokenize-once discipline shared with ``chunk_documents`` /
+    ``top_ngrams``)."""
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens_of(F.col(text_col)).alias("__toks")
     )
-    # bigram frame: (id, prev, tok) via position shift
-    nxt = pos.select(
-        F.col("id"), (F.col("pos") - 1).alias("pos"), F.col("tok").alias("tok2")
+    tk = F.col("__toks")
+    pair_arr = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("prev"),
+                F.element_at(tk, i + 1).alias("tok"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,tok:string>>"))
+    bi = toked.select("id", F.explode(pair_arr).alias("p")).select(
+        "id", F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok")
     )
-    bi = pos.join(nxt, ["id", "pos"]).select("id", F.col("tok").alias("prev"),
-                                             F.col("tok2").alias("tok"))
-    uni = pos.groupBy("tok").agg(F.count(F.lit(1)).alias("uc"))
+    uni = (
+        toked.select(F.explode(tk).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
     total = uni.agg(F.sum(F.col("uc").cast("long")).alias("total"))
     bic = bi.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("bc"))
-    prevc = pos.groupBy("tok").agg(F.count(F.lit(1)).alias("pc")).withColumnRenamed(
-        "tok", "prev"
-    )
+    prevc = uni.select(F.col("tok").alias("prev"), F.col("uc").alias("pc"))
     # per-(doc, prev, tok) multiplicities so joins move distinct keys
     per = bi.groupBy("id", "prev", "tok").agg(F.count(F.lit(1)).alias("k"))
     scored = (
