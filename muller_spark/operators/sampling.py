@@ -211,6 +211,7 @@ def token_budget_sample(
     budgets: "dict[str, int]",
     default_budget: int = 0,
     salt: int = 0,
+    num_buckets: "int | None" = None,
 ) -> DataFrame:
     """Token-budget provisioning: per domain, keep the deterministic
     hash-ordered prefix of rows whose CUMULATIVE token count stays
@@ -226,15 +227,24 @@ def token_budget_sample(
     membership is stable under re-runs, appends, and repartitioning,
     and reproducible in any engine.
 
-    Scale shape: one shuffle on the domain key and one explicit
-    ROWS-frame window pass; the token count is computed once in the
-    window projection.  Skewed domains bound the single-task window
-    cost — split a dominant domain upstream (same caveat as
-    :func:`top_fraction_per_group`)."""
+    Scale shape: the naive formulation — ``sum() OVER (PARTITION BY
+    domain ORDER BY hash ROWS UNBOUNDED PRECEDING)`` — funnels each
+    domain's ENTIRE row set through one task, and at training-corpus
+    scale the dominant domain IS the corpus.  This runs the two-phase
+    parallel prefix sum instead (the :mod:`packing` pattern): rows are
+    bucketed by contiguous hash ranges, one tiny aggregate yields
+    per-(domain, bucket) token totals, the driver prefix-sums them per
+    domain (bounded: domains × buckets rows) and broadcasts the offsets
+    back, and a window partitioned by (domain, bucket) finishes the
+    within-bucket cumsum — so a dominant domain spreads over
+    ``num_buckets`` parallel tasks.  Integer sums are associative, so
+    membership is bit-identical to the single-task window (which is
+    exactly what the DuckDB oracle computes)."""
     from pyspark.sql import Window
 
     from muller_spark.operators.text import token_count
 
+    spark = df.sparkSession
     h = _hash_col(key, salt)
     budget = None
     for d, b in sorted(budgets.items()):
@@ -245,14 +255,75 @@ def token_budget_sample(
         if budget is not None
         else F.lit(default_budget)
     )
+
+    base = (
+        df.withColumn("__tb_h", h)
+        .withColumn("__tb_dom", F.col(domain_col).cast("string"))
+        .withColumn(
+            "__tb_tok", token_count(F.col(text_col)).cast("long")
+        )
+    )
+    if num_buckets is None:
+        num_buckets = max(2 * spark.sparkContext.defaultParallelism, 8)
+    probes = [i / num_buckets for i in range(1, num_buckets)]
+    # any contiguous split of the hash space is CORRECT (quantiles just
+    # balance it); equal hashes always share a bucket (strict <), so the
+    # (hash, key) order never straddles a boundary mid-tie
+    bounds = (
+        sorted(set(base.stat.approxQuantile("__tb_h", probes, 0.001)))
+        if probes else []
+    )
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: b < F.col("__tb_h")))
+    else:
+        bucket = F.lit(0)
+    base = base.withColumn("__tb_bucket", bucket)
+
+    totals = (
+        base.groupBy("__tb_dom", "__tb_bucket")
+        .agg(F.sum("__tb_tok").alias("t"))
+        .collect()
+    )  # bounded: one row per (domain, bucket)
+    per_dom: "dict[str | None, dict[int, int | None]]" = {}
+    for r in totals:
+        per_dom.setdefault(r["__tb_dom"], {})[r["__tb_bucket"]] = r["t"]
+    offsets = []
+    for d, by_bucket in per_dom.items():
+        running: "int | None" = None  # NULL until a non-null token row
+        for b in sorted(by_bucket):
+            offsets.append((d, b, running))
+            t = by_bucket[b]
+            if t is not None:
+                running = (running or 0) + t
+    if not offsets:
+        return df.filter(F.lit(False))
+    offset_df = spark.createDataFrame(
+        offsets, "__tb_dom string, __tb_bucket int, __tb_off long"
+    )
+
     w = (
-        Window.partitionBy(domain_col)
-        .orderBy(h.asc(), key.asc())
+        Window.partitionBy("__tb_dom", "__tb_bucket")
+        .orderBy(F.col("__tb_h").asc(), key.asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(token_count(F.col(text_col)).cast("long")).over(w)
+    local = F.sum("__tb_tok").over(w)
+    # NULL iff no non-null token row precedes (matches the single-task
+    # window, where sum over an all-NULL prefix is NULL)
+    cum = F.when(
+        local.isNull() & F.col("__tb_off").isNull(), F.lit(None).cast("long")
+    ).otherwise(F.coalesce(F.col("__tb_off"), F.lit(0)) + F.coalesce(local, F.lit(0)))
+    off = offset_df.withColumnRenamed(
+        "__tb_dom", "__tb_dom2"
+    ).withColumnRenamed("__tb_bucket", "__tb_bucket2")
+    joined = base.join(
+        F.broadcast(off),
+        F.col("__tb_dom").eqNullSafe(F.col("__tb_dom2"))
+        & (F.col("__tb_bucket") == F.col("__tb_bucket2")),
+    )
     return (
-        df.withColumn("__cum", cum)
-        .filter(F.col("__cum") <= budget)
-        .drop("__cum")
+        joined.withColumn("__tb_cum", cum)
+        .filter(F.col("__tb_cum") <= budget)
+        .drop("__tb_h", "__tb_dom", "__tb_dom2", "__tb_tok",
+              "__tb_bucket", "__tb_bucket2", "__tb_off", "__tb_cum")
     )

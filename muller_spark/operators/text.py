@@ -532,9 +532,16 @@ def bigram_logprob(
 
 
 # accent-fold table (shared verbatim with the DuckDB oracle so both
-# engines translate identically — Latin-1/Latin-Extended-A coverage)
+# engines translate identically — Latin-1/Latin-Extended-A coverage).
+# Groups: 9×a 5×c 9×e 9×i 4×n 9×o 10×u 3×y 4×s 3×z đ→d ð→d þ→t ß→b;
+# the assert pins src/dst alignment (a 2-char drift here once shifted
+# every fold from index 45 on, invisibly to the shared-literal oracle).
 ACCENT_SRC = "àáâãäåāăąçćĉċčèéêëēĕėęěìíîïĩīĭįıñńņňòóôõöøōŏőùúûüũūŭůűųýÿŷšśŝşžźżđðþß"
-ACCENT_DST = "aaaaaaaaaccccceeeeeeeeeiiiiiiiiinnnnoooooooooouuuuuuuuuuyyyssssszzzddtb"
+ACCENT_DST = "aaaaaaaaaccccceeeeeeeeeiiiiiiiiinnnnooooooooouuuuuuuuuuyyysssszzzddtb"
+assert len(ACCENT_SRC) == len(ACCENT_DST), (
+    "accent fold table misaligned: %d src vs %d dst chars"
+    % (len(ACCENT_SRC), len(ACCENT_DST))
+)
 
 
 def ccnet_normalize(col: Column) -> Column:

@@ -184,6 +184,12 @@ def test_ccnet_normalize_and_entropy(spark):
     ).collect()
     got = [(r["n"], r["e"]) for r in rows]
     assert got[0][0] == "hello world 000"
+    # tail of the fold table (index ≥ 45) — a src/dst length drift once
+    # shifted these silently; pin them against the documented mapping
+    tail = spark.createDataFrame(
+        [("ùúû ýÿ šśŝş žźż đðþß ő ų",)], "t string"
+    ).select(ccnet_normalize(F.col("t")).alias("n")).collect()
+    assert tail[0]["n"] == "uuu yy ssss zzz ddtb o u"
     assert got[1] == ("aaaa", 0.0)
     assert got[2] == ("", 0.0)
     # p(a)=2/3, p(b)=1/3

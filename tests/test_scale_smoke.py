@@ -162,6 +162,27 @@ def test_top_ngrams_at_20k_docs(spark, documents):
     assert elapsed < 45, f"20k-doc top_ngrams took {elapsed:.1f}s"
 
 
+def test_token_budget_dominant_domain_at_100k_docs(spark, documents):
+    """20× documents (100k docs) squeezed into ONE domain — the exact
+    shape that killed the old per-domain window (the dominant domain IS
+    the corpus).  The two-phase prefix sum spreads it over hash-range
+    buckets, so this completes in seconds; a regression to the
+    single-task window would crawl through 100k rows in one task."""
+    from muller_spark.operators.sampling import token_budget_sample
+
+    big = _multiplied(
+        documents.select("doc_id", "text"), 20, "doc_id", spark
+    ).withColumn("dom", F.lit("web"))
+    start = time.perf_counter()
+    kept = token_budget_sample(
+        big, "text", "dom", F.col("doc_id"), {"web": 2_000_000}
+    )
+    n = kept.count()
+    elapsed = time.perf_counter() - start
+    assert 0 < n < 100_000
+    assert elapsed < 90, f"100k-doc token budget took {elapsed:.1f}s"
+
+
 def test_logreg_train_at_1m_rows(spark):
     """IRLS at 1M rows: 8 passes over cached feature blocks, d×d
     partials through treeAggregate — driver traffic is KBs."""
