@@ -79,9 +79,14 @@ def sample_matrix(
 
     Seeded Bernoulli sample (uniform across partitions — ``limit()``
     would take one disk region) sized with 5% headroom, Arrow-converted
-    in bulk, truncated to ``sample_size``.  Replaces ``rdd.takeSample``,
-    whose Row-object deserialization of wide vectors cost more than the
-    k-means it fed; corpora ≤ sample_size short-circuit to a full read.
+    in bulk, then PERMUTED with the seeded RNG before truncating to
+    ``sample_size`` — a plain ``[:sample_size]`` runs in partition
+    order, so whenever the overshoot materializes it would drop rows
+    from the last partitions systematically, biasing k-means/PQ training
+    toward early partitions (the failure mode Bernoulli was chosen to
+    avoid).  Replaces ``rdd.takeSample``, whose Row-object
+    deserialization of wide vectors cost more than the k-means it fed;
+    corpora ≤ sample_size short-circuit to a full read.
     """
     total = df.count()
     sel = df.select(vec_col)
@@ -89,7 +94,11 @@ def sample_matrix(
         frac = min(1.0, (sample_size * 1.05) / total)
         sel = sel.sample(False, frac, seed)
     pdf = sel.toPandas()
-    return fast_matrix(pdf[vec_col], np.float64)[:sample_size]
+    mat = fast_matrix(pdf[vec_col], np.float64)
+    if len(mat) > sample_size:
+        keep = np.random.RandomState(seed).permutation(len(mat))[:sample_size]
+        mat = mat[keep]
+    return mat
 
 
 def exact_knn(

@@ -1201,17 +1201,24 @@ def compact_dedup_ledger(spark, path: str) -> None:
     """Rewrite the ledger to distinct hashes — heals the harmless
     duplicate rows ``ledger_dedup_stream``'s crash-replay appends and
     shrinks many small append files into one compact table.  Run it
-    offline between ingest jobs (same single-writer contract as
-    ``dedup_against_ledger``)."""
+    offline between ingest jobs with readers AND writers quiesced (the
+    ``dedup_against_ledger`` single-writer contract, extended: the swap
+    goes through two renames, and between them the ledger path does not
+    exist — a concurrent reader would see a missing table, never a
+    partial one).  Every rename result is checked; on failure the
+    original ledger is rolled back into place before raising."""
     import uuid as _uuid
 
     compacted = f"{path.rstrip('/')}-compact-{_uuid.uuid4().hex}"
     spark.read.parquet(path).select("content_hash").distinct().write.mode(
         "overwrite"
     ).parquet(compacted)
-    # two-step swap through a real rename (parquet dirs are not
-    # atomically replaceable in-place); readers between the two renames
-    # see the old or the new ledger, never a partial one
+    # two-step swap through real renames (parquet dirs are not
+    # atomically replaceable in-place).  Hadoop FileSystem.rename returns
+    # false instead of raising on most failures, and renaming INTO a
+    # still-existing directory moves the source inside it — so an
+    # unchecked first rename would let the second one nest the compacted
+    # dir under the live ledger path, corrupting it.  Check both.
     jvm = spark._jvm
     hadoop_conf = spark._jsc.hadoopConfiguration()
     p_old = jvm.org.apache.hadoop.fs.Path(path)
@@ -1220,7 +1227,12 @@ def compact_dedup_ledger(spark, path: str) -> None:
     fs = p_old.getFileSystem(hadoop_conf)
     if fs.exists(p_bak):
         fs.delete(p_bak, True)
-    fs.rename(p_old, p_bak)
+    if not fs.rename(p_old, p_bak):
+        fs.delete(p_new, True)  # drop the orphaned compacted copy
+        raise IOError(
+            f"compact_dedup_ledger: rename {path} -> {path}-pre-compact "
+            "failed; ledger left untouched"
+        )
     if not fs.rename(p_new, p_old):
         fs.rename(p_bak, p_old)  # roll back, keep the ledger readable
         raise IOError(f"compact_dedup_ledger: rename {compacted} -> {path} failed")

@@ -242,7 +242,12 @@ def to_jsonl_shards(
     file; the partition count is pre-sized from a distributed count so
     writers don't emit one giant task.  Returns a manifest DataFrame
     ``(file, rows)`` read back from the landed output — the loader-side
-    contract, verified against what is actually on disk."""
+    contract, verified against what is actually on disk.  The manifest
+    read uses ``spark.read.text`` (one JSONL line = one row), never
+    ``read.json``: schema inference raises on an empty export (zero
+    data files) and degrades on all-null columns, while a line count
+    needs no schema at all — an empty input yields an empty manifest
+    instead of a crash after a successful write."""
     from pyspark.sql import functions as F
 
     out = _visible(df)
@@ -255,7 +260,7 @@ def to_jsonl_shards(
         .json(path)
     )
     spark = df.sparkSession
-    landed = spark.read.json(path).withColumn(
+    landed = spark.read.text(path).withColumn(
         "file", F.input_file_name()
     )
     return landed.groupBy("file").agg(F.count(F.lit(1)).alias("rows"))

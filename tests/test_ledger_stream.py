@@ -104,6 +104,42 @@ def test_compact_ledger_distinct_and_swap(spark, tmp_path):
     assert not os.path.exists(ledger + "-pre-compact")
 
 
+def test_ledger_single_writer_contract_interleaved_jobs(spark, tmp_path):
+    """The documented single-writer contract, asserted: two jobs that
+    BOTH anti-join before either appends admit shared content twice
+    (that is the docstring's stated outcome, not a surprise), while the
+    same batches processed serially admit it exactly once."""
+    import pyspark.sql.functions as F
+
+    from muller_spark.operators.dedup import (
+        dedup_against_ledger,
+        normalized_text,
+    )
+
+    b1 = spark.createDataFrame([(1, "shared"), (2, "only one")], SCHEMA)
+    b2 = spark.createDataFrame([(3, "shared"), (4, "only two")], SCHEMA)
+
+    # interleaved: both jobs read the empty ledger before either appends
+    inter = str(tmp_path / "interleaved")
+    init_dedup_ledger(spark.createDataFrame([], SCHEMA), "text", inter)
+    s1 = dedup_against_ledger(b1, "text", inter, update=False).localCheckpoint()
+    s2 = dedup_against_ledger(b2, "text", inter, update=False).localCheckpoint()
+    for s in (s1, s2):  # each job's commit point, after both reads
+        s.select(
+            F.md5(normalized_text(F.col("text"))).alias("content_hash")
+        ).write.mode("append").parquet(inter)
+    assert s1.count() == 2 and s2.count() == 2  # 'shared' admitted twice
+    led = spark.read.parquet(inter)
+    assert led.count() == 4 and led.distinct().count() == 3
+
+    # serialized (the contract): second batch sees the first's append
+    ser = str(tmp_path / "serial")
+    init_dedup_ledger(spark.createDataFrame([], SCHEMA), "text", ser)
+    assert dedup_against_ledger(b1, "text", ser).count() == 2
+    got2 = {r["doc_id"] for r in dedup_against_ledger(b2, "text", ser).collect()}
+    assert got2 == {4}  # 'shared' filtered
+
+
 def test_replay_marker_skip_and_ledger_heal(spark, tmp_path):
     """Direct crash-replay contract: calling the handler again with the
     same batch_id (1) does not rewrite the landed output even though

@@ -39,6 +39,17 @@ def test_token_budget_window_is_bucket_partitioned(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_bigram_logprob_has_no_sort_merge_join(spark):
+    """EXPLAIN.md round-5 recapture, enforced: after the map-only pair
+    extraction the bigram LM plan has zero SortMergeJoins — every
+    remaining join is a broadcastable token-count lookup."""
+    from muller_spark.operators.text import bigram_logprob
+
+    docs = spark.read.parquet(DOCS)
+    plan = _plan(bigram_logprob(docs, "text", "doc_id"))
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_token_budget_bucketed_matches_single_bucket(spark):
     """Bit-identical membership across bucket counts (integer sums are
     associative): 1 bucket — the degenerate single-task shape — and 16

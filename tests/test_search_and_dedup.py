@@ -383,6 +383,31 @@ def test_index_update_refreshes_hot_shard(spark, docs, tmp_path_factory):
         assert got == want, q
 
 
+def test_sample_matrix_truncation_is_not_partition_ordered(spark, tmp_path):
+    """When the Bernoulli overshoot materializes, truncation must drop a
+    seeded-random subset, not the tail partitions: the kept rows should
+    span the whole id range (a partition-ordered ``[:n]`` would exclude
+    the final partitions systematically), and on a stable (parquet-
+    backed) partitioning the same seed must reproduce the same matrix."""
+    from muller_spark.index.vector import sample_matrix
+
+    path = str(tmp_path / "vecs")
+    (
+        spark.range(4000)
+        .repartitionByRange(8, "id")
+        .select("id", F.array(F.col("id").cast("double")).alias("v"))
+        .write.parquet(path)
+    )
+    df = spark.read.parquet(path)
+    m1 = sample_matrix(df, "v", 100, seed=7)
+    m2 = sample_matrix(df, "v", 100, seed=7)
+    assert m1.shape == (100, 1)
+    assert np.array_equal(m1, m2)  # seeded → reproducible
+    ids = sorted(float(x) for x in m1[:, 0])
+    assert ids[-1] >= 3000  # top of the id range represented
+    assert ids[0] < 1000  # bottom of the id range represented
+
+
 def test_ivf_recall_against_exact(spark, emb):
     """IVF coarse-quantizer path (FAISS IVFFLAT analogue): with a healthy
     nprobe/nlist ratio recall should be high; at nprobe=nlist it is

@@ -754,3 +754,16 @@ def test_jsonl_shards_bounded(spark, tmp_path):
     assert max(r["rows"] for r in rows) <= 150
     # loader-side read agrees
     assert spark.read.json(path).count() == 1000
+
+
+def test_jsonl_shards_empty_frame_yields_empty_manifest(spark, tmp_path):
+    """An empty export must return an empty manifest, not crash on
+    schema inference over zero data files (the manifest read goes
+    through read.text, which needs no schema)."""
+    from muller_spark.sources.writers import to_jsonl_shards
+
+    df = spark.range(0).withColumnRenamed("id", "doc_id")
+    path = str(tmp_path / "jsonl_empty")
+    manifest = to_jsonl_shards(df, path, rows_per_shard=100)
+    assert manifest.collect() == []
+    assert manifest.columns == ["file", "rows"]
