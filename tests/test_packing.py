@@ -134,3 +134,27 @@ def test_mixture_sample_flattens_distribution(spark):
     assert abs(counts["big"] - 4000) < 300
     again = mixture_sample(df, F.col("id"), "dom", budget)
     assert {r["id"] for r in out.collect()} == {r["id"] for r in again.collect()}
+
+
+def test_mixture_sample_documented_drop_rules(spark):
+    """The two documented drops, asserted: NULL-domain rows never
+    survive (no domain -> no budget share), and with an explicit
+    weights dict an observed-but-unlisted domain gets weight 0 — while
+    weights=None keeps every observed domain."""
+    from muller_spark.operators.sampling import mixture_sample
+    from pyspark.sql import functions as F
+
+    rows = [(i, "listed") for i in range(100)]
+    rows += [(200 + i, "unlisted") for i in range(100)]
+    rows += [(400 + i, None) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+
+    explicit = mixture_sample(
+        df, F.col("id"), "dom", budget=1000, weights={"listed": 1.0}
+    )
+    doms = {r["dom"] for r in explicit.select("dom").distinct().collect()}
+    assert doms == {"listed"}  # unlisted + NULL both dropped
+
+    default = mixture_sample(df, F.col("id"), "dom", budget=1000)
+    doms2 = {r["dom"] for r in default.select("dom").distinct().collect()}
+    assert doms2 == {"listed", "unlisted"}  # NULL still dropped
