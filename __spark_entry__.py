@@ -1647,6 +1647,76 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis A-ES weighted sampling without replacement
+    (operators/sampling.weighted_sample): top-60 documents by
+    ``round(ln(u)/n_chars, 9)`` with u from the portable Knuth hash —
+    inclusion probability ∝ document length, membership value-checked
+    (the oracle reproduces every A-ES key bit-for-bit).  Plans as
+    TakeOrderedAndProject — partial top-k per partition, no global
+    sort."""
+    from muller_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, F.col("doc_id"), "n_chars", k=60)
+    return out.select("doc_id", "lang", "aes_key").orderBy(
+        F.col("aes_key").desc(), "doc_id"
+    )
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling
+    (operators/sampling.mixture_sample(temperature=0.5)): the
+    multilingual-LM rebalancing knob — target share ∝ (observed
+    share)^0.5 inside a 40% character budget, upweighting rare
+    languages without flattening to uniform.  The normalizing fold runs
+    in ascending-domain order in BOTH engines, so every floor-cut
+    matches bit-for-bit."""
+    from muller_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    budget = 0.4 * float(docs.agg(F.sum("n_chars").alias("t")).first()["t"])
+    out = mixture_sample(
+        docs, F.col("doc_id"), "lang", budget,
+        size_col="n_chars", temperature=0.5,
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/text.dsir_importance): score
+    every document by hashed-unigram log-likelihood ratio against a
+    target slice (sources src1/src2/src3) — the published importance-
+    resampling recipe for steering a raw corpus toward a trusted
+    domain.  256 portable-hash buckets, add-one smoothing; the oracle
+    recomputes both bag models and every per-doc sum."""
+    from muller_spark.operators.text import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dsir_importance(
+        docs, "text", "doc_id",
+        F.col("source").isin("src1", "src2", "src3"),
+        n_buckets=256,
+    )
+    return out.orderBy("id")
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length outliers
+    (operators/quality.mad_outliers): modified z-score
+    0.6745·(x−median)/MAD over n_chars — the outlier detector a single
+    pathological crawl artifact cannot blind, unlike mean/std.  Exact
+    interpolated medians match DuckDB quantile_cont bit-for-bit on
+    integer inputs."""
+    from muller_spark.operators.quality import mad_outliers
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mad_outliers(docs, "n_chars", ["lang"], threshold=1.5)
+    return out.select(
+        "doc_id", "lang", "n_chars", "group_median", "group_mad", "robust_z"
+    ).orderBy("doc_id")
+
+
 def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function battery over per-user event sequences: lag /
     lead / ntile / percent_rank / cume_dist with a fully deterministic
@@ -1866,6 +1936,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_battery": q_window_battery,
     "q_array_battery": q_array_battery,
     "q_token_budget": q_token_budget,
+    "q_weighted_sample": q_weighted_sample,
+    "q_temperature_mixture": q_temperature_mixture,
+    "q_dsir_weights": q_dsir_weights,
+    "q_mad_outliers": q_mad_outliers,
 }
 
 _STOPWORD_SQL = "('a','the','of','and','to')"
@@ -3286,6 +3360,102 @@ _ORACLES: dict[str, str] = {
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM c WHERE cum <= budget
         GROUP BY lang ORDER BY lang
+    """,
+    "q_weighted_sample": """
+        WITH h AS (
+          SELECT doc_id, lang, n_chars,
+                 (((doc_id % 2147483648 + 2147483648) % 2147483648)
+                  * 2654435761) % 4294967296 AS hv
+          FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, lang,
+               round(ln((hv + 0.5) / 4294967296.0)
+                     / CAST(n_chars AS DOUBLE), 9) AS aes_key
+        FROM h
+        ORDER BY aes_key DESC, doc_id
+        LIMIT 60
+    """,
+    "q_temperature_mixture": """
+        WITH sizes AS (
+          SELECT lang, CAST(sum(n_chars) AS BIGINT) AS szi
+          FROM documents GROUP BY lang
+        ), tot AS (
+          SELECT CAST(sum(szi) AS BIGINT) AS ti FROM sizes
+        ), btot AS (
+          SELECT 0.4 * CAST(sum(n_chars) AS DOUBLE) AS b FROM documents
+        ), pw AS (
+          SELECT lang, CAST(szi AS DOUBLE) AS sz,
+                 pow(CAST(szi AS DOUBLE) / CAST(ti AS DOUBLE), 0.5) AS pwv
+          FROM sizes, tot
+        ), norm AS (
+          -- ascending-domain left fold, matching the Python-side sum
+          SELECT list_reduce(list(pwv ORDER BY lang), (a, x) -> a + x)
+                 AS nrm
+          FROM pw
+        ), cuts AS (
+          SELECT lang,
+                 CAST(floor(LEAST(1.0, (b * (pwv / nrm)) / sz)
+                            * 4294967296) AS BIGINT) AS cut
+          FROM pw, norm, btot
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN cuts USING (lang)
+        WHERE (((d.doc_id % 2147483648 + 2147483648) % 2147483648)
+               * 2654435761) % 4294967296 < cut
+        ORDER BY d.doc_id
+    """,
+    "q_dsir_weights": f"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 source IN ('src1','src2','src3') AS is_t,
+                 unnest({_TOKENS_SQL}) AS tok
+          FROM documents
+        ), ex AS (
+          SELECT id, is_t, {_H60_SQL.format(v='tok')} % 256 AS b FROM toks
+        ), per AS (
+          SELECT id, is_t, b, CAST(count(*) AS BIGINT) AS k
+          FROM ex GROUP BY id, is_t, b
+        ), raw AS (
+          SELECT b, CAST(sum(k) AS BIGINT) AS cr FROM per GROUP BY b
+        ), tgt AS (
+          SELECT b, CAST(sum(k) AS BIGINT) AS ct
+          FROM per WHERE is_t GROUP BY b
+        ), counts AS (
+          SELECT raw.b, cr, COALESCE(ct, 0) AS ct
+          FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+        ), tot AS (
+          SELECT CAST(sum(cr) AS BIGINT) AS tr,
+                 CAST(sum(ct) AS BIGINT) AS tt
+          FROM counts
+        ), ratios AS (
+          SELECT b, ln((ct + 1) / (tt + 256)) - ln((cr + 1) / (tr + 256))
+                 AS lr
+          FROM counts, tot
+        )
+        SELECT id, CAST(sum(k) AS BIGINT) AS n_tokens,
+               round(sum(k * lr), 5) AS logweight
+        FROM per JOIN ratios USING (b)
+        GROUP BY id ORDER BY id
+    """,
+    "q_mad_outliers": """
+        WITH med AS (
+          SELECT lang, median(CAST(n_chars AS DOUBLE)) AS group_median
+          FROM documents GROUP BY lang
+        ), dev AS (
+          SELECT d.doc_id, d.lang, d.n_chars, m.group_median,
+                 abs(CAST(d.n_chars AS DOUBLE) - m.group_median) AS ad
+          FROM documents d JOIN med m USING (lang)
+        ), mad AS (
+          SELECT lang, median(ad) AS group_mad FROM dev GROUP BY lang
+        ), z AS (
+          SELECT doc_id, lang, n_chars, group_median, group_mad,
+                 round(0.6745 * (CAST(n_chars AS DOUBLE) - group_median)
+                       / group_mad, 6) AS robust_z
+          FROM dev JOIN mad USING (lang)
+          WHERE group_mad > 0
+        )
+        SELECT doc_id, lang, n_chars, group_median, group_mad, robust_z
+        FROM z WHERE abs(robust_z) > 1.5 ORDER BY doc_id
     """,
     "q_window_battery": """
         SELECT user_id, event_id,

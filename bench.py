@@ -132,15 +132,13 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    result = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf_val,
-    }
-    if sf_val == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
-        result["sf1_equivalent"] = sf1_envelope(spark, sf_dir)
+    # Key order matters: the driver records only the LAST 2000 chars of
+    # stdout, so the bulky sections (baseline sweeps, per-query map) go
+    # FIRST and the headline scalars (sf/unit/value/metric) go LAST —
+    # a front-truncated capture still shows the metric.  The line stays
+    # one valid JSON object (key order is semantically irrelevant), and
+    # the complete result is also written to BENCH_DETAIL.json.
+    result: dict = {}
     if sf_val == 0.1 and os.environ.get("SPARK_GRAFT_VECTOR_1M", "1") != "0":
         try:
             result["vector_1m960d"] = vector_bench(spark)
@@ -156,6 +154,20 @@ def main() -> None:
             result["version_control_table2"] = vc_bench(spark)
         except Exception as e:
             result["version_control_table2"] = {"error": repr(e)[:300]}
+    if sf_val == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        result["sf1_equivalent"] = sf1_envelope(spark, sf_dir)
+    result["queries"] = timings
+    result["sf"] = sf_val
+    result["unit"] = "sec"
+    result["value"] = total
+    result["metric"] = "headline_queries_total"
+    try:
+        detail = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_DETAIL.json")
+        with open(detail, "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # the printed line is the contract; the file is a courtesy
     print(json.dumps(result))
 
 

@@ -266,6 +266,59 @@ def group_zscores(
     return joined.withColumn("z", F.round(z, 6))
 
 
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "list[str]",
+    threshold: float = 3.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Robust per-group outlier detection via the modified z-score
+    ``0.6745 · (x − median) / MAD`` (Iglewicz–Hoaglin): unlike
+    :func:`group_zscores`' mean/std, the median/MAD pair does not let a
+    single pathological document (a 100 MB crawl artifact) inflate the
+    spread and mask every other outlier — the failure mode that matters
+    when the statistic's JOB is to find corrupt rows.  Returns the rows
+    with ``|robust_z| > threshold`` plus (group_median, group_mad,
+    robust_z); groups whose MAD is 0 (over half the values identical)
+    yield no outliers, by definition of the statistic.
+
+    Both medians are exact interpolated percentiles (Spark
+    ``percentile``, DuckDB ``quantile_cont`` — the same (a+b)/2
+    definition, so doubles agree bit-for-bit before the 6-dp round).
+
+    Scale shape: two group-keyed aggregates (values → median, absolute
+    deviations → MAD) and two broadcast joins back — group stats are
+    one row per group, so the corpus shuffles only on the group key,
+    twice, with map-side partial percentile buffers.  For the typical
+    "per-source / per-language" grouping, group count ≪ corpus."""
+    med = (
+        df.groupBy(*group_cols)
+        .agg(F.percentile(F.col(value_col).cast("double"), 0.5).alias(
+            "group_median"
+        ))
+    )
+    with_med = df.join(F.broadcast(med), group_cols)
+    mad = (
+        with_med.groupBy(*group_cols)
+        .agg(F.percentile(
+            F.abs(F.col(value_col).cast("double") - F.col("group_median")),
+            0.5,
+        ).alias("group_mad"))
+    )
+    z = (
+        F.lit(0.6745)
+        * (F.col(value_col).cast("double") - F.col("group_median"))
+        / F.col("group_mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), group_cols)
+        .filter(F.col("group_mad") > 0)
+        .withColumn("robust_z", F.round(z, round_to))
+        .filter(F.abs(F.col("robust_z")) > threshold)
+    )
+
+
 def pii_scan(
     df: DataFrame,
     text_col: str,

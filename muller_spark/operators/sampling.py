@@ -89,6 +89,7 @@ def mixture_sample(
     weights: "dict[str, float] | None" = None,
     size_col: "str | None" = None,
     salt: int = 0,
+    temperature: "float | None" = None,
 ) -> DataFrame:
     """Sample a target data *mixture*: each domain ``d`` keeps
     ``min(1, budget·w_d / size_d)`` of its rows, so the surviving
@@ -108,8 +109,20 @@ def mixture_sample(
     absent from the dict gets weight 0 — i.e. fully dropped.  Pass
     ``weights=None`` to keep every observed domain, or include the
     domain with an explicit weight.
+
+    ``temperature`` (with ``weights=None``) derives the target mixture
+    from the OBSERVED one by temperature scaling — ``w_d ∝ p_d^T`` with
+    ``p_d`` the observed share — the standard multilingual-LM
+    rebalancing knob (T=1 keeps the natural mixture, T→0 flattens it to
+    uniform, T≈0.3–0.7 upweights rare domains without drowning the
+    head).  The normalizing sum folds in ascending-domain order so any
+    engine reproduces the exact double bits (float addition is not
+    associative; an unordered sum could flip a floor-cut boundary).
     """
     import math
+
+    if temperature is not None and weights is not None:
+        raise ValueError("pass either weights or temperature, not both")
 
     size = (
         F.sum(F.col(size_col).cast("long")) if size_col else F.count(F.lit(1))
@@ -123,7 +136,16 @@ def mixture_sample(
     }
     if not sizes:
         return df.filter(F.lit(False))
-    if weights is None:
+    if weights is None and temperature is not None:
+        total_sz = 0
+        for d in sorted(sizes):
+            total_sz += sizes[d]
+        pw = {d: (sizes[d] / total_sz) ** temperature for d in sizes}
+        norm = 0.0
+        for d in sorted(pw):  # ordered fold — see docstring
+            norm += pw[d]
+        weights = {d: pw[d] / norm for d in pw}
+    elif weights is None:
         weights = {d: 1.0 / len(sizes) for d in sizes}
     cuts = {}
     for d, sz in sizes.items():
@@ -137,6 +159,50 @@ def mixture_sample(
         branch = F.when(cond, h < F.lit(cut))
         expr = branch if expr is None else expr.when(cond, h < F.lit(cut))
     return df.filter(expr.otherwise(F.lit(False)))
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: Column,
+    weight_col: str,
+    k: int,
+    salt: int = 0,
+    key_out: str = "aes_key",
+    round_to: int = 9,
+) -> DataFrame:
+    """Weighted random sampling without replacement: keep the ``k``
+    rows with the largest Efraimidis–Spirakis A-ES keys
+    ``ln(u) / w`` (equivalently ``u^(1/w)``) — each row's inclusion
+    probability is proportional to its weight, the exact guarantee
+    quality-weighted corpus subsampling needs ("sample 1 M docs,
+    high-quality docs proportionally more often").
+
+    Determinism: ``u`` derives from the engine-portable Knuth hash
+    (``(h + 0.5) / 2^32`` — the half-offset keeps u strictly inside
+    (0, 1), so ``ln`` never sees 0), NOT an RNG, so the same
+    (key, salt, k) selects the same rows in any engine and under any
+    partitioning.  The A-ES key is rounded to ``round_to`` places
+    (``ln`` is transcendental — engines may differ in the last ulp)
+    and ties break on the key column, so the k-boundary is exact
+    cross-engine.  Rows with NULL or non-positive weight are dropped
+    (they have no well-defined inclusion probability).
+
+    Scale shape: map-only scoring followed by ``orderBy(...).limit(k)``
+    — Spark plans that as TakeOrderedAndProject (per-partition partial
+    top-k, then a single reduced merge), NEVER a global sort of the
+    corpus; cost is one scan regardless of corpus size.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = F.col(weight_col).cast("double")
+    u = (_hash_col(key, salt).cast("double") + F.lit(0.5)) / F.lit(float(_MOD))
+    aes = F.round(F.log(u) / w, round_to)
+    return (
+        df.filter(w > 0)
+        .withColumn(key_out, aes)
+        .orderBy(F.col(key_out).desc(), key.asc())
+        .limit(k)
+    )
 
 
 def deterministic_split(

@@ -531,6 +531,83 @@ def bigram_logprob(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_cond: Column,
+    n_buckets: int = 256,
+    round_to: int = 5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed-unigram features are under the
+    TARGET distribution (rows where ``target_cond`` holds — e.g. a
+    trusted high-quality source) than under the RAW corpus.  Selecting
+    top-weight (or Gumbel-top-k) rows then shifts the corpus toward the
+    target domain — the published recipe for "make 100 TB of web text
+    look like Wikipedia".
+
+    Features are token buckets ``portable_hash60(token) % n_buckets``
+    (the same engine-portable 60-bit md5 hash as the dedup family), and
+    both bag-of-buckets models use add-one smoothing:
+    ``p̂[b] = (count[b] + 1) / (total + n_buckets)``.  Returns
+    ``(id, n_tokens, logweight)`` with
+    ``logweight = Σ_tokens ln(p̂_target[b]/p̂_raw[b])`` rounded to
+    ``round_to`` (ln is transcendental — engines differ in the last
+    ulp).  Zero-token documents drop out (no features, no weight).
+
+    Scale shape: one token explode → one ``(id, bucket)`` multiplicity
+    aggregate; BOTH bucket-count models derive from that frame (≤
+    ``n_buckets`` rows each — broadcast joins), so the corpus is
+    tokenized and shuffled exactly once; the final per-doc aggregate
+    reuses the same ``id``-keyed partitioning.  No driver state beyond
+    the two 1-row totals."""
+    from muller_spark.operators.dedup import portable_hash60
+
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        target_cond.alias("__is_target"),
+        F.explode(tokens_of(F.col(text_col))).alias("tok"),
+    ).select(
+        "id", "__is_target",
+        (portable_hash60(F.col("tok")) % F.lit(n_buckets)).alias("b"),
+    )
+    per = ex.groupBy("id", "__is_target", "b").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    raw = per.groupBy("b").agg(F.sum("k").cast("long").alias("cr"))
+    tgt = (
+        per.filter(F.col("__is_target"))
+        .groupBy("b")
+        .agg(F.sum("k").cast("long").alias("ct"))
+    )
+    counts = (
+        raw.join(tgt, "b", "left")
+        .select("b", "cr", F.coalesce("ct", F.lit(0)).alias("ct"))
+    )
+    totals = counts.agg(
+        F.sum("cr").cast("long").alias("tr"),
+        F.sum("ct").cast("long").alias("tt"),
+    )
+    lr = F.log(
+        (F.col("ct") + 1) / (F.col("tt") + F.lit(n_buckets))
+    ) - F.log((F.col("cr") + 1) / (F.col("tr") + F.lit(n_buckets)))
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "b", lr.alias("lr")
+    )
+    return (
+        per.join(F.broadcast(ratios), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("k") * F.col("lr")), round_to).alias(
+                "logweight"
+            ),
+        )
+    )
+
+
 # accent-fold table (shared verbatim with the DuckDB oracle so both
 # engines translate identically — Latin-1/Latin-Extended-A coverage).
 # Groups: 9×a 5×c 9×e 9×i 4×n 9×o 10×u 3×y 4×s 3×z đ→d ð→d þ→t ß→b;
