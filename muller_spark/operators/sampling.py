@@ -137,10 +137,18 @@ def mixture_sample(
     if not sizes:
         return df.filter(F.lit(False))
     if weights is None and temperature is not None:
+        # Only domains with a truthy (non-NULL, non-zero) size take part
+        # in the mixture: a NULL sum (all-NULL size_col) would TypeError
+        # on +=, and a zero-size domain at temperature=0 would get
+        # 0**0 == 1.0, diluting every real domain's budget share.  Such
+        # domains keep rate 0 via the `if sz else 0.0` cut below either way.
         total_sz = 0
         for d in sorted(sizes):
-            total_sz += sizes[d]
-        pw = {d: (sizes[d] / total_sz) ** temperature for d in sizes}
+            if sizes[d]:
+                total_sz += sizes[d]
+        if not total_sz:
+            return df.filter(F.lit(False))
+        pw = {d: (sizes[d] / total_sz) ** temperature for d in sizes if sizes[d]}
         norm = 0.0
         for d in sorted(pw):  # ordered fold — see docstring
             norm += pw[d]
@@ -172,10 +180,16 @@ def weighted_sample(
 ) -> DataFrame:
     """Weighted random sampling without replacement: keep the ``k``
     rows with the largest Efraimidis–Spirakis A-ES keys
-    ``ln(u) / w`` (equivalently ``u^(1/w)``) — each row's inclusion
-    probability is proportional to its weight, the exact guarantee
-    quality-weighted corpus subsampling needs ("sample 1 M docs,
-    high-quality docs proportionally more often").
+    ``ln(u) / w`` (equivalently ``u^(1/w)``) — sequential
+    probability-proportional-to-size sampling without replacement, the
+    guarantee quality-weighted corpus subsampling wants ("sample 1 M
+    docs, high-quality docs proportionally more often").  Two caveats on
+    the probabilistic claim: ``u`` is a deterministic hash of (key,
+    salt), so "probability" holds under the idealized assumption that
+    the hash behaves as a uniform draw in (0, 1) over the key
+    population; and A-ES gives PPS *sequentially* (each successive pick
+    proportional to weight among the remainder), which is not exactly
+    proportional *marginal* inclusion probability for finite k.
 
     Determinism: ``u`` derives from the engine-portable Knuth hash
     (``(h + 0.5) / 2^32`` — the half-offset keeps u strictly inside

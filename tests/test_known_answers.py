@@ -1,0 +1,297 @@
+"""Known-answer vectors for every constant family the DuckDB oracles
+share with the implementation (round-6 item #1, VERDICT r5).
+
+The accent-fold misalignment (fixed in c6641bd) proved that when the
+implementation and the oracle SQL share a literal — a hash recipe, a
+fold table, a threshold — hash parity proves *consistency*, not
+*correctness* ("parity by shared bug").  Each test here asserts pinned
+outputs for hand-computed inputs where the expected values were derived
+OUTSIDE both engines:
+
+- md5-based hashes: ``hashlib`` (a third md5 implementation) + plain
+  Python integer arithmetic,
+- the accent table: ``unicodedata`` NFD decomposition per character,
+  with the six non-decomposable folds pinned as documented exceptions,
+- counting/thresholds (Gopher stats, PII counts, lang-id, entropy):
+  worked by hand on tiny documents (the derivations are written out in
+  the comments).
+
+If any shared literal drifts (in either the impl or the oracle SQL it
+feeds), one of these pins breaks even though the cross-engine hash gate
+stays green.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import unicodedata
+
+import pytest
+from pyspark.sql import functions as F
+
+from muller_spark.operators.dedup import (
+    _MINHASH_PRIME,
+    minhash_coefficients,
+    normalized_text,
+    portable_hash60,
+)
+from muller_spark.operators.quality import (
+    PII_PATTERNS,
+    STOP_WORDS_EN,
+    gopher_filter,
+    pii_scan,
+)
+from muller_spark.operators.sampling import _KNUTH, _MOD, _hash_col
+from muller_spark.operators.text import (
+    ACCENT_DST,
+    ACCENT_SRC,
+    LANG_PROFILES,
+    ccnet_normalize,
+    char_entropy,
+    lang_id,
+    tokens_of,
+)
+
+
+# ---------------------------------------------------------------- md5 family
+
+# int(hashlib.md5(s).hexdigest()[:15], 16) — computed with hashlib,
+# not with Spark's md5()/conv() or DuckDB's md5().
+PORTABLE_HASH60_VECTORS = {
+    "abc": 648541476951500027,
+    "": 955282973525019424,
+    "hello world": 426544247714475757,
+    "muller": 1038906165560405033,
+    "0": 935853755618645598,
+}
+
+
+def test_portable_hash60_known_answers(spark):
+    rows = (
+        spark.createDataFrame(
+            [(s,) for s in PORTABLE_HASH60_VECTORS], ["s"]
+        )
+        .select("s", portable_hash60(F.col("s")).alias("h"))
+        .collect()
+    )
+    got = {r["s"]: r["h"] for r in rows}
+    assert got == PORTABLE_HASH60_VECTORS
+
+
+def test_portable_hash60_matches_hashlib_on_arbitrary_strings(spark):
+    # sanity beyond the pinned set: the recipe really is "first 15 hex
+    # chars of md5", checked against hashlib for fresh inputs
+    samples = [f"doc-{i} body text" for i in range(20)]
+    expected = {
+        s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in samples
+    }
+    rows = (
+        spark.createDataFrame([(s,) for s in samples], ["s"])
+        .select("s", portable_hash60(F.col("s")).alias("h"))
+        .collect()
+    )
+    assert {r["s"]: r["h"] for r in rows} == expected
+
+
+# a_i = ((2654435761 * (i+1)) mod p) or 1;  b_i = (40503*(i+1)^2 + 12345) mod p
+# — hand-evaluated with plain Python ints for p = 2^31 - 1.
+MINHASH_COEFF_VECTORS = {
+    0: (506952114, 52848),
+    1: (1013904228, 174357),
+    2: (1520856342, 376872),
+    7: (1908133265, 2604537),
+    63: (232680591, 165912633),
+}
+
+
+def test_minhash_coefficients_known_answers():
+    assert _MINHASH_PRIME == 2**31 - 1
+    a, b = minhash_coefficients(64)
+    for i, (ai, bi) in MINHASH_COEFF_VECTORS.items():
+        assert (a[i], b[i]) == (ai, bi), f"coefficient {i} drifted"
+    assert all(x != 0 for x in a), "a_i must stay invertible-ish (never 0)"
+
+
+# ------------------------------------------------------------- Knuth family
+
+# ((x % 2^31 + 2^31) % 2^31) * 2654435761 mod 2^32, hand-computed.
+# Includes the portability edge cases the pmod exists for: a negative
+# key and a key >= 2^31 (where Spark/DuckDB `%`/overflow semantics
+# would otherwise diverge).
+KNUTH_VECTORS = {
+    (0, 0): 0,
+    (1, 0): 2654435761,
+    (12345, 0): 2703968361,
+    (-7, 0): 746302505,
+    (2**31 + 5, 0): 387276917,
+    (42, 99): 613287549,
+}
+
+
+def test_knuth_hash_known_answers(spark):
+    assert (_KNUTH, _MOD) == (2654435761, 2**32)
+    rows = spark.createDataFrame(
+        [(x, s) for (x, s) in KNUTH_VECTORS], ["x", "salt"]
+    ).collect()
+    for r in rows:
+        got = (
+            spark.createDataFrame([(r["x"],)], ["x"])
+            .select(_hash_col(F.col("x"), r["salt"]).alias("h"))
+            .first()["h"]
+        )
+        assert got == KNUTH_VECTORS[(r["x"], r["salt"])], (
+            f"knuth hash drifted for key={r['x']} salt={r['salt']}"
+        )
+
+
+# ------------------------------------------------------- accent-fold family
+
+# The six source chars whose fold is NOT their NFD base (they don't
+# decompose); every other entry must equal its NFD-stripped base.
+ACCENT_NON_DECOMPOSABLE = {
+    "ı": "i", "ø": "o", "đ": "d", "ð": "d", "þ": "t", "ß": "b",
+}
+
+
+def test_accent_table_alignment_via_unicodedata():
+    assert len(ACCENT_SRC) == len(ACCENT_DST) == 69
+    assert len(set(ACCENT_SRC)) == 69, "duplicate src char would shadow a fold"
+    for s, d in zip(ACCENT_SRC, ACCENT_DST):
+        nfd = unicodedata.normalize("NFD", s)
+        base = "".join(c for c in nfd if not unicodedata.combining(c))
+        if s in ACCENT_NON_DECOMPOSABLE:
+            assert d == ACCENT_NON_DECOMPOSABLE[s], f"exception fold {s!r}"
+        else:
+            assert base == d, (
+                f"fold {s!r} -> {d!r} disagrees with NFD base {base!r}"
+            )
+
+
+def test_ccnet_normalize_known_answer(spark):
+    # hand-derived: lower -> fold (ç->c û->u ï->i é->e è->e) ->
+    # digits->0 -> punctuation/symbols (€ , – !) -> space -> collapse
+    got = (
+        spark.createDataFrame(
+            [("Ça coûte 12 €, naïve – ÉLÈVE!",)], ["t"]
+        )
+        .select(ccnet_normalize(F.col("t")).alias("n"))
+        .first()["n"]
+    )
+    assert got == "ca coute 00 naive eleve"
+
+
+# ------------------------------------------------------ tokenizer family
+
+def test_tokenizer_known_answers(spark):
+    df = spark.createDataFrame(
+        [("Hello, World! 123",), ("  Foo\t BAR  baz ",), ("",)], ["t"]
+    )
+    rows = df.select(
+        normalized_text(F.col("t")).alias("n"),
+        tokens_of(F.col("t")).alias("toks"),
+    ).collect()
+    assert rows[0]["n"] == "hello, world! 123"
+    assert rows[0]["toks"] == ["hello", "world", "123"]
+    assert rows[1]["n"] == "foo bar baz"
+    assert rows[1]["toks"] == ["foo", "bar", "baz"]
+    assert rows[2]["toks"] == []
+
+
+# ------------------------------------------------------- Gopher family
+
+def test_gopher_stats_hand_computed(spark):
+    # "The cat sat on the mat" -> tokens [the,cat,sat,on,the,mat]
+    #   n_words = 6
+    #   mean_word_len = (3+3+3+2+3+3)/6 = 17/6 = 2.833333 (round6)
+    #   stop_hits = |distinct tokens ∩ STOP_WORDS_EN| = |{the, on}| = 2
+    #   consec_dup_frac = 0 (no adjacent equal pair)
+    #   top_bigram_frac: 5 bigrams, all distinct -> 1/5 = 0.2
+    assert "the" in STOP_WORDS_EN and "on" in STOP_WORDS_EN
+    assert "cat" not in STOP_WORDS_EN
+    df = spark.createDataFrame([(1, "The cat sat on the mat")], ["id", "text"])
+    r = gopher_filter(df, "text", "id").first()
+    assert r["n_words"] == 6
+    assert r["mean_word_len"] == pytest.approx(2.833333, abs=1e-6)
+    assert r["stop_hits"] == 2
+    assert r["consec_dup_frac"] == 0.0
+    assert r["top_bigram_frac"] == pytest.approx(0.2, abs=1e-9)
+    # default thresholds: fails min_words (6<50), fails word_len
+    # (2.83<3.0), fails bigram (0.2>0.18); passes stop + consec
+    assert not r["pass_n_words"]
+    assert not r["pass_word_len"]
+    assert r["pass_stop"]
+    assert not r["pass_bigram"]
+    assert r["pass_consec"]
+    assert not r["keep"]
+
+
+def test_gopher_consec_dup_hand_computed(spark):
+    # "go go go stop" -> 4 tokens, adjacent-equal positions: (go,go),
+    # (go,go) = 2 of 3 -> 2/3 = 0.666667;
+    # distinct bigrams: "go go" x2, "go stop" -> top 2/3 = 0.666667
+    df = spark.createDataFrame([(1, "go go go stop")], ["id", "text"])
+    r = gopher_filter(df, "text", "id").first()
+    assert r["consec_dup_frac"] == pytest.approx(0.666667, abs=1e-6)
+    assert r["top_bigram_frac"] == pytest.approx(0.666667, abs=1e-6)
+
+
+# --------------------------------------------------------- PII family
+
+def test_pii_counts_hand_computed(spark):
+    text = "contact a@b.co or visit https://x.y now 1.2.3.4 ok"
+    # n_emails: "a@b.co" -> 1; n_ipv4: "1.2.3.4" -> 1;
+    # n_urls: "https://x.y" -> 1; n_phones: no +digit run -> 0
+    df = spark.createDataFrame([(1, text)], ["id", "text"])
+    r = pii_scan(df, "text", "id").first()
+    assert (r["n_emails"], r["n_ipv4"], r["n_phones"], r["n_urls"]) == (
+        1, 1, 0, 1,
+    )
+    assert r["has_pii"]
+    clean = pii_scan(
+        spark.createDataFrame([(2, "just words here")], ["id", "text"]),
+        "text", "id",
+    ).first()
+    assert not clean["has_pii"]
+
+
+def test_pii_pattern_set_pinned():
+    # the oracle SQL embeds these exact four patterns; renaming or
+    # re-ordering keys silently changes the output schema
+    assert list(PII_PATTERNS) == ["n_emails", "n_ipv4", "n_phones", "n_urls"]
+
+
+# ------------------------------------------------------ lang-id family
+
+def test_lang_id_hand_computed(spark):
+    # "der hund und die katze ist nicht hier": de profile hits
+    # {der, und, die, ist, nicht} = 5; en/fr/es = 0 -> "de"
+    # "the der": en=1 (the), de=1 (der) -> tie; first language in
+    # LANG_PROFILES insertion order (en) wins
+    # "zzz qqq xxx": no profile hit -> "und"
+    assert list(LANG_PROFILES) == ["en", "de", "fr", "es"]
+    df = spark.createDataFrame(
+        [
+            (1, "der hund und die katze ist nicht hier"),
+            (2, "the der"),
+            (3, "zzz qqq xxx"),
+            (4, "le chat est sur la table et les livres pour"),
+        ],
+        ["id", "text"],
+    )
+    rows = df.select("id", lang_id(F.col("text")).alias("lang")).collect()
+    got = {r["id"]: r["lang"] for r in rows}
+    assert got == {1: "de", 2: "en", 3: "und", 4: "fr"}
+
+
+# ------------------------------------------------------ entropy family
+
+def test_char_entropy_hand_computed(spark):
+    # H("aabb") = log2(4) - (2·log2 2 + 2·log2 2)/4 = 2 - 1 = 1.0
+    # H("abcd") = log2(4) - 0 = 2.0
+    # H("aaaa") = log2(4) - 4·log2(4)/4 = 0.0
+    # H("") = 0.0 by convention
+    df = spark.createDataFrame(
+        [("aabb",), ("abcd",), ("aaaa",), ("",)], ["t"]
+    )
+    rows = df.select(char_entropy(F.col("t")).alias("h")).collect()
+    assert [r["h"] for r in rows] == [1.0, 2.0, 0.0, 0.0]

@@ -158,3 +158,37 @@ def test_mixture_sample_documented_drop_rules(spark):
     default = mixture_sample(df, F.col("id"), "dom", budget=1000)
     doms2 = {r["dom"] for r in default.select("dom").distinct().collect()}
     assert doms2 == {"listed", "unlisted"}  # NULL still dropped
+
+
+def test_mixture_sample_temperature_null_and_zero_sizes(spark):
+    """ADVICE r5: the temperature path must tolerate domains whose
+    size_col sum is NULL (all-NULL sizes) or 0 — previously a NULL sum
+    raised TypeError on the += fold, and at temperature=0 a zero-size
+    domain got weight 0**0 == 1, diluting every real domain's share."""
+    from muller_spark.operators.sampling import mixture_sample
+    from pyspark.sql import functions as F
+
+    rows = [(i, "real", 10) for i in range(100)]
+    rows += [(200, "nullsz", None), (201, "nullsz", None)]
+    rows += [(300, "zerosz", 0)]
+    df = spark.createDataFrame(rows, "id long, dom string, toks int")
+
+    # temperature=0 flattens to uniform over domains WITH size; the two
+    # degenerate domains must not absorb budget share
+    out = mixture_sample(
+        df, F.col("id"), "dom", budget=2000,
+        size_col="toks", temperature=0.0,
+    )
+    counts = {r["dom"]: r["n"] for r in
+              out.groupBy("dom").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # real: w=1.0 (only sized domain), rate=min(1, 2000*1.0/1000)=1
+    assert counts.get("real") == 100
+    assert "nullsz" not in counts and "zerosz" not in counts
+
+    # all-degenerate corpus: empty result, not a crash
+    deg = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 0)], "id long, dom string, toks int"
+    )
+    assert mixture_sample(
+        deg, F.col("id"), "dom", budget=10, size_col="toks", temperature=0.5
+    ).count() == 0
