@@ -171,3 +171,64 @@ def test_replay_marker_skip_and_ledger_heal(spark, tmp_path):
     # compaction restores the minimal ledger
     compact_dedup_ledger(spark, ledger)
     assert spark.read.parquet(ledger).count() == 2
+
+
+def test_ledger_batch_cost_flat_as_ledger_grows(spark, tmp_path):
+    """100 TB ingest story (round-6 item #6): per-micro-batch wall time
+    must stay ~flat while the ledger grows 16x — the handler's cost is
+    O(batch) + one narrow hash anti-join, never a corpus re-scan.  The
+    ledger is grown in-plan (spark.range -> md5) to 16x its seed size
+    between two timed 3-batch drives; medians are compared with a
+    generous bound since this is a wall-clock smoke, not a benchmark."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from muller_spark.streaming.windows import make_ledger_batch_handler
+
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "out")
+
+    def synth_hashes(lo, hi):
+        return spark.range(lo, hi).select(
+            F.md5(F.concat(F.lit("ledger-seed-"), F.col("id"))).alias(
+                "content_hash"
+            )
+        )
+
+    base_n = 60_000
+    synth_hashes(0, base_n).write.mode("overwrite").parquet(ledger)
+
+    land = make_ledger_batch_handler(
+        "text", ledger, out, "scale", keep_by="doc_id"
+    )
+
+    def batch(tag, n=200):
+        return spark.createDataFrame(
+            [(i, f"doc {tag} {i} unique body") for i in range(n)],
+            "doc_id long, text string",
+        )
+
+    def drive(tags, first_id):
+        times = []
+        for off, tag in enumerate(tags):
+            start = time.perf_counter()
+            land(batch(tag), first_id + off)
+            times.append(time.perf_counter() - start)
+        return sorted(times)[len(times) // 2]
+
+    land(batch("warmup"), 0)  # absorb Python-worker / writer warmup
+    base_median = drive(["a1", "a2", "a3"], 1)
+
+    # grow the ledger to 16x in-plan: 15 more base_n chunks of fresh hashes
+    synth_hashes(base_n, 16 * base_n).write.mode("append").parquet(ledger)
+    big_median = drive(["b1", "b2", "b3"], 10)
+
+    assert big_median < 3.5 * base_median + 0.5, (
+        f"per-batch cost grew with ledger size: {base_median:.2f}s -> "
+        f"{big_median:.2f}s at 16x ledger"
+    )
+
+    # and the batches actually landed + deduped against the big ledger
+    landed = spark.read.parquet(out)
+    assert landed.filter(F.col("text").contains("b1")).count() == 200

@@ -1006,3 +1006,21 @@ def test_dedup_ledger_staged_materialization(spark, tmp_path):
     import os as _os
 
     assert _os.listdir(stage), "survivors staged as parquet"
+
+
+def test_embedding_near_dups_explicit_dim_runs_no_driver_job(spark):
+    """With ``dim`` passed, building the pairs plan must stay fully lazy
+    — no `first()` probe job on the driver (round-6 item: the probe is
+    one extra job per call on the hot path when dim is omitted)."""
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    plan = embedding_near_dups(
+        df, "embedding", "vec_id", threshold=0.5,
+        num_planes=4, num_tables=2, dim=8,
+    )
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "plan construction with explicit dim ran a job"
+    assert plan.columns == ["id_a", "id_b", "cosine"]  # still a valid plan
