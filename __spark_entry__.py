@@ -334,9 +334,14 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from muller_spark.operators.text import chunk_documents
 
     docs = _t(spark, sf_dir, "documents")
-    return chunk_documents(docs, "doc_id", "text", 64, overlap=16).orderBy(
-        "doc_id", "chunk_id"
-    )
+    # Sort the raw docs BEFORE chunking: an orderBy above the map-only
+    # chunk plan range-samples it, executing tokenize+chunk twice.
+    # Project/Generate preserve row order and posexplode emits chunk_ids
+    # ascending within a doc, so pre-sorted docs give exactly the
+    # (doc_id, chunk_id) order — proven row-identical; 1.23 s → 1.0 s
+    # warm at sf0.1 (EXPLAIN.md round-6 isolation table).
+    return chunk_documents(docs.orderBy("doc_id"), "doc_id", "text", 64,
+                           overlap=16)
 
 
 def q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1804,11 +1809,19 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from muller_spark.operators.text import ccnet_normalize, char_entropy
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # Sort BEFORE the expensive projection: `.select(...).orderBy(id)`
+    # range-samples and shuffles the computed (norm_text, entropy)
+    # columns — executing the translate/entropy pipeline twice (once
+    # for the partition-bound sampling job, once for the exchange).
+    # Sorting the raw (doc_id, text) rows first keeps the Project above
+    # the Sort, so the heavy expressions run exactly once, post-shuffle.
+    # Identical rows + order; measured 3.0 s → 1.8 s warm at sf0.1
+    # (EXPLAIN.md round-6 isolation table).
+    return docs.orderBy("doc_id").select(
         F.col("doc_id").alias("id"),
         ccnet_normalize(F.col("text")).alias("norm_text"),
         char_entropy(F.col("text")).alias("entropy"),
-    ).orderBy("id")
+    )
 
 
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1468,17 +1468,22 @@ def dataset(
 
 
 def load(path: str, spark: SparkSession | None = None, read_only: bool = False) -> Dataset:
-    """Open existing dataset; supports ``path@branch`` addressing
-    (reference ``api/dataset/core.py:132``)."""
+    """Open existing dataset; supports ``path@branch`` AND
+    ``path@commit-id`` addressing (reference ``api/dataset/core.py:132``
+    resolves any commit address through checkout).  A commit-id address
+    opens a detached historical snapshot — the one-step time-travel read
+    a lakehouse user reaches for (``load("ds@<commit>")``) without an
+    explicit ``checkout`` call; ``commit()`` stays refused until a
+    branch is forked (same detached-HEAD guard as ``checkout``)."""
     from muller_spark.session import get_spark
 
     spark = spark or get_spark()
-    branch = "main"
+    address = "main"
     if "@" in os.path.basename(path):
-        path, branch = path.rsplit("@", 1)
-    ds = Dataset(spark, path, branch=branch, read_only=read_only)
-    if branch != "main":
-        ds.checkout(branch)
+        path, address = path.rsplit("@", 1)
+    ds = Dataset(spark, path, read_only=read_only)
+    if address != "main":
+        ds.checkout(address)  # branch name or commit id — log.resolve handles both
     return ds
 
 

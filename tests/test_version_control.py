@@ -755,3 +755,33 @@ def test_delta_export_table_id_stable(base_ds):
     expected = str(_uuid.UUID(hashlib.md5(ds.path.encode("utf-8")).hexdigest()))
     assert exported_id() == expected
     assert exported_id() == expected
+
+
+def test_load_at_commit_id_time_travel(spark, tmp_path):
+    """round-6 item #8: ``load("path@<commit-id>")`` opens a detached
+    historical snapshot in one step (reference resolves any commit
+    address via api/dataset/core.py:132 + checkout addressing)."""
+    path = str(tmp_path / "tt")
+    ds = ds_mod.dataset(path, spark)
+    ds.create_tensor("x", dtype="int64")
+    ds.extend({"x": [1, 2, 3]})
+    ds.commit("v1")
+    v1 = ds.commit_id
+    ds.extend({"x": [4, 5]})
+    ds.commit("v2")
+
+    # time-travel read: the v1 snapshot, 3 rows, detached
+    old = ds_mod.load(f"{path}@{v1}", spark)
+    assert len(old) == 3
+    assert old.branch is None  # detached — not on any branch
+    assert old.commit_id == v1
+    with pytest.raises(Exception):
+        old.extend({"x": [99]}); old.commit("must refuse on detached")
+
+    # branch addressing still works through the same path
+    cur = ds_mod.load(f"{path}@main", spark)
+    assert len(cur) == 5 and cur.branch == "main"
+
+    # unknown address raises, not silently opens HEAD
+    with pytest.raises(Exception):
+        ds_mod.load(f"{path}@deadbeef00", spark)
