@@ -32,6 +32,9 @@ HEADLINE = [
     "q_agg_count_star",
     "q_join_revenue",
     "q_join_multiway",
+    "q_tpch_q3_shipping",
+    "q_tpch_q5_local_supplier",
+    "q_tpch_q10_returns",
     "q_rollup",
     "q_window_rank",
     "q_topk_orders",

@@ -295,3 +295,108 @@ def test_char_entropy_hand_computed(spark):
     )
     rows = df.select(char_entropy(F.col("t")).alias("h")).collect()
     assert [r["h"] for r in rows] == [1.0, 2.0, 0.0, 0.0]
+
+
+# ------------------------------------------------- LM-scoring family
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: d1 = "a a b", d2 = "b c" -> counts a:2 b:2 c:1, total 5
+    # d1: every token has P = 2/5 -> avg = log2(0.4)
+    # d2: (log2(2/5) + log2(1/5)) / 2
+    import math
+
+    from muller_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    rows = {
+        r["id"]: r
+        for r in unigram_logprob(df, "text", "doc_id").collect()
+    }
+    assert rows[1]["n_tokens"] == 3 and rows[2]["n_tokens"] == 2
+    assert rows[1]["avg_logprob"] == pytest.approx(
+        round(math.log2(2 / 5), 5), abs=1e-5
+    )
+    assert rows[2]["avg_logprob"] == pytest.approx(
+        round((math.log2(2 / 5) + math.log2(1 / 5)) / 2, 5), abs=1e-5
+    )
+
+
+def test_bigram_logprob_hand_computed(spark):
+    # corpus: d1 = "a b a b", d2 = "b a"
+    #   unigrams a:3 b:3 total 6; bigrams (a,b):2 (b,a):2
+    #   every bigram position scores the same interpolated prob:
+    #   P = lam*(2/3) + (1-lam)*(3/6); d3 = "solo" has <2 tokens -> NULL
+    import math
+
+    from muller_spark.operators.text import bigram_logprob
+
+    lam = 0.7
+    p = lam * (2 / 3) + (1 - lam) * 0.5
+    # "solo" adds 1 to total unigrams (total 7) and its own count —
+    # keep it OUT of the trained corpus to keep the arithmetic above
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a")], "doc_id long, text string"
+    )
+    rows = {
+        r["id"]: r for r in bigram_logprob(df, "text", "doc_id", lam=lam).collect()
+    }
+    expected = round(math.log2(p), 5)
+    assert rows[1]["avg_logprob"] == pytest.approx(expected, abs=1e-5)
+    assert rows[2]["avg_logprob"] == pytest.approx(expected, abs=1e-5)
+
+    short = bigram_logprob(
+        spark.createDataFrame([(9, "solo")], "doc_id long, text string"),
+        "text", "doc_id", lam=lam,
+    ).first()
+    assert short["avg_logprob"] is None  # <2 tokens: no bigram positions
+
+
+def test_dsir_importance_hand_computed(spark):
+    # Pure-Python replica of the published recipe (hashed unigram
+    # buckets, add-one smoothing, log ratio) using hashlib + math —
+    # shares only the SPEC with the implementation, none of its code.
+    import math
+
+    from muller_spark.operators.text import dsir_importance
+
+    n_buckets = 256
+    docs = {1: "alpha beta beta", 2: "gamma alpha", 3: "beta delta delta"}
+    target_ids = {1}
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n_buckets
+
+    raw, tgt = {}, {}
+    for did, text in docs.items():
+        for tok in text.split():
+            b = bucket(tok)
+            raw[b] = raw.get(b, 0) + 1
+            if did in target_ids:
+                tgt[b] = tgt.get(b, 0) + 1
+    tr, tt = sum(raw.values()), sum(tgt.values())
+
+    def lw(text):
+        out = 0.0
+        for tok in text.split():
+            b = bucket(tok)
+            pt = (tgt.get(b, 0) + 1) / (tt + n_buckets)
+            pr = (raw.get(b, 0) + 1) / (tr + n_buckets)
+            out += math.log(pt / pr)
+        return round(out, 5)
+
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    rows = {
+        r["id"]: r
+        for r in dsir_importance(
+            df, "text", "doc_id", F.col("doc_id") == 1, n_buckets=n_buckets
+        ).collect()
+    }
+    for did, text in docs.items():
+        assert rows[did]["n_tokens"] == len(text.split())
+        assert rows[did]["logweight"] == pytest.approx(lw(text), abs=2e-5), did
+    # target doc must out-weigh the fully-off-target doc
+    assert rows[1]["logweight"] > rows[3]["logweight"]
