@@ -969,6 +969,25 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(emb, "embedding", exact=True)
 
 
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the positional inverted index
+    (index/inverted.InvertedIndex.bm25) — the ranking extension the
+    reference's unranked fuzzy search lacks.  The oracle replicates the
+    Robertson/Lucene formula in pure SQL over the same tokenization, so
+    this value-checks the index access path AND the scoring arithmetic;
+    the shared-formula risk is covered by the hand-computed pin in
+    tests/test_known_answers.py."""
+    import tempfile
+
+    from muller_spark.index.inverted import InvertedIndex
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="bm25_idx_"), "idx")
+    idx = InvertedIndex.build(docs, "text", path, id_col="doc_id",
+                              positions=True)
+    return idx.bm25("vector hash join", k=20)
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional-index phrase search (index/inverted.phrase_match):
     builds a positional posting table and answers the exact-adjacency
@@ -1960,6 +1979,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_label_centroids": q_label_centroids,
     "q_embedding_covariance": q_embedding_covariance,
     "q_mixture_sample": q_mixture_sample,
+    "q_bm25_rank": q_bm25_rank,
     "q_phrase_search": q_phrase_search,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_repetition_stats": q_repetition_stats,
@@ -2680,6 +2700,34 @@ _ORACLES: dict[str, str] = {
                sp.n AS n
         FROM sp JOIN m mi ON sp.i = mi.dim JOIN m mj ON sp.j = mj.dim
         ORDER BY sp.i, sp.j
+    """,
+    "q_bm25_rank": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9一-鿿]+'),
+                   x -> x <> '')) AS term
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks
+          WHERE term IN ('vector', 'hash', 'join')
+          GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        SELECT dl.doc_id AS id,
+               round(sum(
+                 ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               ), 5) AS score
+        FROM dl JOIN tf ON dl.doc_id = tf.doc_id
+        JOIN dfreq ON tf.term = dfreq.term
+        CROSS JOIN stats
+        GROUP BY dl.doc_id
+        ORDER BY score DESC, id ASC
+        LIMIT 20
     """,
     "q_phrase_search": """
         SELECT doc_id AS id FROM documents

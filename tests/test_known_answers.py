@@ -400,3 +400,41 @@ def test_dsir_importance_hand_computed(spark):
         assert rows[did]["logweight"] == pytest.approx(lw(text), abs=2e-5), did
     # target doc must out-weigh the fully-off-target doc
     assert rows[1]["logweight"] > rows[3]["logweight"]
+
+
+# --------------------------------------------------------- BM25 family
+
+def test_bm25_hand_computed(spark, tmp_path):
+    # corpus: d1="cat dog", d2="cat cat fish", d3="bird"
+    #   N=3, dl = 2/3/1, avgdl = 2
+    # query "cat": df=2, idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6)
+    #   d1: tf=1, K = 1.2*(0.25+0.75*2/2) = 1.2  -> w = idf*2.2/2.2 = idf
+    #   d2: tf=2, K = 1.2*(0.25+0.75*3/2) = 1.65 -> w = idf*4.4/3.65
+    # -> d2 ranks first (higher tf wins at comparable dl)
+    import math
+
+    from muller_spark.index.inverted import InvertedIndex
+
+    df = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat cat fish"), (3, "bird")],
+        "doc_id long, text string",
+    )
+    idx = InvertedIndex.build(
+        df, "text", str(tmp_path / "idx"), id_col="doc_id", positions=True
+    )
+    rows = idx.bm25("cat", k=10).collect()
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    expect = {
+        2: round(idf * (2 * 2.2) / (2 + 1.65), 5),
+        1: round(idf * (1 * 2.2) / (1 + 1.2), 5),
+    }
+    assert [r["id"] for r in rows] == [2, 1]
+    for r in rows:
+        assert r["score"] == pytest.approx(expect[r["id"]], abs=2e-5)
+
+    # tf needs position rows: a non-positional index must refuse
+    flat = InvertedIndex.build(
+        df, "text", str(tmp_path / "flat"), id_col="doc_id", positions=False
+    )
+    with pytest.raises(ValueError):
+        flat.bm25("cat")
