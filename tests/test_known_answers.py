@@ -438,3 +438,31 @@ def test_bm25_hand_computed(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         flat.bm25("cat")
+
+
+# ----------------------------------------------- quality-score family
+
+def test_quality_score_hand_computed(spark):
+    # doc 1: "the cat is on the mat and it is very good here today now"
+    #   14 tokens (>=10 -> length_ok 1.0); stopwords
+    #   {the,is,on,the,and,it,is} = 7 -> ratio 0.5 >= 0.05 -> 1.0;
+    #   no punct, no digits -> 1.0 * 1.0; score = 1.0
+    # doc 2: "x1 y2 z3" -> 3 tokens (<10 -> 0.3); 0 stopwords (-> 0.5);
+    #   digits 3 of 8 chars = 0.375 > 0.3 (-> 0.5); no punct (-> 1.0)
+    #   score = 0.3 * 0.5 * 1.0 * 0.5 = 0.075
+    from muller_spark.operators.text import quality_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it is very good here today now"),
+            (2, "x1 y2 z3"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_score(df, "text").collect()}
+    assert rows[1]["n_tokens"] == 14
+    assert rows[1]["stopword_ratio"] == pytest.approx(0.5)
+    assert rows[1]["quality_score"] == pytest.approx(1.0)
+    assert rows[2]["n_tokens"] == 3
+    assert rows[2]["digit_ratio"] == pytest.approx(0.375)
+    assert rows[2]["quality_score"] == pytest.approx(0.075)
