@@ -398,6 +398,21 @@ def sf1_envelope(spark, sf_dir: str) -> dict:
         .withColumn("l_orderkey", F.col("l_orderkey") * 10 + F.col("_rep"))
         .drop("_rep")
     )
+    # orders replicated on the SAME key transform so the q5_multi_join
+    # shape joins sf1-equivalent fact tables with matching cardinality
+    big_orders = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .crossJoin(F.broadcast(reps))
+        .withColumn("o_orderkey", F.col("o_orderkey") * 10 + F.col("_rep"))
+        .drop("_rep")
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name"
+    )
 
     def timed(fn):
         rec, _ = timed_protocol(fn)
@@ -428,6 +443,27 @@ def sf1_envelope(spark, sf_dir: str) -> dict:
                 [F.col("l_extendedprice").desc(),
                  F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
                 k=3,
+            )
+        )),
+        # TPC-H Q5-shaped multi-join at sf1: both fact tables replicated
+        # on matching keys, all dimension sides broadcast — extends the
+        # envelope's evidence from scan/agg/window shapes to the join
+        # pipeline (round-6; plan asserted SMJ-free at sf0.01 in
+        # tests/test_round6_plans.py)
+        "q5_multi_join": timed(lambda: materialize(
+            big.join(
+                big_orders, big.l_orderkey == big_orders.o_orderkey
+            )
+            .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                ).alias("revenue"),
+                F.count(F.lit(1)).alias("n"),
             )
         )),
         # unhex: shuffle 32-byte binary digests, not 64-char hex strings

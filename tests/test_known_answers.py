@@ -466,3 +466,34 @@ def test_quality_score_hand_computed(spark):
     assert rows[2]["n_tokens"] == 3
     assert rows[2]["digit_ratio"] == pytest.approx(0.375)
     assert rows[2]["quality_score"] == pytest.approx(0.075)
+
+
+def test_bm25_after_incremental_update(spark, tmp_path):
+    """BM25 must reflect incremental `update()` deltas: corpus stats
+    (N, avgdl) and tf/df all derive from the merged posting table, so a
+    newly appended doc both scores and shifts existing scores."""
+    from muller_spark.index.inverted import InvertedIndex
+
+    df = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat cat fish")], "doc_id long, text string"
+    )
+    idx = InvertedIndex.build(
+        df, "text", str(tmp_path / "idx"), id_col="doc_id", positions=True
+    )
+    idx = idx.update(
+        spark.createDataFrame([(3, "cat bird bird")], "doc_id long, text string")
+    )
+    rows = {r["id"]: r["score"] for r in idx.bm25("cat", k=10).collect()}
+    assert set(rows) == {1, 2, 3}  # the delta doc participates
+    # N=3, df(cat)=3 -> idf = ln((3-3+0.5)/(3+0.5)+1) = ln(8/7); dl all
+    # relative: d2 (tf=2, dl=3) still out-ranks d1 and d3 (tf=1)
+    import math
+
+    idf = math.log((3 - 3 + 0.5) / (3 + 0.5) + 1.0)
+    k1, b, avgdl = 1.2, 0.75, 8 / 3
+    def w(tf, dl):
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 5)
+    assert rows[2] == pytest.approx(w(2, 3), abs=2e-5)
+    assert rows[1] == pytest.approx(w(1, 2), abs=2e-5)
+    assert rows[3] == pytest.approx(w(1, 3), abs=2e-5)
+    assert rows[2] > rows[1] > rows[3]
