@@ -969,6 +969,28 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(emb, "embedding", exact=True)
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sketch (operators/text.rolling_fingerprints):
+    keep-4 smallest distinct portable-H60 hashes of 8-token shingles per
+    document, exploded to (id, fp) rows.  Map-only except the
+    presentation sort; the sketch is the containment-check primitive
+    (shared fp ⇒ shared 8-token passage)."""
+    from muller_spark.operators.text import rolling_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    # sort before the heavy projection — the round-6 map-only-under-sort
+    # discipline (EXPLAIN.md); posexplode keeps fps in ascending order
+    return (
+        docs.orderBy("doc_id")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.explode(
+                rolling_fingerprints(F.col("text"), window=8, keep=4)
+            ).alias("fp"),
+        )
+    )
+
+
 def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval over the positional inverted index
     (index/inverted.InvertedIndex.bm25) — the ranking extension the
@@ -1979,6 +2001,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_label_centroids": q_label_centroids,
     "q_embedding_covariance": q_embedding_covariance,
     "q_mixture_sample": q_mixture_sample,
+    "q_winnow_fingerprints": q_winnow_fingerprints,
     "q_bm25_rank": q_bm25_rank,
     "q_phrase_search": q_phrase_search,
     "q_simhash_near_dups": q_simhash_near_dups,
@@ -2700,6 +2723,25 @@ _ORACLES: dict[str, str] = {
                sp.n AS n
         FROM sp JOIN m mi ON sp.i = mi.dim JOIN m mj ON sp.j = mj.dim
         ORDER BY sp.i, sp.j
+    """,
+    "q_winnow_fingerprints": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(0, greatest(len(t) - 8, 0)),
+                   i -> array_to_string(list_slice(t, i + 1, i + 8), ' ')
+                 ) AS shingles
+          FROM toks
+        )
+        SELECT doc_id AS id,
+               unnest(list_slice(
+                 list_sort(list_distinct(
+                   list_transform(shingles, s -> {_H60_SQL.format(v='s')})
+                 )), 1, 4)) AS fp
+        FROM sh
+        ORDER BY id, fp
     """,
     "q_bm25_rank": """
         WITH toks AS (

@@ -127,15 +127,26 @@ def fingerprint(col: Column) -> Column:
 
 
 def rolling_fingerprints(col: Column, window: int = 8, keep: int = 4) -> Column:
-    """Winnowing-style fingerprint set: hash each ``window``-token
-    shingle, keep the ``keep`` smallest hashes (a deterministic sketch of
-    the document usable for containment/overlap checks)."""
+    """Winnowing-style fingerprint sketch: hash each ``window``-token
+    shingle, keep the ``keep`` smallest DISTINCT hashes — a fixed-size
+    deterministic sketch of the document usable for containment /
+    overlap checks (two docs sharing a long passage share small-hash
+    shingles with high probability).  Hashes come from the
+    engine-portable md5-60bit family (``portable_hash60``) rather than
+    ``xxhash64`` so a DuckDB oracle reproduces the sketch value-for-
+    value (q_winnow_fingerprints); the min-of-hashes selection makes
+    the sketch order- and partition-independent.  Documents shorter
+    than ``window`` tokens sketch their whole token stream as one
+    shingle."""
+    from muller_spark.operators.dedup import portable_hash60
+
     toks = tokens_of(col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
     hashes = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))
+        idx,
+        lambda i: portable_hash60(F.concat_ws(" ", F.slice(toks, i + 1, window))),
     )
-    return F.slice(F.array_sort(hashes), 1, keep)
+    return F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep)
 
 
 # GPT-2-style pretokenizer family, restricted to a dialect-portable core:

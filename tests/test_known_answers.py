@@ -497,3 +497,30 @@ def test_bm25_after_incremental_update(spark, tmp_path):
     assert rows[1] == pytest.approx(w(1, 2), abs=2e-5)
     assert rows[3] == pytest.approx(w(1, 3), abs=2e-5)
     assert rows[2] > rows[1] > rows[3]
+
+
+def test_winnow_fingerprints_containment_and_hand_hash(spark):
+    """The winnowing sketch's containment property (shared long passage
+    ⇒ shared fingerprints) plus a hand-computed hash pin: a doc shorter
+    than the window sketches its whole token stream as ONE shingle whose
+    H60 we can compute with hashlib directly."""
+    from muller_spark.operators.text import rolling_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one two three"),
+            (2, "different head words here " + shared),
+            (3, "totally unrelated content about other things entirely"),
+            (4, "tiny doc"),  # < window tokens -> one whole-doc shingle
+        ],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id", rolling_fingerprints(F.col("text"), window=8, keep=4).alias("fp")
+    ).collect()
+    fp = {r["doc_id"]: set(r["fp"]) for r in rows}
+    assert fp[1] & fp[2], "docs sharing a 10-token passage share no fp"
+    assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
+    expected = int(hashlib.md5(b"tiny doc").hexdigest()[:15], 16)
+    assert fp[4] == {expected}
