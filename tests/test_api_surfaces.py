@@ -1,0 +1,87 @@
+"""Coverage for small API surfaces that had no direct test (found by a
+round-6 unused-symbol sweep): Dataset.to_dataframe / to_df / summary
+(reference parity ops — export_data/to_dataframe.py:14, statistics/
+summary.py:33), tables.load_tables, fs.read_json/write_json, and
+sampling.bucket_of.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from muller_spark import dataset as ds_mod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def small_ds(spark, tmp_path):
+    ds = ds_mod.dataset(str(tmp_path / "api"), spark)
+    ds.create_tensor("x", dtype="int64")
+    ds.create_tensor("t", htype="text")
+    ds.extend({"x": [3, 1, 2], "t": ["c", "a", "b"]})
+    ds.commit("seed")
+    return ds
+
+
+def test_to_dataframe_pandas_export_row_order(small_ds):
+    pdf = small_ds.to_dataframe()
+    # row order = insertion order (ROW_ID), hidden columns dropped
+    assert list(pdf["x"]) == [3, 1, 2]
+    assert list(pdf["t"]) == ["c", "a", "b"]
+    assert not any(c.startswith("_") for c in pdf.columns)
+
+
+def test_to_df_hides_internal_columns(small_ds):
+    cols = small_ds.to_df().columns
+    assert set(cols) == {"x", "t"}
+
+
+def test_summary_shape(small_ds):
+    s = small_ds.summary()
+    assert s["rows"] == 3
+    assert s["branch"] == "main"
+    assert s["tensors"]["x"]["dtype"] == "int64"
+    assert s["tensors"]["t"]["htype"] == "text"
+    assert s["commit"] == small_ds.commit_id
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_load_tables_loads_all_driver_tables(spark):
+    from muller_spark.tables import TABLE_NAMES, load_tables
+
+    tables = load_tables(spark, SF_DIR)
+    assert set(tables) == set(TABLE_NAMES)
+    assert tables["nation"].count() == 25
+
+
+def test_fs_json_roundtrip(tmp_path):
+    from muller_spark.fs import get_fs, read_json, write_json
+
+    path = str(tmp_path / "meta" / "x.json")
+    fs = get_fs(path)
+    fs.makedirs(str(tmp_path / "meta"))
+    write_json(fs, path, {"a": 1, "nested": {"b": [1, 2]}})
+    assert read_json(fs, path) == {"a": 1, "nested": {"b": [1, 2]}}
+
+
+def test_bucket_of_known_answers_and_range(spark):
+    from muller_spark.operators.sampling import bucket_of
+
+    # bucket_of = knuth_hash % n; knuth(1, salt 0) = 2654435761
+    #   -> bucket_of(1, 10) = 1;  knuth(0) = 0 -> bucket 0
+    df = spark.range(0, 1000).select(
+        "id", bucket_of(F.col("id"), n_buckets=10).alias("b")
+    )
+    rows = {r["id"]: r["b"] for r in df.collect()}
+    assert rows[0] == 0
+    assert rows[1] == 2654435761 % 10
+    assert set(rows.values()) <= set(range(10))
+    # roughly uniform: every bucket populated over 1000 keys
+    assert len(set(rows.values())) == 10
