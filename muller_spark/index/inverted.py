@@ -218,6 +218,8 @@ class InvertedIndex:
         fs.write_text(os.path.join(path, "manifest.json"), json.dumps(manifest))
         out = cls(spark, path)
         out._manifest = manifest
+        if positions:
+            out._write_docstats()
         return out
 
     @property
@@ -300,12 +302,13 @@ class InvertedIndex:
 
         Scale shape: the query terms' postings are shard-pruned reads
         (``_lookup_terms``); tf/df frames are bounded by docs that
-        contain a query term and broadcast into the corpus-sized
-        doc-length frame, which itself is one map-side aggregate of the
-        posting table; the final top-k plans as TakeOrderedAndProject.
-        A serving deployment would persist the (dl, N, avgdl) stats at
-        build time; computing them per query keeps this method
-        stateless without changing the asymptotics (one index scan)."""
+        contain a query term and broadcast into the doc-length frame;
+        the final top-k plans as TakeOrderedAndProject.  Doc lengths
+        come from the narrow ``docstats`` (id, dl) table persisted at
+        build/update time (``_write_docstats``), so a query touches
+        only the query terms' shards plus that table — never a full
+        posting scan; indexes built before docstats existed fall back
+        to computing it on the fly."""
         if not self.manifest.get("positions"):
             raise ValueError(
                 "bm25 needs a positional index (tf = count of position "
@@ -314,8 +317,7 @@ class InvertedIndex:
         terms = self._terms_of(query)
         if not terms:
             return self.spark.createDataFrame([], "id long, score double")
-        posts = self._postings()
-        dl = posts.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+        dl = self._docstats()
         stats = dl.agg(
             F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
         )
@@ -342,6 +344,39 @@ class InvertedIndex:
             .agg(F.round(F.sum(w), round_to).alias("score"))
             .orderBy(F.col("score").desc(), F.col("id").asc())
             .limit(k)
+        )
+
+    def _docstats_path(self) -> str:
+        return os.path.join(self.path, "docstats")
+
+    def _write_docstats(self) -> None:
+        """Persist per-document post-filter token counts (id, dl) next
+        to the postings — one aggregate at build/update time so BM25
+        serving never re-scans the posting table for corpus stats.
+        Maintenance ops that only re-bucket rows (reshard, hot shards,
+        optimize) leave (term, id, pos) contents unchanged, so the
+        stats stay valid without a rewrite."""
+        stats_new = self._docstats_path() + "_new"
+        (
+            self._postings()
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("dl"))
+            .write.mode("overwrite")
+            .parquet(stats_new)
+        )
+        final = self._docstats_path()
+        if self.fs.isdir(final):
+            self.fs.rmtree(final)
+        self.fs.rename(stats_new, final)
+
+    def _docstats(self) -> DataFrame:
+        """(id, dl) frame for BM25 — the persisted table when present,
+        else computed from the postings (indexes built before docstats
+        existed)."""
+        if self.fs.isdir(self._docstats_path()):
+            return self.spark.read.parquet(self._docstats_path())
+        return self._postings().groupBy("id").agg(
+            F.count(F.lit(1)).alias("dl")
         )
 
     def _terms_of(self, query: str) -> list[str]:
@@ -474,6 +509,8 @@ class InvertedIndex:
         if m.get("hot_terms"):
             # hot-shard postings are a copy — refresh them from the merge
             self.add_hot_shard(len(m["hot_terms"]))
+        if m.get("positions"):
+            self._write_docstats()  # dl/N/avgdl change with the delta
         return self
 
     # -- maintenance -----------------------------------------------------
