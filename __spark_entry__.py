@@ -969,6 +969,34 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(emb, "embedding", exact=True)
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion
+    (operators/topk.rrf_fuse): the top-20 BM25 lexical ranking fused
+    with a top-20 corpus-quality prior, 1/(60+rank) each — the modern
+    upgrade of the reference's filter-then-KNN hybrid search.  Both
+    branches and the fusion arithmetic are replicated in the SQL
+    oracle, so ranks, tie-breaks, and the fused doubles are all
+    value-checked."""
+    import tempfile
+
+    from muller_spark.index.inverted import InvertedIndex
+    from muller_spark.operators.text import quality_score
+    from muller_spark.operators.topk import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="rrf_idx_"), "idx")
+    idx = InvertedIndex.build(docs, "text", path, id_col="doc_id",
+                              positions=True)
+    bm = idx.bm25("vector hash join", k=20)
+    qual = (
+        quality_score(docs, "text")
+        .orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(F.col("doc_id").alias("id"), "quality_score")
+    )
+    return rrf_fuse([(bm, "score"), (qual, "quality_score")], topk=10)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint sketch (operators/text.rolling_fingerprints):
     keep-4 smallest distinct portable-H60 hashes of 8-token shingles per
@@ -2001,6 +2029,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_label_centroids": q_label_centroids,
     "q_embedding_covariance": q_embedding_covariance,
     "q_mixture_sample": q_mixture_sample,
+    "q_hybrid_rrf": q_hybrid_rrf,
     "q_winnow_fingerprints": q_winnow_fingerprints,
     "q_bm25_rank": q_bm25_rank,
     "q_phrase_search": q_phrase_search,
@@ -2723,6 +2752,77 @@ _ORACLES: dict[str, str] = {
                sp.n AS n
         FROM sp JOIN m mi ON sp.i = mi.dim JOIN m mj ON sp.j = mj.dim
         ORDER BY sp.i, sp.j
+    """,
+    "q_hybrid_rrf": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9一-鿿]+'),
+                   x -> x <> '')) AS term
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        bstats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks
+          WHERE term IN ('vector', 'hash', 'join')
+          GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        bm AS (
+          SELECT dl.doc_id AS id,
+                 round(sum(
+                   ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                 ), 5) AS score
+          FROM dl JOIN tf ON dl.doc_id = tf.doc_id
+          JOIN dfreq ON tf.term = dfreq.term
+          CROSS JOIN bstats
+          GROUP BY dl.doc_id
+          ORDER BY score DESC, id ASC
+          LIMIT 20
+        ),
+        qt AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+                 length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+                 len({_TOKENS_SQL}) AS n_tokens,
+                 len(list_filter({_TOKENS_SQL}, x -> x IN {_STOP_EN_SQL})) AS stop
+          FROM documents
+        ),
+        qr AS (
+          SELECT doc_id,
+                 CASE WHEN n_tokens > 0 THEN CAST(stop AS DOUBLE)/n_tokens ELSE 0.0 END AS stopword_ratio,
+                 CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN n_chars > 0 THEN CAST(digits AS DOUBLE)/n_chars ELSE 0.0 END AS digit_ratio,
+                 n_tokens
+          FROM qt
+        ),
+        qual AS (
+          SELECT doc_id AS id,
+                 round(cast(
+                   (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END)
+                   * (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.5 END)
+                   * (CASE WHEN punct_ratio <= 0.3 THEN 1.0 ELSE 0.4 END)
+                   * (CASE WHEN digit_ratio <= 0.3 THEN 1.0 ELSE 0.5 END)
+                 AS double), 6) AS quality_score
+          FROM qr
+          ORDER BY quality_score DESC, id ASC
+          LIMIT 20
+        ),
+        contribs AS (
+          SELECT id, 1.0 / (60 + row_number() OVER (ORDER BY score DESC, id ASC)) AS c
+          FROM bm
+          UNION ALL
+          SELECT id, 1.0 / (60 + row_number() OVER (ORDER BY quality_score DESC, id ASC)) AS c
+          FROM qual
+        )
+        SELECT id, round(sum(c), 6) AS rrf_score
+        FROM contribs
+        GROUP BY id
+        ORDER BY rrf_score DESC, id ASC
+        LIMIT 10
     """,
     "q_winnow_fingerprints": f"""
         WITH toks AS (

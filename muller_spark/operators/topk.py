@@ -106,3 +106,70 @@ def topk_per_group(
         survivors.withColumn(rank_col, F.row_number().over(w_final))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def rrf_fuse(
+    ranked: "Sequence[tuple[DataFrame, str]]",
+    id_col: str = "id",
+    k: int = 60,
+    topk: "int | None" = None,
+    out_col: str = "rrf_score",
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of candidate lists — the standard hybrid-
+    retrieval combiner (Cormack et al. 2009; what Elasticsearch/Vespa
+    call "RRF"): each list contributes ``1/(k + rank)`` per id and ids
+    are scored by the sum, so agreement across heterogeneous scorers
+    (BM25, vector KNN, a quality prior) beats a high rank in one.
+
+    ``ranked`` is a sequence of ``(df, score_col)`` pairs; each frame is
+    ranked by ``score_col`` desc with ``id_col`` asc tie-break.  Rows
+    absent from a list simply contribute nothing (no imputation).
+    Returns ``(id, rrf_score)`` ordered score-desc / id-asc, limited to
+    ``topk`` when given.
+
+    Determinism: rank ties break on id in every list, and each id
+    receives at most one contribution per list, so with ≤ 2 lists the
+    fused double is order-independent (float addition is commutative;
+    associativity only matters from 3 summands up — for >2 lists the
+    contributions are summed in list order via an ordered fold to keep
+    the result engine-reproducible).  Scores round to ``round_to``.
+
+    Scale shape: inputs are CANDIDATE lists (a top-k from an index or
+    ANN probe — typically ≤ thousands of rows), so the single-partition
+    ranking window is bounded by construction — never apply this to an
+    unranked corpus; rank the corpus with ``topk_per_group`` or an
+    index first.  The fusion itself is one union + one id-keyed
+    aggregate."""
+    if not ranked:
+        raise ValueError("need at least one ranked input")
+    contribs = []
+    for i, (df, score_col) in enumerate(ranked):
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        contribs.append(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.lit(i).alias("_list"),
+                (F.lit(1.0) / (F.lit(k) + F.row_number().over(w))).alias("_c"),
+            )
+        )
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    # ordered fold over list index: sort_array of (list, contribution)
+    # structs then aggregate — bit-identical regardless of row order
+    fused = (
+        allc.groupBy("id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_list"), F.col("_c")))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["_c"],
+            ).alias("_sum")
+        )
+        .select("id", F.round(F.col("_sum"), round_to).alias(out_col))
+        .orderBy(F.col(out_col).desc(), F.col("id").asc())
+    )
+    return fused.limit(topk) if topk else fused

@@ -100,3 +100,45 @@ def test_rejects_bad_args(spark):
     with pytest.raises(ValueError):
         topk_per_group(df, ["grp"], [F.col("score").desc()], k=3,
                        strategy="bogus")
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF arithmetic pinned by hand: two 3-item lists with one common
+    id; k=60.  doc 10 is rank 1 in A and rank 2 in B ->
+    1/61 + 1/62; ids unique to one list get a single term."""
+    from muller_spark.operators.topk import rrf_fuse
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame(
+        [(10, 5.0), (11, 3.0), (12, 1.0)], "id long, s double"
+    )
+    b = spark.createDataFrame(
+        [(20, 9.0), (10, 8.0), (13, 7.0)], "id long, q double"
+    )
+    rows = {r["id"]: r["rrf_score"] for r in rrf_fuse(
+        [(a, "s"), (b, "q")], k=60
+    ).collect()}
+    assert rows[10] == pytest.approx(round(1 / 61 + 1 / 62, 6), abs=1e-6)
+    assert rows[20] == pytest.approx(round(1 / 61, 6), abs=1e-6)
+    assert rows[11] == pytest.approx(round(1 / 62, 6), abs=1e-6)
+    assert rows[13] == pytest.approx(round(1 / 63, 6), abs=1e-6)
+    # consensus beats a single first place
+    assert rows[10] > rows[20]
+
+    # three lists: ordered fold keeps the sum deterministic
+    c = spark.createDataFrame([(10, 1.0), (13, 0.5)], "id long, r double")
+    fused3 = {r["id"]: r["rrf_score"] for r in rrf_fuse(
+        [(a, "s"), (b, "q"), (c, "r")], k=60
+    ).collect()}
+    assert fused3[10] == pytest.approx(
+        round(1 / 61 + 1 / 62 + 1 / 61, 6), abs=1e-6
+    )
+
+    # tie-break: equal scores rank by id ascending
+    t = spark.createDataFrame([(2, 1.0), (1, 1.0)], "id long, s double")
+    tied = {r["id"]: r["rrf_score"] for r in rrf_fuse([(t, "s")], k=60).collect()}
+    assert tied[1] == pytest.approx(round(1 / 61, 6))
+    assert tied[2] == pytest.approx(round(1 / 62, 6))
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
