@@ -591,6 +591,27 @@ class Dataset:
         ids = idx.search(q, search_type).withColumnRenamed("id", ROW_ID_COL)
         return self.df.join(ids, ROW_ID_COL, "semi").orderBy(ROW_ID_COL)
 
+    def search_bm25(self, tensor: str, query: str, k: int = 10) -> DataFrame:
+        """BM25-ranked full-text search: top-``k`` rows of the dataset
+        joined with their relevance score (``_bm25_score`` column,
+        descending).  Needs a fresh positional index
+        (``create_index_vectorized(tensor, positions=True)``) — the
+        stale-index guard is the same as ``query``."""
+        idx = self._load_index(tensor)
+        if idx is None:
+            raise ValueError(
+                f"no fresh index on {tensor!r}; create_index_vectorized first"
+            )
+        hits = (
+            idx.bm25(query, k=k)
+            .withColumnRenamed("id", ROW_ID_COL)
+            .withColumnRenamed("score", "_bm25_score")
+        )
+        return (
+            self.df.join(F.broadcast(hits), ROW_ID_COL)
+            .orderBy(F.col("_bm25_score").desc(), F.col(ROW_ID_COL).asc())
+        )
+
     def update_index(self, tensor: str):
         """Refresh a stale inverted index (reference
         ``inverted_index_vectorized_ops.py:146`` ``_update_old_index`` /

@@ -85,3 +85,24 @@ def test_bucket_of_known_answers_and_range(spark):
     assert set(rows.values()) <= set(range(10))
     # roughly uniform: every bucket populated over 1000 keys
     assert len(set(rows.values())) == 10
+
+
+def test_dataset_search_bm25(spark, tmp_path):
+    ds = ds_mod.dataset(str(tmp_path / "bm"), spark)
+    ds.create_tensor("t", htype="text")
+    ds.extend({"t": ["cat dog", "cat cat fish", "bird only"]})
+    ds.commit("seed")
+    with pytest.raises(ValueError):
+        ds.search_bm25("t", "cat")  # no index yet
+    ds.create_index_vectorized("t", positions=True)
+    rows = ds.search_bm25("t", "cat", k=5).collect()
+    # higher tf ranks first; the non-matching doc is absent
+    assert [r["t"] for r in rows] == ["cat cat fish", "cat dog"]
+    assert rows[0]["_bm25_score"] > rows[1]["_bm25_score"]
+    # staleness guard: a new commit invalidates the index
+    ds.extend({"t": ["cat again"]})
+    ds.commit("more")
+    with pytest.raises(ValueError):
+        ds.search_bm25("t", "cat")
+    ds.update_index("t")
+    assert len(ds.search_bm25("t", "cat", k=5).collect()) == 3
