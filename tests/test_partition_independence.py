@@ -1,0 +1,49 @@
+"""Partition-independence of the determinism-critical queries: the
+driver may run the oracle gate under any parallelism, so membership /
+ranking decisions must not depend on `spark.sql.shuffle.partitions`.
+Each chosen query either selects rows by portable hash (sampling,
+token budget), assigns positions via the two-phase prefix sum
+(packing), ranks with explicit tie-breaks (RRF, BM25), or derives
+signatures from row-local arithmetic (MinHash) — all shapes where a
+partition-sensitive implementation bug (e.g. `first()` per partition,
+unordered float fold, rank without tie-break) would silently flip
+results between draw environments while staying self-consistent.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+QUERIES = [
+    "q_token_budget",
+    "q_weighted_sample",
+    "q_sequence_pack",
+    "q_minhash_portable",
+    "q_hybrid_rrf",
+    "q_mixture_sample",
+]
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_identical_across_shuffle_partition_counts(spark, name):
+    q = entry.queries()[name]
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = [tuple(r) for r in q(spark, SF_DIR).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = [tuple(r) for r in q(spark, SF_DIR).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert a == b, f"{name} output depends on shuffle partition count"
+    assert a, f"{name} returned no rows — vacuous check"
