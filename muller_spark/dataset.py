@@ -1449,6 +1449,11 @@ def _assign_ids(df: DataFrame, start_uuid: int, start_row: int) -> DataFrame:
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    if not offsets:
+        # empty batch: F.create_map() with no args types as
+        # map<void,void> and `map()[_pid]` fails analysis — use a dummy
+        # entry no row will ever evaluate
+        offsets = {0: 0}
     offset_map = F.create_map(
         *[F.lit(x) for pair in offsets.items() for x in pair]
     )

@@ -43,6 +43,16 @@ class SampleOut:
             raise AttributeError(tensor)
         return _TensorAppender(self, tensor)
 
+    def __setattr__(self, tensor: str, value: Any) -> None:
+        # `sample_out.y = v` assignment style: same semantics as
+        # `sample_out.y.append(v)`.  Without this, the assignment would
+        # silently bind a plain instance attribute and the value would
+        # never reach the output — a data-loss footgun.
+        if tensor.startswith("_") or tensor == "rows":
+            object.__setattr__(self, tensor, value)
+        else:
+            _TensorAppender(self, tensor).append(value)
+
 
 class _TensorAppender:
     def __init__(self, out: SampleOut, tensor: str) -> None:
@@ -97,13 +107,37 @@ class ComputeFunction:
         ds_out=None,
         output_schema: T.StructType | str | None = None,
         message: str = "transform eval",
+        checkpoint_interval: "int | None" = None,
         **_: Any,
     ):
         """Reference-shaped entry: run over a Dataset/DataFrame, append
         results to ``ds_out`` (committing, like checkpointed eval) or
-        return the transformed DataFrame."""
+        return the transformed DataFrame.
+
+        ``checkpoint_interval=N`` (Dataset input + ``ds_out`` only)
+        reproduces the reference's auto-commit checkpoints
+        (``core/transform/pipeline.py:149`` + the resumability contract
+        of ``tests/stress/test_process_interrupt.py``): the input is
+        processed in ``_row_id`` slices of N rows, each slice committed
+        to ``ds_out`` with a ``[ckpt i/k]`` marker, and a RE-RUN of the
+        same eval skips every slice whose marker commit already exists
+        — an interrupted 100 TB transform resumes from the last
+        checkpoint instead of restarting (and never double-appends).
+        The commit log IS the checkpoint journal: no side state, and an
+        interruption between append and commit loses only the
+        in-memory staging, never a half-slice.  The transform fn must
+        be deterministic for resume to be exact."""
         from muller_spark.dataset import Dataset
 
+        if checkpoint_interval is not None:
+            if not isinstance(data_in, Dataset) or ds_out is None:
+                raise ValueError(
+                    "checkpoint_interval needs a Dataset input (stable "
+                    "_row_id slices) and a ds_out to journal commits into"
+                )
+            return self._eval_checkpointed(
+                data_in, ds_out, output_schema, message, checkpoint_interval
+            )
         df = data_in.df if isinstance(data_in, Dataset) else data_in
         if output_schema is None and ds_out is not None:
             from muller_spark.schema import HIDDEN_COLS, spark_type_for
@@ -126,6 +160,49 @@ class ComputeFunction:
             ds_out.commit(message)
             return ds_out
         return out
+
+
+    def _eval_checkpointed(
+        self, data_in, ds_out, output_schema, message: str, interval: int
+    ):
+        from pyspark.sql import functions as F
+
+        from muller_spark.schema import HIDDEN_COLS, ROW_ID_COL, spark_type_for
+
+        if interval <= 0:
+            raise ValueError("checkpoint_interval must be positive")
+        if output_schema is None:
+            fields = [
+                T.StructField(
+                    name,
+                    spark_type_for(m.get("htype", "generic"), m.get("dtype")),
+                    True,
+                )
+                for name, m in ds_out.tensor_meta.items()
+                if not m.get("hidden") and name not in HIDDEN_COLS
+            ]
+            output_schema = T.StructType(fields)
+        n = len(data_in)
+        slices = [(lo, min(lo + interval, n)) for lo in range(0, n, interval)]
+        k = len(slices)
+        done = set()
+        for snap in ds_out.log_history():
+            msg = getattr(snap, "message", "") or ""
+            if msg.startswith(message + " [ckpt ") and f"/{k}]" in msg:
+                try:
+                    done.add(int(msg.split("[ckpt ", 1)[1].split("/", 1)[0]))
+                except ValueError:
+                    pass
+        src = data_in.df
+        for i, (lo, hi) in enumerate(slices, start=1):
+            if i in done:
+                continue
+            part = src.filter(
+                (F.col(ROW_ID_COL) >= lo) & (F.col(ROW_ID_COL) < hi)
+            ).drop(*[c for c in HIDDEN_COLS if c in src.columns])
+            ds_out.extend_df(self.apply(part, output_schema))
+            ds_out.commit(f"{message} [ckpt {i}/{k}]")
+        return ds_out
 
 
 def compute(fn: Callable) -> ComputeFunction:

@@ -767,3 +767,77 @@ def test_jsonl_shards_empty_frame_yields_empty_manifest(spark, tmp_path):
     manifest = to_jsonl_shards(df, path, rows_per_shard=100)
     assert manifest.collect() == []
     assert manifest.columns == ["file", "rows"]
+
+
+def test_eval_checkpointed_resumes_after_interruption(spark, tmp_path):
+    """Reference resumability contract (pipeline.py:149 auto-commit
+    checkpoints + tests/stress/test_process_interrupt.py): an eval with
+    checkpoint_interval that dies mid-run must, on re-run, skip the
+    committed slices (no reprocessing, no duplicate rows) and finish
+    the rest."""
+    from muller_spark import dataset as ds_mod
+    from muller_spark.transform import compute
+
+    src = ds_mod.dataset(str(tmp_path / "src"), spark)
+    src.create_tensor("x", dtype="int64")
+    src.extend({"x": list(range(10))})
+    src.commit("seed")
+
+    calls = {"n": 0}
+
+    out1 = ds_mod.dataset(str(tmp_path / "out"), spark)
+    out1.create_tensor("y", dtype="int64")
+    out1.commit("schema")
+
+    @compute
+    def double(sample_in, sample_out):
+        sample_out.y = sample_in["x"] * 2
+
+    # sabotage: fail the 3rd slice's commit by poisoning extend_df once
+    real_extend = out1.extend_df
+    state = {"slices": 0}
+
+    def flaky_extend(df):
+        state["slices"] += 1
+        if state["slices"] == 3:
+            raise RuntimeError("simulated crash mid-eval")
+        return real_extend(df)
+
+    out1.extend_df = flaky_extend
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        double.eval(src, out1, message="dbl", checkpoint_interval=4)
+    out1.extend_df = real_extend
+
+    # 10 rows / interval 4 = 3 slices; slices 1-2 committed (8 rows)
+    assert len(out1) == 8
+    ckpts = [s.message for s in out1.log_history() if "[ckpt" in s.message]
+    assert len(ckpts) == 2
+
+    # reopen fresh (as a restarted job would) and re-run: only the
+    # missing slice executes, rows complete with no duplicates
+    out2 = ds_mod.load(str(tmp_path / "out"), spark)
+    double.eval(src, out2, message="dbl", checkpoint_interval=4)
+    assert len(out2) == 10
+    vals = sorted(r["y"] for r in out2.to_df().collect())
+    assert vals == [2 * i for i in range(10)]
+    ckpts2 = [s.message for s in out2.log_history() if "[ckpt" in s.message]
+    assert len(ckpts2) == 3
+
+    # idempotence: a third run is a no-op
+    double.eval(src, out2, message="dbl", checkpoint_interval=4)
+    assert len(out2) == 10
+
+
+def test_extend_df_empty_batch_is_noop(spark, tmp_path):
+    """Empty distributed append must be a no-op, not an analysis error
+    (F.create_map() with zero entries types as map<void,void>)."""
+    from muller_spark import dataset as ds_mod
+
+    ds = ds_mod.dataset(str(tmp_path / "e"), spark)
+    ds.create_tensor("x", dtype="int64")
+    ds.extend({"x": [1]})
+    ds.commit("seed")
+    ds.extend_df(spark.createDataFrame([], "x long"))
+    assert len(ds) == 1
+    ds.commit("empty append")
+    assert len(ds) == 1
