@@ -81,8 +81,21 @@ class ComputeFunction:
         return ComputeFunction(self.fn, args, kwargs)
 
     # -- execution -------------------------------------------------------
-    def apply(self, df: DataFrame, output_schema: T.StructType | str) -> DataFrame:
-        """Run the transform over a DataFrame → DataFrame (Arrow-batched)."""
+    def apply(
+        self,
+        df: DataFrame,
+        output_schema: T.StructType | str,
+        ignore_errors: bool = False,
+    ) -> DataFrame:
+        """Run the transform over a DataFrame → DataFrame (Arrow-batched).
+
+        ``ignore_errors=True`` (reference ``eval`` flag,
+        ``transform.py:86-120`` / ``pipeline.py`` skip_ok path) drops
+        rows whose transform raises instead of failing the job — the
+        right default for corpus-scale ETL where a handful of malformed
+        records must not kill a multi-hour run.  Failures are dropped
+        silently row-by-row (the executor log carries nothing); callers
+        needing accounting should count input vs output rows."""
         fn, args, kwargs = self.fn, self.args, self.kwargs
 
         def run(iterator):
@@ -92,7 +105,12 @@ class ComputeFunction:
                 out_rows: list[dict] = []
                 for rec in pdf.to_dict("records"):
                     sample_out = SampleOut()
-                    fn(rec, sample_out, *args, **kwargs)
+                    try:
+                        fn(rec, sample_out, *args, **kwargs)
+                    except Exception:
+                        if ignore_errors:
+                            continue  # drop this row's (partial) output
+                        raise
                     if sample_out._current is not None:
                         sample_out.rows.append(sample_out._current)
                     out_rows.extend(sample_out.rows)
@@ -108,6 +126,7 @@ class ComputeFunction:
         output_schema: T.StructType | str | None = None,
         message: str = "transform eval",
         checkpoint_interval: "int | None" = None,
+        ignore_errors: bool = False,
         **_: Any,
     ):
         """Reference-shaped entry: run over a Dataset/DataFrame, append
@@ -136,7 +155,8 @@ class ComputeFunction:
                     "_row_id slices) and a ds_out to journal commits into"
                 )
             return self._eval_checkpointed(
-                data_in, ds_out, output_schema, message, checkpoint_interval
+                data_in, ds_out, output_schema, message, checkpoint_interval,
+                ignore_errors=ignore_errors,
             )
         df = data_in.df if isinstance(data_in, Dataset) else data_in
         if output_schema is None and ds_out is not None:
@@ -154,7 +174,8 @@ class ComputeFunction:
             raise ValueError("output_schema required when ds_out is None")
         from muller_spark.schema import HIDDEN_COLS as _HC
 
-        out = self.apply(df.drop(*[c for c in _HC if c in df.columns]), output_schema)
+        out = self.apply(df.drop(*[c for c in _HC if c in df.columns]), output_schema,
+                         ignore_errors=ignore_errors)
         if ds_out is not None:
             ds_out.extend_df(out)
             ds_out.commit(message)
@@ -163,7 +184,8 @@ class ComputeFunction:
 
 
     def _eval_checkpointed(
-        self, data_in, ds_out, output_schema, message: str, interval: int
+        self, data_in, ds_out, output_schema, message: str, interval: int,
+        ignore_errors: bool = False,
     ):
         from pyspark.sql import functions as F
 
@@ -200,7 +222,7 @@ class ComputeFunction:
             part = src.filter(
                 (F.col(ROW_ID_COL) >= lo) & (F.col(ROW_ID_COL) < hi)
             ).drop(*[c for c in HIDDEN_COLS if c in src.columns])
-            ds_out.extend_df(self.apply(part, output_schema))
+            ds_out.extend_df(self.apply(part, output_schema, ignore_errors=ignore_errors))
             ds_out.commit(f"{message} [ckpt {i}/{k}]")
         return ds_out
 

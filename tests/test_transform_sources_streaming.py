@@ -841,3 +841,24 @@ def test_extend_df_empty_batch_is_noop(spark, tmp_path):
     assert len(ds) == 1
     ds.commit("empty append")
     assert len(ds) == 1
+
+
+def test_eval_ignore_errors_drops_bad_rows(spark):
+    """Reference skip_ok/ignore_errors parity: a transform that raises
+    on some rows drops exactly those rows with ignore_errors=True and
+    fails the job without it."""
+    from muller_spark.transform import compute
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "x long")
+
+    @compute
+    def picky(sample_in, sample_out):
+        if sample_in["x"] % 3 == 0:
+            raise ValueError("bad record")
+        sample_out.append({"y": sample_in["x"] * 2})
+
+    ok = picky.apply(df, "y long", ignore_errors=True).collect()
+    assert sorted(r["y"] for r in ok) == [2 * i for i in range(10) if i % 3]
+
+    with pytest.raises(Exception):
+        picky.apply(df, "y long").collect()
