@@ -190,6 +190,8 @@ def main() -> None:
             result["version_control_table2"] = {"error": repr(e)[:300]}
     if sf_val == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         result["sf1_equivalent"] = sf1_envelope(spark, sf_dir)
+    if sf_val == 0.1 and os.environ.get("SPARK_GRAFT_TEXT_SF1", "1") != "0":
+        result["text_sf1_equivalent"] = text_sf1_envelope(spark, sf_dir)
     result["queries"] = timings
     result["sf"] = sf_val
     result["unit"] = "sec"
@@ -480,6 +482,59 @@ def sf1_envelope(spark, sf_dir: str) -> dict:
     return shapes
 
 
+
+
+def text_sf1_envelope(spark, sf_dir: str) -> dict:
+    """Text-pipeline 10× envelope: documents replicated 10× in-plan
+    (~50k docs at the sf0.1 bench dir), three shuffle-bearing shapes —
+    the Gopher gate (explode → id-keyed aggregates), the token-budget
+    prefix sum (bucketed two-phase), and CCNet normalization + entropy
+    (map-only control).  One cold + one warm run each ({cold_s,
+    warm_s}): the section's purpose is "plans hold at 10× with no
+    spill", not round-over-round precision — the headline set carries
+    that."""
+    from pyspark.sql import functions as F
+
+    from muller_spark.operators.quality import gopher_filter
+    from muller_spark.operators.sampling import token_budget_sample
+    from muller_spark.operators.text import (
+        ccnet_normalize,
+        char_entropy,
+        token_count,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    reps = spark.range(10).withColumnRenamed("id", "_rep")
+    big = (
+        docs.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") * 10 + F.col("_rep"))
+        .drop("_rep")
+    )
+
+    def timed2(fn):
+        rec, _ = timed_protocol(fn, warm_reps=1)
+        return {"cold_s": rec["cold_s"], "warm_s": rec["warm_steady_s"]}
+
+    out = {
+        "gopher_10x": timed2(lambda: materialize(
+            gopher_filter(big, "text", "doc_id")
+        )),
+        "token_budget_10x": timed2(lambda: materialize(
+            token_budget_sample(
+                big, "text", "lang", F.col("doc_id"),
+                {"en": 200_000, "zh": 60_000, "de": 40_000},
+            )
+        )),
+        "normalize_10x": timed2(lambda: materialize(
+            big.select(
+                "doc_id",
+                ccnet_normalize(F.col("text")).alias("n"),
+                char_entropy(F.col("text")).alias("h"),
+            )
+        )),
+    }
+    out["rows"] = int(big.count())
+    return out
 
 
 def projection_bench(
