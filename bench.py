@@ -93,9 +93,9 @@ def materialize(df) -> None:
 
 
 def _median(xs: "list[float]") -> float:
-    xs = sorted(xs)
-    mid = len(xs) // 2
-    return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+    import statistics
+
+    return statistics.median(xs)
 
 
 def timed_protocol(fn, warm_reps: int = 3) -> "tuple[dict, object]":

@@ -113,6 +113,7 @@ class InvertedIndex:
         commit_id: str | None = None,
         is_text: bool = True,
         positions: bool = False,
+        _write_stats: bool = True,
     ) -> "InvertedIndex":
         spark = df.sparkSession
         col = F.col(tensor)
@@ -218,7 +219,7 @@ class InvertedIndex:
         fs.write_text(os.path.join(path, "manifest.json"), json.dumps(manifest))
         out = cls(spark, path)
         out._manifest = manifest
-        if positions:
+        if positions and _write_stats:
             out._write_docstats()
         return out
 
@@ -339,9 +340,26 @@ class InvertedIndex:
             F.col("tf")
             + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
         )
+        # term-ascending ordered fold, not F.sum: with 3+ matched terms
+        # an unordered double sum is partition-order-dependent in the
+        # last ulp, which can flip the round5 value and the top-k
+        # boundary across engines/partitionings (same discipline as
+        # rrf_fuse and the mixture normalizer; the SQL oracle folds
+        # list(w ORDER BY term) identically)
         return (
             scored.groupBy("id")
-            .agg(F.round(F.sum(w), round_to).alias("score"))
+            .agg(
+                F.round(
+                    F.aggregate(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("term"), w.alias("w")))
+                        ),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s["w"],
+                    ),
+                    round_to,
+                ).alias("score")
+            )
             .orderBy(F.col("score").desc(), F.col("id").asc())
             .limit(k)
         )
@@ -487,6 +505,7 @@ class InvertedIndex:
             case_sensitive=m["case_sensitive"],
             stop_words=m["stop_words"] or None, is_text=m["is_text"],
             positions=m.get("positions", False),
+            _write_stats=False,  # throwaway delta index: stats never read
         )
         cols = ["term", "id", "pos"] if m.get("positions") else ["term", "id"]
         merged = (
@@ -503,14 +522,18 @@ class InvertedIndex:
         self.fs.rmtree(old)
         self.fs.rename(out_path, old)
         self.fs.rmtree(tmp_path)
+        if m.get("positions"):
+            # refresh docstats BEFORE the fresh manifest lands: a crash
+            # in between leaves old-manifest + new-stats (harmlessly
+            # re-derivable), never fresh-looking metadata over stale
+            # stats that would silently drop the delta docs from BM25
+            self._write_docstats()
         m["commit_id"] = commit_id
         self.fs.write_text(os.path.join(self.path, "manifest.json"), json.dumps(m))
         self._manifest = m
         if m.get("hot_terms"):
             # hot-shard postings are a copy — refresh them from the merge
             self.add_hot_shard(len(m["hot_terms"]))
-        if m.get("positions"):
-            self._write_docstats()  # dl/N/avgdl change with the delta
         return self
 
     # -- maintenance -----------------------------------------------------

@@ -172,4 +172,4 @@ def rrf_fuse(
         .select("id", F.round(F.col("_sum"), round_to).alias(out_col))
         .orderBy(F.col(out_col).desc(), F.col("id").asc())
     )
-    return fused.limit(topk) if topk else fused
+    return fused.limit(topk) if topk is not None else fused

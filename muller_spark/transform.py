@@ -44,14 +44,19 @@ class SampleOut:
         return _TensorAppender(self, tensor)
 
     def __setattr__(self, tensor: str, value: Any) -> None:
-        # `sample_out.y = v` assignment style: same semantics as
-        # `sample_out.y.append(v)`.  Without this, the assignment would
+        # `sample_out.y = v` assignment style: sets field y on the
+        # CURRENT output row, with Python assignment semantics — a
+        # second `sample_out.y = v2` OVERWRITES the field (unlike
+        # `.append`, whose repeat flushes a row: append is the explicit
+        # multi-row API).  Without this hook the assignment would
         # silently bind a plain instance attribute and the value would
         # never reach the output — a data-loss footgun.
         if tensor.startswith("_") or tensor == "rows":
             object.__setattr__(self, tensor, value)
+        elif self._current is None:
+            object.__setattr__(self, "_current", {tensor: value})
         else:
-            _TensorAppender(self, tensor).append(value)
+            self._current[tensor] = value
 
 
 class _TensorAppender:
@@ -207,14 +212,36 @@ class ComputeFunction:
         n = len(data_in)
         slices = [(lo, min(lo + interval, n)) for lo in range(0, n, interval)]
         k = len(slices)
+        # the resume key carries the TRANSFORM IDENTITY (fn qualname) and
+        # the slicing (interval), not just the message: without it, a
+        # DIFFERENT transform evaled into the same ds_out under the same
+        # message would find every marker present and silently skip all
+        # work, and a re-run with a changed interval would match no
+        # marker and double-append the already-committed slices
+        import hashlib as _hashlib
+
+        ident = _hashlib.md5(
+            f"{getattr(self.fn, '__module__', '?')}."
+            f"{getattr(self.fn, '__qualname__', repr(self.fn))}"
+            f":{interval}".encode()
+        ).hexdigest()[:8]
+        suffix = f"/{k} {ident}]"
         done = set()
         for snap in ds_out.log_history():
             msg = getattr(snap, "message", "") or ""
-            if msg.startswith(message + " [ckpt ") and f"/{k}]" in msg:
+            if not msg.startswith(message + " [ckpt "):
+                continue
+            if msg.endswith(suffix):
                 try:
                     done.add(int(msg.split("[ckpt ", 1)[1].split("/", 1)[0]))
                 except ValueError:
                     pass
+            else:
+                raise ValueError(
+                    f"ds_out already holds checkpoints for a DIFFERENT "
+                    f"eval under message {message!r} ({msg!r}); resuming "
+                    f"would mix journals — use a distinct message"
+                )
         src = data_in.df
         for i, (lo, hi) in enumerate(slices, start=1):
             if i in done:
@@ -223,7 +250,7 @@ class ComputeFunction:
                 (F.col(ROW_ID_COL) >= lo) & (F.col(ROW_ID_COL) < hi)
             ).drop(*[c for c in HIDDEN_COLS if c in src.columns])
             ds_out.extend_df(self.apply(part, output_schema, ignore_errors=ignore_errors))
-            ds_out.commit(f"{message} [ckpt {i}/{k}]")
+            ds_out.commit(f"{message} [ckpt {i}/{k} {ident}]")
         return ds_out
 
 

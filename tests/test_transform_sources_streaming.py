@@ -862,3 +862,54 @@ def test_eval_ignore_errors_drops_bad_rows(spark):
 
     with pytest.raises(Exception):
         picky.apply(df, "y long").collect()
+
+
+def test_checkpoint_journal_refuses_different_transform(spark, tmp_path):
+    """Resume markers carry the transform identity + interval: a
+    DIFFERENT transform (or interval) evaled into the same ds_out under
+    the same message must refuse, not silently skip or double-append."""
+    from muller_spark import dataset as ds_mod
+    from muller_spark.transform import compute
+
+    src = ds_mod.dataset(str(tmp_path / "src"), spark)
+    src.create_tensor("x", dtype="int64")
+    src.extend({"x": list(range(6))})
+    src.commit("seed")
+    out = ds_mod.dataset(str(tmp_path / "out"), spark)
+    out.create_tensor("y", dtype="int64")
+    out.commit("schema")
+
+    @compute
+    def double(sample_in, sample_out):
+        sample_out.append({"y": sample_in["x"] * 2})
+
+    @compute
+    def triple(sample_in, sample_out):
+        sample_out.append({"y": sample_in["x"] * 3})
+
+    double.eval(src, out, message="m", checkpoint_interval=3)
+    assert len(out) == 6
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        triple.eval(src, out, message="m", checkpoint_interval=3)
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        double.eval(src, out, message="m", checkpoint_interval=2)
+    # same transform + interval: idempotent no-op
+    double.eval(src, out, message="m", checkpoint_interval=3)
+    assert len(out) == 6
+
+
+def test_sample_out_assignment_overwrites(spark):
+    """`sample_out.y = v` has Python assignment semantics: a second
+    assignment to the same field overwrites it in the current row
+    instead of flushing an extra output row."""
+    from muller_spark.transform import compute
+
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+
+    @compute
+    def fixup(sample_in, sample_out):
+        sample_out.y = sample_in["x"]
+        sample_out.y = sample_in["x"] * 10  # overwrite, not second row
+
+    rows = fixup.apply(df, "y long").collect()
+    assert sorted(r["y"] for r in rows) == [10, 20]
