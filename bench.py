@@ -497,11 +497,6 @@ def text_sf1_envelope(spark, sf_dir: str) -> dict:
 
     from muller_spark.operators.quality import gopher_filter
     from muller_spark.operators.sampling import token_budget_sample
-    from muller_spark.operators.text import (
-        ccnet_normalize,
-        char_entropy,
-        token_count,
-    )
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     reps = spark.range(10).withColumnRenamed("id", "_rep")
@@ -525,13 +520,10 @@ def text_sf1_envelope(spark, sf_dir: str) -> dict:
                 {"en": 200_000, "zh": 60_000, "de": 40_000},
             )
         )),
-        "normalize_10x": timed2(lambda: materialize(
-            big.select(
-                "doc_id",
-                ccnet_normalize(F.col("text")).alias("n"),
-                char_entropy(F.col("text")).alias("h"),
-            )
-        )),
+        # normalize+entropy at 10x was measured once (18.5 s warm, linear
+        # in CPU as a map-only kernel must be — EXPLAIN.md) and then
+        # dropped from the per-round run: the headline q_text_normalize
+        # tracks the kernel, and the 2x18 s bought no plan information.
     }
     out["rows"] = int(big.count())
     return out
