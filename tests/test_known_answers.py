@@ -524,3 +524,68 @@ def test_winnow_fingerprints_containment_and_hand_hash(spark):
     assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
     expected = int(hashlib.md5(b"tiny doc").hexdigest()[:15], 16)
     assert fp[4] == {expected}
+
+
+# ----------------------------------------------- analytics semantics
+
+def test_funnel_hand_computed(spark):
+    # steps [view, click, buy]; conversion rule: step k needs an event
+    # at-or-AFTER the step-(k-1) conversion time (inclusive).
+    #   A: view@10 click@20 buy@30   -> all 3 steps
+    #   B: click@8 view@10           -> click precedes view: step 0 only
+    #   C: view@10 click@10          -> same-ts click converts (inclusive)
+    # within_seconds=5: A's click@20 is 10s after view@10 -> too late;
+    # C's click@10 is 0s after -> converts.
+    from datetime import datetime
+
+    from muller_spark.operators.analytics import funnel
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        ("A", "view", t(10)), ("A", "click", t(20)), ("A", "buy", t(30)),
+        ("B", "click", t(8)), ("B", "view", t(10)),
+        ("C", "view", t(10)), ("C", "click", t(10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    got = {r["step_name"]: r["n_users"] for r in
+           funnel(df, ["view", "click", "buy"]).collect()}
+    assert got == {"view": 3, "click": 2, "buy": 1}
+
+    tight = {r["step_name"]: r["n_users"] for r in
+             funnel(df, ["view", "click", "buy"], within_seconds=5).collect()}
+    assert tight == {"view": 3, "click": 1, "buy": 0}
+
+
+def test_sessionize_batch_gap_boundary_hand_computed(spark):
+    # gap rule: a NEW session starts only when gap > gap_seconds —
+    # a gap of exactly gap_seconds continues the session.
+    #   u: 0, 500, 1500 (gap 1000 == limit -> same), 2501 (gap 1001 -> new)
+    from muller_spark.streaming.stateful import sessionize_batch
+
+    df = spark.createDataFrame(
+        [("u", 0.0), ("u", 500.0), ("u", 1500.0), ("u", 2501.0)],
+        "k string, ts double",
+    )
+    rows = sorted(
+        sessionize_batch(df, "ts", "k", gap_seconds=1000).collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert [(r["session_start"], r["session_end"], r["n_events"]) for r in rows] == [
+        (0.0, 1500.0, 3), (2501.0, 2501.0, 1),
+    ]
+
+
+def test_asof_join_hand_computed(spark):
+    # most recent right row with right.on <= left.on (inclusive)
+    from muller_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("g", 2.0), ("g", 5.0), ("g", 10.0)], "grp string, t double"
+    )
+    right = spark.createDataFrame(
+        [("g", 3.0, "r3"), ("g", 5.0, "r5"), ("g", 7.0, "r7")],
+        "grp string, t double, v string",
+    )
+    rows = {r["t"]: r["v_right"] for r in
+            asof_join(left, right, on="t", by=["grp"]).collect()}
+    assert rows == {2.0: None, 5.0: "r5", 10.0: "r7"}
