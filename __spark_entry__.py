@@ -3847,6 +3847,10 @@ _ORACLES: dict[str, str] = {
           SELECT CAST(count(*) AS DOUBLE) AS n,
                  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS s_l_quantity,\n                 CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS q_l_quantity,\n                 CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS s_l_extendedprice,\n                 CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS q_l_extendedprice,\n                 CAST(sum(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE) AS s_l_discount,\n                 CAST(sum(CAST(l_discount * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS q_l_discount,\n                 CAST(sum(CAST(l_tax AS DECIMAL(30,4))) AS DOUBLE) AS s_l_tax,\n                 CAST(sum(CAST(l_tax * l_tax AS DECIMAL(30,4))) AS DOUBLE) AS q_l_tax,\n                 CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS x_l_quantity_l_extendedprice,\n                 CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS x_l_quantity_l_discount,\n                 CAST(sum(CAST(l_quantity * l_tax AS DECIMAL(30,4))) AS DOUBLE) AS x_l_quantity_l_tax,\n                 CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS x_l_extendedprice_l_discount,\n                 CAST(sum(CAST(l_extendedprice * l_tax AS DECIMAL(30,4))) AS DOUBLE) AS x_l_extendedprice_l_tax,\n                 CAST(sum(CAST(l_discount * l_tax AS DECIMAL(30,4))) AS DOUBLE) AS x_l_discount_l_tax
           FROM lineitem
+          WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+            AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+            AND l_discount IS NOT NULL AND NOT isnan(l_discount)
+            AND l_tax IS NOT NULL AND NOT isnan(l_tax)
         )
           SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
                  round((n * x_l_quantity_l_extendedprice - s_l_quantity * s_l_extendedprice)

@@ -72,6 +72,11 @@ def tokenize_py(text: str, case_sensitive: bool = False,
         return []
     if not case_sensitive:
         text = text.lower()
+    split_re = TOKEN_SPLIT_REGEX
+    if case_sensitive:
+        from muller_spark.plans.conditions import TOKEN_SPLIT_REGEX_CS
+
+        split_re = TOKEN_SPLIT_REGEX_CS
     jieba = _get_jieba()
     if re.search(r"[一-鿿]", text):
         if jieba:
@@ -83,9 +88,9 @@ def tokenize_py(text: str, case_sensitive: bool = False,
             # two-character query term matches inside a sentence
             from muller_spark.index.cjk import cut_mixed
 
-            toks = [t.strip() for t in cut_mixed(text, TOKEN_SPLIT_REGEX) if t.strip()]
+            toks = [t.strip() for t in cut_mixed(text, split_re) if t.strip()]
     else:
-        toks = [t for t in re.split(TOKEN_SPLIT_REGEX, text) if t]
+        toks = [t for t in re.split(split_re, text) if t]
     if stop_words:
         toks = [t for t in toks if t not in stop_words]
     return toks
@@ -154,8 +159,13 @@ class InvertedIndex:
                         .filter(F.col("term") != "")
                     )
             else:
-                base = col if case_sensitive else F.lower(col)
-                terms = F.split(base, TOKEN_SPLIT_REGEX)
+                from muller_spark.plans.conditions import TOKEN_SPLIT_REGEX_CS
+
+                if case_sensitive:
+                    base, split_re = col, TOKEN_SPLIT_REGEX_CS
+                else:
+                    base, split_re = F.lower(col), TOKEN_SPLIT_REGEX
+                terms = F.split(base, split_re)
                 if positions:
                     # positions index the FILTERED token stream (empties
                     # and stop words removed before numbering), matching

@@ -109,10 +109,11 @@ def statistics(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame
     numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                T.FloatType, T.DoubleType, T.DecimalType)
     rows = []
-    total = df.count()
     fields = [f for f in df.schema.fields
               if columns is None or f.name in set(columns)]
-    aggs: list[Column] = []
+    # row count rides along in the same aggregation — a separate
+    # df.count() would scan the data a second time
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
     layout: list[tuple[str, str]] = []  # (col, kind)
     for f in fields:
         name = f.name
@@ -139,6 +140,7 @@ def statistics(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame
     if not layout:
         raise ValueError("no supported columns for statistics")
     stats = df.agg(*aggs).collect()[0].asDict()
+    total = stats["__total"]
     for name, kind in layout:
         nan = stats[f"{name}__nan"]
         rows.append({
@@ -154,7 +156,15 @@ def statistics(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame
             "row_count": total,
         })
     spark = df.sparkSession
-    return spark.createDataFrame(rows).select(
+    # explicit schema: stddev is NULL on <2 rows and every stat is NULL
+    # on an empty/all-null frame — schema inference over all-None dict
+    # fields would raise instead of returning null cells
+    schema = (
+        "column string, kind string, nan_count long, "
+        "nan_proportion double, min double, max double, mean double, "
+        "median double, std double, row_count long"
+    )
+    return spark.createDataFrame(rows, schema).select(
         "column", "kind", "nan_count", "nan_proportion",
         "min", "max", "mean", "median", "std", "row_count",
     )
@@ -164,9 +174,12 @@ def histogram(df: DataFrame, column: str, bins: int = 10) -> DataFrame:
     """Equi-width histogram (the reference's 10-bin stats histogram,
     ``statistics.py:49-97``): one pass for min/max, one aggregation on
     ``width_bucket`` — both map-side combinable."""
-    lo, hi = df.agg(
-        F.min(F.col(column).cast("double")), F.max(F.col(column).cast("double"))
-    ).collect()[0]
+    # drop NaN alongside NULL: Spark's max() orders NaN above every
+    # double, so one NaN row would make hi (and the bin width) NaN and
+    # collapse the whole histogram into a single NaN-bounded bucket
+    vals = F.col(column).cast("double")
+    df = df.filter(F.col(column).isNotNull() & ~F.isnan(vals))
+    lo, hi = df.agg(F.min(vals), F.max(vals)).collect()[0]
     if lo is None:
         raise ValueError(f"column {column!r} has no non-null values")
     if lo == hi:
@@ -182,8 +195,7 @@ def histogram(df: DataFrame, column: str, bins: int = 10) -> DataFrame:
         ),
     )
     return (
-        df.filter(F.col(column).isNotNull())
-        .groupBy(bucket.alias("bucket"))
+        df.groupBy(bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("count"))
         .select(
             "bucket",
@@ -211,11 +223,26 @@ def correlation_matrix(
     (built-in ``corr`` streams floats in partition order and cannot
     hash-match across engines).
 
+    Null/NaN discipline: rows with a NULL or NaN in ANY of ``cols`` are
+    dropped up front (LISTWISE complete-case deletion), so every power
+    sum and the count cover the same row set.  Without the filter,
+    ``count(*)`` would include rows the decimal sums silently skip
+    (``sum`` ignores NULL, and ``cast(NaN as decimal)`` is NULL),
+    mixing moments over different row sets into silently wrong Pearson
+    values.  Note the deliberate divergence from built-in ``corr``,
+    which deletes PAIRWISE — pairwise-complete moments cannot come out
+    of one shared power-sum pass.
+
     Cost note: a FRESH plan pays ~0.2 s of whole-stage-codegen compile
     per decimal aggregate (measured linearly at 1/5/10/15 aggregates) —
     reuse the returned DataFrame rather than rebuilding when scoring
     repeatedly; the data-path cost itself is one scan with map-side
     partials."""
+    complete = None
+    for c in cols:
+        ok = F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double"))
+        complete = ok if complete is None else (complete & ok)
+    df = df.filter(complete)
     n = F.count(F.lit(1)).cast("double").alias("_n")
     aggs = [n]
     for c in cols:
@@ -249,6 +276,11 @@ def correlation_matrix(
     row = df.agg(*aggs).collect()[0]
     n = np.float64(row["_n"])
     out = []
+    if row["_n"] == 0:
+        # no complete rows: every correlation is undefined — emit nulls
+        # rather than letting np.float64(None) raise an opaque TypeError
+        out = [(a, b, None) for a, b in pairs]
+        pairs = []
     for a, b in pairs:
         sa, sb = np.float64(row[f"_s_{a}"]), np.float64(row[f"_s_{b}"])
         qa, qb = np.float64(row[f"_q_{a}"]), np.float64(row[f"_q_{b}"])

@@ -78,15 +78,20 @@ def funnel(
             return lambda x: x >= p
         return lambda x: (x >= p) & (x <= p + gap)
 
-    conv = F.col("_first_0")
-    convs = [conv]
+    # chain through MATERIALIZED conv_i columns (one withColumn per
+    # step) rather than nesting each conv expression inside the next:
+    # inlining prev 2-3 times per level grows the expression tree
+    # ~3^k with step count (a 10-step windowed funnel would hand
+    # Catalyst ~59k nodes); column references keep it linear and the
+    # projections collapse into one stage anyway
+    marked = per_user.withColumn("conv_0", F.col("_first_0"))
     for i in range(1, len(steps)):
-        prev = convs[-1]
+        prev = F.col(f"conv_{i - 1}")
         nxt = F.array_min(F.filter(F.col(f"_all_{i}"), in_range(prev)))
-        convs.append(F.when(prev.isNotNull(), nxt))
-    marked = per_user.select(
-        *[c.alias(f"conv_{i}") for i, c in enumerate(convs)]
-    )
+        marked = marked.withColumn(
+            f"conv_{i}", F.when(prev.isNotNull(), nxt)
+        )
+    marked = marked.select(*[f"conv_{i}" for i in range(len(steps))])
     agg = marked.agg(
         *[
             F.count(F.col(f"conv_{i}")).alias(f"n_{i}")
@@ -125,7 +130,11 @@ def cohort_retention(
     j = ev.join(first, "u")
     out = (
         j.groupBy("ym0", (F.col("ym") - F.col("ym0")).alias("month_offset"))
-        .agg(F.countDistinct("u").alias("n_users"))
+        # plain count, NOT countDistinct: ev is already distinct on
+        # (u, ym) and ym0 is functionally determined by u, so each user
+        # contributes exactly one row per group — countDistinct would
+        # pay an Expand + extra hash-aggregate stage for identical output
+        .agg(F.count("u").alias("n_users"))
         .select(
             F.make_date(
                 ((F.col("ym0") - 1) / 12).cast("int"),

@@ -47,6 +47,10 @@ VALID_CONNECTORS = {"AND", "OR"}
 # ASCII, reference ``inverted_index_vectorized.py:122-158``); for the ASCII
 # corpora in the test tables the two agree.
 TOKEN_SPLIT_REGEX = r"[^a-z0-9一-鿿]+"
+# case-sensitive variant: uppercase letters are token CHARS, not
+# separators — splitting un-lowered text on the lowercase-only class
+# would consume 'ABC' entirely and mangle 'World' into 'orld'
+TOKEN_SPLIT_REGEX_CS = r"[^a-zA-Z0-9一-鿿]+"
 
 
 def tokenize_query(query: str, case_sensitive: bool = False) -> list[list[str]]:
@@ -60,15 +64,17 @@ def tokenize_query(query: str, case_sensitive: bool = False) -> list[list[str]]:
     for part in query.split("||"):
         if not case_sensitive:
             part = part.lower()
-        terms = [t for t in re.split(TOKEN_SPLIT_REGEX, part) if t]
+        split = TOKEN_SPLIT_REGEX_CS if case_sensitive else TOKEN_SPLIT_REGEX
+        terms = [t for t in re.split(split, part) if t]
         if terms:
             groups.append(terms)
     return groups
 
 
 def _token_array(col: Column, case_sensitive: bool = False) -> Column:
-    base = col if case_sensitive else F.lower(col)
-    return F.split(base, TOKEN_SPLIT_REGEX)
+    if case_sensitive:
+        return F.split(col, TOKEN_SPLIT_REGEX_CS)
+    return F.split(F.lower(col), TOKEN_SPLIT_REGEX)
 
 
 def contains_predicate(col: Column, query: str, case_sensitive: bool = False) -> Column:
@@ -150,6 +156,16 @@ def compile_condition(condition: Sequence[Any]) -> Column:
         raise ValueError(f"condition must be a 3-5 tuple, got {condition!r}")
     tensor, op, value = condition[0], condition[1], condition[2]
     negate = len(condition) == 5 and str(condition[4]).upper() == "NOT"
+    if len(condition) == 4 and str(condition[3]).upper() == "NOT":
+        # a 4-tuple's position 4 is use_inverted_index (reference
+        # tuple shape) — silently treating a misplaced 'NOT' as a
+        # truthy index flag would return the COMPLEMENT of what the
+        # user asked for; reject loudly with the correct shape
+        raise ValueError(
+            f"condition {condition!r}: 'NOT' belongs in position 5 "
+            "(tensor, op, value, use_inverted_index, 'NOT') — position "
+            "4 is the use_inverted_index flag"
+        )
     if op not in VALID_OPS:
         raise ValueError(f"unsupported op {op!r}; valid: {sorted(VALID_OPS)}")
     col = F.col(tensor)
@@ -172,7 +188,12 @@ def compile_condition(condition: Sequence[Any]) -> Column:
         if needs_python_regex(value):
             pred = python_regex_predicate(col, value)
         else:
-            pred = col.rlike(value)
+            # coalesce(False): NULL text never matches — pinning the
+            # SAME null semantics as the pandas path (na=False), so
+            # NOT LIKE keeps null-text rows on BOTH regex engines
+            # instead of the result set depending on which path the
+            # pattern happens to route to
+            pred = F.coalesce(col.rlike(value), F.lit(False))
     else:  # CONTAINS
         pred = contains_predicate(col, value)
     return ~pred if negate else pred

@@ -118,3 +118,24 @@ def test_like_common_regex_stays_jvm_side(df):
     plan = df.filter(compile_conditions([("text", "LIKE", "h[ei]")], []))._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "RLIKE" in plan.upper()
+
+
+def test_like_null_semantics_identical_across_regex_paths(spark):
+    """NULL text never matches LIKE and survives NOT LIKE on BOTH regex
+    engines (round-6 review: rlike's SQL-null previously dropped the
+    row after ~, while the pandas path's na=False kept it)."""
+    df = spark.createDataFrame([(1, "abc"), (2, None)], "id long, t string")
+    for pattern in ("a", "(?P<g>a)"):  # rlike path, python-re path
+        pos = compile_conditions([("t", "LIKE", pattern)], [])
+        assert [r["id"] for r in df.filter(pos).collect()] == [1]
+        neg = compile_conditions([("t", "LIKE", pattern, False, "NOT")], [])
+        assert [r["id"] for r in df.filter(neg).collect()] == [2]
+
+
+def test_four_tuple_not_rejected(spark):
+    """A misplaced 'NOT' in position 4 (the use_inverted_index slot)
+    must raise, not silently invert nothing and flip index routing."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="position 5"):
+        compile_conditions([("t", "==", 1, "NOT")], [])

@@ -589,3 +589,38 @@ def test_asof_join_hand_computed(spark):
     rows = {r["t"]: r["v_right"] for r in
             asof_join(left, right, on="t", by=["grp"]).collect()}
     assert rows == {2.0: None, 5.0: "r5", 10.0: "r7"}
+
+
+def test_case_sensitive_contains_and_index(spark, tmp_path):
+    """Round-6 review finding: the case-sensitive tokenizer must treat
+    uppercase letters as token characters, not separators — previously
+    CONTAINS 'ABC' compiled to lit(False) and 'World' was mangled to
+    'orld' (false positives on 'Xorld')."""
+    from muller_spark.index.inverted import InvertedIndex
+    from muller_spark.plans.conditions import contains_predicate
+
+    df = spark.createDataFrame(
+        [(1, "the ABC standard"), (2, "a Xorld apart"), (3, "hello World")],
+        "doc_id long, text string",
+    )
+    hits = df.filter(
+        contains_predicate(F.col("text"), "ABC", case_sensitive=True)
+    ).collect()
+    assert [r["doc_id"] for r in hits] == [1]
+    world = df.filter(
+        contains_predicate(F.col("text"), "World", case_sensitive=True)
+    ).collect()
+    assert [r["doc_id"] for r in world] == [3]  # Xorld must NOT match
+    # case-sensitive: lowercase query misses the capitalized token
+    lower = df.filter(
+        contains_predicate(F.col("text"), "world", case_sensitive=True)
+    ).collect()
+    assert lower == []
+
+    idx = InvertedIndex.build(
+        df, "text", str(tmp_path / "cs"), id_col="doc_id",
+        case_sensitive=True,
+    )
+    assert [r["id"] for r in idx.search("ABC").collect()] == [1]
+    assert [r["id"] for r in idx.search("World").collect()] == [3]
+    assert idx.search("world").collect() == []
