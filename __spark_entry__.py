@@ -2692,8 +2692,8 @@ _ORACLES: dict[str, str] = {
           SELECT o_orderpriority,
                  round(cast(s1 AS double) / n, 6) AS group_mean,
                  round(sqrt(CASE WHEN n > 1 THEN
-                   (cast(s2 AS double) - cast(s1 AS double) * cast(s1 AS double) / n)
-                   / (n - 1) END), 6) AS group_std
+                   greatest((cast(s2 AS double) - cast(s1 AS double) * cast(s1 AS double) / n)
+                   / (n - 1), 0.0) END), 6) AS group_std
           FROM stats
         )
         SELECT o_orderkey, o_orderpriority, o_totalprice, z
@@ -2701,7 +2701,7 @@ _ORACLES: dict[str, str] = {
           SELECT o_orderkey, o.o_orderpriority, o_totalprice,
                  round((o_totalprice - group_mean) / nullif(group_std, 0.0), 6)
                    AS z
-          FROM orders o JOIN m USING (o_orderpriority)
+          FROM orders o JOIN m ON o.o_orderpriority IS NOT DISTINCT FROM m.o_orderpriority
         )
         ORDER BY abs(z) DESC, o_orderkey
         LIMIT 20
@@ -2999,22 +2999,22 @@ _ORACLES: dict[str, str] = {
     """,
     "q_pii_scan": """
         SELECT doc_id AS id,
-               len(regexp_extract_all(text,
-                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,
-               len(regexp_extract_all(text,
-                 '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS n_ipv4,
-               len(regexp_extract_all(text,
-                 '\\+[0-9][0-9() .-]{7,}[0-9]')) AS n_phones,
-               len(regexp_extract_all(text,
-                 'https?://[^ \\t\\n]+')) AS n_urls,
-               (len(regexp_extract_all(text,
-                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) > 0
-                OR len(regexp_extract_all(text,
-                  '([0-9]{1,3}\\.){3}[0-9]{1,3}')) > 0
-                OR len(regexp_extract_all(text,
-                  '\\+[0-9][0-9() .-]{7,}[0-9]')) > 0
-                OR len(regexp_extract_all(text,
-                  'https?://[^ \\t\\n]+')) > 0) AS has_pii
+               coalesce(len(regexp_extract_all(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')), 0) AS n_emails,
+               coalesce(len(regexp_extract_all(text,
+                 '([0-9]{1,3}\\.){3}[0-9]{1,3}')), 0) AS n_ipv4,
+               coalesce(len(regexp_extract_all(text,
+                 '\\+[0-9][0-9() .-]{7,}[0-9]')), 0) AS n_phones,
+               coalesce(len(regexp_extract_all(text,
+                 'https?://[^ \\t\\n]+')), 0) AS n_urls,
+               (coalesce(len(regexp_extract_all(text,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')), 0) > 0
+                OR coalesce(len(regexp_extract_all(text,
+                  '([0-9]{1,3}\\.){3}[0-9]{1,3}')), 0) > 0
+                OR coalesce(len(regexp_extract_all(text,
+                  '\\+[0-9][0-9() .-]{7,}[0-9]')), 0) > 0
+                OR coalesce(len(regexp_extract_all(text,
+                  'https?://[^ \\t\\n]+')), 0) > 0) AS has_pii
         FROM documents ORDER BY id
     """,
     "q_rollup": """
@@ -3661,7 +3661,7 @@ _ORACLES: dict[str, str] = {
                  ) AS rn,
                  count(*) OVER (PARTITION BY source) AS n
           FROM r
-        ) WHERE rn <= ceil(n * 0.3) ORDER BY doc_id
+        ) WHERE rn <= ceil(round(n * 0.3, 9)) ORDER BY doc_id
     """,
     "q_bigram_logprob": f"""
         WITH toks AS (

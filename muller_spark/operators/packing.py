@@ -41,8 +41,10 @@ def global_cumsum(
     out_col: str = "cum_excl",
 ) -> DataFrame:
     """Add ``out_col`` = exclusive prefix sum of ``value_col`` under the
-    total order of ``order_col`` (must be unique), without ever forming
-    a single-task global window."""
+    total order of ``order_col`` (must be unique and NUMERIC — the
+    bucketing rides on ``approxQuantile``, which rejects string
+    columns; hash string ids to a numeric surrogate first), without
+    ever forming a single-task global window."""
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     spark = df.sparkSession
     if num_buckets is None:
@@ -73,7 +75,8 @@ def global_cumsum(
     offsets, running = [], 0
     for b in sorted(by_bucket):
         offsets.append((b, running))
-        running += by_bucket[b]
+        if by_bucket[b] is not None:  # all-NULL value bucket sums to NULL
+            running += by_bucket[b]
     offset_df = spark.createDataFrame(offsets, "__pk_bucket int, __pk_offset long")
 
     w = (

@@ -26,15 +26,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from muller_spark.operators.dedup import let_bound, normalized_text
+from muller_spark.operators.dedup import let_bound
+from muller_spark.operators.text import STOPWORDS_EN, tokens_of
 from muller_spark.partitioning import ensure_parallelism
-from muller_spark.plans.conditions import TOKEN_SPLIT_REGEX
 
-STOP_WORDS_EN = (
-    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
-    "has", "he", "in", "is", "it", "its", "of", "on", "that", "the",
-    "to", "was", "were", "will", "with",
-)
+# single source of truth: text.STOPWORDS_EN — a second hand-copied list
+# here had to be kept in sync by eye (the round-5 accent-table lesson)
+STOP_WORDS_EN = tuple(sorted(STOPWORDS_EN))
 
 # RE2 ∩ java.util.regex — no lookaround, no \b (dialect-safe)
 PII_PATTERNS = {
@@ -45,14 +43,23 @@ PII_PATTERNS = {
 }
 
 
-def _tokens(col: Column) -> Column:
-    return F.filter(
-        F.split(normalized_text(col), TOKEN_SPLIT_REGEX), lambda t: t != ""
-    )
+# single tokenizer everywhere: text.tokens_of (was a verbatim re-impl)
+_tokens = tokens_of
 
 
 def _round6(col: Column) -> Column:
     return F.round(col, 6)
+
+
+def _null_safe_on(left: DataFrame, right: DataFrame, cols: "list[str]"):
+    """Null-safe equi-join condition on shared group keys: a plain
+    USING-style join drops every row whose key is NULL (NULL != NULL),
+    silently losing the NULL group a groupBy dutifully produced."""
+    cond = None
+    for c in cols:
+        e = left[c].eqNullSafe(right[c])
+        cond = e if cond is None else cond & e
+    return cond
 
 
 def repetition_stats(
@@ -251,15 +258,21 @@ def group_zscores(
     s1d = F.col("_s1").cast("double")
     s2d = F.col("_s2").cast("double")
     mean = s1d / nn
+    # greatest(.., 0): the power-sum difference can cancel to a tiny
+    # NEGATIVE double for constant-valued groups (s2 - s1^2/n ~ -1e-20),
+    # and sqrt of that is NaN — which nullif(NaN, 0) does NOT catch, so
+    # the whole group's z would silently become NaN instead of NULL
     var = F.when(
-        F.col("_n") > 1, (s2d - s1d * s1d / nn) / (nn - 1)
+        F.col("_n") > 1,
+        F.greatest((s2d - s1d * s1d / nn) / (nn - 1), F.lit(0.0)),
     )
     stats = stats.select(
         *group_cols,
         F.round(mean, 6).alias("group_mean"),
         F.round(F.sqrt(var), 6).alias("group_std"),
     )
-    joined = df.join(F.broadcast(stats), group_cols)
+    joined = df.join(F.broadcast(stats), _null_safe_on(df, stats, group_cols))
+    joined = joined.drop(*[stats[c] for c in group_cols])
     z = (F.col(value_col) - F.col("group_mean")) / F.nullif(
         F.col("group_std"), F.lit(0.0)
     )
@@ -298,7 +311,8 @@ def mad_outliers(
             "group_median"
         ))
     )
-    with_med = df.join(F.broadcast(med), group_cols)
+    with_med = df.join(F.broadcast(med), _null_safe_on(df, med, group_cols))
+    with_med = with_med.drop(*[med[c] for c in group_cols])
     mad = (
         with_med.groupBy(*group_cols)
         .agg(F.percentile(
@@ -312,7 +326,8 @@ def mad_outliers(
         / F.col("group_mad")
     )
     return (
-        with_med.join(F.broadcast(mad), group_cols)
+        with_med.join(F.broadcast(mad), _null_safe_on(with_med, mad, group_cols))
+        .drop(*[mad[c] for c in group_cols])
         .filter(F.col("group_mad") > 0)
         .withColumn("robust_z", F.round(z, round_to))
         .filter(F.abs(F.col("robust_z")) > threshold)
@@ -328,8 +343,12 @@ def pii_scan(
     n_phones, n_urls, has_pii).  Counts are leftmost non-overlapping
     regex matches — identical semantics in Spark ``regexp_count`` and
     DuckDB ``len(regexp_extract_all(...))``."""
+    # coalesce to 0: regexp_count(NULL) is NULL, which would make
+    # has_pii NULL — a verdict matching neither filter(has_pii) nor
+    # filter(~has_pii), silently dropping NULL-text docs from both sides
     counts = [
-        F.regexp_count(F.col(text_col), F.lit(pat)).alias(name)
+        F.coalesce(F.regexp_count(F.col(text_col), F.lit(pat)), F.lit(0))
+        .alias(name)
         for name, pat in PII_PATTERNS.items()
     ]
     out = df.select(F.col(id_col).alias("id"), *counts)
@@ -361,6 +380,9 @@ def pipeline_survival(
     """
     import re
 
+    if not stages:
+        # stack(0, ) is malformed SQL — fail with the real reason
+        raise ValueError("pipeline_survival needs at least one stage")
     for name, _ in stages:
         if not re.fullmatch(r"[A-Za-z0-9_ .\-]+", name):
             raise ValueError(f"stage name {name!r} must be [A-Za-z0-9_ .-]+")

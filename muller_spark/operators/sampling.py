@@ -136,6 +136,19 @@ def mixture_sample(
     }
     if not sizes:
         return df.filter(F.lit(False))
+    if weights is not None:
+        total_w = 0.0
+        for d in sorted(weights):  # ordered fold, same discipline as below
+            w = weights[d]
+            if w < 0:
+                raise ValueError(f"negative weight for domain {d!r}")
+            total_w += w
+        if total_w <= 0:
+            raise ValueError("weights must sum to a positive value")
+        # normalize: the docstring promises target PROPORTIONS within a
+        # total budget — un-normalized weights would silently scale the
+        # effective budget by sum(w)
+        weights = {d: weights[d] / total_w for d in weights}
     if weights is None and temperature is not None:
         # Only domains with a truthy (non-NULL, non-zero) size take part
         # in the mixture: a NULL sum (all-NULL size_col) would TypeError
@@ -278,7 +291,12 @@ def top_fraction_per_group(
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(wall))
-        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        # round9 before ceil: n*fraction in doubles lands a hair ABOVE
+        # the exact product for many (n, fraction) pairs (25*0.28 =
+        # 7.000000000000001), and raw ceil would keep one extra row —
+        # breaking the documented ceil(n*fraction) contract.  The same
+        # round-then-ceil runs in the SQL oracle.
+        .filter(F.col("__rn") <= F.ceil(F.round(F.col("__n") * F.lit(fraction), 9)))
         .drop("__rn", "__n")
     )
 

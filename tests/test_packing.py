@@ -192,3 +192,29 @@ def test_mixture_sample_temperature_null_and_zero_sizes(spark):
     assert mixture_sample(
         deg, F.col("id"), "dom", budget=10, size_col="toks", temperature=0.5
     ).count() == 0
+
+
+def test_top_fraction_ceil_not_inflated_by_double_rounding(spark):
+    """25 rows at fraction 0.28: 25*0.28 = 7.000000000000001 in IEEE
+    doubles — a raw ceil kept 8 rows; the contract is ceil(7.0) = 7."""
+    from muller_spark.operators.sampling import top_fraction_per_group
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(25)], "g string, id long, score double"
+    )
+    out = top_fraction_per_group(df, "g", "score", 0.28, tie_break="id")
+    assert out.count() == 7
+
+
+def test_global_cumsum_all_null_bucket(spark):
+    """A bucket whose value sum is NULL (all-NULL values) must not
+    TypeError the driver prefix loop; NULL values contribute nothing."""
+    from muller_spark.operators.packing import global_cumsum
+    from pyspark.sql import functions as F
+
+    rows = [(i, 10 if i < 50 else None) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, v int")
+    out = global_cumsum(df, "k", F.col("v"), num_buckets=4)
+    got = {r["k"]: r["cum_excl"] for r in out.collect()}
+    assert got[0] == 0 and got[50] == 500 and got[99] == 500

@@ -141,3 +141,53 @@ def test_pii_scan_counts(spark):
     assert out[2]["n_phones"] == 1
     assert out[3]["n_urls"] == 2
     assert not out[4]["has_pii"]
+
+
+def test_group_zscores_null_group_and_constant_group(spark):
+    """Round-6 review: (1) rows whose group key is NULL must survive the
+    stats join (null-safe equi-join), and (2) a constant-valued group's
+    variance can cancel to a tiny NEGATIVE double — z must be NULL, not
+    the NaN sqrt(-1e-20) produces."""
+    from muller_spark.operators.quality import group_zscores
+
+    rows = [("en", 10.0), ("en", 20.0), ("en", 30.0)]
+    rows += [(None, 5.0), (None, 6.0)]
+    rows += [("cz", 0.01)] * 5  # constant group: power sums cancel
+    df = spark.createDataFrame(rows, "lang string, v double")
+    out = group_zscores(df, "v", ["lang"], scale=2).collect()
+    assert len(out) == len(rows), "NULL-group rows were dropped by the join"
+    null_rows = [r for r in out if r["lang"] is None]
+    assert len(null_rows) == 2 and all(r["z"] is not None for r in null_rows)
+    cz = [r for r in out if r["lang"] == "cz"]
+    import math
+    for r in cz:
+        assert r["z"] is None, f"constant group z should be NULL, got {r['z']}"
+        assert r["group_std"] is not None and not math.isnan(r["group_std"])
+
+
+def test_mad_outliers_null_group_not_dropped(spark):
+    from muller_spark.operators.quality import mad_outliers
+
+    rows = [(None, float(v)) for v in [1, 2, 3, 4, 100]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_outliers(df, "v", ["g"], threshold=3.5).collect()
+    assert [r["v"] for r in out] == [100.0]  # the outlier in the NULL group
+
+
+def test_pii_scan_null_text_total_verdict(spark):
+    from muller_spark.operators.quality import pii_scan
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co"), (2, None)], "id long, text string"
+    )
+    rows = {r["id"]: r for r in pii_scan(df, "text", "id").collect()}
+    assert rows[2]["n_emails"] == 0 and rows[2]["has_pii"] is False
+    assert rows[1]["has_pii"] is True
+
+
+def test_pipeline_survival_empty_stages_raises(spark):
+    from muller_spark.operators.quality import pipeline_survival
+
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="at least one stage"):
+        pipeline_survival(df, [])
