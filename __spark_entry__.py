@@ -2237,7 +2237,8 @@ _ORACLES: dict[str, str] = {
         SELECT md5({_NORM_SQL}) AS content_hash,
                min(doc_id) AS keep_id,
                count(*) AS dup_count
-        FROM documents GROUP BY 1 ORDER BY keep_id
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY 1 ORDER BY keep_id
     """,
     "q_quality_score": f"""
         WITH t AS (
@@ -3418,7 +3419,8 @@ _ORACLES: dict[str, str] = {
         SELECT md5(text) AS content_hash,
                min(doc_id) AS keep_id,
                count(*) AS dup_count
-        FROM documents GROUP BY md5(text) ORDER BY keep_id
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY md5(text) ORDER BY keep_id
     """,
     "q_token_stats": """
         SELECT doc_id,

@@ -709,6 +709,14 @@ class Dataset:
         path = os.path.join(self.path, "_indexes", "vector", tensor, index_name)
         self.fs.makedirs(path)
         if index_type.upper() == "IVFPQ":
+            if metric != "l2":
+                # ivfpq_search computes ADC + exact refine in L2 only;
+                # routing a cosine/ip index there would silently return
+                # L2-ranked results (normalize vectors + l2 for cosine)
+                raise ValueError(
+                    "IVFPQ index supports metric='l2' only; normalize "
+                    "vectors and use l2 for cosine ranking"
+                )
             from muller_spark.index.vector import build_ivfpq_artifacts
 
             build_ivfpq_artifacts(
@@ -720,6 +728,14 @@ class Dataset:
                 seed=int(hyper.get("seed", 42)),
             )
         elif index_type.upper().startswith("IVF"):
+            if metric != "l2":
+                # build-time cell assignment is L2; probing another
+                # metric's nearest centroids would systematically miss
+                # the cells where matching vectors actually live
+                raise ValueError(
+                    "IVF index supports metric='l2' only; normalize "
+                    "vectors and use l2 for cosine ranking"
+                )
             from muller_spark.index.vector import build_ivf_artifacts
 
             build_ivf_artifacts(

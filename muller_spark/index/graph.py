@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from muller_spark.index.vector import (
     _as_matrix,
     _distances,
+    fast_matrix,
     load_ivf_centroids,
     train_centroids,
 )
@@ -108,7 +109,7 @@ def _assigner(bc, vec_col: str, id_col: str):
         for pdf in iterator:
             if pdf.empty:
                 continue
-            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            mat = fast_matrix(pdf[vec_col])
             cell = _distances(mat, cents, "l2").argmin(axis=1)
             yield pd.DataFrame({
                 "id": pdf[id_col],
@@ -128,7 +129,7 @@ def _make_cell_graph(bc, R: int):
 
         cents = bc.value
         cell = int(key[0])
-        mat = np.stack(pdf["vec"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        mat = fast_matrix(pdf["vec"])
         ids = pdf["id"].to_numpy()
         medoid = int(
             ids[_distances(mat, cents[cell][None, :], "l2")[:, 0].argmin()]
@@ -301,7 +302,7 @@ def graph_search(
         for pdf in iterator:
             if pdf.empty:
                 continue
-            mat = np.stack(pdf["vec"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            mat = fast_matrix(pdf["vec"])
             dist = np.empty(len(pdf))
             for qi in np.unique(pdf["query_id"].to_numpy()):
                 mask = (pdf["query_id"] == qi).to_numpy()

@@ -72,6 +72,23 @@ def fast_matrix(series, dtype=np.float64) -> np.ndarray:
     return out.astype(dtype, copy=False)
 
 
+def _read_residual_flag(spark, path: str) -> bool:
+    """True iff the IVFPQ artifact encodes residuals.  The ONLY case
+    that legitimately means "raw" is the meta dir not existing
+    (pre-residual artifact layout) — a transient read error must
+    propagate: silently assuming raw would build wrong ADC LUTs on a
+    search, and on append would permanently corrupt the codes table by
+    mixing raw-encoded rows into a residual-encoded index."""
+    import os as _os
+
+    meta_path = _os.path.join(path, "meta")
+    from muller_spark.fs import get_fs
+
+    if not get_fs(meta_path).isdir(meta_path):
+        return False  # pre-residual artifact layout
+    return bool(spark.read.parquet(meta_path).first()["residual"])
+
+
 def sample_matrix(
     df: DataFrame, vec_col: str, sample_size: int, seed: int
 ) -> np.ndarray:
@@ -89,6 +106,11 @@ def sample_matrix(
     corpora ≤ sample_size short-circuit to a full read.
     """
     total = df.count()
+    if total == 0:
+        raise ValueError(
+            "cannot sample training vectors from an empty DataFrame "
+            "(IVF/PQ/k-means training needs at least one row)"
+        )
     sel = df.select(vec_col)
     if total > sample_size:
         frac = min(1.0, (sample_size * 1.05) / total)
@@ -128,7 +150,7 @@ def exact_knn(
         for pdf in iterator:
             if pdf.empty:
                 continue
-            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            mat = fast_matrix(pdf[vec_col])
             dists = _distances(mat, qm, m)  # (n, nq)
             n = dists.shape[0]
             take = min(kk, n)
@@ -225,8 +247,13 @@ def ivf_knn(
         for pdf in iterator:
             if pdf.empty:
                 continue
-            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-            assign = _distances(mat, cents, "l2").argmin(axis=1)
+            mat = fast_matrix(pdf[vec_col])
+            # assign in the QUERY metric (not hardcoded l2): probing the
+            # metric's nearest centroids while assigning rows by l2
+            # would systematically miss the cells where high-similarity
+            # vectors live for cosine/inner_product (_distances is
+            # uniformly smaller-is-closer, so argmin works for all)
+            assign = _distances(mat, cents, m).argmin(axis=1)
             out = []
             for qi, probe in enumerate(probe_sets):
                 mask = np.isin(assign, list(probe))
@@ -287,7 +314,7 @@ def ann_knn(
         for pdf in iterator:
             if pdf.empty:
                 continue
-            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            mat = fast_matrix(pdf[vec_col])
             frames = []
             for t, pl in enumerate(ps):
                 bits = (mat @ pl.T) > 0
@@ -331,7 +358,7 @@ def ann_knn(
         for pdf in iterator:
             if pdf.empty:
                 continue
-            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            mat = fast_matrix(pdf[vec_col])
             dist = np.empty(len(pdf))
             for qi in np.unique(pdf["query_id"].to_numpy()):
                 mask = (pdf["query_id"] == qi).to_numpy()
@@ -414,15 +441,36 @@ def hnsw_knn(
         import pandas as pd
 
         qm = bq.value
+        hnswlib = _get_hnswlib()
+        if not hnswlib:
+            # fallback: stream the exact partial top-k PER ARROW BATCH —
+            # materializing the whole partition (which the graph build
+            # genuinely needs) would turn bounded-per-batch memory into
+            # O(partition) for no benefit when there is no graph
+            for pdf in iterator:
+                if pdf.empty:
+                    continue
+                mat = fast_matrix(pdf[vec_col])
+                ids = pdf[id_col].to_numpy()
+                take = min(kk, len(mat))
+                dists = _distances(mat, qm, m)
+                out = []
+                for qi in range(qm.shape[0]):
+                    idx = np.argpartition(dists[:, qi], take - 1)[:take]
+                    out.append(pd.DataFrame({
+                        "query_id": qi, "id": ids[idx],
+                        "distance": dists[idx, qi],
+                    }))
+                yield pd.concat(out)
+            return
         # accumulate the whole partition: HNSW needs all rows before search
         frames = [pdf for pdf in iterator if not pdf.empty]
         if not frames:
             return
         pdf = pd.concat(frames)
-        mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+        mat = fast_matrix(pdf[vec_col])
         ids = pdf[id_col].to_numpy()
         take = min(kk, len(mat))
-        hnswlib = _get_hnswlib()
         if hnswlib:
             space = {"l2": "l2", "cosine": "cosine", "inner_product": "ip"}[m]
             index = hnswlib.Index(space=space, dim=mat.shape[1])
@@ -442,15 +490,6 @@ def hnsw_knn(
                 d = _distances(sub, qm[qi][None, :], m)[:, 0]
                 out.append(pd.DataFrame({
                     "query_id": qi, "id": ids[labels[qi]], "distance": d,
-                }))
-            yield pd.concat(out)
-        else:
-            dists = _distances(mat, qm, m)
-            out = []
-            for qi in range(qm.shape[0]):
-                idx = np.argpartition(dists[:, qi], take - 1)[:take]
-                out.append(pd.DataFrame({
-                    "query_id": qi, "id": ids[idx], "distance": dists[idx, qi],
                 }))
             yield pd.concat(out)
 
@@ -567,7 +606,7 @@ def append_ivf_assignments(
         for pdf in iterator:
             if pdf.empty:
                 continue
-            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            mat = fast_matrix(pdf[vec_col])
             cell = _distances(mat, cents, "l2").argmin(axis=1)
             yield pd.DataFrame({"id": pdf[id_col], "cell": cell.astype(np.int32)})
 
@@ -940,12 +979,7 @@ def ivfpq_search(
     if codebooks is None:
         codebooks = load_pq_codebooks(spark, path)
     m_sub, book_k, dsub = codebooks.shape
-    try:
-        residual = bool(
-            spark.read.parquet(os.path.join(path, "meta")).first()["residual"]
-        )
-    except Exception:
-        residual = False  # pre-residual artifact layout
+    residual = _read_residual_flag(spark, path)
 
     cd = _distances(centroids, q, "l2")
     probe_rows = [
@@ -1046,7 +1080,7 @@ def ivfpq_search(
         for pdf in iterator:
             if pdf.empty:
                 continue
-            mat = np.stack(pdf["__v"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            mat = fast_matrix(pdf["__v"])
             dist = np.empty(len(pdf))
             for qi in np.unique(pdf["query_id"].to_numpy()):
                 mask = (pdf["query_id"] == qi).to_numpy()
@@ -1075,12 +1109,7 @@ def append_ivfpq_codes(
     spark = df_delta.sparkSession
     centroids = load_ivf_centroids(spark, path)
     books = load_pq_codebooks(spark, path)
-    try:
-        residual = bool(
-            spark.read.parquet(os.path.join(path, "meta")).first()["residual"]
-        )
-    except Exception:
-        residual = False
+    residual = _read_residual_flag(spark, path)
     stored = "vec" in spark.read.parquet(os.path.join(path, "codes")).columns
     bc = spark.sparkContext.broadcast((centroids, books))
 
@@ -1092,7 +1121,7 @@ def append_ivfpq_codes(
         for pdf in iterator:
             if pdf.empty:
                 continue
-            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            mat = fast_matrix(pdf[vec_col])
             cell = _distances(mat, cents, "l2").argmin(axis=1)
             base = mat - cents[cell] if residual else mat
             codes = np.empty((len(mat), m_sub), dtype=np.int16)

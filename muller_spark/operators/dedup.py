@@ -42,8 +42,13 @@ def exact_dedup(
 ) -> DataFrame:
     """Group identical documents by md5(content); keep the min id.
 
-    Returns (content_hash, keep_id, dup_count).
+    Returns (content_hash, keep_id, dup_count).  NULL-text rows are
+    EXCLUDED: md5(NULL) is NULL, and grouping on it would collapse all
+    distinct NULL-content documents into one fake "duplicate" cluster
+    with a single keep_id — content-free rows have no content identity
+    to dedup on.
     """
+    df = df.filter(F.col(text_col).isNotNull())
     content = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
     return (
         df.groupBy(F.md5(content).alias("content_hash"))
@@ -497,6 +502,12 @@ def simhash_near_dups(
     still found through any of their other ``num_blocks - 1`` shared
     blocks unless those are all equally degenerate — i.e. near-empty
     junk documents, which exact dedup upstream should remove anyway."""
+    if max_hamming >= num_blocks:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < num_blocks "
+            f"({num_blocks}) for the pigeonhole completeness guarantee "
+            "(a pair can otherwise differ in every block and be missed)"
+        )
     sh = simhash(df, text_col, id_col).cache()
     width = 64 // num_blocks
     blocks = F.array(*[
@@ -648,10 +659,13 @@ def dedup_clusters(
     in O(component diameter) rounds (near-dup clusters are small and
     dense, so typically 2-4).  Each round is one join + one aggregate,
     both keyed on node id; the driver only sees a changed-row *count*
-    per round (convergence test), never rows.  Iterations cap at
-    ``max_iterations`` as a pathological-graph guard (a path graph of
-    length > 2^20 would need salting through a different algorithm —
-    alternating large-star/small-star — before this cap matters).
+    per round (convergence test), never rows.  Propagation advances ONE
+    hop per round, so a component of diameter > ``max_iterations``
+    (e.g. a 25-doc drifting-boilerplate chain at the default 20) would
+    not converge — in that case this RAISES rather than silently
+    returning the component split into several cluster_ids (which would
+    let duplicates survive as multiple "canonical" rows); raise the cap
+    or pre-contract long chains with a large-star/small-star pass.
     """
     # localCheckpoint (not cache) each round: an iterative plan grows
     # lineage multiplicatively — by ~10 rounds the nested logical plan
@@ -695,6 +709,13 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iterations} rounds "
+            f"({changed} labels still changing): a component's diameter "
+            "exceeds max_iterations — raise it, or contract long chains "
+            "first"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -806,7 +827,7 @@ def embedding_near_dups(
     exact re-rank (same tables as index.vector.ann_knn)."""
     import numpy as np
 
-    from muller_spark.index.vector import _hyperplanes
+    from muller_spark.index.vector import _hyperplanes, fast_matrix
 
     spark = df.sparkSession
     if dim is None:
@@ -826,7 +847,7 @@ def embedding_near_dups(
         for pdf in iterator:
             if pdf.empty:
                 continue
-            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            mat = fast_matrix(pdf[vec_col])
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
             unit = mat / norms[:, None]
@@ -888,6 +909,7 @@ def init_dedup_ledger(
     instead of re-hashing 100 TB (``dedup_against_ledger``).  The ledger
     is a parquet table of distinct md5 hashes — one narrow column, the
     minimum state that decides membership."""
+    df = df.filter(F.col(text_col).isNotNull())
     content = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
     (
         df.select(F.md5(content).alias("content_hash"))
@@ -936,6 +958,12 @@ def dedup_against_ledger(
     reliable storage, nothing pinned, the right mode when a batch is
     itself hundreds of GB."""
     spark = new_df.sparkSession
+    # NULL-text rows have no content identity: md5(NULL)=NULL never
+    # matches the anti-join (NULL = NULL is not a match), so such rows
+    # would be re-admitted EVERY batch while NULL hash rows pile up in
+    # the ledger.  They are dropped here, same as exact_dedup; route
+    # content-free rows around the dedup stage if they must survive.
+    new_df = new_df.filter(F.col(text_col).isNotNull())
     content = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
     hashed = new_df.withColumn("content_hash", F.md5(content))
     ledger = spark.read.parquet(path).select("content_hash")
@@ -1003,7 +1031,7 @@ def assign_clusters(
     import numpy as np
     import pyspark.sql.types as T
 
-    from muller_spark.index.vector import _distances
+    from muller_spark.index.vector import _distances, fast_matrix
 
     bc = df.sparkSession.sparkContext.broadcast(centroids)
 
@@ -1014,7 +1042,7 @@ def assign_clusters(
         for pdf in iterator:
             if pdf.empty:
                 continue
-            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            mat = fast_matrix(pdf[vec_col])
             d = _distances(mat, cents, "l2")
             assign = d.argmin(axis=1)
             cdist = d[np.arange(len(mat)), assign]
@@ -1165,7 +1193,12 @@ def semantic_dedup(
         centroids = train_semantic_centroids(
             df, vec_col, num_clusters=num_clusters, seed=seed
         )
-    assigned = assign_clusters(df, vec_col, id_col, centroids)
+    # cache: this frame feeds the pair scan, both rank joins (keep=
+    # 'far_from_centroid'), and the final cluster join — uncached, the
+    # corpus-wide broadcast-centroid assignment pass would re-execute
+    # up to 4x (same materialization-barrier rationale as
+    # minhash_portable_pairs)
+    assigned = assign_clusters(df, vec_col, id_col, centroids).cache()
     pairs = semantic_dup_pairs(
         df, vec_col, id_col, threshold=threshold, centroids=centroids,
         max_cluster_size=max_cluster_size, assigned=assigned,

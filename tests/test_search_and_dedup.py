@@ -248,7 +248,11 @@ def test_simhash_portable_near_dups(dup_docs):
 
 
 def test_simhash_near_dup(dup_docs):
-    pairs = simhash_near_dups(dup_docs, "text", "doc_id", max_hamming=10).collect()
+    # num_blocks must exceed max_hamming for the pigeonhole guarantee
+    # (the operator now enforces this; 10/4 was silently incomplete)
+    pairs = simhash_near_dups(
+        dup_docs, "text", "doc_id", max_hamming=10, num_blocks=12
+    ).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 1) in found
     # identical docs → identical simhash → distance 0
@@ -1024,3 +1028,52 @@ def test_embedding_near_dups_explicit_dim_runs_no_driver_job(spark):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before, "plan construction with explicit dim ran a job"
     assert plan.columns == ["id_a", "id_b", "cosine"]  # still a valid plan
+
+
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    """A chain component with diameter > max_iterations must RAISE, not
+    silently return the component split into several cluster_ids (which
+    would let duplicates survive as multiple 'canonical' rows)."""
+    from muller_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(24)]  # diameter 24 > 5
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iterations=5)
+    # with enough rounds the same chain converges to one component
+    ok = dedup_clusters(pairs, max_iterations=30)
+    assert ok.select("cluster_id").distinct().count() == 1
+
+
+def test_exact_dedup_and_ledger_null_text_discipline(spark, tmp_path):
+    """NULL-text rows have no content identity: exact_dedup excludes
+    them (previously all NULL docs collapsed into one fake duplicate
+    group), and the ledger path no longer re-admits a NULL-text row
+    every batch while appending NULL hashes."""
+    from muller_spark.operators.dedup import (
+        dedup_against_ledger,
+        init_dedup_ledger,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    groups = exact_dedup(df, "text", "doc_id").collect()
+    assert len(groups) == 1 and groups[0]["dup_count"] == 2  # NULLs excluded
+
+    ledger = str(tmp_path / "ledger")
+    init_dedup_ledger(df, "text", ledger)
+    batch = spark.createDataFrame(
+        [(5, None), (6, "fresh")], "doc_id long, text string"
+    )
+    out1 = dedup_against_ledger(batch, "text", ledger)
+    assert [r["doc_id"] for r in out1.collect()] == [6]
+    # replaying a NULL-text batch admits nothing (was: one per batch)
+    out2 = dedup_against_ledger(
+        spark.createDataFrame([(7, None)], "doc_id long, text string"),
+        "text", ledger,
+    )
+    assert out2.count() == 0
+    hashes = spark.read.parquet(ledger)
+    assert hashes.filter(F.col("content_hash").isNull()).count() == 0
