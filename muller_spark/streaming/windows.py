@@ -108,20 +108,39 @@ def expectations_stream(
 def write_stream_to_dataset(stream: DataFrame, ds, checkpoint_dir: str, trigger_seconds: int = 5):
     """foreachBatch sink: each micro-batch lands as one dataset commit —
     the streaming generalization of the reference's checkpointed
-    transform pipeline (``pipeline.py:149``)."""
+    transform pipeline (``pipeline.py:149``).
 
-    def land(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        ds.extend_df(batch_df)
-        ds.commit(f"stream batch {batch_id}")
-
+    Replay-safe: foreachBatch is at-least-once (a crash between commit
+    and checkpoint re-invokes the handler with the same batch_id), so
+    the handler skips any batch whose marker commit already exists in
+    the dataset log — the commit log is the idempotence journal, same
+    pattern as checkpointed ``ComputeFunction.eval``.  The handler is
+    exposed as :func:`make_dataset_batch_handler` so the replay
+    contract is directly testable."""
     return (
-        stream.writeStream.foreachBatch(land)
+        stream.writeStream.foreachBatch(make_dataset_batch_handler(ds))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def make_dataset_batch_handler(ds):
+    """The foreachBatch handler behind :func:`write_stream_to_dataset`:
+    skips any batch whose ``stream batch <id>`` marker commit already
+    exists (at-least-once replay guard), else appends + commits."""
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"stream batch {batch_id}"
+        for snap in ds.log_history():
+            if getattr(snap, "message", None) == marker:
+                return  # crash-replay of an already-committed batch
+        if batch_df.isEmpty():
+            return
+        ds.extend_df(batch_df)
+        ds.commit(marker)
+
+    return land
 
 
 def enrich_stream(
@@ -292,6 +311,11 @@ def make_ledger_batch_handler(
         fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
         already_landed = fs.exists(jvm_path)
         if not already_landed:
+            # NULL-text rows have no content identity: md5(NULL)=NULL
+            # never matches the anti-join, so such rows would re-admit
+            # EVERY batch while NULL hashes pile up in the ledger — the
+            # same discipline as operators/dedup.dedup_against_ledger
+            batch_df = batch_df.filter(F.col(text_col).isNotNull())
             if batch_df.isEmpty():
                 return
             content = (

@@ -129,7 +129,23 @@ def three_way_merge(
     tensors = list(merged_meta)
     common = [t for t in tensors if t in ours_meta and t in theirs_meta and t in base_meta]
     j = _joined(ours_df, theirs_df, base_df, tensors).cache()
+    try:
+        return _three_way_body(
+            j, tensors, common, merged_meta, next_uuid,
+            append_resolution, update_resolution, pop_resolution,
+        )
+    finally:
+        # unpersist on EVERY exit — a MergeConflictError raise would
+        # otherwise leak the cached 3-way join for the session; the
+        # returned result is lazy either way (the cache only ever
+        # served the census collect)
+        j.unpersist()
 
+
+def _three_way_body(
+    j, tensors, common, merged_meta, next_uuid,
+    append_resolution, update_resolution, pop_resolution,
+):
     in_o, in_t, in_b = F.col("o_in"), F.col("t_in"), F.col("b_in")
     t_updated = _changed_row(j, "t_", common)
 
@@ -219,7 +235,6 @@ def three_way_merge(
         .drop("_sort")
         .select(UUID_COL, ROW_ID_COL, *tensors)
     )
-    j.unpersist()
     return result, merged_meta, next_uuid
 
 
@@ -252,13 +267,22 @@ def detect_conflicts(
     records: dict = {"update_conflicts": {}, "pop_conflicts": {}, "append_conflicts": {}}
 
     for t in tensors:
-        o_c, t_c, b_c = F.col(f"o_{t}"), F.col(f"t_{t}"), F.col(f"b_{t}")
+        # a tensor created on both branches AFTER the LCA has no b_
+        # column in the join — guard like three_way_merge does instead
+        # of crashing the dry-run API with an AnalysisException
+        o_c = F.col(f"o_{t}") if f"o_{t}" in j.columns else F.lit(None)
+        t_c = F.col(f"t_{t}") if f"t_{t}" in j.columns else F.lit(None)
+        b_c = F.col(f"b_{t}") if f"b_{t}" in j.columns else F.lit(None)
         divergent = in_b & in_o & in_t & _neq(o_c, b_c) & _neq(t_c, b_c) & _neq(o_c, t_c)
         sel = [F.col(UUID_COL), F.col(f"o_{ROW_ID_COL}").alias("our_index"),
                F.col(f"t_{ROW_ID_COL}").alias("their_index")]
         if show_value:
             sel += [o_c.alias("our_value"), t_c.alias("their_value")]
-        found = j.filter(divergent).select(*sel).collect()
+        # limit: the size guard bounds DISTINCT conflicting rows, but a
+        # row conflicting in k tensors is collected once PER TENSOR —
+        # cap each tensor's collect so the driver never sees more than
+        # max_rows records per tensor either
+        found = j.filter(divergent).select(*sel).limit(max_rows).collect()
         if found:
             conflict_tensors.append(t)
             records["update_conflicts"][t] = [r.asDict() for r in found]
@@ -298,7 +322,9 @@ def _conflict_rows_estimate(j: DataFrame, tensors: Sequence[str]) -> int:
     in_o, in_t, in_b = F.col("o_in"), F.col("t_in"), F.col("b_in")
     pred = (in_b & in_o & ~in_t) | (in_b & ~in_o & in_t)
     for t in tensors:
-        o_c, t_c, b_c = F.col(f"o_{t}"), F.col(f"t_{t}"), F.col(f"b_{t}")
+        o_c = F.col(f"o_{t}") if f"o_{t}" in j.columns else F.lit(None)
+        t_c = F.col(f"t_{t}") if f"t_{t}" in j.columns else F.lit(None)
+        b_c = F.col(f"b_{t}") if f"b_{t}" in j.columns else F.lit(None)
         pred = pred | (
             in_b & in_o & in_t & _neq(o_c, b_c) & _neq(t_c, b_c) & _neq(o_c, t_c)
         )
@@ -417,7 +443,9 @@ def detect_conflicts_df(
     null_tl = F.lit(None).cast("long").alias("their_index")
     parts = []
     for t in tensors:
-        o_c, t_c, b_c = F.col(f"o_{t}"), F.col(f"t_{t}"), F.col(f"b_{t}")
+        o_c = F.col(f"o_{t}") if f"o_{t}" in j.columns else F.lit(None)
+        t_c = F.col(f"t_{t}") if f"t_{t}" in j.columns else F.lit(None)
+        b_c = F.col(f"b_{t}") if f"b_{t}" in j.columns else F.lit(None)
         divergent = in_b & in_o & in_t & _neq(o_c, b_c) & _neq(t_c, b_c) & _neq(o_c, t_c)
         parts.append(
             j.filter(divergent).select(

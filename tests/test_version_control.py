@@ -785,3 +785,42 @@ def test_load_at_commit_id_time_travel(spark, tmp_path):
     # unknown address raises, not silently opens HEAD
     with pytest.raises(Exception):
         ds_mod.load(f"{path}@deadbeef00", spark)
+
+
+def test_detect_conflicts_with_both_created_tensor(spark, tmp_path):
+    """Dry-run conflict detection must not crash when a tensor exists
+    on both branches but not in the merge base (round-6 review: the
+    b_<tensor> column is absent from the 3-way join)."""
+    path = str(tmp_path / "bc")
+    ds = ds_mod.dataset(path, spark)
+    ds.create_tensor("x", dtype="int64")
+    ds.extend({"x": [1, 2]})
+    ds.commit("base")
+    ds.checkout("dev", create=True)
+    ds.create_tensor("labels", dtype="int64")
+    ds.commit("dev adds labels")
+    ds.checkout("main")
+    ds.create_tensor("labels", dtype="int64")
+    ds.commit("main adds labels too")
+    # must return a report, not raise AnalysisException
+    report = ds.detect_merge_conflict("dev")
+    assert isinstance(report, tuple) or report is not None
+
+
+def test_stream_sink_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-invoking the sink handler with
+    an already-committed batch_id must not double-append."""
+    from muller_spark.streaming.windows import make_dataset_batch_handler
+
+    ds = ds_mod.dataset(str(tmp_path / "sink"), spark)
+    ds.create_tensor("x", dtype="int64")
+    ds.commit("schema")
+    land = make_dataset_batch_handler(ds)  # the REAL sink handler
+
+    batch = spark.createDataFrame([(1,), (2,)], "x long")
+    land(batch, 0)
+    assert len(ds) == 2
+    land(batch, 0)  # crash-replay of the same micro-batch
+    assert len(ds) == 2, "replayed batch was double-appended"
+    land(batch, 1)
+    assert len(ds) == 4
