@@ -2845,6 +2845,9 @@ _ORACLES: dict[str, str] = {
                    i -> array_to_string(list_slice(t, i + 1, i + 8), ' ')
                  ) AS shingles
           FROM toks
+          -- mirror the Spark-side empty/NULL-token guard: content-free
+          -- docs produce NO fingerprints in either engine
+          WHERE len(t) > 0
         )
         SELECT doc_id AS id,
                unnest(list_slice(

@@ -272,9 +272,13 @@ def top_fraction_per_group(
 ) -> DataFrame:
     """Keep the top ``fraction`` of rows per group by ``order_col``
     (descending) — quality-filtered mixture curation ("best 30% per
-    domain by LM score").  ``ceil(n_group · fraction)`` rows survive per
-    group; ``tie_break`` (a column name, ascending) makes the cut
-    deterministic when scores tie.
+    domain by LM score").  Contract: ``ceil(round(n_group · fraction, 9))``
+    rows survive per group — the round-to-9-decimals absorbs IEEE-double
+    noise a hair above the exact product (25·0.28 = 7.000000000000001)
+    so the intended ``ceil(n·fraction)`` count is kept, never one extra.
+    Any oracle (SQL or Python) must apply the same round-then-ceil.
+    ``tie_break`` (a column name, ascending) makes the cut deterministic
+    when scores tie.
 
     Scale shape: one shuffle on ``group_col``; rank and group size come
     from the same window pass (row_number + count over the group), so no

@@ -137,7 +137,11 @@ def rolling_fingerprints(col: Column, window: int = 8, keep: int = 4) -> Column:
     value (q_winnow_fingerprints); the min-of-hashes selection makes
     the sketch order- and partition-independent.  Documents shorter
     than ``window`` tokens sketch their whole token stream as one
-    shingle."""
+    shingle.  NULL or token-free documents sketch to an EMPTY array —
+    without that guard a NULL/'' text would hash the empty string to a
+    real fingerprint and every content-free doc would spuriously "share
+    a passage" with every other (and with any ordered SQL oracle that
+    emits no shingle rows for them)."""
     from muller_spark.operators.dedup import portable_hash60
 
     toks = tokens_of(col)
@@ -146,7 +150,10 @@ def rolling_fingerprints(col: Column, window: int = 8, keep: int = 4) -> Column:
         idx,
         lambda i: portable_hash60(F.concat_ws(" ", F.slice(toks, i + 1, window))),
     )
-    return F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep)
+    sketch = F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep)
+    return F.when(F.size(toks) > 0, sketch).otherwise(
+        F.array().cast("array<long>")
+    )
 
 
 # GPT-2-style pretokenizer family, restricted to a dialect-portable core:

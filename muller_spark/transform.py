@@ -32,8 +32,8 @@ class SampleOut:
     """Accumulator passed to compute functions."""
 
     def __init__(self) -> None:
-        self.rows: list[dict] = []
-        self._current: dict | None = None
+        object.__setattr__(self, "rows", [])
+        object.__setattr__(self, "_current", None)
 
     def append(self, row: dict) -> None:
         self.rows.append(dict(row))
@@ -50,9 +50,18 @@ class SampleOut:
         # `.append`, whose repeat flushes a row: append is the explicit
         # multi-row API).  Without this hook the assignment would
         # silently bind a plain instance attribute and the value would
-        # never reach the output — a data-loss footgun.
+        # never reach the output — a data-loss footgun.  Reserved names
+        # ('rows' and '_'-prefixed) are REJECTED rather than silently
+        # bound for the same reason: `sample_out.rows = v` is a
+        # plausible user field name, and losing it silently is exactly
+        # the bug this hook exists to prevent (internal writes go
+        # through object.__setattr__ directly).
         if tensor.startswith("_") or tensor == "rows":
-            object.__setattr__(self, tensor, value)
+            raise ValueError(
+                f"{tensor!r} is a reserved SampleOut name; output fields "
+                f"may not be named 'rows' or start with '_' — rename the "
+                f"output tensor (e.g. 'row_data')"
+            )
         elif self._current is None:
             object.__setattr__(self, "_current", {tensor: value})
         else:
@@ -71,7 +80,7 @@ class _TensorAppender:
         if cur is None or self._tensor in cur:
             if cur is not None:
                 self._out.rows.append(cur)
-            self._out._current = {self._tensor: value}
+            object.__setattr__(self._out, "_current", {self._tensor: value})
         else:
             cur[self._tensor] = value
 
@@ -212,18 +221,32 @@ class ComputeFunction:
         n = len(data_in)
         slices = [(lo, min(lo + interval, n)) for lo in range(0, n, interval)]
         k = len(slices)
-        # the resume key carries the TRANSFORM IDENTITY (fn qualname) and
-        # the slicing (interval), not just the message: without it, a
-        # DIFFERENT transform evaled into the same ds_out under the same
-        # message would find every marker present and silently skip all
-        # work, and a re-run with a changed interval would match no
-        # marker and double-append the already-committed slices
+        # the resume key carries the TRANSFORM IDENTITY (fn qualname +
+        # bound args/kwargs) and the slicing (interval), not just the
+        # message: without the qualname, a DIFFERENT transform evaled
+        # into the same ds_out under the same message would find every
+        # marker present and silently skip all work; without the
+        # args/kwargs digest, the SAME fn re-evaled with different
+        # parameters would likewise skip everything and produce no
+        # output (round-7 ADVICE); and a re-run with a changed interval
+        # would match no marker and double-append committed slices.
+        # repr() of the bound arguments is stable for the plain
+        # scalars/strings transforms are parameterized with; unreprable
+        # exotic args degrade to their type name, which still separates
+        # runs at the granularity we can observe.
         import hashlib as _hashlib
 
+        try:
+            bound = repr((self.args, sorted(self.kwargs.items())))
+        except Exception:
+            bound = repr(
+                ([type(a).__name__ for a in self.args],
+                 sorted((k, type(v).__name__) for k, v in self.kwargs.items()))
+            )
         ident = _hashlib.md5(
             f"{getattr(self.fn, '__module__', '?')}."
             f"{getattr(self.fn, '__qualname__', repr(self.fn))}"
-            f":{interval}".encode()
+            f":{interval}:{bound}".encode()
         ).hexdigest()[:8]
         suffix = f"/{k} {ident}]"
         done = set()

@@ -526,6 +526,25 @@ def test_winnow_fingerprints_containment_and_hand_hash(spark):
     assert fp[4] == {expected}
 
 
+def test_winnow_fingerprints_null_and_empty_text_sketch_empty(spark):
+    """NULL/''/whitespace-only docs must sketch to an EMPTY array — not
+    the hash of '' — or every content-free doc 'shares a passage' with
+    every other and diverges from the ordered SQL oracle, which emits
+    no shingle rows for them (round-7 ADVICE fix)."""
+    from muller_spark.operators.text import rolling_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real content words")],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id", rolling_fingerprints(F.col("text"), window=8, keep=4).alias("fp")
+    ).collect()
+    fp = {r["doc_id"]: r["fp"] for r in rows}
+    assert fp[1] == [] and fp[2] == [] and fp[3] == []
+    assert len(fp[4]) == 1  # short real doc: one whole-doc shingle
+
+
 # ----------------------------------------------- analytics semantics
 
 def test_funnel_hand_computed(spark):

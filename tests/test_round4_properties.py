@@ -10,7 +10,7 @@ import os
 import sys
 
 import numpy as np
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -58,6 +58,8 @@ def test_pipeline_survival_monotone_and_accounted(spark, rows, cuts):
     sizes=st.lists(st.integers(1, 25), min_size=1, max_size=5),
     frac=st.floats(0.05, 1.0),
 )
+@example(sizes=[20], frac=0.05000000000000001)  # ulp above 0.05: raw ceil=2, contract=1
+@example(sizes=[25], frac=0.28)  # 25*0.28 = 7.000000000000001 in doubles
 def test_top_fraction_sizes_are_sum_of_ceils(spark, sizes, frac):
     rows, rid = [], 0
     for g, n in enumerate(sizes):
@@ -69,8 +71,10 @@ def test_top_fraction_sizes_are_sum_of_ceils(spark, sizes, frac):
     got = out.groupBy("grp").count().collect()
     counts = {r["grp"]: r["count"] for r in got}
     for g, n in enumerate(sizes):
-        # same double arithmetic the operator uses (ceil of n*frac)
-        assert counts[f"g{g}"] == math.ceil(n * frac)
+        # the operator's documented contract: ceil(round(n*frac, 9)) —
+        # round9-before-ceil absorbs double noise a hair above the exact
+        # product (operators/sampling.py top_fraction_per_group)
+        assert counts[f"g{g}"] == math.ceil(round(n * frac, 9))
 
 
 @settings(max_examples=prop_examples(6), **_SLOW)

@@ -913,3 +913,61 @@ def test_sample_out_assignment_overwrites(spark):
 
     rows = fixup.apply(df, "y long").collect()
     assert sorted(r["y"] for r in rows) == [10, 20]
+
+
+def test_checkpoint_journal_refuses_different_args(spark, tmp_path):
+    """Round-7 ADVICE: the resume identity must include the transform's
+    BOUND ARGS — the same fn re-evaled with different parameters into
+    the same ds_out under the same message must refuse (previously it
+    found every marker present and silently produced no output)."""
+    from muller_spark import dataset as ds_mod
+    from muller_spark.transform import compute
+
+    src = ds_mod.dataset(str(tmp_path / "src"), spark)
+    src.create_tensor("x", dtype="int64")
+    src.extend({"x": list(range(6))})
+    src.commit("seed")
+    out = ds_mod.dataset(str(tmp_path / "out"), spark)
+    out.create_tensor("y", dtype="int64")
+    out.commit("schema")
+
+    @compute
+    def scale(sample_in, sample_out, factor):
+        sample_out.append({"y": sample_in["x"] * factor})
+
+    scale(2).eval(src, out, message="m", checkpoint_interval=3)
+    assert len(out) == 6
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        scale(3).eval(src, out, message="m", checkpoint_interval=3)
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        scale(factor=2).eval(src, out, message="m", checkpoint_interval=3)
+    # identical args: idempotent no-op
+    scale(2).eval(src, out, message="m", checkpoint_interval=3)
+    assert len(out) == 6
+
+
+def test_sample_out_reserved_names_rejected(spark):
+    """Round-7 ADVICE: `sample_out.rows = v` (or any '_'-prefixed name)
+    must raise instead of silently binding an instance attribute and
+    losing the value — the exact footgun the __setattr__ hook exists
+    to prevent."""
+    from muller_spark.transform import SampleOut, compute
+
+    so = SampleOut()
+    with pytest.raises(ValueError, match="reserved"):
+        so.rows = [1, 2]
+    with pytest.raises(ValueError, match="reserved"):
+        so._hidden = 3
+    # normal fields still route to the current row
+    so.y = 7
+    assert so._current == {"y": 7}
+
+    # and end-to-end through apply: the error surfaces, not silent loss
+    df = spark.createDataFrame([(1,)], "x long")
+
+    @compute
+    def bad(sample_in, sample_out):
+        sample_out.rows = sample_in["x"]
+
+    with pytest.raises(Exception, match="reserved"):
+        bad.apply(df, "rows long").collect()
