@@ -1925,9 +1925,13 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped shipping-priority query (minus o_shippriority,
     absent from the driver tables): unshipped BUILDING-segment orders
-    ranked by revenue.  customer broadcasts into orders, the result
-    broadcasts into lineitem — the fact table never shuffles; the final
-    top-10 plans as TakeOrderedAndProject, not a global sort."""
+    ranked by revenue.  No forced broadcast hints: customer and orders
+    both SCALE WITH SF, so an explicit hint (honored regardless of
+    size) would force a multi-GB broadcast at cluster scale — instead
+    AQE picks broadcast-vs-shuffle from runtime stats (at bench SF it
+    still chooses broadcast joins; at 100x it degrades to shuffled
+    joins safely).  The final top-10 plans as TakeOrderedAndProject,
+    not a global sort."""
     cust = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     ).select("c_custkey")
@@ -1942,10 +1946,7 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(
-                orders.join(F.broadcast(cust),
-                            orders.o_custkey == cust.c_custkey)
-            ),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
@@ -1958,9 +1959,11 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped local-supplier-volume query: revenue per ASIA
     nation from 1996 orders where customer and supplier share the
-    nation.  Six tables; every dimension side (region→nation→customer,
-    supplier) broadcasts, so the only shuffled relations are orders and
-    lineitem on their join keys — the plan a 1000-executor cluster
+    nation.  Six tables; only the truly bounded dimensions (region: 5
+    rows, nation: 25 rows — fixed regardless of SF) carry broadcast
+    hints.  customer and supplier SCALE WITH SF, so they get no hint:
+    AQE broadcasts them at bench SF from runtime stats and degrades to
+    shuffled joins at cluster scale — the plan a 1000-executor cluster
     wants."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation").join(
@@ -1980,8 +1983,8 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
@@ -1993,7 +1996,10 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-shaped returned-item reporting: top-20 customers by
     lost revenue from 'R' lineitems against a one-quarter order window.
-    customer+nation broadcast; lineitem↔orders is the only big join."""
+    Only nation (25 rows, SF-invariant) carries a broadcast hint;
+    orders (even windowed to a quarter) and customer scale with SF, so
+    AQE decides their join strategy from runtime stats instead of a
+    forced hint that would OOM the broadcast at 100x."""
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_nationkey"
     )
@@ -2007,8 +2013,8 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,4)"
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))

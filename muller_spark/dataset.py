@@ -602,13 +602,18 @@ class Dataset:
             raise ValueError(
                 f"no fresh index on {tensor!r}; create_index_vectorized first"
             )
+        from muller_spark.operators.joins import maybe_broadcast
+
         hits = (
             idx.bm25(query, k=k)
             .withColumnRenamed("id", ROW_ID_COL)
             .withColumnRenamed("score", "_bm25_score")
         )
+        # hits is LIMIT k by construction — a provable bound, so the
+        # broadcast hint is safe at any corpus size (maybe_broadcast
+        # documents the proof obligation)
         return (
-            self.df.join(F.broadcast(hits), ROW_ID_COL)
+            self.df.join(maybe_broadcast(hits, bound=k), ROW_ID_COL)
             .orderBy(F.col("_bm25_score").desc(), F.col(ROW_ID_COL).asc())
         )
 

@@ -338,9 +338,16 @@ class InvertedIndex:
             .agg(F.count(F.lit(1)).alias("tf"))
         )
         dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        # tf is bounded by docs CONTAINING a query term — for a frequent
+        # term over a large corpus that's unbounded, so no forced
+        # broadcast (maybe_broadcast with no proven bound = let AQE pick
+        # from runtime size).  dfreq (≤ #query terms) and stats (1 row)
+        # are provably tiny and keep their hints.
+        from muller_spark.operators.joins import maybe_broadcast
+
         scored = (
-            dl.join(F.broadcast(tf), "id")
-            .join(F.broadcast(dfreq), "term")
+            dl.join(maybe_broadcast(tf), "id")
+            .join(maybe_broadcast(dfreq, bound=len(terms)), "term")
             .crossJoin(F.broadcast(stats))
         )
         idf = F.log(

@@ -22,6 +22,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def maybe_broadcast(
+    df: DataFrame,
+    bound: "int | None" = None,
+    max_broadcast_rows: int = 4_000_000,
+) -> DataFrame:
+    """Size-gated broadcast hint.  An explicit ``F.broadcast`` is
+    honored REGARDLESS of the relation's actual size — on a cluster a
+    hint on a data-dependent frame (e.g. the docs containing a frequent
+    query term over a 100 TB corpus) forces an unbounded broadcast and
+    kills the job.  This helper hints ONLY when the caller can prove a
+    row bound (``bound`` — e.g. a ``LIMIT k`` result, a fixed dimension
+    table, ``len(query_terms)``); otherwise it returns the frame
+    unhinted and AQE picks broadcast-vs-shuffle from the relation's
+    RUNTIME size, which degrades gracefully at any scale.
+
+    ``bound`` is a statically known upper bound on rows, not a measured
+    count — passing one never triggers a job."""
+    if bound is not None and bound <= max_broadcast_rows:
+        return F.broadcast(df)
+    return df
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
