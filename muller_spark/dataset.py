@@ -1489,8 +1489,13 @@ def _assign_ids(df: DataFrame, start_uuid: int, start_row: int) -> DataFrame:
 
 
 def _renumber(df: DataFrame) -> DataFrame:
-    w = Window.orderBy(F.col(ROW_ID_COL).asc())
-    return df.withColumn(ROW_ID_COL, (F.row_number().over(w) - 1).cast("long"))
+    """Re-pack row ids densely after a pop.  Distributed: value-range
+    buckets + per-bucket offsets (``rowid.dense_row_numbers``), NOT a
+    global ``Window.orderBy`` — the single-partition exchange that
+    would serialize the whole table through one task at scale."""
+    from muller_spark.rowid import dense_row_numbers
+
+    return dense_row_numbers(df, [ROW_ID_COL], ROW_ID_COL)
 
 
 # ----------------------------------------------------------------------

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from muller_spark.errors import MergeConflictError, MergeMismatchError
@@ -93,12 +93,21 @@ def _joined(ours_df, theirs_df, base_df, tensors):
     return j
 
 
+def _gcol(j: DataFrame, name: str) -> Column:
+    """Column of the 3-way join, or typed-NULL when the side lacks it —
+    a tensor created after the LCA has no ``b_`` column, and one created
+    on a single branch lacks the other side's column."""
+    return F.col(name) if name in j.columns else F.lit(None)
+
+
 def _changed_row(j: DataFrame, prefix: str, tensors: Sequence[str]) -> Column:
-    """True when any tensor value differs from base for this row."""
+    """True when any tensor value differs from base for this row.  A
+    tensor with no base column (created after the LCA) compares against
+    NULL, so any non-null branch value counts as changed."""
     preds = [
-        _neq(F.col(f"{prefix}{t}"), F.col(f"b_{t}"))
+        _neq(_gcol(j, f"{prefix}{t}"), _gcol(j, f"b_{t}"))
         for t in tensors
-        if f"{prefix}{t}" in j.columns and f"b_{t}" in j.columns
+        if f"{prefix}{t}" in j.columns
     ]
     if not preds:
         return F.lit(False)
@@ -127,7 +136,14 @@ def three_way_merge(
         ours_meta, theirs_meta, base_meta, delete_removed_tensors, force
     )
     tensors = list(merged_meta)
-    common = [t for t in tensors if t in ours_meta and t in theirs_meta and t in base_meta]
+    # conflict-eligible tensors are ours∩theirs REGARDLESS of LCA
+    # presence (reference operations/merge.py:602,618 builds common from
+    # target∩original): a tensor created on BOTH branches after the LCA
+    # with divergent values is a real conflict — its base column is
+    # simply NULL in the 3-way join.  Restricting to base_meta silently
+    # resolved such tensors as ours, dropping theirs (round-6 verdict
+    # What's-missing #1).
+    common = [t for t in tensors if t in ours_meta and t in theirs_meta]
     j = _joined(ours_df, theirs_df, base_df, tensors).cache()
     try:
         return _three_way_body(
@@ -152,7 +168,9 @@ def _three_way_body(
     # -- conflict census (one aggregation pass) -------------------------
     divergent_any = F.lit(False)
     for t in common:
-        o_c, t_c, b_c = F.col(f"o_{t}"), F.col(f"t_{t}"), F.col(f"b_{t}")
+        # both-created tensors have no b_ column: NULL base, so the
+        # divergence test reduces to "both sides wrote, and differ"
+        o_c, t_c, b_c = _gcol(j, f"o_{t}"), _gcol(j, f"t_{t}"), _gcol(j, f"b_{t}")
         divergent_any = divergent_any | (
             _neq(o_c, b_c) & _neq(t_c, b_c) & _neq(o_c, t_c)
         )
@@ -228,11 +246,21 @@ def _three_way_body(
             .otherwise(o_c)
         )
         out_cols.append(value.alias(t))
-    result = rows.select(*out_cols, sort_key.alias("_sort"))
-    w = Window.orderBy(F.col("_sort.pri"), F.col("_sort.pos"))
+    # merged positions: ours-first (pri 0) by our old position, then
+    # theirs-only rows by their position.  Distributed renumbering via
+    # value-range buckets + offsets (rowid.dense_row_numbers) — a plain
+    # Window.orderBy(pri, pos) would be an Exchange SinglePartition
+    # funneling the merged table through one task.
+    from muller_spark.rowid import dense_row_numbers
+
     result = (
-        result.withColumn(ROW_ID_COL, (F.row_number().over(w) - 1).cast("long"))
-        .drop("_sort")
+        rows.select(*out_cols, sort_key.alias("_sort"))
+        .withColumn("_pri", F.col("_sort.pri").cast("long"))
+        .withColumn("_pos", F.col("_sort.pos").cast("long"))
+    )
+    result = (
+        dense_row_numbers(result, ["_pri", "_pos"], ROW_ID_COL)
+        .drop("_sort", "_pri", "_pos")
         .select(UUID_COL, ROW_ID_COL, *tensors)
     )
     return result, merged_meta, next_uuid

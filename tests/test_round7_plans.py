@@ -1,0 +1,100 @@
+"""Round-7 scale-shape assertions: the pop/merge renumber path runs
+WITHOUT a single-partition exchange, and dense_row_numbers is
+bit-identical to the naive global window."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from muller_spark.rowid import dense_row_numbers  # noqa: E402
+
+
+def test_dense_row_numbers_matches_global_window(spark):
+    rows = [(i * 7 % 997, f"v{i}") for i in range(500)]  # unique keys, shuffled
+    df = spark.createDataFrame(rows, "pos long, val string").repartition(8)
+    got = {
+        r["val"]: r["rid"]
+        for r in dense_row_numbers(df, ["pos"], "rid").collect()
+    }
+    w = Window.orderBy(F.col("pos").asc())
+    want = {
+        r["val"]: r["rid"]
+        for r in df.withColumn(
+            "rid", (F.row_number().over(w) - 1).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_dense_row_numbers_with_group_prefix(spark):
+    # two priority groups, positions unique within each — the merge shape
+    rows = [(0, p, f"o{p}") for p in (5, 1, 9)] + [(1, p, f"t{p}") for p in (2, 0)]
+    df = spark.createDataFrame(rows, "pri long, pos long, val string")
+    out = dense_row_numbers(df, ["pri", "pos"], "rid").collect()
+    order = [r["val"] for r in sorted(out, key=lambda r: r["rid"])]
+    assert order == ["o1", "o5", "o9", "t0", "t2"]
+    assert sorted(r["rid"] for r in out) == [0, 1, 2, 3, 4]
+
+
+def test_dense_row_numbers_empty_input(spark):
+    df = spark.createDataFrame([], "pos long, val string")
+    assert dense_row_numbers(df, ["pos"], "rid").collect() == []
+
+
+def test_dense_row_numbers_plan_has_no_single_partition(spark):
+    df = spark.createDataFrame(
+        [(i, i) for i in range(100)], "pos long, x long"
+    ).repartition(4)
+    out = dense_row_numbers(df, ["pos"], "rid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, (
+        f"renumber still funnels through one task\n{plan[:2000]}"
+    )
+
+
+def test_pop_plan_has_no_single_partition(spark, tmp_path):
+    """The pop path renumbers via bucket windows — no Exchange
+    SinglePartition anywhere in the resulting work plan (round-6
+    verdict What's-wrong #3)."""
+    from muller_spark import dataset as ds_mod
+
+    ds = ds_mod.dataset(str(tmp_path / "p"), spark)
+    ds.create_tensor("x", dtype="int64")
+    ds.extend({"x": list(range(50))})
+    ds.commit("seed")
+    ds.pop([3, 7])
+    plan = ds.df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:2000]
+    # positional parity intact
+    assert [r["x"] for r in ds.df.orderBy("_row_id").select("x").collect()] == [
+        v for v in range(50) if v not in (3, 7)
+    ]
+
+
+def test_merge_plan_has_no_single_partition(spark, tmp_path):
+    """Merged row-id assignment uses the partition-offset pattern too."""
+    from muller_spark import dataset as ds_mod
+
+    ds = ds_mod.dataset(str(tmp_path / "m"), spark)
+    ds.create_tensor("x", dtype="int64")
+    ds.extend({"x": [0, 1, 2]})
+    ds.commit("base")
+    ds.checkout("dev", create=True)
+    ds.extend({"x": [10, 11]})
+    ds.commit("dev appends")
+    ds.checkout("main")
+    ds.extend({"x": [20]})
+    ds.commit("main appends")
+    ds.merge("dev", append_resolution="both")
+    plan = ds.df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert [r["x"] for r in ds.df.orderBy("_row_id").select("x").collect()] == [
+        0, 1, 2, 20, 10, 11
+    ]

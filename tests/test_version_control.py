@@ -807,6 +807,88 @@ def test_detect_conflicts_with_both_created_tensor(spark, tmp_path):
     assert isinstance(report, tuple) or report is not None
 
 
+def _both_created_ds(spark, tmp_path):
+    """3 base rows; both branches create tensor z after the LCA.
+    dev: z[0]=100, z[2]=9.  main: z[0]=200 (divergent with dev's 100),
+    z[1]=7 (one-sided)."""
+    path = str(tmp_path / "bc_vals")
+    ds = ds_mod.dataset(path, spark)
+    ds.create_tensor("x", dtype="int64")
+    ds.extend({"x": [1, 2, 3]})
+    ds.commit("base")
+    ds.checkout("dev", create=True)
+    ds.create_tensor("z", dtype="int64")
+    ds.z[0] = 100
+    ds.z[2] = 9
+    ds.commit("dev writes z")
+    ds.checkout("main")
+    ds.create_tensor("z", dtype="int64")
+    ds.z[0] = 200
+    ds.z[1] = 7
+    ds.commit("main writes z")
+    return ds
+
+
+def test_merge_both_created_tensor_divergent_values_conflict(spark, tmp_path):
+    """Reference parity (operations/merge.py:576 — common tensors are
+    target∩original regardless of LCA presence): a tensor created on
+    BOTH branches after the LCA with divergent values is a real update
+    conflict.  Round-6 builds resolved it silently as ours, dropping
+    theirs."""
+    ds = _both_created_ds(spark, tmp_path)
+    with pytest.raises(MergeConflictError, match="updated"):
+        ds.merge("dev")
+
+
+def test_merge_both_created_tensor_resolution_theirs(spark, tmp_path):
+    ds = _both_created_ds(spark, tmp_path)
+    ds.merge("dev", update_resolution="theirs")
+    z = {r["x"]: r["z"] for r in ds.to_df().select("x", "z").collect()}
+    # divergent cell takes theirs; one-sided writes merge from BOTH sides
+    assert z == {1: 100, 2: 7, 3: 9}
+
+
+def test_merge_both_created_tensor_resolution_ours(spark, tmp_path):
+    ds = _both_created_ds(spark, tmp_path)
+    ds.merge("dev", update_resolution="ours")
+    z = {r["x"]: r["z"] for r in ds.to_df().select("x", "z").collect()}
+    assert z == {1: 200, 2: 7, 3: 9}
+
+
+def test_merge_both_created_tensor_one_sided_is_silent(spark, tmp_path):
+    """Disjoint cell writes to a both-created tensor are NOT a conflict:
+    the union merges with no resolution argument."""
+    path = str(tmp_path / "bc_disjoint")
+    ds = ds_mod.dataset(path, spark)
+    ds.create_tensor("x", dtype="int64")
+    ds.extend({"x": [1, 2, 3]})
+    ds.commit("base")
+    ds.checkout("dev", create=True)
+    ds.create_tensor("z", dtype="int64")
+    ds.z[2] = 9
+    ds.commit("dev writes z[2]")
+    ds.checkout("main")
+    ds.create_tensor("z", dtype="int64")
+    ds.z[1] = 7
+    ds.commit("main writes z[1]")
+    ds.merge("dev")  # no resolution needed
+    z = {r["x"]: r["z"] for r in ds.to_df().select("x", "z").collect()}
+    assert z == {1: None, 2: 7, 3: 9}
+
+
+def test_detect_conflicts_reports_both_created_tensor(spark, tmp_path):
+    """The dry-run report must list the both-created tensor as an
+    update conflict (reference test_detect_merge.py scenario shape)."""
+    ds = _both_created_ds(spark, tmp_path)
+    conflict_tensors, records = ds.detect_merge_conflict("dev", show_value=True)
+    assert "z" in conflict_tensors
+    vals = {
+        (r["our_value"], r["their_value"])
+        for r in records["update_conflicts"]["z"]
+    }
+    assert (200, 100) in vals
+
+
 def test_stream_sink_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: re-invoking the sink handler with
     an already-committed batch_id must not double-append."""
