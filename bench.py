@@ -120,16 +120,9 @@ def timed_protocol(fn, warm_reps: int = 3) -> "tuple[dict, object]":
     )
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
-    spark = get_spark("muller_spark_bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def run_headline(spark, sf_dir: str) -> "tuple[dict, dict]":
+    """The headline per-query section: returns (warm-steady timings,
+    full protocol records)."""
     # Headline set = registered queries plus the approximate-path twins
     # (q_minhash_pairs, q_simhash, q_embedding_near_dups) that were
     # deregistered from the driver's oracle gate — their oracle-checked
@@ -163,6 +156,75 @@ def main() -> None:
         )
         protocol[name] = rec
         timings[name] = rec["warm_steady_s"]
+    return timings, protocol
+
+
+def _headline_subprocess(sf_dir: str) -> "dict | None":
+    """Run the headline section in a FRESH JVM (round-7: the recorded
+    headline inflated ~1.35x two rounds running from bench-session
+    cross-pressure — heap/codegen state shared with the 1M-vector and
+    sf1-envelope sections).  A child process gives the headline its own
+    JVM; the heavyweight sections then run in this process's separate
+    session.  Returns the child's payload, or None to fall back to
+    in-process measurement (the bench must always produce its line)."""
+    import subprocess
+    import tempfile
+
+    out_file = os.path.join(
+        tempfile.mkdtemp(prefix="bench_headline_"), "headline.json"
+    )
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SECTION"] = "headline"
+    env["SPARK_GRAFT_SECTION_OUT"] = out_file
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, timeout=1800,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        if proc.returncode == 0 and os.path.exists(out_file):
+            with open(out_file) as fh:
+                return json.load(fh)
+    except Exception:
+        pass
+    return None
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    if os.environ.get("SPARK_GRAFT_SECTION") == "headline":
+        # child mode: measure the headline in this fresh JVM and exit
+        spark = get_spark("muller_spark_bench_headline")
+        spark.sparkContext.setLogLevel("ERROR")
+        timings, protocol = run_headline(spark, sf_dir)
+        payload = {
+            "queries": timings,
+            "queries_protocol": protocol,
+            "jvm": spark.sparkContext.applicationId,
+        }
+        with open(os.environ["SPARK_GRAFT_SECTION_OUT"], "w") as fh:
+            json.dump(payload, fh)
+        return
+
+    headline = None
+    if os.environ.get("SPARK_GRAFT_ISOLATE_HEADLINE", "1") != "0":
+        headline = _headline_subprocess(sf_dir)
+
+    spark = get_spark("muller_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    if headline is not None:
+        timings = headline["queries"]
+        protocol = headline["queries_protocol"]
+        headline_jvm = headline.get("jvm", "isolated-child")
+    else:
+        timings, protocol = run_headline(spark, sf_dir)
+        headline_jvm = spark.sparkContext.applicationId
 
     total = round(sum(timings.values()), 4)
     # Key order matters: the driver records only the LAST 2000 chars of
@@ -172,6 +234,10 @@ def main() -> None:
     # one valid JSON object (key order is semantically irrelevant), and
     # the complete result is also written to BENCH_DETAIL.json.
     result: dict = {"protocol": "cold+warm_steady(median of 3); compare warm only"}
+    result["jvm_sections"] = {
+        "headline": headline_jvm,
+        "heavyweight": spark.sparkContext.applicationId,
+    }
     result["queries_protocol"] = protocol
     if sf_val == 0.1 and os.environ.get("SPARK_GRAFT_VECTOR_1M", "1") != "0":
         try:

@@ -919,6 +919,47 @@ def init_dedup_ledger(
     )
 
 
+def ledger_fresh_rows(
+    batch_df: DataFrame,
+    text_col: str,
+    ledger_df: DataFrame,
+    normalize: bool = True,
+    keep_by: "str | None" = None,
+) -> DataFrame:
+    """The hash/anti-join core shared BY CODE between
+    :func:`dedup_against_ledger` (batch) and the streaming handler
+    (``streaming/windows.make_ledger_batch_handler``) — one
+    implementation, so the content-identity rules can never drift
+    between the two paths again (the round-6 NULL-text bug had to be
+    fixed twice because they only matched by convention).
+
+    Rules: NULL-text rows are dropped (md5(NULL)=NULL never matches an
+    anti-join, so they would be re-admitted every batch while NULL
+    hashes piled up in the ledger); content is optionally normalized;
+    survivors are unseen-in-ledger AND intra-batch-deduped, with
+    ``keep_by`` (min of that column per hash) as the deterministic
+    winner rule, else an arbitrary representative.
+
+    Returns survivors WITH their ``content_hash`` column; callers own
+    staging and ledger-append policy."""
+    batch_df = batch_df.filter(F.col(text_col).isNotNull())
+    content = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
+    hashed = batch_df.withColumn("content_hash", F.md5(content))
+    unseen = hashed.join(
+        ledger_df.select("content_hash"), "content_hash", "left_anti"
+    )
+    if keep_by is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("content_hash").orderBy(keep_by)
+        return (
+            unseen.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return unseen.dropDuplicates(["content_hash"])
+
+
 def dedup_against_ledger(
     new_df: DataFrame,
     text_col: str,
@@ -958,27 +999,10 @@ def dedup_against_ledger(
     reliable storage, nothing pinned, the right mode when a batch is
     itself hundreds of GB."""
     spark = new_df.sparkSession
-    # NULL-text rows have no content identity: md5(NULL)=NULL never
-    # matches the anti-join (NULL = NULL is not a match), so such rows
-    # would be re-admitted EVERY batch while NULL hash rows pile up in
-    # the ledger.  They are dropped here, same as exact_dedup; route
-    # content-free rows around the dedup stage if they must survive.
-    new_df = new_df.filter(F.col(text_col).isNotNull())
-    content = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
-    hashed = new_df.withColumn("content_hash", F.md5(content))
-    ledger = spark.read.parquet(path).select("content_hash")
-    unseen = hashed.join(ledger, "content_hash", "left_anti")
-    if keep_by is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("content_hash").orderBy(keep_by)
-        fresh = (
-            unseen.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-    else:
-        fresh = unseen.dropDuplicates(["content_hash"])
+    ledger = spark.read.parquet(path)
+    fresh = ledger_fresh_rows(
+        new_df, text_col, ledger, normalize=normalize, keep_by=keep_by
+    )
     if update:
         # materialize survivors BEFORE appending: the append would
         # otherwise race the lazy anti-join reading the same parquet

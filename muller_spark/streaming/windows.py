@@ -299,8 +299,13 @@ def make_ledger_batch_handler(
     exposed so the crash-replay contract is directly testable: calling
     the handler twice with the same ``batch_id`` must not rewrite the
     landed output (marker skip) and must re-append its hashes (ledger
-    heal)."""
-    from muller_spark.operators.dedup import normalized_text
+    heal).
+
+    Content identity (NULL-text drop, normalization, intra-batch
+    winner) comes from the SAME code as the batch path —
+    ``operators/dedup.ledger_fresh_rows`` — so the two can never drift
+    again."""
+    from muller_spark.operators.dedup import ledger_fresh_rows
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -311,30 +316,12 @@ def make_ledger_batch_handler(
         fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
         already_landed = fs.exists(jvm_path)
         if not already_landed:
-            # NULL-text rows have no content identity: md5(NULL)=NULL
-            # never matches the anti-join, so such rows would re-admit
-            # EVERY batch while NULL hashes pile up in the ledger — the
-            # same discipline as operators/dedup.dedup_against_ledger
-            batch_df = batch_df.filter(F.col(text_col).isNotNull())
-            if batch_df.isEmpty():
+            if batch_df.filter(F.col(text_col).isNotNull()).isEmpty():
                 return
-            content = (
-                normalized_text(F.col(text_col)) if normalize else F.col(text_col)
+            ledger = spark.read.parquet(ledger_path)
+            fresh = ledger_fresh_rows(
+                batch_df, text_col, ledger, normalize=normalize, keep_by=keep_by
             )
-            hashed = batch_df.withColumn("content_hash", F.md5(content))
-            ledger = spark.read.parquet(ledger_path).select("content_hash")
-            unseen = hashed.join(ledger, "content_hash", "left_anti")
-            if keep_by is not None:
-                from pyspark.sql import Window
-
-                w = Window.partitionBy("content_hash").orderBy(keep_by)
-                fresh = (
-                    unseen.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1)
-                    .drop("__rn")
-                )
-            else:
-                fresh = unseen.dropDuplicates(["content_hash"])
             fresh.write.mode("overwrite").parquet(batch_out)
         # heal-or-advance: hashes always (re-)append from the LANDED
         # parquet, so a replay after a crash between land and append

@@ -1077,3 +1077,33 @@ def test_exact_dedup_and_ledger_null_text_discipline(spark, tmp_path):
     assert out2.count() == 0
     hashes = spark.read.parquet(ledger)
     assert hashes.filter(F.col("content_hash").isNull()).count() == 0
+
+
+def test_ledger_fresh_rows_core_unit(spark):
+    """Unit test on the SHARED hash/anti-join core (round-7: one
+    function behind both dedup_against_ledger and the streaming
+    handler, replacing by-convention parity): NULL drop, normalization,
+    ledger anti-join, deterministic keep_by winner."""
+    from muller_spark.operators.dedup import ledger_fresh_rows
+
+    batch = spark.createDataFrame(
+        [
+            (1, "Seen  Before"),     # normalizes to ledger entry → dropped
+            (2, None),                # no content identity → dropped
+            (3, "fresh thing"),       # winner of its hash (min doc_id)
+            (4, "fresh thing"),       # intra-batch dup → dropped
+            (5, "other fresh"),
+        ],
+        "doc_id long, text string",
+    )
+    import hashlib
+
+    seen = hashlib.md5(b"seen before").hexdigest()
+    ledger = spark.createDataFrame([(seen,)], "content_hash string")
+    out = ledger_fresh_rows(batch, "text", ledger, normalize=True, keep_by="doc_id")
+    rows = sorted(r["doc_id"] for r in out.collect())
+    assert rows == [3, 5]
+    assert "content_hash" in out.columns  # callers append these to the ledger
+    # without keep_by: still exactly one representative per hash
+    any_rep = ledger_fresh_rows(batch, "text", ledger, normalize=True)
+    assert any_rep.count() == 2
