@@ -1063,6 +1063,33 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search("table part", "phrase_match").orderBy("id")
 
 
+def q_agg_count_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-table count(*) fast path (reference
+    ``core/query/aggregate.py:33-51,255-309``: class_label count
+    group-bys answered purely from inverted-index postings — the last
+    custom-optimizer row of SURVEY §4).  Ingests customer into a
+    Dataset, scalar-indexes c_nationkey, and runs
+    ``aggregate_vectorized(group_by=['c_nationkey'])`` — the fast path
+    reads ONLY the narrow (term, id) posting table, never the base
+    table (asserted in tests/test_count_fastpath.py via inputFiles).
+    The oracle recomputes the counts from the raw table."""
+    import tempfile
+
+    from muller_spark import dataset as ds_mod
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    path = os.path.join(tempfile.mkdtemp(prefix="countidx_"), "ds")
+    ds = ds_mod.dataset(path, spark)
+    ds.create_tensor("c_custkey", dtype="int64")
+    ds.create_tensor("c_nationkey", htype="class_label", dtype="int32")
+    ds.extend_df(cust)
+    ds.commit("seed")
+    ds.create_index_vectorized("c_nationkey")
+    return ds.aggregate_vectorized(
+        group_by=["c_nationkey"], order_by=["c_nationkey"]
+    )
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-≤8 near-dup pairs over the portable SimHash
     (operators/dedup.simhash_portable_near_dups, 12 blocks).  The
@@ -2046,6 +2073,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mixture_sample": q_mixture_sample,
     "q_hybrid_rrf": q_hybrid_rrf,
     "q_winnow_fingerprints": q_winnow_fingerprints,
+    "q_agg_count_label": q_agg_count_label,
     "q_bm25_rank": q_bm25_rank,
     "q_phrase_search": q_phrase_search,
     "q_simhash_near_dups": q_simhash_near_dups,
@@ -2840,6 +2868,12 @@ _ORACLES: dict[str, str] = {
         GROUP BY id
         ORDER BY rrf_score DESC, id ASC
         LIMIT 10
+    """,
+    "q_agg_count_label": """
+        SELECT c_nationkey, count(*) AS count_star
+        FROM customer
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
     """,
     "q_winnow_fingerprints": f"""
         WITH toks AS (

@@ -488,9 +488,82 @@ class Dataset:
         return out
 
     def aggregate_vectorized(self, *args, **kwargs) -> DataFrame:
+        fast = self._posting_count_fastpath(*args, **kwargs)
+        if fast is not None:
+            return fast
         return aggregate_vectorized(self.df, *args, **kwargs)
 
     aggregate = aggregate_vectorized
+
+    def _posting_count_fastpath(
+        self,
+        group_by=None,
+        selected=None,
+        order_by=None,
+        aggregate_tensors=("*",),
+        order_direction: str = "ASC",
+        method: str = "count",
+        pre_filter=None,
+    ):
+        """``count(*)`` group-bys over scalar-indexed tensors answered
+        PURELY from posting tables (reference
+        ``core/query/aggregate.py:33-51,255-309`` answers class_label
+        count group-bys from inverted-index postings — the last custom
+        optimizer row of SURVEY §4).
+
+        Applies iff method='count', aggregate is exactly '*', there is
+        no pre-filter, and EVERY group column has a fresh SCALAR index
+        (manifest commit == HEAD, not dirty).  The scan then touches
+        only the narrow (term, id) posting tables — a real win when the
+        base table is wide (the whole point of the reference's path).
+        Multi-column groups intersect postings by joining on id, the
+        distributed form of the reference's ``np.intersect1d`` per label
+        combination.  NULL cells have no posting row, so a NULL group
+        (which the hash-agg path WOULD emit) cannot be produced from
+        postings — the fast path bails out unless the index is total
+        (posting count == row count).  Returns None whenever
+        ineligible; the caller falls through to hash-agg."""
+        if group_by is None or method != "count" or pre_filter is not None:
+            return None
+        if list(aggregate_tensors) != ["*"]:
+            return None
+        from muller_spark.operators.aggregate import (
+            apply_agg_ordering,
+            validate_agg_args,
+        )
+
+        group_by, selected, order_by, aggregate_tensors, agg_names, direction = (
+            validate_agg_args(
+                group_by, selected, order_by, aggregate_tensors,
+                order_direction, method,
+            )
+        )
+        indexes = []
+        for colname in group_by:
+            idx = self._load_index(colname)
+            if idx is None or idx.manifest.get("is_text"):
+                return None
+            indexes.append(idx)
+        n_rows = len(self)
+        dtypes = dict(self.df.dtypes)
+        joined = None
+        for colname, idx in zip(group_by, indexes):
+            p = idx._postings().select(
+                F.col("id"), F.col("term").cast(dtypes[colname]).alias(colname)
+            )
+            # a NULL cell has no posting row: if any are missing, the
+            # NULL group could not be produced — fall back to hash-agg
+            if p.count() != n_rows:
+                return None
+            joined = p if joined is None else joined.join(p, "id")
+        out = (
+            joined.groupBy(*group_by)
+            .agg(F.count(F.lit(1)).alias("count_star"))
+            .select(*selected, "count_star")
+        )
+        return apply_agg_ordering(
+            out, selected, agg_names, order_by, direction, method
+        )
 
     def statistics(self, use_cache: bool = True) -> DataFrame:
         """Per-column stats, cached per commit in the version log

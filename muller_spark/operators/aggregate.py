@@ -43,24 +43,23 @@ def agg_alias(method: str, tensor: str) -> str:
     return f"{method}_star" if tensor == "*" else f"{method}_{tensor}"
 
 
-def aggregate_vectorized(
-    df: DataFrame,
+def validate_agg_args(
     group_by: Sequence[str],
-    selected: Sequence[str] | None = None,
-    order_by: Sequence[str] | None = None,
-    aggregate_tensors: Sequence[str] = ("*",),
-    order_direction: str = "ASC",
-    method: str = "count",
-    pre_filter: Column | None = None,
-) -> DataFrame:
+    selected: Sequence[str] | None,
+    order_by: Sequence[str] | None,
+    aggregate_tensors: Sequence[str],
+    order_direction: str,
+    method: str,
+) -> "tuple[list, list, list, list, list, str]":
+    """Validation rules ported from reference aggregate.py:457-481 —
+    shared by the hash-agg path and the posting-table count fast path
+    so both enforce/normalize identically."""
     if method not in _METHODS:
         raise ValueError(f"method must be one of {sorted(_METHODS)}, got {method!r}")
     group_by = list(group_by)
     selected = list(selected) if selected is not None else list(group_by)
     order_by = list(order_by or [])
     aggregate_tensors = list(aggregate_tensors)
-
-    # Validation rules ported from reference aggregate.py:457-481.
     bad = [c for c in selected if c not in group_by]
     if bad:
         raise ValueError(f"selected columns must be in group_by: {bad}")
@@ -74,6 +73,47 @@ def aggregate_vectorized(
     direction = order_direction.upper()
     if direction not in {"ASC", "DESC"}:
         raise ValueError(f"order_direction must be ASC or DESC, got {order_direction!r}")
+    return group_by, selected, order_by, aggregate_tensors, agg_names, direction
+
+
+def apply_agg_ordering(
+    out: DataFrame,
+    selected: Sequence[str],
+    agg_names: Sequence[str],
+    order_by: Sequence[str],
+    direction: str,
+    method: str,
+) -> DataFrame:
+    """ORDER BY application shared with the fast path; ``order_by`` may
+    name the raw tensor, which maps to its aggregate alias."""
+    if not order_by:
+        return out
+
+    def resolve(name: str) -> str:
+        return name if name in set(selected) | set(agg_names) else agg_alias(method, name)
+
+    cols = [
+        F.col(resolve(c)).asc() if direction == "ASC" else F.col(resolve(c)).desc()
+        for c in order_by
+    ]
+    return out.orderBy(*cols)
+
+
+def aggregate_vectorized(
+    df: DataFrame,
+    group_by: Sequence[str],
+    selected: Sequence[str] | None = None,
+    order_by: Sequence[str] | None = None,
+    aggregate_tensors: Sequence[str] = ("*",),
+    order_direction: str = "ASC",
+    method: str = "count",
+    pre_filter: Column | None = None,
+) -> DataFrame:
+    group_by, selected, order_by, aggregate_tensors, agg_names, direction = (
+        validate_agg_args(
+            group_by, selected, order_by, aggregate_tensors, order_direction, method
+        )
+    )
 
     if pre_filter is not None:
         df = df.filter(pre_filter)
@@ -84,18 +124,7 @@ def aggregate_vectorized(
         for tensor, name in zip(aggregate_tensors, agg_names)
     ]
     out = df.groupBy(*group_by).agg(*aggs).select(*selected, *agg_names)
-
-    if order_by:
-        # order_by may name the raw tensor; map it to its aggregate alias.
-        def resolve(name: str) -> str:
-            return name if name in set(selected) | set(agg_names) else agg_alias(method, name)
-
-        cols = [
-            F.col(resolve(c)).asc() if direction == "ASC" else F.col(resolve(c)).desc()
-            for c in order_by
-        ]
-        out = out.orderBy(*cols)
-    return out
+    return apply_agg_ordering(out, selected, agg_names, order_by, direction, method)
 
 
 def statistics(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
