@@ -241,11 +241,13 @@ def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast join extension: revenue by market segment."""
+    """Join extension: revenue by market segment.  customer scales with
+    SF, so no forced broadcast hint — AQE picks broadcast-vs-shuffle
+    from the runtime size (broadcast at bench SF, shuffled at 100 TB)."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             _dec_sum("o_totalprice", 2, "revenue"),
@@ -256,12 +258,13 @@ def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join: order count per nation (customer ⋈ nation broadcast)."""
+    """3-way join: order count per nation.  nation is a fixed 25-row
+    dimension (hint kept); customer scales with SF (AQE decides)."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_orders"))
@@ -456,7 +459,9 @@ def q_knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowed = docs.filter(F.col("lang") == "en").select(
         F.col("doc_id").alias("vec_id")
     )
-    sub = emb.join(F.broadcast(allowed), "vec_id", "semi")
+    # `allowed` scales with the corpus (most docs may be English), so no
+    # forced hint — AQE broadcasts the keyset only when it is small.
+    sub = emb.join(allowed, "vec_id", "semi")
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").cast("array<double>").alias("qv")
     )
@@ -554,10 +559,12 @@ def q_percentile_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date arithmetic battery over the order→ship timeline (datediff,
     date_add, month truncation, extraction) — engine-portable date
-    semantics, broadcast-joining the 1:N orders side."""
+    semantics.  The key-bounded lineitem slice is the broadcast side
+    (l_orderkey <= 200 caps its rows at any SF); orders scales with SF
+    and must never carry a forced hint."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    j = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+    j = F.broadcast(li).join(orders, li.l_orderkey == orders.o_orderkey)
     ship = F.col("l_shipdate").cast("date")
     ordered = F.col("o_orderdate").cast("date")
     return j.select(
@@ -691,7 +698,11 @@ def q_knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine similarity ≥ 0.3 (brute force, broadcast side)."""
+    """All-pairs cosine similarity ≥ 0.3 — the BRUTE-FORCE oracle
+    baseline, deliberately O(n²) with a forced broadcast (valid only at
+    oracle SF).  The 100 TB path is q_embedding_near_dups /
+    dedup.embedding_near_dups: hyperplane-LSH buckets + exact re-rank,
+    never all-pairs."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1342,7 +1353,8 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    # customer scales with SF: no forced hint, AQE decides.
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
     out = topk_per_group(
         joined,
         ["c_mktsegment"],
@@ -1392,15 +1404,17 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi + anti join (SURVEY §2.7: set-membership ops the reference
     expresses as index intersections, exposed relationally): customers
     that placed a 'P'-status order (left_semi) but never an 'F'-status
-    one (left_anti).  Both joins broadcast the filtered key sets, so the
-    customer scan never shuffles."""
+    one (left_anti).  The status-filtered key sets scale with SF, so no
+    forced hints — AQE broadcasts them while they fit (it does at bench
+    SF, keeping the customer scan shuffle-free) and falls back to
+    shuffled semi/anti joins at cluster scale."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     p_keys = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
     f_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return (
-        cust.join(F.broadcast(p_keys), cust.c_custkey == p_keys.o_custkey, "left_semi")
-        .join(F.broadcast(f_keys), cust.c_custkey == f_keys.o_custkey, "left_anti")
+        cust.join(p_keys, cust.c_custkey == p_keys.o_custkey, "left_semi")
+        .join(f_keys, cust.c_custkey == f_keys.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
     )

@@ -284,12 +284,15 @@ def tfidf_top_terms(
     ``inverted_index_vectorized.py:122-158`` tokenizer family).
 
     Shape: explode → two hash aggregations (term-freq, then doc-freq) →
-    broadcast the vocabulary-sized doc-freq table back onto term rows →
+    join the vocabulary-sized doc-freq table back onto term rows →
     per-doc window top-k.  The only big shuffles are the two aggs on
-    (doc, token) / (token); the vocabulary is orders of magnitude
-    smaller than the corpus, so its join broadcasts.  ``score`` =
-    tf · ln(N/df), N from a broadcast 1-row aggregate (never a
-    driver-side count at plan time).
+    (doc, token) / (token).  The doc-freq side is vocabulary-scaling —
+    typically far smaller than the corpus but NOT statically bounded (a
+    100 TB web corpus has billions of distinct tokens), so it carries no
+    forced hint: AQE broadcasts it while it fits and falls back to a
+    shuffled join on (token), which both sides already produced.
+    ``score`` = tf · ln(N/df), N from a broadcast 1-row aggregate
+    (never a driver-side count at plan time).
     """
     from pyspark.sql import Window
 
@@ -298,7 +301,7 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.join(dfreq, "token")
         .crossJoin(F.broadcast(ndocs))
         .withColumn(
             "score",
