@@ -2064,11 +2064,135 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue-change query: a single scan
+    with all three predicates pushed to the parquet reader and a 1-row
+    global aggregate — the canonical 'no shuffle beyond the final
+    partial-agg exchange' plan.  At 100 TB this is scan-bound by
+    design: predicate pushdown + column pruning mean each task reads
+    only (shipdate, discount, quantity, extendedprice) row groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    ship = F.col("l_shipdate").cast("date")
+    return (
+        li.filter(
+            (ship >= F.lit("1996-01-01").cast("date"))
+            & (ship < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: orders from one quarter
+    that have at least one LATE lineitem (shipped >60 days after the
+    order date — the driver tables lack commit/receipt dates, so
+    lateness vs the order date stands in for the reference predicate),
+    counted per priority.  The EXISTS becomes a LEFT SEMI join on the
+    order key with the inequality folded into the join condition —
+    one key shuffle, no row multiplication, no distinct."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-10-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        F.col("l_shipdate").cast("date")
+        > F.date_add(F.col("o_orderdate").cast("date"), 60)
+    )
+    return (
+        orders.join(
+            li, (orders.o_orderkey == li.l_orderkey) & late, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion-effect query: share of one quarter's
+    revenue from PROMO-type parts.  part scales with SF so its join
+    carries no forced hint (AQE broadcasts at bench SF, shuffles at
+    cluster scale); the two conditional sums fold into ONE hash
+    aggregate over the joined rows.  Decimal-exact sums, ratio rounded
+    to 6 dp for cross-engine hash parity."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-customer query: orders whose total
+    quantity exceeds 180, joined back to orders+customer, top-100 by
+    price.  The HAVING runs FIRST on the narrow (orderkey, qty) agg —
+    at 100 TB the survivor set is tiny, so AQE broadcasts it into the
+    orders/customer joins instead of shuffling the wide tables; the
+    final top-100 plans as TakeOrderedAndProject, not a global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_normalized": q_dedup_normalized,
     "q_tpch_q3_shipping": q_tpch_q3_shipping,
     "q_tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "q_tpch_q10_returns": q_tpch_q10_returns,
+    "q_tpch_q4_priority": q_tpch_q4_priority,
+    "q_tpch_q6_forecast": q_tpch_q6_forecast,
+    "q_tpch_q14_promo": q_tpch_q14_promo,
+    "q_tpch_q18_big_orders": q_tpch_q18_big_orders,
     "q_scalar_functions": q_scalar_functions,
     "q_percentile_groups": q_percentile_groups,
     "q_date_arith": q_date_arith,
@@ -2280,6 +2404,56 @@ _ORACLES: dict[str, str] = {
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey ASC
         LIMIT 20
+    """,
+    "q_tpch_q6_forecast": """
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE cast(l_shipdate AS date) >= DATE '1996-01-01'
+          AND cast(l_shipdate AS date) < DATE '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q_tpch_q4_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE cast(o_orderdate AS date) >= DATE '1996-07-01'
+          AND cast(o_orderdate AS date) < DATE '1996-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND cast(l_shipdate AS date) > cast(o_orderdate AS date)
+                                             + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q_tpch_q14_promo": """
+        SELECT round(
+            100.0
+            * CAST(sum(CASE WHEN p_type = 'PROMO'
+                            THEN CAST(l_extendedprice * (1 - l_discount)
+                                      AS DECIMAL(18,4))
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+            / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))) AS DOUBLE),
+            6) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE cast(l_shipdate AS date) >= DATE '1996-01-01'
+          AND cast(l_shipdate AS date) < DATE '1996-04-01'
+    """,
+    "q_tpch_q18_big_orders": """
+        SELECT c_name, c_custkey, o_orderkey,
+               cast(o_orderdate AS date) AS o_orderdate,
+               o_totalprice, sum_qty
+        FROM (
+          SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180
+        ) big
+        JOIN orders ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
     """,
     "q_dedup_normalized": f"""
         SELECT md5({_NORM_SQL}) AS content_hash,

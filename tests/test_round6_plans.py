@@ -42,6 +42,16 @@ def _plan(spark, name: str) -> str:
         # Q10: hint allowed only on nation (1); 'R' lineitems shuffle
         # only for the customer-grain aggregate.
         ("q_tpch_q10_returns", 1, 1, True),
+        # Round-7 additions.  Q6: pure scan + 1-row agg — the only
+        # exchange is the final-agg gather.
+        ("q_tpch_q6_forecast", 0, 1, False),
+        # Q14: part scales with SF (no hint); AQE broadcasts it at
+        # sf0.01, leaving only the final-agg gather.
+        ("q_tpch_q14_promo", 0, 1, False),
+        # Q18: the orderkey agg shuffles once; the post-HAVING survivor
+        # set then AQE-broadcasts into orders/customer; top-100 must be
+        # TakeOrderedAndProject.
+        ("q_tpch_q18_big_orders", 0, 2, True),
     ],
 )
 def test_tpch_join_plans(spark, name, max_hints, max_shuffles, want_top):

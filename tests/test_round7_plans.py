@@ -98,3 +98,26 @@ def test_merge_plan_has_no_single_partition(spark, tmp_path):
     assert [r["x"] for r in ds.df.orderBy("_row_id").select("x").collect()] == [
         0, 1, 2, 20, 10, 11
     ]
+
+
+def test_tpch_q4_semi_join_shape(spark):
+    """Q4's EXISTS compiles to ONE left-semi join on the order key with
+    the lateness inequality folded into the join condition — no row
+    multiplication, no distinct, no forced broadcast hint (lineitem is
+    never broadcastable at scale)."""
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        import pytest as _pytest
+
+        _pytest.skip("driver testdata absent")
+    df = entry.queries()["q_tpch_q4_priority"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "LeftSemi" in final
+    assert "HashAggregate" in final
+    assert final.count("Exchange") - final.count("BroadcastExchange") <= 3
