@@ -2064,6 +2064,52 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application (operators/cdc.apply_changelog): a
+    deterministic changelog derived from 1997+ orders is folded into
+    the customer snapshot with last-write-wins per key — 'F' orders
+    delete the customer, others update name/balance/segment, and 'P'
+    orders additionally insert a shifted-key new customer.  Plan: one
+    per-key window over the CHANGELOG only (the snapshot is never
+    windowed), one anti-join shuffle, one union — O(snapshot scan +
+    changelog) at 100 TB."""
+    from muller_spark.operators.cdc import apply_changelog
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date")
+    )
+    upd = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("upd-"), F.col("o_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        (F.col("o_custkey") % 25).cast("int").alias("c_nationkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    ins_key = F.col("o_custkey") + 1000000
+    ins = orders.filter(F.col("o_orderstatus") == "P").select(
+        ins_key.alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("o_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        (ins_key % 25).cast("int").alias("c_nationkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+        F.lit("I").alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    out = apply_changelog(
+        cust, upd.unionByName(ins), ["c_custkey"], "seq"
+    )
+    return out.orderBy("c_custkey")
+
+
 def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-shaped forecast-revenue-change query: a single scan
     with all three predicates pushed to the parquet reader and a 1-row
@@ -2190,6 +2236,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "q_tpch_q10_returns": q_tpch_q10_returns,
     "q_tpch_q4_priority": q_tpch_q4_priority,
+    "q_cdc_changelog": q_cdc_changelog,
     "q_tpch_q6_forecast": q_tpch_q6_forecast,
     "q_tpch_q14_promo": q_tpch_q14_promo,
     "q_tpch_q18_big_orders": q_tpch_q18_big_orders,
@@ -2404,6 +2451,43 @@ _ORACLES: dict[str, str] = {
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey ASC
         LIMIT 20
+    """,
+    "q_cdc_changelog": """
+        WITH changes AS (
+          SELECT o_custkey AS c_custkey,
+                 'upd-' || CAST(o_custkey AS VARCHAR) AS c_name,
+                 CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                 o_totalprice AS c_acctbal,
+                 o_orderpriority AS c_mktsegment,
+                 CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+                 o_orderkey AS seq
+          FROM orders
+          WHERE cast(o_orderdate AS date) >= DATE '1997-01-01'
+          UNION ALL
+          SELECT o_custkey + 1000000 AS c_custkey,
+                 'new-' || CAST(o_custkey AS VARCHAR) AS c_name,
+                 CAST((o_custkey + 1000000) % 25 AS INTEGER) AS c_nationkey,
+                 o_totalprice AS c_acctbal,
+                 o_orderpriority AS c_mktsegment,
+                 'I' AS op,
+                 o_orderkey AS seq
+          FROM orders
+          WHERE cast(o_orderdate AS date) >= DATE '1997-01-01'
+            AND o_orderstatus = 'P'
+        ), latest AS (
+          SELECT * FROM changes
+          QUALIFY row_number() OVER (
+            PARTITION BY c_custkey
+            ORDER BY seq DESC, CAST(op = 'D' AS INTEGER) DESC
+          ) = 1
+        )
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM latest WHERE op <> 'D'
+        ORDER BY c_custkey
     """,
     "q_tpch_q6_forecast": """
         SELECT CAST(sum(CAST(l_extendedprice * l_discount
