@@ -1445,12 +1445,19 @@ class Dataset:
         self,
         cluster_by: "list[str]",
         target_partitions: int | None = None,
+        zorder: bool = False,
     ) -> str:
-        """Data-skipping compaction: rewrite the table range-clustered on
+        """Data-skipping compaction: rewrite the table clustered on
         ``cluster_by`` so parquet row-group / file min-max stats become
         selective for those columns (the lakehouse OPTIMIZE ... ZORDER
-        analogue; single-key clustering uses range partitioning + an
-        in-file sort, which dominates Z-order for 1-2 key prefixes).
+        analogue).
+
+        Default layout is range clustering (range partitioning + an
+        in-file sort), which dominates Z-order when queries filter on
+        the key PREFIX.  ``zorder=True`` interleaves quantile-rank bits
+        of ALL ``cluster_by`` columns (operators/layout.zorder) so a
+        predicate on any single clustered column prunes most files —
+        the right layout when queries filter the second key alone.
 
         At 100 TB this is the difference between a filter on the cluster
         key pruning ~all files versus scanning the corpus: Spark's
@@ -1461,15 +1468,21 @@ class Dataset:
             raise ValueError("cluster_by needs at least one column")
         self._check_writable()
         self._flush_pending()
-        cols = [F.col(c) for c in cluster_by]
         df = self._work_df
-        if target_partitions:
-            df = df.repartitionByRange(int(target_partitions), *cols)
+        if zorder:
+            from muller_spark.operators.layout import zorder as _zorder
+
+            self._work_df = _zorder(df, cluster_by, target_partitions)
         else:
-            df = df.repartitionByRange(*cols)
-        self._work_df = df.sortWithinPartitions(*cols)
+            cols = [F.col(c) for c in cluster_by]
+            if target_partitions:
+                df = df.repartitionByRange(int(target_partitions), *cols)
+            else:
+                df = df.repartitionByRange(*cols)
+            self._work_df = df.sortWithinPartitions(*cols)
         self._dirty = self._rewrite_needed = True
-        return self.commit(f"optimize_layout({','.join(cluster_by)})")
+        kind = "zorder" if zorder else "optimize_layout"
+        return self.commit(f"{kind}({','.join(cluster_by)})")
 
     def sub_ds(self, start: int, end: int) -> DataFrame:
         """Positional sub-range view (reference ``dataset.py:1727``)."""
