@@ -35,6 +35,11 @@ HEADLINE = [
     "q_tpch_q3_shipping",
     "q_tpch_q5_local_supplier",
     "q_tpch_q10_returns",
+    "q_tpch_q4_priority",
+    "q_tpch_q6_forecast",
+    "q_tpch_q14_promo",
+    "q_tpch_q18_big_orders",
+    "q_cdc_changelog",
     "q_rollup",
     "q_window_rank",
     "q_topk_orders",
