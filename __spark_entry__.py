@@ -2064,6 +2064,73 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped volume-shipping query: 1996-97 revenue between
+    two nations in BOTH directions (supplier nation ↔ customer
+    nation), grouped by the pair and ship year.  nation is joined
+    TWICE (supplier side and customer side) — both aliases are the
+    SF-invariant 25-row dimension, so both carry broadcast hints; the
+    SF-scaling customer/supplier/orders joins are unhinted (AQE
+    decides)."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_9"))
+        | ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_3"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).cast("long").alias("l_year"),
+        )
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout under the driver gate: lineitem re-laid-out along
+    the (l_partkey, l_suppkey) Morton curve (operators/layout.zorder —
+    quantile-rank bit interleave, one range exchange), then a content
+    aggregate the reorder must NOT change.  The oracle aggregates the
+    raw table, so any row lost/duplicated/mutated by the layout pass
+    breaks the value hash."""
+    from muller_spark.operators.layout import zorder
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = zorder(li, ["l_partkey", "l_suppkey"], target_partitions=8)
+    return (
+        z.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+            _dec_sum("l_extendedprice", 2, "sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC changelog application (operators/cdc.apply_changelog): a
     deterministic changelog derived from 1997+ orders is folded into
@@ -2237,6 +2304,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q10_returns": q_tpch_q10_returns,
     "q_tpch_q4_priority": q_tpch_q4_priority,
     "q_cdc_changelog": q_cdc_changelog,
+    "q_tpch_q7_volume": q_tpch_q7_volume,
+    "q_zorder_roundtrip": q_zorder_roundtrip,
     "q_tpch_q6_forecast": q_tpch_q6_forecast,
     "q_tpch_q14_promo": q_tpch_q14_promo,
     "q_tpch_q18_big_orders": q_tpch_q18_big_orders,
@@ -2451,6 +2520,38 @@ _ORACLES: dict[str, str] = {
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey ASC
         LIMIT 20
+    """,
+    "q_tpch_q7_volume": """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(cast(l_shipdate AS date)) AS BIGINT) AS l_year,
+                 l_extendedprice, l_discount
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE cast(l_shipdate AS date) >= DATE '1996-01-01'
+            AND cast(l_shipdate AS date) < DATE '1998-01-01'
+            AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+              OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q_zorder_roundtrip": """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               sum(l_quantity) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
     """,
     "q_cdc_changelog": """
         WITH changes AS (
