@@ -2297,6 +2297,260 @@ def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: among 1996-97 PROMO-type
+    part revenue sold into ASIA (customer side), the fraction supplied
+    by NATION_3, per order year.  Seven relations; only region (5
+    rows) and the two nation aliases (25 rows) — SF-invariant — carry
+    broadcast hints.  part/customer/supplier/orders scale with SF and
+    are left to AQE.  The share is a conditional-sum / sum ratio
+    computed in ONE aggregate pass (no self-join on the volume CTE).
+    Reference parity: multi-way join + conditional aggregate shapes of
+    /root/reference/muller/core/query/aggregate.py."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    odate = F.col("o_orderdate").cast("date")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (odate >= F.lit("1996-01-01").cast("date"))
+        & (odate < F.lit("1998-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey", odate.alias("o_date"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year(F.col("o_date")).cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit: revenue from parts whose
+    name contains 'red', grouped by supplier nation and ship year
+    (the driver tables have no partsupp/supplycost, so profit =
+    discounted revenue).  The p_name LIKE filter prunes part FIRST —
+    at 100 TB the filtered part side is what AQE sizes the
+    lineitem⨝part join by; nation (25 rows) is the only forced
+    broadcast."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    ).select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("l_shipdate").cast("date")).cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: LEFT OUTER
+    join customer→orders with a non-key predicate folded into the
+    join condition (non-URGENT orders only), count per customer
+    (count(o_orderkey) skips the null-extended rows for order-less
+    customers), then a histogram of those counts.  Two shuffles total:
+    the outer join keyed on custkey and the tiny count-of-counts agg.
+    The outer join keeps EVERY customer — the zero bucket is load-
+    bearing and an inner join would silently drop it."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                                "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: per-supplier revenue over one
+    quarter, keeping only the supplier(s) whose revenue equals the
+    global max.  The revenue aggregate is computed ONCE and reused for
+    both the max (a 1-row broadcast scalar) and the equality filter —
+    mirroring the reference's view-reuse (TPC-H defines Q15 via a
+    CREATE VIEW used twice).  The scalar max joins via a broadcast
+    nested loop over one row; supplier scales with SF and is joined
+    unhinted AFTER the filter, when only the winners remain."""
+    ship = F.col("l_shipdate").cast("date")
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (ship >= F.lit("1996-01-01").cast("date"))
+            & (ship < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity-order revenue: average yearly
+    revenue lost if small orders (below 20% of the part's mean order
+    quantity) for one brand were not filled.  The correlated scalar
+    subquery becomes a per-partkey aggregate JOINED back — computed
+    only over the brand's lineitems (the per-part average is invariant
+    to which partkeys survive the brand filter, so filtering FIRST is
+    both correct and the 100 TB plan: the avg agg runs on the pruned
+    subset, not the full fact table)."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = brand_li.groupBy(F.col("l_partkey").alias("a_pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("q_lim")
+    )
+    return (
+        brand_li.join(avg_q, F.col("l_partkey") == F.col("a_pk"))
+        .filter(F.col("l_quantity") < F.col("q_lim"))
+        .agg(
+            (F.sum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly")
+        )
+    )
+
+
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three
+    brand/size/quantity clauses OR-ed together across the
+    lineitem⨝part join.  The common join key is factored out so this
+    stays ONE equi-join (no union of three scans) — Catalyst pushes
+    the per-side conjuncts it can derive (p_size >= 1, quantity
+    bounds) below the join and evaluates the residual disjunction on
+    the joined row.  The canonical 'OR of ANDs' pushdown test."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    q = F.col("l_quantity")
+    cls = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+         & q.between(1, 15))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 25)
+           & q.between(10, 25))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35)
+           & q.between(20, 35))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cls)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped global-sales-opportunity: well-funded customers
+    (balance above the global positive-balance average) in seven
+    nations who have never placed an URGENT order, counted and summed
+    per nation.  (The driver tables lack c_phone, so nationkey stands
+    in for the phone country code.)  The scalar average is a 1-row
+    broadcast; the NOT EXISTS is a LEFT ANTI join against the
+    URGENT-filtered orders — the anti side is pre-filtered and
+    key-deduplicated by the join itself, never materialized as a
+    distinct list.  At 100 TB: one scalar agg + one anti-join shuffle
+    on the pruned customer subset."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return (
+        cust.filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("c_acctbal").cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_normalized": q_dedup_normalized,
     "q_tpch_q3_shipping": q_tpch_q3_shipping,
@@ -2309,6 +2563,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q6_forecast": q_tpch_q6_forecast,
     "q_tpch_q14_promo": q_tpch_q14_promo,
     "q_tpch_q18_big_orders": q_tpch_q18_big_orders,
+    "q_tpch_q8_market_share": q_tpch_q8_market_share,
+    "q_tpch_q9_product_profit": q_tpch_q9_product_profit,
+    "q_tpch_q13_custdist": q_tpch_q13_custdist,
+    "q_tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "q_tpch_q17_small_quantity": q_tpch_q17_small_quantity,
+    "q_tpch_q19_disjunctive": q_tpch_q19_disjunctive,
+    "q_tpch_q22_global_sales": q_tpch_q22_global_sales,
     "q_scalar_functions": q_scalar_functions,
     "q_percentile_groups": q_percentile_groups,
     "q_date_arith": q_date_arith,
@@ -2626,6 +2887,105 @@ _ORACLES: dict[str, str] = {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE cast(l_shipdate AS date) >= DATE '1996-01-01'
           AND cast(l_shipdate AS date) < DATE '1996-04-01'
+    """,
+    "q_tpch_q8_market_share": """
+        SELECT o_year,
+               round(
+                 CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+        FROM (
+          SELECT CAST(year(cast(o_orderdate AS date)) AS BIGINT) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                   AS vol,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+            AND cast(o_orderdate AS date) >= DATE '1996-01-01'
+            AND cast(o_orderdate AS date) < DATE '1998-01-01'
+        ) all_nations
+        GROUP BY o_year ORDER BY o_year
+    """,
+    "q_tpch_q9_product_profit": """
+        SELECT n_name AS nation,
+               CAST(year(cast(l_shipdate AS date)) AS BIGINT) AS o_year,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, o_year
+        ORDER BY n_name ASC, o_year DESC
+    """,
+    "q_tpch_q13_custdist": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q_tpch_q15_top_supplier": """
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE cast(l_shipdate AS date) >= DATE '1996-01-01'
+            AND cast(l_shipdate AS date) < DATE '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "q_tpch_q17_small_quantity": """
+        SELECT CAST(sum(l_extendedprice) / 7.0 AS DOUBLE) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN (
+          SELECT l_partkey AS a_pk, 0.2 * avg(l_quantity) AS q_lim
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_brand = 'Brand#13'
+          GROUP BY l_partkey
+        ) a ON a_pk = l_partkey
+        WHERE p_brand = 'Brand#13' AND l_quantity < q_lim
+    """,
+    "q_tpch_q19_disjunctive": """
+        SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 15)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 25)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 35)
+    """,
+    "q_tpch_q22_global_sales": """
+        SELECT c_nationkey, count(*) AS numcust,
+               CAST(sum(c_acctbal) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey ORDER BY c_nationkey
     """,
     "q_tpch_q18_big_orders": """
         SELECT c_name, c_custkey, o_orderkey,

@@ -39,6 +39,13 @@ HEADLINE = [
     "q_tpch_q6_forecast",
     "q_tpch_q14_promo",
     "q_tpch_q18_big_orders",
+    "q_tpch_q8_market_share",
+    "q_tpch_q9_product_profit",
+    "q_tpch_q13_custdist",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q17_small_quantity",
+    "q_tpch_q19_disjunctive",
+    "q_tpch_q22_global_sales",
     "q_cdc_changelog",
     "q_rollup",
     "q_window_rank",

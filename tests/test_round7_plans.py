@@ -121,3 +121,74 @@ def test_tpch_q4_semi_join_shape(spark):
     assert "LeftSemi" in final
     assert "HashAggregate" in final
     assert final.count("Exchange") - final.count("BroadcastExchange") <= 3
+
+
+SF_DIR = "/root/testdata/sf0.01"
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata absent"
+)
+
+
+@needs_testdata
+def test_tpch_q13_outer_join_shape(spark):
+    """Q13's histogram keeps order-less customers: the plan is a LEFT
+    OUTER join (never rewritten to inner by the non-key predicate,
+    which lives in the join condition, not a post-filter) and carries
+    no forced hint — orders scales with SF."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_tpch_q13_custdist"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "LeftOuter" in final
+
+
+@needs_testdata
+def test_tpch_q19_single_join_shape(spark):
+    """Q19's OR-of-ANDs stays ONE equi-join on the factored part key —
+    not a union of three scans: exactly one lineitem scan and one part
+    scan in the final plan."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_tpch_q19_disjunctive"](spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert final.count("lineitem.parquet") == 1, final[:2000]
+    assert final.count("part.parquet") == 1, final[:2000]
+
+
+@needs_testdata
+def test_tpch_q22_anti_join_shape(spark):
+    """Q22's NOT EXISTS compiles to a LEFT ANTI join; the only hint in
+    the query is the 1-row scalar-average broadcast (bounded by
+    construction — an aggregate over zero grouping keys)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_tpch_q22_global_sales"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1  # the scalar avg only
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "LeftAnti" in final
+
+
+@needs_testdata
+def test_tpch_q8_hints_bounded_dims_only(spark):
+    """Q8 joins seven relations; forced hints appear only on the
+    SF-invariant dimensions (region-filtered nation + nation = 2
+    hints).  part/customer/supplier/orders are AQE-sized."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_tpch_q8_market_share"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 3  # region, n_cust, n_supp
+    df.collect()
+    assert df.columns == ["o_year", "mkt_share"]
