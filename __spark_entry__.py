@@ -1704,6 +1704,39 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs, "text", "doc_id").orderBy("id")
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (operators/text.quantile_buckets
+    over unigram_logprob): per-LANGUAGE score terciles — thresholds are
+    a bounded per-group percentile aggregate broadcast back, never an
+    ntile window (a one-language 100 TB corpus would serialize through
+    a single sorting reducer).  head = top third by corpus-LM
+    probability within the doc's language."""
+    from muller_spark.operators.text import quantile_buckets, unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs, "text", "doc_id").join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    ).select("id", "lang", "avg_logprob")
+    return quantile_buckets(scored, "avg_logprob", "lang").select(
+        "id", "lang", "avg_logprob", "bucket"
+    ).orderBy("id")
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation recipe in ONE composed plan
+    (operators/curation.curation_pipeline): quality gate ≥0.5 → exact
+    dedup on normalized content (min-id canonical copy) → best 50% per
+    source.  Each stage sees only the previous stage's survivors, so
+    the dedup shuffle and the per-source window both run on the pruned
+    sliver, not the raw corpus."""
+    from muller_spark.operators.curation import curation_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation_pipeline(
+        docs, "text", "doc_id", "source", quality_min=0.5, top_fraction=0.5
+    ).orderBy("doc_id")
+
+
 def q_quality_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30%-per-source quality curation
     (operators/sampling.top_fraction_per_group over text.quality_score):
@@ -2667,6 +2700,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pipeline_report": q_pipeline_report,
     "q_semantic_dedup": q_semantic_dedup,
     "q_unigram_logprob": q_unigram_logprob,
+    "q_perplexity_buckets": q_perplexity_buckets,
+    "q_curation_pipeline": q_curation_pipeline,
     "q_quality_filtered": q_quality_filtered,
     "q_quality_classifier": q_quality_classifier,
     "q_source_overlap": q_source_overlap,
@@ -4405,6 +4440,81 @@ _ORACLES: dict[str, str] = {
                round((slc - n_tokens * log2(total)) / n_tokens, 5)
                  AS avg_logprob
         FROM per, tot ORDER BY id
+    """,
+    "q_perplexity_buckets": f"""
+        WITH toks AS (
+          SELECT doc_id AS id, unnest({_TOKENS_SQL}) AS tok FROM documents
+        ), pdt AS (
+          SELECT id, tok, CAST(count(*) AS BIGINT) AS k
+          FROM toks GROUP BY id, tok
+        ), vocab AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+        ), tot AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab
+        ), per AS (
+          SELECT id, CAST(sum(k) AS BIGINT) AS n_tokens,
+                 sum(k * log2(cnt)) AS slc
+          FROM pdt JOIN vocab USING (tok) GROUP BY id
+        ), s AS (
+          SELECT id, lang,
+                 round((slc - n_tokens * log2(total)) / n_tokens, 5)
+                   AS avg_logprob
+          FROM per, tot JOIN documents ON per.id = documents.doc_id
+        ), thr AS (
+          SELECT lang, quantile_cont(avg_logprob, 1.0/3.0) AS t1,
+                 quantile_cont(avg_logprob, 2.0/3.0) AS t2
+          FROM s GROUP BY lang
+        )
+        SELECT id, s.lang AS lang, avg_logprob,
+               CASE WHEN avg_logprob <= t1 THEN 'tail'
+                    WHEN avg_logprob <= t2 THEN 'middle'
+                    ELSE 'head' END AS bucket
+        FROM s JOIN thr ON s.lang = thr.lang
+        ORDER BY id
+    """,
+    "q_curation_pipeline": f"""
+        WITH t AS (
+          SELECT doc_id, source, text,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+                 length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+                 len({_TOKENS_SQL}) AS n_tokens,
+                 len(list_filter({_TOKENS_SQL}, x -> x IN {_STOP_EN_SQL})) AS stop
+          FROM documents
+        ), r AS (
+          SELECT doc_id, source, text,
+                 round(cast(
+                   (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END)
+                   * (CASE WHEN (CASE WHEN n_tokens > 0
+                        THEN CAST(stop AS DOUBLE)/n_tokens ELSE 0.0 END) >= 0.05
+                      THEN 1.0 ELSE 0.5 END)
+                   * (CASE WHEN (CASE WHEN n_chars > 0
+                        THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END) <= 0.3
+                      THEN 1.0 ELSE 0.4 END)
+                   * (CASE WHEN (CASE WHEN n_chars > 0
+                        THEN CAST(digits AS DOUBLE)/n_chars ELSE 0.0 END) <= 0.3
+                      THEN 1.0 ELSE 0.5 END)
+                 AS double), 6) AS quality_score
+          FROM t
+        ), q AS (
+          SELECT doc_id, source, text, quality_score
+          FROM r WHERE quality_score >= 0.5 AND text IS NOT NULL
+        ), keep AS (
+          SELECT min(doc_id) AS doc_id
+          FROM q GROUP BY md5({_NORM_SQL})
+        ), dd AS (
+          SELECT q.doc_id, q.source, q.quality_score
+          FROM q JOIN keep USING (doc_id)
+        )
+        SELECT doc_id, source, quality_score FROM (
+          SELECT doc_id, source, quality_score,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY quality_score DESC, doc_id ASC
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM dd
+        ) WHERE rn <= ceil(round(n * 0.5, 9)) ORDER BY doc_id
     """,
     "q_quality_filtered": f"""
         WITH t AS (

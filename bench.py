@@ -46,6 +46,8 @@ HEADLINE = [
     "q_tpch_q17_small_quantity",
     "q_tpch_q19_disjunctive",
     "q_tpch_q22_global_sales",
+    "q_perplexity_buckets",
+    "q_curation_pipeline",
     "q_cdc_changelog",
     "q_rollup",
     "q_window_rank",

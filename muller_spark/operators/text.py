@@ -749,3 +749,53 @@ def vocab_drift(
         .orderBy(F.col("kl_bits").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    group_col: str | None = None,
+    fractions: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, ...] = ("tail", "middle", "head"),
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """CCNet-style quality bucketing: split documents into quantile
+    buckets of a score column (head / middle / tail in the CCNet
+    paper's terms, with HIGHER score = better, so ``head`` is the top
+    fraction), optionally per group (language, source).  ``fractions``
+    are the CUT POINTS (ascending, len(labels)-1 of them): a doc whose
+    score is <= the group's p-quantile for cut i gets ``labels[i]``.
+
+    Scale shape — deliberately NOT an ntile window: a per-group window
+    serializes each language through one task (a one-language 100 TB
+    corpus = one sorting reducer).  Instead the cut thresholds are one
+    exact-percentile aggregate per group — state bounded by
+    #groups × #cuts, never corpus-sized — broadcast back, and the
+    label is a map-only comparison.  Ties land on the <= side in both
+    engines, so the split is deterministic for any score column that
+    is itself cross-engine stable (e.g. a round5 ``avg_logprob``).
+
+    Reference parity: quality-partitioned exports mirror the filter +
+    materialize flow of /root/reference/muller/core/query
+    /filter_vectorized.py; the bucketing rule is public CCNet
+    (Wenzek et al., 2020) head/middle/tail."""
+    if len(fractions) != len(labels) - 1:
+        raise ValueError(
+            f"need len(labels)-1 cut fractions, got {len(fractions)} cuts "
+            f"for {len(labels)} labels"
+        )
+    if list(fractions) != sorted(fractions):
+        raise ValueError(f"cut fractions must ascend, got {fractions}")
+    pct = F.percentile(F.col(score_col), F.array(*[F.lit(p) for p in fractions]))
+    if group_col is not None:
+        thr = df.groupBy(group_col).agg(pct.alias("_thr"))
+        labeled = df.join(F.broadcast(thr), group_col)
+    else:
+        thr = df.agg(pct.alias("_thr"))
+        labeled = df.crossJoin(F.broadcast(thr))
+    expr = F.lit(labels[-1])
+    for i in range(len(fractions) - 1, -1, -1):
+        expr = F.when(
+            F.col(score_col) <= F.element_at("_thr", i + 1), F.lit(labels[i])
+        ).otherwise(expr)
+    return labeled.withColumn(bucket_col, expr).drop("_thr")
