@@ -18,9 +18,10 @@ once, and the final per-source window runs on the surviving sliver).
 
 Scale shape of the composed plan:
 - quality scoring is map-only (one tokenize pass per row);
-- the dedup is one hash aggregate on md5(normalized text) + a
-  keep-id semi join — both keyed shuffles on the PRUNED survivor
-  set, never the raw corpus;
+- the dedup is ONE min_by hash aggregate on md5(normalized text)
+  (map-side partials, no semi-join-back, so the corpus and its
+  tokenize are scanned once) on the PRUNED survivor set, never the
+  raw corpus;
 - the per-source top-fraction is one window shuffle on the source
   key (skew bounded by the largest single source — salt upstream if
   one source is a large share of the corpus).
@@ -32,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from muller_spark.operators.dedup import exact_dedup
+from muller_spark.operators.dedup import normalized_text
 from muller_spark.operators.sampling import top_fraction_per_group
 from muller_spark.operators.text import quality_score
 
@@ -67,11 +68,29 @@ def curation_pipeline(
         .filter(F.col("quality_score") >= quality_min)
         .select(id_col, group_col, text_col, "quality_score")
     )
-    keep = exact_dedup(scored, text_col, id_col, normalize=normalize).select(
-        F.col("keep_id").alias(id_col)
+    # Same keep-min-id contract as operators.dedup.exact_dedup, folded
+    # into ONE min_by hash aggregate instead of groupBy + semi-join-back:
+    # the semi-join form evaluates `scored` (and its tokenize) twice —
+    # once per join side — while min_by carries the survivor's columns
+    # through map-side partial aggregation in a single scan.
+    content = (
+        normalized_text(F.col(text_col)) if normalize else F.col(text_col)
     )
-    survivors = scored.join(keep, id_col, "left_semi").select(
-        id_col, group_col, "quality_score"
+    survivors = (
+        scored.groupBy(F.md5(content).alias("_content_hash"))
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col(id_col), F.col(group_col), F.col("quality_score")
+                ),
+                F.col(id_col),
+            ).alias("_keep")
+        )
+        .select(
+            F.col(f"_keep.{id_col}").alias(id_col),
+            F.col(f"_keep.{group_col}").alias(group_col),
+            F.col("_keep.quality_score").alias("quality_score"),
+        )
     )
     return top_fraction_per_group(
         survivors,
