@@ -1189,6 +1189,20 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 3-step user-journey paths
+    (operators/analytics.event_paths): one user-keyed window computes
+    both leads in a single per-user sort, then a path-keyed hash
+    aggregate and TakeOrderedAndProject."""
+    from muller_spark.operators.analytics import event_paths
+
+    events = _t(spark, sf_dir, "events")
+    return event_paths(
+        events, "user_id", "event_type", "ts",
+        length=3, k=25, tie_col="event_id",
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: count sessions per user with a 30-minute gap rule
     (event-time windowing over a lag)."""
@@ -2702,6 +2716,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_unigram_logprob": q_unigram_logprob,
     "q_perplexity_buckets": q_perplexity_buckets,
     "q_curation_pipeline": q_curation_pipeline,
+    "q_event_paths": q_event_paths,
     "q_quality_filtered": q_quality_filtered,
     "q_quality_classifier": q_quality_classifier,
     "q_source_overlap": q_source_overlap,
@@ -4471,6 +4486,21 @@ _ORACLES: dict[str, str] = {
                     ELSE 'head' END AS bucket
         FROM s JOIN thr ON s.lang = thr.lang
         ORDER BY id
+    """,
+    "q_event_paths": """
+        WITH seq AS (
+          SELECT event_type,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_type || ' → ' || e2 || ' → ' || e3 AS path,
+               count(*) AS n
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY path
+        ORDER BY n DESC, path ASC
+        LIMIT 25
     """,
     "q_curation_pipeline": f"""
         WITH t AS (

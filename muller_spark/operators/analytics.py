@@ -183,3 +183,57 @@ def event_transitions(
         )
         .orderBy("from_event", "to_event")
     )
+
+
+def event_paths(
+    df: DataFrame,
+    user_col: str,
+    event_col: str,
+    ts_col: str,
+    length: int = 3,
+    k: int = 20,
+    tie_col: "str | None" = None,
+) -> DataFrame:
+    """Top-``k`` most common event paths of exactly ``length``
+    consecutive events per user — the n-gram generalization of
+    ``event_transitions`` ("view → click → purchase" style journey
+    mining).  Returns ``(path, n)`` with ``path`` the '→'-joined
+    event names, ordered by count desc then path asc.
+
+    Scale shape: ONE user-keyed window pass computing ``length-1``
+    leads (all leads share the same window frame, so Spark evaluates
+    them in a single sort of each user's partition — no per-step
+    shuffle), then a hash aggregate on the path key (map-side
+    combined; at most |event types|^length distinct groups) and a
+    TakeOrderedAndProject for the top-k.  Per-user partitions bound
+    the window cost; a single hyperactive user is a data-quality
+    problem upstream, not a plan hazard.  ``tie_col`` breaks duplicate
+    timestamps so both engines see the same sequence."""
+    from pyspark.sql import Window
+
+    if length < 2:
+        raise ValueError(f"path length must be >= 2, got {length}")
+    order = [ts_col] + ([tie_col] if tie_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    steps = df.select(
+        F.col(event_col).alias("__s0"),
+        *[
+            F.lead(F.col(event_col), i).over(w).alias(f"__s{i}")
+            for i in range(1, length)
+        ],
+    )
+    with_path = steps.filter(
+        # the last lead is NULL on the final length-1 rows of each
+        # user's sequence — those windows are incomplete paths
+        F.col(f"__s{length - 1}").isNotNull()
+    ).select(
+        F.concat_ws(" → ", *[F.col(f"__s{i}") for i in range(length)]).alias(
+            "__path"
+        )
+    )
+    return (
+        with_path.groupBy(F.col("__path").alias("path"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(k)
+    )

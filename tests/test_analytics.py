@@ -169,3 +169,45 @@ def test_duplicate_passages(spark):
            duplicate_passages(df, "text", "doc_id", n=3, min_docs=2).collect()}
     assert out["quick brown fox"] == (3, 4)  # docs 0,1,3; doc 3 twice
     assert all(n_docs >= 2 for n_docs, _ in out.values())
+
+
+def test_event_paths_by_hand(spark):
+    from muller_spark.operators.analytics import event_paths
+
+    # user 1: a b c a b c  -> 3-paths: abc, bca, cab, abc
+    # user 2: a b c        -> abc
+    rows = [(1, t, e) for t, e in enumerate("abcabc")] + [
+        (2, t, e) for t, e in enumerate("abc")
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = {r["path"]: r["n"] for r in
+           event_paths(df, "user_id", "event_type", "ts", length=3).collect()}
+    assert out == {
+        "a → b → c": 3,
+        "b → c → a": 1,
+        "c → a → b": 1,
+    }
+
+
+def test_event_paths_length_2_matches_transitions(spark):
+    from muller_spark.operators.analytics import event_paths, event_transitions
+
+    rows = [(1, t, e) for t, e in enumerate("abab")] + [
+        (2, t, e) for t, e in enumerate("ba")
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    paths = {r["path"]: r["n"] for r in
+             event_paths(df, "user_id", "event_type", "ts", length=2).collect()}
+    trans = {f'{r["from_event"]} → {r["to_event"]}': r["n"] for r in
+             event_transitions(df, "user_id", "event_type", "ts").collect()}
+    assert paths == trans
+
+
+def test_event_paths_validation(spark):
+    import pytest as _pytest
+
+    from muller_spark.operators.analytics import event_paths
+
+    df = spark.createDataFrame([(1, 1, "a")], "user_id long, ts long, event_type string")
+    with _pytest.raises(ValueError, match=">= 2"):
+        event_paths(df, "user_id", "event_type", "ts", length=1)
