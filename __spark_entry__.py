@@ -1203,6 +1203,20 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user metric resample with forward fill
+    (operators/timeseries.resample): one (key, bucket) hash aggregate,
+    a distributed sequence+explode spine over each key's own observed
+    range, one gap left-join, one per-key ignorenulls window."""
+    from muller_spark.operators.timeseries import resample
+
+    events = _t(spark, sf_dir, "events")
+    return resample(
+        events, "user_id", "ts", "value", interval=3600, agg="avg",
+        fill="ffill",
+    ).orderBy("user_id", "bucket")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: count sessions per user with a 30-minute gap rule
     (event-time windowing over a lag)."""
@@ -2717,6 +2731,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_perplexity_buckets": q_perplexity_buckets,
     "q_curation_pipeline": q_curation_pipeline,
     "q_event_paths": q_event_paths,
+    "q_resample_events": q_resample_events,
     "q_quality_filtered": q_quality_filtered,
     "q_quality_classifier": q_quality_classifier,
     "q_source_overlap": q_source_overlap,
@@ -4486,6 +4501,32 @@ _ORACLES: dict[str, str] = {
                     ELSE 'head' END AS bucket
         FROM s JOIN thr ON s.lang = thr.lang
         ORDER BY id
+    """,
+    "q_resample_events": """
+        WITH per AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+                 round(avg(value), 6) AS v
+          FROM events GROUP BY user_id, bucket
+        ), rng AS (
+          SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+          FROM per GROUP BY user_id
+        ), spine AS (
+          SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket
+          FROM rng
+        ), j AS (
+          SELECT s.user_id, s.bucket, p.v
+          FROM spine s LEFT JOIN per p
+            ON s.user_id = p.user_id AND s.bucket = p.bucket
+        )
+        SELECT user_id, bucket,
+               last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value,
+               v IS NULL AS was_gap
+        FROM j
+        ORDER BY user_id, bucket
     """,
     "q_event_paths": """
         WITH seq AS (

@@ -1,0 +1,98 @@
+"""Time-series regularization: bucket, gap-fill, and forward-fill a
+metric stream per key — the resample primitive behind monitoring
+rollups and training-telemetry dashboards.
+
+The reference exposes event streams through filters/aggregations
+(SURVEY §2.5's statistics over time columns); a regular grid with
+explicit gaps is the missing piece a pipeline needs before windowed
+feature extraction.  Everything here is native DataFrame algebra:
+no UDF, no driver state beyond the plan.
+
+Scale shape:
+- the bucket aggregate is one (key, bucket) hash aggregate —
+  map-side combined, keyed shuffle;
+- the dense spine comes from ``sequence()`` + ``explode`` on the
+  per-key [min, max] bucket range — O(range/interval) rows per key,
+  generated distributed, never on the driver.  Pick ``interval`` so
+  range/interval is sane (a year of 1-second buckets per key is 31M
+  rows/key — that is a caller decision, loudly documented);
+- gap-join is one (key, bucket) equi-join of spine to aggregates;
+- forward fill is ``last(value, ignorenulls=True)`` over a per-key
+  ordered window — partition per key, single pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_AGGS = {
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def resample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    interval: int,
+    agg: str = "avg",
+    fill: "str | None" = "ffill",
+    round_to: int = 6,
+) -> DataFrame:
+    """Resample ``value_col`` onto a regular ``interval``-second grid
+    per key: ``(key, bucket, value, was_gap)`` where ``bucket`` is the
+    epoch-second bucket start (long — engine-portable, cast to
+    timestamp downstream if wanted), ``value`` is the in-bucket
+    aggregate (round ``round_to`` — cross-engine stable), and
+    ``was_gap`` marks buckets that had NO events (their value comes
+    from the fill policy).
+
+    The grid spans each key's [first, last] OBSERVED bucket — keys are
+    never extended to a global range, so a short-lived key costs only
+    its own span.  ``fill='ffill'`` carries the last observed value
+    forward (gap buckets are never NULL: the first bucket of every key
+    is observed by construction); ``fill=None`` leaves gaps NULL.
+    """
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {sorted(_AGGS)}, got {agg!r}")
+    if fill not in (None, "ffill"):
+        raise ValueError(f"fill must be None or 'ffill', got {fill!r}")
+    if interval <= 0:
+        raise ValueError(f"interval must be positive seconds, got {interval}")
+    epoch = F.col(ts_col).cast("double")
+    bucket = (F.floor(epoch / interval) * interval).cast("long")
+    per = (
+        df.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket"))
+        .agg(F.round(_AGGS[agg](value_col), round_to).alias("_v"))
+    )
+    rng = per.groupBy("key").agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    spine = rng.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(interval)))
+        ).alias("bucket"),
+    )
+    joined = spine.join(per, ["key", "bucket"], "left")
+    was_gap = F.col("_v").isNull()
+    if fill == "ffill":
+        w = (
+            Window.partitionBy("key")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        value = F.last("_v", ignorenulls=True).over(w)
+    else:
+        value = F.col("_v")
+    return joined.select(
+        F.col("key").alias(key_col),
+        "bucket",
+        value.alias("value"),
+        was_gap.alias("was_gap"),
+    )

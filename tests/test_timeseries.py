@@ -1,0 +1,74 @@
+"""Unit tests for operators/timeseries.resample — hand-checkable
+grids, gap marking, and fill policies."""
+
+from __future__ import annotations
+
+import os
+import sys
+from datetime import datetime, timezone
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from muller_spark.operators.timeseries import resample  # noqa: E402
+
+
+def _ts(minute: int) -> datetime:
+    return datetime(2024, 1, 1, 0, minute, tzinfo=timezone.utc)
+
+
+def test_resample_fills_gaps_forward(spark):
+    # key "a": events in minutes 0 and 3 of the hour grid at 60 s —
+    # buckets 1 and 2 are gaps carrying minute-0's value forward
+    rows = [("a", _ts(0), 10.0), ("a", _ts(0), 20.0), ("a", _ts(3), 7.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = sorted(
+        resample(df, "k", "ts", "value", interval=60).collect(),
+        key=lambda r: r["bucket"],
+    )
+    base = int(_ts(0).timestamp())
+    assert [(r["bucket"] - base, r["value"], r["was_gap"]) for r in out] == [
+        (0, 15.0, False),    # avg(10, 20)
+        (60, 15.0, True),    # gap, forward-filled
+        (120, 15.0, True),   # gap, forward-filled
+        (180, 7.0, False),
+    ]
+
+
+def test_resample_no_fill_leaves_nulls(spark):
+    rows = [("a", _ts(0), 1.0), ("a", _ts(2), 3.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = sorted(
+        resample(df, "k", "ts", "value", interval=60, fill=None).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["value"] for r in out] == [1.0, None, 3.0]
+    assert [r["was_gap"] for r in out] == [False, True, False]
+
+
+def test_resample_keys_span_only_their_own_range(spark):
+    rows = [("a", _ts(0), 1.0), ("a", _ts(5), 2.0), ("b", _ts(30), 9.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = resample(df, "k", "ts", "value", interval=60).collect()
+    by_key: dict[str, int] = {}
+    for r in out:
+        by_key[r["k"]] = by_key.get(r["k"], 0) + 1
+    assert by_key == {"a": 6, "b": 1}  # b's single bucket, no global span
+
+
+def test_resample_agg_choices_and_validation(spark):
+    rows = [("a", _ts(0), 1.0), ("a", _ts(0), 5.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    assert resample(df, "k", "ts", "value", 60, agg="max").collect()[0][
+        "value"
+    ] == 5.0
+    assert resample(df, "k", "ts", "value", 60, agg="sum").collect()[0][
+        "value"
+    ] == 6.0
+    with pytest.raises(ValueError, match="agg must be"):
+        resample(df, "k", "ts", "value", 60, agg="median")
+    with pytest.raises(ValueError, match="fill must be"):
+        resample(df, "k", "ts", "value", 60, fill="bfill")
+    with pytest.raises(ValueError, match="positive"):
+        resample(df, "k", "ts", "value", 0)
