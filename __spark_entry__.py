@@ -2612,6 +2612,308 @@ def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped shipping-mode priority mix: for lineitems
+    shipped in 1996 MORE than 30 days after their order date, count
+    high-priority (URGENT/HIGH) vs low-priority orders per line
+    status.  (The driver tables lack l_shipmode and commit/receipt
+    dates, so l_linestatus stands in for the mode and shipdate-vs-
+    orderdate lateness for the receipt-window predicate — same
+    join + conditional-aggregation shape.)  The shipdate year bounds
+    push to the parquet scan; the lateness inequality rides the
+    equi-join; one key shuffle, then a 2-group hash aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    ship = F.col("l_shipdate").cast("date")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (ship >= F.lit("1996-01-01").cast("date"))
+            & (ship < F.lit("1997-01-01").cast("date"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(ship > F.date_add(F.col("o_orderdate").cast("date"), 30))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped suppliers-who-kept-orders-waiting: for
+    finished (status F) multi-supplier orders where EXACTLY ONE
+    supplier shipped late (>60 days after the order date), count per
+    supplier how many orders they alone held up.  The reference's
+    EXISTS(l2)/NOT EXISTS(l3) pair of correlated self-joins is
+    re-expressed as ONE per-order aggregate — n_supp, n_late_supp,
+    and the single late supplier from the same hash aggregate — which
+    is the 100 TB plan: one shuffle on the order key instead of two
+    fact-to-fact self-joins, with the equivalence (late set == {s}
+    and another supplier exists) proven by the DuckDB oracle that
+    keeps the classic formulation.  numwait counts distinct orders
+    (the driver tables carry no commit dates, so lineitem-level
+    waiting collapses to order-level)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    flagged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "late",
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 60),
+        )
+    )
+    late_supp = F.when(F.col("late"), F.col("l_suppkey"))
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(late_supp).alias("n_late"),
+        F.min(late_supp).alias("late_supp"),
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_1"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(supp, F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def q_tpch_q11_important_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important-stock: per-part supply value from
+    one nation's suppliers, keeping parts above 0.1% of that nation's
+    total.  (No partsupp table in the driver data, so supply value is
+    derived from lineitem revenue per part — same group-by-with-
+    HAVING-against-a-scalar-subquery shape.)  The per-part aggregate
+    is computed ONCE and reused for both the output and the scalar
+    total (Spark reuses the exchange); the 1-row threshold is a
+    broadcast — no second pass over the fact table.  Decimal sums
+    keep the threshold comparison exact and order-independent."""
+    nat_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_1"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    val = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    per_part = (
+        li.join(nat_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(val).alias("_v"))
+    )
+    thr = per_part.agg(
+        (F.sum("_v").cast("double") * 0.001).alias("_thr")
+    )
+    return (
+        per_part.join(F.broadcast(thr), F.col("_v") > F.col("_thr"))
+        .select(
+            "p_partkey", F.col("_v").cast("double").alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: for LARGE parts in five
+    sizes, the ASIA supplier(s) offering the lowest unit cost, best-
+    funded first.  (Supply cost is derived from lineitem as the
+    minimum observed unit price per (part, supplier) — no partsupp
+    table — preserving the correlated-min-subquery shape.)  The
+    correlated MIN becomes a per-part aggregate joined back on
+    (partkey, cost).  100 TB ordering: the part filter joins BELOW
+    the min-aggregate — pruning whole partkeys early is safe because
+    the regional minimum for a retained part is unaffected — and
+    region/nation are the only forced broadcasts (SF-invariant);
+    supplier and part joins are left to AQE."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 15, 25, 35, 45)
+        & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_brand")
+    nat = (
+        F.broadcast(
+            _t(spark, sf_dir, "nation")
+            .join(
+                F.broadcast(
+                    _t(spark, sf_dir, "region").filter(
+                        F.col("r_name") == "ASIA"
+                    )
+                ),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .select("n_nationkey", "n_name")
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        nat, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    supply = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_brand")
+        .agg(
+            F.round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("supply_cost")
+        )
+    )
+    regional = supply.join(
+        supp, F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    best = regional.groupBy(F.col("l_partkey").alias("b_pk")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        regional.join(
+            best,
+            (F.col("l_partkey") == F.col("b_pk"))
+            & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "supply_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier-relationship counts: how many
+    distinct suppliers can provide parts of each surviving
+    (brand, type, size) combination, excluding one brand, one type,
+    and suppliers in bad standing.  (Supply relationships are the
+    distinct (part, supplier) pairs observed in lineitem — no
+    partsupp — and negative account balance stands in for the
+    complaints-comment blacklist.)  The blacklist is a LEFT ANTI join
+    (never a collected NOT IN list); the distinct-pair reduction runs
+    BEFORE the part join so the join input is already deduplicated;
+    AQE sizes the part join."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped promotion-candidate suppliers: NATION_7
+    suppliers who DOMINATED the 1996 supply of some red part (shipped
+    more than half the part's total that year).  (availqty is derived
+    from shipped quantity — no partsupp — so the reference's
+    'availqty > half of shipped' correlated aggregate becomes
+    'supplier's shipped share > half', keeping the nested-semi-join +
+    correlated-aggregate shape.)  Quantities are small integers in
+    doubles, so the sums are exact and order-independent.  The
+    dominant-pair list is bounded by the red-part filter; the final
+    EXISTS is a LEFT SEMI join onto the nation-pruned supplier
+    table."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    ship = F.col("l_shipdate").cast("date")
+    red = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    # Red-part join BELOW the aggregates: a part's total is unaffected
+    # by pruning other parts, so filtering first shrinks both the
+    # (part, supplier) rollup and the per-part total.  The total rides
+    # a window over the SAME partkey partitioning the rollup just
+    # shuffled on — one lineitem scan, no second aggregate-and-join.
+    from pyspark.sql import Window
+
+    shipped = (
+        li.filter(
+            (ship >= F.lit("1996-01-01").cast("date"))
+            & (ship < F.lit("1997-01-01").cast("date"))
+        )
+        .join(red, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    dominant = (
+        shipped.withColumn(
+            "total_qty",
+            F.sum("qty").over(Window.partitionBy("l_partkey")),
+        )
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_7"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    return (
+        supp.join(
+            dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_normalized": q_dedup_normalized,
     "q_tpch_q3_shipping": q_tpch_q3_shipping,
@@ -2631,6 +2933,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q17_small_quantity": q_tpch_q17_small_quantity,
     "q_tpch_q19_disjunctive": q_tpch_q19_disjunctive,
     "q_tpch_q22_global_sales": q_tpch_q22_global_sales,
+    "q_tpch_q12_late_priority": q_tpch_q12_late_priority,
+    "q_tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
+    "q_tpch_q11_important_supply": q_tpch_q11_important_supply,
+    "q_tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+    "q_tpch_q16_supplier_counts": q_tpch_q16_supplier_counts,
+    "q_tpch_q20_dominant_supplier": q_tpch_q20_dominant_supplier,
     "q_scalar_functions": q_scalar_functions,
     "q_percentile_groups": q_percentile_groups,
     "q_date_arith": q_date_arith,
@@ -3039,6 +3347,118 @@ _ORACLES: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 25)
            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 35)
+    """,
+    "q_tpch_q12_late_priority": """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE cast(l_shipdate AS date) >= DATE '1996-01-01'
+          AND cast(l_shipdate AS date) < DATE '1997-01-01'
+          AND cast(l_shipdate AS date) > cast(o_orderdate AS date)
+                                         + INTERVAL 30 DAY
+        GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    # Classic EXISTS / NOT EXISTS formulation on purpose: proves the
+    # Spark per-order-aggregate rewrite computes the same relation.
+    "q_tpch_q21_waiting_supplier": """
+        WITH flagged AS (
+          SELECT l_orderkey, l_suppkey,
+                 cast(l_shipdate AS date) > cast(o_orderdate AS date)
+                                            + INTERVAL 60 DAY AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+        )
+        SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+        FROM flagged l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1' AND l1.late
+          AND EXISTS (SELECT 1 FROM flagged l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM flagged l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+    "q_tpch_q11_important_supply": """
+        WITH supply AS (
+          SELECT l_partkey,
+                 CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4)) AS val
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_1'
+        )
+        SELECT l_partkey AS p_partkey, CAST(sum(val) AS DOUBLE) AS part_value
+        FROM supply GROUP BY l_partkey
+        HAVING sum(val) > (SELECT CAST(sum(val) AS DOUBLE) * 0.001
+                           FROM supply)
+        ORDER BY part_value DESC, p_partkey
+    """,
+    "q_tpch_q2_min_cost_supplier": """
+        WITH supply AS (
+          SELECT l_partkey, l_suppkey,
+                 round(min(l_extendedprice / l_quantity), 6) AS supply_cost
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), regional AS (
+          SELECT supply.*, s_name, s_acctbal, n_name
+          FROM supply JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_size IN (5, 15, 25, 35, 45)
+                                AND p_type = 'LARGE')
+        ), best AS (
+          SELECT l_partkey, min(supply_cost) AS min_cost
+          FROM regional GROUP BY l_partkey
+        )
+        SELECT s_acctbal, s_name, n_name, regional.l_partkey AS p_partkey,
+               p_brand, supply_cost
+        FROM regional
+        JOIN best ON regional.l_partkey = best.l_partkey
+                 AND supply_cost = min_cost
+        JOIN part ON regional.l_partkey = p_partkey
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    "q_tpch_q16_supplier_counts": """
+        WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM pairs JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "q_tpch_q20_dominant_supplier": """
+        WITH shipped AS (
+          SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+          FROM lineitem
+          WHERE cast(l_shipdate AS date) >= DATE '1996-01-01'
+            AND cast(l_shipdate AS date) < DATE '1997-01-01'
+          GROUP BY l_partkey, l_suppkey
+        ), part_total AS (
+          SELECT l_partkey, sum(qty) AS total_qty
+          FROM shipped GROUP BY l_partkey
+        ), dominant AS (
+          SELECT shipped.l_partkey, l_suppkey
+          FROM shipped
+          JOIN part_total ON shipped.l_partkey = part_total.l_partkey
+          JOIN part ON shipped.l_partkey = p_partkey
+          WHERE p_name LIKE 'red%' AND qty > 0.5 * total_qty
+        )
+        SELECT s_name, s_acctbal FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+          AND EXISTS (SELECT 1 FROM dominant WHERE l_suppkey = s_suppkey)
+        ORDER BY s_name
     """,
     "q_tpch_q22_global_sales": """
         SELECT c_nationkey, count(*) AS numcust,

@@ -192,3 +192,110 @@ def test_tpch_q8_hints_bounded_dims_only(spark):
     assert analyzed.count("ResolvedHint") == 3  # region, n_cust, n_supp
     df.collect()
     assert df.columns == ["o_year", "mkt_share"]
+
+
+@needs_testdata
+def test_tpch_q12_no_hints_one_scan(spark):
+    """Q12 is one equi-join + conditional aggregate: no forced hints
+    (orders scales with SF), a single lineitem scan."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_tpch_q12_late_priority"](spark, SF_DIR)
+    assert df._jdf.queryExecution().analyzed().toString().count("ResolvedHint") == 0
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert final.count("lineitem.parquet") == 1
+    assert "HashAggregate" in final
+
+
+@needs_testdata
+def test_tpch_q21_single_scan_no_self_join(spark):
+    """Q21's EXISTS/NOT EXISTS pair is rewritten to ONE per-order
+    aggregate: the fact table is scanned once (the classic correlated
+    formulation would scan it three times and self-join twice), there
+    is no single-partition exchange, and the only hint is the 25-row
+    nation dimension."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_tpch_q21_waiting_supplier"](spark, SF_DIR)
+    assert df._jdf.queryExecution().analyzed().toString().count("ResolvedHint") == 1
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert final.count("lineitem.parquet") == 1, final[:2000]
+    assert final.count("SinglePartition") == 0
+
+
+@needs_testdata
+def test_tpch_q11_scalar_reuse(spark):
+    """Q11 computes the per-part aggregate once and derives both the
+    output rows and the scalar threshold from it: one lineitem scan;
+    hints are the nation dimension (referenced in both branches) plus
+    the 1-row threshold — all bounded by construction."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_tpch_q11_important_supply"](spark, SF_DIR)
+    assert df._jdf.queryExecution().analyzed().toString().count("ResolvedHint") == 3
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert final.count("lineitem.parquet") == 1, final[:2000]
+
+
+@needs_testdata
+def test_tpch_q2_part_filter_below_min(spark):
+    """Q2's correlated MIN is a per-part aggregate joined back; the
+    part filter prunes BELOW the aggregate (one lineitem scan), the
+    ordered limit compiles to TakeOrdered (no global sort), and the
+    only hints are region+nation (counted twice in the analyzed tree
+    because the regional subtree feeds both the output rows and the
+    per-part minimum)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_tpch_q2_min_cost_supplier"](spark, SF_DIR)
+    assert df._jdf.queryExecution().analyzed().toString().count("ResolvedHint") == 4
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert final.count("lineitem.parquet") == 1, final[:2000]
+    assert "TakeOrdered" in final
+
+
+@needs_testdata
+def test_tpch_q16_anti_join_no_hints(spark):
+    """Q16's supplier blacklist is a LEFT ANTI join (never a collected
+    NOT IN list) and nothing is force-broadcast — part and supplier
+    both scale with SF."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_tpch_q16_supplier_counts"](spark, SF_DIR)
+    assert df._jdf.queryExecution().analyzed().toString().count("ResolvedHint") == 0
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "LeftAnti" in final
+
+
+@needs_testdata
+def test_tpch_q20_semi_join_single_scan(spark):
+    """Q20's correlated availability aggregate rides a window over the
+    same partkey partitioning the rollup shuffled on: one lineitem
+    scan, a LEFT SEMI join for the EXISTS, no single-partition
+    exchange, nation as the only hint."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_tpch_q20_dominant_supplier"](spark, SF_DIR)
+    assert df._jdf.queryExecution().analyzed().toString().count("ResolvedHint") == 1
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert final.count("lineitem.parquet") == 1, final[:2000]
+    assert "LeftSemi" in final
+    assert final.count("SinglePartition") == 0
