@@ -46,6 +46,13 @@ HEADLINE = [
     "q_tpch_q17_small_quantity",
     "q_tpch_q19_disjunctive",
     "q_tpch_q22_global_sales",
+    "q_tpch_q7_volume",
+    "q_tpch_q2_min_cost_supplier",
+    "q_tpch_q11_important_supply",
+    "q_tpch_q12_late_priority",
+    "q_tpch_q16_supplier_counts",
+    "q_tpch_q20_dominant_supplier",
+    "q_tpch_q21_waiting_supplier",
     "q_perplexity_buckets",
     "q_curation_pipeline",
     "q_cdc_changelog",
