@@ -4916,10 +4916,11 @@ _ORACLES: dict[str, str] = {
           FROM s GROUP BY lang
         )
         SELECT id, s.lang AS lang, avg_logprob,
-               CASE WHEN avg_logprob <= t1 THEN 'tail'
+               CASE WHEN avg_logprob IS NULL THEN NULL
+                    WHEN avg_logprob <= t1 THEN 'tail'
                     WHEN avg_logprob <= t2 THEN 'middle'
                     ELSE 'head' END AS bucket
-        FROM s JOIN thr ON s.lang = thr.lang
+        FROM s JOIN thr ON s.lang IS NOT DISTINCT FROM thr.lang
         ORDER BY id
     """,
     "q_resample_events": """
@@ -4935,16 +4936,20 @@ _ORACLES: dict[str, str] = {
           SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket
           FROM rng
         ), j AS (
-          SELECT s.user_id, s.bucket, p.v
+          SELECT s.user_id, s.bucket, p.v,
+                 p.user_id IS NULL AS was_gap
           FROM spine s LEFT JOIN per p
             ON s.user_id = p.user_id AND s.bucket = p.bucket
         )
         SELECT user_id, bucket,
-               last_value(v IGNORE NULLS) OVER (
-                 PARTITION BY user_id ORDER BY bucket
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS value,
-               v IS NULL AS was_gap
+               CASE WHEN was_gap THEN
+                 (last_value(CASE WHEN NOT was_gap THEN {'v': v} END
+                             IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                  )).v
+               ELSE v END AS value,
+               was_gap
         FROM j
         ORDER BY user_id, bucket
     """,
@@ -4958,7 +4963,9 @@ _ORACLES: dict[str, str] = {
         )
         SELECT event_type || ' → ' || e2 || ' → ' || e3 AS path,
                count(*) AS n
-        FROM seq WHERE e3 IS NOT NULL
+        FROM seq
+        WHERE event_type IS NOT NULL AND e2 IS NOT NULL
+          AND e3 IS NOT NULL
         GROUP BY path
         ORDER BY n DESC, path ASC
         LIMIT 25

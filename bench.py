@@ -197,6 +197,9 @@ def _headline_subprocess(sf_dir: str) -> "dict | None":
     env = dict(os.environ)
     env["SPARK_GRAFT_SECTION"] = "headline"
     env["SPARK_GRAFT_SECTION_OUT"] = out_file
+    # forward explicitly: the child must benchmark the CALLER's sf_dir,
+    # not whatever the inherited env happens to hold
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

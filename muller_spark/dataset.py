@@ -521,8 +521,13 @@ class Dataset:
         combination.  NULL cells have no posting row, so a NULL group
         (which the hash-agg path WOULD emit) cannot be produced from
         postings — the fast path bails out unless the index is total
-        (posting count == row count).  Returns None whenever
-        ineligible; the caller falls through to hash-agg."""
+        (posting count == row count).  The totality check is METADATA
+        ONLY: the manifest's ``n_postings`` (recorded at index build/
+        update) against the snapshot's recorded row count — freshness
+        is already guaranteed by ``_load_index`` (manifest commit ==
+        HEAD, not dirty), so eligibility triggers ZERO Spark jobs and
+        the plan stays lazy.  Returns None whenever ineligible; the
+        caller falls through to hash-agg."""
         if group_by is None or method != "count" or pre_filter is not None:
             return None
         if list(aggregate_tensors) != ["*"]:
@@ -538,23 +543,30 @@ class Dataset:
                 order_direction, method,
             )
         )
+        if any(self._pending.values()):
+            return None  # unflushed rows: snapshot row_count is stale
         indexes = []
+        # freshness (manifest commit == HEAD, not dirty) via _load_index
+        # means the snapshot's recorded row count IS the table length —
+        # no count job
+        n_rows = self._snapshot.row_count
         for colname in group_by:
             idx = self._load_index(colname)
             if idx is None or idx.manifest.get("is_text"):
                 return None
+            # a NULL cell has no posting row: if any are missing, the
+            # NULL group could not be produced — fall back to hash-agg.
+            # n_postings comes from the manifest (absent on a pre-round-7
+            # index -> conservatively ineligible), so this is metadata-only
+            if idx.manifest.get("n_postings") != n_rows:
+                return None
             indexes.append(idx)
-        n_rows = len(self)
         dtypes = dict(self.df.dtypes)
         joined = None
         for colname, idx in zip(group_by, indexes):
             p = idx._postings().select(
                 F.col("id"), F.col("term").cast(dtypes[colname]).alias(colname)
             )
-            # a NULL cell has no posting row: if any are missing, the
-            # NULL group could not be produced — fall back to hash-agg
-            if p.count() != n_rows:
-                return None
             joined = p if joined is None else joined.join(p, "id")
         out = (
             joined.groupBy(*group_by)

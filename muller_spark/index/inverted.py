@@ -212,7 +212,14 @@ class InvertedIndex:
         postings.write.mode("overwrite").partitionBy("shard").parquet(
             os.path.join(path, "postings")
         )
+        # metadata-only count (parquet row-group stats): recorded in the
+        # manifest so consumers (the aggregate count fast path's totality
+        # check) never re-scan the posting table at plan time
+        n_postings = int(
+            spark.read.parquet(os.path.join(path, "postings")).count()
+        )
         manifest = {
+            "n_postings": n_postings,
             "tensor": tensor,
             "id_col": id_col,
             "index_type": index_type,
@@ -546,6 +553,7 @@ class InvertedIndex:
             # stats that would silently drop the delta docs from BM25
             self._write_docstats()
         m["commit_id"] = commit_id
+        m["n_postings"] = int(self.spark.read.parquet(old).count())
         self.fs.write_text(os.path.join(self.path, "manifest.json"), json.dumps(m))
         self._manifest = m
         if m.get("hot_terms"):
@@ -565,6 +573,7 @@ class InvertedIndex:
         self.fs.rename(out_path, old)
         m = dict(self.manifest)
         m.update(manifest_updates)
+        m["n_postings"] = int(self.spark.read.parquet(old).count())
         self.fs.write_text(os.path.join(self.path, "manifest.json"), json.dumps(m))
         self._manifest = m
 

@@ -222,10 +222,16 @@ def event_paths(
             for i in range(1, length)
         ],
     )
+    complete = F.col("__s0").isNotNull()
+    for i in range(1, length):
+        complete = complete & F.col(f"__s{i}").isNotNull()
     with_path = steps.filter(
-        # the last lead is NULL on the final length-1 rows of each
-        # user's sequence — those windows are incomplete paths
-        F.col(f"__s{length - 1}").isNotNull()
+        # every component must be non-null: the last lead is NULL on
+        # the final length-1 rows of each user's sequence (incomplete
+        # windows), and a NULL EVENT VALUE anywhere in the window
+        # would otherwise be silently skipped by concat_ws, counting a
+        # (length-1)-component string as a length-step path
+        complete
     ).select(
         F.concat_ws(" → ", *[F.col(f"__s{i}") for i in range(length)]).alias(
             "__path"

@@ -79,6 +79,13 @@ def apply_changelog(
     upsert bearing the same sequence number is producer misbehavior;
     biasing to delete keeps re-runs idempotent rather than
     order-dependent).
+
+    Op values outside ``insert_ops`` + ``delete_op`` FAIL the job at
+    execution time (a row-level ``raise_error`` guard in the plan — no
+    extra validation pass).  Without the guard an unknown op (e.g. a
+    producer switching to lowercase 'u') would anti-join the key out
+    of the snapshot and then contribute no upsert row — i.e. a silent
+    delete of every touched key.
     """
     keys = list(keys)
     if not keys:
@@ -87,6 +94,21 @@ def apply_changelog(
         if c not in changes.columns:
             raise ValueError(f"changes is missing required column {c!r}")
 
+    known = F.col(op_col).isin(delete_op, *insert_ops)
+    changes = changes.withColumn(
+        op_col,
+        F.when(known, F.col(op_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "apply_changelog: op value outside "
+                        f"{tuple(insert_ops)} + {delete_op!r}: "
+                    ),
+                    F.coalesce(F.col(op_col), F.lit("NULL")),
+                )
+            )
+        ),
+    )
     is_delete = F.col(op_col) == delete_op
     w = Window.partitionBy(*keys).orderBy(
         F.col(seq_col).desc(), is_delete.cast("int").desc()

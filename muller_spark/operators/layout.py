@@ -123,9 +123,15 @@ def zorder(
     the result to parquet and min-max stats prune on every clustered
     column.  Row content is unchanged (pure reorder)."""
     z = zvalue_column(df, cols, buckets)
-    with_z = df.withColumn("_zorder", z)
+    # collision-proof temp name: a user column literally named "_zorder"
+    # (e.g. from a previous layout experiment written to parquet) must
+    # survive the reorder, not be overwritten and dropped
+    zcol = "_zorder"
+    while zcol in df.columns:
+        zcol += "_"
+    with_z = df.withColumn(zcol, z)
     if target_partitions:
-        with_z = with_z.repartitionByRange(int(target_partitions), "_zorder")
+        with_z = with_z.repartitionByRange(int(target_partitions), zcol)
     else:
-        with_z = with_z.repartitionByRange("_zorder")
-    return with_z.sortWithinPartitions("_zorder").drop("_zorder")
+        with_z = with_z.repartitionByRange(zcol)
+    return with_z.sortWithinPartitions(zcol).drop(zcol)

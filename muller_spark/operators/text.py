@@ -758,6 +758,7 @@ def quantile_buckets(
     fractions: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
     labels: tuple[str, ...] = ("tail", "middle", "head"),
     bucket_col: str = "bucket",
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
     """CCNet-style quality bucketing: split documents into quantile
     buckets of a score column (head / middle / tail in the CCNet
@@ -769,11 +770,23 @@ def quantile_buckets(
     Scale shape — deliberately NOT an ntile window: a per-group window
     serializes each language through one task (a one-language 100 TB
     corpus = one sorting reducer).  Instead the cut thresholds are one
-    exact-percentile aggregate per group — state bounded by
-    #groups × #cuts, never corpus-sized — broadcast back, and the
-    label is a map-only comparison.  Ties land on the <= side in both
-    engines, so the split is deterministic for any score column that
-    is itself cross-engine stable (e.g. a round5 ``avg_logprob``).
+    percentile aggregate per group broadcast back, and the label is a
+    map-only comparison.  The default EXACT percentile buffers the
+    distinct score values of each group in the aggregation state —
+    fine at test/bench scale and required for cross-engine oracle
+    parity, but for a continuous score over a one-language 100 TB
+    corpus that state is corpus-sized; pass ``approx_accuracy`` (e.g.
+    10000) to switch to ``approx_percentile``, whose sketch state is
+    bounded by the accuracy constant — that is the 100 TB path.  Ties
+    land on the <= side in both engines, so the split is deterministic
+    for any score column that is itself cross-engine stable (e.g. a
+    round5 ``avg_logprob``).
+
+    NULL handling: rows with a NULL score get a NULL bucket (they are
+    excluded from the thresholds by both engines' percentile, so no
+    label is honest — they must NOT land in the top bucket); a NULL
+    group key is a real group (null-safe join), bucketed against its
+    own thresholds.
 
     Reference parity: quality-partitioned exports mirror the filter +
     materialize flow of /root/reference/muller/core/query
@@ -786,10 +799,17 @@ def quantile_buckets(
         )
     if list(fractions) != sorted(fractions):
         raise ValueError(f"cut fractions must ascend, got {fractions}")
-    pct = F.percentile(F.col(score_col), F.array(*[F.lit(p) for p in fractions]))
+    cuts = F.array(*[F.lit(p) for p in fractions])
+    if approx_accuracy is not None:
+        pct = F.percentile_approx(F.col(score_col), cuts, F.lit(approx_accuracy))
+    else:
+        pct = F.percentile(F.col(score_col), cuts)
     if group_col is not None:
         thr = df.groupBy(group_col).agg(pct.alias("_thr"))
-        labeled = df.join(F.broadcast(thr), group_col)
+        labeled = df.join(
+            F.broadcast(thr.withColumnRenamed(group_col, "_thr_g")),
+            F.col(group_col).eqNullSafe(F.col("_thr_g")),
+        ).drop("_thr_g")
     else:
         thr = df.agg(pct.alias("_thr"))
         labeled = df.crossJoin(F.broadcast(thr))
@@ -798,4 +818,7 @@ def quantile_buckets(
         expr = F.when(
             F.col(score_col) <= F.element_at("_thr", i + 1), F.lit(labels[i])
         ).otherwise(expr)
+    expr = F.when(F.col(score_col).isNull(), F.lit(None).cast("string")).otherwise(
+        expr
+    )
     return labeled.withColumn(bucket_col, expr).drop("_thr")

@@ -54,9 +54,13 @@ def resample(
 
     The grid spans each key's [first, last] OBSERVED bucket — keys are
     never extended to a global range, so a short-lived key costs only
-    its own span.  ``fill='ffill'`` carries the last observed value
-    forward (gap buckets are never NULL: the first bucket of every key
-    is observed by construction); ``fill=None`` leaves gaps NULL.
+    its own span.  ``was_gap`` is a JOIN-MISS indicator (the bucket
+    had no events), NOT a value-NULL test: a bucket whose events all
+    carried NULL values is observed (was_gap=false) and keeps its NULL
+    aggregate.  ``fill='ffill'`` fills GAP buckets with the most
+    recent observed bucket's aggregate — including a NULL one (the
+    fill repeats what was last measured; it never reaches past a NULL
+    measurement to an older value); ``fill=None`` leaves gaps NULL.
     """
     if agg not in _AGGS:
         raise ValueError(f"agg must be one of {sorted(_AGGS)}, got {agg!r}")
@@ -68,7 +72,12 @@ def resample(
     bucket = (F.floor(epoch / interval) * interval).cast("long")
     per = (
         df.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket"))
-        .agg(F.round(_AGGS[agg](value_col), round_to).alias("_v"))
+        .agg(
+            F.round(_AGGS[agg](value_col), round_to).alias("_v"),
+            # never-null observation marker: distinguishes a join miss
+            # (gap) from an observed bucket whose aggregate is NULL
+            F.count(F.lit(1)).alias("_n"),
+        )
     )
     rng = per.groupBy("key").agg(
         F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
@@ -80,14 +89,20 @@ def resample(
         ).alias("bucket"),
     )
     joined = spine.join(per, ["key", "bucket"], "left")
-    was_gap = F.col("_v").isNull()
+    was_gap = F.col("_n").isNull()
     if fill == "ffill":
         w = (
             Window.partitionBy("key")
             .orderBy("bucket")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        value = F.last("_v", ignorenulls=True).over(w)
+        # struct-wrap observed aggregates so last(ignorenulls) carries
+        # the most recent OBSERVED value even when that value is NULL,
+        # instead of reaching past it to an older measurement
+        carried = F.last(
+            F.when(~was_gap, F.struct(F.col("_v"))), ignorenulls=True
+        ).over(w)["_v"]
+        value = F.when(was_gap, carried).otherwise(F.col("_v"))
     else:
         value = F.col("_v")
     return joined.select(

@@ -233,8 +233,15 @@ class ComputeFunction:
         # repr() of the bound arguments is stable for the plain
         # scalars/strings transforms are parameterized with; unreprable
         # exotic args degrade to their type name, which still separates
-        # runs at the granularity we can observe.
+        # runs at the granularity we can observe.  Default object reprs
+        # embed a MEMORY ADDRESS (`<Cfg object at 0x7f...>`) that
+        # changes every process — hashing it would make a crashed eval
+        # unresumable (new ident -> 'DIFFERENT eval' error steering the
+        # user into double-appending), so addresses are normalized out;
+        # identity granularity for such args degrades to their type,
+        # matching the unreprable fallback.
         import hashlib as _hashlib
+        import re as _re
 
         try:
             bound = repr((self.args, sorted(self.kwargs.items())))
@@ -243,6 +250,7 @@ class ComputeFunction:
                 ([type(a).__name__ for a in self.args],
                  sorted((k, type(v).__name__) for k, v in self.kwargs.items()))
             )
+        bound = _re.sub(r" at 0x[0-9a-fA-F]+", " at 0x", bound)
         ident = _hashlib.md5(
             f"{getattr(self.fn, '__module__', '?')}."
             f"{getattr(self.fn, '__qualname__', repr(self.fn))}"

@@ -211,3 +211,21 @@ def test_event_paths_validation(spark):
     df = spark.createDataFrame([(1, 1, "a")], "user_id long, ts long, event_type string")
     with _pytest.raises(ValueError, match=">= 2"):
         event_paths(df, "user_id", "event_type", "ts", length=1)
+
+
+def test_event_paths_null_event_values_excluded(spark):
+    from muller_spark.operators.analytics import event_paths
+
+    # a NULL event value inside a window must drop the whole window —
+    # concat_ws would otherwise silently skip it and count a
+    # 2-component string as a 3-step path
+    rows = [
+        ("u1", "view", 1), ("u1", None, 2), ("u1", "buy", 3),
+        ("u2", "view", 1), ("u2", "cart", 2), ("u2", "buy", 3),
+    ]
+    df = spark.createDataFrame(rows, "user string, ev string, ts long")
+    out = {
+        r["path"]: r["n"]
+        for r in event_paths(df, "user", "ev", "ts", length=3).collect()
+    }
+    assert out == {"view → cart → buy": 1}

@@ -116,3 +116,31 @@ def test_changelog_window_only_touches_changes(spark):
     # branch uses distinct keys, so the windowed subplan is not
     # duplicated by DataFrame reuse
     assert plan.count("Window [") == 1
+
+
+def test_changelog_unknown_op_raises_not_silent_delete(spark):
+    from muller_spark.operators.cdc import apply_changelog
+
+    snap = spark.createDataFrame(
+        [(5, "old"), (6, "keep")], "id long, v string"
+    )
+    # lowercase 'u' (Debezium-style producer bug): before the guard this
+    # anti-joined id=5 out of the snapshot and inserted nothing — a
+    # silent delete.  Now the job fails at execution.
+    changes = spark.createDataFrame(
+        [(5, "new", "u", 9)], "id long, v string, op string, seq long"
+    )
+    out = apply_changelog(snap, changes, ["id"], "seq")
+    with pytest.raises(Exception, match="op value outside"):
+        out.collect()
+
+
+def test_changelog_null_op_raises(spark):
+    from muller_spark.operators.cdc import apply_changelog
+
+    snap = spark.createDataFrame([(1, "a")], "id long, v string")
+    changes = spark.createDataFrame(
+        [(1, "b", None, 2)], "id long, v string, op string, seq long"
+    )
+    with pytest.raises(Exception, match="op value outside"):
+        apply_changelog(snap, changes, ["id"], "seq").collect()

@@ -93,3 +93,45 @@ def test_curation_pipeline_top_fraction_cut(spark):
     ).collect()
     # ceil(round(5*0.4, 9)) = 2 survivors; equal scores -> min ids win
     assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+
+def test_quantile_buckets_null_score_gets_null_bucket(spark):
+    # a NULL score contributes nothing to the thresholds, so no label
+    # is honest — it must NOT fall through to the top bucket
+    rows = [("g", float(i)) for i in range(1, 10)] + [("g", None)]
+    df = spark.createDataFrame(rows, "grp string, s double")
+    out = quantile_buckets(df, "s", "grp").collect()
+    assert len(out) == 10  # the NULL-score row survives
+    nulls = [r for r in out if r["s"] is None]
+    assert len(nulls) == 1 and nulls[0]["bucket"] is None
+    # thresholds unaffected by the NULL row
+    assert {r["s"] for r in out if r["bucket"] == "head"} == {7.0, 8.0, 9.0}
+
+
+def test_quantile_buckets_null_group_is_a_real_group(spark):
+    # NULL group key must bucket against its own thresholds, not
+    # disappear through a null-rejecting equi-join
+    rows = [("a", float(i)) for i in range(1, 10)] + [
+        (None, float(i * 100)) for i in range(1, 10)
+    ]
+    df = spark.createDataFrame(rows, "grp string, s double")
+    out = quantile_buckets(df, "s", "grp").collect()
+    assert len(out) == 18
+    null_grp = {r["s"]: r["bucket"] for r in out if r["grp"] is None}
+    assert {k for k, v in null_grp.items() if v == "head"} == {700.0, 800.0, 900.0}
+
+
+def test_quantile_buckets_approx_mode_matches_exact_here(spark):
+    # approx_percentile with a generous accuracy reproduces the exact
+    # terciles on a tiny input — the bounded-state 100 TB path
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 10)], "grp string, s double"
+    )
+    exact = {
+        r["s"]: r["bucket"] for r in quantile_buckets(df, "s", "grp").collect()
+    }
+    approx = {
+        r["s"]: r["bucket"]
+        for r in quantile_buckets(df, "s", "grp", approx_accuracy=10000).collect()
+    }
+    assert approx == exact

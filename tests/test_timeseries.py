@@ -72,3 +72,37 @@ def test_resample_agg_choices_and_validation(spark):
         resample(df, "k", "ts", "value", 60, fill="bfill")
     with pytest.raises(ValueError, match="positive"):
         resample(df, "k", "ts", "value", 0)
+
+
+def test_resample_observed_null_bucket_is_not_a_gap(spark):
+    # bucket 1 HAS an event whose value is NULL: it is observed
+    # (was_gap=False) and keeps its NULL aggregate — never mislabeled
+    # as a gap and overwritten by the previous bucket's value
+    rows = [("a", _ts(0), 10.0), ("a", _ts(1), None), ("a", _ts(3), 7.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = sorted(
+        resample(df, "k", "ts", "value", interval=60).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [(r["value"], r["was_gap"]) for r in out] == [
+        (10.0, False),
+        (None, False),   # observed, genuinely NULL
+        (None, True),    # gap: fill repeats the last OBSERVED value (NULL)
+        (7.0, False),
+    ]
+
+
+def test_resample_gap_after_null_observation_fills_null(spark):
+    # the forward fill repeats what was last measured — it must not
+    # reach past a NULL measurement to an older non-null value
+    rows = [("a", _ts(0), 5.0), ("a", _ts(1), None), ("a", _ts(2), None)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = sorted(
+        resample(df, "k", "ts", "value", interval=60).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [(r["value"], r["was_gap"]) for r in out] == [
+        (5.0, False),
+        (None, False),
+        (None, False),
+    ]

@@ -119,3 +119,17 @@ def test_dataset_optimize_layout_zorder(spark, tmp_path):
     assert cid
     after = sorted((r["x"], r["y"]) for r in ds.df.select("x", "y").collect())
     assert after == before
+
+
+def test_zorder_preserves_user_zorder_column(spark):
+    from muller_spark.operators.layout import zorder
+
+    # a user column literally named "_zorder" must survive the reorder
+    df = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(50)],
+        "x long, y long, _zorder double",
+    )
+    out = zorder(df, ["x", "y"], target_partitions=2)
+    assert "_zorder" in out.columns
+    got = sorted((r["x"], r["_zorder"]) for r in out.collect())
+    assert got == [(i, float(i)) for i in range(50)]
