@@ -2612,6 +2612,41 @@ def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-drift monitoring (operators/quality.psi_drift):
+    Population Stability Index of the event value distribution,
+    first half of January (reference) vs second half (current), over
+    the reference's exact deciles.  One percentile aggregate on the
+    reference + one map-only bucket-count pass per side — no join, no
+    window; the headline PSI is sum(psi_contrib)."""
+    from muller_spark.operators.quality import psi_drift
+
+    ev = _events(spark, sf_dir)
+    cut = F.lit("2024-01-15").cast("timestamp")
+    return psi_drift(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        "value",
+        buckets=10,
+    )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining
+    (operators/embedding.hard_negatives): for five anchor vectors, the
+    10 most cosine-similar embeddings with a DIFFERENT label.  One
+    corpus scan with Arrow-batched partition-local top-k (argpartition
+    per block, label mask BEFORE truncation), then a window rank over
+    ≤ partitions·k candidates — rank output keeps the oracle stable
+    across float-summation orders, the exact_knn contract."""
+    from muller_spark.operators.embedding import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb, "embedding", "vec_id", "label", anchor_ids=[0, 1, 2, 3, 4], k=10
+    ).orderBy("anchor_id", "rank")
+
+
 def q_tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12-shaped shipping-mode priority mix: for lineitems
     shipped in 1996 MORE than 30 days after their order date, count
@@ -2934,6 +2969,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q19_disjunctive": q_tpch_q19_disjunctive,
     "q_tpch_q22_global_sales": q_tpch_q22_global_sales,
     "q_tpch_q12_late_priority": q_tpch_q12_late_priority,
+    "q_hard_negatives": q_hard_negatives,
+    "q_psi_drift": q_psi_drift,
     "q_tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
     "q_tpch_q11_important_supply": q_tpch_q11_important_supply,
     "q_tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
@@ -3347,6 +3384,61 @@ _ORACLES: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 25)
            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 35)
+    """,
+    "q_psi_drift": """
+        WITH bnds AS (
+          SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                       0.6, 0.7, 0.8, 0.9]) AS b
+          FROM events
+          WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL
+        ), rc AS (
+          SELECT len(list_filter(b, x -> value > x)) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events, bnds
+          WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL
+          GROUP BY 1
+        ), cc AS (
+          SELECT len(list_filter(b, x -> value > x)) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events, bnds
+          WHERE ts >= TIMESTAMP '2024-01-15' AND value IS NOT NULL
+          GROUP BY 1
+        ), spine AS (
+          SELECT unnest(generate_series(0, 9)) AS bucket
+        ), j AS (
+          SELECT spine.bucket,
+                 coalesce(rc.n, 0) AS rcn, coalesce(cc.n, 0) AS ccn
+          FROM spine LEFT JOIN rc ON spine.bucket = rc.bucket
+                     LEFT JOIN cc ON spine.bucket = cc.bucket
+        ), tot AS (
+          SELECT sum(rcn) AS rt, sum(ccn) AS ct FROM j
+        )
+        SELECT bucket,
+               round((rcn + 0.5) / (rt + 5.0), 6) AS ref_frac,
+               round((ccn + 0.5) / (ct + 5.0), 6) AS cur_frac,
+               round(((rcn + 0.5) / (rt + 5.0) - (ccn + 0.5) / (ct + 5.0))
+                     * ln(((rcn + 0.5) / (rt + 5.0))
+                          / ((ccn + 0.5) / (ct + 5.0))), 6) AS psi_contrib
+        FROM j, tot ORDER BY bucket
+    """,
+    "q_hard_negatives": """
+        WITH a AS (
+          SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av,
+                 label AS albl
+          FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+        ), scored AS (
+          SELECT anchor_id, e.vec_id AS id,
+                 list_cosine_similarity(e.embedding::DOUBLE[], av) AS s
+          FROM embeddings e, a
+          WHERE e.label <> albl AND e.vec_id <> anchor_id
+        )
+        SELECT anchor_id, id, rank FROM (
+          SELECT anchor_id, id,
+                 row_number() OVER (PARTITION BY anchor_id
+                                    ORDER BY s DESC, id) AS rank
+          FROM scored
+        ) WHERE rank <= 10
+        ORDER BY anchor_id, rank
     """,
     "q_tpch_q12_late_priority": """
         SELECT l_linestatus,

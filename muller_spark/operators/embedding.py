@@ -239,3 +239,114 @@ def embedding_pca(
         comps,
         var,
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    anchor_ids,
+    k: int = 10,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the ``k``
+    most cosine-similar corpus vectors carrying a DIFFERENT label —
+    the negatives that teach an embedding model the most (public
+    in-batch/hard-negative practice from SimCLR/DPR-style training).
+    Returns ``(anchor_id, id, rank)``, rank 1 = hardest, ties broken
+    by id ascending.  Rank (not raw similarity) is the output so the
+    result is stable across float-summation orders — the same
+    contract as ``index.vector.exact_knn``'s oracle-gated queries.
+
+    Scale shape: ``anchor_ids`` is a BOUNDED batch (mining runs batch
+    by batch — the practical pattern for training loops): their
+    vectors+labels are collected once (guarded) and numpy-broadcast.
+    The corpus is scanned ONCE; each Arrow batch computes a
+    (rows × anchors) similarity block, masks same-label and self
+    pairs, and emits only its partition-local top-k per anchor
+    (argpartition, never a sort of the block), so the final per-anchor
+    window ranks ≤ partitions·k candidate rows, not the corpus.  No
+    corpus-sized shuffle at any scale.
+
+    The label mask runs BEFORE truncation — an anchor surrounded by
+    same-label neighbors still gets k true negatives (a post-filter
+    over a plain knn's top-k would lose them)."""
+    import pandas as pd
+
+    from muller_spark.index.vector import fast_matrix
+    from muller_spark.partitioning import ensure_parallelism
+
+    anchor_ids = sorted(int(a) for a in anchor_ids)
+    if not anchor_ids:
+        raise ValueError("hard_negatives needs at least one anchor id")
+    if len(anchor_ids) > 4096:
+        raise ValueError(
+            f"{len(anchor_ids)} anchors in one batch: mine in bounded "
+            "batches (<=4096) so the anchor matrix stays broadcastable"
+        )
+    apdf = (
+        df.filter(F.col(id_col).isin(anchor_ids))
+        .select(id_col, vec_col, label_col)
+        .toPandas()
+    )
+    if len(apdf) != len(anchor_ids):
+        missing = set(anchor_ids) - set(int(x) for x in apdf[id_col])
+        raise ValueError(f"anchor ids not in corpus: {sorted(missing)[:10]}")
+    apdf = apdf.sort_values(id_col).reset_index(drop=True)
+    amat = fast_matrix(apdf[vec_col], np.float64)
+    amat = amat / np.maximum(np.linalg.norm(amat, axis=1, keepdims=True), 1e-30)
+    a_ids = apdf[id_col].to_numpy(np.int64)
+    a_lbl = apdf[label_col].to_numpy()
+    spark = df.sparkSession
+    ba = spark.sparkContext.broadcast((amat, a_ids, a_lbl))
+    kk = int(k)
+
+    def partial_topk(iterator):
+        qm, qids, qlbl = ba.value
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            mat = fast_matrix(pdf[vec_col], np.float64)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-30
+            )
+            sims = mat @ qm.T  # (n, na)
+            lbl = pdf["__lbl"].to_numpy()
+            rid = pdf["__id"].to_numpy(np.int64)
+            out = []
+            for qi in range(qm.shape[0]):
+                ok = (lbl != qlbl[qi]) & (rid != qids[qi])
+                if not ok.any():
+                    continue
+                cand = np.flatnonzero(ok)
+                take = min(kk, cand.size)
+                s = sims[cand, qi]
+                top = cand[np.argpartition(-s, take - 1)[:take]]
+                out.append(pd.DataFrame({
+                    "anchor_id": qids[qi],
+                    "id": rid[top],
+                    "sim": sims[top, qi],
+                }))
+            if out:
+                yield pd.concat(out)
+
+    corpus = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias(vec_col),
+            F.col(label_col).alias("__lbl"),
+        )
+    )
+    partial = corpus.mapInPandas(
+        partial_topk, "anchor_id long, id long, sim double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("anchor_id", "id", "rank")
+    )

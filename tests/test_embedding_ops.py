@@ -113,3 +113,55 @@ def test_pca_rejects_bad_k(spark, emb):
         embedding_pca(emb, "embedding", k=0)
     with pytest.raises(ValueError):
         embedding_pca(emb, "embedding", k=10_000)
+
+
+def test_hard_negatives_label_mask_before_truncation(spark):
+    from muller_spark.operators.embedding import hard_negatives
+
+    # anchor 0 is surrounded by same-label clones; the true negatives
+    # are farther away — a post-filtered knn would lose them, the
+    # in-kernel mask must not
+    rows = [(0, [1.0, 0.0], 0)]
+    rows += [(i, [1.0, 0.001 * i], 0) for i in range(1, 8)]  # same-label wall
+    rows += [(10, [0.9, 0.1], 1), (11, [0.0, 1.0], 1)]       # negatives
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = hard_negatives(df, "embedding", "vec_id", "label", [0], k=2).collect()
+    assert [(r["id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+        (10, 1), (11, 2)
+    ]
+
+
+def test_hard_negatives_deterministic_across_partitioning(spark):
+    from muller_spark.operators.embedding import hard_negatives
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(60)
+    ]
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    df8 = df1.repartition(8)
+    a = sorted(
+        (r["anchor_id"], r["id"], r["rank"])
+        for r in hard_negatives(df1, "embedding", "vec_id", "label", [0, 5], k=5).collect()
+    )
+    b = sorted(
+        (r["anchor_id"], r["id"], r["rank"])
+        for r in hard_negatives(df8, "embedding", "vec_id", "label", [0, 5], k=5).collect()
+    )
+    assert a == b and len(a) == 10
+
+
+def test_hard_negatives_validation(spark):
+    import pytest
+
+    from muller_spark.operators.embedding import hard_negatives
+
+    df = spark.createDataFrame(
+        [(0, [1.0], 0)], "vec_id long, embedding array<double>, label int"
+    )
+    with pytest.raises(ValueError, match="at least one anchor"):
+        hard_negatives(df, "embedding", "vec_id", "label", [])
+    with pytest.raises(ValueError, match="not in corpus"):
+        hard_negatives(df, "embedding", "vec_id", "label", [99])

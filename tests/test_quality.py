@@ -191,3 +191,50 @@ def test_pipeline_survival_empty_stages_raises(spark):
     df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(ValueError, match="at least one stage"):
         pipeline_survival(df, [])
+
+
+def test_psi_drift_identical_distributions_near_zero(spark):
+    from muller_spark.operators.quality import psi_drift
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "value double"
+    )
+    out = psi_drift(df, df, "value", buckets=10).collect()
+    assert len(out) == 10
+    assert sum(r["psi_contrib"] for r in out) < 1e-9
+    # reference deciles: each bucket holds ~10% of the reference
+    assert all(abs(r["ref_frac"] - 0.1) < 0.02 for r in out)
+
+
+def test_psi_drift_shift_is_large_and_buckets_stay_finite(spark):
+    from muller_spark.operators.quality import psi_drift
+
+    ref = spark.createDataFrame([(float(i),) for i in range(100)], "value double")
+    cur = spark.createDataFrame(
+        [(float(i + 200),) for i in range(100)], "value double"
+    )
+    out = psi_drift(ref, cur, "value", buckets=10).collect()
+    psi = sum(r["psi_contrib"] for r in out)
+    assert psi > 0.25  # "shifted" by the public rule of thumb
+    # every current row lands in the top bucket; the empty ones are
+    # finite thanks to Laplace smoothing
+    import math
+
+    assert all(math.isfinite(r["psi_contrib"]) for r in out)
+    top = [r for r in out if r["bucket"] == 9][0]
+    assert top["cur_frac"] > 0.9
+
+
+def test_psi_drift_excludes_nulls_and_validates(spark):
+    import pytest as _pytest
+
+    from muller_spark.operators.quality import psi_drift
+
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(20)] + [(None,)] * 5, "value double"
+    )
+    out = psi_drift(ref, ref, "value", buckets=4).collect()
+    # fractions built from the 20 non-null rows only: ~uniform quarters
+    assert all(abs(r["ref_frac"] - 0.25) < 0.05 for r in out)
+    with _pytest.raises(ValueError, match="buckets"):
+        psi_drift(ref, ref, "value", buckets=1)
