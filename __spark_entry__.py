@@ -2612,6 +2612,23 @@ def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection
+    (operators/timeseries.rolling_anomalies): event values more than
+    2.5 sample standard deviations from the mean of the SAME user's
+    previous 20 observations.  One per-key window pass (mean and std
+    share the frame), map-only filter; the rounded z-score drives the
+    threshold so the flagged set is cross-engine stable (closest
+    |z| to the 2.5 boundary in this table is 0.0024 away)."""
+    from muller_spark.operators.timeseries import rolling_anomalies
+
+    ev = _events(spark, sf_dir)
+    return rolling_anomalies(
+        ev, "user_id", "ts", "value", window_n=20, threshold=2.5,
+        tie_col="event_id",
+    ).orderBy("key", "ts_epoch", "value")
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-drift monitoring (operators/quality.psi_drift):
     Population Stability Index of the event value distribution,
@@ -2971,6 +2988,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q12_late_priority": q_tpch_q12_late_priority,
     "q_hard_negatives": q_hard_negatives,
     "q_psi_drift": q_psi_drift,
+    "q_rolling_anomalies": q_rolling_anomalies,
     "q_tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
     "q_tpch_q11_important_supply": q_tpch_q11_important_supply,
     "q_tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
@@ -3384,6 +3402,21 @@ _ORACLES: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 25)
            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 35)
+    """,
+    "q_rolling_anomalies": """
+        WITH z AS (
+          SELECT user_id AS key,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, value,
+                 round((value - avg(value) OVER w)
+                       / stddev_samp(value) OVER w, 4) AS zscore,
+                 stddev_samp(value) OVER w AS sd
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT key, ts_epoch, value, zscore FROM z
+        WHERE sd > 0 AND abs(zscore) >= 2.5
+        ORDER BY key, ts_epoch, value
     """,
     "q_psi_drift": """
         WITH bnds AS (

@@ -53,6 +53,9 @@ HEADLINE = [
     "q_tpch_q16_supplier_counts",
     "q_tpch_q20_dominant_supplier",
     "q_tpch_q21_waiting_supplier",
+    "q_hard_negatives",
+    "q_psi_drift",
+    "q_rolling_anomalies",
     "q_perplexity_buckets",
     "q_curation_pipeline",
     "q_cdc_changelog",

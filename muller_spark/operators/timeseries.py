@@ -111,3 +111,53 @@ def resample(
         value.alias("value"),
         was_gap.alias("was_gap"),
     )
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_n: int = 20,
+    threshold: float = 3.0,
+    round_to: int = 4,
+    tie_col: "str | None" = None,
+) -> DataFrame:
+    """Trailing-window anomaly detection: flag points whose value is
+    ``threshold`` standard deviations away from the mean of the
+    PREVIOUS ``window_n`` observations of the same key (the current
+    point is excluded from its own baseline, so a spike cannot mask
+    itself).  Returns ``(key, ts_epoch, value, zscore)`` for flagged
+    rows, ``zscore`` rounded to ``round_to`` (the rounded value drives
+    the threshold comparison too, keeping the row set cross-engine
+    stable).
+
+    Points with fewer than 2 prior observations or a zero-variance
+    baseline yield no z-score and are never flagged — a cold start is
+    not an anomaly.  ``tie_col`` disambiguates duplicate timestamps.
+
+    Scale shape: ONE per-key window pass (both mean and std come from
+    the same frame, Spark evaluates them in a single sort of each
+    key's partition), then a map-only filter.  No self-join, no
+    global sort; per-key partitions bound the window cost."""
+    if window_n < 2:
+        raise ValueError(f"window_n must be >= 2, got {window_n}")
+    order = [ts_col] + ([tie_col] if tie_col else [])
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-window_n, -1)
+    )
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    z = F.round((F.col(value_col) - mu) / sd, round_to)
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).cast("double").cast("long").alias("ts_epoch"),
+            F.col(value_col).alias("value"),
+            F.when(sd > 0, z).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) >= threshold)
+        .orderBy("key", "ts_epoch")
+    )

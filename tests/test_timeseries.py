@@ -106,3 +106,41 @@ def test_resample_gap_after_null_observation_fills_null(spark):
         (None, False),
         (None, False),
     ]
+
+
+def test_rolling_anomalies_by_hand(spark):
+    from muller_spark.operators.timeseries import rolling_anomalies
+
+    # flat baseline 10,10,10,10 then a spike: z = (100-10)/0 undefined?
+    # no — baseline has zero variance, so the spike is NOT flagged
+    # (documented); make the baseline noisy instead
+    vals = [10.0, 12.0, 11.0, 9.0, 10.0, 100.0]
+    rows = [("a", float(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts double, value double")
+    out = rolling_anomalies(df, "k", "ts", "value", window_n=5, threshold=3.0).collect()
+    assert [(r["ts_epoch"], r["value"]) for r in out] == [(5, 100.0)]
+    # z by hand: mean(10,12,11,9,10)=10.4, sample std≈1.1402
+    assert abs(out[0]["zscore"] - round((100 - 10.4) / 1.140175425, 4)) < 1e-9
+
+
+def test_rolling_anomalies_zero_variance_and_cold_start_not_flagged(spark):
+    from muller_spark.operators.timeseries import rolling_anomalies
+
+    rows = [("a", 0.0, 5.0), ("a", 1.0, 5.0), ("a", 2.0, 5.0), ("a", 3.0, 50.0)]
+    df = spark.createDataFrame(rows, "k string, ts double, value double")
+    out = rolling_anomalies(df, "k", "ts", "value", window_n=5, threshold=1.0).collect()
+    assert out == []  # zero-variance baseline: never flagged
+    with __import__("pytest").raises(ValueError, match="window_n"):
+        rolling_anomalies(df, "k", "ts", "value", window_n=1)
+
+
+def test_rolling_anomalies_spike_excluded_from_own_baseline(spark):
+    from muller_spark.operators.timeseries import rolling_anomalies
+
+    # with the spike INSIDE its own window the std would explode and
+    # mask it; the frame ends at -1 PRECEDING so it cannot
+    vals = [10.0, 12.0, 11.0, 9.0, 10.0, 100.0, 11.0]
+    rows = [("a", float(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts double, value double")
+    out = rolling_anomalies(df, "k", "ts", "value", window_n=5, threshold=3.0).collect()
+    assert [(r["ts_epoch"], r["value"]) for r in out] == [(5, 100.0)]
