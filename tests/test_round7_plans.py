@@ -299,3 +299,50 @@ def test_tpch_q20_semi_join_single_scan(spark):
     assert final.count("lineitem.parquet") == 1, final[:2000]
     assert "LeftSemi" in final
     assert final.count("SinglePartition") == 0
+
+
+@needs_testdata
+def test_hard_negatives_single_corpus_scan(spark):
+    """The mining kernel scans the embeddings corpus ONCE for the
+    partial top-k (plus one bounded anchor-collection scan at plan
+    build); the final window ranks only partitions*k candidates."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_hard_negatives"](spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert final.count("embeddings.parquet") == 1, final[:2000]
+
+
+@needs_testdata
+def test_psi_drift_no_join_no_window_on_fact(spark):
+    """Bucket assignment is map-only size(filter(...)) against the
+    broadcast cut array: no sort-merge join, no Window over the event
+    rows — the only aggregates are the percentile, the per-bucket
+    counts, and the 1-row totals."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_psi_drift"](spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "SortMergeJoin" not in final
+    assert "Window" not in final
+
+
+@needs_testdata
+def test_rolling_anomalies_one_window_pass(spark):
+    """Mean and std share one frame: exactly one Window node, keyed by
+    user — no self-join, no global sort above it."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_rolling_anomalies"](spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert final.count("Window") == 1, final[:2000]
+    assert final.count("events.parquet") == 1
