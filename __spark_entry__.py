@@ -2612,6 +2612,27 @@ def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination
+    (operators/dedup.bloom_decontaminate): drop train docs sharing ≥3
+    distinct token 3-gram windows with the held-out 'src0' source, and
+    return the CLEAN doc ids.  The 100 TB path vs q_decontamination's
+    window join: a 128 KiB broadcast BITMAP of the held-out windows
+    prunes provably-clean docs map-side (bloom filters have no false
+    negatives), and only the candidate sliver — true hits plus false
+    positives — pays the exact window-membership join that keeps the
+    result exact."""
+    from muller_spark.operators.dedup import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    test = docs.filter(F.col("source") == "src0")
+    out = bloom_decontaminate(
+        train, test, "text", "doc_id", n=3, min_overlap=3
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 def q_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly detection
     (operators/timeseries.rolling_anomalies): event values more than
@@ -2989,6 +3010,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hard_negatives": q_hard_negatives,
     "q_psi_drift": q_psi_drift,
     "q_rolling_anomalies": q_rolling_anomalies,
+    "q_bloom_decontaminate": q_bloom_decontaminate,
     "q_tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
     "q_tpch_q11_important_supply": q_tpch_q11_important_supply,
     "q_tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
@@ -3402,6 +3424,29 @@ _ORACLES: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 25)
            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 35)
+    """,
+    "q_bloom_decontaminate": f"""
+        WITH toks AS (
+          SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents
+        ), w AS (
+          SELECT doc_id, source,
+                 unnest(CASE WHEN len(t) >= 3
+                   THEN list_transform(range(1, len(t) - 1),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                   ELSE []::VARCHAR[] END) AS w
+          FROM toks
+        ), test_set AS (
+          SELECT DISTINCT w FROM w WHERE source = 'src0'
+        ), train_w AS (
+          SELECT DISTINCT doc_id, w FROM w WHERE source <> 'src0'
+        ), contaminated AS (
+          SELECT doc_id FROM train_w JOIN test_set USING (w)
+          GROUP BY doc_id HAVING count(*) >= 3
+        )
+        SELECT doc_id, source FROM documents
+        WHERE source <> 'src0'
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ORDER BY doc_id
     """,
     "q_rolling_anomalies": """
         WITH z AS (

@@ -56,6 +56,7 @@ HEADLINE = [
     "q_hard_negatives",
     "q_psi_drift",
     "q_rolling_anomalies",
+    "q_bloom_decontaminate",
     "q_perplexity_buckets",
     "q_curation_pipeline",
     "q_cdc_changelog",

@@ -1373,3 +1373,142 @@ def source_overlap(
         )
         .orderBy("group_a", "group_b")
     )
+
+
+def _bloom_positions(col: Column, num_bits: int, num_hashes: int) -> Column:
+    """Flat array of ``num_hashes`` bloom bit positions per window in
+    ``col`` (an array<string> of n-gram windows), window-major.  The
+    position family is the engine-portable md5 hash salted with the
+    hash index, so the SAME bitmap can be rebuilt anywhere."""
+    return F.flatten(
+        F.transform(
+            col,
+            lambda w: F.array(
+                *[
+                    F.pmod(
+                        portable_hash60(F.concat(F.lit(f"{i}|"), w)),
+                        F.lit(num_bits),
+                    )
+                    for i in range(num_hashes)
+                ]
+            ),
+        )
+    )
+
+
+def bloom_decontaminate(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_overlap: int = 1,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Decontamination at corpus scale: drop every train document whose
+    distinct token ``n``-gram windows overlap the held-out set's window
+    vocabulary in ≥ ``min_overlap`` windows.  Returns the CLEAN train
+    rows (all original columns), exactly — the bloom stage is a
+    prefilter, never a semantics change.
+
+    Why not :func:`contamination_report` at 100 TB?  Its window join —
+    even with the test side broadcast — materializes and hashes every
+    train window STRING.  Here the broadcast is a fixed-size BIT ARRAY
+    (``num_bits``/8 bytes, 128 KiB at the default 2^20), so:
+
+    1. **Build** (test side, driver-bounded): distinct held-out windows
+       → ``num_hashes`` salted portable-md5 bit positions each →
+       distinct positions collected (hard-bounded by ``num_bits`` ints
+       no matter how large the held-out set is) → packed bitmap →
+       ``sc.broadcast``.
+    2. **Prefilter** (train side, map-only): per document, count windows
+       whose positions are ALL set — an Arrow-batched numpy gather
+       against the broadcast bitmap; no shuffle, no window strings leave
+       the scan stage.  Documents below ``min_overlap`` bloom hits are
+       provably clean (a bloom filter has no false negatives) and never
+       shuffle.
+    3. **Exact confirm** (candidates only): surviving candidates — true
+       contaminated docs plus the bloom's false-positive sliver —
+       explode their distinct windows and count TRUE membership against
+       the held-out window set; only docs reaching ``min_overlap`` real
+       overlaps are dropped.  False positives cost a little extra join
+       traffic, never a wrong answer.
+
+    NULL/token-free documents produce zero windows, zero hits, and are
+    always kept — mirroring the SQL semantics where no window rows
+    exist to join.  An empty held-out set leaves the bitmap all-zero
+    and returns the train frame unchanged (plus the cheap no-op confirm).
+    """
+    import numpy as np
+
+    spark = train_df.sparkSession
+    wins = F.array_distinct(_shingle_windows(F.col(text_col), n))
+
+    test_w = (
+        ensure_parallelism(test_df.select(text_col))
+        .select(F.explode(wins).alias("w"))
+        .distinct()
+    )
+    pos_rows = (
+        test_w.select(
+            F.explode(
+                _bloom_positions(F.array(F.col("w")), num_bits, num_hashes)
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(num_bits, dtype=np.uint8)
+    if pos_rows:
+        bits[np.array([r["p"] for r in pos_rows], dtype=np.int64)] = 1
+    bc = spark.sparkContext.broadcast(np.packbits(bits))
+
+    import pandas as pd  # noqa: F401 — Arrow batch transport
+
+    k = num_hashes
+
+    def _with_hits(iterator):
+        bitmap = np.unpackbits(bc.value)
+        for pdf in iterator:
+            out = np.zeros(len(pdf), dtype=np.int32)
+            for i, doc in enumerate(pdf["__pos"]):
+                if doc is None or len(doc) == 0:
+                    continue
+                hit = bitmap[np.asarray(doc, dtype=np.int64)].reshape(-1, k)
+                out[i] = int(hit.all(axis=1).sum())
+            res = pdf.drop(columns="__pos")
+            res["__bloom_hits"] = out
+            yield res
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        list(train_df.schema.fields)
+        + [StructField("__bloom_hits", IntegerType(), False)]
+    )
+    with_hits = train_df.withColumn(
+        "__pos", _bloom_positions(wins, num_bits, num_hashes)
+    ).mapInPandas(_with_hits, out_schema)
+    clean_fast = with_hits.filter(
+        F.col("__bloom_hits") < min_overlap
+    ).drop("__bloom_hits")
+    candidates = with_hits.filter(
+        F.col("__bloom_hits") >= min_overlap
+    ).drop("__bloom_hits")
+
+    cand_w = candidates.select(
+        F.col(id_col), F.explode(wins).alias("w")
+    )
+    contaminated = (
+        # candidate volume is true-contamination + the FP sliver; AQE
+        # sizes the join from runtime stats (no forced hint — the test
+        # window set scales with the held-out corpus)
+        cand_w.join(test_w, "w")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n_shared"))
+        .filter(F.col("__n_shared") >= min_overlap)
+        .select(id_col)
+    )
+    confirmed_clean = candidates.join(contaminated, id_col, "left_anti")
+    return clean_fast.unionByName(confirmed_clean)
