@@ -2633,6 +2633,32 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source").orderBy("doc_id")
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics (operators/layout.skew_report): the 20
+    heaviest lineitem part keys with exact count, share, and cumulative
+    share — the pre-flight report that decides whether a planned
+    shuffle key needs salting or AQE skew handling.  One hash aggregate
+    (map-side partial combine) + TakeOrderedAndProject top-k; the
+    cumulative window touches only the 20 survivor rows."""
+    from muller_spark.operators.layout import skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return skew_report(li, "l_partkey", k=20).orderBy("rank")
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export shuffle
+    (operators/layout.shuffle_shards): documents permuted into 8 shards
+    by a salted portable hash with a within-shard position — the
+    epoch-shuffled dataloader layout, no global sort (one shard = one
+    output file = one write task by construction)."""
+    from muller_spark.operators.layout import shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    out = shuffle_shards(docs, "doc_id", num_shards=8, seed=0)
+    return out.select("shard", "pos", "doc_id").orderBy("shard", "pos")
+
+
 def q_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly detection
     (operators/timeseries.rolling_anomalies): event values more than
@@ -3011,6 +3037,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_psi_drift": q_psi_drift,
     "q_rolling_anomalies": q_rolling_anomalies,
     "q_bloom_decontaminate": q_bloom_decontaminate,
+    "q_skew_report": q_skew_report,
+    "q_shuffle_shards": q_shuffle_shards,
     "q_tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
     "q_tpch_q11_important_supply": q_tpch_q11_important_supply,
     "q_tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
@@ -3424,6 +3452,39 @@ _ORACLES: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 25)
            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 35)
+    """,
+    "q_skew_report": """
+        WITH c AS (
+          SELECT coalesce(CAST(l_partkey AS VARCHAR), 'NULL') AS key,
+                 count(*) AS cnt
+          FROM lineitem GROUP BY 1
+        ), t AS (
+          SELECT count(*) AS total FROM lineitem
+        ), k AS (
+          SELECT key, cnt FROM c ORDER BY cnt DESC, key ASC LIMIT 20
+        )
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS INT)
+                 AS rank,
+               key, cnt,
+               round(cnt / CAST(total AS DOUBLE), 6) AS share,
+               round(sum(cnt) OVER (ORDER BY cnt DESC, key ASC
+                       ROWS UNBOUNDED PRECEDING)
+                     / CAST(total AS DOUBLE), 6) AS cum_share
+        FROM k, t ORDER BY rank
+    """,
+    "q_shuffle_shards": """
+        WITH h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT AS hv
+          FROM documents
+        )
+        SELECT CAST(hv % 8 AS INT) AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY hv % 8 ORDER BY hv ASC, doc_id ASC
+               ) AS INT) - 1 AS pos,
+               doc_id
+        FROM h ORDER BY shard, pos
     """,
     "q_bloom_decontaminate": f"""
         WITH toks AS (

@@ -57,6 +57,8 @@ HEADLINE = [
     "q_psi_drift",
     "q_rolling_anomalies",
     "q_bloom_decontaminate",
+    "q_skew_report",
+    "q_shuffle_shards",
     "q_perplexity_buckets",
     "q_curation_pipeline",
     "q_cdc_changelog",

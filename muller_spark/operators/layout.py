@@ -135,3 +135,97 @@ def zorder(
     else:
         with_z = with_z.repartitionByRange(zcol)
     return with_z.sortWithinPartitions(zcol).drop(zcol)
+
+
+def skew_report(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
+    """Join/groupBy-key skew diagnostics: the top-``k`` heaviest key
+    values with exact count, share of all rows, and cumulative share —
+    the report that decides whether a planned shuffle key needs
+    salting, AQE skew-join, or a broadcast rewrite before the job runs
+    at corpus scale.
+
+    Returns (rank, key, cnt, share, cum_share), rank 1 = heaviest;
+    ties break on the key value so the report is deterministic.  NULL
+    keys count as a real group (rendered as the string 'NULL') — a
+    NULL-heavy foreign key is precisely the skew one most needs to see.
+
+    Scale shape: ONE hash aggregate on the key (map-side partial
+    combine does the heavy lifting — per-partition output is bounded
+    by the partition's distinct keys), then TakeOrderedAndProject for
+    the global top-k; the share denominator is a 1-row scalar count
+    broadcast into the k-row result, and the cumulative window runs
+    over k rows only.  Nothing but the top-k rows ever reaches one
+    task."""
+    from pyspark.sql import Window
+
+    key = F.when(F.col(key_col).isNull(), F.lit("NULL")).otherwise(
+        F.col(key_col).cast("string")
+    )
+    counts = (
+        df.select(key.alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = df.select(F.count(F.lit(1)).alias("_total"))
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.sum("cnt").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.col("_total"),
+                6,
+            ).alias("cum_share"),
+        )
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic training-export shuffle: a reproducible global
+    permutation of the corpus into ``num_shards`` shards with a
+    position inside each shard — what an epoch-shuffled dataloader
+    consumes, computed WITHOUT a global sort.
+
+    Each row's salted portable hash (md5 family, so the permutation is
+    engine- and run-independent) drives both the shard assignment
+    (``hash mod num_shards`` — near-uniform shard sizes regardless of
+    id distribution) and the within-shard order; changing ``seed``
+    yields an independent permutation for the next epoch.  Returns the
+    input columns plus (shard, pos).
+
+    Scale shape: one map-only hash projection + one hash-partition
+    exchange on ``shard``; the per-shard position is a row_number over
+    the shard partition, so each shard serializes through one task —
+    size ``num_shards`` so a shard matches the intended OUTPUT FILE
+    size (the write is one task per file regardless), e.g. 100 TB /
+    256 MB ⇒ ~400k shards, each a sub-second task.  Ties on the hash
+    break on the id so duplicate-id inputs still order
+    deterministically."""
+    from muller_spark.operators.dedup import portable_hash60
+    from pyspark.sql import Window
+
+    h = portable_hash60(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(num_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w) - F.lit(1))
+        .drop("__h")
+    )
