@@ -1467,35 +1467,42 @@ def bloom_decontaminate(
     import pandas as pd  # noqa: F401 — Arrow batch transport
 
     k = num_hashes
+    # collision-proof temp names: a user column literally named "__pos"
+    # or "__bloom_hits" must survive the pass untouched
+    pos_col, hits_col = "__pos", "__bloom_hits"
+    while pos_col in train_df.columns:
+        pos_col += "_"
+    while hits_col in train_df.columns:
+        hits_col += "_"
 
     def _with_hits(iterator):
         bitmap = np.unpackbits(bc.value)
         for pdf in iterator:
             out = np.zeros(len(pdf), dtype=np.int32)
-            for i, doc in enumerate(pdf["__pos"]):
+            for i, doc in enumerate(pdf[pos_col]):
                 if doc is None or len(doc) == 0:
                     continue
                 hit = bitmap[np.asarray(doc, dtype=np.int64)].reshape(-1, k)
                 out[i] = int(hit.all(axis=1).sum())
-            res = pdf.drop(columns="__pos")
-            res["__bloom_hits"] = out
+            res = pdf.drop(columns=pos_col)
+            res[hits_col] = out
             yield res
 
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     out_schema = StructType(
         list(train_df.schema.fields)
-        + [StructField("__bloom_hits", IntegerType(), False)]
+        + [StructField(hits_col, IntegerType(), False)]
     )
     with_hits = train_df.withColumn(
-        "__pos", _bloom_positions(wins, num_bits, num_hashes)
+        pos_col, _bloom_positions(wins, num_bits, num_hashes)
     ).mapInPandas(_with_hits, out_schema)
     clean_fast = with_hits.filter(
-        F.col("__bloom_hits") < min_overlap
-    ).drop("__bloom_hits")
+        F.col(hits_col) < min_overlap
+    ).drop(hits_col)
     candidates = with_hits.filter(
-        F.col("__bloom_hits") >= min_overlap
-    ).drop("__bloom_hits")
+        F.col(hits_col) >= min_overlap
+    ).drop(hits_col)
 
     cand_w = candidates.select(
         F.col(id_col), F.explode(wins).alias("w")

@@ -148,6 +148,8 @@ def skew_report(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
     ties break on the key value so the report is deterministic.  NULL
     keys count as a real group (rendered as the string 'NULL') — a
     NULL-heavy foreign key is precisely the skew one most needs to see.
+    (A string key whose literal value is 'NULL' merges with that group
+    in the REPORT rendering only — counts are still exact per row.)
 
     Scale shape: ONE hash aggregate on the key (map-side partial
     combine does the heavy lifting — per-partition output is bounded
@@ -217,15 +219,27 @@ def shuffle_shards(
     from muller_spark.operators.dedup import portable_hash60
     from pyspark.sql import Window
 
-    h = portable_hash60(
-        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
-    )
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    # a NULL id has no deterministic place in the permutation (the hash
+    # and the tie-break both die) — fail the job at execution time with
+    # a row-level guard rather than silently emitting a NULL shard
+    ids = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(f"shuffle_shards: NULL value in id column {id_col!r}")
+        ).cast("string"),
+    ).otherwise(F.col(id_col).cast("string"))
+    h = portable_hash60(F.concat(F.lit(f"{seed}|"), ids))
+    hcol = "__h"
+    while hcol in df.columns:
+        hcol += "_"
     w = Window.partitionBy("shard").orderBy(
-        F.col("__h").asc(), F.col(id_col).asc()
+        F.col(hcol).asc(), F.col(id_col).asc()
     )
     return (
-        df.withColumn("__h", h)
-        .withColumn("shard", F.pmod(F.col("__h"), F.lit(num_shards)).cast("int"))
+        df.withColumn(hcol, h)
+        .withColumn("shard", F.pmod(F.col(hcol), F.lit(num_shards)).cast("int"))
         .withColumn("pos", F.row_number().over(w) - F.lit(1))
-        .drop("__h")
+        .drop(hcol)
     )

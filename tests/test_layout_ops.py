@@ -86,3 +86,31 @@ def test_shuffle_shards_positions_contiguous(spark):
     assert sum(len(v) for v in by_shard.values()) == 137
     for poss in by_shard.values():
         assert sorted(poss) == list(range(len(poss)))
+
+
+def test_shuffle_shards_null_id_fails_loudly(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    with _pytest.raises(Exception) as exc:
+        shuffle_shards(df, "doc_id", 2, seed=0).collect()
+    assert "NULL value in id column" in str(exc.value)
+
+
+def test_shuffle_shards_rejects_bad_shard_count(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError):
+        shuffle_shards(df, "doc_id", 0)
+
+
+def test_bloom_and_shuffle_temp_columns_survive(spark):
+    """User columns literally named like the internal temp names must
+    pass through untouched."""
+    df = spark.createDataFrame(
+        [(1, "a b c d", 7), (2, "x y z w", 8)],
+        "doc_id long, text string, __h int",
+    )
+    out = shuffle_shards(df, "doc_id", 2, seed=0)
+    assert "__h" in out.columns and out.filter("__h in (7,8)").count() == 2
