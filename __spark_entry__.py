@@ -2659,6 +2659,22 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("shard", "pos", "doc_id").orderBy("shard", "pos")
 
 
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing feasibility plan (operators/sampling.mixture_plan):
+    the largest corpus satisfying target shares {src1:0.5, src2:0.3,
+    src3:0.2} without upsampling, planned in CHAR units — per-domain
+    sampling rate and expected chars, with non-target sources visible
+    at rate 0.  One domain aggregate + a broadcast target join + a
+    1-row scalar min broadcast back."""
+    from muller_spark.operators.sampling import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_plan(
+        docs, "source", {"src1": 0.5, "src2": 0.3, "src3": 0.2},
+        size_col="n_chars",
+    ).orderBy("domain")
+
+
 def q_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly detection
     (operators/timeseries.rolling_anomalies): event values more than
@@ -3038,6 +3054,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rolling_anomalies": q_rolling_anomalies,
     "q_bloom_decontaminate": q_bloom_decontaminate,
     "q_skew_report": q_skew_report,
+    "q_mixture_plan": q_mixture_plan,
     "q_shuffle_shards": q_shuffle_shards,
     "q_tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
     "q_tpch_q11_important_supply": q_tpch_q11_important_supply,
@@ -3452,6 +3469,31 @@ _ORACLES: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 25)
            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 35)
+    """,
+    "q_mixture_plan": """
+        WITH sizes AS (
+          SELECT CAST(source AS VARCHAR) AS domain,
+                 CAST(sum(n_chars) AS BIGINT) AS available
+          FROM documents WHERE source IS NOT NULL GROUP BY 1
+        ), tgt(domain, target_share) AS (
+          VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2)
+        ), j AS (
+          SELECT coalesce(s.domain, t.domain) AS domain,
+                 coalesce(s.available, 0) AS available,
+                 coalesce(t.target_share, 0.0) AS target_share
+          FROM sizes s FULL OUTER JOIN tgt t ON s.domain = t.domain
+        ), tot AS (
+          SELECT min(available / target_share) AS total
+          FROM j WHERE target_share > 0
+        )
+        SELECT domain, available,
+               round(target_share, 6) AS target_share,
+               CASE WHEN target_share > 0 AND available > 0
+                    THEN round(target_share * total / available, 6)
+                    ELSE 0.0 END AS sample_rate,
+               CAST(floor(round(target_share * total, 9)) AS BIGINT)
+                 AS expected_units
+        FROM j, tot ORDER BY domain
     """,
     "q_skew_report": """
         WITH c AS (

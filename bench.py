@@ -59,6 +59,7 @@ HEADLINE = [
     "q_bloom_decontaminate",
     "q_skew_report",
     "q_shuffle_shards",
+    "q_mixture_plan",
     "q_perplexity_buckets",
     "q_curation_pipeline",
     "q_cdc_changelog",

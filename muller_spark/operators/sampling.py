@@ -429,3 +429,93 @@ def token_budget_sample(
         .drop("__tb_h", "__tb_dom", "__tb_dom2", "__tb_tok",
               "__tb_bucket", "__tb_bucket2", "__tb_off", "__tb_cum")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    domain_col: str,
+    targets: "dict[str, float]",
+    size_col: "str | None" = None,
+) -> DataFrame:
+    """Data-mixing feasibility plan: given per-domain target shares,
+    compute the LARGEST total corpus that satisfies the mixture without
+    upsampling any domain, and each domain's resulting sampling rate —
+    the planning math run before :func:`mixture_sample` executes the
+    mix.
+
+    The binding constraint is the domain that runs out first:
+    ``feasible_total = min over target domains of available_d / share_d``
+    (a target domain with zero available rows pins the feasible total
+    to 0 — visible in its output row rather than silently ignored).
+    Returns one row per domain observed in the data OR named in
+    ``targets``: (domain, available, target_share, sample_rate,
+    expected_units), where ``sample_rate = share·total / available``
+    (0 for domains without a target — mixture_sample's weight-0 drop
+    rule) and ``expected_units = floor(round(share·total, 9))`` (the
+    round9-before-floor contract from top_fraction_per_group).
+
+    ``size_col`` plans in that unit (chars/tokens) instead of rows.
+    Shares are normalized to sum to 1, so callers may pass any
+    positive proportions.  NULL domains are excluded, matching
+    mixture_sample's NULL-drop rule.
+
+    Scale shape: one hash aggregate on the domain (map-side combine),
+    a broadcast join against the ≤len(targets)-row target table, and a
+    1-row scalar min broadcast back — driver state is one row per
+    domain, never corpus rows."""
+    from muller_spark.operators.joins import maybe_broadcast
+
+    if not targets:
+        raise ValueError("mixture_plan needs at least one target share")
+    if any(v < 0 for v in targets.values()):
+        raise ValueError("target shares must be non-negative")
+    tot = sum(targets.values())
+    if tot <= 0:
+        raise ValueError("target shares must sum to a positive value")
+    norm = {d: v / tot for d, v in targets.items()}
+
+    spark = df.sparkSession
+    unit = (
+        F.sum(F.col(size_col).cast("long")) if size_col else F.count(F.lit(1))
+    )
+    sizes = (
+        df.filter(F.col(domain_col).isNotNull())
+        .groupBy(F.col(domain_col).cast("string").alias("domain"))
+        .agg(unit.alias("available"))
+    )
+    tgt = spark.createDataFrame(
+        [(d, s) for d, s in sorted(norm.items())],
+        "domain string, target_share double",
+    )
+    joined = sizes.join(
+        maybe_broadcast(tgt, bound=len(norm)), "domain", "full_outer"
+    ).select(
+        "domain",
+        F.coalesce("available", F.lit(0)).cast("long").alias("available"),
+        F.coalesce("target_share", F.lit(0.0)).alias("target_share"),
+    )
+    feasible = joined.filter(F.col("target_share") > 0).agg(
+        F.min(F.col("available") / F.col("target_share")).alias("_total")
+    )
+    return (
+        joined.crossJoin(F.broadcast(feasible))
+        .select(
+            "domain",
+            "available",
+            F.round("target_share", 6).alias("target_share"),
+            F.when(
+                (F.col("target_share") > 0) & (F.col("available") > 0),
+                F.round(
+                    F.col("target_share") * F.col("_total") / F.col("available"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("sample_rate"),
+            F.floor(
+                F.round(F.col("target_share") * F.col("_total"), 9)
+            )
+            .cast("long")
+            .alias("expected_units"),
+        )
+    )

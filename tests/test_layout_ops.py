@@ -114,3 +114,37 @@ def test_bloom_and_shuffle_temp_columns_survive(spark):
     )
     out = shuffle_shards(df, "doc_id", 2, seed=0)
     assert "__h" in out.columns and out.filter("__h in (7,8)").count() == 2
+
+
+def test_mixture_plan_binding_domain_and_edges(spark):
+    from muller_spark.operators.sampling import mixture_plan
+    import pytest as _pytest
+
+    rows = [("a",)] * 100 + [("b",)] * 10 + [("c",)] * 50 + [(None,)] * 5
+    df = spark.createDataFrame(rows, "d string")
+    # b is the binding constraint: 10 / (1/3) = 30 => total 30
+    got = {r["domain"]: r for r in mixture_plan(
+        df, "d", {"a": 1.0, "b": 1.0, "c": 1.0}
+    ).collect()}
+    third = 1.0 / 3.0
+    total = 10 / third
+    assert got["a"]["available"] == 100 and got["b"]["available"] == 10
+    assert got["a"]["sample_rate"] == round(third * total / 100, 6)
+    assert got["b"]["sample_rate"] == round(third * total / 10, 6)  # ~1.0
+    assert got["b"]["expected_units"] == 10
+    # NULL domain excluded entirely
+    assert None not in got and "NULL" not in got
+    # target domain absent from data pins feasible total to 0, visibly
+    got0 = {r["domain"]: r for r in mixture_plan(
+        df, "d", {"a": 0.5, "zz": 0.5}
+    ).collect()}
+    assert got0["zz"]["available"] == 0
+    assert all(r["expected_units"] == 0 for r in got0.values())
+    # non-target domains appear at rate 0
+    assert got0["c"]["sample_rate"] == 0.0
+    with _pytest.raises(ValueError):
+        mixture_plan(df, "d", {})
+    with _pytest.raises(ValueError):
+        mixture_plan(df, "d", {"a": 0.0})
+    with _pytest.raises(ValueError):
+        mixture_plan(df, "d", {"a": -1.0})
