@@ -264,3 +264,43 @@ def to_jsonl_shards(
         "file", F.input_file_name()
     )
     return landed.groupBy("file").agg(F.count(F.lit(1)).alias("rows"))
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    num_shards: int,
+    seed: int = 0,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Epoch-shuffled training export: land the deterministic
+    :func:`muller_spark.operators.layout.shuffle_shards` permutation as
+    ``num_shards`` files, each internally ordered by the permutation —
+    the layout an epoch dataloader streams sequentially.
+
+    One ``repartition(num_shards, shard)`` hash exchange +
+    ``sortWithinPartitions(shard, pos)`` + one write task per shard
+    file; size ``num_shards`` to the intended file size (a shard IS a
+    file).  Returns a per-shard manifest (shard, rows) aggregated from
+    the landed data — the loader-side contract, verified against disk,
+    not against what we intended to write.  Rows keep all visible
+    input columns plus (shard, pos)."""
+    from pyspark.sql import functions as F
+
+    from muller_spark.operators.layout import shuffle_shards
+
+    if format not in ("parquet", "json"):
+        raise ValueError(f"format must be parquet or json, got {format!r}")
+    out = shuffle_shards(_visible(df), id_col, num_shards, seed)
+    writer = (
+        out.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+    )
+    getattr(writer, format)(path)
+    spark = df.sparkSession
+    landed = getattr(spark.read, format)(path)
+    return landed.groupBy("shard").agg(F.count(F.lit(1)).alias("rows"))

@@ -148,3 +148,41 @@ def test_mixture_plan_binding_domain_and_edges(spark):
         mixture_plan(df, "d", {"a": 0.0})
     with _pytest.raises(ValueError):
         mixture_plan(df, "d", {"a": -1.0})
+
+
+def test_write_shuffled_shards_roundtrip(spark, tmp_path):
+    from muller_spark.sources.writers import write_shuffled_shards
+    from muller_spark.operators.layout import shuffle_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_shuffled_shards(df, path, "doc_id", num_shards=6, seed=2)
+    rows = {r["shard"]: r["rows"] for r in manifest.collect()}
+    expect = {
+        r["shard"]: r["cnt"]
+        for r in shuffle_shards(df, "doc_id", 6, seed=2)
+        .groupBy("shard").count().withColumnRenamed("count", "cnt").collect()
+    }
+    assert rows == expect and sum(rows.values()) == 300
+
+    # each shard file is pos-ordered and the permutation matches the op
+    landed = spark.read.parquet(path)
+    got = {
+        (r["shard"], r["pos"]): r["doc_id"] for r in landed.collect()
+    }
+    op = {
+        (r["shard"], r["pos"]): r["doc_id"]
+        for r in shuffle_shards(df, "doc_id", 6, seed=2).collect()
+    }
+    assert got == op
+
+
+def test_write_shuffled_shards_rejects_bad_format(spark, tmp_path):
+    import pytest as _pytest
+    from muller_spark.sources.writers import write_shuffled_shards
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        write_shuffled_shards(df, str(tmp_path / "x"), "doc_id", 2, format="csv")
