@@ -2659,6 +2659,24 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("shard", "pos", "doc_id").orderBy("shard", "pos")
 
 
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware 80/10/10 split
+    (operators/sampling.leakage_safe_split): every ≥0.5-Jaccard
+    3-gram near-dup cluster lands entirely in one split (hash of the
+    cluster ROOT drives the assignment), so paraphrase duplicates
+    can't leak train→eval.  The oracle rebuilds the clusters with the
+    q_dedup_clusters recursive CTE and replays the Knuth-hash split
+    on the same roots."""
+    from muller_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = leakage_safe_split(
+        docs, "text", "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
 def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing feasibility plan (operators/sampling.mixture_plan):
     the largest corpus satisfying target shares {src1:0.5, src2:0.3,
@@ -3055,6 +3073,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bloom_decontaminate": q_bloom_decontaminate,
     "q_skew_report": q_skew_report,
     "q_mixture_plan": q_mixture_plan,
+    "q_leakage_split": q_leakage_split,
     "q_shuffle_shards": q_shuffle_shards,
     "q_tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
     "q_tpch_q11_important_supply": q_tpch_q11_important_supply,
@@ -3469,6 +3488,51 @@ _ORACLES: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 25)
            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 35)
+    """,
+    "q_leakage_split": f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                 ELSE [array_to_string(t, ' ')] END AS shingles
+          FROM toks
+        ), e AS (
+          SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 any_value(a.sz) AS sa, any_value(b.sz) AS sb,
+                 count(*) AS i
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ), pairs AS (
+          SELECT id_a, id_b FROM inter
+          WHERE cast(i AS double) / (sa + sb - i) >= 0.5
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ), reach AS (
+          SELECT DISTINCT src AS id, src AS r FROM edges
+          UNION
+          SELECT e.dst AS id, reach.r
+          FROM reach JOIN edges e ON e.src = reach.id
+        ), roots AS (
+          SELECT id, min(r) AS root FROM reach GROUP BY id
+        ), h AS (
+          SELECT d.doc_id,
+                 ((coalesce(roots.root, d.doc_id) % 2147483648
+                   + 2147483648) % 2147483648 * 2654435761)
+                 % 4294967296 AS hv
+          FROM documents d LEFT JOIN roots ON roots.id = d.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN hv < 3435973837 THEN 'train'
+                    WHEN hv < 3865470566 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h ORDER BY doc_id
     """,
     "q_mixture_plan": """
         WITH sizes AS (

@@ -60,6 +60,7 @@ HEADLINE = [
     "q_skew_report",
     "q_shuffle_shards",
     "q_mixture_plan",
+    "q_leakage_split",
     "q_perplexity_buckets",
     "q_curation_pipeline",
     "q_cdc_changelog",

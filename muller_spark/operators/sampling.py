@@ -519,3 +519,51 @@ def mixture_plan(
             .alias("expected_units"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: "dict[str, float]",
+    n: int = 3,
+    threshold: float = 0.5,
+    salt: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Near-duplicate-aware train/val/test split: every near-dup
+    CLUSTER lands entirely in one split, so a paraphrase or boilerplate
+    copy of a training document can never leak into the eval side —
+    the failure mode a plain row-hash split cannot prevent.
+
+    Pipeline: exact n-gram-Jaccard pairs (≥ ``threshold``) → connected
+    components (:func:`~muller_spark.operators.dedup.dedup_clusters`)
+    → each doc's split decided by the Knuth hash of its CLUSTER ROOT
+    (its own id when it has no near-dup), via
+    :func:`deterministic_split` — so all members of a component share
+    the hash input and therefore the split.
+
+    Scale shape: the pair/cluster stages are the bucketed near-dup
+    machinery (never all-pairs); cluster membership is a left join
+    bounded by docs that participate in ≥1 pair (AQE broadcasts it
+    when small); the split itself is row-local.  At 100 TB swap the
+    exact-Jaccard pair stage for :func:`~muller_spark.operators.dedup.
+    minhash_lsh_pairs` feeding the same cluster/split tail."""
+    from muller_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, n=n, threshold=threshold)
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    root_col = "__lss_root"
+    while root_col in df.columns:
+        root_col += "_"
+    members = clusters.select(
+        F.col("id").alias(root_col + "_id"),
+        F.col("cluster_id").alias(root_col),
+    )
+    rooted = df.join(
+        members, F.col(id_col) == F.col(root_col + "_id"), "left"
+    ).drop(root_col + "_id")
+    root = F.coalesce(F.col(root_col), F.col(id_col))
+    return deterministic_split(
+        rooted, root, weights, salt=salt, out_col=out_col
+    ).drop(root_col)

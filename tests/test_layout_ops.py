@@ -186,3 +186,61 @@ def test_write_shuffled_shards_rejects_bad_format(spark, tmp_path):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         write_shuffled_shards(df, str(tmp_path / "x"), "doc_id", 2, format="csv")
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from muller_spark.operators.sampling import leakage_safe_split
+    from muller_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    # three near-identical docs + unrelated singles + a NULL-text doc
+    dup = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, dup),
+        (2, dup + " today"),
+        (3, "completely different text about spark adaptive execution"),
+        (4, dup + " tonight"),
+        (5, None),
+        (6, "another unrelated document mentioning parquet row groups"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(
+        df, "text", "doc_id", {"train": 0.6, "val": 0.2, "test": 0.2}
+    )
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5)
+    clusters = dedup_clusters(pairs.select("id_a", "id_b")).collect()
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["id"])
+    dup_cluster = next(m for m in by_cluster.values() if len(m) >= 2)
+    assert {1, 2, 4} <= set(dup_cluster)
+    # every member of a near-dup cluster shares one split
+    assert len({got[i] for i in dup_cluster}) == 1
+    # and the shared split equals the singleton split of the root id
+    solo = leakage_safe_split(
+        df.filter(f"doc_id = {min(dup_cluster)}"), "text", "doc_id",
+        {"train": 0.6, "val": 0.2, "test": 0.2},
+    ).collect()[0]["split"]
+    assert got[min(dup_cluster)] == solo
+
+
+def test_leakage_safe_split_is_stable_under_corpus_growth(spark):
+    """Adding an UNRELATED doc must not move existing docs between
+    splits (the property that makes incremental corpus refreshes safe)."""
+    from muller_spark.operators.sampling import leakage_safe_split
+
+    base = [(i, f"unique document number {i} with id token x{i}")
+            for i in range(1, 30)]
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df1 = spark.createDataFrame(base, "doc_id long, text string")
+    df2 = spark.createDataFrame(
+        base + [(99, "a fresh unrelated document about nothing shared")],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["split"]
+         for r in leakage_safe_split(df1, "text", "doc_id", w).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in leakage_safe_split(df2, "text", "doc_id", w).collect()}
+    assert all(b[i] == a[i] for i in a)
