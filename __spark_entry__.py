@@ -2659,6 +2659,28 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("shard", "pos", "doc_id").orderBy("shard", "pos")
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/quality.pii_redact): documents
+    augmented with a synthetic per-doc email and URL (so matches are
+    dense and deterministic), then every PII match replaced by its
+    class placeholder in fixed class order; n_redactions counted on
+    the ORIGINAL text.  Map-only regexp chain, whole-stage codegen."""
+    from muller_spark.operators.quality import pii_redact
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.lit("user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+            F.concat(F.lit("http://ex.org/p/"),
+                     F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return pii_redact(docs, "text", "doc_id").orderBy("id")
+
+
 def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-aware 80/10/10 split
     (operators/sampling.leakage_safe_split): every ≥0.5-Jaccard
@@ -3074,6 +3096,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_skew_report": q_skew_report,
     "q_mixture_plan": q_mixture_plan,
     "q_leakage_split": q_leakage_split,
+    "q_pii_redact": q_pii_redact,
     "q_shuffle_shards": q_shuffle_shards,
     "q_tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
     "q_tpch_q11_important_supply": q_tpch_q11_important_supply,
@@ -3488,6 +3511,35 @@ _ORACLES: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 25)
            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 35)
+    """,
+    "q_pii_redact": """
+        WITH aug AS (
+          SELECT doc_id,
+                 concat_ws(' ', text,
+                   'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+                   'http://ex.org/p/' || CAST(doc_id AS VARCHAR)) AS text
+          FROM documents
+        )
+        SELECT doc_id AS id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                   '\\+[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g'),
+                 'https?://[^ \\t\\n]+', '<URL>', 'g') AS redacted,
+               CAST(
+                 coalesce(len(regexp_extract_all(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')), 0)
+                 + coalesce(len(regexp_extract_all(text,
+                   '([0-9]{1,3}\\.){3}[0-9]{1,3}')), 0)
+                 + coalesce(len(regexp_extract_all(text,
+                   '\\+[0-9][0-9() .-]{7,}[0-9]')), 0)
+                 + coalesce(len(regexp_extract_all(text,
+                   'https?://[^ \\t\\n]+')), 0) AS INT) AS n_redactions
+        FROM aug ORDER BY id
     """,
     "q_leakage_split": f"""
         WITH RECURSIVE toks AS (

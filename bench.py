@@ -61,6 +61,7 @@ HEADLINE = [
     "q_shuffle_shards",
     "q_mixture_plan",
     "q_leakage_split",
+    "q_pii_redact",
     "q_perplexity_buckets",
     "q_curation_pipeline",
     "q_cdc_changelog",

@@ -496,3 +496,51 @@ def psi_drift(
         )
         .orderBy("bucket")
     )
+
+
+# redaction placeholders per PII class, applied in PII_PATTERNS order —
+# the order matters: an email's domain must not first be half-eaten by
+# the URL pattern, so classes are replaced in the dict's fixed order in
+# BOTH engines (Spark regexp_replace chain = DuckDB regexp_replace
+# chain with 'g')
+PII_REDACTIONS = {
+    "n_emails": "<EMAIL>",
+    "n_ipv4": "<IP>",
+    "n_phones": "<PHONE>",
+    "n_urls": "<URL>",
+}
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Replace every PII match with its class placeholder — the
+    map-only redaction stage run AFTER :func:`pii_scan` decides which
+    docs need it (or standalone over the whole corpus: a clean doc
+    passes through unchanged at regexp cost only).
+
+    Returns (id, ``out_col``, n_redactions) where n_redactions is the
+    total matches replaced across the four classes (counted BEFORE
+    replacement on the original text, so the count can't be skewed by
+    one class's placeholder containing another class's pattern).  NULL
+    text stays NULL with 0 redactions.  A chain of four
+    ``regexp_replace`` calls in fixed class order — whole-stage
+    codegen, no shuffle, no UDF."""
+    text = F.col(text_col)
+    redacted = text
+    for name, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(
+            redacted, pat, PII_REDACTIONS[name]
+        )
+    total = None
+    for name, pat in PII_PATTERNS.items():
+        c = F.coalesce(F.regexp_count(text, F.lit(pat)), F.lit(0))
+        total = c if total is None else (total + c)
+    return df.select(
+        F.col(id_col).alias("id"),
+        redacted.alias(out_col),
+        total.cast("int").alias("n_redactions"),
+    )

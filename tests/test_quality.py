@@ -238,3 +238,39 @@ def test_psi_drift_excludes_nulls_and_validates(spark):
     assert all(abs(r["ref_frac"] - 0.25) < 0.05 for r in out)
     with _pytest.raises(ValueError, match="buckets"):
         psi_drift(ref, ref, "value", buckets=1)
+
+
+def test_pii_redact_known_answers(spark):
+    from muller_spark.operators.quality import pii_redact
+
+    rows = [
+        (1, "email me at bob@test.org or visit https://a.b/c?d=1"),
+        (2, "server 10.0.0.1 and phone +1 (555) 123-4567 here"),
+        (3, "perfectly clean text with nothing sensitive"),
+        (4, None),
+        (5, "two mails: a@b.co x@y.io"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in pii_redact(df, "text", "doc_id").collect()}
+    assert got[1]["redacted"] == "email me at <EMAIL> or visit <URL>"
+    assert got[1]["n_redactions"] == 2
+    assert got[2]["redacted"] == "server <IP> and phone <PHONE> here"
+    assert got[2]["n_redactions"] == 2
+    assert got[3]["redacted"] == rows[2][1] and got[3]["n_redactions"] == 0
+    assert got[4]["redacted"] is None and got[4]["n_redactions"] == 0
+    assert got[5]["redacted"] == "two mails: <EMAIL> <EMAIL>"
+    assert got[5]["n_redactions"] == 2
+
+
+def test_pii_redact_count_ignores_placeholder_artifacts(spark):
+    """n_redactions is counted on the ORIGINAL text, so a placeholder
+    can never be double-counted by a later class's pattern."""
+    from muller_spark.operators.quality import pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co and ip 1.2.3.4 and http://x.y/z")],
+        "doc_id long, text string",
+    )
+    r = pii_redact(df, "text", "doc_id").collect()[0]
+    assert r["n_redactions"] == 3
+    assert r["redacted"] == "mail <EMAIL> and ip <IP> and <URL>"
