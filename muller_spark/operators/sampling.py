@@ -554,7 +554,7 @@ def leakage_safe_split(
     pairs = ngram_jaccard_pairs(df, text_col, id_col, n=n, threshold=threshold)
     clusters = dedup_clusters(pairs.select("id_a", "id_b"))
     root_col = "__lss_root"
-    while root_col in df.columns:
+    while root_col in df.columns or (root_col + "_id") in df.columns:
         root_col += "_"
     members = clusters.select(
         F.col("id").alias(root_col + "_id"),

@@ -244,3 +244,15 @@ def test_leakage_safe_split_is_stable_under_corpus_growth(spark):
     b = {r["doc_id"]: r["split"]
          for r in leakage_safe_split(df2, "text", "doc_id", w).collect()}
     assert all(b[i] == a[i] for i in a)
+
+
+def test_leakage_split_temp_column_collision(spark):
+    from muller_spark.operators.sampling import leakage_safe_split
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", 42)],
+        "doc_id long, text string, __lss_root_id int",
+    )
+    out = leakage_safe_split(df, "text", "doc_id", {"train": 1.0})
+    row = out.collect()[0]
+    assert row["__lss_root_id"] == 42 and row["split"] == "train"
