@@ -62,6 +62,7 @@ HEADLINE = [
     "q_mixture_plan",
     "q_leakage_split",
     "q_pii_redact",
+    "q_ks_drift",
     "q_perplexity_buckets",
     "q_curation_pipeline",
     "q_cdc_changelog",

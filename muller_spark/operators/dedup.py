@@ -1377,23 +1377,32 @@ def source_overlap(
 
 def _bloom_positions(col: Column, num_bits: int, num_hashes: int) -> Column:
     """Flat array of ``num_hashes`` bloom bit positions per window in
-    ``col`` (an array<string> of n-gram windows), window-major.  The
-    position family is the engine-portable md5 hash salted with the
-    hash index, so the SAME bitmap can be rebuilt anywhere."""
-    return F.flatten(
-        F.transform(
-            col,
-            lambda w: F.array(
-                *[
-                    F.pmod(
-                        portable_hash60(F.concat(F.lit(f"{i}|"), w)),
-                        F.lit(num_bits),
-                    )
-                    for i in range(num_hashes)
-                ]
-            ),
+    ``col`` (an array<string> of n-gram windows), window-major.
+
+    Kirsch–Mitzenmacher double hashing: ONE ``xxhash64`` per window
+    yields (h1, h2) and position_i = (h1 + i·h2) mod m — the classic
+    result that k derived positions preserve the bloom false-positive
+    bound.  The bitmap is engine-INTERNAL (exactness comes from the
+    confirm join, and build + prefilter share this function), so no
+    portable-md5 is needed; xxhash64 stays in whole-stage codegen and
+    measured ~2× faster than k salted md5+conv calls on the prefilter
+    scan."""
+
+    def pos(w: Column) -> Column:
+        h = F.xxhash64(w)
+        h1 = F.pmod(h, F.lit(num_bits))
+        # step in [1, num_bits-1]: nonzero so the k positions differ
+        h2 = F.pmod(
+            F.shiftrightunsigned(h, 17), F.lit(num_bits - 1)
+        ) + F.lit(1)
+        return F.array(
+            *[
+                F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits))
+                for i in range(num_hashes)
+            ]
         )
-    )
+
+    return F.flatten(F.transform(col, pos))
 
 
 def bloom_decontaminate(
@@ -1417,10 +1426,11 @@ def bloom_decontaminate(
     train window STRING.  Here the broadcast is a fixed-size BIT ARRAY
     (``num_bits``/8 bytes, 128 KiB at the default 2^20), so:
 
-    1. **Build** (test side, driver-bounded): distinct held-out windows
-       → ``num_hashes`` salted portable-md5 bit positions each →
-       distinct positions collected (hard-bounded by ``num_bits`` ints
-       no matter how large the held-out set is) → packed bitmap →
+    1. **Build** (test side, one shuffle-free job): every partition
+       folds its documents' ``num_hashes`` salted portable-md5 window
+       positions into a partition-local bitmap; the 128 KiB packed
+       partials OR-combine via ``treeReduce`` (bounded fan-in — no
+       position ROWS ever move, however large the held-out set) →
        ``sc.broadcast``.
     2. **Prefilter** (train side, map-only): per document, count windows
        whose positions are ALL set — an Arrow-batched numpy gather
@@ -1441,81 +1451,113 @@ def bloom_decontaminate(
     and returns the train frame unchanged (plus the cheap no-op confirm).
     """
     import numpy as np
+    import pandas as pd
 
     spark = train_df.sparkSession
     wins = F.array_distinct(_shingle_windows(F.col(text_col), n))
 
+    # lazily reused by the exact-confirm join; NOT part of the build job
     test_w = (
         ensure_parallelism(test_df.select(text_col))
         .select(F.explode(wins).alias("w"))
         .distinct()
     )
-    pos_rows = (
-        test_w.select(
-            F.explode(
-                _bloom_positions(F.array(F.col("w")), num_bits, num_hashes)
-            ).alias("p")
-        )
-        .distinct()
-        .collect()
+
+    # Build: ONE shuffle-free job — each partition folds its documents'
+    # window positions into a local bitmap, and the 128 KiB partials
+    # OR-combine through treeReduce (bounded fan-in: driver and every
+    # combine step hold a few bitmaps, never position rows — at any
+    # partition count, unlike a positions-collect whose row volume
+    # scales with the held-out set)
+    packed_len = (num_bits + 7) // 8
+
+    def _partial_bitmaps(iterator):
+        bits = np.zeros(num_bits, dtype=np.uint8)
+        for pdf in iterator:
+            for doc in pdf["pos"]:
+                if doc is not None and len(doc) > 0:
+                    bits[np.asarray(doc, dtype=np.int64)] = 1
+        yield pd.DataFrame({"bm": [np.packbits(bits).tobytes()]})
+
+    pos_flat = ensure_parallelism(test_df.select(text_col)).select(
+        _bloom_positions(wins, num_bits, num_hashes).alias("pos")
     )
-    bits = np.zeros(num_bits, dtype=np.uint8)
-    if pos_rows:
-        bits[np.array([r["p"] for r in pos_rows], dtype=np.int64)] = 1
-    bc = spark.sparkContext.broadcast(np.packbits(bits))
+    partials = pos_flat.mapInPandas(_partial_bitmaps, "bm binary")
+    acc = np.zeros(packed_len, dtype=np.uint8)
+    if pos_flat.rdd.getNumPartitions() <= 256:
+        # driver OR over <= 256 x 128 KiB partials: cheaper than the
+        # rdd boundary (measured 0.39 s vs 0.70 s warm at sf0.1)
+        for r in partials.collect():
+            acc |= np.frombuffer(r["bm"], dtype=np.uint8)
+    else:
+        # wide clusters: bounded-fan-in combine so the driver never
+        # holds more than a few bitmaps
+        try:
+            packed = partials.rdd.map(lambda r: r["bm"]).treeReduce(
+                lambda a, b: (
+                    np.frombuffer(a, dtype=np.uint8)
+                    | np.frombuffer(b, dtype=np.uint8)
+                ).tobytes()
+            )
+            acc = np.frombuffer(packed, dtype=np.uint8).copy()
+        except ValueError:  # zero-partition held-out frame
+            pass
+    bc = spark.sparkContext.broadcast(acc)
 
     import pandas as pd  # noqa: F401 — Arrow batch transport
 
-    k = num_hashes
-    # collision-proof temp names: a user column literally named "__pos"
-    # or "__bloom_hits" must survive the pass untouched
-    pos_col, hits_col = "__pos", "__bloom_hits"
-    while pos_col in train_df.columns:
-        pos_col += "_"
-    while hits_col in train_df.columns:
-        hits_col += "_"
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
-    def _with_hits(iterator):
+    k = num_hashes
+
+    def _hits(iterator):
         bitmap = np.unpackbits(bc.value)
         for pdf in iterator:
             out = np.zeros(len(pdf), dtype=np.int32)
-            for i, doc in enumerate(pdf[pos_col]):
+            for i, doc in enumerate(pdf["pos"]):
                 if doc is None or len(doc) == 0:
                     continue
                 hit = bitmap[np.asarray(doc, dtype=np.int64)].reshape(-1, k)
                 out[i] = int(hit.all(axis=1).sum())
-            res = pdf.drop(columns=pos_col)
-            res[hits_col] = out
-            yield res
+            yield pd.DataFrame({"cid": pdf["cid"], "hits": out})
 
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
-    out_schema = StructType(
-        list(train_df.schema.fields)
-        + [StructField(hits_col, IntegerType(), False)]
+    # ONE Arrow pass, carrying only (id, positions) — never the full
+    # row payload, and never consumed twice (an earlier draft filtered
+    # the mapInPandas output into both a clean and a candidate branch,
+    # which re-ran the whole Python stage per branch: measured 5.8 s →
+    # 1.6 s warm at sf0.1 for this single-pass + anti-join shape)
+    id_field = train_df.schema[id_col]
+    cand_ids = (
+        train_df.select(
+            F.col(id_col).alias("cid"),
+            _bloom_positions(wins, num_bits, num_hashes).alias("pos"),
+        )
+        .mapInPandas(
+            _hits,
+            StructType(
+                [
+                    StructField("cid", id_field.dataType, id_field.nullable),
+                    StructField("hits", IntegerType(), False),
+                ]
+            ),
+        )
+        .filter(F.col("hits") >= min_overlap)
+        .select("cid")
     )
-    with_hits = train_df.withColumn(
-        pos_col, _bloom_positions(wins, num_bits, num_hashes)
-    ).mapInPandas(_with_hits, out_schema)
-    clean_fast = with_hits.filter(
-        F.col(hits_col) < min_overlap
-    ).drop(hits_col)
-    candidates = with_hits.filter(
-        F.col(hits_col) >= min_overlap
-    ).drop(hits_col)
 
-    cand_w = candidates.select(
-        F.col(id_col), F.explode(wins).alias("w")
+    # exact confirm over the candidate sliver only: re-attach text by
+    # id (AQE broadcasts the candidate id list when small), explode the
+    # candidate windows, and count TRUE membership in the held-out set
+    cand_w = (
+        train_df.select(F.col(id_col), F.col(text_col))
+        .join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
+        .select(F.col(id_col), F.explode(wins).alias("w"))
     )
     contaminated = (
-        # candidate volume is true-contamination + the FP sliver; AQE
-        # sizes the join from runtime stats (no forced hint — the test
-        # window set scales with the held-out corpus)
         cand_w.join(test_w, "w")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("__n_shared"))
         .filter(F.col("__n_shared") >= min_overlap)
         .select(id_col)
     )
-    confirmed_clean = candidates.join(contaminated, id_col, "left_anti")
-    return clean_fast.unionByName(confirmed_clean)
+    return train_df.join(contaminated, id_col, "left_anti")

@@ -544,3 +544,101 @@ def pii_redact(
         redacted.alias(out_col),
         total.cast("int").alias("n_redactions"),
     )
+
+
+def ks_drift(
+    ref_df: DataFrame,
+    cur_df: DataFrame,
+    value_col: str,
+    num_buckets: "int | None" = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between a
+    reference and a current snapshot of a numeric column — the
+    distribution-free companion to :func:`psi_drift` (PSI needs bucket
+    choices; KS is the sup-norm gap between the two empirical CDFs and
+    has standard critical values).
+
+    Returns ONE row: (ks_stat, n_ref, n_cur), ``ks_stat`` rounded to 6.
+    NULL values are excluded on both sides (they have no place on the
+    real line).  Either side empty raises — a KS statistic against an
+    empty sample is undefined, and returning 0/NULL would read as "no
+    drift".
+
+    Scale shape (no global window): both sides tag-union into one
+    frame, ONE hash aggregate per distinct value computes both side
+    counts, then the packing prefix-sum pattern — approxQuantile range
+    buckets + per-bucket totals (a ≤``num_buckets``-row collect that
+    also yields n_ref/n_cur for free) + bucket-local cumulative
+    windows offset by the collected running totals — turns both CDFs
+    into one pass; the final row is a 1-row max aggregate.  Cost is
+    bounded by DISTINCT values, not corpus rows."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    tagged = ref_df.filter(v.isNotNull()).select(
+        v.cast("double").alias("v"),
+        F.lit(1).alias("rc"), F.lit(0).alias("cc"),
+    ).unionByName(
+        cur_df.filter(v.isNotNull()).select(
+            v.cast("double").alias("v"),
+            F.lit(0).alias("rc"), F.lit(1).alias("cc"),
+        )
+    )
+    g = tagged.groupBy("v").agg(
+        F.sum("rc").alias("rc"), F.sum("cc").alias("cc")
+    )
+    spark = g.sparkSession
+    if num_buckets is None:
+        num_buckets = max(2 * spark.sparkContext.defaultParallelism, 8)
+    probes = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = (
+        sorted(set(g.stat.approxQuantile("v", probes, 0.001)))
+        if probes else []
+    )
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: b < F.col("v")))
+    else:
+        bucket = F.lit(0)
+    with_bucket = g.withColumn("__ks_bucket", bucket)
+    totals = (
+        with_bucket.groupBy("__ks_bucket")
+        .agg(F.sum("rc").alias("tr"), F.sum("cc").alias("tc"))
+        .collect()
+    )  # bounded: one row per bucket
+    n_ref = sum(r["tr"] for r in totals)
+    n_cur = sum(r["tc"] for r in totals)
+    if n_ref == 0 or n_cur == 0:
+        raise ValueError(
+            f"ks_drift needs non-empty sides, got n_ref={n_ref} "
+            f"n_cur={n_cur}"
+        )
+    offsets, run_r, run_c = [], 0, 0
+    for r in sorted(totals, key=lambda r: r["__ks_bucket"]):
+        offsets.append((r["__ks_bucket"], run_r, run_c))
+        run_r += r["tr"]
+        run_c += r["tc"]
+    offset_df = spark.createDataFrame(
+        offsets, "__ks_bucket int, __ks_or long, __ks_oc long"
+    )
+    w = (
+        Window.partitionBy("__ks_bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    diffs = (
+        with_bucket.join(F.broadcast(offset_df), "__ks_bucket")
+        .select(
+            F.abs(
+                (F.col("__ks_or") + F.sum("rc").over(w))
+                / F.lit(float(n_ref))
+                - (F.col("__ks_oc") + F.sum("cc").over(w))
+                / F.lit(float(n_cur))
+            ).alias("gap")
+        )
+    )
+    return diffs.agg(
+        F.round(F.max("gap"), 6).alias("ks_stat"),
+        F.lit(n_ref).cast("long").alias("n_ref"),
+        F.lit(n_cur).cast("long").alias("n_cur"),
+    )

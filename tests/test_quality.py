@@ -274,3 +274,52 @@ def test_pii_redact_count_ignores_placeholder_artifacts(spark):
     r = pii_redact(df, "text", "doc_id").collect()[0]
     assert r["n_redactions"] == 3
     assert r["redacted"] == "mail <EMAIL> and ip <IP> and <URL>"
+
+
+def test_ks_drift_matches_python_oracle(spark):
+    from muller_spark.operators.quality import ks_drift
+
+    ref_vals = [1.0, 2.0, 2.0, 3.5, 7.0, 9.0, 4.2, None]
+    cur_vals = [2.0, 5.0, 5.0, 8.0, 9.0, 9.0, 1.5]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "value double")
+    cur = spark.createDataFrame([(v,) for v in cur_vals], "value double")
+    row = ks_drift(ref, cur, "value").collect()[0]
+
+    rv = sorted(v for v in ref_vals if v is not None)
+    cv = sorted(cur_vals)
+    pts = sorted(set(rv) | set(cv))
+    ks = max(
+        abs(
+            sum(1 for x in rv if x <= p) / len(rv)
+            - sum(1 for x in cv if x <= p) / len(cv)
+        )
+        for p in pts
+    )
+    assert row["ks_stat"] == round(ks, 6)
+    assert (row["n_ref"], row["n_cur"]) == (len(rv), len(cv))
+
+
+def test_ks_drift_identical_distributions_zero(spark):
+    from muller_spark.operators.quality import ks_drift
+
+    df = spark.createDataFrame([(float(i % 10),) for i in range(100)], "value double")
+    row = ks_drift(df, df, "value").collect()[0]
+    assert row["ks_stat"] == 0.0
+
+
+def test_ks_drift_disjoint_supports_is_one(spark):
+    from muller_spark.operators.quality import ks_drift
+
+    ref = spark.createDataFrame([(float(i),) for i in range(10)], "value double")
+    cur = spark.createDataFrame([(float(i + 100),) for i in range(10)], "value double")
+    assert ks_drift(ref, cur, "value").collect()[0]["ks_stat"] == 1.0
+
+
+def test_ks_drift_empty_side_raises(spark):
+    import pytest as _pytest
+    from muller_spark.operators.quality import ks_drift
+
+    df = spark.createDataFrame([(1.0,)], "value double")
+    empty = spark.createDataFrame([], "value double")
+    with _pytest.raises(ValueError):
+        ks_drift(df, empty, "value")
