@@ -2663,6 +2663,21 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("shard", "pos", "doc_id").orderBy("shard", "pos")
 
 
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document FFD bin packing (operators/packing.pack_bins):
+    documents grouped into 2000-char bins without splitting, bucket-
+    parallel exact first-fit-decreasing.  NOT SQL-expressible (FFD is
+    sequential within a bucket), so driver coverage is rows-only; the
+    pytest suite replays the exact python FFD per bucket and pins
+    capacity/oversize/determinism invariants."""
+    from muller_spark.operators.packing import pack_bins
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_bins(
+        docs, "doc_id", "n_chars", max_len=2000, num_buckets=8
+    ).orderBy("id")
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS drift (operators/quality.ks_drift): sup-norm
     gap between the empirical CDFs of the event value in early vs late
@@ -3117,6 +3132,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_leakage_split": q_leakage_split,
     "q_pii_redact": q_pii_redact,
     "q_ks_drift": q_ks_drift,
+    "q_pack_bins": q_pack_bins,
     "q_shuffle_shards": q_shuffle_shards,
     "q_tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
     "q_tpch_q11_important_supply": q_tpch_q11_important_supply,

@@ -133,3 +133,79 @@ def pack_concat_chunks(
         )
         .drop("__pk_tokens")
     )
+
+
+def pack_bins(
+    df: DataFrame,
+    id_col: str,
+    token_col: "str | Column",
+    max_len: int,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Whole-document bin packing: group documents into training bins
+    of capacity ``max_len`` tokens WITHOUT splitting any document —
+    the packing used when examples must stay intact (instruction
+    tuning, contrastive batches), minimizing padding via first-fit-
+    decreasing.
+
+    Returns (id, n_tokens, bucket, bin_id) — ``bin_id`` globally
+    unique (bucket-prefixed); documents LONGER than ``max_len`` get
+    ``bin_id = -1`` (visible, never silently truncated).  Zero/NULL
+    token counts pack as 0-cost members.
+
+    Scale shape: a deterministic hash bucket (engine-portable Knuth
+    hash of the id) splits the corpus into ``num_buckets`` independent
+    packing problems; each bucket runs exact FFD in one Arrow task via
+    ``applyInPandas`` — one shuffle on the bucket key, no global sort,
+    no driver state.  Bucket-local FFD trades a bounded amount of
+    cross-bucket padding for full parallelism (FFD itself is
+    inherently sequential); results are deterministic for a given
+    (corpus, num_buckets) regardless of input partitioning because
+    bucket membership and the in-bucket FFD order (tokens desc, id
+    asc) are both data-derived."""
+    import pandas as pd
+
+    from muller_spark.operators.sampling import bucket_of
+
+    if max_len <= 0:
+        raise ValueError("max_len must be positive")
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = max(2 * spark.sparkContext.defaultParallelism, 8)
+
+    value = F.col(token_col) if isinstance(token_col, str) else token_col
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(value.cast("long"), F.lit(0)).alias("n_tokens"),
+        bucket_of(F.col(id_col), num_buckets).cast("int").alias("bucket"),
+    )
+
+    def _ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["n_tokens", "id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bucket = int(pdf["bucket"].iloc[0])
+        caps: "list[int]" = []  # remaining capacity per local bin
+        bins = []
+        for tok in pdf["n_tokens"]:
+            tok = int(tok)
+            if tok > max_len:
+                bins.append(-1)
+                continue
+            for j, cap in enumerate(caps):
+                if cap >= tok:
+                    caps[j] = cap - tok
+                    bins.append(j)
+                    break
+            else:
+                caps.append(max_len - tok)
+                bins.append(len(caps) - 1)
+        out = pdf[["id", "n_tokens", "bucket"]].copy()
+        out["bin_id"] = [
+            -1 if b < 0 else (bucket << 32) | b for b in bins
+        ]
+        return out
+
+    return src.groupBy("bucket").applyInPandas(
+        _ffd, "id long, n_tokens long, bucket int, bin_id long"
+    )

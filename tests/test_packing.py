@@ -218,3 +218,84 @@ def test_global_cumsum_all_null_bucket(spark):
     out = global_cumsum(df, "k", F.col("v"), num_buckets=4)
     got = {r["k"]: r["cum_excl"] for r in out.collect()}
     assert got[0] == 0 and got[50] == 500 and got[99] == 500
+
+
+def test_pack_bins_matches_python_ffd_and_capacity(spark):
+    from muller_spark.operators.packing import pack_bins
+    from muller_spark.operators.sampling import bucket_of
+    import pyspark.sql.functions as F
+
+    rows = [(i, (i * 37) % 900 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_bins(df, "doc_id", "n", max_len=1024, num_buckets=4).collect()
+    got = {r["id"]: (r["bucket"], r["bin_id"]) for r in out}
+    assert len(got) == 500
+
+    # per-bin capacity never exceeded
+    fill = {}
+    for r in out:
+        assert r["bin_id"] != -1
+        fill[r["bin_id"]] = fill.get(r["bin_id"], 0) + r["n_tokens"]
+    assert all(v <= 1024 for v in fill.values())
+
+    # exact python FFD replay per bucket
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", bucket_of(F.col("doc_id"), 4).cast("int").alias("b")
+        ).collect()
+    }
+    toks = dict(rows)
+    for b in set(buckets.values()):
+        members = sorted(
+            (i for i in toks if buckets[i] == b),
+            key=lambda i: (-toks[i], i),
+        )
+        caps, assign = [], {}
+        for i in members:
+            for j, cap in enumerate(caps):
+                if cap >= toks[i]:
+                    caps[j] = cap - toks[i]
+                    assign[i] = j
+                    break
+            else:
+                caps.append(1024 - toks[i])
+                assign[i] = len(caps) - 1
+        for i in members:
+            assert got[i] == (b, (b << 32) | assign[i])
+
+
+def test_pack_bins_oversize_and_zero(spark):
+    from muller_spark.operators.packing import pack_bins
+
+    df = spark.createDataFrame(
+        [(1, 5000), (2, 100), (3, 0), (4, None)],
+        "doc_id long, n long",
+    )
+    got = {r["id"]: r for r in
+           pack_bins(df, "doc_id", "n", max_len=1024, num_buckets=2).collect()}
+    assert got[1]["bin_id"] == -1          # oversize flagged, not truncated
+    assert got[3]["n_tokens"] == 0 and got[3]["bin_id"] != -1
+    assert got[4]["n_tokens"] == 0         # NULL counts pack as 0
+
+
+def test_pack_bins_deterministic_across_partitioning(spark):
+    from muller_spark.operators.packing import pack_bins
+
+    rows = [(i, (i * 13) % 300 + 1) for i in range(200)]
+    a = spark.createDataFrame(rows, "doc_id long, n long").repartition(1)
+    b = spark.createDataFrame(rows, "doc_id long, n long").repartition(17)
+    ra = sorted(map(tuple, pack_bins(a, "doc_id", "n", 512, num_buckets=3).collect()))
+    rb = sorted(map(tuple, pack_bins(b, "doc_id", "n", 512, num_buckets=3).collect()))
+    assert ra == rb
+
+
+def test_pack_bins_beats_one_doc_per_bin(spark):
+    from muller_spark.operators.packing import pack_bins
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(100)], "doc_id long, n long"
+    )
+    out = pack_bins(df, "doc_id", "n", max_len=1000, num_buckets=2)
+    n_bins = out.select("bin_id").distinct().count()
+    assert n_bins <= 12  # 100 docs x 100 tok into 1000-cap bins: ~10 per bucket pair
