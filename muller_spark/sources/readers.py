@@ -129,3 +129,62 @@ def read_binary_files(spark: SparkSession, path: str | None, pattern: str | None
     return reader.load(path).select(
         "path", "length", F.col("content")
     )
+
+
+def from_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+) -> "tuple[DataFrame, DataFrame]":
+    """Fault-tolerant JSONL ingest: returns ``(good, quarantine)``.
+
+    Real feeds at corpus scale always carry a sliver of malformed
+    lines (truncated writes, encoding corruption, schema drift); a
+    default PERMISSIVE read silently NULL-fills them and a FAILFAST
+    read kills the whole job for one bad byte.  This splits instead:
+    ``good`` carries rows that parsed against ``schema_ddl`` in full;
+    ``quarantine`` carries (raw_line, file) for every line that did
+    not — replayable after the producer is fixed, countable for feed
+    health monitoring, and never silently dropped.
+
+    Mechanics: the file lands as raw TEXT lines (so the original bytes
+    of a bad line are never lost), each line parsed by ``from_json``
+    in PERMISSIVE mode with ``columnNameOfCorruptRecord`` declared in
+    the schema — a malformed line yields its raw text in that column
+    and NULLs elsewhere.  (Parsing a string COLUMN sidesteps Spark's
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction on raw-file scans.)
+    The split is two filters over the same lazy scan; whitespace-only
+    lines are dropped to match JSONL reader semantics.  The corrupt
+    column name dodges user columns."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    base = spark.createDataFrame([], schema_ddl).schema
+    corrupt = "_corrupt_record"
+    while corrupt in base.names:
+        corrupt += "_"
+    full = StructType(
+        list(base.fields) + [StructField(corrupt, StringType(), True)]
+    )
+    raw = (
+        spark.read.text(path)
+        .select(
+            F.col("value").alias("raw_line"),
+            F.input_file_name().alias("file"),
+        )
+        .filter(F.trim(F.col("raw_line")) != "")
+    )
+    parsed = raw.withColumn(
+        "__rec",
+        F.from_json(
+            F.col("raw_line"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+        ),
+    )
+    is_bad = F.col("__rec").isNull() | F.col(f"__rec.{corrupt}").isNotNull()
+    good = (
+        parsed.filter(~is_bad)
+        .select(*[F.col(f"__rec.{f.name}").alias(f.name) for f in base.fields])
+    )
+    quarantine = parsed.filter(is_bad).select("raw_line", "file")
+    return good, quarantine

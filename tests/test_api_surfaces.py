@@ -106,3 +106,49 @@ def test_dataset_search_bm25(spark, tmp_path):
         ds.search_bm25("t", "cat")
     ds.update_index("t")
     assert len(ds.search_bm25("t", "cat", k=5).collect()) == 3
+
+
+def test_from_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    from muller_spark.sources.readers import from_jsonl_quarantine
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "text": "ok"}\n'
+        '{"id": 2, "text": "also ok"}\n'
+        'this is not json at all\n'
+        '{"id": 3, "text": "trunca…\n'
+        '{"id": 4, "text": "fine"}\n'
+    )
+    good, bad = from_jsonl_quarantine(spark, str(p), "id long, text string")
+    g = {r["id"]: r["text"] for r in good.collect()}
+    assert g == {1: "ok", 2: "also ok", 4: "fine"}
+    b = [r["raw_line"] for r in bad.collect()]
+    assert len(b) == 2
+    assert any("not json" in x for x in b)
+    assert all(r["file"].endswith("feed.jsonl") for r in bad.collect())
+
+
+def test_from_jsonl_quarantine_corrupt_name_collision(spark, tmp_path):
+    from muller_spark.sources.readers import from_jsonl_quarantine
+
+    p = tmp_path / "f.jsonl"
+    p.write_text('{"_corrupt_record": "x", "id": 1}\nnot json\n')
+    good, bad = from_jsonl_quarantine(
+        spark, str(p), "_corrupt_record string, id long"
+    )
+    assert good.collect()[0]["_corrupt_record"] == "x"
+    assert bad.count() == 1
+
+
+def test_from_jsonl_quarantine_all_good_and_all_bad(spark, tmp_path):
+    from muller_spark.sources.readers import from_jsonl_quarantine
+
+    pg = tmp_path / "good.jsonl"
+    pg.write_text('{"id": 1}\n{"id": 2}\n')
+    good, bad = from_jsonl_quarantine(spark, str(pg), "id long")
+    assert good.count() == 2 and bad.count() == 0
+
+    pb = tmp_path / "bad.jsonl"
+    pb.write_text("garbage\nmore garbage\n")
+    good2, bad2 = from_jsonl_quarantine(spark, str(pb), "id long")
+    assert good2.count() == 0 and bad2.count() == 2
