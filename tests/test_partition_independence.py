@@ -30,6 +30,13 @@ QUERIES = [
     "q_minhash_portable",
     "q_hybrid_rrf",
     "q_mixture_sample",
+    # round-7 continuation: hash-driven shard permutation, cluster-root
+    # splits, FFD bucket packing, bloom prefilter + exact confirm
+    "q_shuffle_shards",
+    "q_leakage_split",
+    "q_pack_bins",
+    "q_bloom_decontaminate",
+    "q_skew_report",
 ]
 
 
