@@ -2663,6 +2663,18 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("shard", "pos", "doc_id").orderBy("shard", "pos")
 
 
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 PMI collocations (operators/text.pmi_top_pairs):
+    adjacent-token pairs ranked by ln(p(ab)/(p(a)p(b))), min_count 5 on
+    pairs AND unigrams (unfiltered PMI surfaces hapax noise).  Rounded
+    pmi drives the rank so both engines order identically; map-only
+    pair extraction, vocabulary-sized joins."""
+    from muller_spark.operators.text import pmi_top_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_top_pairs(docs, "text", k=25, min_count=5).orderBy("rank")
+
+
 def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document FFD bin packing (operators/packing.pack_bins):
     documents grouped into 2000-char bins without splitting, bucket-
@@ -3133,6 +3145,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pii_redact": q_pii_redact,
     "q_ks_drift": q_ks_drift,
     "q_pack_bins": q_pack_bins,
+    "q_pmi_pairs": q_pmi_pairs,
     "q_shuffle_shards": q_shuffle_shards,
     "q_tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
     "q_tpch_q11_important_supply": q_tpch_q11_important_supply,
@@ -3547,6 +3560,41 @@ _ORACLES: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 25)
            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 35)
+    """,
+    "q_pmi_pairs": f"""
+        WITH toks AS (
+          SELECT {_TOKENS_SQL} AS t FROM documents
+        ), pairs AS (
+          SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+          FROM toks WHERE len(t) >= 2
+        ), uc AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS wc
+          FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+        ), nt AS (
+          SELECT CAST(sum(wc) AS BIGINT) AS n_tok FROM uc
+        ), pc_all AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+          FROM pairs GROUP BY w1, w2
+        ), np AS (
+          SELECT CAST(sum(pair_count) AS BIGINT) AS n_pair FROM pc_all
+        ), pc AS (
+          SELECT * FROM pc_all WHERE pair_count >= 5
+        ), scored AS (
+          SELECT w1, w2, pair_count,
+                 round(ln((pair_count / CAST(n_pair AS DOUBLE))
+                          / ((a.wc / CAST(n_tok AS DOUBLE))
+                             * (b.wc / CAST(n_tok AS DOUBLE)))), 6) AS pmi
+          FROM pc
+          JOIN uc a ON pc.w1 = a.w
+          JOIN uc b ON pc.w2 = b.w
+          CROSS JOIN nt CROSS JOIN np
+          WHERE a.wc >= 5 AND b.wc >= 5
+        )
+        SELECT CAST(row_number() OVER (
+                 ORDER BY pmi DESC, w1 ASC, w2 ASC) AS INT) AS rank,
+               w1, w2, pair_count, pmi
+        FROM scored
+        ORDER BY rank LIMIT 25
     """,
     "q_ks_drift": """
         WITH tagged AS (

@@ -63,6 +63,8 @@ HEADLINE = [
     "q_leakage_split",
     "q_pii_redact",
     "q_ks_drift",
+    "q_pmi_pairs",
+    "q_pack_bins",
     "q_perplexity_buckets",
     "q_curation_pipeline",
     "q_cdc_changelog",

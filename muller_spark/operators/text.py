@@ -822,3 +822,86 @@ def quantile_buckets(
         expr
     )
     return labeled.withColumn(bucket_col, expr).drop("_thr")
+
+
+def pmi_top_pairs(
+    df: DataFrame,
+    text_col: str,
+    k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information over
+    adjacent token pairs: PMI = ln(p(ab) / (p(a)·p(b))) with p(ab)
+    from the corpus bigram distribution and p(·) from the unigram
+    distribution — the classic "which word pairs stick together"
+    analysis used to mine multi-word entities and template boilerplate.
+
+    Returns (rank, w1, w2, pair_count, pmi), pmi rounded to 6 (ln is
+    transcendental; the rounded value also drives the rank so both
+    engines order identically), ties broken on (w1, w2).  Pairs and
+    unigrams below ``min_count`` are dropped BEFORE ranking — low
+    counts make PMI explode (a pair seen once between two hapaxes gets
+    near-maximal PMI), so unfiltered PMI surfaces noise, not signal.
+
+    Scale shape: bigram pairs come from a map-only transform over the
+    projected token array (no self-join, no window — the
+    bigram_logprob discipline); the unigram table is vocabulary-sized,
+    so AQE broadcasts it into both count joins; the final ranking is a
+    TakeOrderedAndProject over the filtered pair table."""
+    from pyspark.sql import Window
+
+    toked = df.select(tokens_of(F.col(text_col)).alias("__toks"))
+    tk = F.col("__toks")
+    pair_arr = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 2),
+            lambda i: F.struct(
+                tk[i].alias("w1"), tk[i + 1].alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = toked.select(F.explode(pair_arr).alias("p")).select(
+        "p.w1", "p.w2"
+    )
+    uni = toked.select(F.explode(tk).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("wc")
+    )
+    n_tokens = uni.agg(F.sum("wc").alias("n_tok"))
+    pc_all = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    )
+    # p(ab) normalizes by the TOTAL bigram mass, not the post-filter
+    # mass — filtering first would inflate every surviving pair's
+    # probability by the dropped tail's share
+    n_pairs = pc_all.agg(F.sum("pair_count").alias("n_pair"))
+    pc = pc_all.filter(F.col("pair_count") >= min_count)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("wc").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("wc").alias("c2"))
+    scored = (
+        pc.join(u1, "w1")
+        .join(u2, "w2")
+        .filter((F.col("c1") >= min_count) & (F.col("c2") >= min_count))
+        .crossJoin(F.broadcast(n_tokens))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "w1", "w2", "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count") / F.col("n_pair"))
+                    / ((F.col("c1") / F.col("n_tok"))
+                       * (F.col("c2") / F.col("n_tok")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    topk = scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+    w = Window.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "w1", "w2", "pair_count", "pmi"
+    )

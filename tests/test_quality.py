@@ -323,3 +323,48 @@ def test_ks_drift_empty_side_raises(spark):
     empty = spark.createDataFrame([], "value double")
     with _pytest.raises(ValueError):
         ks_drift(df, empty, "value")
+
+
+def test_pmi_top_pairs_known_answer(spark):
+    """Hand-computed PMI on a tiny corpus: 'new york' appears as a pair
+    in every doc; 'the the' never does despite 'the' being frequent."""
+    import math
+    from muller_spark.operators.text import pmi_top_pairs
+
+    docs = [
+        "new york is the city the people the crowds",
+        "i love new york and the bridges the parks",
+        "new york new york the song the anthem",
+    ]
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    out = pmi_top_pairs(df, "text", k=5, min_count=2).collect()
+    got = {(r["w1"], r["w2"]): (r["pair_count"], r["pmi"], r["rank"])
+           for r in out}
+    # counts by hand: 26 tokens, 23 bigrams; 'new'=4, 'york'=4,
+    # (new,york) appears 4 times
+    assert ("new", "york") in got
+    n_tok = sum(len(d.split()) for d in docs)
+    n_pair = sum(len(d.split()) - 1 for d in docs)
+    assert (n_tok, n_pair) == (26, 23)
+    cnt = got[("new", "york")][0]
+    assert cnt == 4
+    expect = round(math.log((4 / n_pair) / ((4 / n_tok) * (4 / n_tok))), 6)
+    assert got[("new", "york")][1] == expect
+    # ranks are 1..k contiguous and ordered by pmi desc
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+    pmis = [r["pmi"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_pmi_min_count_drops_hapax_noise(spark):
+    from muller_spark.operators.text import pmi_top_pairs
+
+    df = spark.createDataFrame(
+        [("rare hapax pair seen once only here",),
+         ("common words common words common words",)],
+        "text string",
+    )
+    out = pmi_top_pairs(df, "text", k=10, min_count=2).collect()
+    assert all(r["pair_count"] >= 2 for r in out)
+    assert not any({r["w1"], r["w2"]} & {"rare", "hapax"} for r in out)
