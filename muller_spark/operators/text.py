@@ -864,13 +864,22 @@ def pmi_top_pairs(
     pairs = toked.select(F.explode(pair_arr).alias("p")).select(
         "p.w1", "p.w2"
     )
-    uni = toked.select(F.explode(tk).alias("w")).groupBy("w").agg(
-        F.count(F.lit(1)).alias("wc")
+    # cache the two VOCABULARY-sized aggregates: uni feeds three
+    # consumers (n_tok scalar + both count joins) and pc_all two (the
+    # n_pair scalar + the filtered ranking input) — uncached, Spark
+    # re-runs the corpus tokenize+explode+aggregate per consumer
+    # (5 passes observed in the executed plan).  Both frames are
+    # bounded by vocabulary size, safe to pin at any corpus scale.
+    uni = (
+        toked.select(F.explode(tk).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .cache()
     )
     n_tokens = uni.agg(F.sum("wc").alias("n_tok"))
     pc_all = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("pair_count")
-    )
+    ).cache()
     # p(ab) normalizes by the TOTAL bigram mass, not the post-filter
     # mass — filtering first would inflate every surviving pair's
     # probability by the dropped tail's share
