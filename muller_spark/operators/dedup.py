@@ -1504,8 +1504,6 @@ def bloom_decontaminate(
             pass
     bc = spark.sparkContext.broadcast(acc)
 
-    import pandas as pd  # noqa: F401 — Arrow batch transport
-
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     k = num_hashes

@@ -221,6 +221,13 @@ def shuffle_shards(
 
     if num_shards < 1:
         raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    taken = [c for c in ("shard", "pos") if c in df.columns]
+    if taken:
+        raise ValueError(
+            f"shuffle_shards outputs columns {taken} which already exist "
+            f"in the input — rename them first (silently overwriting "
+            f"user data would violate the all-columns-kept contract)"
+        )
     # a NULL id has no deterministic place in the permutation (the hash
     # and the tie-break both die) — fail the job at execution time with
     # a row-level guard rather than silently emitting a NULL shard

@@ -169,6 +169,14 @@ def pack_bins(
 
     if max_len <= 0:
         raise ValueError("max_len must be positive")
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"pack_bins needs an integral id column for the portable "
+            f"bucket hash and the long output schema; {id_col!r} is "
+            f"{id_type} — derive a numeric surrogate first "
+            f"(e.g. xxhash64(id))"
+        )
     spark = df.sparkSession
     if num_buckets is None:
         num_buckets = max(2 * spark.sparkContext.defaultParallelism, 8)

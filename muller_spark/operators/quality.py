@@ -584,9 +584,13 @@ def ks_drift(
             F.lit(0).alias("rc"), F.lit(1).alias("cc"),
         )
     )
+    # cached: g feeds three consumers (approxQuantile, the per-bucket
+    # totals collect, and the final max-gap aggregate) and is bounded
+    # by DISTINCT values — without the pin every consumer re-scans
+    # both corpora and redoes the union+aggregate
     g = tagged.groupBy("v").agg(
         F.sum("rc").alias("rc"), F.sum("cc").alias("cc")
-    )
+    ).cache()
     spark = g.sparkSession
     if num_buckets is None:
         num_buckets = max(2 * spark.sparkContext.defaultParallelism, 8)

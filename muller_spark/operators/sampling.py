@@ -530,6 +530,7 @@ def leakage_safe_split(
     threshold: float = 0.5,
     salt: int = 0,
     out_col: str = "split",
+    max_shingle_freq: "int | None" = None,
 ) -> DataFrame:
     """Near-duplicate-aware train/val/test split: every near-dup
     CLUSTER lands entirely in one split, so a paraphrase or boilerplate
@@ -551,7 +552,16 @@ def leakage_safe_split(
     minhash_lsh_pairs` feeding the same cluster/split tail."""
     from muller_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(df, text_col, id_col, n=n, threshold=threshold)
+    # max_shingle_freq defaults to None — UNLIKE ngram_jaccard_pairs'
+    # own 10k df-cutoff — because dropping hot shingles here silently
+    # weakens the no-leak guarantee: two near-dups overlapping mostly
+    # on a boilerplate shingle would lose the pair and land in
+    # different splits.  Pass a cutoff explicitly only with a
+    # downstream exactness story (e.g. an LSH stage re-finding pairs).
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, n=n, threshold=threshold,
+        max_shingle_freq=max_shingle_freq,
+    )
     clusters = dedup_clusters(pairs.select("id_a", "id_b"))
     root_col = "__lss_root"
     while root_col in df.columns or (root_col + "_id") in df.columns:

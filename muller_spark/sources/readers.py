@@ -158,7 +158,7 @@ def from_jsonl_quarantine(
     column name dodges user columns."""
     from pyspark.sql.types import StringType, StructField, StructType
 
-    base = spark.createDataFrame([], schema_ddl).schema
+    base = StructType.fromDDL(schema_ddl)
     corrupt = "_corrupt_record"
     while corrupt in base.names:
         corrupt += "_"

@@ -256,3 +256,42 @@ def test_leakage_split_temp_column_collision(spark):
     out = leakage_safe_split(df, "text", "doc_id", {"train": 1.0})
     row = out.collect()[0]
     assert row["__lss_root_id"] == 42 and row["split"] == "train"
+
+
+def test_shuffle_shards_rejects_output_column_collision(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, pos int")
+    with _pytest.raises(ValueError, match="pos"):
+        shuffle_shards(df, "doc_id", 2)
+
+
+def test_pack_bins_rejects_non_integer_id(spark):
+    import pytest as _pytest
+    from muller_spark.operators.packing import pack_bins
+
+    df = spark.createDataFrame([("a", 10)], "doc_id string, n long")
+    with _pytest.raises(ValueError, match="integral id"):
+        pack_bins(df, "doc_id", "n", 100)
+
+
+def test_leakage_split_no_hot_shingle_cutoff_by_default(spark):
+    """A boilerplate shingle shared by many docs must still produce the
+    near-dup pair (the cutoff that ngram_jaccard_pairs defaults to
+    would drop it and let a paraphrase leak across splits)."""
+    from muller_spark.operators.sampling import leakage_safe_split
+
+    boiler = "subscribe to our newsletter for updates"
+    rows = [(i, f"{boiler} item {i}") for i in range(1, 30)]
+    # docs 100/101 are near-identical THROUGH the boilerplate shingles
+    rows += [(100, boiler + " final"), (101, boiler + " final")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["split"] for r in leakage_safe_split(
+        df, "text", "doc_id", {"train": 0.5, "val": 0.5},
+        max_shingle_freq=5,  # cutoff low enough to kill the boiler shingles
+    ).collect()}
+    out_exact = {r["doc_id"]: r["split"] for r in leakage_safe_split(
+        df, "text", "doc_id", {"train": 0.5, "val": 0.5},
+    ).collect()}
+    # exact mode MUST keep the duplicate pair together
+    assert out_exact[100] == out_exact[101]
