@@ -2663,6 +2663,40 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("shard", "pos", "doc_id").orderBy("shard", "pos")
 
 
+def q_mojibake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage triage (operators/quality.mojibake_scan):
+    documents deterministically augmented with a replacement char
+    (doc_id%7==0) or a classic Ã-mojibake pair (doc_id%11==0), then
+    scanned map-only with portable regex classes.  The damage is
+    synthetic because the driver corpus is clean ASCII — the scan
+    itself is what's under test."""
+    from muller_spark.operators.quality import mojibake_scan
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" �"))
+            .when(F.col("doc_id") % 11 == 0, F.lit(" Ã©"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return mojibake_scan(docs, "text", "doc_id").orderBy("id")
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal
+    (operators/quality.compression_ratio): per-doc ratio of
+    zlib(level 6) output to raw UTF-8 bytes — the RefinedWeb-style
+    gibberish/template detector.  No SQL zlib exists, so this is
+    rows-only for the driver; the pytest oracle replays the identical
+    zlib call per document."""
+    from muller_spark.operators.quality import compression_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return compression_ratio(docs, "text", "doc_id").orderBy("id")
+
+
 def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 PMI collocations (operators/text.pmi_top_pairs):
     adjacent-token pairs ranked by ln(p(ab)/(p(a)p(b))), min_count 5 on
@@ -3146,6 +3180,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ks_drift": q_ks_drift,
     "q_pack_bins": q_pack_bins,
     "q_pmi_pairs": q_pmi_pairs,
+    "q_mojibake_scan": q_mojibake_scan,
+    "q_compression_ratio": q_compression_ratio,
     "q_shuffle_shards": q_shuffle_shards,
     "q_tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
     "q_tpch_q11_important_supply": q_tpch_q11_important_supply,
@@ -3560,6 +3596,32 @@ _ORACLES: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 25)
            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 35)
+    """,
+    "q_mojibake_scan": """
+        WITH aug AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(65533)
+                              WHEN doc_id % 11 = 0 THEN ' ' || chr(195)
+                                   || chr(233)
+                              ELSE '' END AS text
+          FROM documents
+        )
+        SELECT doc_id AS id,
+               coalesce(len(regexp_extract_all(text, chr(65533))), 0)
+                 AS n_replacement,
+               coalesce(len(regexp_extract_all(text,
+                 '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]')), 0)
+                 AS n_control,
+               coalesce(len(regexp_extract_all(text,
+                 '[\\x{c3}\\x{c2}][\\x{a0}-\\x{ff}]')), 0) AS n_mojibake,
+               NOT (
+                 coalesce(len(regexp_extract_all(text, chr(65533))), 0) > 0
+                 OR coalesce(len(regexp_extract_all(text,
+                      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]')), 0) > 0
+                 OR coalesce(len(regexp_extract_all(text,
+                      '[\\x{c3}\\x{c2}][\\x{a0}-\\x{ff}]')), 0) > 0
+               ) AS is_clean
+        FROM aug ORDER BY id
     """,
     "q_pmi_pairs": f"""
         WITH toks AS (

@@ -65,6 +65,8 @@ HEADLINE = [
     "q_ks_drift",
     "q_pmi_pairs",
     "q_pack_bins",
+    "q_mojibake_scan",
+    "q_compression_ratio",
     "q_perplexity_buckets",
     "q_curation_pipeline",
     "q_cdc_changelog",

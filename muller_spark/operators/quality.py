@@ -646,3 +646,104 @@ def ks_drift(
         F.lit(n_ref).cast("long").alias("n_ref"),
         F.lit(n_cur).cast("long").alias("n_cur"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the cheap gibberish /
+    boilerplate detector (RefinedWeb-style): natural prose compresses
+    to ~0.3–0.5 of raw size, random-character noise stays near 1.0,
+    and heavily templated or repeated text drops far below 0.3, so
+    both tails of the ratio distribution are removal candidates.
+
+    Returns (id, raw_len, compressed_len, ratio) with ratio rounded
+    to 6; NULL text yields (0, 0, NULL).  ``level`` is pinned so the
+    signal is reproducible run-to-run (zlib output is deterministic
+    for a given level/strategy).
+
+    Scale shape: map-only Arrow pass carrying (id, text); zlib runs
+    inside the Python worker per batch — there is no JVM/SQL zlib, so
+    this is a legitimate pandas-UDF case, and it is why the operator
+    has no cross-engine SQL oracle (the pytest oracle replays the same
+    zlib call verbatim)."""
+    id_field = df.schema[id_col]
+
+    def run(iterator):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in iterator:
+            ids, raws, comps, ratios = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ids.append(doc_id)
+                if text is None:
+                    raws.append(0)
+                    comps.append(0)
+                    ratios.append(None)
+                    continue
+                raw = str(text).encode("utf-8")
+                comp = zlib.compress(raw, level)
+                raws.append(len(raw))
+                comps.append(len(comp))
+                ratios.append(
+                    round(len(comp) / len(raw), 6) if raw else None
+                )
+            yield pd.DataFrame(
+                {"id": ids, "raw_len": raws,
+                 "compressed_len": comps, "ratio": ratios}
+            )
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("id", id_field.dataType, id_field.nullable),
+        StructField("raw_len", LongType(), False),
+        StructField("compressed_len", LongType(), False),
+        StructField("ratio", DoubleType(), True),
+    ])
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+# character classes whose presence marks decode damage: the U+FFFD
+# replacement char (a decoder already gave up), C0/C1 control chars
+# outside whitespace (binary bleed-through), and the Latin-1-read-as-
+# UTF-8 mojibake leaders \u00c3/\u00c2 followed by another high char
+_MOJIBAKE_PATTERNS = {
+    "n_replacement": "\uFFFD",
+    "n_control": "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]",
+    "n_mojibake": "[\u00c3\u00c2][\u00a0-\u00ff]",
+}
+
+
+def mojibake_scan(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Encoding-damage scan: per-document counts of replacement chars,
+    stray control chars, and classic UTF-8-decoded-as-Latin-1 mojibake
+    pairs, plus an ``is_clean`` flag — the triage pass run before any
+    normalizer, because mojibake survives lowercasing and tokenizes
+    into vocabulary noise.  Map-only regexp counts with the same
+    leftmost non-overlap semantics in Spark and DuckDB (the regexes
+    use only portable character classes).  NULL text is CLEAN (nothing
+    was damaged) with zero counts — the pii_scan coalesce rule."""
+    counts = [
+        F.coalesce(
+            F.regexp_count(F.col(text_col), F.lit(pat)), F.lit(0)
+        ).alias(name)
+        for name, pat in _MOJIBAKE_PATTERNS.items()
+    ]
+    out = df.select(F.col(id_col).alias("id"), *counts)
+    dirty = None
+    for name in _MOJIBAKE_PATTERNS:
+        c = F.col(name) > 0
+        dirty = c if dirty is None else (dirty | c)
+    return out.withColumn("is_clean", ~dirty)

@@ -368,3 +368,48 @@ def test_pmi_min_count_drops_hapax_noise(spark):
     out = pmi_top_pairs(df, "text", k=10, min_count=2).collect()
     assert all(r["pair_count"] >= 2 for r in out)
     assert not any({r["w1"], r["w2"]} & {"rare", "hapax"} for r in out)
+
+
+def test_compression_ratio_replays_zlib_exactly(spark):
+    import zlib
+    from muller_spark.operators.quality import compression_ratio
+
+    rows = [
+        (1, "the quick brown fox " * 20),          # repetitive: low ratio
+        (2, "k9#xQ!mZ@r7&vL$pW*aB^cD(eF)gH_jN"),   # noise: high ratio
+        (3, None),
+        (4, ""),
+        (5, "naïve café résumé — unicode bytes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in compression_ratio(df, "text", "doc_id").collect()}
+    for doc_id, text in rows:
+        r = got[doc_id]
+        if text is None:
+            assert (r["raw_len"], r["compressed_len"], r["ratio"]) == (0, 0, None)
+            continue
+        raw = text.encode("utf-8")
+        comp = zlib.compress(raw, 6)
+        assert r["raw_len"] == len(raw)
+        assert r["compressed_len"] == len(comp)
+        expect = round(len(comp) / len(raw), 6) if raw else None
+        assert r["ratio"] == expect
+    assert got[1]["ratio"] < 0.3 < got[2]["ratio"]
+
+
+def test_mojibake_scan_known_answers(spark):
+    from muller_spark.operators.quality import mojibake_scan
+
+    rows = [
+        (1, "perfectly clean ascii text"),
+        (2, "broken \ufffd char and another \ufffd"),
+        (3, "latin1 bleed: caf\u00c3\u00a9 and na\u00c3\u00afve"),
+        (4, "control\x01char and \x7f del"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in mojibake_scan(df, "text", "doc_id").collect()}
+    assert got[1]["is_clean"] and got[5]["is_clean"]
+    assert got[2]["n_replacement"] == 2 and not got[2]["is_clean"]
+    assert got[3]["n_mojibake"] == 2 and not got[3]["is_clean"]
+    assert got[4]["n_control"] == 2 and not got[4]["is_clean"]
