@@ -331,3 +331,63 @@ def make_ledger_batch_handler(
         ).parquet(ledger_path)
 
     return land
+
+
+def drift_monitor_stream(
+    stream: DataFrame,
+    ref_df: DataFrame,
+    value_col: str,
+    out_path: str,
+    checkpoint_dir: str,
+    buckets: int = 10,
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+):
+    """Streaming feature-drift monitor: every micro-batch computes its
+    Population Stability Index against a STATIC reference snapshot
+    (:func:`muller_spark.operators.quality.psi_drift` — the reference's
+    exact quantile cuts, Laplace-smoothed) and appends one row
+    (batch_id, psi, n_rows) to ``out_path`` parquet — the live "has the
+    feed distribution moved" dashboard feed.
+
+    foreachBatch rather than a stateful operator: PSI needs the
+    reference's quantile cuts, which are a property of the static
+    frame, not stream state — each batch is an independent batch-mode
+    PSI (identical semantics to the batch operator, which is what the
+    test pins), so a restart recomputes nothing and holds no state
+    beyond the checkpoint offsets.  Batches with no non-NULL values
+    record psi=NULL rather than 0.0 — "no signal" must not read as
+    "no drift"."""
+    from pyspark.sql import functions as F
+
+    from muller_spark.operators.quality import psi_drift
+
+    spark = ref_df.sparkSession
+    ref_df = ref_df.cache()  # every batch re-aggregates the reference
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.filter(F.col(value_col).isNotNull()).count()
+        if n == 0:
+            psi_val = None
+        else:
+            rows = (
+                psi_drift(ref_df, batch_df, value_col, buckets=buckets)
+                .orderBy("bucket")
+                .collect()
+            )  # bounded: one row per bucket; summed in bucket order in
+            # Python so the headline PSI is bit-stable run-to-run
+            # (an unordered float sum could differ in the last ulp)
+            psi_val = round(sum(r["psi_contrib"] for r in rows), 6)
+        spark.createDataFrame(
+            [(int(batch_id), psi_val, int(n))],
+            "batch_id long, psi double, n_rows long",
+        ).write.mode("append").parquet(out_path)
+
+    writer = stream.writeStream.foreachBatch(land).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -109,3 +109,54 @@ def test_sequential_folds_and_prune(spark, tmp_path):
 
 def test_empty_snapshot_reader_returns_none(spark, tmp_path):
     assert read_cdc_snapshot(spark, str(tmp_path / "missing")) is None
+
+
+def test_drift_monitor_stream_matches_batch_psi(spark, tmp_path):
+    """Two micro-batches through the streaming monitor must record the
+    SAME psi values a batch psi_drift computes for those frames."""
+    from muller_spark.operators.quality import psi_drift
+    from muller_spark.streaming.windows import drift_monitor_stream
+
+    ref = spark.createDataFrame(
+        [(float(i % 50),) for i in range(500)], "value double"
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "psi_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    import json as _json
+
+    # batch 0: same-ish distribution; batch 1: shifted distribution
+    b0 = [(float(i % 50),) for i in range(200)]
+    b1 = [(float(i % 50) + 30.0,) for i in range(200)]
+    with open(in_dir / "b0.json", "w") as fh:
+        for (v,) in b0:
+            fh.write(_json.dumps({"value": v}) + "\n")
+    stream = (
+        spark.readStream.schema("value double").json(str(in_dir))
+    )
+    q = drift_monitor_stream(
+        stream, ref, "value", out, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    with open(in_dir / "b1.json", "w") as fh:
+        for (v,) in b1:
+            fh.write(_json.dumps({"value": v}) + "\n")
+    q2 = drift_monitor_stream(
+        spark.readStream.schema("value double").json(str(in_dir)),
+        ref, "value", out, ckpt, available_now=True,
+    )
+    q2.awaitTermination(120)
+
+    got = {r["batch_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 2
+
+    def batch_psi(rows):
+        cur = spark.createDataFrame(rows, "value double")
+        recs = psi_drift(ref, cur, "value").orderBy("bucket").collect()
+        return round(sum(r["psi_contrib"] for r in recs), 6)
+
+    assert got[0]["psi"] == batch_psi(b0) and got[0]["n_rows"] == 200
+    assert got[1]["psi"] == batch_psi(b1) and got[1]["n_rows"] == 200
+    assert got[1]["psi"] > got[0]["psi"]  # the shift must register
