@@ -2663,6 +2663,26 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("shard", "pos", "doc_id").orderBy("shard", "pos")
 
 
+def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-preferring dedup verdict
+    (operators/dedup.canonical_keep_best): each ≥0.5-Jaccard 3-gram
+    near-dup cluster keeps its LONGEST member (n_chars as the quality
+    score, ties to min id) instead of canonical_keep_list's min-id
+    coin flip.  One cluster pass + one per-cluster max_by + one join
+    back; the oracle rebuilds clusters with the recursive CTE and
+    replays the argmax."""
+    from muller_spark.operators.dedup import (
+        canonical_keep_best, ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    out = canonical_keep_best(
+        docs, pairs.select("id_a", "id_b"), "doc_id", "n_chars"
+    )
+    return out.orderBy("id")
+
+
 def q_mojibake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-damage triage (operators/quality.mojibake_scan):
     documents deterministically augmented with a replacement char
@@ -3181,6 +3201,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pack_bins": q_pack_bins,
     "q_pmi_pairs": q_pmi_pairs,
     "q_mojibake_scan": q_mojibake_scan,
+    "q_keep_best": q_keep_best,
     "q_compression_ratio": q_compression_ratio,
     "q_shuffle_shards": q_shuffle_shards,
     "q_tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
@@ -3596,6 +3617,56 @@ _ORACLES: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 25)
            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 35)
+    """,
+    "q_keep_best": f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                 ELSE [array_to_string(t, ' ')] END AS shingles
+          FROM toks
+        ), e AS (
+          SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 any_value(a.sz) AS sa, any_value(b.sz) AS sb,
+                 count(*) AS i
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ), prs AS (
+          SELECT id_a, id_b FROM inter
+          WHERE cast(i AS double) / (sa + sb - i) >= 0.5
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM prs
+          UNION
+          SELECT id_b, id_a FROM prs
+        ), reach AS (
+          SELECT DISTINCT src AS id, src AS r FROM edges
+          UNION
+          SELECT e2.dst AS id, reach.r
+          FROM reach JOIN edges e2 ON e2.src = reach.id
+        ), roots AS (
+          SELECT id, min(r) AS root FROM reach GROUP BY id
+        ), member AS (
+          SELECT d.doc_id AS id,
+                 coalesce(roots.root, d.doc_id) AS cluster_id,
+                 d.n_chars AS s
+          FROM documents d LEFT JOIN roots ON roots.id = d.doc_id
+        ), best AS (
+          SELECT cluster_id, id AS keep_id FROM (
+            SELECT cluster_id, id,
+                   row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY s DESC NULLS LAST, id ASC) AS rn
+            FROM member
+          ) WHERE rn = 1
+        )
+        SELECT m.id, m.cluster_id, b.keep_id,
+               m.id = b.keep_id AS keep
+        FROM member m JOIN best b USING (cluster_id)
+        ORDER BY m.id
     """,
     "q_mojibake_scan": """
         WITH aug AS (

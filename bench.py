@@ -67,6 +67,7 @@ HEADLINE = [
     "q_pack_bins",
     "q_mojibake_scan",
     "q_compression_ratio",
+    "q_keep_best",
     "q_perplexity_buckets",
     "q_curation_pipeline",
     "q_cdc_changelog",

@@ -1559,3 +1559,57 @@ def bloom_decontaminate(
         .select(id_col)
     )
     return train_df.join(contaminated, id_col, "left_anti")
+
+
+def canonical_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-preferring dedup verdict: (id, cluster_id, keep_id,
+    keep) — each near-dup cluster keeps its HIGHEST-``score_col``
+    member (tie → minimum id), documents in no cluster keep
+    themselves.  The curation-grade variant of
+    :func:`canonical_keep_list`: when a boilerplate page and its
+    well-formatted original are near-dups, min-id survival is a coin
+    flip weighted by crawl order; score survival keeps the better one.
+
+    NULL scores rank below every real score (a doc with no quality
+    signal never beats a scored one); an all-NULL cluster falls back
+    to min id.  Scale shape: one cluster pass (iterative min-label
+    propagation, bounded rounds), one per-cluster max_by aggregate,
+    one join back — all keyed on cluster/doc ids, no windows."""
+    clusters = dedup_clusters(pairs, id_a, id_b)
+    member = (
+        df.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("__score")
+        )
+        .join(clusters, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+            "__score",
+        )
+    )
+    # max_by over (score NULLS-last, -id): encode as a sortable struct —
+    # NULL score maps to -inf so scored members always win; -id breaks
+    # score ties toward the minimum id in BOTH engines
+    ranked = F.struct(
+        F.coalesce(F.col("__score"), F.lit(float("-inf"))).alias("s"),
+        (-F.col("id")).alias("neg_id"),
+    )
+    best = member.groupBy("cluster_id").agg(
+        F.max_by(F.col("id"), ranked).alias("keep_id")
+    )
+    return (
+        member.join(best, "cluster_id")
+        .select(
+            "id",
+            "cluster_id",
+            "keep_id",
+            (F.col("id") == F.col("keep_id")).alias("keep"),
+        )
+    )

@@ -120,3 +120,43 @@ def test_plan_prefilter_is_mapside_and_unhinted(spark):
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "mapInPandas" in plan or "MapInPandas" in plan
     assert "ResolvedHint" not in plan
+
+
+
+def test_canonical_keep_best_prefers_score_then_min_id(spark):
+    from muller_spark.operators.dedup import canonical_keep_best
+
+    # cluster {1,2,3}: 2 has the best score; cluster {4,5}: tie -> min id;
+    # cluster {6,7}: all-NULL scores -> min id fallback; 8 is a singleton
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 50.0),
+         (4, 7.0), (5, 7.0),
+         (6, None), (7, None),
+         (8, None)],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r for r in canonical_keep_best(
+        df, pairs, "doc_id", "score"
+    ).collect()}
+    assert len(got) == 8
+    assert all(got[i]["keep_id"] == 2 for i in (1, 2, 3))
+    assert [got[i]["keep"] for i in (1, 2, 3)] == [False, True, False]
+    assert all(got[i]["keep_id"] == 4 for i in (4, 5))
+    assert all(got[i]["keep_id"] == 6 for i in (6, 7))
+    assert got[8]["keep"] and got[8]["keep_id"] == 8
+
+
+def test_canonical_keep_best_null_never_beats_scored(spark):
+    from muller_spark.operators.dedup import canonical_keep_best
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 0.0001)], "doc_id long, score double"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {r["id"]: r for r in canonical_keep_best(
+        df, pairs, "doc_id", "score"
+    ).collect()}
+    assert got[1]["keep_id"] == 2  # min-id NULL doc loses to any score
