@@ -2663,6 +2663,20 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("shard", "pos", "doc_id").orderBy("shard", "pos")
 
 
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result snippets (operators/text.search_snippets): an
+    80-char window centred on the first occurrence of 'table' or
+    'window' per document, with word-boundary hit counts — the display
+    layer for BM25/phrase results.  Pure whole-stage-codegen string
+    expressions, no UDF, no shuffle."""
+    from muller_spark.operators.text import search_snippets
+
+    docs = _t(spark, sf_dir, "documents")
+    return search_snippets(
+        docs, "text", "doc_id", ["table", "window"], width=80
+    ).orderBy("id")
+
+
 def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-preferring dedup verdict
     (operators/dedup.canonical_keep_best): each ≥0.5-Jaccard 3-gram
@@ -3202,6 +3216,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pmi_pairs": q_pmi_pairs,
     "q_mojibake_scan": q_mojibake_scan,
     "q_keep_best": q_keep_best,
+    "q_search_snippets": q_search_snippets,
     "q_compression_ratio": q_compression_ratio,
     "q_shuffle_shards": q_shuffle_shards,
     "q_tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
@@ -3617,6 +3632,35 @@ _ORACLES: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 25)
            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 35)
+    """,
+    "q_search_snippets": """
+        WITH pos AS (
+          SELECT doc_id, text, lower(text) AS lt,
+                 CASE WHEN strpos(lower(text), 'table') > 0
+                      THEN strpos(lower(text), 'table')
+                      ELSE 2147483647 END AS p1,
+                 CASE WHEN strpos(lower(text), 'window') > 0
+                      THEN strpos(lower(text), 'window')
+                      ELSE 2147483647 END AS p2
+          FROM documents
+        ), firstpos AS (
+          SELECT doc_id, text, lt,
+                 CASE WHEN least(p1, p2) = 2147483647 THEN 0
+                      ELSE least(p1, p2) END AS first_pos
+          FROM pos
+        )
+        SELECT doc_id AS id,
+               CAST(CASE WHEN text IS NULL THEN 0
+                         ELSE first_pos END AS INT) AS first_pos,
+               CAST(CASE WHEN text IS NULL THEN 0 ELSE
+                 coalesce(len(regexp_extract_all(lt, '\\btable\\b')), 0)
+                 + coalesce(len(regexp_extract_all(lt, '\\bwindow\\b')), 0)
+               END AS INT) AS n_hits,
+               CASE WHEN text IS NULL THEN NULL
+                    WHEN first_pos > 0
+                    THEN substr(text, greatest(first_pos - 40, 1), 80)
+                    ELSE substr(text, 1, 80) END AS snippet
+        FROM firstpos ORDER BY id
     """,
     "q_keep_best": f"""
         WITH RECURSIVE toks AS (

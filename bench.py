@@ -68,6 +68,7 @@ HEADLINE = [
     "q_mojibake_scan",
     "q_compression_ratio",
     "q_keep_best",
+    "q_search_snippets",
     "q_perplexity_buckets",
     "q_curation_pipeline",
     "q_cdc_changelog",

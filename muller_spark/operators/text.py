@@ -914,3 +914,66 @@ def pmi_top_pairs(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "w1", "w2", "pair_count", "pmi"
     )
+
+
+def search_snippets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: "list[str]",
+    width: int = 80,
+) -> DataFrame:
+    """Result-display snippets for a term query — the presentation
+    layer BM25/phrase search needs: per document, a ``width``-char
+    window centred on the FIRST occurrence of any query term
+    (case-insensitive), plus the total term hit count.
+
+    Returns (id, first_pos, n_hits, snippet): ``first_pos`` is the
+    1-based char position of the earliest term match (0 = no match,
+    snippet falls back to the document prefix — a search UI still
+    shows context rows for filter-only hits); ``n_hits`` counts
+    word-boundary occurrences of ALL terms.  NULL text yields
+    (0, 0, NULL).  Terms must be alphanumeric tokens (the word-
+    boundary regex and the engine-portable contract both assume no
+    regex metacharacters).
+
+    Map-only: locate/substring/regexp_count compose in whole-stage
+    codegen; no UDF, no shuffle."""
+    import re as _re
+
+    for t in terms:
+        if not _re.fullmatch(r"[a-z0-9]+", t, _re.IGNORECASE):
+            raise ValueError(
+                f"terms must be alphanumeric tokens, got {t!r}"
+            )
+    if width <= 0:
+        raise ValueError("width must be positive")
+    low = F.lower(F.col(text_col))
+    positions = [F.locate(t.lower(), low) for t in terms]
+    nonzero = [
+        F.when(p > 0, p).otherwise(F.lit(2**31 - 1)) for p in positions
+    ]
+    first = F.least(*nonzero) if len(nonzero) > 1 else nonzero[0]
+    first_pos = F.when(first == 2**31 - 1, F.lit(0)).otherwise(first)
+    hits = None
+    for t in terms:
+        c = F.coalesce(
+            F.regexp_count(low, F.lit(rf"\b{t.lower()}\b")), F.lit(0)
+        )
+        hits = c if hits is None else (hits + c)
+    start = F.greatest(first_pos - F.lit(width // 2), F.lit(1))
+    snippet = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.when(
+            first_pos > 0, F.substring(F.col(text_col), start, width)
+        ).otherwise(F.substring(F.col(text_col), 1, width))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(first_pos).cast("int").alias("first_pos"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(hits).cast("int").alias("n_hits"),
+        snippet.alias("snippet"),
+    )

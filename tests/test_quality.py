@@ -413,3 +413,43 @@ def test_mojibake_scan_known_answers(spark):
     assert got[2]["n_replacement"] == 2 and not got[2]["is_clean"]
     assert got[3]["n_mojibake"] == 2 and not got[3]["is_clean"]
     assert got[4]["n_control"] == 2 and not got[4]["is_clean"]
+
+
+
+def test_search_snippets_known_answers(spark):
+    from muller_spark.operators.text import search_snippets
+
+    rows = [
+        (1, "x" * 100 + " the magic TABLE sits here " + "y" * 100),
+        (2, "no relevant words at all in this document"),
+        (3, None),
+        (4, "table at the very start"),
+        (5, "tablecloth is not a hit for the boundary count"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in search_snippets(
+        df, "text", "doc_id", ["table"], width=20
+    ).collect()}
+    t1 = rows[0][1]
+    p1 = t1.lower().index("table") + 1
+    assert got[1]["first_pos"] == p1 and got[1]["n_hits"] == 1
+    assert got[1]["snippet"] == t1[p1 - 10 - 1 : p1 - 10 - 1 + 20]
+    assert "table" in got[1]["snippet"].lower()
+    assert got[2]["first_pos"] == 0 and got[2]["n_hits"] == 0
+    assert got[2]["snippet"] == rows[1][1][:20]  # prefix fallback
+    assert got[3] ["snippet"] is None and got[3]["n_hits"] == 0
+    assert got[4]["first_pos"] == 1  # window clamps at the left edge
+    assert got[4]["snippet"] == rows[3][1][:20]
+    # substring match positions but word-boundary count excludes it
+    assert got[5]["first_pos"] == 1 and got[5]["n_hits"] == 0
+
+
+def test_search_snippets_rejects_regex_terms(spark):
+    import pytest as _pytest
+    from muller_spark.operators.text import search_snippets
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        search_snippets(df, "text", "doc_id", ["a.b"])
+    with _pytest.raises(ValueError):
+        search_snippets(df, "text", "doc_id", ["ok"], width=0)
