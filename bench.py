@@ -631,6 +631,19 @@ def text_sf1_envelope(spark, sf_dir: str) -> dict:
         # dropped from the per-round run: the headline q_text_normalize
         # tracks the kernel, and the 2x18 s bought no plan information.
     }
+    # bloom decontamination at 10x: the prefilter's value proposition
+    # IS scale — the bitmap build cost is held-out-set-bounded and the
+    # exact-join traffic candidate-bounded, so 10x train docs should
+    # cost ~linear map time, not 10x join traffic
+    from muller_spark.operators.dedup import bloom_decontaminate
+
+    train10 = big.filter(F.col("source") != "src0")
+    test1 = docs.filter(F.col("source") == "src0")
+    out["bloom_decontaminate_10x"] = timed2(lambda: materialize(
+        bloom_decontaminate(
+            train10, test1, "text", "doc_id", n=5, min_overlap=1
+        )
+    ))
     out["rows"] = int(big.count())
     return out
 
