@@ -3883,7 +3883,11 @@ _ORACLES: dict[str, str] = {
         ), j AS (
           SELECT coalesce(s.domain, t.domain) AS domain,
                  coalesce(s.available, 0) AS available,
-                 coalesce(t.target_share, 0.0) AS target_share
+                 -- DuckDB types a 0.5 VALUES literal as DECIMAL(2,1);
+                 -- the driver's value hash is TYPE-sensitive, so pin
+                 -- the column to DOUBLE like the Spark side
+                 CAST(coalesce(t.target_share, 0.0) AS DOUBLE)
+                   AS target_share
           FROM sizes s FULL OUTER JOIN tgt t ON s.domain = t.domain
         ), tot AS (
           SELECT min(available / target_share) AS total
