@@ -2711,7 +2711,7 @@ def q_mojibake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.col("text"),
             F.when(F.col("doc_id") % 7 == 0, F.lit(" �"))
-            .when(F.col("doc_id") % 11 == 0, F.lit(" Ã©"))
+            .when(F.col("doc_id") % 11 == 0, F.lit(" \u00c3\u00e9"))
             .otherwise(F.lit("")),
         ).alias("text"),
     )

@@ -1594,15 +1594,20 @@ def canonical_keep_best(
             "__score",
         )
     )
-    # max_by over (score NULLS-last, -id): encode as a sortable struct —
-    # NULL score maps to -inf so scored members always win; -id breaks
-    # score ties toward the minimum id in BOTH engines
-    ranked = F.struct(
-        F.coalesce(F.col("__score"), F.lit(float("-inf"))).alias("s"),
-        (-F.col("id")).alias("neg_id"),
+    # two-stage argmax, id-type-agnostic: per-cluster max score (NULL
+    # mapped to -inf so scored members always win), then MIN id among
+    # the members holding it.  A single max_by over (score, -id) would
+    # be one aggregate cheaper but silently breaks for non-numeric ids
+    # (-id casts a string id to NULL → nondeterministic ties)
+    scored = member.withColumn(
+        "__s", F.coalesce(F.col("__score"), F.lit(float("-inf")))
     )
-    best = member.groupBy("cluster_id").agg(
-        F.max_by(F.col("id"), ranked).alias("keep_id")
+    best_s = scored.groupBy("cluster_id").agg(F.max("__s").alias("__smax"))
+    best = (
+        scored.join(best_s, "cluster_id")
+        .filter(F.col("__s") == F.col("__smax"))
+        .groupBy("cluster_id")
+        .agg(F.min("id").alias("keep_id"))
     )
     return (
         member.join(best, "cluster_id")

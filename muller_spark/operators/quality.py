@@ -747,3 +747,92 @@ def mojibake_scan(
         c = F.col(name) > 0
         dirty = c if dirty is None else (dirty | c)
     return out.withColumn("is_clean", ~dirty)
+
+
+def psi_reference(
+    ref: DataFrame,
+    value_col: str,
+    buckets: int = 10,
+) -> dict:
+    """Precompute the batch-invariant reference side of a PSI monitor
+    ONCE: the exact quantile cuts and per-bucket reference counts —
+    both bounded driver state (``buckets`` floats + ints).  Feed the
+    result to :func:`psi_against_reference` per snapshot/micro-batch
+    instead of re-aggregating the (possibly huge) reference frame on
+    every comparison."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    fr = [i / buckets for i in range(1, buckets)]
+    nn = ref.filter(F.col(value_col).isNotNull())
+    cuts = [
+        float(c)
+        for c in nn.agg(
+            F.percentile(
+                F.col(value_col), F.array(*[F.lit(p) for p in fr])
+            ).alias("_b")
+        ).collect()[0]["_b"]
+    ]
+    barr = F.array(*[F.lit(c) for c in cuts])
+    v = F.col(value_col)
+    rows = (
+        nn.select(F.size(F.filter(barr, lambda b: v > b)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_bucket = {r["bucket"]: r["n"] for r in rows}
+    return {
+        "cuts": cuts,
+        "ref_counts": [int(by_bucket.get(b, 0)) for b in range(buckets)],
+        "buckets": buckets,
+    }
+
+
+def psi_against_reference(
+    cur: DataFrame,
+    value_col: str,
+    ref_state: dict,
+) -> DataFrame:
+    """PSI of ``cur`` against a :func:`psi_reference` precompute —
+    identical math and output to :func:`psi_drift` (same smoothing,
+    same rounding; the drift-monitor test pins row-for-row equality)
+    plus a ``cur_count`` column so callers get the batch's non-NULL
+    row count from the SAME single scan.  One map-only bucket
+    assignment + one hash aggregate over ``cur``; the reference never
+    rescans."""
+    buckets = ref_state["buckets"]
+    barr = F.array(*[F.lit(c) for c in ref_state["cuts"]])
+    v = F.col(value_col)
+    cc = (
+        cur.filter(v.isNotNull())
+        .select(F.size(F.filter(barr, lambda b: v > b)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_cc"))
+    )
+    spine = cur.sparkSession.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("bucket")
+    )
+    rc_arr = F.array(*[F.lit(n) for n in ref_state["ref_counts"]])
+    rt = sum(ref_state["ref_counts"])
+    joined = (
+        spine.join(cc, "bucket", "left")
+        .select(
+            "bucket",
+            F.element_at(rc_arr, F.col("bucket") + 1).alias("_rc"),
+            F.coalesce("_cc", F.lit(0)).alias("_cc"),
+        )
+    )
+    tot = joined.agg(F.sum("_cc").alias("_ct"))
+    p = (F.col("_rc") + 0.5) / (F.lit(rt) + 0.5 * buckets)
+    q = (F.col("_cc") + 0.5) / (F.col("_ct") + 0.5 * buckets)
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(p, 6).alias("ref_frac"),
+            F.round(q, 6).alias("cur_frac"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+            F.col("_cc").alias("cur_count"),
+        )
+        .orderBy("bucket")
+    )

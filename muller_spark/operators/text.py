@@ -941,6 +941,8 @@ def search_snippets(
     codegen; no UDF, no shuffle."""
     import re as _re
 
+    if not terms:
+        raise ValueError("terms must be a non-empty list")
     for t in terms:
         if not _re.fullmatch(r"[a-z0-9]+", t, _re.IGNORECASE):
             raise ValueError(

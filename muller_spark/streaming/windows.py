@@ -344,44 +344,54 @@ def drift_monitor_stream(
     available_now: bool = False,
 ):
     """Streaming feature-drift monitor: every micro-batch computes its
-    Population Stability Index against a STATIC reference snapshot
-    (:func:`muller_spark.operators.quality.psi_drift` — the reference's
-    exact quantile cuts, Laplace-smoothed) and appends one row
-    (batch_id, psi, n_rows) to ``out_path`` parquet — the live "has the
-    feed distribution moved" dashboard feed.
+    Population Stability Index against a STATIC reference snapshot and
+    lands one row (batch_id, psi, n_rows) under ``out_path`` — the
+    live "has the feed distribution moved" dashboard feed.
 
-    foreachBatch rather than a stateful operator: PSI needs the
-    reference's quantile cuts, which are a property of the static
-    frame, not stream state — each batch is an independent batch-mode
-    PSI (identical semantics to the batch operator, which is what the
-    test pins), so a restart recomputes nothing and holds no state
-    beyond the checkpoint offsets.  Batches with no non-NULL values
-    record psi=NULL rather than 0.0 — "no signal" must not read as
-    "no drift"."""
+    The reference side (exact quantile cuts + per-bucket counts) is
+    precomputed ONCE at monitor start (:func:`muller_spark.operators.
+    quality.psi_reference` — bounded driver state), so a micro-batch
+    pays exactly one scan of ITSELF: the per-batch PSI and the
+    non-NULL row count come from the same aggregate
+    (:func:`psi_against_reference`, pinned row-for-row equal to the
+    batch operator by the test).
+
+    Exactly-once per batch: rows land in
+    ``out_path/monitor_batch=<ns>_<id>/`` with overwrite — a replay
+    after a crash between the write and the checkpoint commit
+    rewrites the same directory instead of appending a duplicate (the
+    ledger handler's namespacing rule: batch ids restart at 0 for a
+    fresh checkpoint, so the directory is namespaced by a hash of the
+    checkpoint path).  Batches with no non-NULL values record
+    psi=NULL rather than 0.0 — "no signal" must not read as "no
+    drift".  Bucket contributions sum in bucket order in Python so
+    the headline PSI is bit-stable run-to-run."""
+    import hashlib
+
     from pyspark.sql import functions as F
 
-    from muller_spark.operators.quality import psi_drift
+    from muller_spark.operators.quality import (
+        psi_against_reference, psi_reference,
+    )
 
     spark = ref_df.sparkSession
-    ref_df = ref_df.cache()  # every batch re-aggregates the reference
+    ref_state = psi_reference(ref_df, value_col, buckets=buckets)
+    run_ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:10]
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        n = batch_df.filter(F.col(value_col).isNotNull()).count()
-        if n == 0:
-            psi_val = None
-        else:
-            rows = (
-                psi_drift(ref_df, batch_df, value_col, buckets=buckets)
-                .orderBy("bucket")
-                .collect()
-            )  # bounded: one row per bucket; summed in bucket order in
-            # Python so the headline PSI is bit-stable run-to-run
-            # (an unordered float sum could differ in the last ulp)
-            psi_val = round(sum(r["psi_contrib"] for r in rows), 6)
+        rows = psi_against_reference(
+            batch_df, value_col, ref_state
+        ).collect()  # bounded: one row per bucket, already bucket-ordered
+        n = sum(r["cur_count"] for r in rows)
+        psi_val = (
+            round(sum(r["psi_contrib"] for r in rows), 6) if n > 0 else None
+        )
         spark.createDataFrame(
             [(int(batch_id), psi_val, int(n))],
             "batch_id long, psi double, n_rows long",
-        ).write.mode("append").parquet(out_path)
+        ).write.mode("overwrite").parquet(
+            f"{out_path}/monitor_batch={run_ns}_{batch_id}"
+        )
 
     writer = stream.writeStream.foreachBatch(land).option(
         "checkpointLocation", checkpoint_dir

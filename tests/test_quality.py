@@ -453,3 +453,29 @@ def test_search_snippets_rejects_regex_terms(spark):
         search_snippets(df, "text", "doc_id", ["a.b"])
     with _pytest.raises(ValueError):
         search_snippets(df, "text", "doc_id", ["ok"], width=0)
+
+
+
+def test_psi_against_reference_equals_psi_drift(spark):
+    from muller_spark.operators.quality import (
+        psi_against_reference, psi_drift, psi_reference,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i % 37),) for i in range(400)], "value double"
+    )
+    cur = spark.createDataFrame(
+        [(float((i * 7) % 41) + 3.0,) for i in range(150)] + [(None,)],
+        "value double",
+    )
+    a = psi_drift(ref, cur, "value").collect()
+    state = psi_reference(ref, "value")
+    b = psi_against_reference(cur, "value", state).collect()
+    assert [
+        (r["bucket"], r["ref_frac"], r["cur_frac"], r["psi_contrib"])
+        for r in a
+    ] == [
+        (r["bucket"], r["ref_frac"], r["cur_frac"], r["psi_contrib"])
+        for r in b
+    ]
+    assert sum(r["cur_count"] for r in b) == 150  # NULL excluded
