@@ -2773,6 +2773,22 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment exact KS drift (operators/quality.ks_drift_by):
+    one KS statistic per event type, early vs late January — drift
+    triage across segments in one pass.  Groups parallelize; the
+    within-group cumulative window is bounded by the group's distinct
+    values."""
+    from muller_spark.operators.quality import ks_drift_by
+
+    ev = _events(spark, sf_dir)
+    cut = F.lit("2024-01-15").cast("timestamp")
+    return ks_drift_by(
+        ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut),
+        "value", "event_type",
+    ).orderBy("group_key")
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (operators/quality.pii_redact): documents
     augmented with a synthetic per-doc email and URL (so matches are
@@ -3212,6 +3228,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_leakage_split": q_leakage_split,
     "q_pii_redact": q_pii_redact,
     "q_ks_drift": q_ks_drift,
+    "q_ks_by_type": q_ks_by_type,
     "q_pack_bins": q_pack_bins,
     "q_pmi_pairs": q_pmi_pairs,
     "q_mojibake_scan": q_mojibake_scan,
@@ -3772,6 +3789,41 @@ _ORACLES: dict[str, str] = {
                w1, w2, pair_count, pmi
         FROM scored
         ORDER BY rank LIMIT 25
+    """,
+    "q_ks_by_type": """
+        WITH tagged AS (
+          SELECT event_type AS g, value AS v, 1 AS rc, 0 AS cc
+          FROM events
+          WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL
+            AND event_type IS NOT NULL
+          UNION ALL
+          SELECT event_type, value, 0, 1 FROM events
+          WHERE ts >= TIMESTAMP '2024-01-15' AND value IS NOT NULL
+            AND event_type IS NOT NULL
+        ), gg AS (
+          SELECT g, v, CAST(sum(rc) AS BIGINT) AS rc,
+                 CAST(sum(cc) AS BIGINT) AS cc
+          FROM tagged GROUP BY g, v
+        ), c AS (
+          SELECT g,
+                 CAST(sum(rc) OVER (PARTITION BY g ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS crc,
+                 CAST(sum(cc) OVER (PARTITION BY g ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccc
+          FROM gg
+        ), n AS (
+          SELECT g, CAST(sum(rc) AS BIGINT) AS n_ref,
+                 CAST(sum(cc) AS BIGINT) AS n_cur
+          FROM gg GROUP BY g
+          HAVING sum(rc) >= 1 AND sum(cc) >= 1
+        )
+        SELECT c.g AS group_key,
+               round(max(abs(crc / CAST(n_ref AS DOUBLE)
+                             - ccc / CAST(n_cur AS DOUBLE))), 6)
+                 AS ks_stat,
+               any_value(n_ref) AS n_ref, any_value(n_cur) AS n_cur
+        FROM c JOIN n ON c.g = n.g
+        GROUP BY c.g ORDER BY group_key
     """,
     "q_ks_drift": """
         WITH tagged AS (

@@ -63,6 +63,7 @@ HEADLINE = [
     "q_leakage_split",
     "q_pii_redact",
     "q_ks_drift",
+    "q_ks_by_type",
     "q_pmi_pairs",
     "q_pack_bins",
     "q_mojibake_scan",

@@ -836,3 +836,76 @@ def psi_against_reference(
         )
         .orderBy("bucket")
     )
+
+
+def ks_drift_by(
+    ref_df: DataFrame,
+    cur_df: DataFrame,
+    value_col: str,
+    group_col: str,
+    min_side: int = 1,
+) -> DataFrame:
+    """Per-group exact two-sample KS: one row per group key present on
+    BOTH sides — drift triage across segments (per language, source,
+    event type) in one pass, where :func:`ks_drift` gives the global
+    answer.  Returns (group, ks_stat, n_ref, n_cur) with ks rounded
+    to 6; NULL values and NULL groups are excluded; groups with fewer
+    than ``min_side`` non-NULL rows on either side are omitted (KS
+    against near-nothing is noise, and against nothing undefined).
+
+    Scale shape: tag-union → ONE (group, value) hash aggregate →
+    group-partitioned cumulative windows (groups parallelize; within
+    a group the window is bounded by the group's DISTINCT values —
+    the per-group serial cost that lets every group run independently)
+    → one per-group max aggregate.  No driver state, no collect."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    gcol = F.col(group_col)
+
+    def side(df: DataFrame, rc: int, cc: int) -> DataFrame:
+        return df.filter(v.isNotNull() & gcol.isNotNull()).select(
+            gcol.cast("string").alias("g"),
+            v.cast("double").alias("v"),
+            F.lit(rc).alias("rc"), F.lit(cc).alias("cc"),
+        )
+
+    g = (
+        side(ref_df, 1, 0)
+        .unionByName(side(cur_df, 0, 1))
+        .groupBy("g", "v")
+        .agg(F.sum("rc").alias("rc"), F.sum("cc").alias("cc"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.select(
+        "g",
+        F.sum("rc").over(w).alias("crc"),
+        F.sum("cc").over(w).alias("ccc"),
+    )
+    n = g.groupBy("g").agg(
+        F.sum("rc").alias("n_ref"), F.sum("cc").alias("n_cur")
+    ).filter(
+        (F.col("n_ref") >= min_side) & (F.col("n_cur") >= min_side)
+    )
+    return (
+        c.join(n, "g")
+        .groupBy("g")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("crc") / F.col("n_ref")
+                        - F.col("ccc") / F.col("n_cur")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+        )
+        .withColumnRenamed("g", "group_key")
+    )

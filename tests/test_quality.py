@@ -479,3 +479,36 @@ def test_psi_against_reference_equals_psi_drift(spark):
         for r in b
     ]
     assert sum(r["cur_count"] for r in b) == 150  # NULL excluded
+
+
+
+def test_ks_drift_by_matches_per_group_python(spark):
+    from muller_spark.operators.quality import ks_drift_by
+
+    ref_rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0),
+                ("b", 6.0), ("c", 1.0), (None, 9.0), ("a", None)]
+    cur_rows = [("a", 2.5), ("a", 3.0), ("b", 5.0), ("b", 5.0),
+                ("d", 1.0)]
+    ref = spark.createDataFrame(ref_rows, "g string, value double")
+    cur = spark.createDataFrame(cur_rows, "g string, value double")
+    got = {r["group_key"]: r for r in ks_drift_by(
+        ref, cur, "value", "g"
+    ).collect()}
+    # c only in ref, d only in cur, NULL group excluded -> a, b only
+    assert set(got) == {"a", "b"}
+
+    def ks(rv, cv):
+        pts = sorted(set(rv) | set(cv))
+        return round(max(
+            abs(sum(1 for x in rv if x <= p) / len(rv)
+                - sum(1 for x in cv if x <= p) / len(cv))
+            for p in pts
+        ), 6)
+
+    ra = [v for g, v in ref_rows if g == "a" and v is not None]
+    ca = [v for g, v in cur_rows if g == "a"]
+    assert got["a"]["ks_stat"] == ks(ra, ca)
+    assert (got["a"]["n_ref"], got["a"]["n_cur"]) == (3, 2)
+    rb = [v for g, v in ref_rows if g == "b"]
+    cb = [v for g, v in cur_rows if g == "b"]
+    assert got["b"]["ks_stat"] == ks(rb, cb)
