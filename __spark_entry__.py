@@ -2773,6 +2773,23 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter tuning report (operators/dedup.lsh_tuning_report):
+    recall/precision of banded-MinHash candidates vs exact 3-gram
+    Jaccard ≥0.5 truth for two (num_hashes, bands) configs — the
+    offline measure-don't-guess pass run on a sample before a corpus
+    dedup.  Driver coverage is rows-only (the report wraps count
+    actions over iterative configs); pytest pins the recall/precision
+    arithmetic against hand-joined pair sets."""
+    from muller_spark.operators.dedup import lsh_tuning_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_tuning_report(
+        docs, "text", "doc_id", threshold=0.5,
+        configs=((64, 16), (64, 32)),
+    ).orderBy("bands")
+
+
 def q_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment exact KS drift (operators/quality.ks_drift_by):
     one KS statistic per event type, early vs late January — drift
@@ -3229,6 +3246,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pii_redact": q_pii_redact,
     "q_ks_drift": q_ks_drift,
     "q_ks_by_type": q_ks_by_type,
+    "q_lsh_tuning": q_lsh_tuning,
     "q_pack_bins": q_pack_bins,
     "q_pmi_pairs": q_pmi_pairs,
     "q_mojibake_scan": q_mojibake_scan,

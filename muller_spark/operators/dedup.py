@@ -1618,3 +1618,64 @@ def canonical_keep_best(
             (F.col("id") == F.col("keep_id")).alias("keep"),
         )
     )
+
+
+def lsh_tuning_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+    configs: "tuple[tuple[int, int], ...]" = ((64, 8), (64, 16), (64, 32)),
+    exact_max_shingle_freq: "int | None" = None,
+) -> DataFrame:
+    """Measure-don't-guess harness for LSH parameter selection: for
+    each (num_hashes, bands) config, the recall and precision of the
+    banded-MinHash CANDIDATE stage against exact n-gram-Jaccard ground
+    truth at ``threshold`` — run on a sample BEFORE committing a
+    corpus-scale dedup to a parameter choice.
+
+    Returns one row per config: (num_hashes, bands, rows_per_band,
+    s_star, n_truth, n_candidates, n_hit, recall, precision) where
+    ``s_star = (1/bands)^(1/rows_per_band)`` is the theoretical
+    S-curve midpoint — configs whose s_star sits far above
+    ``threshold`` will show the recall loss this report quantifies.
+    Recall/precision are NULL when their denominator is zero (an
+    empty truth set measures nothing).
+
+    Scale shape: ground truth is ONE exact pair computation (cached —
+    every config reuses it); each config adds the banded self-join
+    plus two count jobs and one semi-join count.  Driver state is one
+    row per config.  This is an offline TUNING tool — cost scales
+    with the sample you feed it, so feed it a sample."""
+    truth = (
+        ngram_jaccard_pairs(
+            df, text_col, id_col, n=shingle_size, threshold=threshold,
+            max_shingle_freq=exact_max_shingle_freq,
+        )
+        .select("id_a", "id_b")
+        .cache()
+    )
+    n_truth = truth.count()
+    out = []
+    for num_hashes, bands in configs:
+        rows_per_band = num_hashes // bands
+        cand = minhash_lsh_pairs(
+            df, text_col, id_col, num_hashes=num_hashes,
+            shingle_size=shingle_size, bands=bands, threshold=0.0,
+        ).select("id_a", "id_b")
+        n_cand = cand.count()
+        n_hit = cand.join(truth, ["id_a", "id_b"], "left_semi").count()
+        recall = round(n_hit / n_truth, 6) if n_truth else None
+        precision = round(n_hit / n_cand, 6) if n_cand else None
+        s_star = round((1.0 / bands) ** (1.0 / rows_per_band), 6)
+        out.append(
+            (num_hashes, bands, rows_per_band, s_star,
+             n_truth, n_cand, n_hit, recall, precision)
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "num_hashes int, bands int, rows_per_band int, s_star double, "
+        "n_truth long, n_candidates long, n_hit long, "
+        "recall double, precision double",
+    )

@@ -160,3 +160,49 @@ def test_canonical_keep_best_null_never_beats_scored(spark):
         df, pairs, "doc_id", "score"
     ).collect()}
     assert got[1]["keep_id"] == 2  # min-id NULL doc loses to any score
+
+
+
+def test_lsh_tuning_report_arithmetic(spark):
+    from muller_spark.operators.dedup import (
+        lsh_tuning_report, minhash_lsh_pairs, ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog by the river"
+    rows = [(i, base + f" variant {i % 4}") for i in range(40)]
+    rows += [(100 + i, f"totally unrelated text number {i} about topic {i}")
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r["bands"]: r for r in lsh_tuning_report(
+        df, "text", "doc_id", threshold=0.5, configs=((64, 16),)
+    ).collect()}
+    r = got[16]
+    truth = {(p["id_a"], p["id_b"]) for p in ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.5, max_shingle_freq=None
+    ).collect()}
+    cand = {(p["id_a"], p["id_b"]) for p in minhash_lsh_pairs(
+        df, "text", "doc_id", num_hashes=64, bands=16, threshold=0.0
+    ).collect()}
+    hit = truth & cand
+    assert r["n_truth"] == len(truth) and r["n_candidates"] == len(cand)
+    assert r["n_hit"] == len(hit)
+    assert r["recall"] == round(len(hit) / len(truth), 6)
+    assert r["precision"] == round(len(hit) / len(cand), 6)
+    assert r["rows_per_band"] == 4
+    assert r["s_star"] == round((1 / 16) ** 0.25, 6)
+    # this dense near-dup corpus should be easy for 16 bands
+    assert r["recall"] >= 0.95
+
+
+def test_lsh_tuning_report_empty_truth_is_null(spark):
+    from muller_spark.operators.dedup import lsh_tuning_report
+
+    df = spark.createDataFrame(
+        [(i, f"unique doc {i} token{i} alpha{i} beta{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    r = lsh_tuning_report(
+        df, "text", "doc_id", threshold=0.99, configs=((64, 16),)
+    ).collect()[0]
+    assert r["n_truth"] == 0 and r["recall"] is None
