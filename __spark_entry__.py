@@ -1706,9 +1706,10 @@ def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup survivors (operators/dedup.semantic_dedup): seeded
     k-means cells + tiled intra-cell cosine dominance pruning at
-    threshold 0.35.  k-means is not SQL-expressible, so this is a
-    rows-only driver check; tests/test_semantic_dedup.py holds the
-    brute-force numpy value oracle."""
+    threshold 0.35.  k-means is not SQL-expressible, so this lives in
+    rows_only_queries() (NOT the driver's oracle draw);
+    tests/test_semantic_dedup.py holds the brute-force numpy value
+    oracle."""
     from muller_spark.operators.dedup import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1787,8 +1788,9 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/classifier.py): IRLS logistic regression trained
     distributedly (treeAggregate Hessian partials) on quality features
     with lang=='en' as the weak label, scored as pure JVM expressions.
-    Rows-only check (IRLS is not SQL-expressible; the numpy value
-    oracle lives in tests/test_classifier.py)."""
+    IRLS is not SQL-expressible, so this lives in rows_only_queries()
+    (NOT the driver's oracle draw); the numpy value oracle lives in
+    tests/test_classifier.py."""
     from muller_spark.operators.classifier import score_logreg, train_logreg
     from muller_spark.operators.text import quality_features
 
@@ -2722,9 +2724,10 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal
     (operators/quality.compression_ratio): per-doc ratio of
     zlib(level 6) output to raw UTF-8 bytes — the RefinedWeb-style
-    gibberish/template detector.  No SQL zlib exists, so this is
-    rows-only for the driver; the pytest oracle replays the identical
-    zlib call per document."""
+    gibberish/template detector.  No SQL zlib exists, so this lives in
+    rows_only_queries() (NOT the driver's oracle draw — a drawn query
+    without an oracle records err:no_oracle); the pytest oracle replays
+    the identical zlib call per document."""
     from muller_spark.operators.quality import compression_ratio
 
     docs = _t(spark, sf_dir, "documents")
@@ -2778,15 +2781,16 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall/precision of banded-MinHash candidates vs exact 3-gram
     Jaccard ≥0.5 truth for two (num_hashes, bands) configs — the
     offline measure-don't-guess pass run on a sample before a corpus
-    dedup.  Driver coverage is rows-only (the report wraps count
-    actions over iterative configs); pytest pins the recall/precision
-    arithmetic against hand-joined pair sets."""
+    dedup.  ``portable=True`` selects the md5-prefix signature kernel
+    (minhash_portable_pairs) so the DuckDB oracle replays BOTH pair
+    sets bit-for-bit; recall/precision are raw IEEE divisions of
+    exact integer counts, identical in every engine."""
     from muller_spark.operators.dedup import lsh_tuning_report
 
     docs = _t(spark, sf_dir, "documents")
     return lsh_tuning_report(
         docs, "text", "doc_id", threshold=0.5,
-        configs=((64, 16), (64, 32)),
+        configs=((64, 16), (64, 32)), portable=True,
     ).orderBy("bands")
 
 
@@ -3252,7 +3256,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mojibake_scan": q_mojibake_scan,
     "q_keep_best": q_keep_best,
     "q_search_snippets": q_search_snippets,
-    "q_compression_ratio": q_compression_ratio,
     "q_shuffle_shards": q_shuffle_shards,
     "q_tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
     "q_tpch_q11_important_supply": q_tpch_q11_important_supply,
@@ -3354,14 +3357,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_corpus_report": q_corpus_report,
     "q_top_ngrams": q_top_ngrams,
     "q_pipeline_report": q_pipeline_report,
-    "q_semantic_dedup": q_semantic_dedup,
     "q_unigram_logprob": q_unigram_logprob,
     "q_perplexity_buckets": q_perplexity_buckets,
     "q_curation_pipeline": q_curation_pipeline,
     "q_event_paths": q_event_paths,
     "q_resample_events": q_resample_events,
     "q_quality_filtered": q_quality_filtered,
-    "q_quality_classifier": q_quality_classifier,
     "q_source_overlap": q_source_overlap,
     "q_bigram_logprob": q_bigram_logprob,
     "q_text_normalize": q_text_normalize,
@@ -3374,6 +3375,22 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_temperature_mixture": q_temperature_mixture,
     "q_dsir_weights": q_dsir_weights,
     "q_mad_outliers": q_mad_outliers,
+}
+
+# Queries whose VALUE computation is genuinely not SQL-expressible in
+# DuckDB (zlib compression, Lloyd's k-means iterations, IRLS Newton
+# steps) live here instead of `queries()`: the driver's contract has no
+# rows-only lane — a drawn query without oracle SQL records
+# `err: no_oracle` — so registering them would trade a green gate for
+# zero extra evidence.  Each one's values are pinned by a pytest golden
+# that replays the exact computation (tests/test_quality.py zlib
+# replay, tests/test_semantic_dedup.py brute-force numpy oracle,
+# tests/test_classifier.py IRLS coefficient pins), and the local mirror
+# (tests/test_entry_oracle.py) still executes them rows-only every run.
+_ROWS_ONLY_QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
+    "q_compression_ratio": q_compression_ratio,
+    "q_semantic_dedup": q_semantic_dedup,
+    "q_quality_classifier": q_quality_classifier,
 }
 
 _STOPWORD_SQL = "('a','the','of','and','to')"
@@ -4470,6 +4487,136 @@ _ORACLES: dict[str, str] = {
         FROM cand
         WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.5
         ORDER BY id_a, id_b
+    """,
+    # recall/precision as RAW divisions of exact integer counts (IEEE
+    # double division of the same ints is bit-identical in any engine);
+    # s_star is a config constant, inlined from the same Python formula
+    # the operator uses so no cross-engine pow() is on the hash path.
+    "q_lsh_tuning": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                 ELSE [array_to_string(t, ' ')] END AS shingles
+          FROM toks
+        ), e AS (
+          SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 any_value(a.sz) AS sa, any_value(b.sz) AS sb,
+                 count(*) AS i
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), truth AS MATERIALIZED (
+          SELECT id_a, id_b FROM inter
+          WHERE cast(i AS DOUBLE) / (sa + sb - i) >= 0.5
+        ), hs AS (
+          SELECT doc_id,
+                 list_transform(shingles,
+                   s -> {_H60_SQL.format(v='s')} % 2147483647) AS hs
+          FROM sh
+        ), sig AS MATERIALIZED (
+          SELECT doc_id,
+                 list_transform({_MH_COEFFS_SQL},
+                   c -> list_min(list_transform(hs,
+                     h -> (c.a * h + c.b) % 2147483647))) AS sig
+          FROM hs
+        ), banded16 AS (
+          SELECT doc_id, band,
+                 md5(array_to_string(list_transform(
+                   sig[band*4+1 : band*4+4], x -> x::VARCHAR), ','))
+                   AS band_hash
+          FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS band)
+        ), cand16 AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded16 a JOIN banded16 b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        ), banded32 AS (
+          SELECT doc_id, band,
+                 md5(array_to_string(list_transform(
+                   sig[band*2+1 : band*2+2], x -> x::VARCHAR), ','))
+                   AS band_hash
+          FROM sig CROSS JOIN (SELECT unnest(range(0, 32)) AS band)
+        ), cand32 AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded32 a JOIN banded32 b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        ), counts AS (
+          SELECT 16 AS bands, 4 AS rows_per_band,
+                 {round((1.0 / 16) ** (1.0 / 4), 6)!r} AS s_star,
+                 (SELECT count(*) FROM cand16) AS n_candidates,
+                 (SELECT count(*) FROM cand16 JOIN truth USING (id_a, id_b))
+                   AS n_hit
+          UNION ALL
+          SELECT 32, 2, {round((1.0 / 32) ** (1.0 / 2), 6)!r},
+                 (SELECT count(*) FROM cand32),
+                 (SELECT count(*) FROM cand32 JOIN truth USING (id_a, id_b))
+        )
+        SELECT 64 AS num_hashes, bands, rows_per_band,
+               s_star::DOUBLE AS s_star,
+               (SELECT count(*) FROM truth) AS n_truth,
+               n_candidates, n_hit,
+               CASE WHEN (SELECT count(*) FROM truth) > 0
+                    THEN n_hit / CAST((SELECT count(*) FROM truth) AS DOUBLE)
+               END AS recall,
+               CASE WHEN n_candidates > 0
+                    THEN n_hit / CAST(n_candidates AS DOUBLE)
+               END AS "precision"
+        FROM counts ORDER BY bands
+    """,
+    # exact FFD replay: one recursive-CTE step packs the next-ranked
+    # document per bucket (all buckets advance in parallel per
+    # iteration), carrying the remaining-capacity list as recursion
+    # state — bit-identical to the operator's per-bucket Python FFD.
+    # DuckDB's list_position returns 0/NULL when absent → coalesce.
+    "q_pack_bins": """
+        WITH RECURSIVE src AS (
+          SELECT doc_id AS id, coalesce(n_chars, 0)::BIGINT AS n_tokens,
+                 CAST((((doc_id % 2147483648 + 2147483648) % 2147483648)
+                       * 2654435761) % 4294967296 % 8 AS INT) AS bucket
+          FROM documents
+        ), ranked AS (
+          SELECT id, n_tokens, bucket,
+                 row_number() OVER (PARTITION BY bucket
+                                    ORDER BY n_tokens DESC, id) AS rk
+          FROM src
+        ), ffd(bucket, rk, id, n_tokens, bin_local, caps) AS (
+          SELECT bucket, rk, id, n_tokens,
+                 CASE WHEN n_tokens > 2000 THEN -1 ELSE 0 END,
+                 CASE WHEN n_tokens > 2000 THEN []::BIGINT[]
+                      ELSE [2000 - n_tokens] END
+          FROM ranked WHERE rk = 1
+          UNION ALL
+          SELECT r.bucket, r.rk, r.id, r.n_tokens,
+                 CASE WHEN r.n_tokens > 2000 THEN -1
+                      WHEN coalesce(list_position(list_transform(
+                             f.caps, c -> c >= r.n_tokens), true), 0) = 0
+                        THEN len(f.caps)
+                      ELSE list_position(list_transform(
+                             f.caps, c -> c >= r.n_tokens), true) - 1 END,
+                 CASE WHEN r.n_tokens > 2000 THEN f.caps
+                      WHEN coalesce(list_position(list_transform(
+                             f.caps, c -> c >= r.n_tokens), true), 0) = 0
+                        THEN list_append(f.caps, 2000 - r.n_tokens)
+                      ELSE list_transform(range(1, len(f.caps) + 1),
+                             i -> CASE WHEN i = list_position(
+                                         list_transform(f.caps,
+                                           c -> c >= r.n_tokens), true)
+                                       THEN f.caps[i] - r.n_tokens
+                                       ELSE f.caps[i] END) END
+          FROM ffd f
+          JOIN ranked r ON r.bucket = f.bucket AND r.rk = f.rk + 1
+        )
+        SELECT id, n_tokens, bucket,
+               CASE WHEN bin_local < 0 THEN CAST(-1 AS BIGINT)
+                    ELSE (bucket::BIGINT << 32) | bin_local::BIGINT
+               END AS bin_id
+        FROM ffd ORDER BY id
     """,
     "q_simhash_portable": f"""
         WITH toks AS (
@@ -6125,3 +6272,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries exercised by pytest goldens but NOT registered for the
+    driver's oracle draw (their values are not DuckDB-expressible —
+    see _ROWS_ONLY_QUERIES)."""
+    return dict(_ROWS_ONLY_QUERIES)

@@ -1628,6 +1628,7 @@ def lsh_tuning_report(
     shingle_size: int = 3,
     configs: "tuple[tuple[int, int], ...]" = ((64, 8), (64, 16), (64, 32)),
     exact_max_shingle_freq: "int | None" = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Measure-don't-guess harness for LSH parameter selection: for
     each (num_hashes, bands) config, the recall and precision of the
@@ -1647,7 +1648,17 @@ def lsh_tuning_report(
     every config reuses it); each config adds the banded self-join
     plus two count jobs and one semi-join count.  Driver state is one
     row per config.  This is an offline TUNING tool — cost scales
-    with the sample you feed it, so feed it a sample."""
+    with the sample you feed it, so feed it a sample.
+
+    ``portable=True`` swaps the numpy candidate kernel
+    (:func:`minhash_lsh_pairs`, crc32 shingles + RandomState
+    coefficients) for :func:`minhash_portable_pairs` (md5-prefix
+    hashes + fixed-formula coefficients) so a DuckDB oracle can replay
+    every candidate pair bit-for-bit; recall/precision are emitted as
+    RAW IEEE divisions of exact integer counts — identical in any
+    engine — rather than decimal-rounded (Python rounds half-even,
+    SQL engines half-away; ratios like 1/128 land exactly on the
+    boundary)."""
     truth = (
         ngram_jaccard_pairs(
             df, text_col, id_col, n=shingle_size, threshold=threshold,
@@ -1657,17 +1668,18 @@ def lsh_tuning_report(
         .cache()
     )
     n_truth = truth.count()
+    pairs_fn = minhash_portable_pairs if portable else minhash_lsh_pairs
     out = []
     for num_hashes, bands in configs:
         rows_per_band = num_hashes // bands
-        cand = minhash_lsh_pairs(
+        cand = pairs_fn(
             df, text_col, id_col, num_hashes=num_hashes,
             shingle_size=shingle_size, bands=bands, threshold=0.0,
         ).select("id_a", "id_b")
         n_cand = cand.count()
         n_hit = cand.join(truth, ["id_a", "id_b"], "left_semi").count()
-        recall = round(n_hit / n_truth, 6) if n_truth else None
-        precision = round(n_hit / n_cand, 6) if n_cand else None
+        recall = n_hit / n_truth if n_truth else None
+        precision = n_hit / n_cand if n_cand else None
         s_star = round((1.0 / bands) ** (1.0 / rows_per_band), 6)
         out.append(
             (num_hashes, bands, rows_per_band, s_star,

@@ -187,12 +187,45 @@ def test_lsh_tuning_report_arithmetic(spark):
     hit = truth & cand
     assert r["n_truth"] == len(truth) and r["n_candidates"] == len(cand)
     assert r["n_hit"] == len(hit)
-    assert r["recall"] == round(len(hit) / len(truth), 6)
-    assert r["precision"] == round(len(hit) / len(cand), 6)
+    # raw IEEE division (not decimal-rounded): engine-portable by
+    # construction — any SQL oracle computes the identical bits
+    assert r["recall"] == len(hit) / len(truth)
+    assert r["precision"] == len(hit) / len(cand)
     assert r["rows_per_band"] == 4
     assert r["s_star"] == round((1 / 16) ** 0.25, 6)
     # this dense near-dup corpus should be easy for 16 bands
     assert r["recall"] >= 0.95
+
+
+def test_lsh_tuning_report_portable_arithmetic(spark):
+    """portable=True must count over minhash_portable_pairs candidates
+    (the oracle-replayable kernel), not the numpy crc32 kernel."""
+    from muller_spark.operators.dedup import (
+        lsh_tuning_report, minhash_portable_pairs, ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog by the river"
+    rows = [(i, base + f" variant {i % 4}") for i in range(30)]
+    rows += [(100 + i, f"totally unrelated text number {i} about topic {i}")
+             for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    r = lsh_tuning_report(
+        df, "text", "doc_id", threshold=0.5, configs=((64, 32),),
+        portable=True,
+    ).collect()[0]
+    truth = {(p["id_a"], p["id_b"]) for p in ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.5, max_shingle_freq=None
+    ).collect()}
+    cand = {(p["id_a"], p["id_b"]) for p in minhash_portable_pairs(
+        df, "text", "doc_id", num_hashes=64, bands=32, threshold=0.0
+    ).collect()}
+    hit = truth & cand
+    assert r["n_truth"] == len(truth) and r["n_candidates"] == len(cand)
+    assert r["n_hit"] == len(hit)
+    assert r["recall"] == len(hit) / len(truth)
+    assert r["precision"] == len(hit) / len(cand)
+    assert r["rows_per_band"] == 2
 
 
 def test_lsh_tuning_report_empty_truth_is_null(spark):

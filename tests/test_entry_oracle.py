@@ -16,6 +16,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
 
 _QUERIES = entrymod.queries()
 _ORACLES = entrymod.oracle_sql()
+_ROWS_ONLY = entrymod.rows_only_queries()
 
 
 def test_entry_smoke(spark):
@@ -26,16 +27,26 @@ def test_entry_smoke(spark):
 def test_every_query_has_oracle_or_is_flagged():
     missing = set(_ORACLES) - set(_QUERIES)
     assert not missing, f"oracles without queries: {missing}"
+    # the driver-facing registry must be 100% oracle-covered — a drawn
+    # query without oracle SQL is err:no_oracle, which broke round 7
+    no_oracle = set(_QUERIES) - set(_ORACLES)
+    assert not no_oracle, f"driver-registered queries without oracle: {no_oracle}"
+    overlap = set(_QUERIES) & set(_ROWS_ONLY)
+    assert not overlap, f"rows-only queries leaked into queries(): {overlap}"
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_matches_oracle(spark, name):
-    if name not in _ORACLES:
-        df = _QUERIES[name](spark, SF_DIR)
-        assert df.count() >= 0  # rows-only check, like the driver
-        return
     problems = compare_query(spark, name, _QUERIES[name], _ORACLES[name], SF_DIR)
     assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", sorted(_ROWS_ONLY))
+def test_rows_only_query_runs(spark, name):
+    """Non-SQL-expressible queries (zlib/k-means/IRLS) stay exercised
+    end-to-end here; their VALUES are pinned by dedicated goldens."""
+    df = _ROWS_ONLY[name](spark, SF_DIR)
+    assert df.count() > 0
 
 
 # ---------------------------------------------------------------------------
