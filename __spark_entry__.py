@@ -1101,6 +1101,37 @@ def q_agg_count_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ds_query_posting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw posting-index lookup through the Dataset facade (reference
+    ``core/dataset/mixins/query.py:79`` ``ds.query(tensor, q)``):
+    ingest documents, build the sharded inverted index, and answer a
+    fuzzy AND/OR query ("a b||c d") straight from the posting table —
+    the explicit-index twin of q_contains_fuzzy's scan path.  The
+    oracle recomputes membership with the same tokenizer over raw
+    text."""
+    import tempfile
+
+    from muller_spark import dataset as ds_mod
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="dsquery_"), "ds")
+    ds = ds_mod.dataset(path, spark)
+    ds.create_tensor("doc_id", dtype="int64")
+    ds.create_tensor("lang", htype="text")
+    ds.create_tensor("source", htype="text")
+    ds.create_tensor("text", htype="text")
+    ds.extend_df(docs)
+    ds.commit("seed")
+    ds.create_index_vectorized("text")
+    return (
+        ds.query("text", "vector merge||stream window", "complex_fuzzy_match")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-≤8 near-dup pairs over the portable SimHash
     (operators/dedup.simhash_portable_near_dups, 12 blocks).  The
@@ -3281,6 +3312,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hybrid_rrf": q_hybrid_rrf,
     "q_winnow_fingerprints": q_winnow_fingerprints,
     "q_agg_count_label": q_agg_count_label,
+    "q_ds_query_posting": q_ds_query_posting,
     "q_bm25_rank": q_bm25_rank,
     "q_phrase_search": q_phrase_search,
     "q_simhash_near_dups": q_simhash_near_dups,
@@ -5512,6 +5544,14 @@ _ORACLES: dict[str, str] = {
                AND list_contains(regexp_split_to_array(lower(text), '[^a-z0-9一-鿿]+'), 'merge'))
            OR (list_contains(regexp_split_to_array(lower(text), '[^a-z0-9一-鿿]+'), 'stream')
                AND list_contains(regexp_split_to_array(lower(text), '[^a-z0-9一-鿿]+'), 'window'))
+    """,
+    "q_ds_query_posting": """
+        SELECT doc_id, lang, source FROM documents
+        WHERE (list_contains(regexp_split_to_array(lower(text), '[^a-z0-9一-鿿]+'), 'vector')
+               AND list_contains(regexp_split_to_array(lower(text), '[^a-z0-9一-鿿]+'), 'merge'))
+           OR (list_contains(regexp_split_to_array(lower(text), '[^a-z0-9一-鿿]+'), 'stream')
+               AND list_contains(regexp_split_to_array(lower(text), '[^a-z0-9一-鿿]+'), 'window'))
+        ORDER BY doc_id
     """,
     "q_agg_count_star": """
         SELECT o_orderpriority, count(*) AS count_star

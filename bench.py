@@ -70,6 +70,8 @@ HEADLINE = [
     "q_compression_ratio",
     "q_keep_best",
     "q_search_snippets",
+    "q_ds_query_posting",
+    "q_lsh_tuning",
     "q_perplexity_buckets",
     "q_curation_pipeline",
     "q_cdc_changelog",
@@ -645,8 +647,60 @@ def text_sf1_envelope(spark, sf_dir: str) -> dict:
             train10, test1, "text", "doc_id", n=5, min_overlap=1
         )
     ))
+
+    # round 8: the drift/split/keep family at 10x.  All three near-dup
+    # consumers run the 100 TB pair stage (lsh_verified_pairs: banded
+    # LSH candidates -> exact verify on the candidate sliver) — the
+    # corpus-wide exact pair stage was measured ONCE at this scale for
+    # evidence (178 s vs 15.5 s, 11.5x; EXPLAIN.md round-8) and is NOT
+    # re-run per round.
+    from muller_spark.operators.dedup import (
+        canonical_keep_best, lsh_verified_pairs,
+    )
+    from muller_spark.operators.sampling import leakage_safe_split
+
+    out["ks_drift_10x"] = timed2(lambda: materialize(_ks10(spark, sf_dir)))
+    out["leakage_split_lsh_10x"] = timed2(lambda: materialize(
+        leakage_safe_split(
+            big, "text", "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+            pairs=lsh_verified_pairs(
+                big, "text", "doc_id", threshold=0.5, bands=32
+            ),
+        )
+    ))
+    scored10 = big.withColumn("score", (F.col("doc_id") % 97).cast("double"))
+    out["keep_best_lsh_10x"] = timed2(lambda: materialize(
+        canonical_keep_best(
+            scored10,
+            lsh_verified_pairs(big, "text", "doc_id", threshold=0.5, bands=32),
+            "doc_id", "score",
+        )
+    ))
     out["rows"] = int(big.count())
     return out
+
+
+def _ks10(spark, sf_dir: str):
+    """Events replicated 10x in-plan, KS drift early-vs-late January —
+    the bucket-prefix-sum shape's cost is bounded by DISTINCT values,
+    so 10x rows should cost ~map time."""
+    from pyspark.sql import functions as F
+
+    from muller_spark.operators.quality import ks_drift
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    reps = spark.range(10).withColumnRenamed("id", "_rep")
+    bigev = (
+        ev.crossJoin(F.broadcast(reps))
+        .withColumn("event_id", F.col("event_id") * 10 + F.col("_rep"))
+        .drop("_rep")
+    )
+    cut = F.lit("2024-01-15").cast("timestamp")
+    return ks_drift(
+        bigev.filter(F.col("ts") < cut),
+        bigev.filter(F.col("ts") >= cut),
+        "value",
+    )
 
 
 def projection_bench(

@@ -588,6 +588,63 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 32,
+    portable: bool = False,
+) -> DataFrame:
+    """The 100 TB near-dup pair stage: banded-MinHash LSH candidates
+    → EXACT n-gram-Jaccard verification on the candidate sliver only.
+    Returns (id_a, id_b, jaccard) with the same contract as
+    :func:`ngram_jaccard_pairs` — downstream consumers
+    (:func:`dedup_clusters`, :func:`canonical_keep_best`,
+    ``leakage_safe_split``) compose with either interchangeably.
+
+    Exactness: every SURVIVING pair is a true ≥ ``threshold`` pair
+    (the verify stage is exact); completeness is the LSH recall at the
+    chosen (num_hashes, bands) — measure it with
+    :func:`lsh_tuning_report` on a sample first.  Defaults (64, 32)
+    put the S-curve midpoint at ~0.18, i.e. near-total recall for
+    thresholds ≥ 0.5.
+
+    Scale shape: the corpus-wide stage is the banded self-join
+    (bounded by band-bucket collisions, never all-pairs); the shingle
+    arrays are joined onto CANDIDATE pairs only, so the per-pair exact
+    intersection touches just the near-dup sliver — unlike
+    :func:`ngram_jaccard_pairs`' shingle self-join, which explodes
+    every shared shingle corpus-wide.  No df-cutoff is needed for
+    exactness: a dropped-hot-shingle undercount cannot happen because
+    the intersection is computed on full shingle sets."""
+    pairs_fn = minhash_portable_pairs if portable else minhash_lsh_pairs
+    cand = pairs_fn(
+        df, text_col, id_col, num_hashes=num_hashes,
+        shingle_size=n, bands=bands, threshold=0.0,
+    ).select("id_a", "id_b")
+    sh = df.select(
+        F.col(id_col).alias("__vp_id"),
+        _shingles(F.col(text_col), n).alias("__vp_sh"),
+    )
+    joined = (
+        cand.join(sh, cand["id_a"] == sh["__vp_id"])
+        .select("id_a", "id_b", F.col("__vp_sh").alias("__sh_a"))
+        .join(sh, F.col("id_b") == sh["__vp_id"])
+        .select("id_a", "id_b", "__sh_a", F.col("__vp_sh").alias("__sh_b"))
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size("__sh_a") + F.size("__sh_b") - inter
+    return (
+        joined.select(
+            "id_a", "id_b", (inter / union).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def duplicate_passages(
     df: DataFrame,
     text_col: str,

@@ -531,6 +531,7 @@ def leakage_safe_split(
     salt: int = 0,
     out_col: str = "split",
     max_shingle_freq: "int | None" = None,
+    pairs: "DataFrame | None" = None,
 ) -> DataFrame:
     """Near-duplicate-aware train/val/test split: every near-dup
     CLUSTER lands entirely in one split, so a paraphrase or boilerplate
@@ -549,19 +550,29 @@ def leakage_safe_split(
     bounded by docs that participate in ≥1 pair (AQE broadcasts it
     when small); the split itself is row-local.  At 100 TB swap the
     exact-Jaccard pair stage for :func:`~muller_spark.operators.dedup.
-    minhash_lsh_pairs` feeding the same cluster/split tail."""
+    lsh_verified_pairs` (pass it via ``pairs=``) feeding the same
+    cluster/split tail.
+
+    ``pairs``: pre-computed near-dup pair frame with ``id_a``/``id_b``
+    columns — typically :func:`~muller_spark.operators.dedup.
+    lsh_verified_pairs` output (the 100 TB path: LSH prefilter + exact
+    verify on the candidate sliver).  When given, the corpus-wide
+    exact pair stage is skipped and ``n``/``threshold``/
+    ``max_shingle_freq`` are ignored; split exactness then inherits
+    the pair frame's recall."""
     from muller_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
 
-    # max_shingle_freq defaults to None — UNLIKE ngram_jaccard_pairs'
-    # own 10k df-cutoff — because dropping hot shingles here silently
-    # weakens the no-leak guarantee: two near-dups overlapping mostly
-    # on a boilerplate shingle would lose the pair and land in
-    # different splits.  Pass a cutoff explicitly only with a
-    # downstream exactness story (e.g. an LSH stage re-finding pairs).
-    pairs = ngram_jaccard_pairs(
-        df, text_col, id_col, n=n, threshold=threshold,
-        max_shingle_freq=max_shingle_freq,
-    )
+    if pairs is None:
+        # max_shingle_freq defaults to None — UNLIKE ngram_jaccard_pairs'
+        # own 10k df-cutoff — because dropping hot shingles here silently
+        # weakens the no-leak guarantee: two near-dups overlapping mostly
+        # on a boilerplate shingle would lose the pair and land in
+        # different splits.  Pass a cutoff explicitly only with a
+        # downstream exactness story (e.g. an LSH stage re-finding pairs).
+        pairs = ngram_jaccard_pairs(
+            df, text_col, id_col, n=n, threshold=threshold,
+            max_shingle_freq=max_shingle_freq,
+        )
     clusters = dedup_clusters(pairs.select("id_a", "id_b"))
     root_col = "__lss_root"
     while root_col in df.columns or (root_col + "_id") in df.columns:

@@ -1,0 +1,127 @@
+"""The documented 100 TB composition, made a TESTED path: LSH-banded
+candidate prefilter → exact Jaccard verify on the candidate sliver →
+the same cluster/split/keep tails that the corpus-wide exact pair stage
+feeds.  On a corpus where LSH recall is 1.0 the two paths must agree
+EXACTLY — pairs, jaccard values, split assignments, keep verdicts.
+
+Reference parity: the MULLER dedup/curation flows run pair discovery
+as a pluggable stage (/root/reference/muller docs position exact
+verification after candidate generation at scale); here the plug point
+is the ``pairs=`` parameter on leakage_safe_split / canonical_keep_best.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from muller_spark.operators.dedup import (
+    canonical_keep_best,
+    lsh_verified_pairs,
+    ngram_jaccard_pairs,
+)
+from muller_spark.operators.sampling import leakage_safe_split
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Dense near-dup families + unrelated singletons: easy for
+    (64, 32) banding (S-curve midpoint ~0.18 « threshold 0.5), so LSH
+    recall is 1.0 and path parity is exact, not approximate."""
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "machine learning models require large curated training corpora",
+        "open source database engines optimize analytical query plans",
+    ]
+    rows = []
+    for fam, text in enumerate(base):
+        for v in range(6):
+            rows.append((fam * 100 + v, text + f" variant {v % 2}"))
+    rows += [(900 + i, f"completely unrelated document {i} topic{i} alpha{i}")
+             for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pair_map(df):
+    return {(r["id_a"], r["id_b"]): r["jaccard"] for r in df.collect()}
+
+
+def test_lsh_verified_pairs_match_exact(corpus):
+    exact = _pair_map(ngram_jaccard_pairs(
+        corpus, "text", "doc_id", n=3, threshold=0.5, max_shingle_freq=None
+    ))
+    lsh = _pair_map(lsh_verified_pairs(
+        corpus, "text", "doc_id", n=3, threshold=0.5,
+        num_hashes=64, bands=32,
+    ))
+    assert exact, "fixture must produce near-dup pairs"
+    # exactness: every surviving pair is a true pair with the identical
+    # jaccard (same integer counts -> same IEEE division)
+    assert set(lsh) <= set(exact)
+    for k in lsh:
+        assert lsh[k] == exact[k]
+    # recall 1.0 on this corpus: the prefilter lost nothing
+    assert set(lsh) == set(exact)
+
+
+def test_lsh_verified_pairs_portable_kernel(corpus):
+    a = _pair_map(lsh_verified_pairs(
+        corpus, "text", "doc_id", threshold=0.5, bands=32, portable=True
+    ))
+    b = _pair_map(lsh_verified_pairs(
+        corpus, "text", "doc_id", threshold=0.5, bands=32, portable=False
+    ))
+    # both kernels at full recall: identical verified output
+    assert a == b and a
+
+
+def test_leakage_split_parity_exact_vs_lsh(corpus):
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    exact = {r["doc_id"]: r["split"] for r in leakage_safe_split(
+        corpus, "text", "doc_id", weights
+    ).collect()}
+    pairs = lsh_verified_pairs(
+        corpus, "text", "doc_id", threshold=0.5, bands=32
+    )
+    lsh = {r["doc_id"]: r["split"] for r in leakage_safe_split(
+        corpus, "text", "doc_id", weights, pairs=pairs
+    ).collect()}
+    assert lsh == exact
+    # and the no-leak property itself: each family in ONE split
+    for fam in (0, 100, 200):
+        fam_splits = {lsh[fam + v] for v in range(6)}
+        assert len(fam_splits) == 1, f"family {fam} split across {fam_splits}"
+
+
+def test_keep_best_parity_exact_vs_lsh(corpus):
+    scored = corpus.withColumn(
+        "score", (F.col("doc_id") % 7).cast("double")
+    )
+    exact_pairs = ngram_jaccard_pairs(
+        corpus, "text", "doc_id", n=3, threshold=0.5, max_shingle_freq=None
+    )
+    lsh_pairs = lsh_verified_pairs(
+        corpus, "text", "doc_id", threshold=0.5, bands=32
+    )
+    a = {r["id"]: (r["keep_id"], r["keep"]) for r in canonical_keep_best(
+        scored, exact_pairs, "doc_id", "score"
+    ).collect()}
+    b = {r["id"]: (r["keep_id"], r["keep"]) for r in canonical_keep_best(
+        scored, lsh_pairs, "doc_id", "score"
+    ).collect()}
+    assert a == b and a
+
+
+def test_verified_pairs_never_emit_false_positives(spark):
+    """Below-threshold LSH candidates (band collisions happen at any
+    similarity) must be killed by the verify stage."""
+    rows = [(i, f"some shared prefix tokens here then unique tail {i} "
+                f"word{i} item{i} thing{i} object{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lsh_verified_pairs(df, "text", "doc_id", threshold=0.9, bands=32)
+    truth = _pair_map(ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.9, max_shingle_freq=None
+    ))
+    for r in out.collect():
+        assert (r["id_a"], r["id_b"]) in truth
+        assert r["jaccard"] >= 0.9
