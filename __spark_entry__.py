@@ -2825,6 +2825,79 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bands")
 
 
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution
+    (operators/dedup.cluster_size_report): the pre-dedup diagnostic —
+    (cluster_size, n_clusters, n_docs) including the singleton row, so
+    n_docs sums to the corpus.  The oracle rebuilds the clusters with
+    the q_dedup_clusters recursive CTE and rolls up identically."""
+    from muller_spark.operators.dedup import (
+        cluster_size_report, ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, max_shingle_freq=None
+    )
+    return cluster_size_report(docs, "doc_id", pairs).orderBy("cluster_size")
+
+
+def q_contamination_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-held-out-doc contamination triage
+    (operators/dedup.contamination_severity): q_decontamination's pair
+    report rolled up to one row per test document — contaminating
+    train-doc count, max shared windows, max window fraction — the
+    frame that decides which benchmark items to drop."""
+    from muller_spark.operators.dedup import contamination_severity
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    test = docs.filter(F.col("source") == "src0")
+    return contamination_severity(
+        train, test, "text", "doc_id", n=3, min_overlap=2,
+        broadcast_test=True,
+    ).orderBy("test_id")
+
+
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 7-fold CV assignment
+    (operators/sampling.kfold_assign, salt=3): row-local portable
+    Knuth hash mod k — membership value-checked by the oracle's
+    identical arithmetic.  The leakage-safe variant (cluster root as
+    the key) is pinned in tests/test_lsh_composition.py."""
+    from muller_spark.operators.sampling import kfold_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return kfold_assign(docs, F.col("doc_id"), 7, salt=3).select(
+        "doc_id", "fold"
+    ).orderBy("doc_id")
+
+
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency corpus health report
+    (operators/text.zipf_report): top-25 tokens with global rank +
+    count, each row carrying the ln-ln least-squares slope fitted over
+    the top-500 tokens.  Slope sums FOLD IN RANK ORDER in both engines
+    (F.aggregate over a sorted array vs list_reduce over an ORDER BY
+    rank list) so float addition can't reorder; round-6 absorbs libm
+    ln() last-ulp differences."""
+    from muller_spark.operators.text import zipf_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_report(docs, "text", k=25, n_fit=500)
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge round (operators/text.bpe_top_pairs): top-20
+    adjacent symbol pairs (chars + </w> terminal) weighted by word
+    frequency — the statistic a BPE tokenizer trainer maximizes each
+    merge.  Pure integer counts; rank 1 is the merge BPE performs."""
+    from muller_spark.operators.text import bpe_top_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_top_pairs(docs, "text", k=20)
+
+
 def q_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment exact KS drift (operators/quality.ks_drift_by):
     one KS statistic per event type, early vs late January — drift
@@ -3281,6 +3354,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pii_redact": q_pii_redact,
     "q_ks_drift": q_ks_drift,
     "q_ks_by_type": q_ks_by_type,
+    "q_cluster_sizes": q_cluster_sizes,
+    "q_contamination_severity": q_contamination_severity,
+    "q_kfold": q_kfold,
+    "q_zipf": q_zipf,
+    "q_bpe_pairs": q_bpe_pairs,
     "q_lsh_tuning": q_lsh_tuning,
     "q_pack_bins": q_pack_bins,
     "q_pmi_pairs": q_pmi_pairs,
@@ -4745,6 +4823,159 @@ _ORACLES: dict[str, str] = {
                  AS test_window_frac
         FROM shared JOIN sizes USING (test_id)
         ORDER BY train_id, test_id
+    """,
+    "q_contamination_severity": f"""
+        WITH toks AS (
+          SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents
+        ), w AS (
+          SELECT doc_id, source,
+                 unnest(CASE WHEN len(t) >= 3
+                   THEN list_transform(range(1, len(t) - 1),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                   ELSE []::VARCHAR[] END) AS w
+          FROM toks
+        ), train_d AS (
+          SELECT DISTINCT doc_id AS train_id, w FROM w WHERE source <> 'src0'
+        ), test_d AS (
+          SELECT DISTINCT doc_id AS test_id, w FROM w WHERE source = 'src0'
+        ), sizes AS (
+          SELECT test_id, count(*) AS test_total FROM test_d GROUP BY test_id
+        ), shared AS (
+          SELECT train_id, test_id, count(*) AS n_shared
+          FROM train_d JOIN test_d USING (w)
+          GROUP BY train_id, test_id
+          HAVING count(*) >= 2
+        )
+        SELECT test_id,
+               count(*) AS n_contaminating_train_docs,
+               max(n_shared) AS max_shared,
+               max(round(n_shared / cast(test_total AS double), 6))
+                 AS max_test_window_frac
+        FROM shared JOIN sizes USING (test_id)
+        GROUP BY test_id ORDER BY test_id
+    """,
+    "q_cluster_sizes": f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                 ELSE [array_to_string(t, ' ')] END AS shingles
+          FROM toks
+        ), e AS (
+          SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 any_value(a.sz) AS sa, any_value(b.sz) AS sb,
+                 count(*) AS i
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ), pairs AS (
+          SELECT id_a, id_b FROM inter
+          WHERE cast(i AS double) / (sa + sb - i) >= 0.5
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ), reach AS (
+          SELECT DISTINCT src AS id, src AS r FROM edges
+          UNION
+          SELECT e.dst AS id, reach.r
+          FROM reach JOIN edges e ON e.src = reach.id
+        ), clusters AS (
+          SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        ), csizes AS (
+          SELECT cluster_id, count(*) AS cluster_size
+          FROM clusters GROUP BY cluster_id
+        ), hist AS (
+          SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                 CAST(count(*) AS BIGINT) AS n_clusters,
+                 CAST(sum(cluster_size) AS BIGINT) AS n_docs
+          FROM csizes GROUP BY cluster_size
+        ), singles AS (
+          SELECT CAST(1 AS BIGINT) AS cluster_size,
+                 CAST((SELECT count(*) FROM documents)
+                      - (SELECT count(*) FROM clusters) AS BIGINT)
+                   AS n_clusters,
+                 CAST((SELECT count(*) FROM documents)
+                      - (SELECT count(*) FROM clusters) AS BIGINT)
+                   AS n_docs
+        )
+        SELECT * FROM singles WHERE n_clusters > 0
+        UNION ALL
+        SELECT * FROM hist
+        ORDER BY cluster_size
+    """,
+    "q_kfold": """
+        SELECT doc_id,
+               CAST((((doc_id + 3) % 2147483648 + 2147483648) % 2147483648)
+                    * 2654435761 % 4294967296 % 7 AS INT) AS fold
+        FROM documents ORDER BY doc_id
+    """,
+    # slope sums fold IN RANK ORDER via list_reduce — the exact
+    # addition sequence of the Spark F.aggregate fold; round-6 absorbs
+    # libm-vs-JVM ln() last-ulp noise (~1e-13 over 500 terms)
+    "q_zipf": f"""
+        WITH tok AS (
+          SELECT unnest({_TOKENS_SQL}) AS token FROM documents
+        ), counts AS (
+          SELECT token, count(*) AS cnt FROM tok GROUP BY token
+        ), top AS (
+          SELECT token, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, token) AS rank
+          FROM counts ORDER BY cnt DESC, token LIMIT 500
+        ), pts AS (
+          SELECT list(struct_pack(
+                   x := ln(rank::DOUBLE), y := ln(cnt::DOUBLE))
+                 ORDER BY rank) AS pts
+          FROM top
+        ), acc AS (
+          SELECT list_reduce(
+            list_prepend(
+              {{'n': 0.0::DOUBLE, 'sx': 0.0::DOUBLE, 'sy': 0.0::DOUBLE,
+                'sxx': 0.0::DOUBLE, 'sxy': 0.0::DOUBLE}},
+              list_transform(pts, p ->
+                {{'n': 1.0::DOUBLE, 'sx': p.x, 'sy': p.y,
+                  'sxx': p.x * p.x, 'sxy': p.x * p.y}})),
+            (a, b) -> {{'n': a.n + b.n, 'sx': a.sx + b.sx,
+                        'sy': a.sy + b.sy, 'sxx': a.sxx + b.sxx,
+                        'sxy': a.sxy + b.sxy}}) AS s
+          FROM pts
+        )
+        SELECT rank, token, cnt,
+               round((s.sxy - s.sx * s.sy / s.n)
+                     / (s.sxx - s.sx * s.sx / s.n), 6) AS zipf_slope
+        FROM top CROSS JOIN acc
+        WHERE rank <= 25
+        ORDER BY rank
+    """,
+    "q_bpe_pairs": f"""
+        WITH tok AS (
+          SELECT unnest({_TOKENS_SQL}) AS word FROM documents
+        ), words AS (
+          SELECT word, count(*) AS freq FROM tok GROUP BY word
+        ), sym AS (
+          SELECT freq,
+                 list_append(regexp_extract_all(word, '.'), '</w>') AS chars
+          FROM words
+        ), pairs AS (
+          SELECT freq,
+                 unnest(list_transform(range(1, len(chars)),
+                   i -> {{'left': chars[i], 'right': chars[i+1]}})) AS p
+          FROM sym
+        ), pc AS (
+          SELECT p."left" AS "left", p."right" AS "right",
+                 CAST(sum(freq) AS BIGINT) AS pair_count
+          FROM pairs GROUP BY 1, 2
+        )
+        SELECT CAST(row_number() OVER
+                 (ORDER BY pair_count DESC, "left", "right") AS INT) AS rank,
+               "left", "right", pair_count
+        FROM pc
+        ORDER BY pair_count DESC, "left", "right"
+        LIMIT 20
     """,
     "q_funnel": """
         WITH ev AS (

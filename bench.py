@@ -72,6 +72,11 @@ HEADLINE = [
     "q_search_snippets",
     "q_ds_query_posting",
     "q_lsh_tuning",
+    "q_cluster_sizes",
+    "q_contamination_severity",
+    "q_kfold",
+    "q_zipf",
+    "q_bpe_pairs",
     "q_perplexity_buckets",
     "q_curation_pipeline",
     "q_cdc_changelog",

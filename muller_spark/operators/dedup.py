@@ -800,6 +800,82 @@ def canonical_keep_list(
     )
 
 
+def cluster_size_report(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup cluster size distribution — the dedup diagnostic run
+    BEFORE committing a keep policy: (cluster_size, n_clusters,
+    n_docs), including the singleton row (docs in no pair), so the
+    rows' n_docs sums to the corpus.  A heavy tail here (one giant
+    component) is the classic sign of boilerplate stitching clusters
+    together — the cue to raise the threshold or add a df-cutoff.
+
+    Scale shape: one cluster pass over the PAIR set (bounded by docs in
+    ≥1 pair), one count-by-cluster aggregate, one count-by-size
+    aggregate — each strictly smaller than the last; the singleton row
+    is two scalar aggregates cross-joined (1×1 frames), never a
+    corpus-side window."""
+    clusters = dedup_clusters(pairs, id_a, id_b)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    ).select(F.col("cluster_size").cast("long").alias("cluster_size"),
+             "n_clusters", "n_docs")
+    total = df.select(F.count(F.col(id_col)).alias("__t"))
+    clustered = clusters.select(F.count(F.lit(1)).alias("__c"))
+    singletons = total.crossJoin(clustered).select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        (F.col("__t") - F.col("__c")).cast("long").alias("n_clusters"),
+        (F.col("__t") - F.col("__c")).cast("long").alias("n_docs"),
+    ).filter(F.col("n_clusters") > 0)
+    return singletons.unionByName(hist)
+
+
+def contamination_severity(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_overlap: int = 1,
+    max_window_freq: "int | None" = 10_000,
+    broadcast_test: bool = False,
+) -> DataFrame:
+    """Per-HELD-OUT-document contamination triage: roll
+    :func:`contamination_report`'s per-(train, test) pairs up to one
+    row per test doc — (test_id, n_contaminating_train_docs,
+    max_shared, max_test_window_frac) — the frame an eval owner reads
+    to decide which benchmark items to drop.  max_test_window_frac
+    max()es the report's per-pair round-6 fraction — safe because all
+    of a test doc's pairs share one denominator, so the max by
+    fraction is the max by n_shared; the pair stage's scale shape
+    (window-keyed join, df-cutoff, optional test-side broadcast) is
+    inherited unchanged."""
+    report = contamination_report(
+        train_df, test_df, text_col, id_col, n=n,
+        min_overlap=min_overlap, max_window_freq=max_window_freq,
+        broadcast_test=broadcast_test,
+    )
+    # recompute the fraction from the max pair's integers rather than
+    # max()-ing the rounded per-pair fraction: the argmax by n_shared
+    # IS the argmax by fraction (one shared denominator per test doc)
+    return (
+        report.groupBy("test_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminating_train_docs"),
+            F.max("n_shared").alias("max_shared"),
+            F.max("test_window_frac").alias("max_test_window_frac"),
+        )
+    )
+
+
 def contamination_report(
     train_df: DataFrame,
     test_df: DataFrame,

@@ -263,6 +263,28 @@ def deterministic_split(
     return df.withColumn(out_col, expr)
 
 
+def kfold_assign(
+    df: DataFrame,
+    key: Column,
+    k: int,
+    salt: int = 0,
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: ``out_col`` =
+    portable-Knuth-hash(key, salt) mod ``k`` — row-local, shuffle-free,
+    stable under appends/repartition, engine-portable (the DuckDB
+    oracle replays the identical arithmetic).  For LEAKAGE-SAFE folds
+    pass the near-dup cluster root as ``key`` (the
+    ``leakage_safe_split`` recipe: every near-dup family shares the
+    hash input, so no fold ever holds a paraphrase of another fold's
+    document) — tested in tests/test_lsh_composition.py."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    return df.withColumn(
+        out_col, (_hash_col(key, salt) % F.lit(k)).cast("int")
+    )
+
+
 def top_fraction_per_group(
     df: DataFrame,
     group_col: str,

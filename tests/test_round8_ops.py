@@ -1,0 +1,148 @@
+"""Round-8 operator wave: cluster_size_report, contamination_severity,
+kfold_assign, zipf_report, bpe_top_pairs — value oracles replayed in
+pure Python/numpy on corpora small enough to enumerate."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from muller_spark.operators.dedup import (
+    cluster_size_report,
+    contamination_report,
+    contamination_severity,
+    ngram_jaccard_pairs,
+)
+from muller_spark.operators.sampling import kfold_assign
+from muller_spark.operators.text import bpe_top_pairs, zipf_report
+
+
+def test_cluster_size_report_sums_to_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog by the river"
+    rows = [(i, base + f" v{i % 2}") for i in range(8)]          # one 8-family
+    rows += [(100 + i, f"unrelated text {i} alpha{i} beta{i} gamma{i}")
+             for i in range(5)]                                   # singletons
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.5, max_shingle_freq=None
+    )
+    out = {r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+           for r in cluster_size_report(df, "doc_id", pairs).collect()}
+    assert sum(nd for _, nd in out.values()) == 13
+    # the 8 variants cluster together (v0/v1 differ by one token of 12)
+    assert out.get(8) == (1, 8)
+    assert out.get(1) == (5, 5)
+
+
+def test_cluster_size_report_no_pairs_is_all_singletons(spark):
+    df = spark.createDataFrame(
+        [(i, f"unique {i} doc{i} tok{i} x{i} y{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.9)
+    out = cluster_size_report(df, "doc_id", pairs).collect()
+    assert [(r["cluster_size"], r["n_clusters"], r["n_docs"]) for r in out] \
+        == [(1, 6, 6)]
+
+
+def test_contamination_severity_is_pairwise_rollup(spark):
+    docs = [(i, "shared words alpha beta gamma delta " + ("tail " * (i % 3)),
+             "train" if i < 8 else "test") for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, side string")
+    train = df.filter(F.col("side") == "train")
+    test = df.filter(F.col("side") == "test")
+    rep = contamination_report(train, test, "text", "doc_id", n=3).collect()
+    want = {}
+    for r in rep:
+        t = r["test_id"]
+        c, mx, mf = want.get(t, (0, 0, 0.0))
+        want[t] = (c + 1, max(mx, r["n_shared"]),
+                   max(mf, r["test_window_frac"]))
+    got = {r["test_id"]: (r["n_contaminating_train_docs"], r["max_shared"],
+                          r["max_test_window_frac"])
+           for r in contamination_severity(
+               train, test, "text", "doc_id", n=3).collect()}
+    assert got == want and got
+
+
+def test_kfold_assign_matches_hash_and_is_stable(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(-5, 40)], "doc_id long"
+    )
+    out = {r["doc_id"]: r["fold"]
+           for r in kfold_assign(df, F.col("doc_id"), 5, salt=2).collect()}
+
+    def hash_fold(i):
+        k = ((i + 2) % 2147483648 + 2147483648) % 2147483648
+        return k * 2654435761 % 4294967296 % 5
+
+    assert out == {i: hash_fold(i) for i in range(-5, 40)}
+    re = {r["doc_id"]: r["fold"] for r in kfold_assign(
+        df.repartition(7), F.col("doc_id"), 5, salt=2).collect()}
+    assert re == out
+
+
+def test_kfold_assign_rejects_bad_k(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        kfold_assign(df, F.col("doc_id"), 0)
+
+
+def test_zipf_report_matches_numpy_fit(spark):
+    import numpy as np
+
+    words = (["alpha"] * 40 + ["beta"] * 20 + ["gamma"] * 10
+             + ["delta"] * 5 + ["eps"] * 2)
+    df = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    out = zipf_report(df, "text", k=5, n_fit=5).collect()
+    assert [(r["rank"], r["token"], r["cnt"]) for r in out] == [
+        (1, "alpha", 40), (2, "beta", 20), (3, "gamma", 10),
+        (4, "delta", 5), (5, "eps", 2),
+    ]
+    x = np.log(np.arange(1, 6, dtype=float))
+    y = np.log(np.array([40.0, 20, 10, 5, 2]))
+    slope = np.polyfit(x, y, 1)[0]
+    assert out[0]["zipf_slope"] == pytest.approx(round(slope, 6), abs=2e-6)
+    assert len({r["zipf_slope"] for r in out}) == 1  # constant column
+
+
+def test_bpe_top_pairs_hand_computed(spark):
+    # vocab: "aab" x3, "ab" x2  -> pairs: (a,a):3, (a,b):5, (b,</w>):5
+    df = spark.createDataFrame(
+        [(0, "aab aab ab"), (1, "aab ab")], "doc_id long, text string"
+    )
+    out = [(r["rank"], r["left"], r["right"], r["pair_count"])
+           for r in bpe_top_pairs(df, "text", k=10).collect()]
+    assert out == [
+        (1, "a", "b", 5), (2, "b", "</w>", 5), (3, "a", "a", 3),
+    ]
+
+
+def test_bpe_top_pairs_single_char_word(spark):
+    # "x" contributes only (x, </w>)
+    df = spark.createDataFrame([(0, "x x y")], "doc_id long, text string")
+    out = {(r["left"], r["right"]): r["pair_count"]
+           for r in bpe_top_pairs(df, "text", k=10).collect()}
+    assert out == {("x", "</w>"): 2, ("y", "</w>"): 1}
+
+
+def test_kfold_leakage_safe_over_cluster_roots(spark):
+    """The leakage-safe CV recipe: fold keyed on the near-dup cluster
+    root keeps every family in one fold."""
+    from muller_spark.operators.dedup import dedup_clusters, lsh_verified_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [(i, base + f" v{i % 2}") for i in range(10)]
+    rows += [(100 + i, f"solo doc {i} unique{i} tok{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = lsh_verified_pairs(df, "text", "doc_id", threshold=0.5, bands=32)
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    rooted = df.join(
+        clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).withColumn("root", F.coalesce("cluster_id", "doc_id"))
+    out = kfold_assign(rooted, F.col("root"), 4)
+    fam = {r["fold"] for r in out.filter(F.col("doc_id") < 100).collect()}
+    assert len(fam) == 1  # the whole near-dup family in ONE fold
+    assert out.count() == 16
