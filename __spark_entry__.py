@@ -2898,6 +2898,19 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_top_pairs(docs, "text", k=20)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge-table training (operators/text.bpe_train,
+    30 merges): greedy loop over the vocabulary table produced by the
+    one corpus pass.  Greedy iteration is not SQL-expressible, so this
+    lives in rows_only_queries(); the first row must equal
+    q_bpe_pairs' rank-1 pair by construction (pinned in pytest along
+    with a full pure-Python BPE replay)."""
+    from muller_spark.operators.text import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", num_merges=30).orderBy("merge_idx")
+
+
 def q_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment exact KS drift (operators/quality.ks_drift_by):
     one KS statistic per event type, early vs late January — drift
@@ -3501,6 +3514,7 @@ _ROWS_ONLY_QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "q_compression_ratio": q_compression_ratio,
     "q_semantic_dedup": q_semantic_dedup,
     "q_quality_classifier": q_quality_classifier,
+    "q_bpe_train": q_bpe_train,
 }
 
 _STOPWORD_SQL = "('a','the','of','and','to')"

@@ -1111,3 +1111,73 @@ def bpe_top_pairs(
         .select("rank", "left", "right", "pair_count")
         .orderBy("rank")
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 50,
+    max_vocab_words: int = 100_000,
+) -> DataFrame:
+    """Train a byte-pair-encoding merge table: ``num_merges`` merges
+    learned greedily (most frequent adjacent symbol pair, count desc /
+    (left, right) asc tie-break — the :func:`bpe_top_pairs` statistic
+    applied iteratively).  Returns (merge_idx, left, right,
+    pair_count) — the ordered merge table a tokenizer ships.
+
+    Scale shape — the standard industrial split: the CORPUS work is
+    ONE distributed pass (token hash-aggregate → word-frequency
+    table); the merge loop then runs over that table on the driver,
+    bounded by ``max_vocab_words`` (top words by frequency, then word
+    asc — at web scale the top 100k words carry ~all token mass, and
+    truncation only perturbs counts of rare-word pairs).  Iterating
+    merges distributedly would re-shuffle the vocabulary per merge for
+    no benefit: after the corpus pass the working set is vocabulary-
+    sized by construction.  NOT SQL-expressible (greedy iteration), so
+    driver coverage is rows-only; tests replay a pure-Python BPE."""
+    if num_merges <= 0:
+        raise ValueError("num_merges must be positive")
+    rows = (
+        df.select(F.explode(tokens_of(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(max_vocab_words)
+        .collect()
+    )  # bounded: max_vocab_words rows, the documented driver budget
+    vocab = {tuple(r["word"]) + ("</w>",): int(r["freq"]) for r in rows}
+
+    merges = []
+    for idx in range(num_merges):
+        counts: "dict[tuple[str, str], int]" = {}
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((idx, left, right, cnt))
+        merged = left + right
+        new_vocab: "dict[tuple[str, ...], int]" = {}
+        for syms, freq in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return df.sparkSession.createDataFrame(
+        merges, "merge_idx int, left string, right string, pair_count long"
+    )

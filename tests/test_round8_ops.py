@@ -146,3 +146,62 @@ def test_kfold_leakage_safe_over_cluster_roots(spark):
     fam = {r["fold"] for r in out.filter(F.col("doc_id") < 100).collect()}
     assert len(fam) == 1  # the whole near-dup family in ONE fold
     assert out.count() == 16
+
+
+def test_bpe_train_matches_pure_python(spark):
+    from muller_spark.operators.text import bpe_train
+
+    corpus = ["low low low low low lower lower newest newest newest "
+              "newest newest newest widest widest widest"]
+    df = spark.createDataFrame([(0, corpus[0])], "doc_id long, text string")
+    got = [(r["merge_idx"], r["left"], r["right"], r["pair_count"])
+           for r in bpe_train(df, "text", num_merges=6).collect()]
+
+    # independent pure-python BPE over the same word counts
+    vocab = {}
+    for w in corpus[0].split():
+        key = tuple(w) + ("</w>",)
+        vocab[key] = vocab.get(key, 0) + 1
+    want = []
+    for idx in range(6):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((idx, l, r, c))
+        nv = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + f
+        vocab = nv
+    assert got == want
+    # the classic toy-corpus property: 'est'-family merges appear early
+    assert got[0][1:3] == ("e", "s")
+
+
+def test_bpe_train_first_merge_equals_kernel_rank1(spark):
+    from muller_spark.operators.text import bpe_top_pairs, bpe_train
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} common words here") for i in range(12)],
+        "doc_id long, text string",
+    )
+    first = bpe_train(df, "text", num_merges=1).collect()[0]
+    rank1 = bpe_top_pairs(df, "text", k=1).collect()[0]
+    assert (first["left"], first["right"], first["pair_count"]) == (
+        rank1["left"], rank1["right"], rank1["pair_count"])
+
+
+def test_bpe_train_rejects_bad_merges(spark):
+    from muller_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bpe_train(df, "text", num_merges=0)
