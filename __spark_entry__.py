@@ -2730,6 +2730,30 @@ def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id")
 
 
+def q_keep_best_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_keep_best through the 100 TB pair stage
+    (operators/dedup.lsh_verified_pairs): banded-MinHash candidates →
+    exact verify on the candidate sliver → the same cluster/argmax
+    tail.  The oracle is the EXACT-pair replay (identical to
+    q_keep_best's), so every driver/mirror run re-asserts that LSH
+    recall is 1.0 at this corpus/threshold — measured by q_lsh_tuning
+    ((64,32) s*≈0.18 « 0.5) and pinned by the parity suite
+    (tests/test_lsh_composition.py); a recall regression would
+    hash-mismatch here before it could silently ship."""
+    from muller_spark.operators.dedup import (
+        canonical_keep_best, lsh_verified_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, bands=32
+    )
+    out = canonical_keep_best(
+        docs, pairs.select("id_a", "id_b"), "doc_id", "n_chars"
+    )
+    return out.orderBy("id")
+
+
 def q_mojibake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-damage triage (operators/quality.mojibake_scan):
     documents deterministically augmented with a replacement char
@@ -3377,6 +3401,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pmi_pairs": q_pmi_pairs,
     "q_mojibake_scan": q_mojibake_scan,
     "q_keep_best": q_keep_best,
+    "q_keep_best_lsh": q_keep_best_lsh,
     "q_search_snippets": q_search_snippets,
     "q_shuffle_shards": q_shuffle_shards,
     "q_tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
@@ -3565,6 +3590,59 @@ _KNN_EXACT_ORACLE = """
       FROM scored
     ) WHERE rank <= 10
 """
+
+# shared by q_keep_best and q_keep_best_lsh: the exact-pair replay —
+# the LSH-path query hashing equal to this IS the recall-1.0 assertion
+_KEEP_BEST_ORACLE = f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                 ELSE [array_to_string(t, ' ')] END AS shingles
+          FROM toks
+        ), e AS (
+          SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 any_value(a.sz) AS sa, any_value(b.sz) AS sb,
+                 count(*) AS i
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ), prs AS (
+          SELECT id_a, id_b FROM inter
+          WHERE cast(i AS double) / (sa + sb - i) >= 0.5
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM prs
+          UNION
+          SELECT id_b, id_a FROM prs
+        ), reach AS (
+          SELECT DISTINCT src AS id, src AS r FROM edges
+          UNION
+          SELECT e2.dst AS id, reach.r
+          FROM reach JOIN edges e2 ON e2.src = reach.id
+        ), roots AS (
+          SELECT id, min(r) AS root FROM reach GROUP BY id
+        ), member AS (
+          SELECT d.doc_id AS id,
+                 coalesce(roots.root, d.doc_id) AS cluster_id,
+                 d.n_chars AS s
+          FROM documents d LEFT JOIN roots ON roots.id = d.doc_id
+        ), best AS (
+          SELECT cluster_id, id AS keep_id FROM (
+            SELECT cluster_id, id,
+                   row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY s DESC NULLS LAST, id ASC) AS rn
+            FROM member
+          ) WHERE rn = 1
+        )
+        SELECT m.id, m.cluster_id, b.keep_id,
+               m.id = b.keep_id AS keep
+        FROM member m JOIN best b USING (cluster_id)
+        ORDER BY m.id
+    """
 
 _ORACLES: dict[str, str] = {
     "q_knn_ivf": _KNN_EXACT_ORACLE,
@@ -3838,56 +3916,10 @@ _ORACLES: dict[str, str] = {
                     ELSE substr(text, 1, 80) END AS snippet
         FROM firstpos ORDER BY id
     """,
-    "q_keep_best": f"""
-        WITH RECURSIVE toks AS (
-          SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
-        ), sh AS (
-          SELECT doc_id,
-                 CASE WHEN len(t) >= 3 THEN
-                   list_distinct(list_transform(range(1, len(t) - 1),
-                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
-                 ELSE [array_to_string(t, ' ')] END AS shingles
-          FROM toks
-        ), e AS (
-          SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh
-        ), inter AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 any_value(a.sz) AS sa, any_value(b.sz) AS sb,
-                 count(*) AS i
-          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-        ), prs AS (
-          SELECT id_a, id_b FROM inter
-          WHERE cast(i AS double) / (sa + sb - i) >= 0.5
-        ), edges AS (
-          SELECT id_a AS src, id_b AS dst FROM prs
-          UNION
-          SELECT id_b, id_a FROM prs
-        ), reach AS (
-          SELECT DISTINCT src AS id, src AS r FROM edges
-          UNION
-          SELECT e2.dst AS id, reach.r
-          FROM reach JOIN edges e2 ON e2.src = reach.id
-        ), roots AS (
-          SELECT id, min(r) AS root FROM reach GROUP BY id
-        ), member AS (
-          SELECT d.doc_id AS id,
-                 coalesce(roots.root, d.doc_id) AS cluster_id,
-                 d.n_chars AS s
-          FROM documents d LEFT JOIN roots ON roots.id = d.doc_id
-        ), best AS (
-          SELECT cluster_id, id AS keep_id FROM (
-            SELECT cluster_id, id,
-                   row_number() OVER (PARTITION BY cluster_id
-                     ORDER BY s DESC NULLS LAST, id ASC) AS rn
-            FROM member
-          ) WHERE rn = 1
-        )
-        SELECT m.id, m.cluster_id, b.keep_id,
-               m.id = b.keep_id AS keep
-        FROM member m JOIN best b USING (cluster_id)
-        ORDER BY m.id
-    """,
+    "q_keep_best": _KEEP_BEST_ORACLE,
+    # identical EXACT-pair oracle as q_keep_best: the Spark side runs
+    # the LSH-prefiltered stage, so equality IS the recall-1.0 assertion
+    "q_keep_best_lsh": _KEEP_BEST_ORACLE,
     "q_mojibake_scan": """
         WITH aug AS (
           SELECT doc_id,

@@ -69,6 +69,7 @@ HEADLINE = [
     "q_mojibake_scan",
     "q_compression_ratio",
     "q_keep_best",
+    "q_keep_best_lsh",
     "q_search_snippets",
     "q_ds_query_posting",
     "q_lsh_tuning",
