@@ -2922,6 +2922,18 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_top_pairs(docs, "text", k=20)
 
 
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embedding
+    (operators/embedding.feature_hash_embed, dim=32): signed hashed
+    bag-of-words over the portable md5-60bit family — exact integer
+    vectors, every component replayed by the oracle.  Token-less docs
+    embed as the zero vector."""
+    from muller_spark.operators.embedding import feature_hash_embed
+
+    docs = _t(spark, sf_dir, "documents")
+    return feature_hash_embed(docs, "text", "doc_id", dim=32).orderBy("id")
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE merge-table training (operators/text.bpe_train,
     30 merges): greedy loop over the vocabulary table produced by the
@@ -3396,6 +3408,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kfold": q_kfold,
     "q_zipf": q_zipf,
     "q_bpe_pairs": q_bpe_pairs,
+    "q_feature_hash": q_feature_hash,
     "q_lsh_tuning": q_lsh_tuning,
     "q_pack_bins": q_pack_bins,
     "q_pmi_pairs": q_pmi_pairs,
@@ -4953,6 +4966,27 @@ _ORACLES: dict[str, str] = {
         UNION ALL
         SELECT * FROM hist
         ORDER BY cluster_size
+    """,
+    "q_feature_hash": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents
+        ), h AS (
+          SELECT doc_id, {_H60_SQL.format(v='t')} AS h FROM tok
+        ), e AS (
+          SELECT doc_id, CAST((h // 2) % 32 AS INT) AS bucket,
+                 CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS sgn
+          FROM h
+        ), agg AS (
+          SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v
+          FROM e GROUP BY 1, 2
+        ), dense AS (
+          SELECT d.doc_id, gs.i AS bucket, coalesce(a.v, 0::BIGINT) AS v
+          FROM (SELECT doc_id FROM documents) d
+          CROSS JOIN (SELECT unnest(range(0, 32)) AS i) gs
+          LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.bucket = gs.i
+        )
+        SELECT doc_id AS id, list(v ORDER BY bucket) AS embedding
+        FROM dense GROUP BY doc_id ORDER BY doc_id
     """,
     "q_kfold": """
         SELECT doc_id,

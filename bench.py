@@ -78,6 +78,7 @@ HEADLINE = [
     "q_kfold",
     "q_zipf",
     "q_bpe_pairs",
+    "q_feature_hash",
     "q_perplexity_buckets",
     "q_curation_pipeline",
     "q_cdc_changelog",

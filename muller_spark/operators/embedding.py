@@ -350,3 +350,82 @@ def hard_negatives(
         .filter(F.col("rank") <= kk)
         .select("anchor_id", "id", "rank")
     )
+
+
+def feature_hash_embed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+    normalize: bool = False,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") document embedding: each token
+    lands in bucket ``(h >> 1) mod dim`` with sign ``±1`` from the
+    hash's low bit (the sign hash unbiases collisions — Weinberger et
+    al.), summed per document into an integer vector.  Deterministic,
+    vocabulary-free, engine-portable (the md5-60bit hash family) —
+    the standard no-model text featurizer feeding the quality
+    classifier, drift monitors, or a cheap ANN recall stage.
+
+    Returns (id, embedding array<long>) — exact integers, so the
+    DuckDB oracle replays every component (q_feature_hash);
+    ``normalize=True`` adds ``embedding_l2`` array<double> (unit
+    L2; zero vectors stay zero), pinned in pytest rather than oracled
+    (sqrt is transcendental).
+
+    Scale shape: explode → ONE (id, bucket) hash aggregate with
+    map-side combine → per-doc map assembly; the dense fill is a
+    ``transform`` over ``sequence(0, dim)`` — no joins against a
+    bucket range, no windows.  Token-less/NULL docs embed as the zero
+    vector via the left join from the id spine."""
+    from muller_spark.operators.dedup import portable_hash60
+    from muller_spark.operators.text import tokens_of
+
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+    h = portable_hash60(F.col("__fh_tok"))
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_of(F.col(text_col))).alias("__fh_tok"),
+    ).select(
+        "id",
+        (F.shiftright(h, 1) % F.lit(dim)).cast("int").alias("bucket"),
+        F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sgn"),
+    )
+    agg = exploded.groupBy("id", "bucket").agg(
+        F.sum("sgn").cast("long").alias("v")
+    )
+    maps = agg.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "v"))
+        ).alias("__fh_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__fh_m"), i.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(maps, "id", "left")
+        .select("id", dense.alias("embedding"))
+    )
+    if normalize:
+        norm = F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda a, x: a + (x * x).cast("double"),
+            )
+        )
+        out = out.withColumn(
+            "embedding_l2",
+            F.when(
+                norm > 0,
+                F.transform(F.col("embedding"), lambda x: x / norm),
+            ).otherwise(
+                F.transform(F.col("embedding"), lambda x: F.lit(0.0)),
+            ),
+        )
+    return out

@@ -1181,3 +1181,66 @@ def bpe_train(
     return df.sparkSession.createDataFrame(
         merges, "merge_idx int, left string, right string, pair_count long"
     )
+
+
+def apply_bpe(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: "list[tuple[str, str]]",
+) -> DataFrame:
+    """Encode documents with a trained BPE merge table
+    (:func:`bpe_train` output): per word, merges apply greedily in
+    LEARNED ORDER (lowest merge_idx first — the standard
+    priority-ranked BPE encoder), and the document's symbol count is
+    returned as (id, n_bpe_symbols).  Completes the train→apply loop:
+    ``bpe_train`` learns on the corpus once; this encoder then runs
+    map-only anywhere.
+
+    Scale shape: the merge table (≤ vocab-merge-sized, kilobytes) rides
+    the task closure; encoding is an Arrow-batched mapInPandas over
+    (id, text) — zero shuffle, linear in corpus bytes.  Python is
+    legitimate here: ranked-merge rewriting is inherently sequential
+    per word (same reasoning as the zlib/signature kernels)."""
+    import pandas as pd
+
+    from muller_spark.plans.conditions import TOKEN_SPLIT_REGEX
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    split_regex = TOKEN_SPLIT_REGEX
+
+    def encode_word(word: str, cache: dict) -> int:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            syms[best:best + 2] = [syms[best] + syms[best + 1]]
+        cache[word] = len(syms)
+        return len(syms)
+
+    def run(iterator):
+        import re
+
+        split = re.compile(split_regex)
+        cache: dict = {}
+        for pdf in iterator:
+            ids, counts = [], []
+            for doc_id, text in zip(pdf["id"], pdf["text"]):
+                norm = " ".join(str(text or "").lower().split())
+                toks = [t for t in split.split(norm) if t]
+                ids.append(doc_id)
+                counts.append(sum(encode_word(t, cache) for t in toks))
+            yield pd.DataFrame({"id": ids, "n_bpe_symbols": counts})
+
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(run, "id long, n_bpe_symbols long")

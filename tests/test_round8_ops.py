@@ -205,3 +205,92 @@ def test_bpe_train_rejects_bad_merges(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bpe_train(df, "text", num_merges=0)
+
+
+def test_feature_hash_embed_matches_python_replay(spark):
+    import hashlib
+
+    from muller_spark.operators.embedding import feature_hash_embed
+
+    rows = [(0, "alpha beta alpha gamma"), (1, "beta beta"), (2, None),
+            (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["embedding"] for r in
+           feature_hash_embed(df, "text", "doc_id", dim=8).collect()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = {i: [0] * 8 for i in range(4)}
+    for i, text in rows:
+        for t in (text or "").lower().split():
+            h = h60(t)
+            want[i][(h >> 1) % 8] += 1 if h % 2 == 0 else -1
+    assert got == want
+    assert got[2] == [0] * 8  # NULL text -> zero vector
+
+
+def test_feature_hash_embed_normalized_unit_or_zero(spark):
+    import math
+
+    from muller_spark.operators.embedding import feature_hash_embed
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "")], "doc_id long, text string"
+    )
+    out = {r["id"]: (r["embedding"], r["embedding_l2"]) for r in
+           feature_hash_embed(df, "text", "doc_id", dim=8,
+                              normalize=True).collect()}
+    raw, unit = out[0]
+    n = math.sqrt(sum(x * x for x in raw))
+    assert unit == pytest.approx([x / n for x in raw])
+    assert out[1][1] == [0.0] * 8  # zero vector stays zero, no NaN
+
+
+def test_apply_bpe_matches_pure_python(spark):
+    from muller_spark.operators.text import apply_bpe, bpe_train
+
+    corpus = "low low low lower lower newest newest newest widest"
+    df = spark.createDataFrame([(0, corpus), (1, "low newest"), (2, None)],
+                               "doc_id long, text string")
+    merges = [(r["left"], r["right"]) for r in
+              bpe_train(df, "text", num_merges=5).collect()]
+    got = {r["id"]: r["n_bpe_symbols"] for r in
+           apply_bpe(df, "text", "doc_id", merges).collect()}
+
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def enc(word):
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            cand = [(ranks[(syms[i], syms[i + 1])], i)
+                    for i in range(len(syms) - 1)
+                    if (syms[i], syms[i + 1]) in ranks]
+            if not cand:
+                break
+            _, i = min(cand)
+            syms[i:i + 2] = [syms[i] + syms[i + 1]]
+        return len(syms)
+
+    for i, text in [(0, corpus), (1, "low newest"), (2, None)]:
+        want = sum(enc(t) for t in (text or "").lower().split())
+        assert got[i] == want
+    assert got[2] == 0
+
+
+def test_apply_bpe_more_merges_fewer_symbols(spark):
+    from muller_spark.operators.text import apply_bpe, bpe_train
+
+    df = spark.createDataFrame(
+        [(i, "compression compression ratio ratio signal") for i in range(4)],
+        "doc_id long, text string",
+    )
+    m2 = [(r["left"], r["right"]) for r in bpe_train(df, "text", 2).collect()]
+    m8 = [(r["left"], r["right"]) for r in bpe_train(df, "text", 8).collect()]
+    c2 = apply_bpe(df, "text", "doc_id", m2).agg(
+        F.sum("n_bpe_symbols")).first()[0]
+    c8 = apply_bpe(df, "text", "doc_id", m8).agg(
+        F.sum("n_bpe_symbols")).first()[0]
+    c0 = apply_bpe(df, "text", "doc_id", []).agg(
+        F.sum("n_bpe_symbols")).first()[0]
+    assert c0 > c2 > c8
