@@ -2947,6 +2947,22 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", num_merges=30).orderBy("merge_idx")
 
 
+def q_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train→apply loop (operators/text.bpe_train + apply_bpe):
+    30 merges learned from the corpus, then every document encoded
+    with the ranked merge table — per-doc BPE symbol counts.  Greedy
+    ranked rewriting is not SQL-expressible → rows_only_queries();
+    the encoder is pinned against a pure-Python replay in pytest."""
+    from muller_spark.operators.text import apply_bpe, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, "text", num_merges=30).collect()
+    ]
+    return apply_bpe(docs, "text", "doc_id", merges).orderBy("id")
+
+
 def q_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment exact KS drift (operators/quality.ks_drift_by):
     one KS statistic per event type, early vs late January — drift
@@ -3553,6 +3569,7 @@ _ROWS_ONLY_QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "q_semantic_dedup": q_semantic_dedup,
     "q_quality_classifier": q_quality_classifier,
     "q_bpe_train": q_bpe_train,
+    "q_apply_bpe": q_apply_bpe,
 }
 
 _STOPWORD_SQL = "('a','the','of','and','to')"
