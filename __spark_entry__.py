@@ -2922,6 +2922,21 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_top_pairs(docs, "text", k=20)
 
 
+def q_remove_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span removal
+    (operators/text.remove_duplicated_windows): rewrite every document
+    dropping tokens covered by a 3-gram window shared by ≥ 8 distinct
+    documents — span-level dedup keeping each doc's unique content.
+    The oracle replays the window census and the coverage filter over
+    the same normalized token stream."""
+    from muller_spark.operators.text import remove_duplicated_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicated_windows(
+        docs, "text", "doc_id", n=3, min_docs=8
+    ).orderBy("id")
+
+
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing document embedding
     (operators/embedding.feature_hash_embed, dim=32): signed hashed
@@ -3425,6 +3440,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_zipf": q_zipf,
     "q_bpe_pairs": q_bpe_pairs,
     "q_feature_hash": q_feature_hash,
+    "q_remove_dup_windows": q_remove_dup_windows,
     "q_lsh_tuning": q_lsh_tuning,
     "q_pack_bins": q_pack_bins,
     "q_pmi_pairs": q_pmi_pairs,
@@ -4983,6 +4999,42 @@ _ORACLES: dict[str, str] = {
         UNION ALL
         SELECT * FROM hist
         ORDER BY cluster_size
+    """,
+    "q_remove_dup_windows": f"""
+        WITH toks AS (
+          SELECT doc_id, coalesce({_TOKENS_SQL}, []::VARCHAR[]) AS t
+          FROM documents
+        ), wins AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(t) >= 3 THEN
+                   list_transform(range(1, len(t) - 1),
+                     i -> {{'pos': i - 1,
+                            'w': concat_ws(' ', t[i], t[i+1], t[i+2])}})
+                 ELSE [] END) AS pw
+          FROM toks
+        ), w2 AS (
+          SELECT doc_id, pw.pos AS pos, pw.w AS w FROM wins
+        ), hot AS (
+          SELECT w FROM w2 GROUP BY w
+          HAVING count(DISTINCT doc_id) >= 8
+        ), marked AS (
+          SELECT doc_id, list(pos ORDER BY pos) AS starts
+          FROM w2 JOIN hot USING (w) GROUP BY doc_id
+        ), rewritten AS (
+          SELECT t.doc_id AS id,
+                 list_filter(
+                   list_transform(range(1, len(t.t) + 1),
+                     i -> {{'tok': t.t[i], 'idx': i - 1}}),
+                   p -> len(list_filter(coalesce(m.starts, []::BIGINT[]),
+                            s -> s <= p.idx AND p.idx < s + 3)) = 0) AS kept,
+                 len(t.t) AS n_all
+          FROM toks t LEFT JOIN marked m USING (doc_id)
+        )
+        SELECT id,
+               array_to_string(list_transform(kept, p -> p.tok), ' ')
+                 AS clean_text,
+               CAST(n_all - len(kept) AS BIGINT) AS n_tokens_removed
+        FROM rewritten ORDER BY id
     """,
     "q_feature_hash": f"""
         WITH tok AS (

@@ -1244,3 +1244,76 @@ def apply_bpe(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
     return src.mapInPandas(run, "id long, n_bpe_symbols long")
+
+
+def remove_duplicated_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Boilerplate-span removal: REWRITE each document dropping every
+    token covered by an ``n``-gram window that appears in ≥
+    ``min_docs`` distinct documents — the span-level companion to
+    document-level dedup (cross-doc duplicated text is memorized
+    disproportionately; removing the span keeps the document's unique
+    content instead of dropping the whole doc).
+
+    Returns (id, clean_text, n_tokens_removed): ``clean_text`` is the
+    surviving NORMALIZED token stream (space-joined — same
+    canonicalization as every text operator here); token-free/NULL
+    docs pass through as empty with 0 removed.
+
+    Scale shape: windows explode once, duplicated windows come from ONE
+    (window → distinct-doc count) hash aggregate; marked window starts
+    are semi-joined back and collected per doc (bounded by the doc's
+    own window count), and the rewrite is a map-side two-arg
+    ``filter`` over the token array — no second corpus shuffle, no
+    windows.  The per-token coverage probe is O(marked starts) with
+    marked starts ≤ tokens, so worst case is O(len²) for a fully
+    boilerplate doc — the pathological case that gets emptied anyway."""
+    if n <= 0 or min_docs <= 1:
+        raise ValueError("need n >= 1 and min_docs >= 2")
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(
+            tokens_of(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("toks"),
+    )
+    toks = F.col("toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = toked.select("id", F.posexplode(grams).alias("pos", "w"))
+    hot = (
+        wins.groupBy("w")
+        .agg(F.count_distinct(F.col("id")).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("w")
+    )
+    marked = (
+        wins.join(F.broadcast(hot), "w", "semi")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    covered = lambda idx: F.exists(  # noqa: E731
+        starts, lambda s: (idx >= s) & (idx < s + n)
+    )
+    clean = F.filter(toks, lambda t, i: ~covered(i))
+    return (
+        toked.join(marked, "id", "left")
+        .select(
+            "id",
+            F.concat_ws(" ", clean).alias("clean_text"),
+            (F.size(toks) - F.size(clean)).cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )

@@ -294,3 +294,46 @@ def test_apply_bpe_more_merges_fewer_symbols(spark):
     c0 = apply_bpe(df, "text", "doc_id", []).agg(
         F.sum("n_bpe_symbols")).first()[0]
     assert c0 > c2 > c8
+
+
+def test_remove_duplicated_windows_basic(spark):
+    from muller_spark.operators.text import remove_duplicated_windows
+
+    rows = [
+        (0, "unique alpha one two three shared boiler plate text here tail zero"),
+        (1, "other beta four five six shared boiler plate text here tail one"),
+        (2, "totally different doc nothing common"),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: (r["clean_text"], r["n_tokens_removed"]) for r in
+           remove_duplicated_windows(df, "text", "doc_id",
+                                     n=3, min_docs=2).collect()}
+    # the shared 6-token span vanishes from both docs; unique heads/tails stay
+    assert out[0] == ("unique alpha one two three zero", 6)
+    assert out[1] == ("other beta four five six one", 6)
+    assert out[2] == ("totally different doc nothing common", 0)
+    assert out[3] == ("", 0) and out[4] == ("", 0)
+
+
+def test_remove_duplicated_windows_fully_boilerplate_doc_empties(spark):
+    from muller_spark.operators.text import remove_duplicated_windows
+
+    df = spark.createDataFrame(
+        [(i, "same exact text every time") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = remove_duplicated_windows(df, "text", "doc_id", n=3, min_docs=2)
+    for r in out.collect():
+        assert r["clean_text"] == "" and r["n_tokens_removed"] == 5
+
+
+def test_remove_duplicated_windows_rejects_bad_args(spark):
+    from muller_spark.operators.text import remove_duplicated_windows
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        remove_duplicated_windows(df, "text", "doc_id", n=0)
+    with pytest.raises(ValueError):
+        remove_duplicated_windows(df, "text", "doc_id", min_docs=1)
