@@ -5094,8 +5094,10 @@ _ORACLES: dict[str, str] = {
           FROM pts
         )
         SELECT rank, token, cnt,
-               round((s.sxy - s.sx * s.sy / s.n)
-                     / (s.sxx - s.sx * s.sx / s.n), 6) AS zipf_slope
+               CASE WHEN (s.sxx - s.sx * s.sx / s.n) > 0
+                    THEN round((s.sxy - s.sx * s.sy / s.n)
+                               / (s.sxx - s.sx * s.sx / s.n), 6)
+               END AS zipf_slope
         FROM top CROSS JOIN acc
         WHERE rank <= 25
         ORDER BY rank

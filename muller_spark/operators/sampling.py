@@ -277,7 +277,11 @@ def kfold_assign(
     pass the near-dup cluster root as ``key`` (the
     ``leakage_safe_split`` recipe: every near-dup family shares the
     hash input, so no fold ever holds a paraphrase of another fold's
-    document) — tested in tests/test_lsh_composition.py."""
+    document) — tested in tests/test_round8_ops.py.  ``key`` must be
+    integral (the Knuth-hash family's contract, same as
+    deterministic_split/bucket_of): a string key casts to NULL and
+    would silently fold everything together — hash it to a numeric
+    surrogate first."""
     if k <= 0:
         raise ValueError("k must be positive")
     return df.withColumn(

@@ -1044,10 +1044,15 @@ def zipf_report(
             (a["sxy"] + p["x"] * p["y"]).alias("sxy"),
         ),
     )
-    slope = F.round(
-        (acc["sxy"] - acc["sx"] * acc["sy"] / acc["n"])
-        / (acc["sxx"] - acc["sx"] * acc["sx"] / acc["n"]),
-        6,
+    varx = acc["sxx"] - acc["sx"] * acc["sx"] / acc["n"]
+    # degenerate fits (a 1-token vocabulary -> zero ln-rank variance)
+    # yield NULL, not an engine-dependent inf/NaN; the oracle guards
+    # with the identical CASE
+    slope = F.when(
+        varx > 0,
+        F.round(
+            (acc["sxy"] - acc["sx"] * acc["sy"] / acc["n"]) / varx, 6
+        ),
     )
     slope_df = pts.select(slope.alias("zipf_slope"))
     return (

@@ -337,3 +337,10 @@ def test_remove_duplicated_windows_rejects_bad_args(spark):
         remove_duplicated_windows(df, "text", "doc_id", n=0)
     with pytest.raises(ValueError):
         remove_duplicated_windows(df, "text", "doc_id", min_docs=1)
+
+
+def test_zipf_degenerate_single_token_slope_is_null(spark):
+    df = spark.createDataFrame([(0, "solo solo solo")], "doc_id long, text string")
+    out = zipf_report(df, "text", k=5, n_fit=5).collect()
+    assert len(out) == 1 and out[0]["token"] == "solo"
+    assert out[0]["zipf_slope"] is None  # zero ln-rank variance -> NULL
