@@ -2937,6 +2937,19 @@ def q_remove_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization
+    (operators/embedding.quantize_embeddings): per-vector scale
+    max|v|/127, components floor(v/s + 0.5) — floor-plus-half instead
+    of round() because engines disagree on round-half ties while
+    floor of the identical double is bit-identical, so the oracle
+    replays every component."""
+    from muller_spark.operators.embedding import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, "embedding", "vec_id").orderBy("id")
+
+
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing document embedding
     (operators/embedding.feature_hash_embed, dim=32): signed hashed
@@ -3441,6 +3454,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bpe_pairs": q_bpe_pairs,
     "q_feature_hash": q_feature_hash,
     "q_remove_dup_windows": q_remove_dup_windows,
+    "q_quantize_embeddings": q_quantize_embeddings,
     "q_lsh_tuning": q_lsh_tuning,
     "q_pack_bins": q_pack_bins,
     "q_pmi_pairs": q_pmi_pairs,
@@ -4999,6 +5013,25 @@ _ORACLES: dict[str, str] = {
         UNION ALL
         SELECT * FROM hist
         ORDER BY cluster_size
+    """,
+    "q_quantize_embeddings": """
+        WITH v AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings
+        ), s AS (
+          SELECT id, v,
+                 CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                      THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+                      ELSE 0.0 END AS scale
+          FROM v
+        )
+        SELECT id, scale,
+               CASE WHEN scale > 0
+                    THEN list_transform(v,
+                           x -> CAST(floor(x / scale + 0.5) AS INT))
+                    ELSE list_transform(v, x -> 0) END AS qvec
+        FROM s ORDER BY id
     """,
     "q_remove_dup_windows": f"""
         WITH toks AS (

@@ -80,6 +80,7 @@ HEADLINE = [
     "q_bpe_pairs",
     "q_feature_hash",
     "q_remove_dup_windows",
+    "q_quantize_embeddings",
     "q_perplexity_buckets",
     "q_curation_pipeline",
     "q_cdc_changelog",

@@ -429,3 +429,62 @@ def feature_hash_embed(
             ),
         )
     return out
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization — the 4× (int8) /
+    2× (int16) storage-and-bandwidth cut applied to embedding columns
+    before they hit a 100 TB ANN index or a network shuffle.  Each
+    vector gets its own scale ``s = max|v| / (2^(bits-1) - 1)``;
+    components quantize as ``floor(v/s + 0.5)`` — floor-plus-half
+    instead of ``round()`` because the engines disagree on round-half
+    ties while floor of the identical IEEE double is bit-identical
+    everywhere, which is what lets the DuckDB oracle replay every
+    component (q_quantize_embeddings).
+
+    Returns (id, scale double, qvec array<int>).  Zero/NULL vectors
+    carry scale 0 and an empty/zero qvec (dequantize maps them back to
+    zeros).  Map-only — no shuffle, no state."""
+    if not 2 <= bits <= 16:
+        raise ValueError("bits must be in [2, 16]")
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0, amax / F.lit(qmax)).otherwise(F.lit(0.0))
+    stage = df.select(
+        F.col(id_col).alias("id"),
+        v.alias("__qe_v"),
+        scale.alias("scale"),
+    )
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("__qe_v"),
+            lambda x: F.floor(x / F.col("scale") + 0.5).cast("int"),
+        ),
+    ).otherwise(
+        F.transform(F.col("__qe_v"), lambda x: F.lit(0).cast("int"))
+    )
+    return stage.select("id", "scale", q.alias("qvec"))
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    qvec_col: str = "qvec",
+    scale_col: str = "scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``v_i ≈ q_i · s`` with
+    per-component error ≤ s/2 by construction (pinned in pytest).
+    Map-only."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(qvec_col), lambda x: x.cast("double") * F.col(scale_col)
+        ),
+    )

@@ -344,3 +344,35 @@ def test_zipf_degenerate_single_token_slope_is_null(spark):
     out = zipf_report(df, "text", k=5, n_fit=5).collect()
     assert len(out) == 1 and out[0]["token"] == "solo"
     assert out[0]["zipf_slope"] is None  # zero ln-rank variance -> NULL
+
+
+def test_quantize_dequantize_roundtrip_error_bound(spark):
+    from muller_spark.operators.embedding import (
+        dequantize_embeddings, quantize_embeddings,
+    )
+
+    rows = [(0, [1.0, -2.5, 0.3, 127.0]), (1, [0.0, 0.0]), (2, None),
+            (3, [-0.001, 0.0005])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = quantize_embeddings(df, "embedding", "vec_id")
+    out = {r["id"]: r for r in dequantize_embeddings(q).collect()}
+
+    # error bound: per-component |v - q*s| <= s/2
+    for vid, vec in [(0, [1.0, -2.5, 0.3, 127.0]), (3, [-0.001, 0.0005])]:
+        s = out[vid]["scale"]
+        assert s > 0
+        for orig, rec in zip(vec, out[vid]["embedding"]):
+            assert abs(orig - rec) <= s / 2 + 1e-12
+    # zero vector: scale 0, zeros back, no NaN
+    assert out[1]["scale"] == 0.0 and out[1]["embedding"] == [0.0, 0.0]
+    # int8 range respected on the max component
+    qmap = {r["id"]: r["qvec"] for r in q.collect()}
+    assert max(abs(x) for x in qmap[0]) == 127
+
+
+def test_quantize_embeddings_rejects_bad_bits(spark):
+    from muller_spark.operators.embedding import quantize_embeddings
+
+    df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        quantize_embeddings(df, "embedding", "vec_id", bits=1)
