@@ -519,6 +519,7 @@ def build_ivf_artifacts(
     sample_size: int = 4096,
     seed: int = 42,
     store_vectors: bool = False,
+    quantize_bits: "int | None" = None,
 ) -> None:
     """Materialize an IVF index on disk: ``centroids`` (tiny parquet,
     one row per cell) + ``assign`` (``(id, cell)`` parquet partitioned
@@ -532,7 +533,17 @@ def build_ivf_artifacts(
     hold the vectors themselves.  Search then reads ~nprobe/nlist of
     the corpus via partition pruning and never shuffle-joins the
     corpus for the re-rank; the cost is one extra at-rest copy of the
-    vector column."""
+    vector column.
+
+    ``quantize_bits=8`` (with ``store_vectors=True``) stores the
+    inverted lists as symmetric per-vector int8 + a float scale
+    instead of float32 — 4× smaller lists (16× vs float64), the
+    SQ8 layout FAISS calls ``IVF,SQ8``.  At 100 TB the inverted lists
+    ARE the index footprint, so this is the difference between
+    memory-resident and disk-bound probes; the search kernel
+    dequantizes per batch (one multiply) and the re-rank error is
+    bounded by scale/2 per component (recall pinned in
+    tests/test_vector_quantized.py)."""
     import os
 
     spark = df.sparkSession
@@ -542,6 +553,12 @@ def build_ivf_artifacts(
         1
     ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
+    if quantize_bits is not None:
+        if not store_vectors:
+            raise ValueError("quantize_bits requires store_vectors=True")
+        if not 2 <= quantize_bits <= 8:
+            raise ValueError("quantize_bits must be in [2, 8] (int8 storage)")
+    qmax = float(2 ** (quantize_bits - 1) - 1) if quantize_bits else None
     bc = spark.sparkContext.broadcast(centroids)
 
     def assign(iterator):
@@ -554,13 +571,24 @@ def build_ivf_artifacts(
             mat = fast_matrix(pdf[vec_col], np.float32)
             cell = _distances(mat, cents.astype(np.float32), "l2").argmin(axis=1)
             out = {"id": pdf[id_col], "cell": cell.astype(np.int32)}
-            if store_vectors:
+            if store_vectors and qmax is not None:
+                amax = np.abs(mat).max(axis=1)
+                scale = np.where(amax > 0, amax / qmax, 0.0).astype(np.float32)
+                safe = np.where(scale > 0, scale, 1.0)[:, None]
+                qm = np.floor(mat / safe + 0.5).astype(np.int8)
+                qm[scale == 0] = 0
+                out["qvec"] = list(qm)
+                out["scale"] = scale
+            elif store_vectors:
                 out["vec"] = list(mat)
             yield pd.DataFrame(out)
 
-    schema = "id long, cell int" + (
-        ", vec array<float>" if store_vectors else ""
-    )
+    if store_vectors and qmax is not None:
+        schema = "id long, cell int, qvec array<tinyint>, scale float"
+    elif store_vectors:
+        schema = "id long, cell int, vec array<float>"
+    else:
+        schema = "id long, cell int"
     (
         ensure_parallelism(df.select(id_col, vec_col))
         .mapInPandas(assign, schema)
@@ -667,13 +695,16 @@ def ivf_search_prebuilt(
     m = metric
     kk = k
 
-    if "vec" in assign.columns:
+    if "vec" in assign.columns or "qvec" in assign.columns:
         # inverted-list layout: one map-only pass over the probed cells.
         # Joining probes to the cells instead would replicate each
         # cell's vectors once per probing query (measured 7× the corpus
         # slice through Arrow); here vectors cross into Python exactly
         # once and every query probing a cell shares one BLAS matmul.
         # Each batch emits ≤ k rows per (query, cell-group): tiny.
+        # SQ8 lists (qvec + scale) dequantize per batch — one
+        # row-broadcast multiply before the same matmul.
+        quantized = "qvec" in assign.columns
         bqp = spark.sparkContext.broadcast((q, probe_sets))
 
         def cell_topk(iterator):
@@ -688,9 +719,18 @@ def ivf_search_prebuilt(
                     probing = [qi for qi, s in probes.items() if cell in s]
                     if not probing:
                         continue
-                    mat = np.stack(
-                        grp["vec"].map(lambda v: np.asarray(v, dtype=np.float64))
-                    )
+                    if quantized:
+                        mat = np.stack(
+                            grp["qvec"].map(
+                                lambda v: np.asarray(v, dtype=np.float64)
+                            )
+                        ) * grp["scale"].to_numpy(dtype=np.float64)[:, None]
+                    else:
+                        mat = np.stack(
+                            grp["vec"].map(
+                                lambda v: np.asarray(v, dtype=np.float64)
+                            )
+                        )
                     dists = _distances(mat, qm[probing], m)  # (n, p)
                     ids = grp["id"].to_numpy()
                     take = min(kk, len(ids))
@@ -704,7 +744,8 @@ def ivf_search_prebuilt(
                 if out:
                     yield pd.concat(out)
 
-        scored = assign.select("id", "cell", "vec").mapInPandas(
+        cols = ["id", "cell"] + (["qvec", "scale"] if quantized else ["vec"])
+        scored = assign.select(*cols).mapInPandas(
             cell_topk, "query_id int, id long, distance double"
         )
     else:
