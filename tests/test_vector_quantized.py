@@ -78,3 +78,25 @@ def test_sq8_requires_stored_vectors(spark, emb, tmp_path):
             emb, "embedding", "vec_id", str(tmp_path / "y"),
             store_vectors=True, quantize_bits=16,
         )
+
+
+def test_dataset_facade_sq8_index_and_search(spark, emb, tmp_path):
+    """create_vector_index(index_type='IVF', quantize_bits=8) through
+    the Dataset facade builds SQ8 lists and vector_search uses them."""
+    from muller_spark import dataset as ds_mod
+
+    ds = ds_mod.dataset(str(tmp_path / "ds"), spark)
+    ds.create_tensor("vec_id", dtype="int64")
+    ds.create_tensor("embedding", htype="embedding", dtype="float32")
+    ds.extend_df(emb.select("vec_id", "embedding"))
+    ds.commit("seed")
+    ds.create_vector_index(
+        "embedding", index_type="IVF", nlist=8, quantize_bits=8,
+    )
+    idx_root = os.path.join(str(tmp_path / "ds"), "_indexes", "vector",
+                            "embedding", "default", "assign")
+    kinds = dict(spark.read.parquet(idx_root).dtypes)
+    assert kinds["qvec"] == "array<tinyint>"
+    q = [r["embedding"] for r in emb.filter(F.col("vec_id") == 0).collect()]
+    hits = ds.vector_search(q[0], "embedding", topk=5)
+    assert hits.count() == 5
