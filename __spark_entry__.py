@@ -2849,6 +2849,20 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bands")
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups
+    (operators/dedup.ngram_containment_pairs): |A∩B| / min(|A|,|B|)
+    over 3-gram sets at ≥0.6 — catches a document EMBEDDED in another
+    that Jaccard under-scores.  Raw IEEE division of exact integers;
+    the oracle replays every pair."""
+    from muller_spark.operators.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.6, max_shingle_freq=None
+    ).orderBy("id_a", "id_b")
+
+
 def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster size distribution
     (operators/dedup.cluster_size_report): the pre-dedup diagnostic —
@@ -3448,6 +3462,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ks_drift": q_ks_drift,
     "q_ks_by_type": q_ks_by_type,
     "q_cluster_sizes": q_cluster_sizes,
+    "q_containment_pairs": q_containment_pairs,
     "q_contamination_severity": q_contamination_severity,
     "q_kfold": q_kfold,
     "q_zipf": q_zipf,
@@ -4929,6 +4944,32 @@ _ORACLES: dict[str, str] = {
                  AS test_window_frac
         FROM shared JOIN sizes USING (test_id)
         ORDER BY train_id, test_id
+    """,
+    "q_containment_pairs": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                 ELSE [array_to_string(t, ' ')] END AS shingles
+          FROM toks
+        ), e AS (
+          SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 any_value(a.sz) AS size_a, any_value(b.sz) AS size_b,
+                 count(*) AS inter
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter,
+               CAST(size_a AS INT) AS size_a, CAST(size_b AS INT) AS size_b,
+               inter / CAST(least(size_a, size_b) AS DOUBLE) AS containment
+        FROM inter
+        WHERE inter / CAST(least(size_a, size_b) AS DOUBLE) >= 0.6
+        ORDER BY id_a, id_b
     """,
     "q_contamination_severity": f"""
         WITH toks AS (

@@ -81,6 +81,7 @@ HEADLINE = [
     "q_feature_hash",
     "q_remove_dup_windows",
     "q_quantize_embeddings",
+    "q_containment_pairs",
     "q_perplexity_buckets",
     "q_curation_pipeline",
     "q_cdc_changelog",

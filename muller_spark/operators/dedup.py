@@ -645,6 +645,56 @@ def lsh_verified_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: "int | None" = 10_000,
+) -> DataFrame:
+    """Asymmetric near-dup detection: containment
+    ``|A∩B| / min(|A|, |B|)`` over token n-gram sets — the signal
+    Jaccard misses when one document EMBEDS another (a long page
+    quoting a short doc wholesale has low Jaccard but containment
+    ~1).  Returns (id_a, id_b, inter, size_a, size_b, containment)
+    for pairs with containment ≥ ``threshold``; id_a < id_b, the
+    direction is recovered from the sizes (the smaller side is the
+    contained one).
+
+    Same scale shape as :func:`ngram_jaccard_pairs` (shingle
+    self-join bounded by shingle selectivity, df-cutoff guard);
+    containment is a raw IEEE division of exact integers, so the
+    oracle replays every value bit-for-bit."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        _shingles(F.col(text_col), n).alias("shingles"),
+    ).withColumn("size", F.size("shingles"))
+    exploded = sh.select("id", "size", F.explode("shingles").alias("shingle"))
+    if max_shingle_freq is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_freq)
+        )
+        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.size").alias("size_a"), F.col("b.size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    containment = F.col("inter") / F.least("size_a", "size_b")
+    return inter.select(
+        "id_a", "id_b", "inter", "size_a", "size_b",
+        containment.alias("containment"),
+    ).filter(F.col("containment") >= threshold)
+
+
 def duplicate_passages(
     df: DataFrame,
     text_col: str,

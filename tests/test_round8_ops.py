@@ -376,3 +376,44 @@ def test_quantize_embeddings_rejects_bad_bits(spark):
     df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         quantize_embeddings(df, "embedding", "vec_id", bits=1)
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    from muller_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long = ("completely unrelated preamble text goes here for a while "
+            "and keeps going with more filler words before quoting "
+            + short + " and then continues with yet more unrelated "
+            "trailing content about different topics entirely")
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    jac = ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.5, max_shingle_freq=None
+    ).collect()
+    assert jac == []  # Jaccard under-scores the embedded quote
+    con = ngram_containment_pairs(
+        df, "text", "doc_id", threshold=0.8, max_shingle_freq=None
+    ).collect()
+    assert len(con) == 1
+    r = con[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment"] >= 0.8
+    # the smaller side is the contained one
+    assert min(r["size_a"], r["size_b"]) == r["size_a"]
+
+
+def test_containment_exact_value(spark):
+    from muller_spark.operators.dedup import ngram_containment_pairs
+
+    # doc1 trigram set subset of doc2's -> containment exactly 1.0
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    r = ngram_containment_pairs(
+        df, "text", "doc_id", threshold=0.5, max_shingle_freq=None
+    ).collect()[0]
+    assert r["containment"] == 1.0 and r["inter"] == 2  # 'a b c','b c d'
