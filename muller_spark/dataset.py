@@ -1054,7 +1054,11 @@ class Dataset:
             delta = self.df.select(ROW_ID_COL, tensor_name).join(
                 known.withColumnRenamed("id", ROW_ID_COL), ROW_ID_COL, "left_anti"
             )
-            append_ivf_assignments(delta, tensor_name, ROW_ID_COL, idx_dir)
+            qb = m.get("hyper", {}).get("quantize_bits")
+            append_ivf_assignments(
+                delta, tensor_name, ROW_ID_COL, idx_dir,
+                quantize_bits=int(qb) if qb is not None else None,
+            )
         m["commit_id"] = self._snapshot.commit_id
         self.fs.write_text(os.path.join(idx_dir, "manifest.json"), _json.dumps(m))
         if (tensor_name, index_name) in self._vector_loaded:

@@ -546,6 +546,15 @@ def build_ivf_artifacts(
     tests/test_vector_quantized.py)."""
     import os
 
+    # validate BEFORE the k-means train: failing after it wastes the
+    # full sample/train and leaves a fresh-centroids/stale-assign
+    # partial artifact at the target path
+    if quantize_bits is not None:
+        if not store_vectors:
+            raise ValueError("quantize_bits requires store_vectors=True")
+        if not 2 <= quantize_bits <= 8:
+            raise ValueError("quantize_bits must be in [2, 8] (int8 storage)")
+
     spark = df.sparkSession
     centroids = train_centroids(df, vec_col, num_centroids, sample_size, seed=seed)
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
@@ -553,11 +562,6 @@ def build_ivf_artifacts(
         1
     ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
-    if quantize_bits is not None:
-        if not store_vectors:
-            raise ValueError("quantize_bits requires store_vectors=True")
-        if not 2 <= quantize_bits <= 8:
-            raise ValueError("quantize_bits must be in [2, 8] (int8 storage)")
     qmax = float(2 ** (quantize_bits - 1) - 1) if quantize_bits else None
     bc = spark.sparkContext.broadcast(centroids)
 
@@ -615,16 +619,32 @@ def load_ivf_centroids(spark, path: str) -> np.ndarray:
 
 
 def append_ivf_assignments(
-    df_delta: DataFrame, vec_col: str, id_col: str, path: str
+    df_delta: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    quantize_bits: "int | None" = None,
 ) -> None:
     """Incremental maintenance: assign only the delta rows to the
     existing centroids and append to the ``assign`` table — the
     reference's ``update_index`` regime (``vector_search_ops.py:51-82``),
-    O(delta), no rebuild."""
+    O(delta), no rebuild.
+
+    The delta MUST land in the same layout the table already has
+    (plain, inverted-list float32 ``vec``, or SQ8 ``qvec``+``scale``) —
+    appending (id, cell)-only rows into a vector-carrying table leaves
+    NULL list entries that crash every subsequent search's
+    ``np.stack``.  The layout is detected from the existing table's
+    schema; ``quantize_bits`` is only consulted for SQ8 (default 8
+    when the table is quantized)."""
     import os
 
     spark = df_delta.sparkSession
     centroids = load_ivf_centroids(spark, path)
+    existing = spark.read.parquet(os.path.join(path, "assign"))
+    has_vec = "vec" in existing.columns
+    has_q = "qvec" in existing.columns
+    qmax = float(2 ** ((quantize_bits or 8) - 1) - 1) if has_q else None
     bc = spark.sparkContext.broadcast(centroids)
 
     def assign(iterator):
@@ -634,13 +654,32 @@ def append_ivf_assignments(
         for pdf in iterator:
             if pdf.empty:
                 continue
-            mat = fast_matrix(pdf[vec_col])
-            cell = _distances(mat, cents, "l2").argmin(axis=1)
-            yield pd.DataFrame({"id": pdf[id_col], "cell": cell.astype(np.int32)})
+            mat32 = fast_matrix(pdf[vec_col], np.float32)
+            cell = _distances(
+                mat32.astype(np.float64), cents, "l2"
+            ).argmin(axis=1)
+            out = {"id": pdf[id_col], "cell": cell.astype(np.int32)}
+            if has_q:
+                amax = np.abs(mat32).max(axis=1)
+                scale = np.where(amax > 0, amax / qmax, 0.0).astype(np.float32)
+                safe = np.where(scale > 0, scale, 1.0)[:, None]
+                qm = np.floor(mat32 / safe + 0.5).astype(np.int8)
+                qm[scale == 0] = 0
+                out["qvec"] = list(qm)
+                out["scale"] = scale
+            elif has_vec:
+                out["vec"] = list(mat32)
+            yield pd.DataFrame(out)
 
+    if has_q:
+        schema = "id long, cell int, qvec array<tinyint>, scale float"
+    elif has_vec:
+        schema = "id long, cell int, vec array<float>"
+    else:
+        schema = "id long, cell int"
     (
         ensure_parallelism(df_delta.select(id_col, vec_col))
-        .mapInPandas(assign, "id long, cell int")
+        .mapInPandas(assign, schema)
         .write.mode("append")
         .partitionBy("cell")
         .parquet(os.path.join(path, "assign"))

@@ -162,13 +162,18 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     shingle_size: int = 3,
     bands: int = 16,
-    threshold: float = 0.7,
+    threshold: "float | None" = 0.7,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
 
     LSH banding: split the signature into ``bands`` bands of
     ``num_hashes // bands`` rows; docs sharing any band hash become
     candidates; est_jaccard = fraction of matching signature positions.
+
+    ``threshold=None`` returns the CANDIDATE set only (id_a, id_b) —
+    no est_jaccard is computed, saving the 64-element signature
+    comparison per pair when a downstream exact verify
+    (:func:`lsh_verified_pairs`) re-scores every candidate anyway.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -198,6 +203,8 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if threshold is None:
+        return candidates.select("id_a", "id_b")
     matches = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -238,7 +245,7 @@ def minhash_portable_pairs(
     num_hashes: int = 64,
     shingle_size: int = 3,
     bands: int = 16,
-    threshold: float = 0.5,
+    threshold: "float | None" = 0.5,
 ) -> DataFrame:
     """Oracle-checkable twin of :func:`minhash_lsh_pairs`: the same
     shingle → signature → banded-LSH → verify pipeline, but built
@@ -326,6 +333,8 @@ def minhash_portable_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if threshold is None:  # candidates-only, same contract as the twin
+        return candidates.select("id_a", "id_b")
     matches = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
     )
@@ -541,20 +550,20 @@ def simhash_near_dups(
     return pairs
 
 
-def ngram_jaccard_pairs(
+def _shingle_intersections(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
-    max_shingle_freq: "int | None" = 10_000,
+    n: int,
+    max_shingle_freq: "int | None",
 ) -> DataFrame:
-    """Exact Jaccard over token n-gram sets for pairs sharing ≥1 shingle.
-
-    |A∩B| from a shingle self-join count; |A|,|B| from per-doc set sizes.
-    Candidate explosion is bounded by shingle selectivity — suitable as
-    the verify stage after an LSH prefilter at scale.
-    """
+    """Shared pair kernel for the exact set-overlap family
+    (:func:`ngram_jaccard_pairs`, :func:`ngram_containment_pairs`):
+    (id_a, id_b, size_a, size_b, inter) for every doc pair sharing ≥1
+    surviving n-gram shingle.  |A∩B| from a shingle self-join count;
+    |A|,|B| from per-doc set sizes; candidate explosion bounded by
+    shingle selectivity — suitable as the verify stage after an LSH
+    prefilter at scale."""
     sh = df.select(
         F.col(id_col).alias("id"),
         _shingles(F.col(text_col), n).alias("shingles"),
@@ -573,7 +582,7 @@ def ngram_jaccard_pairs(
         )
         exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
     a, b = exploded.alias("a"), exploded.alias("b")
-    inter = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.id") < F.col("b.id")))
         .groupBy(
@@ -582,6 +591,19 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: "int | None" = 10_000,
+) -> DataFrame:
+    """Exact Jaccard over token n-gram sets for pairs sharing ≥1 shingle
+    (pair kernel: :func:`_shingle_intersections`)."""
+    inter = _shingle_intersections(df, text_col, id_col, n, max_shingle_freq)
     jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
     return inter.select(
         "id_a", "id_b", jac.alias("jaccard")
@@ -623,8 +645,10 @@ def lsh_verified_pairs(
     pairs_fn = minhash_portable_pairs if portable else minhash_lsh_pairs
     cand = pairs_fn(
         df, text_col, id_col, num_hashes=num_hashes,
-        shingle_size=n, bands=bands, threshold=0.0,
-    ).select("id_a", "id_b")
+        shingle_size=n, bands=bands, threshold=None,  # candidates only:
+        # the exact verify below re-scores every pair, so the 64-element
+        # est_jaccard comparison would be pure waste on the hot path
+    )
     sh = df.select(
         F.col(id_col).alias("__vp_id"),
         _shingles(F.col(text_col), n).alias("__vp_sh"),
@@ -662,32 +686,11 @@ def ngram_containment_pairs(
     direction is recovered from the sizes (the smaller side is the
     contained one).
 
-    Same scale shape as :func:`ngram_jaccard_pairs` (shingle
-    self-join bounded by shingle selectivity, df-cutoff guard);
-    containment is a raw IEEE division of exact integers, so the
-    oracle replays every value bit-for-bit."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        _shingles(F.col(text_col), n).alias("shingles"),
-    ).withColumn("size", F.size("shingles"))
-    exploded = sh.select("id", "size", F.explode("shingles").alias("shingle"))
-    if max_shingle_freq is not None:
-        hot = (
-            exploded.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_shingle_freq)
-        )
-        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
-    a, b = exploded.alias("a"), exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.size").alias("size_a"), F.col("b.size").alias("size_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    Same scale shape as :func:`ngram_jaccard_pairs` (shared pair
+    kernel :func:`_shingle_intersections`); containment is a raw IEEE
+    division of exact integers, so the oracle replays every value
+    bit-for-bit."""
+    inter = _shingle_intersections(df, text_col, id_col, n, max_shingle_freq)
     containment = F.col("inter") / F.least("size_a", "size_b")
     return inter.select(
         "id_a", "id_b", "inter", "size_a", "size_b",
@@ -913,9 +916,11 @@ def contamination_severity(
         min_overlap=min_overlap, max_window_freq=max_window_freq,
         broadcast_test=broadcast_test,
     )
-    # recompute the fraction from the max pair's integers rather than
-    # max()-ing the rounded per-pair fraction: the argmax by n_shared
-    # IS the argmax by fraction (one shared denominator per test doc)
+    # max() over the report's round-6 per-pair fraction is SAFE (not a
+    # shortcut): all of a test doc's pairs share one denominator, so
+    # the max by fraction is the max by n_shared and rounding is
+    # monotone — the rolled-up value equals the max pair's rounded
+    # fraction exactly, which is what the oracle computes
     return (
         report.groupBy("test_id")
         .agg(
@@ -1857,8 +1862,8 @@ def lsh_tuning_report(
         rows_per_band = num_hashes // bands
         cand = pairs_fn(
             df, text_col, id_col, num_hashes=num_hashes,
-            shingle_size=shingle_size, bands=bands, threshold=0.0,
-        ).select("id_a", "id_b")
+            shingle_size=shingle_size, bands=bands, threshold=None,
+        )
         n_cand = cand.count()
         n_hit = cand.join(truth, ["id_a", "id_b"], "left_semi").count()
         recall = n_hit / n_truth if n_truth else None

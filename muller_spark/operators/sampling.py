@@ -279,9 +279,10 @@ def kfold_assign(
     hash input, so no fold ever holds a paraphrase of another fold's
     document) — tested in tests/test_round8_ops.py.  ``key`` must be
     integral (the Knuth-hash family's contract, same as
-    deterministic_split/bucket_of): a string key casts to NULL and
-    would silently fold everything together — hash it to a numeric
-    surrogate first."""
+    deterministic_split/bucket_of): under this repo's ANSI-mode
+    sessions a non-numeric string key raises CAST_INVALID_INPUT at
+    runtime (with ANSI off it would cast to NULL and silently fold
+    everything together) — hash it to a numeric surrogate first."""
     if k <= 0:
         raise ValueError("k must be positive")
     return df.withColumn(

@@ -1303,8 +1303,13 @@ def remove_duplicated_windows(
         .filter(F.col("df") >= min_docs)
         .select("w")
     )
+    # NO broadcast hint: unlike the df>10k hot-shingle guards elsewhere
+    # (provably tiny sets), min_docs>=2 duplicated windows can be a
+    # large fraction of ALL distinct windows on a boilerplate-heavy
+    # corpus — pinning broadcast would drive the driver into the 8 GB
+    # cap exactly at scale.  AQE broadcasts it when it IS small.
     marked = (
-        wins.join(F.broadcast(hot), "w", "semi")
+        wins.join(hot, "w", "semi")
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
     )

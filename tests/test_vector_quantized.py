@@ -100,3 +100,51 @@ def test_dataset_facade_sq8_index_and_search(spark, emb, tmp_path):
     q = [r["embedding"] for r in emb.filter(F.col("vec_id") == 0).collect()]
     hits = ds.vector_search(q[0], "embedding", topk=5)
     assert hits.count() == 5
+
+
+def test_update_after_sq8_build_keeps_search_alive(spark, emb, tmp_path):
+    """Regression (round-8 review): append_ivf_assignments must land
+    delta rows in the SAME layout as the existing assign table —
+    (id, cell)-only rows in an SQ8/vec table are NULL list entries
+    that crash the next search's np.stack."""
+    from muller_spark import dataset as ds_mod
+
+    ds = ds_mod.dataset(str(tmp_path / "ds"), spark)
+    ds.create_tensor("vec_id", dtype="int64")
+    ds.create_tensor("embedding", htype="embedding", dtype="float32")
+    ds.extend_df(emb.select("vec_id", "embedding").filter(F.col("vec_id") < 400))
+    ds.commit("seed")
+    ds.create_vector_index("embedding", index_type="IVF", nlist=4,
+                           quantize_bits=8)
+    ds.extend_df(emb.select("vec_id", "embedding").filter(F.col("vec_id") >= 400))
+    ds.commit("delta")
+    ds.update_vector_index("embedding")
+    # the appended rows carry the SQ8 layout
+    assign = spark.read.parquet(os.path.join(
+        str(tmp_path / "ds"), "_indexes", "vector", "embedding",
+        "default", "assign"))
+    assert assign.filter(F.col("qvec").isNull()).count() == 0
+    q = [r["embedding"] for r in emb.filter(F.col("vec_id") == 450).collect()]
+    hits = ds.vector_search(q[0], "embedding", topk=5).collect()
+    assert len(hits) == 5  # pre-fix: ValueError from np.stack on NULLs
+
+
+def test_update_after_float32_lists_build(spark, emb, tmp_path):
+    from muller_spark import dataset as ds_mod
+
+    ds = ds_mod.dataset(str(tmp_path / "ds2"), spark)
+    ds.create_tensor("vec_id", dtype="int64")
+    ds.create_tensor("embedding", htype="embedding", dtype="float32")
+    ds.extend_df(emb.select("vec_id", "embedding").filter(F.col("vec_id") < 400))
+    ds.commit("seed")
+    ds.create_vector_index("embedding", index_type="IVF", nlist=4,
+                           store_vectors=True)
+    ds.extend_df(emb.select("vec_id", "embedding").filter(F.col("vec_id") >= 400))
+    ds.commit("delta")
+    ds.update_vector_index("embedding")
+    assign = spark.read.parquet(os.path.join(
+        str(tmp_path / "ds2"), "_indexes", "vector", "embedding",
+        "default", "assign"))
+    assert assign.filter(F.col("vec").isNull()).count() == 0
+    q = [r["embedding"] for r in emb.filter(F.col("vec_id") == 450).collect()]
+    assert len(ds.vector_search(q[0], "embedding", topk=5).collect()) == 5

@@ -44,12 +44,14 @@ def type_sweep(entry, qs, osql) -> "dict[str, str]":
             continue
         try:
             con = duckdb_connection(SF_DIR)
-            rel = con.sql(osql[name])
-            duck = {
-                c.lower(): _duck_kind(str(t))
-                for c, t in zip(rel.columns, rel.types)
-            }
-            con.close()
+            try:
+                rel = con.sql(osql[name])
+                duck = {
+                    c.lower(): _duck_kind(str(t))
+                    for c, t in zip(rel.columns, rel.types)
+                }
+            finally:
+                con.close()
             sdf = qs[name](spark, SF_DIR)  # analysis only (.schema)
             mine = {
                 f.name.lower(): _spark_kind(f.dataType)
