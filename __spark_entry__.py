@@ -2897,6 +2897,19 @@ def q_contamination_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("test_id")
 
 
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-source sample
+    (operators/sampling.sample_k_per_group): smallest-Knuth-hash rows
+    per group — append-stable, engine-portable membership the oracle
+    replays exactly."""
+    from muller_spark.operators.sampling import sample_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_k_per_group(
+        docs, F.col("doc_id"), "source", k=5
+    ).select("doc_id", "source").orderBy("doc_id")
+
+
 def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 7-fold CV assignment
     (operators/sampling.kfold_assign, salt=3): row-local portable
@@ -3465,6 +3478,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_containment_pairs": q_containment_pairs,
     "q_contamination_severity": q_contamination_severity,
     "q_kfold": q_kfold,
+    "q_sample_per_group": q_sample_per_group,
     "q_zipf": q_zipf,
     "q_bpe_pairs": q_bpe_pairs,
     "q_feature_hash": q_feature_hash,
@@ -5136,6 +5150,20 @@ _ORACLES: dict[str, str] = {
                CAST((((doc_id + 3) % 2147483648 + 2147483648) % 2147483648)
                     * 2654435761 % 4294967296 % 7 AS INT) AS fold
         FROM documents ORDER BY doc_id
+    """,
+    "q_sample_per_group": """
+        WITH h AS (
+          SELECT doc_id, source,
+                 (((doc_id % 2147483648 + 2147483648) % 2147483648)
+                  * 2654435761) % 4294967296 AS hv
+          FROM documents
+        ), r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY hv, doc_id) AS rn
+          FROM h
+        )
+        SELECT doc_id, source FROM r WHERE rn <= 5 ORDER BY doc_id
     """,
     # slope sums fold IN RANK ORDER via list_reduce — the exact
     # addition sequence of the Spark F.aggregate fold; round-6 absorbs

@@ -76,6 +76,7 @@ HEADLINE = [
     "q_cluster_sizes",
     "q_contamination_severity",
     "q_kfold",
+    "q_sample_per_group",
     "q_zipf",
     "q_bpe_pairs",
     "q_feature_hash",

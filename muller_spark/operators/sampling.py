@@ -290,6 +290,37 @@ def kfold_assign(
     )
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    key: Column,
+    group_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic fixed-size sample per group: the ``k`` rows with
+    the smallest Knuth hash of ``key`` within each group (hash asc —
+    a uniform, append-stable, engine-portable pseudo-order) — the
+    "give me 100 docs from every domain to eyeball" primitive, without
+    DataFrame.sample's per-partition seeding (reshuffles membership on
+    repartition) or an ORDER BY rand() (non-reproducible).
+
+    Scale shape: one rank window PARTITIONED BY GROUP — Spark's
+    rank-limit pushdown keeps a map-side partial WindowGroupLimit
+    before the shuffle, so ~k·tasks rows shuffle per group, never the
+    corpus (same plan family as topk_per_group)."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = _hash_col(key, salt)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), key.asc())
+    return (
+        df.withColumn("__skg_rn", F.row_number().over(w))
+        .filter(F.col("__skg_rn") <= k)
+        .drop("__skg_rn")
+    )
+
+
 def top_fraction_per_group(
     df: DataFrame,
     group_col: str,

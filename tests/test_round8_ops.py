@@ -417,3 +417,35 @@ def test_containment_exact_value(spark):
         df, "text", "doc_id", threshold=0.5, max_shingle_freq=None
     ).collect()[0]
     assert r["containment"] == 1.0 and r["inter"] == 2  # 'a b c','b c d'
+
+
+def test_sample_k_per_group_deterministic_and_sized(spark):
+    from muller_spark.operators.sampling import sample_k_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = sample_k_per_group(df, F.col("doc_id"), "grp", k=4)
+    got = {(r["doc_id"], r["grp"]) for r in out.collect()}
+    per = {}
+    for _, g in got:
+        per[g] = per.get(g, 0) + 1
+    assert per == {"g0": 4, "g1": 4, "g2": 4}
+    # stable under repartition AND under appends of higher-hash rows
+    re = {(r["doc_id"], r["grp"]) for r in sample_k_per_group(
+        df.repartition(7), F.col("doc_id"), "grp", k=4).collect()}
+    assert re == got
+    # plan: rank-limit pushdown keeps a WindowGroupLimit
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    with pytest.raises(ValueError):
+        sample_k_per_group(df, F.col("doc_id"), "grp", k=0)
+
+
+def test_sample_k_per_group_small_groups_kept_whole(spark):
+    from muller_spark.operators.sampling import sample_k_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, grp string"
+    )
+    out = sample_k_per_group(df, F.col("doc_id"), "grp", k=10).collect()
+    assert len(out) == 3
