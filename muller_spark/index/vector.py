@@ -24,7 +24,6 @@ shuffles in the exact path and shuffles once (by bucket) in the ANN path.
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence
 
 import numpy as np
 from pyspark.sql import DataFrame
