@@ -2897,6 +2897,22 @@ def q_contamination_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("test_id")
 
 
+def q_length_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length CDF position
+    (operators/aggregate.group_cume_dist): cume_dist computed with the
+    bucket-prefix-sum pattern (running sum over DISTINCT lengths per
+    source, never a corpus window), value-identical to SQL's
+    cume_dist() window — which is exactly what the oracle runs."""
+    from muller_spark.operators.aggregate import group_cume_dist
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return group_cume_dist(docs, "n_chars", "source").select(
+        "doc_id", "source", "n_chars", "cume_dist"
+    ).orderBy("doc_id")
+
+
 def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5-per-source sample
     (operators/sampling.sample_k_per_group): smallest-Knuth-hash rows
@@ -3479,6 +3495,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_contamination_severity": q_contamination_severity,
     "q_kfold": q_kfold,
     "q_sample_per_group": q_sample_per_group,
+    "q_length_percentile": q_length_percentile,
     "q_zipf": q_zipf,
     "q_bpe_pairs": q_bpe_pairs,
     "q_feature_hash": q_feature_hash,
@@ -5149,6 +5166,12 @@ _ORACLES: dict[str, str] = {
         SELECT doc_id,
                CAST((((doc_id + 3) % 2147483648 + 2147483648) % 2147483648)
                     * 2654435761 % 4294967296 % 7 AS INT) AS fold
+        FROM documents ORDER BY doc_id
+    """,
+    "q_length_percentile": """
+        SELECT doc_id, source, n_chars,
+               cume_dist() OVER (PARTITION BY source ORDER BY n_chars)
+                 AS cume_dist
         FROM documents ORDER BY doc_id
     """,
     "q_sample_per_group": """

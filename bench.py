@@ -77,6 +77,7 @@ HEADLINE = [
     "q_contamination_severity",
     "q_kfold",
     "q_sample_per_group",
+    "q_length_percentile",
     "q_zipf",
     "q_bpe_pairs",
     "q_feature_hash",

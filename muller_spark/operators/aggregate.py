@@ -324,3 +324,49 @@ def correlation_matrix(
         .select("col_a", "col_b", F.round("corr", round_to).alias("corr"))
         .orderBy("col_a", "col_b")
     )
+
+
+def group_cume_dist(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    out_col: str = "cume_dist",
+) -> DataFrame:
+    """Per-row cumulative distribution within its group —
+    ``P(value <= x | group)``, SQL's ``cume_dist() OVER (PARTITION BY
+    group ORDER BY value)`` — computed WITHOUT a corpus window:
+
+    1. one (group, value) hash aggregate (corpus → distinct values),
+    2. a running sum windowed over the DISTINCT VALUES of each group
+       (the KS-drift bucket-prefix-sum pattern: cost bounded by
+       value cardinality, never corpus rows — SQL's corpus window
+       serializes each group through one sorting task),
+    3. totals + a join back on (group, value).
+
+    NULL values pass through with NULL ``out_col`` (SQL windows would
+    rank them; a quality score that's absent shouldn't claim a
+    percentile).  The ratio is a raw IEEE division of exact integer
+    counts — engine-portable bits (oracle: q_length_percentile)."""
+    from pyspark.sql import Window
+
+    vc = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("__cd_n"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vc.withColumn("__cd_cum", F.sum("__cd_n").over(w))
+    totals = vc.groupBy(group_col).agg(F.sum("__cd_n").alias("__cd_tot"))
+    dist = (
+        cum.join(totals, group_col)
+        .select(
+            group_col,
+            value_col,
+            (F.col("__cd_cum") / F.col("__cd_tot")).alias(out_col),
+        )
+    )
+    return df.join(dist, [group_col, value_col], "left")

@@ -449,3 +449,39 @@ def test_sample_k_per_group_small_groups_kept_whole(spark):
     )
     out = sample_k_per_group(df, F.col("doc_id"), "grp", k=10).collect()
     assert len(out) == 3
+
+
+def test_group_cume_dist_matches_sql_window_and_handles_nulls(spark):
+    from pyspark.sql import Window
+
+    from muller_spark.operators.aggregate import group_cume_dist
+
+    rows = [(0, "a", 10), (1, "a", 20), (2, "a", 20), (3, "a", 30),
+            (4, "b", 5), (5, "b", None)]
+    df = spark.createDataFrame(rows, "id long, grp string, v int")
+    got = {r["id"]: r["cume_dist"]
+           for r in group_cume_dist(df, "v", "grp").collect()}
+    w = Window.partitionBy("grp").orderBy("v")
+    want = {r["id"]: r["cd"] for r in
+            df.filter(F.col("v").isNotNull())
+            .withColumn("cd", F.cume_dist().over(w)).collect()}
+    for i in (0, 1, 2, 3, 4):
+        assert got[i] == want[i]
+    assert got[0] == 0.25 and got[1] == 0.75 and got[2] == 0.75
+    assert got[3] == 1.0 and got[4] == 1.0
+    assert got[5] is None  # NULL value -> NULL percentile, not ranked
+
+
+def test_group_cume_dist_plan_windows_distinct_values_only(spark):
+    """The running-sum window runs over the (group, value) AGGREGATE,
+    not corpus rows: a hash aggregate must appear below the window."""
+    from muller_spark.operators.aggregate import group_cume_dist
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", i % 7) for i in range(100)],
+        "id long, grp string, v int",
+    )
+    out = group_cume_dist(docs, "v", "grp")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    before_window = plan.split("Window", 1)[1]
+    assert "Aggregate" in before_window, plan[:2000]
