@@ -2897,6 +2897,22 @@ def q_contamination_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("test_id")
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorized document lengths
+    (operators/quality.winsorize, [0.1, 0.9]): in-range values pass
+    through bit-exact, clipped rows take the round-6 interpolated
+    percentile bound — the q_percentile_groups cross-engine
+    discipline."""
+    from muller_spark.operators.quality import winsorize
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return winsorize(
+        docs, "n_chars", "source", lower=0.1, upper=0.9
+    ).orderBy("doc_id")
+
+
 def q_length_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length CDF position
     (operators/aggregate.group_cume_dist): cume_dist computed with the
@@ -3496,6 +3512,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kfold": q_kfold,
     "q_sample_per_group": q_sample_per_group,
     "q_length_percentile": q_length_percentile,
+    "q_winsorize": q_winsorize,
     "q_zipf": q_zipf,
     "q_bpe_pairs": q_bpe_pairs,
     "q_feature_hash": q_feature_hash,
@@ -5167,6 +5184,20 @@ _ORACLES: dict[str, str] = {
                CAST((((doc_id + 3) % 2147483648 + 2147483648) % 2147483648)
                     * 2654435761 % 4294967296 % 7 AS INT) AS fold
         FROM documents ORDER BY doc_id
+    """,
+    "q_winsorize": """
+        WITH b AS (
+          SELECT source,
+                 round(quantile_cont(n_chars, 0.1), 6) AS lo,
+                 round(quantile_cont(n_chars, 0.9), 6) AS hi
+          FROM documents GROUP BY source
+        )
+        SELECT doc_id, d.source, n_chars,
+               CASE WHEN CAST(n_chars AS DOUBLE) < lo THEN lo
+                    WHEN CAST(n_chars AS DOUBLE) > hi THEN hi
+                    ELSE CAST(n_chars AS DOUBLE) END AS n_chars_winsorized
+        FROM documents d JOIN b USING (source)
+        ORDER BY doc_id
     """,
     "q_length_percentile": """
         SELECT doc_id, source, n_chars,

@@ -78,6 +78,7 @@ HEADLINE = [
     "q_kfold",
     "q_sample_per_group",
     "q_length_percentile",
+    "q_winsorize",
     "q_zipf",
     "q_bpe_pairs",
     "q_feature_hash",

@@ -909,3 +909,49 @@ def ks_drift_by(
         )
         .withColumnRenamed("g", "group_key")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: "str | None" = None,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` at the group's
+    exact interpolated [``lower``, ``upper``] percentiles — the
+    outlier-taming companion to the MAD z-scores (tame the tails
+    instead of dropping the rows; the standard normalization before a
+    quality score feeds a training-mix weight).
+
+    Returns df + ``out_col`` (default ``{value}_winsorized``) plus the
+    per-group bounds (``__w_lo``/``__w_hi`` dropped; bounds visible as
+    the clipped values themselves).  In-range values pass through
+    BIT-EXACT (no rounding of untouched data); clipped rows take the
+    round-6 bound — interpolated percentiles are arithmetic on
+    doubles, and round-6 is the repo's established cross-engine
+    discipline for them (q_percentile_groups).  NULL values stay NULL.
+
+    Scale shape: one exact-percentile aggregate per group (full sort
+    per group by declared intent — swap percentile_approx at 100 TB,
+    same as q_statistics), one join back keyed on the group (AQE
+    broadcasts the bounds frame — one row per group)."""
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    out_col = out_col or f"{value_col}_winsorized"
+    bounds = df.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({value_col}, {lower})"), 6).alias("__w_lo"),
+        F.round(F.expr(f"percentile({value_col}, {upper})"), 6).alias("__w_hi"),
+    )
+    v = F.col(value_col).cast("double")
+    clipped = (
+        F.when(v < F.col("__w_lo"), F.col("__w_lo"))
+        .when(v > F.col("__w_hi"), F.col("__w_hi"))
+        .otherwise(v)
+    )
+    return (
+        df.join(bounds, group_col)
+        .withColumn(out_col, clipped)
+        .drop("__w_lo", "__w_hi")
+    )

@@ -485,3 +485,34 @@ def test_group_cume_dist_plan_windows_distinct_values_only(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     before_window = plan.split("Window", 1)[1]
     assert "Aggregate" in before_window, plan[:2000]
+
+
+def test_winsorize_clips_and_passes_through(spark):
+    from muller_spark.operators.quality import winsorize
+
+    rows = [(i, "g", float(v)) for i, v in enumerate(
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = {r["id"]: r["v_winsorized"] for r in
+           winsorize(df, "v", "grp", 0.1, 0.9).collect()}
+    import numpy as np
+    lo = round(float(np.percentile([1,2,3,4,5,6,7,8,9,100], 10)), 6)
+    hi = round(float(np.percentile([1,2,3,4,5,6,7,8,9,100], 90)), 6)
+    assert out[0] == lo          # 1 clipped up
+    assert out[9] == hi          # 100 clipped down
+    for i in range(1, 9):        # in-range values untouched, bit-exact
+        assert out[i] == float(i + 1)
+    with pytest.raises(ValueError):
+        winsorize(df, "v", "grp", 0.9, 0.1)
+
+
+def test_winsorize_null_values_stay_null(spark):
+    from muller_spark.operators.quality import winsorize
+
+    df = spark.createDataFrame(
+        [(0, "g", 1.0), (1, "g", 2.0), (2, "g", None)],
+        "id long, grp string, v double",
+    )
+    out = {r["id"]: r["v_winsorized"]
+           for r in winsorize(df, "v", "grp").collect()}
+    assert out[2] is None
