@@ -2897,6 +2897,18 @@ def q_contamination_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("test_id")
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty under ingest order
+    (operators/dedup.ngram_novelty): fraction of a doc's distinct
+    shingles first seen in that doc — the redundancy-growth prune
+    signal.  Linear shingle volume, no self-join; raw integer-ratio
+    values the oracle replays exactly."""
+    from muller_spark.operators.dedup import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "text", "doc_id", n=3).orderBy("id")
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source winsorized document lengths
     (operators/quality.winsorize, [0.1, 0.9]): in-range values pass
@@ -3513,6 +3525,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sample_per_group": q_sample_per_group,
     "q_length_percentile": q_length_percentile,
     "q_winsorize": q_winsorize,
+    "q_ngram_novelty": q_ngram_novelty,
     "q_zipf": q_zipf,
     "q_bpe_pairs": q_bpe_pairs,
     "q_feature_hash": q_feature_hash,
@@ -5184,6 +5197,32 @@ _ORACLES: dict[str, str] = {
                CAST((((doc_id + 3) % 2147483648 + 2147483648) % 2147483648)
                     * 2654435761 % 4294967296 % 7 AS INT) AS fold
         FROM documents ORDER BY doc_id
+    """,
+    "q_ngram_novelty": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id AS id, unnest(
+            CASE WHEN len(t) >= 3 THEN
+              list_distinct(list_transform(range(1, len(t) - 1),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+            ELSE [array_to_string(t, ' ')] END) AS shingle
+          FROM toks WHERE t IS NOT NULL
+        ), first AS (
+          SELECT shingle, min(id) AS first_id FROM sh GROUP BY shingle
+        ), per AS (
+          SELECT id, count(*) AS n_windows,
+                 CAST(sum(CASE WHEN id = first_id THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_novel
+          FROM sh JOIN first USING (shingle) GROUP BY id
+        )
+        SELECT d.doc_id AS id,
+               coalesce(n_windows, 0) AS n_windows,
+               coalesce(n_novel, 0) AS n_novel,
+               CASE WHEN n_windows > 0
+                    THEN n_novel / CAST(n_windows AS DOUBLE) END AS novelty
+        FROM documents d LEFT JOIN per ON per.id = d.doc_id
+        ORDER BY d.doc_id
     """,
     "q_winsorize": """
         WITH b AS (

@@ -79,6 +79,7 @@ HEADLINE = [
     "q_sample_per_group",
     "q_length_percentile",
     "q_winsorize",
+    "q_ngram_novelty",
     "q_zipf",
     "q_bpe_pairs",
     "q_feature_hash",

@@ -698,6 +698,65 @@ def ngram_containment_pairs(
     ).filter(F.col("containment") >= threshold)
 
 
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty under the corpus's id order: the fraction
+    of a document's distinct ``n``-gram shingles whose FIRST occurrence
+    (minimum ``id_col``) is the document itself — the redundancy-growth
+    curve of a crawl ordered by ingest time.  A late document scoring
+    near 0 adds nothing the corpus hasn't seen; sorting this ascending
+    is a cheap prune list.
+
+    Returns (id, n_windows, n_novel, novelty) with novelty a raw IEEE
+    division of exact integers (oracle-replayable bit-for-bit).
+    NULL-text docs carry n_windows = 0 and NULL novelty; EMPTY-token
+    docs sketch to the single empty shingle (the _shingles family
+    convention), so all of them share one first-occurrence.
+
+    Scale shape: one shingle explode, one (shingle → min id) hash
+    aggregate, one join back on the shingle key, one per-doc
+    aggregate — no self-join (unlike the pair stage, cost is linear in
+    shingle volume), no windows."""
+    sh = (
+        df.filter(F.col(text_col).isNotNull())  # NULL text: no windows
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    first = sh.groupBy("shingle").agg(F.min("id").alias("__first_id"))
+    per = (
+        sh.join(first, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                F.when(F.col("id") == F.col("__first_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    spine = df.select(F.col(id_col).alias("id"))
+    return (
+        spine.join(per, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_windows"), F.lit(0).cast("long"))
+            .alias("n_windows"),
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long"))
+            .alias("n_novel"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.col("n_novel") / F.col("n_windows"),
+            ).alias("novelty"),
+        )
+    )
+
+
 def duplicate_passages(
     df: DataFrame,
     text_col: str,

@@ -516,3 +516,21 @@ def test_winsorize_null_values_stay_null(spark):
     out = {r["id"]: r["v_winsorized"]
            for r in winsorize(df, "v", "grp").collect()}
     assert out[2] is None
+
+
+def test_ngram_novelty_hand_computed(spark):
+    from muller_spark.operators.dedup import ngram_novelty
+
+    rows = [
+        (0, "a b c d e"),          # all shingles first-seen here
+        (1, "a b c d e"),          # exact dup of 0 -> novelty 0
+        (2, "a b c x y z"),        # 'a b c' seen; 3 new of 4
+        (3, None),                 # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: (r["n_windows"], r["n_novel"], r["novelty"])
+           for r in ngram_novelty(df, "text", "doc_id").collect()}
+    assert out[0] == (3, 3, 1.0)
+    assert out[1] == (3, 0, 0.0)
+    assert out[2] == (4, 3, 0.75)
+    assert out[3] == (0, 0, None)
