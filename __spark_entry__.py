@@ -3151,6 +3151,33 @@ def q_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key", "ts_epoch", "value")
 
 
+def q_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift BETWEEN dataset versions: ingest documents in two commits
+    (doc_id < 300, then the rest), time-travel both
+    (``load(path@commit)``), and PSI the length distribution of v1 vs
+    HEAD (operators/quality.psi_drift over the version-control
+    surface).  The oracle replays the same split from the raw table —
+    commit contents are deterministic id slices, so this value-checks
+    time travel AND the drift math in one query."""
+    import tempfile
+
+    from muller_spark import dataset as ds_mod
+    from muller_spark.operators.quality import psi_drift
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    path = os.path.join(tempfile.mkdtemp(prefix="vdrift_"), "ds")
+    ds = ds_mod.dataset(path, spark)
+    ds.create_tensor("doc_id", dtype="int64")
+    ds.create_tensor("n_chars", dtype="int64")
+    ds.extend_df(docs.filter(F.col("doc_id") < 300).orderBy("doc_id"))
+    c1 = ds.commit("v1")
+    ds.extend_df(docs.filter(F.col("doc_id") >= 300).orderBy("doc_id"))
+    ds.commit("v2")
+    v1 = ds_mod.load(f"{path}@{c1}", spark).df
+    head = ds.df
+    return psi_drift(v1, head, "n_chars", buckets=10)
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-drift monitoring (operators/quality.psi_drift):
     Population Stability Index of the event value distribution,
@@ -3510,6 +3537,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q12_late_priority": q_tpch_q12_late_priority,
     "q_hard_negatives": q_hard_negatives,
     "q_psi_drift": q_psi_drift,
+    "q_version_drift": q_version_drift,
     "q_rolling_anomalies": q_rolling_anomalies,
     "q_bloom_decontaminate": q_bloom_decontaminate,
     "q_skew_report": q_skew_report,
@@ -4351,6 +4379,46 @@ _ORACLES: dict[str, str] = {
         SELECT key, ts_epoch, value, zscore FROM z
         WHERE sd > 0 AND abs(zscore) >= 2.5
         ORDER BY key, ts_epoch, value
+    """,
+    # replays q_version_drift's commit slices from the raw table:
+    # v1 = doc_id < 300, HEAD = all rows — value-checks time travel
+    # (the Spark side reads both frames through load(path@commit))
+    # and the PSI math together
+    "q_version_drift": """
+        WITH bnds AS (
+          SELECT quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                         0.6, 0.7, 0.8, 0.9]) AS b
+          FROM documents
+          WHERE doc_id < 300 AND n_chars IS NOT NULL
+        ), rc AS (
+          SELECT len(list_filter(b, x -> n_chars > x)) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM documents, bnds
+          WHERE doc_id < 300 AND n_chars IS NOT NULL
+          GROUP BY 1
+        ), cc AS (
+          SELECT len(list_filter(b, x -> n_chars > x)) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM documents, bnds
+          WHERE n_chars IS NOT NULL
+          GROUP BY 1
+        ), spine AS (
+          SELECT unnest(generate_series(0, 9)) AS bucket
+        ), j AS (
+          SELECT spine.bucket,
+                 coalesce(rc.n, 0) AS rcn, coalesce(cc.n, 0) AS ccn
+          FROM spine LEFT JOIN rc ON spine.bucket = rc.bucket
+                     LEFT JOIN cc ON spine.bucket = cc.bucket
+        ), tot AS (
+          SELECT sum(rcn) AS rt, sum(ccn) AS ct FROM j
+        )
+        SELECT bucket,
+               round((rcn + 0.5) / (rt + 5.0), 6) AS ref_frac,
+               round((ccn + 0.5) / (ct + 5.0), 6) AS cur_frac,
+               round(((rcn + 0.5) / (rt + 5.0) - (ccn + 0.5) / (ct + 5.0))
+                     * ln(((rcn + 0.5) / (rt + 5.0))
+                          / ((ccn + 0.5) / (ct + 5.0))), 6) AS psi_contrib
+        FROM j, tot ORDER BY bucket
     """,
     "q_psi_drift": """
         WITH bnds AS (

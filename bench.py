@@ -55,6 +55,7 @@ HEADLINE = [
     "q_tpch_q21_waiting_supplier",
     "q_hard_negatives",
     "q_psi_drift",
+    "q_version_drift",
     "q_rolling_anomalies",
     "q_bloom_decontaminate",
     "q_skew_report",
