@@ -3151,6 +3151,27 @@ def q_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key", "ts_epoch", "value")
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog (operators/aggregate.hll_distinct,
+    precision 10) over the corpus's distinct 3-gram shingles, with the
+    exact count alongside — unlike approx_count_distinct's opaque
+    binary sketch, every register and the estimate replay in the
+    oracle (md5-60bit hash + binary-string bit length + bucket-ordered
+    power-of-two fold)."""
+    from muller_spark.operators.aggregate import hll_distinct
+    from muller_spark.operators.dedup import _shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.explode(_shingles(F.col("text"), 3)).alias("shingle")
+    )
+    est = hll_distinct(sh, "shingle", precision=10)
+    exact = sh.agg(
+        F.count_distinct("shingle").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
 def q_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift BETWEEN dataset versions: ingest documents in two commits
     (doc_id < 300, then the rest), time-travel both
@@ -3538,6 +3559,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hard_negatives": q_hard_negatives,
     "q_psi_drift": q_psi_drift,
     "q_version_drift": q_version_drift,
+    "q_hll_distinct": q_hll_distinct,
     "q_rolling_anomalies": q_rolling_anomalies,
     "q_bloom_decontaminate": q_bloom_decontaminate,
     "q_skew_report": q_skew_report,
@@ -4379,6 +4401,48 @@ _ORACLES: dict[str, str] = {
         SELECT key, ts_epoch, value, zscore FROM z
         WHERE sd > 0 AND abs(zscore) >= 2.5
         ORDER BY key, ts_epoch, value
+    """,
+    # HLL replay: same md5-60bit hash, same bucket/rho integer-string
+    # math, same bucket-ordered fold — alpha*m^2 inlined from the same
+    # Python double the operator uses
+    "q_hll_distinct": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), sh AS (
+          SELECT unnest(CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                 ELSE [array_to_string(t, ' ')] END) AS v
+          FROM toks
+        ), h AS (
+          SELECT {_H60_SQL.format(v='v')} AS h FROM sh
+        ), r AS (
+          SELECT CAST(h // 1125899906842624 AS INT) AS bucket,
+                 CASE WHEN h % 1125899906842624 > 0
+                      THEN 50 - length(to_base(h % 1125899906842624, 2)) + 1
+                      ELSE 51 END AS rho
+          FROM h
+        ), regs AS (
+          SELECT bucket, max(rho) AS reg FROM r GROUP BY bucket
+        ), packed AS (
+          SELECT coalesce(list(struct_pack(bucket := bucket, reg := reg)
+                               ORDER BY bucket), []) AS rs,
+                 count(*) AS present
+          FROM regs
+        ), calc AS (
+          SELECT present,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(rs, x -> pow(2.0, -x.reg)::DOUBLE)),
+                   (a, b) -> a + b) + (1024 - present) AS sum_z
+          FROM packed
+        )
+        SELECT 1024 AS m, CAST(present AS BIGINT) AS nonzero_registers,
+               round(CASE WHEN 755541.746198293 / sum_z <= 2560.0 AND present < 1024
+                          THEN 1024.0 * ln(1024.0 / (1024 - present))
+                          ELSE 755541.746198293 / sum_z END, 4) AS estimate,
+               (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM sh)
+                 AS exact_distinct
+        FROM calc
     """,
     # replays q_version_drift's commit slices from the raw table:
     # v1 = doc_id < 300, HEAD = all rows — value-checks time travel

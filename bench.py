@@ -56,6 +56,7 @@ HEADLINE = [
     "q_hard_negatives",
     "q_psi_drift",
     "q_version_drift",
+    "q_hll_distinct",
     "q_rolling_anomalies",
     "q_bloom_decontaminate",
     "q_skew_report",

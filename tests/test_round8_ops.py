@@ -534,3 +534,40 @@ def test_ngram_novelty_hand_computed(spark):
     assert out[1] == (3, 0, 0.0)
     assert out[2] == (4, 3, 0.75)
     assert out[3] == (0, 0, None)
+
+
+def test_hll_distinct_error_and_edges(spark):
+    from muller_spark.operators.aggregate import hll_distinct
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(f"val_{i % 2000}",) for i in range(n)], "v string"
+    )
+    r = hll_distinct(df, "v", precision=10).collect()[0]
+    assert r["m"] == 1024
+    # standard error 1.04/sqrt(1024) ~ 3.25%; allow 4 sigma
+    assert abs(r["estimate"] - 2000) / 2000 < 0.13
+    # empty input -> one row, estimate 0
+    r0 = hll_distinct(df.filter("v = 'nope'"), "v").collect()
+    assert len(r0) == 1 and r0[0]["estimate"] == 0.0
+    # NULLs excluded
+    dn = spark.createDataFrame([("a",), (None,), ("b",)], "v string")
+    rn = hll_distinct(dn, "v", precision=10).collect()[0]
+    assert rn["nonzero_registers"] == 2
+    with pytest.raises(ValueError):
+        hll_distinct(df, "v", precision=2)
+
+
+def test_hll_distinct_multiplicity_invariant(spark):
+    """Duplicates can't move the sketch: max-per-register is
+    idempotent, so 1 copy or 100 copies give identical output."""
+    from muller_spark.operators.aggregate import hll_distinct
+
+    one = spark.createDataFrame([(f"x{i}",) for i in range(300)], "v string")
+    many = spark.createDataFrame(
+        [(f"x{i}",) for i in range(300) for _ in range(7)], "v string"
+    )
+    a = hll_distinct(one, "v", 8).collect()[0]
+    b = hll_distinct(many, "v", 8).collect()[0]
+    assert (a["estimate"], a["nonzero_registers"]) == (
+        b["estimate"], b["nonzero_registers"])
