@@ -3151,6 +3151,20 @@ def q_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key", "ts_epoch", "value")
 
 
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Count-Min sketch audit
+    (operators/aggregate.cms_frequency_report, 4×1024): the top-20
+    exact token counts alongside their CMS estimates — exact integer
+    counters, so the oracle replays the sketch bit-for-bit; the
+    one-sided estimate ≥ exact guarantee is hash-visible."""
+    from muller_spark.operators.aggregate import cms_frequency_report
+    from muller_spark.operators.text import tokens_of
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_of(F.col("text"))).alias("tok"))
+    return cms_frequency_report(toks, "tok", k=20, width=1024, depth=4)
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable HyperLogLog (operators/aggregate.hll_distinct,
     precision 10) over the corpus's distinct 3-gram shingles, with the
@@ -3560,6 +3574,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_psi_drift": q_psi_drift,
     "q_version_drift": q_version_drift,
     "q_hll_distinct": q_hll_distinct,
+    "q_cms_topk": q_cms_topk,
     "q_rolling_anomalies": q_rolling_anomalies,
     "q_bloom_decontaminate": q_bloom_decontaminate,
     "q_skew_report": q_skew_report,
@@ -4401,6 +4416,42 @@ _ORACLES: dict[str, str] = {
         SELECT key, ts_epoch, value, zscore FROM z
         WHERE sd > 0 AND abs(zscore) >= 2.5
         ORDER BY key, ts_epoch, value
+    """,
+    # CMS replay: salted md5-60bit row hashes, exact integer counters
+    "q_cms_topk": f"""
+        WITH toks AS (
+          SELECT unnest({_TOKENS_SQL}) AS v FROM documents
+        ), allb AS (
+          SELECT 0 AS row,
+                 CAST({_H60_SQL.format(v="v || '#cms0'")} % 1024 AS INT)
+                   AS bucket FROM toks
+          UNION ALL
+          SELECT 1, CAST({_H60_SQL.format(v="v || '#cms1'")} % 1024 AS INT)
+          FROM toks
+          UNION ALL
+          SELECT 2, CAST({_H60_SQL.format(v="v || '#cms2'")} % 1024 AS INT)
+          FROM toks
+          UNION ALL
+          SELECT 3, CAST({_H60_SQL.format(v="v || '#cms3'")} % 1024 AS INT)
+          FROM toks
+        ), sketch AS (
+          SELECT row, bucket, CAST(count(*) AS BIGINT) AS c
+          FROM allb GROUP BY 1, 2
+        ), top AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS exact_cnt,
+                 CAST(row_number() OVER (ORDER BY count(*) DESC, v) AS INT)
+                   AS rank
+          FROM toks GROUP BY v
+          ORDER BY exact_cnt DESC, v LIMIT 20
+        ), probes AS (
+          SELECT rank, v, exact_cnt, CAST(gs.i AS INT) AS row,
+                 CAST({_H60_SQL.format(v="v || '#cms' || gs.i")} % 1024
+                      AS INT) AS bucket
+          FROM top CROSS JOIN (SELECT unnest(range(0, 4)) AS i) gs
+        )
+        SELECT rank, v, exact_cnt, CAST(min(c) AS BIGINT) AS cms_estimate
+        FROM probes JOIN sketch USING (row, bucket)
+        GROUP BY 1, 2, 3 ORDER BY rank
     """,
     # HLL replay: same md5-60bit hash, same bucket/rho integer-string
     # math, same bucket-ordered fold — alpha*m^2 inlined from the same

@@ -57,6 +57,7 @@ HEADLINE = [
     "q_psi_drift",
     "q_version_drift",
     "q_hll_distinct",
+    "q_cms_topk",
     "q_rolling_anomalies",
     "q_bloom_decontaminate",
     "q_skew_report",

@@ -452,3 +452,79 @@ def hll_distinct(
     # empty input: groupBy().agg over zero rows still yields one row
     # with an empty array, so the contract (exactly one row) holds
     return out
+
+
+def cms_frequency_report(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Engine-portable Count-Min sketch, audited against truth: build
+    a ``depth × width`` counter sketch of ``col`` (salted md5-60bit
+    row hashes) and report the top-``k`` exact-count values alongside
+    their CMS estimate — (rank, value, exact_cnt, cms_estimate), with
+    the classic one-sided guarantee estimate ≥ exact (collisions only
+    ADD).  The bounded-memory frequency probe for 100 TB token/URL
+    streams, in the auditable-sketch style of :func:`hll_distinct`:
+    counters are EXACT INTEGERS, so a SQL oracle replays the whole
+    sketch bit-for-bit.
+
+    Scale shape: ``depth`` map-side bucket projections unioned into ONE
+    (row, bucket) hash aggregate — sketch size depth·width rows
+    regardless of corpus; the report side is an exact top-k
+    (TakeOrderedAndProject) whose ≤ k·depth probes join the tiny
+    sketch."""
+    from muller_spark.operators.dedup import portable_hash60
+
+    if k <= 0 or width <= 1 or not 1 <= depth <= 8:
+        raise ValueError("need k > 0, width > 1, depth in [1, 8]")
+    vals = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).cast("string").alias("v"))
+    )
+
+    def bucket_of_row(v: Column, i: int) -> Column:
+        return (
+            portable_hash60(F.concat(v, F.lit(f"#cms{i}"))) % F.lit(width)
+        ).cast("int")
+
+    counters = None
+    for i in range(depth):
+        part = vals.select(
+            F.lit(i).alias("row"), bucket_of_row(F.col("v"), i).alias("bucket")
+        )
+        counters = part if counters is None else counters.unionByName(part)
+    sketch = counters.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+    from pyspark.sql import Window
+
+    top = (
+        vals.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("v").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("v").asc())
+    probes = top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "v", "exact_cnt",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    bucket_of_row(F.col("v"), i).alias("bucket"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("p"),
+    ).select("rank", "v", "exact_cnt",
+             F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+    return (
+        probes.join(sketch, ["row", "bucket"])
+        .groupBy("rank", "v", "exact_cnt")
+        .agg(F.min("c").alias("cms_estimate"))
+        .orderBy("rank")
+    )

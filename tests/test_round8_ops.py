@@ -571,3 +571,29 @@ def test_hll_distinct_multiplicity_invariant(spark):
     b = hll_distinct(many, "v", 8).collect()[0]
     assert (a["estimate"], a["nonzero_registers"]) == (
         b["estimate"], b["nonzero_registers"])
+
+
+def test_cms_overestimates_never_under(spark):
+    from muller_spark.operators.aggregate import cms_frequency_report
+
+    rows = [(f"t{i % 50}",) for i in range(3000)] + [("rare",)]
+    df = spark.createDataFrame(rows, "v string")
+    out = cms_frequency_report(df, "v", k=51, width=64, depth=3).collect()
+    assert len(out) == 51
+    for r in out:
+        assert r["cms_estimate"] >= r["exact_cnt"]  # one-sided guarantee
+    # a wide sketch at this cardinality is exact
+    wide = cms_frequency_report(df, "v", k=51, width=4096, depth=4).collect()
+    assert all(r["cms_estimate"] == r["exact_cnt"] for r in wide)
+
+
+def test_cms_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from muller_spark.operators.aggregate import cms_frequency_report
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with _pytest.raises(ValueError):
+        cms_frequency_report(df, "v", k=0)
+    with _pytest.raises(ValueError):
+        cms_frequency_report(df, "v", depth=9)
