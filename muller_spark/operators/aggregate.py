@@ -372,6 +372,59 @@ def group_cume_dist(
     return df.join(dist, [group_col, value_col], "left")
 
 
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    precision: int = 10,
+) -> DataFrame:
+    """The HLL sketch itself: (bucket, reg) — max leading-zero rank per
+    bucket of the portable md5-60bit hash.  This frame IS the
+    distributed/persistable form of the sketch: two sketches over
+    disjoint (or overlapping!) data MERGE by ``union → groupBy(bucket)
+    → max(reg)`` (:func:`hll_merge`), giving the exact same registers
+    as one pass over the combined data — the property that lets
+    per-shard/per-day sketches answer corpus-wide cardinality without
+    a rescan.  ≤ 2^precision rows."""
+    from muller_spark.operators.dedup import portable_hash60
+
+    if not 4 <= precision <= 14:
+        raise ValueError("precision must be in [4, 14]")
+    w = 60 - precision
+    h = portable_hash60(F.col(col).cast("string"))
+    rem = h % F.lit(1 << w)  # low w bits (h >> w is the bucket)
+    rho = F.when(
+        rem > 0,
+        F.lit(w) - F.length(F.conv(rem, 10, 2)) + F.lit(1),
+    ).otherwise(F.lit(w + 1))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.shiftright(h, w).cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge HLL register frames (same precision): elementwise max —
+    exact, order-free, idempotent, duplicate-tolerant."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(regs: DataFrame, precision: int = 10) -> DataFrame:
+    """Estimate from a register frame (:func:`hll_registers` /
+    :func:`hll_merge` output): one row (m, nonzero_registers,
+    estimate) — see :func:`hll_distinct` for the float discipline."""
+    return _hll_estimate_from_registers(regs, precision)
+
+
 def hll_distinct(
     df: DataFrame,
     col: str,
@@ -395,12 +448,15 @@ def hll_distinct(
     Scale shape: one corpus pass → (bucket, max rho) hash aggregate
     (≤ m rows), then a driver-free fold over the sorted register
     array.  Standard HLL error ≈ 1.04/√m (~3.2% at precision 10)."""
-    from muller_spark.operators.dedup import portable_hash60
+    return _hll_estimate_from_registers(
+        hll_registers(df, col, precision), precision
+    )
 
+
+def _hll_estimate_from_registers(regs: DataFrame, precision: int) -> DataFrame:
     if not 4 <= precision <= 14:
         raise ValueError("precision must be in [4, 14]")
     m = 1 << precision
-    w = 60 - precision
     if m == 16:
         alpha = 0.673
     elif m == 32:
@@ -410,21 +466,6 @@ def hll_distinct(
     else:
         alpha = 0.7213 / (1.0 + 1.079 / m)
 
-    h = portable_hash60(F.col(col).cast("string"))
-    rem = h % F.lit(1 << w)  # low w bits (h >> w is the bucket)
-    rho = F.when(
-        rem > 0,
-        F.lit(w) - F.length(F.conv(rem, 10, 2)) + F.lit(1),
-    ).otherwise(F.lit(w + 1))
-    regs = (
-        df.filter(F.col(col).isNotNull())
-        .select(
-            F.shiftright(h, w).cast("int").alias("bucket"),
-            rho.cast("int").alias("rho"),
-        )
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("reg"))
-    )
     packed = regs.groupBy().agg(
         F.sort_array(
             F.collect_list(F.struct("bucket", "reg"))

@@ -597,3 +597,28 @@ def test_cms_rejects_bad_args(spark):
         cms_frequency_report(df, "v", k=0)
     with _pytest.raises(ValueError):
         cms_frequency_report(df, "v", depth=9)
+
+
+def test_hll_merge_equals_single_pass(spark):
+    """The scale property: per-shard sketches merged by register max
+    give EXACTLY the combined-data sketch — no rescan needed."""
+    from muller_spark.operators.aggregate import (
+        hll_distinct, hll_estimate, hll_merge, hll_registers,
+    )
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(400)], "v string")
+    b = spark.createDataFrame(
+        [(f"x{i}",) for i in range(200, 700)], "v string"  # overlaps a
+    )
+    merged = hll_merge(
+        hll_registers(a, "v", 9), hll_registers(b, "v", 9)
+    )
+    got = hll_estimate(merged, 9).collect()[0]
+    want = hll_distinct(a.unionByName(b), "v", 9).collect()[0]
+    assert (got["estimate"], got["nonzero_registers"]) == (
+        want["estimate"], want["nonzero_registers"])
+    # merge is idempotent: merging a sketch with itself changes nothing
+    twice = hll_estimate(hll_merge(
+        hll_registers(a, "v", 9), hll_registers(a, "v", 9)), 9).collect()[0]
+    solo = hll_distinct(a, "v", 9).collect()[0]
+    assert twice["estimate"] == solo["estimate"]
