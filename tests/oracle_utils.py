@@ -48,10 +48,29 @@ def _norm(value: Any) -> Any:
     return value
 
 
+def driver_canon(columns: list[str], data: list[tuple]) -> list[tuple]:
+    """Replicate the driver's pandas canonicalization (its ``_canon``):
+    columns name-sorted, then ``DataFrame.sort_values`` over ALL
+    columns.  Crucially this RAISES ``TypeError: unhashable type`` on
+    list/dict cells exactly like the driver's pandas lexsort does —
+    round 8 proved the previous str()-sort mirror was weaker than the
+    driver and certified two queries the driver then crashed on.
+    Cells are passed to pandas RAW (no tuple-ification) so the mirror
+    fails on precisely the same shapes the driver fails on."""
+    import pandas as pd
+
+    order = sorted(range(len(columns)), key=lambda i: columns[i].lower())
+    cols = [columns[i].lower() for i in order]
+    rows = [[row[i] for i in order] for row in data]
+    pdf = pd.DataFrame(rows, columns=cols, dtype=object)
+    if len(pdf) and cols:
+        pdf = pdf.sort_values(by=cols, kind="mergesort")
+    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+
+
 def _rows(columns: list[str], data: list[tuple]) -> list[tuple]:
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = [tuple(_norm(row[i]) for i in order) for row in data]
-    return sorted(out, key=lambda r: tuple(str(v) for v in r))
+    canon = driver_canon(columns, data)
+    return [tuple(_norm(v) for v in row) for row in canon]
 
 
 def _values_close(a: Any, b: Any) -> bool:

@@ -36,6 +36,28 @@ def test_every_query_has_oracle_or_is_flagged():
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_no_complex_output_columns(spark, name):
+    """Registry invariant (round-8 err class): the driver canonicalizes
+    result rows with pandas ``sort_values`` over all columns, which
+    raises ``TypeError: unhashable type`` on Array/Map/Struct cells
+    BEFORE any value comparison.  Every driver-facing query must
+    therefore emit scalar-only columns — long-form (posexplode) where
+    an operator's natural output is a vector."""
+    from pyspark.sql import types as T
+
+    sdf = _QUERIES[name](spark, SF_DIR)  # analysis only
+    complex_cols = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name} emits driver-incompatible complex columns {complex_cols}; "
+        "reshape to long-form scalars (posexplode) or stringify"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_matches_oracle(spark, name):
     problems = compare_query(spark, name, _QUERIES[name], _ORACLES[name], SF_DIR)
     assert not problems, "\n".join(problems)
