@@ -2902,6 +2902,26 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_containment_pairs through the 100 TB pair stage
+    (operators/dedup.lsh_verified_pairs metric="containment"):
+    banded-MinHash candidates → exact containment verify on the
+    candidate sliver — the scale path for the containment family,
+    whose corpus-wide shingle self-join grows with df² under
+    duplication (measured 31.3 s vs 7.2 s at 10×).  The oracle is the
+    EXACT-pair replay (identical to q_containment_pairs'), so every
+    driver/mirror run re-asserts that Jaccard banding recalls every
+    containment pair of this corpus — the q_keep_best_lsh discipline;
+    the asymmetric-size recall caveat is documented on the operator."""
+    from muller_spark.operators.dedup import lsh_verified_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_verified_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.6, bands=32,
+        metric="containment",
+    ).orderBy("id_a", "id_b")
+
+
 def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster size distribution
     (operators/dedup.cluster_size_report): the pre-dedup diagnostic —
@@ -3640,6 +3660,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ks_by_type": q_ks_by_type,
     "q_cluster_sizes": q_cluster_sizes,
     "q_containment_pairs": q_containment_pairs,
+    "q_containment_lsh": q_containment_lsh,
     "q_contamination_severity": q_contamination_severity,
     "q_kfold": q_kfold,
     "q_sample_per_group": q_sample_per_group,
@@ -7114,6 +7135,12 @@ _ORACLES: dict[str, str] = {
         ORDER BY group_a, group_b
     """,
 }
+
+# q_containment_lsh shares q_containment_pairs' exact-pair replay: the
+# LSH path's verify stage is exact and recall is 1.0 on the driver
+# corpus, so the oracle hash re-asserts recall every run (the
+# q_keep_best_lsh discipline).
+_ORACLES["q_containment_lsh"] = _ORACLES["q_containment_pairs"]
 
 
 # --------------------------------------------------------------------------

@@ -693,6 +693,41 @@ def text_sf1_envelope(spark, sf_dir: str) -> dict:
             "doc_id", "score",
         )
     ))
+
+    # round 9: the round-8 heavy family at 10x.  Census shapes (shingle
+    # novelty, window census+rewrite) are linear in shingle volume and
+    # must stay ~flat; the two pair-consuming shapes ride the LSH pair
+    # stage and inherit keep_best_lsh's documented superlinearity —
+    # replication turns every doc into a 10-clone cluster, inflating
+    # the TRUE pair set ~100x (per-pair cost flat).  remove_dup_windows
+    # scales min_docs with the replication factor (8 original docs ->
+    # 80 replicas) so the hot-window set keeps its 1x meaning instead
+    # of marking EVERY window hot.
+    from muller_spark.operators.dedup import cluster_size_report, ngram_novelty
+    from muller_spark.operators.text import remove_duplicated_windows
+
+    out["ngram_novelty_10x"] = timed2(lambda: materialize(
+        ngram_novelty(big, "text", "doc_id", n=3)
+    ))
+    out["remove_dup_windows_10x"] = timed2(lambda: materialize(
+        remove_duplicated_windows(big, "text", "doc_id", n=3, min_docs=80)
+    ))
+    out["cluster_sizes_lsh_10x"] = timed2(lambda: materialize(
+        cluster_size_report(
+            big, "doc_id",
+            lsh_verified_pairs(big, "text", "doc_id", threshold=0.5, bands=32),
+        )
+    ))
+    # containment's corpus-wide shingle self-join grows with df^2 under
+    # duplication (measured once: 31.3 s at 10x vs 2.4 s at 1x); the
+    # scale path is the round-9 metric="containment" verify on the LSH
+    # candidate sliver — that is what ships here.
+    out["containment_lsh_10x"] = timed2(lambda: materialize(
+        lsh_verified_pairs(
+            big, "text", "doc_id", n=3, threshold=0.6, bands=32,
+            metric="containment",
+        )
+    ))
     out["rows"] = int(big.count())
     return out
 

@@ -619,6 +619,7 @@ def lsh_verified_pairs(
     num_hashes: int = 64,
     bands: int = 32,
     portable: bool = False,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """The 100 TB near-dup pair stage: banded-MinHash LSH candidates
     → EXACT n-gram-Jaccard verification on the candidate sliver only.
@@ -641,7 +642,20 @@ def lsh_verified_pairs(
     :func:`ngram_jaccard_pairs`' shingle self-join, which explodes
     every shared shingle corpus-wide.  No df-cutoff is needed for
     exactness: a dropped-hot-shingle undercount cannot happen because
-    the intersection is computed on full shingle sets."""
+    the intersection is computed on full shingle sets.
+
+    ``metric="containment"`` verifies ``|A∩B| / min(|A|,|B|)`` instead
+    and returns :func:`ngram_containment_pairs`' full contract
+    (id_a, id_b, inter, size_a, size_b, containment) — the scale path
+    for the containment family, whose corpus-wide shingle self-join
+    grows with df² under duplication.  Recall caveat: candidates come
+    from Jaccard-MinHash banding, and a SHORT doc embedded in a much
+    longer one has containment ~1 but Jaccard ~|A|/|B| — pairs with
+    size ratio ≫ 1 can be missed (a full fix is size-banded LSH
+    Ensemble banding; measure recall on a sample with
+    :func:`lsh_tuning_report` before relying on it)."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
     pairs_fn = minhash_portable_pairs if portable else minhash_lsh_pairs
     cand = pairs_fn(
         df, text_col, id_col, num_hashes=num_hashes,
@@ -660,6 +674,18 @@ def lsh_verified_pairs(
         .select("id_a", "id_b", "__sh_a", F.col("__vp_sh").alias("__sh_b"))
     )
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    if metric == "containment":
+        size_a, size_b = F.size("__sh_a"), F.size("__sh_b")
+        return (
+            joined.select(
+                "id_a", "id_b",
+                inter.cast("long").alias("inter"),  # match the exact
+                size_a.alias("size_a"),  # kernel's (long, int, int) schema
+                size_b.alias("size_b"),
+                (inter / F.least(size_a, size_b)).alias("containment"),
+            )
+            .filter(F.col("containment") >= threshold)
+        )
     union = F.size("__sh_a") + F.size("__sh_b") - inter
     return (
         joined.select(

@@ -112,6 +112,57 @@ def test_keep_best_parity_exact_vs_lsh(corpus):
     assert a == b and a
 
 
+def test_lsh_verified_containment_matches_exact(corpus):
+    from muller_spark.operators.dedup import ngram_containment_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["size_a"], r["size_b"],
+                                 r["containment"])
+        for r in ngram_containment_pairs(
+            corpus, "text", "doc_id", n=3, threshold=0.6,
+            max_shingle_freq=None,
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["size_a"], r["size_b"],
+                                 r["containment"])
+        for r in lsh_verified_pairs(
+            corpus, "text", "doc_id", n=3, threshold=0.6,
+            num_hashes=64, bands=32, metric="containment",
+        ).collect()
+    }
+    assert exact, "fixture must produce containment pairs"
+    # exactness: every surviving pair carries the exact kernel's counts
+    # and the identical IEEE division
+    assert set(lsh) <= set(exact)
+    for k in lsh:
+        assert lsh[k] == exact[k]
+    # recall 1.0 here: family variants have Jaccard well above the
+    # (64,32) S-curve midpoint, so Jaccard banding finds every
+    # containment pair of this corpus (the asymmetric-size recall
+    # caveat is documented on the operator, not exercised by same-size
+    # variants)
+    assert set(lsh) == set(exact)
+
+
+def test_lsh_containment_schema_matches_exact_kernel(corpus):
+    from muller_spark.operators.dedup import ngram_containment_pairs
+
+    a = ngram_containment_pairs(
+        corpus, "text", "doc_id", threshold=0.6, max_shingle_freq=None
+    )
+    b = lsh_verified_pairs(
+        corpus, "text", "doc_id", threshold=0.6, metric="containment"
+    )
+    assert [(f.name, f.dataType.simpleString()) for f in a.schema.fields] \
+        == [(f.name, f.dataType.simpleString()) for f in b.schema.fields]
+
+
+def test_lsh_verified_pairs_rejects_unknown_metric(corpus):
+    with pytest.raises(ValueError):
+        lsh_verified_pairs(corpus, "text", "doc_id", metric="cosine")
+
+
 def test_verified_pairs_never_emit_false_positives(spark):
     """Below-threshold LSH candidates (band collisions happen at any
     similarity) must be killed by the verify stage."""
