@@ -65,6 +65,7 @@ def build_graph_artifacts(
     R: int = 12,
     sample_size: int = 4096,
     seed: int = 42,
+    quantize_bits: "int | None" = None,
 ) -> None:
     """Materialize the disk graph: ``centroids``, cell-partitioned
     ``vectors`` and ``adjacency`` (in-cell KNN + medoid links), and the
@@ -73,13 +74,27 @@ def build_graph_artifacts(
     ``num_cells`` is capped at ``MAX_CELLS`` (4096): the medoid
     backbone is a full mesh built driver-side — O(cells²) adjacency
     entries — so cell count must stay driver-sized.  4096 cells ×
-    ~1M-vector cells is ~4B vectors; shard above that."""
+    ~1M-vector cells is ~4B vectors; shard above that.
+
+    ``quantize_bits=8`` stores the ``vectors`` table SQ8 (symmetric
+    per-vector int8 + float scale, the same at-rest layout as the IVF
+    SQ8 lists in :func:`build_ivf_artifacts`) — 8× smaller than the
+    float64 layout.  The disk graph is the declared 100 TB ANN path
+    and its vector payload IS its footprint, so this is the difference
+    between SSD-resident and not.  The in-cell KNN graph and the
+    search both run on batch-dequantized values (one multiply; error ≤
+    scale/2 per component — the original DiskANN builds its graph on
+    even coarser PQ distances); the tiny medoid table keeps full
+    precision so entry routing is unaffected.  Recall vs the float
+    graph is pinned in tests/test_graph_index.py."""
     if num_cells > MAX_CELLS:
         raise ValueError(
             f"num_cells={num_cells} exceeds MAX_CELLS={MAX_CELLS}: the "
             "medoid backbone is a driver-built full mesh (cells^2 "
             "entries); use fewer, larger cells or shard the index"
         )
+    if quantize_bits is not None and not 2 <= quantize_bits <= 8:
+        raise ValueError("quantize_bits must be in [2, 8] (int8 storage)")
     spark = df.sparkSession
     centroids = train_centroids(df, vec_col, num_cells, sample_size, seed=seed)
     bc = spark.sparkContext.broadcast(centroids)
@@ -88,8 +103,9 @@ def build_graph_artifacts(
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
+    qmax = float(2 ** (quantize_bits - 1) - 1) if quantize_bits else None
     assigned = ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
-        _assigner(bc, vec_col, id_col), "id long, vec array<double>, cell int"
+        _assigner(bc, vec_col, id_col, qmax=qmax), _vector_schema(qmax)
     )
     # cluster by cell first: one file per cell instead of one per
     # (writer task, cell) — beam search reads a handful of cells and
@@ -101,7 +117,28 @@ def build_graph_artifacts(
     _write_cells(spark, path, vectors, bc, R, prior_medoids=[])
 
 
-def _assigner(bc, vec_col: str, id_col: str):
+def _vector_schema(qmax) -> str:
+    if qmax is not None:
+        return "id long, qvec array<tinyint>, scale float, cell int"
+    return "id long, vec array<double>, cell int"
+
+
+def _with_float_vec(cell_vectors: DataFrame) -> DataFrame:
+    """Normalize either vectors layout to carry a float ``vec`` column:
+    SQ8 rows dequantize JVM-side (one HOF multiply, no UDF) so the
+    graph-build kernel and medoid extraction are layout-blind."""
+    if "qvec" in cell_vectors.columns:
+        return cell_vectors.withColumn(
+            "vec",
+            F.transform(
+                F.col("qvec"),
+                lambda x: x.cast("double") * F.col("scale").cast("double"),
+            ),
+        )
+    return cell_vectors
+
+
+def _assigner(bc, vec_col: str, id_col: str, qmax: "float | None" = None):
     def assign(iterator):
         import pandas as pd
 
@@ -111,13 +148,26 @@ def _assigner(bc, vec_col: str, id_col: str):
                 continue
             mat = fast_matrix(pdf[vec_col])
             cell = _distances(mat, cents, "l2").argmin(axis=1)
-            yield pd.DataFrame({
-                "id": pdf[id_col],
-                "vec": pdf[vec_col].map(
-                    lambda v: [float(x) for x in v]
-                ),
-                "cell": cell.astype(np.int32),
-            })
+            if qmax is not None:
+                amax = np.abs(mat).max(axis=1)
+                scale = np.where(amax > 0, amax / qmax, 0.0).astype(np.float32)
+                safe = np.where(scale > 0, scale, 1.0)[:, None]
+                qm = np.floor(mat / safe + 0.5).astype(np.int8)
+                qm[scale == 0] = 0
+                yield pd.DataFrame({
+                    "id": pdf[id_col],
+                    "qvec": list(qm),
+                    "scale": scale,
+                    "cell": cell.astype(np.int32),
+                })
+            else:
+                yield pd.DataFrame({
+                    "id": pdf[id_col],
+                    "vec": pdf[vec_col].map(
+                        lambda v: [float(x) for x in v]
+                    ),
+                    "cell": cell.astype(np.int32),
+                })
 
     return assign
 
@@ -163,6 +213,7 @@ def _write_cells(spark, path, cell_vectors, bc, R, prior_medoids):
     write adjacency (dynamic partition overwrite: only those cells'
     partitions are replaced) + the merged medoid table.
     ``prior_medoids``: (cell, id, vec) rows of cells NOT being rebuilt."""
+    cell_vectors = _with_float_vec(cell_vectors).select("id", "vec", "cell")
     graph = cell_vectors.groupBy("cell").applyInPandas(
         _make_cell_graph(bc, R),
         "id long, neighbors array<long>, is_medoid boolean, cell int",
@@ -226,8 +277,12 @@ def append_graph_vectors(
     centroids = load_ivf_centroids(spark, path)
     bc = spark.sparkContext.broadcast(centroids)
 
+    # appended rows must match the existing at-rest layout — sniff it
+    # from the artifact, not a caller flag that could silently diverge
+    existing_cols = spark.read.parquet(os.path.join(path, "vectors")).columns
+    qmax = 127.0 if "qvec" in existing_cols else None
     delta = df_delta.select(id_col, vec_col).mapInPandas(
-        _assigner(bc, vec_col, id_col), "id long, vec array<double>, cell int"
+        _assigner(bc, vec_col, id_col, qmax=qmax), _vector_schema(qmax)
     )
     delta.write.mode("append").partitionBy("cell").parquet(
         os.path.join(path, "vectors")
@@ -293,7 +348,11 @@ def graph_search(
     ).localCheckpoint()
 
     adjacency = spark.read.parquet(os.path.join(path, "adjacency"))
-    vectors = spark.read.parquet(os.path.join(path, "vectors")).select("id", "vec")
+    raw = spark.read.parquet(os.path.join(path, "vectors"))
+    quantized = "qvec" in raw.columns
+    vectors = raw.select(
+        *(["id", "qvec", "scale"] if quantized else ["id", "vec"])
+    )
 
     def score(iterator):
         import pandas as pd
@@ -302,7 +361,13 @@ def graph_search(
         for pdf in iterator:
             if pdf.empty:
                 continue
-            mat = fast_matrix(pdf["vec"])
+            if quantized:
+                # SQ8 batch dequant: one multiply per row — the join
+                # moved 1/8th the bytes, precision cost ≤ scale/2/dim
+                mat = fast_matrix(pdf["qvec"]) \
+                    * pdf["scale"].to_numpy(dtype=np.float64)[:, None]
+            else:
+                mat = fast_matrix(pdf["vec"])
             dist = np.empty(len(pdf))
             for qi in np.unique(pdf["query_id"].to_numpy()):
                 mask = (pdf["query_id"] == qi).to_numpy()

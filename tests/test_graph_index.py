@@ -150,3 +150,100 @@ def test_build_rejects_driver_sized_cell_overflow(spark, emb, tmp_path_factory):
         build_graph_artifacts(
             emb, "embedding", "vec_id", path, num_cells=MAX_CELLS + 1
         )
+
+
+@pytest.fixture(scope="module")
+def sq8_artifacts(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("graphsq8") / "idx")
+    build_graph_artifacts(
+        emb, "embedding", "vec_id", path, num_cells=8, R=12, quantize_bits=8
+    )
+    return path
+
+
+def test_sq8_layout_and_size(spark, artifacts, sq8_artifacts):
+    """SQ8 vectors table stores int8 + scale (no float vec column) and
+    is materially smaller at rest than the float64 layout."""
+    v = spark.read.parquet(os.path.join(sq8_artifacts, "vectors"))
+    assert "qvec" in v.columns and "scale" in v.columns
+    assert "vec" not in v.columns
+    assert dict((f.name, f.dataType.simpleString()) for f in v.schema.fields)[
+        "qvec"
+    ] == "array<tinyint>"
+
+    def _bytes(root):
+        tot = 0
+        for dirpath, _dirs, files in os.walk(root):
+            tot += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        return tot
+
+    fsz = _bytes(os.path.join(artifacts, "vectors"))
+    qsz = _bytes(os.path.join(sq8_artifacts, "vectors"))
+    # float64 -> int8 is 8x on raw payload; parquet overhead and the
+    # scale column eat some of it, but >= 3x must survive
+    assert qsz * 3 <= fsz, (qsz, fsz)
+
+    # medoid backbone keeps full precision (entry routing unaffected)
+    med = spark.read.parquet(os.path.join(sq8_artifacts, "medoids"))
+    assert dict((f.name, f.dataType.simpleString()) for f in med.schema.fields)[
+        "vec"
+    ] == "array<double>"
+
+
+def test_sq8_recall_matches_float_graph(spark, emb, artifacts, sq8_artifacts):
+    """The quantized graph must hold the float graph's recall bar vs
+    exact KNN (SQ8 reconstruction error ≤ scale/2 per component is far
+    below inter-neighbor distance gaps at k=10)."""
+    rows = emb.limit(5).collect()
+    q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    exact = _recall_sets(
+        exact_knn(emb, "embedding", "vec_id", q, k=10, metric="l2").collect()
+    )
+    flt = _recall_sets(
+        graph_search(spark, artifacts, q, k=10, beam=48, max_hops=6).collect()
+    )
+    sq8 = _recall_sets(
+        graph_search(spark, sq8_artifacts, q, k=10, beam=48, max_hops=6).collect()
+    )
+    r_flt = [len(exact[qi] & flt.get(qi, set())) / 10 for qi in exact]
+    r_sq8 = [len(exact[qi] & sq8.get(qi, set())) / 10 for qi in exact]
+    assert sum(r_sq8) / len(r_sq8) >= 0.8, (r_sq8, r_flt)
+    # and not materially below the float graph on the same queries
+    assert sum(r_sq8) >= sum(r_flt) - 1.0, (r_sq8, r_flt)
+
+
+def test_sq8_append_matches_artifact_layout(spark, emb, tmp_path_factory):
+    """append_graph_vectors sniffs the at-rest layout: appending to an
+    SQ8 artifact writes SQ8 rows (no mixed float/int files), appended
+    ids come back at rank 1, recall holds on the merged corpus."""
+    from pyspark.sql import functions as F
+
+    from muller_spark.index.graph import append_graph_vectors
+
+    path = str(tmp_path_factory.mktemp("graphsq8app") / "idx")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    build_graph_artifacts(
+        half, "embedding", "vec_id", path, num_cells=8, R=12, quantize_bits=8
+    )
+    append_graph_vectors(rest, "embedding", "vec_id", path)
+
+    v = spark.read.parquet(os.path.join(path, "vectors"))
+    assert "qvec" in v.columns and "vec" not in v.columns
+    assert v.count() == emb.count()
+    assert v.filter(F.col("qvec").isNull()).count() == 0
+
+    probe = rest.orderBy("vec_id").limit(3).collect()
+    q = np.array([r["embedding"] for r in probe], dtype=np.float64)
+    got = graph_search(spark, path, q, k=5, beam=48, max_hops=6).collect()
+    rank1 = {r["query_id"]: r["id"] for r in got if r["rank"] == 1}
+    for qi, row in enumerate(probe):
+        assert rank1[qi] == row["vec_id"], (qi, rank1)
+
+
+def test_sq8_build_rejects_bad_bits(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("graphsq8bad"))
+    with pytest.raises(ValueError, match="quantize_bits"):
+        build_graph_artifacts(
+            emb, "embedding", "vec_id", path, quantize_bits=9
+        )
