@@ -1247,6 +1247,41 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id").orderBy("doc_id")
 
 
+def q_neardup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ledger
+    (operators/dedup.neardup_against_ledger): seed a persistent
+    MinHash band/shingle ledger from even doc_ids, then filter the
+    odd-id batch to rows with NO ledger document at exact
+    hashed-shingle Jaccard ≥ 0.5 — the 100 TB daily-ingest flow
+    (O(batch) signatures + candidate-bounded joins, never a corpus
+    re-LSH).  The oracle replays the full cross-split exact-Jaccard
+    relation, so a banding recall loss would hash-mismatch here — the
+    q_keep_best_lsh discipline applied to persisted LSH state.  The
+    ledger seed is session-cached (_demo_cached); the batch decision
+    runs live per call (update=False: dry-run, ledger untouched)."""
+    from muller_spark.operators.dedup import (
+        init_neardup_ledger,
+        neardup_against_ledger,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def build():
+        path = os.path.join(_demo_tmpdir("ndledger_"), "ledger")
+        init_neardup_ledger(
+            docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id", path,
+            num_hashes=64, shingle_size=3, bands=32,
+        )
+        return path
+
+    path = _demo_cached("ndledger", sf_dir, spark, build)
+    out = neardup_against_ledger(
+        docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id", path,
+        threshold=0.5, update=False,
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences (operators/analytics.event_transitions): one user-keyed
@@ -3728,6 +3763,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sessionize": q_sessionize,
     "q_event_transitions": q_event_transitions,
     "q_dedup_incremental": q_dedup_incremental,
+    "q_neardup_ledger": q_neardup_ledger,
     "q_sessions": q_sessions,
     "q_histogram": q_histogram,
     "q_random_access": q_random_access,
@@ -7141,6 +7177,41 @@ _ORACLES: dict[str, str] = {
 # corpus, so the oracle hash re-asserts recall every run (the
 # q_keep_best_lsh discipline).
 _ORACLES["q_containment_lsh"] = _ORACLES["q_containment_pairs"]
+
+# q_neardup_ledger: the ledger's admit/reject set vs the full exact
+# cross-split Jaccard relation over portable-hashed shingle sets —
+# LSH banding only generates candidates, the verify is exact, so this
+# hashing equal IS the recall-1.0 assertion for the persisted state.
+_ORACLES["q_neardup_ledger"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             ELSE [array_to_string(t, ' ')] END AS shingles
+      FROM toks
+    ), hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> {_H60_SQL.format(v='s')} % 2147483647)) AS hs
+      FROM sh
+    ), ev AS (
+      SELECT doc_id AS eid, hs AS ehs FROM hs WHERE doc_id % 2 = 0
+    ), od AS (
+      SELECT doc_id, hs FROM hs WHERE doc_id % 2 = 1
+    ), dup AS (
+      SELECT DISTINCT od.doc_id
+      FROM od JOIN ev ON
+        len(list_intersect(od.hs, ev.ehs))
+          / CAST(len(od.hs) + len(ev.ehs)
+                 - len(list_intersect(od.hs, ev.ehs)) AS DOUBLE) >= 0.5
+    )
+    SELECT doc_id FROM od
+    WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+    ORDER BY doc_id
+"""
 
 
 # --------------------------------------------------------------------------

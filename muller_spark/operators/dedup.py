@@ -21,6 +21,8 @@ All functions take/return DataFrames and never collect corpus rows.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -238,38 +240,30 @@ def minhash_coefficients(num_hashes: int) -> "tuple[list[int], list[int]]":
     return a, b
 
 
-def minhash_portable_pairs(
+def _portable_signature_frame(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    num_hashes: int = 64,
-    shingle_size: int = 3,
-    bands: int = 16,
-    threshold: "float | None" = 0.5,
+    num_hashes: int,
+    shingle_size: int,
 ) -> DataFrame:
-    """Oracle-checkable twin of :func:`minhash_lsh_pairs`: the same
-    shingle → signature → banded-LSH → verify pipeline, but built
-    entirely from JVM higher-order array expressions over the
-    :func:`portable_hash60` family, so a DuckDB list-function oracle
-    reproduces every value bit-for-bit (est_jaccard = k/num_hashes is
-    exact in double when num_hashes is a power of two).
-
-    The numpy-kernel variant stays the production default (measured
-    ~5× faster per signature — HOFs sit outside whole-stage codegen);
-    this one is the cross-engine correctness witness with the identical
-    shuffle shape: map-only signatures, one banded self-join.
-    """
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
+    """(id, hs, signature) over the portable md5-60bit MinHash family —
+    the shared kernel of :func:`minhash_portable_pairs` and the
+    near-dup ledger.  ``hs`` is the doc's DISTINCT hashed shingle set
+    (the exact-verify operand: Jaccard over hashed sets equals Jaccard
+    over shingles modulo 60-bit collisions), ``signature`` the
+    num_hashes-wide min-wise fold (min over a multiset = min over its
+    set, so the distinct does not change signatures)."""
     p = _MINHASH_PRIME
     coeff_a, coeff_b = minhash_coefficients(num_hashes)
 
     hashed = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
-        F.transform(
-            _shingles(F.col(text_col), shingle_size),
-            lambda s: portable_hash60(s) % p,
+        F.array_distinct(
+            F.transform(
+                _shingles(F.col(text_col), shingle_size),
+                lambda s: portable_hash60(s) % p,
+            )
         ).alias("hs"),
     )
     # Signature as ONE aggregate pass that references `hs` exactly once.
@@ -301,11 +295,13 @@ def minhash_portable_pairs(
         ),
         lambda s: s["m"],
     )
-    # cache: the 16 band hashes and both sides of the self-join each
-    # re-reference `signature` — without a materialization barrier the
-    # whole pipeline re-runs ~30×
-    sig = hashed.select("id", sig_col.alias("signature")).cache()
-    band_hashes = F.transform(
+    return hashed.select("id", "hs", sig_col.alias("signature"))
+
+
+def _band_hash_expr(bands: int, rows: int):
+    """Array of ``bands`` md5 band hashes over the ``signature`` column
+    (rows signature slots per band, comma-joined then md5'd)."""
+    return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.md5(
             F.concat_ws(
@@ -317,8 +313,44 @@ def minhash_portable_pairs(
             )
         ),
     )
+
+
+def minhash_portable_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    bands: int = 16,
+    threshold: "float | None" = 0.5,
+) -> DataFrame:
+    """Oracle-checkable twin of :func:`minhash_lsh_pairs`: the same
+    shingle → signature → banded-LSH → verify pipeline, but built
+    entirely from JVM higher-order array expressions over the
+    :func:`portable_hash60` family (kernel:
+    :func:`_portable_signature_frame`), so a DuckDB list-function
+    oracle reproduces every value bit-for-bit (est_jaccard =
+    k/num_hashes is exact in double when num_hashes is a power of two).
+
+    The numpy-kernel variant stays the production default (measured
+    ~5× faster per signature — HOFs sit outside whole-stage codegen);
+    this one is the cross-engine correctness witness with the identical
+    shuffle shape: map-only signatures, one banded self-join.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    # cache: the 16 band hashes and both sides of the self-join each
+    # re-reference `signature` — without a materialization barrier the
+    # whole pipeline re-runs ~30×
+    sig = (
+        _portable_signature_frame(df, text_col, id_col, num_hashes, shingle_size)
+        .select("id", "signature")
+        .cache()
+    )
     banded = sig.select(
-        "id", "signature", F.posexplode(band_hashes).alias("band", "band_hash")
+        "id", "signature",
+        F.posexplode(_band_hash_expr(bands, rows)).alias("band", "band_hash"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
@@ -1567,6 +1599,165 @@ def compact_dedup_ledger(spark, path: str) -> None:
         fs.rename(p_bak, p_old)  # roll back, keep the ledger readable
         raise IOError(f"compact_dedup_ledger: rename {compacted} -> {path} failed")
     fs.delete(p_bak, True)
+
+
+# ---------------------------------------------------------------------------
+# incremental NEAR-dup ledger — the 100 TB daily-ingest flow
+# ---------------------------------------------------------------------------
+
+def init_neardup_ledger(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    bands: int = 32,
+) -> None:
+    """Seed a persistent MinHash near-dup ledger from an existing
+    corpus — the near-dup twin of :func:`init_dedup_ledger`.  A
+    continuously-ingested corpus runs corpus-wide near-dup once; every
+    later batch queries the ledger (:func:`neardup_against_ledger`)
+    instead of re-LSHing 100 TB — cost is O(batch) signatures + two
+    candidate-bounded keyed joins, never a corpus rescan.
+
+    Ledger layout at ``path`` (all parquet):
+
+    - ``bands``    — ``(band int, band_hash string, id long)``: the
+      banded-LSH posting table, the candidate-generation state;
+    - ``shingles`` — ``(id long, hs array<long>)``: each doc's DISTINCT
+      portable-hashed shingle set, the exact-verify operand (Jaccard
+      over hashed sets = Jaccard over shingles modulo 60-bit
+      collisions);
+    - ``meta``     — one row pinning (num_hashes, shingle_size, bands):
+      queries and appends sniff the family from the artifact (the
+      append_graph_vectors discipline) so mixed-family state is
+      impossible.
+
+    The portable md5-60bit family (:func:`_portable_signature_frame`)
+    is used so ledger decisions are engine-replayable — the DuckDB
+    oracle for q_neardup_ledger recomputes the full admit/reject set."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    spark = df.sparkSession
+    df = df.filter(F.col(text_col).isNotNull())
+    sig = _portable_signature_frame(
+        df, text_col, id_col, num_hashes, shingle_size
+    ).cache()
+    try:
+        sig.select("id", "hs").write.mode("overwrite").parquet(
+            os.path.join(path, "shingles")
+        )
+        rows = num_hashes // bands
+        sig.select(
+            "id", F.posexplode(_band_hash_expr(bands, rows)).alias(
+                "band", "band_hash"
+            )
+        ).select("band", "band_hash", "id").write.mode("overwrite").parquet(
+            os.path.join(path, "bands")
+        )
+        spark.createDataFrame(
+            [(int(num_hashes), int(shingle_size), int(bands))],
+            "num_hashes int, shingle_size int, bands int",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "meta")
+        )
+    finally:
+        sig.unpersist()
+
+
+def neardup_against_ledger(
+    batch_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    threshold: float = 0.5,
+    update: bool = True,
+) -> DataFrame:
+    """Filter a new batch to rows that are NOT near-dups (exact n-gram
+    Jaccard ≥ ``threshold``) of any ledger document, then optionally
+    append the survivors' bands + shingles so the next batch sees them.
+
+    The decision pipeline is the :func:`lsh_verified_pairs` composition
+    against persisted state: batch signatures (map-only) → band-keyed
+    join against the ledger's posting table (candidates only — bounded
+    by band collisions, never batch × corpus) → exact Jaccard on the
+    candidate sliver via the stored hashed shingle sets → anti-join.
+    Completeness is the LSH recall at the ledger's (num_hashes, bands)
+    — measure with :func:`lsh_tuning_report` before seeding; every
+    surviving admit/reject is exact given the candidates.
+
+    Returns the surviving batch rows (original columns).  Intra-batch
+    near-dups are NOT collapsed here — admitted batch rows enter the
+    ledger and the NEXT batch's near-dups of them are rejected; run
+    :func:`canonical_keep_best` on the batch first when intra-batch
+    collapse is wanted (composability over a baked-in policy).
+
+    **Single-writer contract**: identical to
+    :func:`dedup_against_ledger` — serialize batches externally; the
+    ``localCheckpoint`` barrier only closes the intra-job
+    read-while-append race."""
+    spark = batch_df.sparkSession
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    num_hashes, shingle_size, bands = (
+        meta["num_hashes"], meta["shingle_size"], meta["bands"]
+    )
+    rows = num_hashes // bands
+
+    batch_df = batch_df.filter(F.col(text_col).isNotNull())
+    sig = _portable_signature_frame(
+        batch_df, text_col, id_col, num_hashes, shingle_size
+    ).localCheckpoint()  # barrier: banding + verify + append all re-read it
+    banded = sig.select(
+        "id", F.posexplode(_band_hash_expr(bands, rows)).alias(
+            "band", "band_hash"
+        )
+    )
+
+    ledger_bands = spark.read.parquet(os.path.join(path, "bands"))
+    ledger_sh = spark.read.parquet(os.path.join(path, "shingles"))
+    candidates = (
+        banded.join(
+            ledger_bands.withColumnRenamed("id", "ledger_id"),
+            ["band", "band_hash"],
+        )
+        .select("id", "ledger_id")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("hs", "ledger_hs"))
+    union = F.size("hs") + F.size("ledger_hs") - inter
+    dup_ids = (
+        candidates.join(sig.select("id", "hs"), "id")
+        .join(
+            ledger_sh.select(
+                F.col("id").alias("ledger_id"), F.col("hs").alias("ledger_hs")
+            ),
+            "ledger_id",
+        )
+        .filter((inter / union) >= threshold)
+        .select("id")
+        .distinct()
+    )
+    survivor_ids = sig.select("id").join(dup_ids, "id", "left_anti")
+    survivors = batch_df.join(
+        survivor_ids.withColumnRenamed("id", id_col), id_col, "semi"
+    )
+    if update:
+        staged = sig.join(
+            survivor_ids, "id", "semi"
+        ).localCheckpoint()  # materialize BEFORE appending to the tables
+        # the lazy plan would otherwise re-read
+        staged.select("id", "hs").write.mode("append").parquet(
+            os.path.join(path, "shingles")
+        )
+        staged.select(
+            "id", F.posexplode(_band_hash_expr(bands, rows)).alias(
+                "band", "band_hash"
+            )
+        ).select("band", "band_hash", "id").write.mode("append").parquet(
+            os.path.join(path, "bands")
+        )
+    return survivors
 
 
 def source_overlap(

@@ -57,7 +57,17 @@ def type_sweep(entry, qs, osql) -> "dict[str, str]":
                 f.name.lower(): _spark_kind(f.dataType)
                 for f in sdf.schema.fields
             }
-            if set(duck) != set(mine):
+            # round-9: the driver's pandas canonicalizer cannot sort
+            # Array/Map/Struct cells (round-8 err class) — a complex
+            # output column means NOT draw-ready even when the oracle
+            # types match kind-for-kind
+            complex_cols = {
+                c: k for c, k in mine.items()
+                if k.startswith("list<") or k.startswith("other:")
+            }
+            if complex_cols:
+                out[name] = f"⚠ driver-unsortable columns {complex_cols}"
+            elif set(duck) != set(mine):
                 out[name] = (
                     f"⚠ columns duck={sorted(duck)} spark={sorted(mine)}"
                 )
