@@ -2957,6 +2957,23 @@ def q_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_containment_pairs through prefix filtering
+    (operators/dedup.prefix_verified_pairs, the AllPairs/PPJoin
+    family): df-ascending prefix ⋈ posting candidates → exact verify —
+    COMPLETE by theorem (the smaller set's (1−t)-prefix must intersect
+    any qualifying partner), so unlike the LSH twin there is no recall
+    curve to measure; the shared exact oracle asserts output equality
+    every run.  The scale path when missing even one pair is not
+    acceptable (contamination audits)."""
+    from muller_spark.operators.dedup import prefix_verified_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_verified_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.6, metric="containment"
+    ).orderBy("id_a", "id_b")
+
+
 def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster size distribution
     (operators/dedup.cluster_size_report): the pre-dedup diagnostic —
@@ -3696,6 +3713,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cluster_sizes": q_cluster_sizes,
     "q_containment_pairs": q_containment_pairs,
     "q_containment_lsh": q_containment_lsh,
+    "q_containment_prefix": q_containment_prefix,
     "q_contamination_severity": q_contamination_severity,
     "q_kfold": q_kfold,
     "q_sample_per_group": q_sample_per_group,
@@ -7177,6 +7195,11 @@ _ORACLES: dict[str, str] = {
 # corpus, so the oracle hash re-asserts recall every run (the
 # q_keep_best_lsh discipline).
 _ORACLES["q_containment_lsh"] = _ORACLES["q_containment_pairs"]
+
+# q_containment_prefix shares the same exact replay — here equality is
+# a THEOREM (prefix-filter completeness), so a hash mismatch would mean
+# an implementation bug, not a recall loss.
+_ORACLES["q_containment_prefix"] = _ORACLES["q_containment_pairs"]
 
 # q_neardup_ledger: the ledger's admit/reject set vs the full exact
 # cross-split Jaccard relation over portable-hashed shingle sets —

@@ -756,6 +756,118 @@ def ngram_containment_pairs(
     ).filter(F.col("containment") >= threshold)
 
 
+def prefix_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    metric: str = "jaccard",
+) -> DataFrame:
+    """Exact-COMPLETE near-dup pairs via prefix filtering (the
+    AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.
+    ICDE'08): a deterministic candidate generator with a completeness
+    THEOREM where LSH banding has only an empirical recall curve.
+
+    Argument: order every document's shingle set by a global total
+    order (ascending document frequency, rarest first — any order is
+    correct, this one is fast).  For a qualifying pair, the smaller
+    set S needs ``inter ≥ t·|S|`` (containment directly; Jaccard since
+    ``inter ≥ t·union ≥ t·|S|``), so the intersection cannot avoid the
+    first ``⌊(1−t)·|S|⌋+1`` elements of S — join each doc's PREFIX
+    against the full posting table and no qualifying pair is missed.
+
+    Scale shape: one df aggregate (vocabulary-sized), one per-doc sort
+    of its own shingles (map-side ``array_sort`` over (df, shingle)
+    structs after a shingle-keyed join), then prefix-explode ⋈ posting
+    — join traffic is Σ_prefix df(shingle), and df-ascending prefixes
+    hold the RAREST shingles, so the hot-shingle df² blowup of the
+    corpus-wide kernel never enters; exact verify runs on the
+    candidate sliver only (the :func:`lsh_verified_pairs` tail).
+    Same output contracts: (id_a, id_b, jaccard) or the containment
+    family's (id_a, id_b, inter, size_a, size_b, containment) — and
+    because completeness is exact, output EQUALS the corpus-wide exact
+    kernel's (shared oracle on q_containment_prefix).
+
+    Measured trade-off (sf0.1, warm): prefix 6.8 s vs LSH 1.7 s vs
+    corpus-wide exact 2.4 s — the guarantee costs ~4× over LSH at this
+    near-dup rate.  On a DUPLICATION-HEAVY corpus the gap widens
+    (10×-replicated clones: 276 s vs LSH 7.2 s — cloning makes every
+    "rare" prefix shingle df ≥ clone-count, the filter's worst case).
+    Pick prefix when missing even one pair is unacceptable
+    (contamination audits, license compliance); pick LSH for bulk
+    dedup where a measured ≥0.99 recall is fine."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        _shingles(F.col(text_col), n).alias("shingles"),
+    ).localCheckpoint()  # reused by df-agg, prefix, posting, and verify
+    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    dfreq = exploded.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    # per-doc (df, shingle)-sorted shingle list; the join back is keyed
+    # on the shingle (vocabulary-sized right side, AQE decides the
+    # strategy) and the sort is map-side per doc
+    ordered = (
+        exploded.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_df", "shingle"))
+            ).alias("_ord")
+        )
+        .select(
+            "id",
+            F.transform(F.col("_ord"), lambda s: s["shingle"]).alias("sorted_sh"),
+        )
+    )
+    prefix_len = F.floor(
+        F.lit(1.0 - threshold) * F.size("sorted_sh")
+    ).cast("int") + F.lit(1)
+    prefix = ordered.select(
+        "id",
+        F.explode(F.slice("sorted_sh", 1, prefix_len)).alias("shingle"),
+    )
+    # prefix ⋈ full postings; orient a < b after the join so BOTH
+    # orders of (smaller, larger) are caught by the smaller side's
+    # prefix regardless of id order
+    cand = (
+        prefix.alias("p")
+        .join(exploded.alias("e"), "shingle")
+        .filter(F.col("p.id") != F.col("e.id"))
+        .select(
+            F.least(F.col("p.id"), F.col("e.id")).alias("id_a"),
+            F.greatest(F.col("p.id"), F.col("e.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sh_b"))
+    joined = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    if metric == "containment":
+        size_a, size_b = F.size("__sh_a"), F.size("__sh_b")
+        return (
+            joined.select(
+                "id_a", "id_b",
+                inter.cast("long").alias("inter"),
+                size_a.alias("size_a"),
+                size_b.alias("size_b"),
+                (inter / F.least(size_a, size_b)).alias("containment"),
+            )
+            .filter(F.col("containment") >= threshold)
+        )
+    union = F.size("__sh_a") + F.size("__sh_b") - inter
+    return (
+        joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_novelty(
     df: DataFrame,
     text_col: str,

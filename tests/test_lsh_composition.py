@@ -163,6 +163,88 @@ def test_lsh_verified_pairs_rejects_unknown_metric(corpus):
         lsh_verified_pairs(corpus, "text", "doc_id", metric="cosine")
 
 
+def test_prefix_verified_jaccard_equals_exact(corpus):
+    """Prefix filtering (AllPairs/PPJoin) is COMPLETE by theorem — the
+    output must equal the corpus-wide exact kernel's, pair for pair,
+    value for value, at any threshold."""
+    from muller_spark.operators.dedup import prefix_verified_pairs
+
+    for t in (0.3, 0.5, 0.8):
+        exact = _pair_map(ngram_jaccard_pairs(
+            corpus, "text", "doc_id", n=3, threshold=t, max_shingle_freq=None
+        ))
+        pfx = _pair_map(prefix_verified_pairs(
+            corpus, "text", "doc_id", n=3, threshold=t, metric="jaccard"
+        ))
+        assert pfx == exact, f"threshold {t}"
+    assert exact or t == 0.8  # the fixture produces pairs at low t
+
+
+def test_prefix_verified_containment_equals_exact(corpus):
+    from muller_spark.operators.dedup import (
+        ngram_containment_pairs, prefix_verified_pairs,
+    )
+
+    def cmap(df):
+        return {
+            (r["id_a"], r["id_b"]): (r["inter"], r["size_a"], r["size_b"],
+                                     r["containment"])
+            for r in df.collect()
+        }
+
+    exact = cmap(ngram_containment_pairs(
+        corpus, "text", "doc_id", n=3, threshold=0.6, max_shingle_freq=None
+    ))
+    pfx = cmap(prefix_verified_pairs(
+        corpus, "text", "doc_id", n=3, threshold=0.6, metric="containment"
+    ))
+    assert pfx == exact and exact
+
+
+def test_prefix_catches_short_embedded_in_long(spark):
+    """The case Jaccard-LSH banding can MISS (documented caveat on
+    lsh_verified_pairs): a short doc quoted wholesale inside a much
+    longer one — containment ~1, Jaccard ~|A|/|B| « banding midpoint.
+    The prefix path must find it (completeness theorem), matching the
+    exact kernel."""
+    from muller_spark.operators.dedup import (
+        ngram_containment_pairs, prefix_verified_pairs,
+    )
+
+    short = "the reactor safety margin depends on coolant flow rate"
+    filler = " ".join(f"unrelated filler token{i} alpha{i} beta{i}"
+                      for i in range(60))
+    rows = [
+        (1, short),
+        (2, filler + " " + short + " " + filler.replace("token", "word")),
+        (3, "entirely different content about music theory and chords"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df, "text", "doc_id", n=3, threshold=0.8, max_shingle_freq=None
+        ).collect()
+    }
+    pfx = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in prefix_verified_pairs(
+            df, "text", "doc_id", n=3, threshold=0.8, metric="containment"
+        ).collect()
+    }
+    assert (1, 2) in exact and exact[(1, 2)] >= 0.8
+    assert pfx == exact
+
+
+def test_prefix_verified_rejects_bad_args(corpus):
+    from muller_spark.operators.dedup import prefix_verified_pairs
+
+    with pytest.raises(ValueError, match="metric"):
+        prefix_verified_pairs(corpus, "text", "doc_id", metric="cosine")
+    with pytest.raises(ValueError, match="threshold"):
+        prefix_verified_pairs(corpus, "text", "doc_id", threshold=0.0)
+
+
 def test_verified_pairs_never_emit_false_positives(spark):
     """Below-threshold LSH candidates (band collisions happen at any
     similarity) must be killed by the verify stage."""
