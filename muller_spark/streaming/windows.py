@@ -333,6 +333,107 @@ def make_ledger_batch_handler(
     return land
 
 
+def neardup_dedup_stream(
+    stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    ledger_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+):
+    """Restart-durable streaming NEAR-dup dedup — the
+    :func:`ledger_dedup_stream` contract over the MinHash near-dup
+    ledger (``operators/dedup.neardup_against_ledger``): each
+    micro-batch is filtered to rows with no ledger document at exact
+    hashed-shingle Jaccard ≥ ``threshold``; survivors land exactly-once
+    under ``out_path`` and their bands + shingles append to the ledger
+    so later batches (and batch ingest sharing the same ledger) see
+    them.  Same crash-safety ordering, marker skip, run namespacing,
+    and single-writer reasoning as the exact-hash stream; duplicate
+    ledger rows from a heal replay are decision-harmless (candidates
+    and dup ids are distinct-folded) — compact offline if churn
+    accumulates.  The ledger must exist (``init_neardup_ledger``,
+    possibly on an empty frame)."""
+    import hashlib
+
+    run_ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:10]
+    land = make_neardup_batch_handler(
+        text_col, id_col, ledger_path, out_path, run_ns, threshold=threshold,
+    )
+    writer = stream.writeStream.foreachBatch(land).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def make_neardup_batch_handler(
+    text_col: str,
+    id_col: str,
+    ledger_path: str,
+    out_path: str,
+    run_ns: str,
+    threshold: float = 0.5,
+):
+    """foreachBatch handler behind :func:`neardup_dedup_stream`,
+    exposed for the crash-replay contract test: a second call with the
+    same ``batch_id`` must not rewrite the landed output (marker skip)
+    and must re-append the ledger state (heal).  The batch decision is
+    the SAME code as batch ingest —
+    ``operators/dedup.neardup_against_ledger(update=False)`` — so
+    stream and batch can never drift; the ledger append is re-derived
+    from the LANDED survivors (which keep ``text_col``), the
+    heal-or-advance discipline."""
+    import os as _os
+
+    from muller_spark.operators.dedup import (
+        _band_hash_expr,
+        _portable_signature_frame,
+        neardup_against_ledger,
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_out = (
+            f"{out_path.rstrip('/')}/ingest_run={run_ns}/ingest_batch={batch_id}"
+        )
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(batch_out + "/_SUCCESS")
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jvm_path):
+            if batch_df.filter(F.col(text_col).isNotNull()).isEmpty():
+                return
+            survivors = neardup_against_ledger(
+                batch_df, text_col, id_col, ledger_path,
+                threshold=threshold, update=False,
+            )
+            survivors.write.mode("overwrite").parquet(batch_out)
+        meta = spark.read.parquet(_os.path.join(ledger_path, "meta")).first()
+        rows = meta["num_hashes"] // meta["bands"]
+        sig = _portable_signature_frame(
+            spark.read.parquet(batch_out), text_col, id_col,
+            meta["num_hashes"], meta["shingle_size"],
+        ).localCheckpoint()
+        sig.select("id", "hs").write.mode("append").parquet(
+            _os.path.join(ledger_path, "shingles")
+        )
+        sig.select(
+            "id",
+            F.posexplode(_band_hash_expr(meta["bands"], rows)).alias(
+                "band", "band_hash"
+            ),
+        ).select("band", "band_hash", "id").write.mode("append").parquet(
+            _os.path.join(ledger_path, "bands")
+        )
+
+    return land
+
+
 def drift_monitor_stream(
     stream: DataFrame,
     ref_df: DataFrame,

@@ -162,3 +162,121 @@ def test_init_rejects_bad_band_config(spark, corpus, tmp_path):
             corpus, "text", "doc_id", str(tmp_path / "bad"),
             num_hashes=64, bands=24,
         )
+
+
+# ---------------------------------------------------------------------------
+# streaming: neardup_dedup_stream (the ledger_dedup_stream contract over
+# the near-dup ledger)
+# ---------------------------------------------------------------------------
+
+def _write_batch(spark, src_dir, name, rows):
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src_dir}/{name}")
+
+
+def test_neardup_stream_dedups_within_and_across_runs(spark, tmp_path):
+    """Micro-batches drop near-dups of the ledger, admit novelties,
+    and a SECOND stream run (fresh checkpoint, same ledger) rejects
+    near-dups of batch-1 survivors — restart durability."""
+    import glob as _glob
+
+    import pyspark.sql.types as T
+
+    from muller_spark.streaming.windows import (
+        neardup_dedup_stream,
+        stream_from_directory,
+    )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    src = str(tmp_path / "src"); os.makedirs(src)
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "out")
+
+    seed = "the quick brown fox jumps over the lazy dog near the river bank"
+    init_neardup_ledger(
+        spark.createDataFrame([(0, seed)], "doc_id long, text string"),
+        "text", "doc_id", ledger, bands=32,
+    )
+
+    _write_batch(spark, src, "b1", [
+        (1, seed + " variant 1"),                      # near-dup of ledger
+        (2, "completely novel content about compilers and registers"),
+    ])
+
+    def drain(ckpt):
+        stream = stream_from_directory(spark, src + "/*/", schema)
+        q = neardup_dedup_stream(
+            stream, "text", "doc_id", ledger, out, ckpt,
+            threshold=0.5, available_now=True,
+        )
+        q.awaitTermination(120)
+
+    drain(str(tmp_path / "ckpt1"))
+    landed = spark.read.parquet(*_glob.glob(out + "/ingest_run=*/ingest_batch=*"))
+    assert {r["doc_id"] for r in landed.collect()} == {2}
+
+    # run 2: a near-dup of batch-1's SURVIVOR must now be rejected
+    _write_batch(spark, src, "b2", [
+        (3, "completely novel content about compilers and registers today"),
+        (4, "another wholly different text on sailing across the bay"),
+    ])
+    drain(str(tmp_path / "ckpt2"))
+    landed = spark.read.parquet(*_glob.glob(out + "/ingest_run=*/ingest_batch=*"))
+    assert {r["doc_id"] for r in landed.collect()} == {2, 4}
+
+
+def test_neardup_stream_replay_marker_skip_and_heal(spark, tmp_path):
+    """Calling the handler twice with the same batch_id must not
+    rewrite the landed output and must re-append ledger state (the
+    heal window between land and append)."""
+    from muller_spark.streaming.windows import make_neardup_batch_handler
+
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "out")
+    init_neardup_ledger(
+        spark.createDataFrame([(0, "baseline ledger text content here")],
+                              "doc_id long, text string"),
+        "text", "doc_id", ledger, bands=32,
+    )
+    handler = make_neardup_batch_handler(
+        "text", "doc_id", ledger, out, run_ns="testns", threshold=0.5
+    )
+    batch = spark.createDataFrame(
+        [(10, "a brand new document about orbital mechanics and fuel")],
+        "doc_id long, text string",
+    )
+    handler(batch, 0)
+    landed_dir = f"{out}/ingest_run=testns/ingest_batch=0"
+    first_mtime = os.path.getmtime(os.path.join(landed_dir, "_SUCCESS"))
+    n_band_rows = spark.read.parquet(
+        os.path.join(ledger, "bands")
+    ).count()
+
+    handler(batch, 0)  # replay
+    assert os.path.getmtime(
+        os.path.join(landed_dir, "_SUCCESS")
+    ) == first_mtime  # marker skip: output not rewritten
+    n_after = spark.read.parquet(os.path.join(ledger, "bands")).count()
+    assert n_after > n_band_rows  # heal re-appended (duplicates harmless)
+
+    # and decisions stay correct despite duplicate ledger rows
+    out2 = neardup_against_ledger(
+        spark.createDataFrame(
+            [(11, "a brand new document about orbital mechanics and fuel "
+                  "extra"),
+             (12, "unrelated musings on typography and kerning today")],
+            "doc_id long, text string",
+        ),
+        "text", "doc_id", ledger, threshold=0.5, update=False,
+    )
+    assert {r["doc_id"] for r in out2.collect()} == {12}
