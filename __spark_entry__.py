@@ -1913,6 +1913,32 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA explained-variance report over the embeddings table
+    (operators/embedding.embedding_pca, full spectrum): one
+    tree-combined distributed moment pass → driver eigh →
+    per-component (explained_variance, explained_ratio,
+    cumulative_ratio).  Eigendecomposition is not SQL-expressible →
+    rows_only_queries(); the numpy value oracle (subspace parity,
+    whitening, projection round-trip, driver-fan-in bound) lives in
+    tests/test_embedding_ops.py."""
+    from muller_spark.operators.embedding import embedding_pca
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").first()[0])
+    _, _, var = embedding_pca(emb, "embedding", k=d, id_col="vec_id")
+    tot = float(var.sum())
+    rows, cum = [], 0.0
+    for i, ev in enumerate(var):
+        cum += float(ev)
+        rows.append((i, float(ev), float(ev) / tot, cum / tot))
+    return spark.createDataFrame(
+        rows,
+        "component int, explained_variance double, explained_ratio double, "
+        "cumulative_ratio double",
+    )
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget provisioning (operators/sampling.token_budget_sample):
     per-language token budgets filled in portable-Knuth-hash order;
@@ -3871,6 +3897,7 @@ _ROWS_ONLY_QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "q_quality_classifier": q_quality_classifier,
     "q_bpe_train": q_bpe_train,
     "q_apply_bpe": q_apply_bpe,
+    "q_pca_variance": q_pca_variance,
 }
 
 _STOPWORD_SQL = "('a','the','of','and','to')"

@@ -804,7 +804,10 @@ def prefix_verified_pairs(
     sh = df.select(
         F.col(id_col).alias("id"),
         _shingles(F.col(text_col), n).alias("shingles"),
-    ).localCheckpoint()  # reused by df-agg, prefix, posting, and verify
+    ).cache()  # reused by df-agg, prefix, posting, and verify — lazy
+    # cache beats an eager localCheckpoint here (measured 3.9 vs 6.8 s
+    # warm at sf0.1): the checkpoint materialized the arrays before the
+    # narrow consumers could pipeline
     exploded = sh.select("id", F.explode("shingles").alias("shingle"))
     dfreq = exploded.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("_df")
