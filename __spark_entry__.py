@@ -3335,6 +3335,28 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(exact))
 
 
+def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HyperLogLog (operators/aggregate.hll_distinct_by,
+    precision 10): distinct 3-gram shingles per SOURCE with the exact
+    count alongside — the grouped sketch a 100 TB corpus report runs
+    instead of count(DISTINCT) per group (state bounded at m rows per
+    group however hot the group).  Every group's registers and
+    estimate replay in the oracle, same primitives as
+    q_hll_distinct."""
+    from muller_spark.operators.aggregate import hll_distinct_by
+    from muller_spark.operators.dedup import _shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(_shingles(F.col("text"), 3)).alias("shingle")
+    )
+    est = hll_distinct_by(sh, "shingle", ["source"], precision=10)
+    exact = sh.groupBy("source").agg(
+        F.count_distinct("shingle").alias("exact_distinct")
+    )
+    return est.join(exact, "source").orderBy("source")
+
+
 def q_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift BETWEEN dataset versions: ingest documents in two commits
     (doc_id < 300, then the rest), time-travel both
@@ -3727,6 +3749,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_psi_drift": q_psi_drift,
     "q_version_drift": q_version_drift,
     "q_hll_distinct": q_hll_distinct,
+    "q_hll_by_group": q_hll_by_group,
     "q_cms_topk": q_cms_topk,
     "q_rolling_anomalies": q_rolling_anomalies,
     "q_bloom_decontaminate": q_bloom_decontaminate,
@@ -4651,6 +4674,56 @@ _ORACLES: dict[str, str] = {
                (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM sh)
                  AS exact_distinct
         FROM calc
+    """,
+    # q_hll_distinct's register/estimate replay with a GROUP BY source
+    # — every group's sketch value-checked beside its exact count
+    "q_hll_by_group": f"""
+        WITH toks AS (
+          SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents
+        ), sh AS (
+          SELECT source,
+                 unnest(CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                 ELSE [array_to_string(t, ' ')] END) AS v
+          FROM toks
+        ), h AS (
+          SELECT source, {_H60_SQL.format(v='v')} AS h FROM sh
+        ), r AS (
+          SELECT source,
+                 CAST(h // 1125899906842624 AS INT) AS bucket,
+                 CASE WHEN h % 1125899906842624 > 0
+                      THEN 50 - length(to_base(h % 1125899906842624, 2)) + 1
+                      ELSE 51 END AS rho
+          FROM h
+        ), regs AS (
+          SELECT source, bucket, max(rho) AS reg
+          FROM r GROUP BY source, bucket
+        ), packed AS (
+          SELECT source,
+                 list(struct_pack(bucket := bucket, reg := reg)
+                      ORDER BY bucket) AS rs,
+                 count(*) AS present
+          FROM regs GROUP BY source
+        ), calc AS (
+          SELECT source, present,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(rs, x -> pow(2.0, -x.reg)::DOUBLE)),
+                   (a, b) -> a + b) + (1024 - present) AS sum_z
+          FROM packed
+        ), exact AS (
+          SELECT source, CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct
+          FROM sh GROUP BY source
+        )
+        SELECT c.source, 1024 AS m,
+               CAST(c.present AS BIGINT) AS nonzero_registers,
+               round(CASE WHEN 755541.746198293 / c.sum_z <= 2560.0
+                               AND c.present < 1024
+                          THEN 1024.0 * ln(1024.0 / (1024 - c.present))
+                          ELSE 755541.746198293 / c.sum_z END, 4) AS estimate,
+               e.exact_distinct
+        FROM calc c JOIN exact e USING (source)
+        ORDER BY source
     """,
     # replays q_version_drift's commit slices from the raw table:
     # v1 = doc_id < 300, HEAD = all rows — value-checks time travel

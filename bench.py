@@ -57,6 +57,7 @@ HEADLINE = [
     "q_psi_drift",
     "q_version_drift",
     "q_hll_distinct",
+    "q_hll_by_group",
     "q_cms_topk",
     "q_rolling_anomalies",
     "q_bloom_decontaminate",
@@ -89,6 +90,8 @@ HEADLINE = [
     "q_remove_dup_windows",
     "q_quantize_embeddings",
     "q_containment_pairs",
+    "q_containment_lsh",
+    "q_containment_prefix",
     "q_perplexity_buckets",
     "q_curation_pipeline",
     "q_cdc_changelog",
@@ -101,6 +104,7 @@ HEADLINE = [
     "q_chunk_documents",
     "q_event_transitions",
     "q_dedup_incremental",
+    "q_neardup_ledger",
     "q_text_quality",
     "q_knn_cosine",
     "q_window_events",

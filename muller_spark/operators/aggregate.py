@@ -453,6 +453,76 @@ def hll_distinct(
     )
 
 
+def hll_distinct_by(
+    df: DataFrame,
+    col: str,
+    group_cols: "list[str]",
+    precision: int = 10,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate — the grouped twin of
+    :func:`hll_distinct` (distinct users per day, distinct docs per
+    source): one corpus pass → (group, bucket, max rho) hash aggregate
+    (≤ m rows PER GROUP — bounded state however hot the group), then a
+    per-group bucket-ordered estimate fold.  Same engine-portable
+    primitives, so the oracle replays every group's registers and
+    estimate (q_hll_by_group).  Returns
+    (*group_cols, m, nonzero_registers, estimate)."""
+    from muller_spark.operators.dedup import portable_hash60
+
+    if not 4 <= precision <= 14:
+        raise ValueError("precision must be in [4, 14]")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use hll_distinct)")
+    m = 1 << precision
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    w = 60 - precision
+    h = portable_hash60(F.col(col).cast("string"))
+    rem = h % F.lit(1 << w)
+    rho = F.when(
+        rem > 0,
+        F.lit(w) - F.length(F.conv(rem, 10, 2)) + F.lit(1),
+    ).otherwise(F.lit(w + 1))
+    regs = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            *group_cols,
+            F.shiftright(h, w).cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    packed = regs.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "reg"))).alias("rs")
+    )
+    sum_present = F.aggregate(
+        F.col("rs"),
+        F.lit(0.0).cast("double"),
+        lambda acc, r: acc + F.pow(F.lit(2.0), -r["reg"]),
+    )
+    present = F.size(F.col("rs"))
+    zeros = (F.lit(m) - present).cast("double")
+    sum_z = sum_present + zeros
+    raw = F.lit(alpha * m * m) / sum_z
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return packed.select(
+        *group_cols,
+        F.lit(m).alias("m"),
+        present.cast("long").alias("nonzero_registers"),
+        F.round(est, 4).alias("estimate"),
+    )
+
+
 def _hll_estimate_from_registers(regs: DataFrame, precision: int) -> DataFrame:
     if not 4 <= precision <= 14:
         raise ValueError("precision must be in [4, 14]")
