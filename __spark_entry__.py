@@ -3159,9 +3159,11 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     q = quantize_embeddings(emb, "embedding", "vec_id")
-    return q.select(
-        "id", "scale", F.posexplode("qvec").alias("dim", "q")
-    ).orderBy("id", "dim")
+    # no presentation orderBy: the long form is n_vec × dim rows (~3 M
+    # at sf0.1) and both the driver and the mirror canonicalize row
+    # order themselves — the global sort was 90% of the query's cost
+    # (0.34 s wide-form r8 → 3.23 s sorted long form → ~0.9 s unsorted)
+    return q.select("id", "scale", F.posexplode("qvec").alias("dim", "q"))
 
 
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3177,9 +3179,8 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     e = feature_hash_embed(docs, "text", "doc_id", dim=32)
-    return e.select(
-        "id", F.posexplode("embedding").alias("bucket", "v")
-    ).orderBy("id", "bucket")
+    # no presentation orderBy — same reasoning as q_quantize_embeddings
+    return e.select("id", F.posexplode("embedding").alias("bucket", "v"))
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:

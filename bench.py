@@ -732,6 +732,29 @@ def text_sf1_envelope(spark, sf_dir: str) -> dict:
             metric="containment",
         )
     ))
+
+    # round 9: the incremental near-dup ledger's BATCH DECISION at 10x
+    # — the 100 TB daily-ingest claim is "batch cost, never corpus
+    # re-LSH", so the measured unit is one 10x batch against a 10x
+    # ledger (seeded once outside the timer; the seed is a one-time
+    # migration cost, the decision is the recurring one)
+    import tempfile as _tf
+
+    from muller_spark.operators.dedup import (
+        init_neardup_ledger, neardup_against_ledger,
+    )
+
+    nd_path = os.path.join(_tf.mkdtemp(prefix="bench_ndledger_"), "ledger")
+    init_neardup_ledger(
+        big.filter(F.col("doc_id") % 2 == 0), "text", "doc_id", nd_path,
+        bands=32,
+    )
+    out["neardup_ledger_batch_10x"] = timed2(lambda: materialize(
+        neardup_against_ledger(
+            big.filter(F.col("doc_id") % 2 == 1), "text", "doc_id",
+            nd_path, threshold=0.5, update=False,
+        )
+    ))
     out["rows"] = int(big.count())
     return out
 

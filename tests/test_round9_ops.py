@@ -65,3 +65,55 @@ def test_grouped_validation(spark):
         hll_distinct_by(df, "v", ["grp"], precision=3)
     with pytest.raises(ValueError, match="group_cols"):
         hll_distinct_by(df, "v", [])
+
+
+# ---------------------------------------------------------------------------
+# plan-shape assertions: the round-9 operators must keep their declared
+# 100 TB shapes — keyed joins only (no cartesian), no windows on the
+# corpus path, bounded aggregate state
+# ---------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_neardup_ledger_plan_keyed_joins_only(spark, tmp_path):
+    from muller_spark.operators.dedup import (
+        init_neardup_ledger, neardup_against_ledger,
+    )
+
+    path = str(tmp_path / "ledger")
+    seed = spark.createDataFrame(
+        [(i, f"seed doc {i} alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    init_neardup_ledger(seed, "text", "doc_id", path)
+    batch = spark.createDataFrame(
+        [(100, "novel content entirely unseen here")],
+        "doc_id long, text string",
+    )
+    plan = _plan(neardup_against_ledger(
+        batch, "text", "doc_id", path, update=False
+    ))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_prefix_pairs_plan_no_cartesian_no_window(spark):
+    from muller_spark.operators.dedup import prefix_verified_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"some shared words plus unique tail {i} x{i} y{i}")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    plan = _plan(prefix_verified_pairs(df, "text", "doc_id", threshold=0.6))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_hll_by_group_plan_no_window_no_join(spark):
+    df = _frame(spark)
+    plan = _plan(hll_distinct_by(df, "v", ["grp"]))
+    assert "Window" not in plan
+    assert "Join" not in plan  # two hash aggregates, nothing else
