@@ -850,12 +850,14 @@ class Dataset:
                 )
             from muller_spark.index.graph import build_graph_artifacts
 
+            qb = hyper.get("quantize_bits")
             build_graph_artifacts(
                 self.df, tensor, ROW_ID_COL, path,
                 num_cells=int(hyper.get("num_cells", hyper.get("nlist", 16))),
                 R=int(hyper.get("R", 12)),
                 sample_size=int(hyper.get("sample_size", 4096)),
                 seed=int(hyper.get("seed", 42)),
+                quantize_bits=int(qb) if qb is not None else None,
             )
         manifest = {
             "tensor": tensor,

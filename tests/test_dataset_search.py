@@ -241,3 +241,25 @@ def test_update_index_rebuild_preserves_positions(spark, tmp_path):
     assert idx.manifest.get("positions") is True
     hits = {r["id"] for r in idx.search("alpha beta", "phrase_match").collect()}
     assert hits == {0, 1}
+
+
+def test_vector_index_diskann_sq8_facade(spark, tmp_path):
+    """create_vector_index(index_type='DISKANN', quantize_bits=8)
+    builds the SQ8 graph through the facade: int8 vectors table at
+    rest, search still self-matches at rank 1, and
+    update_vector_index appends SQ8 rows (layout sniffed)."""
+    ds = ds_mod.dataset(str(tmp_path / "dsq8"), spark)
+    ds.create_tensor("emb", htype="embedding")
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(80, 8).astype("float32")
+    ds.extend({"emb": [[float(x) for x in v] for v in vecs]})
+    ds.commit("vectors")
+
+    ds.create_vector_index(
+        "emb", index_type="DISKANN", num_cells=4, R=8, quantize_bits=8
+    )
+    idx_dir = tmp_path / "dsq8" / "_indexes" / "vector" / "emb" / "default"
+    v = spark.read.parquet(str(idx_dir / "vectors"))
+    assert "qvec" in v.columns and "vec" not in v.columns
+    out = ds.vector_search(vecs[5], "emb", topk=3).collect()
+    assert out[0]["id"] == 5 and out[0]["rank"] == 1
