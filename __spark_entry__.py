@@ -1939,6 +1939,55 @@ def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs
+    (operators/dedup.image_dhash + image_near_dups): 200 deterministic
+    PNGs synthesized from doc_ids (groups of 5 share a base image with
+    per-member pixel noise — the driver tables carry no binary media,
+    so the corpus is generated, but the decode → luma → resize → dHash
+    → pigeonhole-bucketed Hamming join pipeline is the real one over
+    the repo's zero-dep codecs).  PNG decoding is not SQL-expressible
+    → rows_only_queries(); hash values, bucketing completeness vs
+    brute force, and NULL handling are pinned in
+    tests/test_round9_ops.py."""
+    from muller_spark.operators.dedup import image_near_dups
+
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("img_id")
+    ).orderBy("img_id").limit(200)
+
+    def make_png(iterator):
+        import numpy as np
+        import pandas as pd
+
+        from muller_spark.multimodal.codecs import encode_png
+
+        for pdf in iterator:
+            out_ids, blobs = [], []
+            for i in pdf["img_id"]:
+                i = int(i)
+                rng = np.random.RandomState(1000 + i // 5)
+                base = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+                # per-member PIXEL noise, not a uniform brightness
+                # shift — dHash is gradient-based, so a uniform shift
+                # leaves the hash bit-identical and exercises nothing
+                img = base.copy()
+                if i % 5:
+                    rng2 = np.random.RandomState(7 + i)
+                    mask = rng2.rand(16, 16) < 0.02 * (i % 5)
+                    img[mask] = rng2.randint(
+                        0, 256, (int(mask.sum()), 3), dtype=np.uint8
+                    )
+                out_ids.append(i)
+                blobs.append(bytearray(encode_png(img)))
+            yield pd.DataFrame({"img_id": out_ids, "data": blobs})
+
+    imgs = ids.mapInPandas(make_png, "img_id long, data binary")
+    return image_near_dups(
+        imgs, "data", "img_id", max_hamming=6
+    ).orderBy("id_a", "id_b")
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget provisioning (operators/sampling.token_budget_sample):
     per-language token budgets filled in portable-Knuth-hash order;
@@ -3922,6 +3971,7 @@ _ROWS_ONLY_QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "q_bpe_train": q_bpe_train,
     "q_apply_bpe": q_apply_bpe,
     "q_pca_variance": q_pca_variance,
+    "q_image_dedup": q_image_dedup,
 }
 
 _STOPWORD_SQL = "('a','the','of','and','to')"

@@ -1313,6 +1313,145 @@ def embedding_near_dups(
 
 
 # ---------------------------------------------------------------------------
+# image near-dup: perceptual difference hash over binary media columns
+# ---------------------------------------------------------------------------
+
+def image_dhash(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual difference hash (dHash) of an image ``binary``
+    column: decode (the repo's zero-dep codecs —
+    ``multimodal/codecs.decode_pixels``: PNG/JPEG/GIF/BMP/PPM) →
+    integer luma grayscale → nearest-neighbor resize to
+    ``hash_size × (hash_size+1)`` → horizontal-gradient sign bits
+    packed into one 64-bit integer (hash_size 8).  The standard
+    cheap image fingerprint: re-encodes, small crops, noise, and
+    resolution changes move few bits, so near-dup detection is a
+    Hamming ball around the hash — the image twin of SimHash text
+    fingerprints.
+
+    Returns ``(id, dhash long|null, height int, width int)`` — NULL
+    dhash for undecodable payloads (one corrupt file must yield a NULL
+    row, never a task kill; the codec contract).  Arrow-batched
+    mapInPandas, map-only — at 100 TB this is the linear scan that
+    feeds the bucketed pair stage (:func:`image_near_dups`)."""
+    if not 2 <= hash_size <= 8:
+        raise ValueError("hash_size must be in [2, 8] (64-bit packing)")
+
+    def kernel(iterator):
+        import numpy as np
+        import pandas as pd
+
+        from muller_spark.multimodal.codecs import (
+            decode_pixels, resize_nearest, to_rgb,
+        )
+
+        for pdf in iterator:
+            ids, hashes, hh, ww = [], [], [], []
+            for rid, raw in zip(pdf[id_col], pdf[binary_col]):
+                ids.append(rid)
+                pix = decode_pixels(bytes(raw)) if raw is not None else None
+                if pix is None:
+                    hashes.append(None); hh.append(None); ww.append(None)
+                    continue
+                rgb = to_rgb(pix).astype(np.int64)
+                # integer luma (ITU-R 601 in 1/1000ths — deterministic,
+                # no float rounding ambiguity across platforms)
+                gray = (
+                    299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
+                    + 114 * rgb[:, :, 2]
+                ) // 1000
+                small = resize_nearest(
+                    gray[:, :, None].astype(np.uint8),
+                    hash_size, hash_size + 1,
+                )[:, :, 0].astype(np.int64)
+                bits = (small[:, 1:] > small[:, :-1]).ravel()
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                if h >= 1 << 63:  # pack as signed 64-bit (Spark long)
+                    h -= 1 << 64
+                hashes.append(h)
+                hh.append(int(pix.shape[0])); ww.append(int(pix.shape[1]))
+            yield pd.DataFrame({
+                "id": ids,
+                "dhash": pd.array(hashes, dtype="Int64"),
+                "height": pd.array(hh, dtype="Int32"),
+                "width": pd.array(ww, dtype="Int32"),
+            })
+
+    return ensure_parallelism(df.select(id_col, binary_col)).mapInPandas(
+        kernel, "id long, dhash long, height int, width int"
+    )
+
+
+def image_near_dups(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Image near-dup pairs: :func:`image_dhash` fingerprints bucketed
+    by block permutation — the SimHash pigeonhole argument on a 64-bit
+    hash: two hashes within Hamming ``k`` agree exactly on at least
+    one of ``k+1`` disjoint bit blocks, so candidates are equal
+    (block_idx, block_value) pairs and NO true pair is missed
+    (complete, like the text SimHash path).  Exact Hamming verify via
+    ``bit_count(xor)`` on the candidate sliver.
+
+    Returns ``(id_a, id_b, hamming)`` with hamming ≤ ``max_hamming``;
+    undecodable images carry NULL hashes and never pair.  Scale shape:
+    map-only hashing, one (block, value)-keyed self-join bounded by
+    bucket collisions, never all-pairs."""
+    nbits = hash_size * hash_size
+    nblocks = max_hamming + 1
+    if not 0 <= max_hamming < nbits:
+        raise ValueError("max_hamming must be in [0, bits)")
+    hashed = image_dhash(df, binary_col, id_col, hash_size).filter(
+        F.col("dhash").isNotNull()
+    ).select("id", "dhash")
+    # block b covers bits [b*nbits//nblocks, (b+1)*nbits//nblocks);
+    # the hash is a SIGNED long (bit 63 may be set), so extraction is
+    # unsigned shift + mask — an arithmetic shift would smear the sign
+    # into the high blocks and a % would go negative with the dividend
+    bounds = [b * nbits // nblocks for b in range(nblocks + 1)]
+
+    def _block_val(b: int):
+        width = bounds[b + 1] - bounds[b]
+        shifted = F.shiftrightunsigned(F.col("dhash"), bounds[b])
+        if width >= 64:  # single-block case (max_hamming=0): whole hash
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    blocks = F.array(*[
+        F.struct(F.lit(b).alias("blk"), _block_val(b).alias("val"))
+        for b in range(nblocks)
+    ])
+    banded = hashed.select(
+        "id", "dhash", F.explode(blocks).alias("bb")
+    ).select("id", "dhash", F.col("bb.blk").alias("blk"),
+             F.col("bb.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.expr("bit_count(a_h ^ b_h)")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.dhash").alias("a_h"), F.col("b.dhash").alias("b_h"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
 # incremental dedup ledger — batch-append production flow
 # ---------------------------------------------------------------------------
 

@@ -117,3 +117,117 @@ def test_hll_by_group_plan_no_window_no_join(spark):
     plan = _plan(hll_distinct_by(df, "v", ["grp"]))
     assert "Window" not in plan
     assert "Join" not in plan  # two hash aggregates, nothing else
+
+
+# ---------------------------------------------------------------------------
+# image near-dup: dHash fingerprints + pigeonhole Hamming bucketing
+# ---------------------------------------------------------------------------
+
+def _png_rows(spark):
+    import numpy as np
+
+    from muller_spark.multimodal.codecs import encode_png
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    noisy = base.copy()
+    noisy[::9, ::9] = (noisy[::9, ::9].astype(int) + 10).clip(0, 255)
+    other = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png(base))),
+        (2, bytearray(encode_png(base))),       # byte-identical twin
+        (3, bytearray(encode_png(noisy))),      # perceptual near-dup
+        (4, bytearray(encode_png(other))),      # unrelated
+        (5, bytearray(b"not an image at all")),  # undecodable
+    ]
+    return spark.createDataFrame(rows, "img_id long, data binary")
+
+
+def test_image_dhash_stability_and_nulls(spark):
+    from muller_spark.operators.dedup import image_dhash
+
+    df = _png_rows(spark)
+    out = {r["id"]: r for r in image_dhash(df, "data", "img_id").collect()}
+    assert out[1]["dhash"] == out[2]["dhash"]  # identical bytes, same hash
+    assert out[1]["height"] == 32 and out[1]["width"] == 32
+    assert out[5]["dhash"] is None  # corrupt payload -> NULL, not a crash
+    # noise moves FEW bits; unrelated content moves many
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(out[1]["dhash"], out[3]["dhash"]) <= 6
+    assert ham(out[1]["dhash"], out[4]["dhash"]) > 10
+
+
+def test_image_near_dups_finds_twins_not_strangers(spark):
+    from muller_spark.operators.dedup import image_near_dups
+
+    df = _png_rows(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dups(df, "data", "img_id", max_hamming=6).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 6
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_image_near_dups_bucketing_complete_vs_bruteforce(spark):
+    """Pigeonhole completeness: the block-bucketed pair set must equal
+    the brute-force Hamming-ball pair set over the dHash column."""
+    import numpy as np
+
+    from muller_spark.multimodal.codecs import encode_png
+    from muller_spark.operators.dedup import image_dhash, image_near_dups
+
+    rng = np.random.RandomState(23)
+    rows = []
+    base = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    for i in range(12):
+        img = base.copy()
+        img[: i // 2 + 1, :] = (
+            img[: i // 2 + 1, :].astype(int) + 3 * i
+        ).clip(0, 255)
+        rows.append((i, bytearray(encode_png(img))))
+    for i in range(12, 20):
+        rows.append((
+            i,
+            bytearray(encode_png(
+                rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+            )),
+        ))
+    df = spark.createDataFrame(rows, "img_id long, data binary")
+
+    hashes = {
+        r["id"]: r["dhash"]
+        for r in image_dhash(df, "data", "img_id").collect()
+    }
+    k = 6
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    truth = {
+        (a, b): ham(hashes[a], hashes[b])
+        for a in hashes for b in hashes
+        if a < b and ham(hashes[a], hashes[b]) <= k
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dups(df, "data", "img_id", max_hamming=k).collect()
+    }
+    assert got == truth
+    assert truth, "fixture must produce at least one near-dup pair"
+
+
+def test_image_near_dups_plan_no_cartesian(spark):
+    from muller_spark.operators.dedup import image_near_dups
+
+    df = _png_rows(spark)
+    plan = _plan(image_near_dups(df, "data", "img_id"))
+    assert "CartesianProduct" not in plan
+
+
+def test_image_dhash_validation(spark):
+    from muller_spark.operators.dedup import image_dhash, image_near_dups
+
+    df = _png_rows(spark)
+    with pytest.raises(ValueError, match="hash_size"):
+        image_dhash(df, "data", "img_id", hash_size=12)
+    with pytest.raises(ValueError, match="max_hamming"):
+        image_near_dups(df, "data", "img_id", max_hamming=64)
