@@ -1988,6 +1988,59 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral audio near-dup pairs
+    (operators/dedup.audio_fingerprint + audio_near_dups): 100
+    deterministic PCM WAV clips synthesized from doc_ids (groups of 4
+    share a two-tone signal; members add seeded noise at increasing
+    amplitude) — the driver tables carry no audio, so the corpus is
+    generated, but the WAV-decode → band-energy → gradient-sign
+    fingerprint → pigeonhole Hamming join is the real pipeline.  FFT
+    is not SQL-expressible → rows_only_queries(); values (stability,
+    volume invariance, noise tolerance, NULL handling) are pinned in
+    tests/test_round9_ops.py."""
+    from muller_spark.operators.dedup import audio_near_dups
+
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("clip_id")
+    ).orderBy("clip_id").limit(100)
+
+    def make_wav(iterator):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in iterator:
+            out_ids, blobs = [], []
+            for i in pdf["clip_id"]:
+                i = int(i)
+                rng = np.random.RandomState(500 + i // 4)
+                f1 = 200 + 40 * int(rng.randint(1, 20))
+                t = np.arange(8192) / 8000.0
+                sig = (0.5 * np.sin(2 * np.pi * f1 * t)
+                       + 0.2 * np.sin(2 * np.pi * 3 * f1 * t))
+                if i % 4:
+                    rng2 = np.random.RandomState(7 + i)
+                    sig = sig + 0.008 * (i % 4) * rng2.randn(len(t))
+                pcm = (np.clip(sig, -1, 1) * 32767).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(pcm.tobytes())
+                out_ids.append(i)
+                blobs.append(bytearray(buf.getvalue()))
+            yield pd.DataFrame({"clip_id": out_ids, "data": blobs})
+
+    clips = ids.mapInPandas(make_wav, "clip_id long, data binary")
+    return audio_near_dups(
+        clips, "data", "clip_id", max_hamming=6
+    ).orderBy("id_a", "id_b")
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget provisioning (operators/sampling.token_budget_sample):
     per-language token budgets filled in portable-Knuth-hash order;
@@ -3972,6 +4025,7 @@ _ROWS_ONLY_QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "q_apply_bpe": q_apply_bpe,
     "q_pca_variance": q_pca_variance,
     "q_image_dedup": q_image_dedup,
+    "q_audio_dedup": q_audio_dedup,
 }
 
 _STOPWORD_SQL = "('a','the','of','and','to')"

@@ -1408,22 +1408,137 @@ def image_near_dups(
     map-only hashing, one (block, value)-keyed self-join bounded by
     bucket collisions, never all-pairs."""
     nbits = hash_size * hash_size
-    nblocks = max_hamming + 1
     if not 0 <= max_hamming < nbits:
         raise ValueError("max_hamming must be in [0, bits)")
     hashed = image_dhash(df, binary_col, id_col, hash_size).filter(
         F.col("dhash").isNotNull()
     ).select("id", "dhash")
-    # block b covers bits [b*nbits//nblocks, (b+1)*nbits//nblocks);
-    # the hash is a SIGNED long (bit 63 may be set), so extraction is
-    # unsigned shift + mask — an arithmetic shift would smear the sign
-    # into the high blocks and a % would go negative with the dividend
+    return _hamming_block_pairs(hashed, nbits=nbits, max_hamming=max_hamming)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    n_bands: int = 9,
+    window: int = 2048,
+    max_windows: int = 8,
+) -> DataFrame:
+    """Spectral audio fingerprint (the Haitsma–Kalker construction):
+    decode PCM WAV (``multimodal/codecs.parse_wav``, channels averaged
+    to mono) → per-window FFT band energies over ``n_bands``
+    log-spaced bands → sign bits of the time-and-frequency energy
+    gradient ``E[t,b] − E[t,b+1] − (E[t−1,b] − E[t−1,b+1])`` — the
+    classic robust-to-volume/transcode audio hash.  Bits from up to
+    ``max_windows`` windows pack into one signed 64-bit integer
+    (``(n_bands−1)·min(windows, max_windows)`` ≤ 64 enforced), so the
+    fingerprint composes with the same pigeonhole Hamming machinery as
+    :func:`image_near_dups`.
+
+    Returns ``(id, afp long|null, sample_rate int, n_frames long)`` —
+    NULL for undecodable payloads.  Map-only Arrow kernel; at 100 TB
+    this is the linear scan feeding a bucketed pair stage."""
+    if n_bands < 2:
+        raise ValueError("n_bands must be >= 2")
+    if (n_bands - 1) * max_windows > 64:
+        raise ValueError(
+            f"(n_bands-1)*max_windows = {(n_bands - 1) * max_windows} "
+            "exceeds the 64-bit fingerprint"
+        )
+
+    def kernel(iterator):
+        import numpy as np
+        import pandas as pd
+
+        from muller_spark.multimodal.codecs import parse_wav
+
+        for pdf in iterator:
+            ids, fps, rates, frames = [], [], [], []
+            for rid, raw in zip(pdf[id_col], pdf[binary_col]):
+                ids.append(rid)
+                parsed = parse_wav(bytes(raw)) if raw is not None else None
+                if parsed is None:
+                    fps.append(None); rates.append(None); frames.append(None)
+                    continue
+                rate, n, ch, samples = parsed
+                mono = samples.mean(axis=1) if ch > 1 else samples
+                nwin = min(len(mono) // window, max_windows + 1)
+                if nwin < 2:  # need a previous window for the gradient
+                    fps.append(None); rates.append(int(rate))
+                    frames.append(int(n))
+                    continue
+                spec = np.abs(np.fft.rfft(
+                    mono[: nwin * window].reshape(nwin, window), axis=1
+                )) ** 2
+                # log-spaced band edges over [2, window//2] bins
+                edges = np.unique(np.geomspace(
+                    2, spec.shape[1] - 1, n_bands + 1
+                ).astype(int))
+                if len(edges) < n_bands + 1:  # tiny window degenerate
+                    fps.append(None); rates.append(int(rate))
+                    frames.append(int(n))
+                    continue
+                bands = np.stack([
+                    spec[:, edges[b]:edges[b + 1]].sum(axis=1)
+                    for b in range(n_bands)
+                ], axis=1)  # (nwin, n_bands)
+                d = bands[:, :-1] - bands[:, 1:]
+                bits = (d[1:] - d[:-1] > 0).ravel()
+                h = 0
+                for b in bits[: 64]:
+                    h = (h << 1) | int(b)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                fps.append(h)
+                rates.append(int(rate)); frames.append(int(n))
+            yield pd.DataFrame({
+                "id": ids,
+                "afp": pd.array(fps, dtype="Int64"),
+                "sample_rate": pd.array(rates, dtype="Int32"),
+                "n_frames": pd.array(frames, dtype="Int64"),
+            })
+
+    return ensure_parallelism(df.select(id_col, binary_col)).mapInPandas(
+        kernel, "id long, afp long, sample_rate int, n_frames long"
+    )
+
+
+def audio_near_dups(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+    n_bands: int = 9,
+    window: int = 2048,
+) -> DataFrame:
+    """Audio near-dup pairs: :func:`audio_fingerprint` + the same
+    complete pigeonhole block-bucketing as :func:`image_near_dups`
+    (k+1 disjoint bit blocks of the 64-bit fingerprint, exact
+    ``bit_count(xor)`` verify on the candidate sliver).  Returns
+    (id_a, id_b, hamming) ≤ ``max_hamming``."""
+    if not 0 <= max_hamming < 64:
+        raise ValueError("max_hamming must be in [0, 64)")
+    hashed = audio_fingerprint(
+        df, binary_col, id_col, n_bands=n_bands, window=window
+    ).filter(F.col("afp").isNotNull()).select(
+        "id", F.col("afp").alias("dhash")
+    )
+    return _hamming_block_pairs(hashed, nbits=64, max_hamming=max_hamming)
+
+
+def _hamming_block_pairs(
+    hashed: DataFrame, nbits: int, max_hamming: int
+) -> DataFrame:
+    """Shared Hamming pair stage over a (id, dhash) frame: pigeonhole
+    block bucketing (complete) + exact bit_count verify — the kernel
+    behind :func:`image_near_dups` and :func:`audio_near_dups`."""
+    nblocks = max_hamming + 1
     bounds = [b * nbits // nblocks for b in range(nblocks + 1)]
 
     def _block_val(b: int):
         width = bounds[b + 1] - bounds[b]
         shifted = F.shiftrightunsigned(F.col("dhash"), bounds[b])
-        if width >= 64:  # single-block case (max_hamming=0): whole hash
+        if width >= 64:
             return shifted
         return shifted.bitwiseAND(F.lit((1 << width) - 1))
 

@@ -231,3 +231,112 @@ def test_image_dhash_validation(spark):
         image_dhash(df, "data", "img_id", hash_size=12)
     with pytest.raises(ValueError, match="max_hamming"):
         image_near_dups(df, "data", "img_id", max_hamming=64)
+
+
+# ---------------------------------------------------------------------------
+# audio near-dup: spectral fingerprints (Haitsma-Kalker construction)
+# ---------------------------------------------------------------------------
+
+def _wav_bytes(samples, rate=8000):
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return bytearray(buf.getvalue())
+
+
+def _audio_rows(spark):
+    import numpy as np
+
+    t = np.arange(8192) / 8000.0
+    tone = 0.6 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 1760 * t)
+    rng = np.random.RandomState(3)
+    noisy = tone + 0.01 * rng.randn(len(t))
+    other = 0.6 * np.sin(2 * np.pi * 3100 * t) + 0.3 * rng.randn(len(t))
+    rows = [
+        (1, _wav_bytes(tone)),
+        (2, _wav_bytes(tone)),          # identical
+        (3, _wav_bytes(noisy)),         # slightly noisy copy
+        (4, _wav_bytes(other)),         # different content
+        (5, bytearray(b"RIFFgarbage")),  # undecodable
+    ]
+    return spark.createDataFrame(rows, "clip_id long, data binary")
+
+
+def test_audio_fingerprint_stability_and_nulls(spark):
+    from muller_spark.operators.dedup import audio_fingerprint
+
+    out = {
+        r["id"]: r
+        for r in audio_fingerprint(
+            _audio_rows(spark), "data", "clip_id"
+        ).collect()
+    }
+    assert out[1]["afp"] == out[2]["afp"]
+    assert out[1]["sample_rate"] == 8000 and out[1]["n_frames"] == 8192
+    assert out[5]["afp"] is None
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(out[1]["afp"], out[3]["afp"]) <= 6   # noise: few bits
+    assert ham(out[1]["afp"], out[4]["afp"]) > 8    # different content
+
+
+def test_audio_near_dups_pairs(spark):
+    from muller_spark.operators.dedup import audio_near_dups
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_near_dups(
+            _audio_rows(spark), "data", "clip_id", max_hamming=6
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_audio_fingerprint_volume_invariance(spark):
+    """The fingerprint is built from energy GRADIENT signs, so a
+    uniform gain change must not move any bit — the transcode/volume
+    robustness claim."""
+    import numpy as np
+
+    from muller_spark.operators.dedup import audio_fingerprint
+
+    t = np.arange(8192) / 8000.0
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.1 * np.sin(2 * np.pi * 880 * t)
+    df = spark.createDataFrame(
+        [(1, _wav_bytes(tone)), (2, _wav_bytes(0.5 * tone))],
+        "clip_id long, data binary",
+    )
+    out = {r["id"]: r["afp"] for r in
+           audio_fingerprint(df, "data", "clip_id").collect()}
+    assert out[1] == out[2]
+
+
+def test_audio_fingerprint_validation(spark):
+    from muller_spark.operators.dedup import audio_fingerprint
+
+    df = _audio_rows(spark)
+    with pytest.raises(ValueError, match="64-bit"):
+        audio_fingerprint(df, "data", "clip_id", n_bands=9, max_windows=33)
+    with pytest.raises(ValueError, match="n_bands"):
+        audio_fingerprint(df, "data", "clip_id", n_bands=1)
+
+
+def test_audio_short_clip_yields_null(spark):
+    import numpy as np
+
+    from muller_spark.operators.dedup import audio_fingerprint
+
+    short = _wav_bytes(np.zeros(1000))  # < 2 windows
+    df = spark.createDataFrame([(1, short)], "clip_id long, data binary")
+    out = audio_fingerprint(df, "data", "clip_id").collect()[0]
+    assert out["afp"] is None and out["sample_rate"] == 8000
