@@ -2041,6 +2041,65 @@ def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs over animated GIFs
+    (operators/dedup.video_frame_hashes + video_near_dups): 60
+    deterministic clips synthesized from doc_ids — groups of 3 share a
+    frame pool; member 1 is the full 8-frame cut, member 2 a 5-frame
+    trim, member 3 the trim with per-pixel noise — so each group's
+    members are trim/re-encode near-dups.  The pipeline is the real
+    zero-dependency one: multi-frame GIF decode (canvas composition,
+    GCE semantics) → per-frame dHash → pigeonhole frame-pair join →
+    per-clip-pair match fractions.  GIF decoding is not
+    SQL-expressible → rows_only_queries(); frame parity, trim
+    detection, and sampling checksums are pinned in
+    tests/test_round9_ops.py."""
+    from muller_spark.operators.dedup import video_near_dups
+
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("clip_id")
+    ).orderBy("clip_id").limit(60)
+
+    def make_gif(iterator):
+        import numpy as np
+        import pandas as pd
+
+        from muller_spark.multimodal.gif import encode_gif_frames
+
+        for pdf in iterator:
+            out_ids, blobs = [], []
+            for i in pdf["clip_id"]:
+                i = int(i)
+                rng = np.random.RandomState(300 + i // 3)
+                pal = rng.randint(0, 256, (24, 3), dtype=np.uint8)
+                pool = [
+                    pal[np.random.RandomState(1000 * (i // 3) + f)
+                        .randint(0, 24, (16, 16))]
+                    for f in range(8)
+                ]
+                member = i % 3
+                if member == 0:
+                    frames = pool
+                elif member == 1:
+                    frames = pool[2:7]  # trimmed cut
+                else:
+                    rng2 = np.random.RandomState(7 + i)
+                    frames = []
+                    for f in pool[2:7]:
+                        g = f.copy()
+                        mask = rng2.rand(16, 16) < 0.02
+                        g[mask] = pal[rng2.randint(0, 24, int(mask.sum()))]
+                        frames.append(g)
+                out_ids.append(i)
+                blobs.append(bytearray(encode_gif_frames(frames)))
+            yield pd.DataFrame({"clip_id": out_ids, "data": blobs})
+
+    clips = ids.mapInPandas(make_gif, "clip_id long, data binary")
+    return video_near_dups(
+        clips, "data", "clip_id", max_hamming=6, min_match_fraction=0.8
+    ).orderBy("id_a", "id_b")
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget provisioning (operators/sampling.token_budget_sample):
     per-language token budgets filled in portable-Knuth-hash order;
@@ -4026,6 +4085,7 @@ _ROWS_ONLY_QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "q_pca_variance": q_pca_variance,
     "q_image_dedup": q_image_dedup,
     "q_audio_dedup": q_audio_dedup,
+    "q_video_dedup": q_video_dedup,
 }
 
 _STOPWORD_SQL = "('a','the','of','and','to')"

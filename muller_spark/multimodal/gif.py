@@ -7,10 +7,13 @@ cap) and Adam-style 4-pass interlace reordering.  Encodes a palette
 image back out with real LZW compression, so round-trips are exact
 (GIF is lossless for ≤256-color content).
 
-Animation is out of scope on purpose — the engine treats media as
-bytes-at-rest and only frame 1 feeds the metadata/feature kernels
-(``multimodal/media.py``); later frames would need GCE disposal
-semantics that belong to a player, not a data pipeline.
+Animation decodes too (round 9): ``decode_gif_frames`` composes every
+frame on the logical-screen canvas with GCE transparency + disposal
+0/1/2/3 semantics, and ``encode_gif_frames`` writes multi-frame GIF89a
+(shared global palette, per-frame GCE, Netscape loop) — GIF is the one
+animation container decodable with zero dependencies, so the
+video-frame sampling and video near-dup pipelines have a REAL path
+while other containers stay gated behind ``av``.
 """
 
 from __future__ import annotations
@@ -139,27 +142,67 @@ _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 def decode_gif(raw: bytes):
     """numpy (h, w, 3) uint8 RGB of the FIRST frame, or None."""
+    frames = decode_gif_frames(raw, max_frames=1)
+    return frames[0] if frames else None
+
+
+def decode_gif_frames(raw: bytes, max_frames: "int | None" = None):
+    """Full GIF87a/89a animation decode: list of numpy (sh, sw, 3)
+    uint8 RGB frames COMPOSED on the logical-screen canvas (image
+    descriptors may cover sub-rectangles), or None if the container is
+    unparseable.  Honors per-frame Graphic Control Extensions:
+    transparency index (transparent pixels keep the underlying canvas)
+    and disposal methods 0/1 (leave), 2 (restore background — treated
+    as the background palette color over the frame rect), 3 (restore
+    the pre-frame canvas).  Local palettes and interlacing are
+    per-frame, as in the single-frame path.
+
+    This is the zero-dependency video-frame source: GIF is the one
+    animation container decodable without ``av``/``PIL``, so
+    frame-sampling and video near-dup pipelines have a REAL path (the
+    reference gates video behind installed codecs the same way).
+    A corrupt trailing frame truncates the list rather than failing
+    the clip: partial animations decode to their valid prefix."""
     if raw[:6] not in (b"GIF87a", b"GIF89a") or len(raw) < 13:
         return None
     sw, sh = struct.unpack("<HH", raw[6:10])
     packed = raw[10]
+    bg_index = raw[11]
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         gct = np.frombuffer(raw[pos:pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
         pos += 3 * n
+    if sw == 0 or sh == 0:
+        return None
+
+    if gct is not None and bg_index < len(gct):
+        canvas = np.tile(gct[bg_index], (sh, sw, 1)).astype(np.uint8)
+    else:
+        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    frames: list = []
+    transparent: "int | None" = None
+    disposal = 0
 
     while pos < len(raw):
         block = raw[pos]
-        if block == 0x21:  # extension: label + sub-blocks
+        if block == 0x21:  # extension
+            if pos + 2 > len(raw):
+                break
+            label = raw[pos + 1]
             pos += 2
+            sub_start = pos
             while pos < len(raw) and raw[pos] != 0:
                 pos += 1 + raw[pos]
+            if label == 0xF9 and raw[sub_start] >= 4:  # GCE
+                flags = raw[sub_start + 1]
+                disposal = (flags >> 2) & 0x07
+                transparent = raw[sub_start + 4] if flags & 0x01 else None
             pos += 1
         elif block == 0x2C:  # image descriptor
             if pos + 10 > len(raw):
-                return None
+                break
             left, top, w, h = struct.unpack("<HHHH", raw[pos + 1:pos + 9])
             ipacked = raw[pos + 9]
             pos += 10
@@ -170,20 +213,22 @@ def decode_gif(raw: bytes):
                     raw[pos:pos + 3 * n], dtype=np.uint8
                 ).reshape(-1, 3)
                 pos += 3 * n
-            if ct is None or w == 0 or h == 0:
-                return None
+            if (ct is None or w == 0 or h == 0
+                    or left + w > sw or top + h > sh or pos >= len(raw)):
+                break
             mcs = raw[pos]
             pos += 1
             if not 2 <= mcs <= 11:
-                return None
+                break
             chunks = []
             while pos < len(raw) and raw[pos] != 0:
                 size = raw[pos]
                 chunks.append(raw[pos + 1:pos + 1 + size])
                 pos += 1 + size
+            pos += 1  # sub-block terminator
             indices = _lzw_decode(b"".join(chunks), mcs)
             if indices is None or len(indices) < w * h:
-                return None
+                break
             idx = np.frombuffer(indices[: w * h], dtype=np.uint8).reshape(h, w)
             if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
                 order = [
@@ -194,13 +239,33 @@ def decode_gif(raw: bytes):
                 deinter[order] = idx
                 idx = deinter
             if idx.max() >= len(ct):
-                return None
-            return ct[idx].copy()
+                break
+            prev = canvas.copy() if disposal == 3 else None
+            rect = canvas[top:top + h, left:left + w]
+            pixels = ct[idx]
+            if transparent is not None:
+                mask = idx != transparent
+                rect[mask] = pixels[mask]
+            else:
+                rect[:] = pixels
+            frames.append(canvas.copy())
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+            # disposal AFTER the frame is shown, for the next one
+            if disposal == 2:
+                if gct is not None and bg_index < len(gct):
+                    canvas[top:top + h, left:left + w] = gct[bg_index]
+                else:
+                    canvas[top:top + h, left:left + w] = 0
+            elif disposal == 3 and prev is not None:
+                canvas = prev
+            transparent = None
+            disposal = 0
         elif block == 0x3B:  # trailer
-            return None
+            break
         else:
-            return None
-    return None
+            break
+    return frames if frames else None
 
 
 def encode_gif(arr) -> bytes:
@@ -241,4 +306,56 @@ def encode_gif(arr) -> bytes:
         chunk = data[lo:lo + 255]
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_frames(frames, delay_cs: int = 10) -> bytes:
+    """Encode a sequence of (h, w, 3) uint8 RGB arrays (all the same
+    shape, ≤256 distinct colors ACROSS the sequence — one shared
+    global palette) as an animated GIF89a with a Graphic Control
+    Extension per frame (``delay_cs`` centiseconds) and the Netscape
+    loop extension.  The multi-frame twin of :func:`encode_gif`,
+    kept deliberately simple: full-canvas opaque frames, disposal 1
+    (leave in place) — the test/fixture writer for the zero-dep video
+    path, not a production optimizer."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    stack = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    h, w, _ = stack[0].shape
+    if any(f.shape != (h, w, 3) for f in stack):
+        raise ValueError("all frames must share one (h, w, 3) shape")
+    flat = np.concatenate([f.reshape(-1, 3) for f in stack])
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(
+            f"{len(palette)} distinct colors across frames; GIF holds 256"
+        )
+    size_bits = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    table = np.zeros((1 << size_bits, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    mcs = max(2, size_bits)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (size_bits - 1), 0, 0])
+    out += table.tobytes()
+    # Netscape loop extension (loop forever) — standard animation marker
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    per_frame = w * h
+    for fi, _f in enumerate(stack):
+        idx = inverse[fi * per_frame:(fi + 1) * per_frame].astype(
+            np.uint8
+        ).reshape(h, w)
+        # GCE: disposal 1 (leave), no transparency, delay
+        out += b"\x21\xf9\x04" + bytes([0x04]) + struct.pack(
+            "<H", delay_cs
+        ) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([mcs])
+        data = _lzw_encode(idx.tobytes(), mcs)
+        for lo in range(0, len(data), 255):
+            chunk = data[lo:lo + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

@@ -216,17 +216,19 @@ def sample_video_frames(
     every_n: int = 30,
     fake: bool = False,
 ) -> DataFrame:
-    """1-in-N-out frame sampling (UDTF shape).  Real path needs ``av``
-    (not installed → NotImplementedError); the stub emits deterministic
-    frame records so downstream pipelines are testable."""
+    """1-in-N-out frame sampling (UDTF shape).  GIF payloads decode
+    for REAL (round 9: ``multimodal/gif.decode_gif_frames`` — the one
+    animation container readable with zero dependencies), with
+    ``frame_checksum`` = md5 of the composed RGB frame bytes.  Other
+    containers need ``av`` (not installed → NotImplementedError unless
+    ``fake=True``, which emits deterministic stub records so
+    downstream pipelines stay testable)."""
     try:
         import av  # type: ignore  # noqa: F401
 
         have_av = True
     except ImportError:
         have_av = False
-    if not have_av and not fake:
-        raise NotImplementedError("video codec (av) not available; pass fake=True")
 
     out_schema = T.StructType([
         T.StructField("source_row", T.LongType()),
@@ -239,11 +241,29 @@ def sample_video_frames(
     def run(iterator: Iterator):
         import pandas as pd
 
+        from muller_spark.multimodal.gif import decode_gif_frames
+
         for pdf in iterator:
             rows = []
             for i, data in enumerate(pdf[bytes_col]):
                 raw = bytes(data) if data is not None else b""
                 src = int(pdf[id_col].iloc[i]) if id_col else i
+                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    frames = decode_gif_frames(raw)
+                    for fi in range(0, len(frames or []), every_n):
+                        rows.append({
+                            "source_row": src,
+                            "frame_index": fi,
+                            "frame_checksum": hashlib.md5(
+                                frames[fi].tobytes()
+                            ).hexdigest(),
+                        })
+                    continue
+                if not have_av and not fake:
+                    raise NotImplementedError(
+                        "video codec (av) not available for non-GIF "
+                        "payloads; pass fake=True"
+                    )
                 # stub: pretend the clip has len(raw) % 121 frames
                 n_frames = (len(raw) % 121) + 1
                 for fi in range(0, n_frames, every_n):

@@ -1316,6 +1316,33 @@ def embedding_near_dups(
 # image near-dup: perceptual difference hash over binary media columns
 # ---------------------------------------------------------------------------
 
+def _dhash_pixels(pix, hash_size: int) -> int:
+    """dHash of a decoded (h, w, c) uint8 array: integer luma
+    (ITU-R 601 in 1/1000ths — deterministic, no float rounding
+    ambiguity across platforms) → nearest resize to
+    hash_size × (hash_size+1) → horizontal-gradient sign bits packed
+    as a SIGNED 64-bit int (Spark long).  Shared by the image and
+    video fingerprint kernels."""
+    import numpy as np
+
+    from muller_spark.multimodal.codecs import resize_nearest, to_rgb
+
+    rgb = to_rgb(pix).astype(np.int64)
+    gray = (
+        299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
+    ) // 1000
+    small = resize_nearest(
+        gray[:, :, None].astype(np.uint8), hash_size, hash_size + 1,
+    )[:, :, 0].astype(np.int64)
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
 def image_dhash(
     df: DataFrame,
     binary_col: str,
@@ -1342,12 +1369,9 @@ def image_dhash(
         raise ValueError("hash_size must be in [2, 8] (64-bit packing)")
 
     def kernel(iterator):
-        import numpy as np
         import pandas as pd
 
-        from muller_spark.multimodal.codecs import (
-            decode_pixels, resize_nearest, to_rgb,
-        )
+        from muller_spark.multimodal.codecs import decode_pixels
 
         for pdf in iterator:
             ids, hashes, hh, ww = [], [], [], []
@@ -1357,24 +1381,7 @@ def image_dhash(
                 if pix is None:
                     hashes.append(None); hh.append(None); ww.append(None)
                     continue
-                rgb = to_rgb(pix).astype(np.int64)
-                # integer luma (ITU-R 601 in 1/1000ths — deterministic,
-                # no float rounding ambiguity across platforms)
-                gray = (
-                    299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
-                    + 114 * rgb[:, :, 2]
-                ) // 1000
-                small = resize_nearest(
-                    gray[:, :, None].astype(np.uint8),
-                    hash_size, hash_size + 1,
-                )[:, :, 0].astype(np.int64)
-                bits = (small[:, 1:] > small[:, :-1]).ravel()
-                h = 0
-                for b in bits:
-                    h = (h << 1) | int(b)
-                if h >= 1 << 63:  # pack as signed 64-bit (Spark long)
-                    h -= 1 << 64
-                hashes.append(h)
+                hashes.append(_dhash_pixels(pix, hash_size))
                 hh.append(int(pix.shape[0])); ww.append(int(pix.shape[1]))
             yield pd.DataFrame({
                 "id": ids,
@@ -1414,6 +1421,122 @@ def image_near_dups(
         F.col("dhash").isNotNull()
     ).select("id", "dhash")
     return _hamming_block_pairs(hashed, nbits=nbits, max_hamming=max_hamming)
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    every_n: int = 1,
+    hash_size: int = 8,
+    max_frames: int = 256,
+) -> DataFrame:
+    """Per-frame perceptual hashes of an animated-GIF binary column:
+    ``multimodal/gif.decode_gif_frames`` (the zero-dependency
+    animation decode — full canvas composition, GCE transparency +
+    disposal) → dHash per sampled frame (every ``every_n``-th, capped
+    at ``max_frames`` decoded).  Returns
+    ``(id, frame_index int, dhash long)`` — clips that fail to decode
+    yield no rows.  Map-only; the linear scan feeding
+    :func:`video_near_dups`."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def kernel(iterator):
+        import pandas as pd
+
+        from muller_spark.multimodal.gif import decode_gif_frames
+
+        for pdf in iterator:
+            rows = []
+            for rid, raw in zip(pdf[id_col], pdf[binary_col]):
+                frames = (
+                    decode_gif_frames(bytes(raw), max_frames=max_frames)
+                    if raw is not None else None
+                )
+                for fi in range(0, len(frames or []), every_n):
+                    rows.append(
+                        (int(rid), fi, _dhash_pixels(frames[fi], hash_size))
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["id", "frame_index", "dhash"]
+                )
+
+    return ensure_parallelism(df.select(id_col, binary_col)).mapInPandas(
+        kernel, "id long, frame_index int, dhash long"
+    )
+
+
+def video_near_dups(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+    min_match_fraction: float = 0.5,
+    every_n: int = 1,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Video (animated-GIF) near-dup pairs: two clips are near-dups
+    when ≥ ``min_match_fraction`` of the SHORTER clip's sampled frames
+    have a Hamming-≤``max_hamming`` counterpart in the other clip —
+    the frame-set containment view of clip similarity (robust to
+    trims, re-encodes, and appended intros the way shingle containment
+    is for text).
+
+    Pipeline: :func:`video_frame_hashes` (map-only) → the pigeonhole
+    block-bucket join at FRAME level (complete for the per-frame
+    Hamming ball, the :func:`image_near_dups` kernel) → per-clip-pair
+    count of distinct matched frames on each side vs its sampled frame
+    count.  Returns ``(id_a, id_b, matched_a, matched_b, frames_a,
+    frames_b, match_fraction)``.  Never all-pairs: candidates exist
+    only where two clips share a frame-hash block bucket."""
+    if not 0.0 < min_match_fraction <= 1.0:
+        raise ValueError("min_match_fraction must be in (0, 1]")
+    fh = video_frame_hashes(
+        df, binary_col, id_col, every_n=every_n, hash_size=hash_size
+    ).localCheckpoint()  # reused: counts + both sides of the pair join
+    counts = fh.groupBy("id").agg(F.count(F.lit(1)).alias("n_frames"))
+    # frame-level near-dup pairs ACROSS clips (pigeonhole-complete)
+    frame_keyed = fh.select(
+        # composite frame key so the shared Hamming kernel's id
+        # ordering works per frame; clip id recovered by division
+        (F.col("id") * F.lit(1 << 20) + F.col("frame_index")).alias("id"),
+        "dhash",
+    )
+    fpairs = _hamming_block_pairs(
+        frame_keyed, nbits=hash_size * hash_size, max_hamming=max_hamming
+    ).select(
+        F.shiftright("id_a", 20).alias("clip_a"),
+        (F.col("id_a") % F.lit(1 << 20)).alias("frame_a"),
+        F.shiftright("id_b", 20).alias("clip_b"),
+        (F.col("id_b") % F.lit(1 << 20)).alias("frame_b"),
+    ).filter(F.col("clip_a") != F.col("clip_b")).select(
+        F.least("clip_a", "clip_b").alias("id_a"),
+        F.greatest("clip_a", "clip_b").alias("id_b"),
+        F.when(F.col("clip_a") < F.col("clip_b"), F.col("frame_a"))
+        .otherwise(F.col("frame_b")).alias("fa"),
+        F.when(F.col("clip_a") < F.col("clip_b"), F.col("frame_b"))
+        .otherwise(F.col("frame_a")).alias("fb"),
+    )
+    agg = fpairs.groupBy("id_a", "id_b").agg(
+        F.countDistinct("fa").alias("matched_a"),
+        F.countDistinct("fb").alias("matched_b"),
+    )
+    ca = counts.select(F.col("id").alias("id_a"), F.col("n_frames").alias("frames_a"))
+    cb = counts.select(F.col("id").alias("id_b"), F.col("n_frames").alias("frames_b"))
+    frac = F.greatest(
+        F.col("matched_a") / F.col("frames_a"),
+        F.col("matched_b") / F.col("frames_b"),
+    )
+    return (
+        agg.join(ca, "id_a").join(cb, "id_b")
+        .select(
+            "id_a", "id_b", "matched_a", "matched_b",
+            "frames_a", "frames_b", frac.alias("match_fraction"),
+        )
+        .filter(F.col("match_fraction") >= min_match_fraction)
+    )
 
 
 def audio_fingerprint(

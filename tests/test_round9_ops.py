@@ -340,3 +340,108 @@ def test_audio_short_clip_yields_null(spark):
     df = spark.createDataFrame([(1, short)], "clip_id long, data binary")
     out = audio_fingerprint(df, "data", "clip_id").collect()[0]
     assert out["afp"] is None and out["sample_rate"] == 8000
+
+
+# ---------------------------------------------------------------------------
+# video (animated GIF) near-dup: real zero-dep frame decode + frame dHash
+# ---------------------------------------------------------------------------
+
+def _gif_clip(frames):
+    from muller_spark.multimodal.gif import encode_gif_frames
+
+    return bytearray(encode_gif_frames(frames))
+
+
+def _video_rows(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    pal = rng.randint(0, 256, (32, 3), dtype=np.uint8)
+
+    def frame(seed):
+        r = np.random.RandomState(seed)
+        return pal[r.randint(0, 32, (24, 24))]
+
+    a_frames = [frame(100 + i) for i in range(10)]
+    b_frames = a_frames[3:9]            # trimmed cut of A
+    c_frames = [frame(900 + i) for i in range(8)]  # unrelated
+    rows = [
+        (1, _gif_clip(a_frames)),
+        (2, _gif_clip(b_frames)),
+        (3, _gif_clip(c_frames)),
+        (4, bytearray(b"GIF89a garbage")),  # undecodable
+    ]
+    return spark.createDataFrame(rows, "clip_id long, data binary")
+
+
+def test_video_frame_hashes_roundtrip(spark):
+    from muller_spark.operators.dedup import video_frame_hashes
+
+    df = _video_rows(spark)
+    out = video_frame_hashes(df, "data", "clip_id").collect()
+    by_clip = {}
+    for r in out:
+        by_clip.setdefault(r["id"], {})[r["frame_index"]] = r["dhash"]
+    assert len(by_clip.get(1, {})) == 10
+    assert len(by_clip.get(2, {})) == 6
+    assert 4 not in by_clip  # undecodable -> no rows
+    # B's frame k is A's frame k+3, decoded bit-exactly -> same dHash
+    for k in range(6):
+        assert by_clip[2][k] == by_clip[1][k + 3], k
+
+
+def test_video_near_dups_trimmed_cut_found(spark):
+    from muller_spark.operators.dedup import video_near_dups
+
+    df = _video_rows(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in video_near_dups(
+            df, "data", "clip_id", max_hamming=6, min_match_fraction=0.9
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r["frames_a"] == 10 and r["frames_b"] == 6
+    assert r["matched_b"] == 6 and r["match_fraction"] == 1.0
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_video_sampling_real_gif_path(spark):
+    """sample_video_frames decodes GIF payloads for real: frame count
+    matches the animation, checksums are the composed-RGB md5 (stable
+    across runs), and no `av`/fake flag is needed."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from muller_spark.multimodal.gif import decode_gif_frames
+    from muller_spark.multimodal.media import sample_video_frames
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    frames = [pal[np.random.RandomState(50 + i).randint(0, 16, (12, 12))]
+              for i in range(7)]
+    raw = _gif_clip(frames)
+    df = spark.createDataFrame([(0, raw)], "_row_id long, content binary")
+    out = sorted(
+        sample_video_frames(df, "content", every_n=2).collect(),
+        key=lambda r: r["frame_index"],
+    )
+    assert [r["frame_index"] for r in out] == [0, 2, 4, 6]
+    decoded = decode_gif_frames(bytes(raw))
+    for r in out:
+        want = _hl.md5(decoded[r["frame_index"]].tobytes()).hexdigest()
+        assert r["frame_checksum"] == want
+
+
+def test_video_validation(spark):
+    from muller_spark.operators.dedup import (
+        video_frame_hashes, video_near_dups,
+    )
+
+    df = _video_rows(spark)
+    with pytest.raises(ValueError, match="every_n"):
+        video_frame_hashes(df, "data", "clip_id", every_n=0)
+    with pytest.raises(ValueError, match="min_match_fraction"):
+        video_near_dups(df, "data", "clip_id", min_match_fraction=0.0)
