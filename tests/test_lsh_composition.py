@@ -243,6 +243,23 @@ def test_prefix_verified_rejects_bad_args(corpus):
         prefix_verified_pairs(corpus, "text", "doc_id", metric="cosine")
     with pytest.raises(ValueError, match="threshold"):
         prefix_verified_pairs(corpus, "text", "doc_id", threshold=0.0)
+    with pytest.raises(ValueError, match="prefix_order"):
+        prefix_verified_pairs(corpus, "text", "doc_id", prefix_order="random")
+
+
+def test_prefix_order_invariance(corpus):
+    """The completeness theorem holds for ANY global total order —
+    df-ascending and lexical prefixes must produce the identical
+    verified pair set."""
+    from muller_spark.operators.dedup import prefix_verified_pairs
+
+    a = _pair_map(prefix_verified_pairs(
+        corpus, "text", "doc_id", threshold=0.5, prefix_order="df"
+    ))
+    b = _pair_map(prefix_verified_pairs(
+        corpus, "text", "doc_id", threshold=0.5, prefix_order="lexical"
+    ))
+    assert a == b and a
 
 
 def test_verified_pairs_never_emit_false_positives(spark):
