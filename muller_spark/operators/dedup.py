@@ -2121,6 +2121,117 @@ def compact_dedup_ledger(spark, path: str) -> None:
 
 
 # ---------------------------------------------------------------------------
+# incremental Hamming-fingerprint ledger — media dedup across batches
+# ---------------------------------------------------------------------------
+
+def init_hamming_ledger(
+    fingerprints: DataFrame,
+    path: str,
+    max_hamming: int = 6,
+    nbits: int = 64,
+) -> None:
+    """Seed a persistent Hamming near-dup ledger from an (id, dhash)
+    fingerprint frame — the MEDIA twin of :func:`init_neardup_ledger`:
+    feed it :func:`image_dhash`, :func:`audio_fingerprint`, or
+    :func:`video_frame_hashes` output and every later ingest batch is
+    deduplicated against the historical corpus in O(batch), never a
+    rescan.
+
+    Ledger layout at ``path``: ``blocks`` — the pigeonhole posting
+    table ``(blk int, val long, id long, dhash long)`` (``max_hamming
+    + 1`` disjoint bit blocks per fingerprint: two hashes within
+    Hamming k must agree on one block, so candidate generation against
+    the ledger is COMPLETE); ``meta`` — one row pinning (max_hamming,
+    nbits), sniffed on use so mixed-geometry state is impossible.
+    NULL fingerprints are dropped."""
+    if not 0 <= max_hamming < nbits:
+        raise ValueError("max_hamming must be in [0, nbits)")
+    spark = fingerprints.sparkSession
+    fp = fingerprints.select("id", "dhash").filter(
+        F.col("dhash").isNotNull()
+    )
+    _hamming_block_rows(fp, nbits, max_hamming).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "blocks"))
+    spark.createDataFrame(
+        [(int(max_hamming), int(nbits))], "max_hamming int, nbits int"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def _hamming_block_rows(
+    fp: DataFrame, nbits: int, max_hamming: int
+) -> DataFrame:
+    """(blk, val, id, dhash) posting rows for a fingerprint frame —
+    the persistable form of :func:`_hamming_block_pairs`' bucketing."""
+    nblocks = max_hamming + 1
+    bounds = [b * nbits // nblocks for b in range(nblocks + 1)]
+
+    def _block_val(b: int):
+        width = bounds[b + 1] - bounds[b]
+        shifted = F.shiftrightunsigned(F.col("dhash"), bounds[b])
+        if width >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    blocks = F.array(*[
+        F.struct(F.lit(b).alias("blk"), _block_val(b).alias("val"))
+        for b in range(nblocks)
+    ])
+    return fp.select(
+        "id", "dhash", F.explode(blocks).alias("bb")
+    ).select(
+        F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"),
+        "id", "dhash",
+    )
+
+
+def hamming_against_ledger(
+    fingerprints: DataFrame,
+    path: str,
+    update: bool = True,
+) -> DataFrame:
+    """Filter a batch's (id, dhash) fingerprints to rows with NO
+    ledger fingerprint within the ledger's Hamming radius, then
+    optionally append the survivors' blocks.  Candidates come from the
+    block-keyed join against the posting table (complete by the
+    pigeonhole argument); the exact ``bit_count(xor)`` verify runs on
+    the candidate sliver only.  NULL-fingerprint rows are dropped
+    (undecodable media never enters the ledger).  Returns the
+    surviving (id, dhash) rows.  Single-writer contract as
+    :func:`dedup_against_ledger`."""
+    spark = fingerprints.sparkSession
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    max_hamming, nbits = meta["max_hamming"], meta["nbits"]
+    fp = fingerprints.select("id", "dhash").filter(
+        F.col("dhash").isNotNull()
+    ).localCheckpoint()  # barrier: candidates + append both re-read
+    batch_blocks = _hamming_block_rows(fp, nbits, max_hamming)
+    ledger = spark.read.parquet(os.path.join(path, "blocks"))
+    ham = F.expr("bit_count(dhash ^ ledger_hash)")
+    dup_ids = (
+        batch_blocks.join(
+            ledger.select(
+                "blk", "val", F.col("dhash").alias("ledger_hash")
+            ),
+            ["blk", "val"],
+        )
+        .select("id", "dhash", "ledger_hash")
+        .distinct()
+        .filter(ham <= max_hamming)
+        .select("id")
+        .distinct()
+    )
+    survivors = fp.join(dup_ids, "id", "left_anti")
+    if update:
+        staged = survivors.localCheckpoint()
+        _hamming_block_rows(staged, nbits, max_hamming).write.mode(
+            "append"
+        ).parquet(os.path.join(path, "blocks"))
+        return staged
+    return survivors
+
+
+# ---------------------------------------------------------------------------
 # incremental NEAR-dup ledger — the 100 TB daily-ingest flow
 # ---------------------------------------------------------------------------
 

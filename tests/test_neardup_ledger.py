@@ -280,3 +280,114 @@ def test_neardup_stream_replay_marker_skip_and_heal(spark, tmp_path):
         "text", "doc_id", ledger, threshold=0.5, update=False,
     )
     assert {r["doc_id"] for r in out2.collect()} == {12}
+
+
+# ---------------------------------------------------------------------------
+# Hamming fingerprint ledger: the media twin (images/audio/video hashes)
+# ---------------------------------------------------------------------------
+
+def test_hamming_ledger_batch_decision_matches_bruteforce(spark, tmp_path):
+    from muller_spark.operators.dedup import (
+        hamming_against_ledger, init_hamming_ledger,
+    )
+
+    path = str(tmp_path / "hledger")
+    # seed hashes with known structure: 0b...0, one-bit flips, far hashes
+    seed = spark.createDataFrame(
+        [(1, 0), (2, (1 << 40) | (1 << 3)), (3, -(1 << 62))],
+        "id long, dhash long",
+    )
+    init_hamming_ledger(seed, path, max_hamming=2)
+    batch = spark.createDataFrame(
+        [
+            (10, 1),                    # ham 1 to seed 1 -> dup
+            (11, (1 << 40) | (1 << 3) | (1 << 50)),  # ham 1 to seed 2 -> dup
+            (12, 0x0F0F0F0F0F0F0F0F),   # far from everything -> survive
+            (13, None),                 # undecodable -> dropped
+        ],
+        "id long, dhash long",
+    )
+    out = hamming_against_ledger(batch, path, update=False)
+    assert {r["id"] for r in out.collect()} == {12}
+
+
+def test_hamming_ledger_update_accumulates(spark, tmp_path):
+    from muller_spark.operators.dedup import (
+        hamming_against_ledger, init_hamming_ledger,
+    )
+
+    path = str(tmp_path / "hledger")
+    init_hamming_ledger(
+        spark.createDataFrame([(1, 12345)], "id long, dhash long"),
+        path, max_hamming=2,
+    )
+    b1 = spark.createDataFrame([(10, 777777)], "id long, dhash long")
+    assert hamming_against_ledger(b1, path, update=True).count() == 1
+    # batch 2: within radius of batch 1's survivor -> rejected
+    b2 = spark.createDataFrame(
+        [(20, 777776), (21, -999999999)], "id long, dhash long"
+    )
+    out = hamming_against_ledger(b2, path, update=True)
+    assert {r["id"] for r in out.collect()} == {21}
+
+
+def test_hamming_ledger_end_to_end_with_image_hashes(spark, tmp_path):
+    """The composition story: image_dhash output seeds the ledger, a
+    later batch containing a noisy re-encode of a seeded image is
+    rejected, novel content admitted."""
+    import numpy as np
+
+    from muller_spark.multimodal.codecs import encode_png
+    from muller_spark.operators.dedup import (
+        hamming_against_ledger, image_dhash, init_hamming_ledger,
+    )
+
+    rng = np.random.RandomState(77)
+    base = rng.randint(0, 256, (24, 24, 3), dtype=np.uint8)
+    other = rng.randint(0, 256, (24, 24, 3), dtype=np.uint8)
+    noisy = base.copy()
+    noisy[::7, ::5] = (noisy[::7, ::5].astype(int) + 12).clip(0, 255)
+
+    seed_df = spark.createDataFrame(
+        [(1, bytearray(encode_png(base)))], "img_id long, data binary"
+    )
+    path = str(tmp_path / "imgledger")
+    init_hamming_ledger(
+        image_dhash(seed_df, "data", "img_id"), path, max_hamming=6
+    )
+    batch_df = spark.createDataFrame(
+        [(10, bytearray(encode_png(noisy))),
+         (11, bytearray(encode_png(other)))],
+        "img_id long, data binary",
+    )
+    out = hamming_against_ledger(
+        image_dhash(batch_df, "data", "img_id"), path, update=False
+    )
+    assert {r["id"] for r in out.collect()} == {11}
+
+
+def test_hamming_ledger_geometry_sniffed(spark, tmp_path):
+    from muller_spark.operators.dedup import (
+        hamming_against_ledger, init_hamming_ledger,
+    )
+
+    path = str(tmp_path / "hledger")
+    init_hamming_ledger(
+        spark.createDataFrame([(1, 0)], "id long, dhash long"),
+        path, max_hamming=4,
+    )
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    assert (meta["max_hamming"], meta["nbits"]) == (4, 64)
+    # hash at ham 5 from the seed: admitted under the LEDGER's radius 4
+    batch = spark.createDataFrame([(10, 0b11111)], "id long, dhash long")
+    assert hamming_against_ledger(batch, path, update=False).count() == 1
+
+
+def test_hamming_ledger_validation(spark, tmp_path):
+    from muller_spark.operators.dedup import init_hamming_ledger
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        init_hamming_ledger(
+            spark.createDataFrame([(1, 0)], "id long, dhash long"),
+            str(tmp_path / "bad"), max_hamming=64,
+        )
