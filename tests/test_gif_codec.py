@@ -161,3 +161,137 @@ def test_decode_pixels_routes_gif():
     raw = encode_gif(arr)
     assert parse_image_header(raw) == (6, 6, 3, "gif")
     assert np.array_equal(decode_pixels(raw), arr)
+
+
+# ---------------------------------------------------------------------------
+# round-9 animation semantics: GCE transparency + disposal composition
+# (hand-built containers so each branch is driven in isolation)
+# ---------------------------------------------------------------------------
+
+def _build_gif(frames, palette, sw=4, sh=4, bg_index=0):
+    """Minimal GIF89a builder: frames = list of (left, top, idx_2d,
+    disposal, transparent_idx|None) over one global palette."""
+    import struct
+
+    import numpy as np
+
+    from muller_spark.multimodal.gif import _lzw_encode
+
+    pal = np.asarray(palette, dtype=np.uint8)
+    size_bits = max(1, int(np.ceil(np.log2(max(2, len(pal))))))
+    table = np.zeros((1 << size_bits, 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+    mcs = max(2, size_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (size_bits - 1), bg_index, 0])
+    out += table.tobytes()
+    for left, top, idx, disposal, transparent in frames:
+        idx = np.asarray(idx, dtype=np.uint8)
+        h, w = idx.shape
+        flags = (disposal & 0x07) << 2
+        tidx = 0
+        if transparent is not None:
+            flags |= 0x01
+            tidx = transparent
+        out += b"\x21\xf9\x04" + bytes([flags, 0, 0, tidx]) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
+        out += bytes([mcs])
+        data = _lzw_encode(idx.tobytes(), mcs)
+        for lo in range(0, len(data), 255):
+            chunk = data[lo:lo + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+PAL = [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]]
+
+
+def test_animation_transparency_shows_prior_canvas():
+    import numpy as np
+
+    from muller_spark.multimodal.gif import decode_gif_frames
+
+    f1 = np.full((4, 4), 1)                  # all red
+    f2 = np.full((4, 4), 3); f2[0, :] = 2    # transparent idx 3 -> row 0 green, rest shows f1
+    raw = _build_gif(
+        [(0, 0, f1, 1, None), (0, 0, f2, 1, 3)], PAL
+    )
+    frames = decode_gif_frames(raw)
+    assert len(frames) == 2
+    assert (frames[0] == [255, 0, 0]).all()
+    assert (frames[1][0] == [0, 255, 0]).all()       # painted row
+    assert (frames[1][1:] == [255, 0, 0]).all()      # transparency: f1 shows
+
+
+def test_animation_subrect_placement():
+    import numpy as np
+
+    from muller_spark.multimodal.gif import decode_gif_frames
+
+    f1 = np.full((4, 4), 1)
+    patch = np.full((2, 2), 2)
+    raw = _build_gif(
+        [(0, 0, f1, 1, None), (2, 1, patch, 1, None)], PAL
+    )
+    frames = decode_gif_frames(raw)
+    assert (frames[1][1:3, 2:4] == [0, 255, 0]).all()  # patch at (top=1,left=2)
+    assert (frames[1][0, :] == [255, 0, 0]).all()      # rest untouched
+
+
+def test_animation_disposal_restore_background():
+    import numpy as np
+
+    from muller_spark.multimodal.gif import decode_gif_frames
+
+    f1 = np.full((4, 4), 1)
+    patch = np.full((2, 2), 2)
+    f3 = np.full((1, 1), 3)
+    raw = _build_gif(
+        [(0, 0, f1, 1, None),
+         (1, 1, patch, 2, None),   # disposal 2: restore bg over the rect
+         (0, 0, f3, 1, None)],
+        PAL, bg_index=0,
+    )
+    frames = decode_gif_frames(raw)
+    assert (frames[1][1:3, 1:3] == [0, 255, 0]).all()  # patch visible in f2
+    # in f3 the patch rect is BACKGROUND (palette 0 = black), not red
+    assert (frames[2][1:3, 1:3] == [0, 0, 0]).all()
+    assert (frames[2][0, 0] == [0, 0, 255]).all()      # new 1x1 paint
+
+
+def test_animation_disposal_restore_previous():
+    import numpy as np
+
+    from muller_spark.multimodal.gif import decode_gif_frames
+
+    f1 = np.full((4, 4), 1)
+    patch = np.full((2, 2), 2)
+    f3 = np.full((1, 1), 3)
+    raw = _build_gif(
+        [(0, 0, f1, 1, None),
+         (1, 1, patch, 3, None),   # disposal 3: restore pre-frame canvas
+         (3, 3, f3, 1, None)],
+        PAL,
+    )
+    frames = decode_gif_frames(raw)
+    assert (frames[1][1:3, 1:3] == [0, 255, 0]).all()
+    # f3: the patch rect reverted to f1's red, only the 1x1 is new
+    assert (frames[2][1:3, 1:3] == [255, 0, 0]).all()
+    assert (frames[2][3, 3] == [0, 0, 255]).all()
+
+
+def test_animation_truncated_tail_yields_valid_prefix():
+    import numpy as np
+
+    from muller_spark.multimodal.gif import decode_gif_frames
+
+    f1 = np.full((4, 4), 1)
+    f2 = np.full((4, 4), 2)
+    raw = bytearray(_build_gif([(0, 0, f1, 1, None), (0, 0, f2, 1, None)], PAL))
+    # chop the container mid-frame-2: frame 1 must still decode
+    frames = decode_gif_frames(bytes(raw[: len(raw) - 12]))
+    assert frames is not None and len(frames) >= 1
+    assert (frames[0] == [255, 0, 0]).all()
