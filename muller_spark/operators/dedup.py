@@ -1477,6 +1477,12 @@ def video_frame_hashes(
         for pdf in iterator:
             rows = []
             for rid, raw in zip(pdf[id_col], pdf[binary_col]):
+                if rid is None or int(rid) < 0 or int(rid) >= 1 << 43:
+                    raise ValueError(
+                        f"clip id {rid!r} outside [0, 2^43): the "
+                        "composite frame key (id*2^20 + frame) needs "
+                        "non-negative ids"
+                    )
                 frames = (
                     decode_gif_frames(bytes(raw), max_frames=max_frames)
                     if raw is not None else None
@@ -1517,7 +1523,12 @@ def video_near_dups(
     count of distinct matched frames on each side vs its sampled frame
     count.  Returns ``(id_a, id_b, matched_a, matched_b, frames_a,
     frames_b, match_fraction)``.  Never all-pairs: candidates exist
-    only where two clips share a frame-hash block bucket."""
+    only where two clips share a frame-hash block bucket.
+
+    Clip ids must be NON-NEGATIVE (< 2⁴³): frames ride the pair kernel
+    under the composite key ``id·2²⁰ + frame_index``, and a negative id
+    would corrupt the arithmetic-shift clip recovery (enforced by the
+    frame-hash kernel)."""
     if not 0.0 < min_match_fraction <= 1.0:
         raise ValueError("min_match_fraction must be in (0, 1]")
     fh = video_frame_hashes(
@@ -2326,7 +2337,14 @@ def neardup_against_ledger(
     **Single-writer contract**: identical to
     :func:`dedup_against_ledger` — serialize batches externally; the
     ``localCheckpoint`` barrier only closes the intra-job
-    read-while-append race."""
+    read-while-append race.  Retry semantics: a crash between the two
+    appends (shingles, then bands) leaves those rows half-indexed, and
+    a RETRY of the same batch rejects already-appended rows as dups of
+    themselves — at-least-once ledger state, at-most-once survivor
+    output.  For exactly-once landed output use the streaming handler
+    (``streaming/windows.neardup_dedup_stream``), whose marker +
+    heal-or-advance contract replays the append from the landed
+    parquet."""
     spark = batch_df.sparkSession
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     num_hashes, shingle_size, bands = (

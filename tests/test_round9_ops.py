@@ -445,3 +445,14 @@ def test_video_validation(spark):
         video_frame_hashes(df, "data", "clip_id", every_n=0)
     with pytest.raises(ValueError, match="min_match_fraction"):
         video_near_dups(df, "data", "clip_id", min_match_fraction=0.0)
+
+
+def test_video_frame_hashes_rejects_negative_ids(spark):
+    from muller_spark.operators.dedup import video_frame_hashes
+
+    df = spark.createDataFrame(
+        [(-1, _gif_clip([__import__("numpy").zeros((4, 4, 3), dtype="uint8")]))],
+        "clip_id long, data binary",
+    )
+    with pytest.raises(Exception, match="non-negative|2\\^43"):
+        video_frame_hashes(df, "data", "clip_id").collect()
