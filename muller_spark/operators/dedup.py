@@ -2208,7 +2208,11 @@ def hamming_against_ledger(
     pigeonhole argument); the exact ``bit_count(xor)`` verify runs on
     the candidate sliver only.  NULL-fingerprint rows are dropped
     (undecodable media never enters the ledger).  Returns the
-    surviving (id, dhash) rows.  Single-writer contract as
+    surviving (id, dhash) rows.  Intra-batch near-dups are NOT
+    collapsed (same policy as :func:`neardup_against_ledger`: admitted
+    rows enter the ledger and the NEXT batch's near-dups of them are
+    rejected; pre-collapse the batch with the pair operators when
+    wanted).  Single-writer contract as
     :func:`dedup_against_ledger`."""
     spark = fingerprints.sparkSession
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
