@@ -322,6 +322,11 @@ def main() -> None:
         result["sf1_equivalent"] = sf1_envelope(spark, sf_dir)
     if sf_val == 0.1 and os.environ.get("SPARK_GRAFT_TEXT_SF1", "1") != "0":
         result["text_sf1_equivalent"] = text_sf1_envelope(spark, sf_dir)
+    if sf_val == 0.1 and os.environ.get("SPARK_GRAFT_MEDIA", "1") != "0":
+        try:
+            result["media_envelope"] = media_envelope(spark)
+        except Exception as e:
+            result["media_envelope"] = {"error": repr(e)[:300]}
     result["queries"] = timings
     result["sf"] = sf_val
     result["unit"] = "sec"
@@ -343,6 +348,142 @@ def main() -> None:
         "metric": "headline_queries_total", "value": total,
         "unit": "sec", "sf": sf_val, "n_queries": len(timings),
     }))
+
+
+def media_envelope(spark, cache_root: "str | None" = None) -> dict:
+    """Round-9 media near-dup scale rows: 20k synthetic 32×32 PNGs
+    (groups of 4 share a base image, members add per-pixel noise) and
+    3k six-frame animated GIFs (groups of 3: full / trimmed / noisy
+    cut).  Fixtures cache as parquet under ``cache_root`` (one-time
+    encode cost, markers like the 1M-vector corpus), so per-round runs
+    measure the PIPELINES: the map-only fingerprint scans must scale
+    with the corpus, and the pigeonhole pair joins must stay
+    bucket-bounded (never all-pairs)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from muller_spark.operators.dedup import (
+        image_dhash, image_near_dups, video_frame_hashes, video_near_dups,
+    )
+
+    root = cache_root or os.environ.get(
+        "SPARK_GRAFT_MEDIA_CACHE", "/tmp/muller_spark_media_bench"
+    )
+    png_path = os.path.join(root, "png20k")
+    gif_path = os.path.join(root, "gif3k")
+    m_png = os.path.join(root, "_PNG20K")
+    m_gif = os.path.join(root, "_GIF3K")
+
+    def gen_pngs():
+        def gen(iterator):
+            import pandas as pd
+
+            from muller_spark.multimodal.codecs import encode_png
+
+            for pdf in iterator:
+                ids, blobs = [], []
+                for i in pdf["id"]:
+                    i = int(i)
+                    rng = np.random.RandomState(10_000 + i // 4)
+                    base = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+                    img = base.copy()
+                    if i % 4:
+                        rng2 = np.random.RandomState(17 + i)
+                        mask = rng2.rand(32, 32) < 0.02 * (i % 4)
+                        img[mask] = rng2.randint(
+                            0, 256, (int(mask.sum()), 3), dtype=np.uint8
+                        )
+                    ids.append(i)
+                    blobs.append(bytearray(encode_png(img)))
+                yield pd.DataFrame({"img_id": ids, "data": blobs})
+
+        (
+            spark.range(20_000, numPartitions=32)
+            .mapInPandas(gen, "img_id long, data binary")
+            .write.mode("overwrite").parquet(png_path)
+        )
+
+    def gen_gifs():
+        def gen(iterator):
+            import pandas as pd
+
+            from muller_spark.multimodal.gif import encode_gif_frames
+
+            for pdf in iterator:
+                ids, blobs = [], []
+                for i in pdf["id"]:
+                    i = int(i)
+                    rng = np.random.RandomState(20_000 + i // 3)
+                    pal = rng.randint(0, 256, (24, 3), dtype=np.uint8)
+                    pool = [
+                        pal[np.random.RandomState(7_000 * (i // 3) + f)
+                            .randint(0, 24, (16, 16))]
+                        for f in range(6)
+                    ]
+                    member = i % 3
+                    if member == 0:
+                        frames = pool
+                    elif member == 1:
+                        frames = pool[1:5]
+                    else:
+                        rng2 = np.random.RandomState(3 + i)
+                        frames = []
+                        for fr in pool[1:5]:
+                            g = fr.copy()
+                            mask = rng2.rand(16, 16) < 0.02
+                            g[mask] = pal[rng2.randint(0, 24, int(mask.sum()))]
+                            frames.append(g)
+                    ids.append(i)
+                    blobs.append(bytearray(encode_gif_frames(frames)))
+                yield pd.DataFrame({"clip_id": ids, "data": blobs})
+
+        (
+            spark.range(3_000, numPartitions=32)
+            .mapInPandas(gen, "clip_id long, data binary")
+            .write.mode("overwrite").parquet(gif_path)
+        )
+
+    out: dict = {}
+    for marker, label, fn in ((m_png, "png_generate_s", gen_pngs),
+                              (m_gif, "gif_generate_s", gen_gifs)):
+        if os.path.exists(marker):
+            out[label] = 0.0
+            continue
+        start = time.perf_counter()
+        fn()
+        out[label] = round(time.perf_counter() - start, 2)
+        os.makedirs(root, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    pngs = spark.read.parquet(png_path)
+    gifs = spark.read.parquet(gif_path)
+
+    def timed2(fn):
+        rec, _ = timed_protocol(fn, warm_reps=1)
+        return {"cold_s": rec["cold_s"], "warm_s": rec["warm_steady_s"]}
+
+    out["image_dhash_20k"] = timed2(lambda: materialize(
+        image_dhash(pngs, "data", "img_id")
+    ))
+    out["image_near_dups_20k"] = timed2(lambda: materialize(
+        image_near_dups(pngs, "data", "img_id", max_hamming=6)
+    ))
+    out["video_frame_hashes_3k"] = timed2(lambda: materialize(
+        video_frame_hashes(gifs, "data", "clip_id")
+    ))
+    out["video_near_dups_3k"] = timed2(lambda: materialize(
+        video_near_dups(gifs, "data", "clip_id", max_hamming=6,
+                        min_match_fraction=0.8)
+    ))
+    out["image_pairs"] = int(
+        image_near_dups(pngs, "data", "img_id", max_hamming=6).count()
+    )
+    out["video_pairs"] = int(
+        video_near_dups(gifs, "data", "clip_id", max_hamming=6,
+                        min_match_fraction=0.8).count()
+    )
+    return out
 
 
 def vector_bench(
