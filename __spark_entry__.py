@@ -767,6 +767,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ngram_jaccard through prefix filtering
+    (operators/dedup.prefix_verified_pairs, metric="jaccard"): the
+    complete-by-theorem candidate stage feeding the same exact verify
+    — shares q_ngram_jaccard's oracle, so output equality (a theorem,
+    not a recall curve) is hash-asserted every run; the third
+    pair-stage strategy (corpus-wide exact / LSH / prefix) all
+    value-checked against one replay."""
+    from muller_spark.operators.dedup import prefix_verified_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = prefix_verified_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, metric="jaccard"
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document (no SQL oracle)."""
     from muller_spark.operators.dedup import simhash
@@ -3987,6 +4006,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_funnel_windowed": q_funnel_windowed,
     "q_cohort_retention": q_cohort_retention,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_jaccard_prefix": q_jaccard_prefix,
     "q_bpe_tokens": q_bpe_tokens,
     "q_count_distinct": q_count_distinct,
     "q_sessionize": q_sessionize,
@@ -7465,6 +7485,11 @@ _ORACLES["q_containment_lsh"] = _ORACLES["q_containment_pairs"]
 # a THEOREM (prefix-filter completeness), so a hash mismatch would mean
 # an implementation bug, not a recall loss.
 _ORACLES["q_containment_prefix"] = _ORACLES["q_containment_pairs"]
+
+# q_jaccard_prefix shares q_ngram_jaccard's exact replay — prefix
+# filtering is complete by theorem, so equality is an implementation
+# assertion, not a recall measurement.
+_ORACLES["q_jaccard_prefix"] = _ORACLES["q_ngram_jaccard"]
 
 # q_neardup_ledger: the ledger's admit/reject set vs the full exact
 # cross-split Jaccard relation over portable-hashed shingle sets —
