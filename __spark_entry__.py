@@ -3569,6 +3569,113 @@ def q_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(v1, head, "n_chars", buckets=10)
 
 
+def _merge_scenario(spark: SparkSession, sf_dir: str):
+    """Deterministic two-branch merge scenario over id slices of the
+    documents table, session-cached (_demo_cached) so the ingest +
+    merge run once per (sf_dir, session).  Everything is a doc_id
+    slice or a doc_id-keyed update, so a DuckDB oracle can replay the
+    whole resolution matrix from the raw table (the q_version_drift
+    pattern, extended to merge — reference matrix at
+    /root/reference/muller/core/version_control/operations/merge.py:499-1456).
+
+    base (main):   docs 0..239                      (position == doc_id)
+    theirs branch: n_chars := 100000+doc_id at {10,20,30};
+                   pop doc 5; append docs 240..259
+    ours (main):   n_chars := 200000+doc_id at {20,40};
+                   pop doc 7; append docs 260..279
+    merge theirs → main with append='both', update='theirs',
+    pop='ours' — exercising every census lane at once.
+
+    Returns (merged_ds, conflicts_report_df) where the report is
+    detect_merge_conflict(as_dict=False) taken BEFORE the merge
+    (afterwards the LCA is one of the heads and the report is empty
+    by definition).  Report uuids are salted-random (rowid._assign_ids)
+    so the conflict QUERY projects only the deterministic columns."""
+    from muller_spark import dataset as ds_mod
+
+    def build():
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        path = os.path.join(_demo_tmpdir("merge3way_"), "ds")
+        ds = ds_mod.dataset(path, spark)
+        ds.create_tensor("doc_id", dtype="int64")
+        ds.create_tensor("n_chars", dtype="int64")
+        ds.extend_df(docs.filter(F.col("doc_id") < 240).orderBy("doc_id"))
+        ds.commit("base")
+
+        ds.checkout("theirs", create=True)
+        for d in (10, 20, 30):
+            ds.n_chars[d] = 100000 + d
+        ds.pop(5)
+        ds.extend_df(
+            docs.filter((F.col("doc_id") >= 240) & (F.col("doc_id") < 260))
+            .orderBy("doc_id")
+        )
+        ds.commit("theirs edits")
+
+        ds.checkout("main")
+        for d in (20, 40):
+            ds.n_chars[d] = 200000 + d
+        ds.pop(7)
+        ds.extend_df(
+            docs.filter((F.col("doc_id") >= 260) & (F.col("doc_id") < 280))
+            .orderBy("doc_id")
+        )
+        ds.commit("ours edits")
+
+        report = ds.detect_merge_conflict("theirs", as_dict=False)
+        # materialize the report's plan against the pre-merge
+        # snapshots NOW (they are immutable commits, so laziness would
+        # also work — localCheckpoint keeps repeated driver calls from
+        # re-running the 3-way join every evaluation)
+        report = report.localCheckpoint()
+        ds.merge(
+            "theirs",
+            append_resolution="both",
+            update_resolution="theirs",
+            pop_resolution="ours",
+        )
+        return ds, report
+
+    return _demo_cached("merge3way", sf_dir, spark, build)
+
+
+def q_merge_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way merge END STATE (versioning/merge.three_way_merge
+    through Dataset.merge): the merged table of the _merge_scenario
+    two-branch edit, value-checking the whole resolution matrix in one
+    frame — theirs-only updates propagate (docs 10, 30), ours-only
+    updates survive (doc 40), the doc-20 update CONFLICT resolves to
+    theirs, pop_resolution='ours' keeps the row theirs popped (doc 5)
+    while our own pop stays dropped (doc 7), and append='both' lands
+    both branches' appends (docs 240..279).  The oracle replays the
+    matrix as CASE arms over the raw documents table."""
+    ds, _ = _merge_scenario(spark, sf_dir)
+    return ds.to_df().select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def q_merge_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dry-run merge conflict report (Dataset.detect_merge_conflict
+    as_dict=False → versioning/merge.detect_conflicts_df, the
+    distributed never-collects lane; reference commits.py:254-302):
+    every census lane of the _merge_scenario edit shows up with its
+    positions and values — the doc-20 update conflict with both sides'
+    values, each branch's exclusive pop with its FINAL position on the
+    surviving side (value-checking the post-pop renumbering: doc 5
+    keeps position 5 on ours, doc 7 sits at 6 on theirs), and both
+    append sets with their branch-local positions (doc_id-21 on ours
+    after its pop, doc_id-1 on theirs).  Uuids are salted-random by
+    design (rowid._assign_ids) so the query projects the deterministic
+    columns only."""
+    _, report = _merge_scenario(spark, sf_dir)
+    return report.select(
+        "kind", "tensor", "our_index", "their_index",
+        "our_value", "their_value",
+    )
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-drift monitoring (operators/quality.psi_drift):
     Population Stability Index of the event value distribution,
@@ -3929,6 +4036,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hard_negatives": q_hard_negatives,
     "q_psi_drift": q_psi_drift,
     "q_version_drift": q_version_drift,
+    "q_merge_resolution": q_merge_resolution,
+    "q_merge_conflicts": q_merge_conflicts,
     "q_hll_distinct": q_hll_distinct,
     "q_hll_by_group": q_hll_by_group,
     "q_cms_topk": q_cms_topk,
@@ -4909,6 +5018,54 @@ _ORACLES: dict[str, str] = {
                e.exact_distinct
         FROM calc c JOIN exact e USING (source)
         ORDER BY source
+    """,
+    # replays the _merge_scenario resolution matrix from the raw
+    # table: theirs updated {10,20,30} to 100000+id, ours {20,40} to
+    # 200000+id, conflict (doc 20) resolves to THEIRS, ours' pop
+    # (doc 7) stays dropped, theirs' pop (doc 5) is kept by
+    # pop_resolution='ours', appends land from both branches
+    "q_merge_resolution": """
+        SELECT doc_id,
+               CASE WHEN doc_id IN (10, 20, 30) THEN 100000 + doc_id
+                    WHEN doc_id = 40 THEN 200000 + doc_id
+                    ELSE n_chars END AS n_chars
+        FROM documents
+        WHERE doc_id < 280 AND doc_id <> 7
+        ORDER BY doc_id
+    """,
+    # replays the _merge_scenario conflict census: one update conflict
+    # (doc 20, both sides' values as strings), each branch's exclusive
+    # pop at its FINAL surviving-side position (ours popped doc 7, so
+    # doc 5 keeps position 5 on ours; theirs popped doc 5, so doc 7
+    # sits at 6 on theirs), and both append sets with branch-local
+    # positions (240 base rows - 1 pop = append start 239)
+    "q_merge_conflicts": """
+        SELECT 'update' AS kind, 'n_chars' AS tensor,
+               doc_id - 1 AS our_index, doc_id - 1 AS their_index,
+               CAST(200000 + doc_id AS VARCHAR) AS our_value,
+               CAST(100000 + doc_id AS VARCHAR) AS their_value
+        FROM documents WHERE doc_id = 20
+        UNION ALL
+        SELECT 'pop_ours_kept', CAST(NULL AS VARCHAR),
+               doc_id, CAST(NULL AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM documents WHERE doc_id = 5
+        UNION ALL
+        SELECT 'pop_theirs_kept', CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT), doc_id - 1,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM documents WHERE doc_id = 7
+        UNION ALL
+        SELECT 'append_ours', CAST(NULL AS VARCHAR),
+               doc_id - 21, CAST(NULL AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM documents WHERE doc_id >= 260 AND doc_id < 280
+        UNION ALL
+        SELECT 'append_theirs', CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT), doc_id - 1,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM documents WHERE doc_id >= 240 AND doc_id < 260
+        ORDER BY kind, our_index, their_index
     """,
     # replays q_version_drift's commit slices from the raw table:
     # v1 = doc_id < 300, HEAD = all rows — value-checks time travel

@@ -103,6 +103,14 @@ def build_graph_artifacts(
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
+    # persist the quantization grid so append_graph_vectors re-reads it
+    # instead of assuming 8 bits — appended rows must land on the SAME
+    # grid as the build or recall silently drifts across ingests
+    spark.createDataFrame(
+        [(int(quantize_bits),)] if quantize_bits else [(None,)],
+        "quantize_bits int",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
     qmax = float(2 ** (quantize_bits - 1) - 1) if quantize_bits else None
     assigned = ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
         _assigner(bc, vec_col, id_col, qmax=qmax), _vector_schema(qmax)
@@ -277,10 +285,21 @@ def append_graph_vectors(
     centroids = load_ivf_centroids(spark, path)
     bc = spark.sparkContext.broadcast(centroids)
 
-    # appended rows must match the existing at-rest layout — sniff it
-    # from the artifact, not a caller flag that could silently diverge
-    existing_cols = spark.read.parquet(os.path.join(path, "vectors")).columns
-    qmax = 127.0 if "qvec" in existing_cols else None
+    # appended rows must match the existing at-rest layout AND grid —
+    # read quantize_bits from the build-time meta table, not a caller
+    # flag that could silently diverge; pre-meta artifacts (or a
+    # missing meta) fall back to column sniffing at the 8-bit default
+    qmax = None
+    try:
+        meta = spark.read.parquet(os.path.join(path, "meta")).first()
+        bits = meta["quantize_bits"] if meta is not None else None
+        if bits is not None:
+            qmax = float(2 ** (int(bits) - 1) - 1)
+    except Exception:
+        existing_cols = spark.read.parquet(
+            os.path.join(path, "vectors")
+        ).columns
+        qmax = 127.0 if "qvec" in existing_cols else None
     delta = df_delta.select(id_col, vec_col).mapInPandas(
         _assigner(bc, vec_col, id_col, qmax=qmax), _vector_schema(qmax)
     )

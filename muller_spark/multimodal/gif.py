@@ -146,7 +146,11 @@ def decode_gif(raw: bytes):
     return frames[0] if frames else None
 
 
-def decode_gif_frames(raw: bytes, max_frames: "int | None" = None):
+def decode_gif_frames(
+    raw: bytes,
+    max_frames: "int | None" = None,
+    max_pixels: int = 1 << 26,
+):
     """Full GIF87a/89a animation decode: list of numpy (sh, sw, 3)
     uint8 RGB frames COMPOSED on the logical-screen canvas (image
     descriptors may cover sub-rectangles), or None if the container is
@@ -162,7 +166,13 @@ def decode_gif_frames(raw: bytes, max_frames: "int | None" = None):
     frame-sampling and video near-dup pipelines have a REAL path (the
     reference gates video behind installed codecs the same way).
     A corrupt trailing frame truncates the list rather than failing
-    the clip: partial animations decode to their valid prefix."""
+    the clip: partial animations decode to their valid prefix.
+
+    ``max_pixels`` caps the logical-screen canvas (sw·sh) BEFORE any
+    allocation: a 13-byte header can claim 65535×65535 (a ~12.9 GB
+    canvas — the decompression-bomb shape), so implausible screens
+    decode to None instead of allocating.  The default (2²⁶ ≈ 67 M
+    pixels, a ~200 MB RGB canvas) is far above any real GIF."""
     if raw[:6] not in (b"GIF87a", b"GIF89a") or len(raw) < 13:
         return None
     sw, sh = struct.unpack("<HH", raw[6:10])
@@ -172,9 +182,11 @@ def decode_gif_frames(raw: bytes, max_frames: "int | None" = None):
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(raw):  # truncated global color table
+            return None
         gct = np.frombuffer(raw[pos:pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
         pos += 3 * n
-    if sw == 0 or sh == 0:
+    if sw == 0 or sh == 0 or sw * sh > max_pixels:
         return None
 
     if gct is not None and bg_index < len(gct):
@@ -195,7 +207,11 @@ def decode_gif_frames(raw: bytes, max_frames: "int | None" = None):
             sub_start = pos
             while pos < len(raw) and raw[pos] != 0:
                 pos += 1 + raw[pos]
-            if label == 0xF9 and raw[sub_start] >= 4:  # GCE
+            # GCE needs 5 readable bytes (size, flags, 2×delay, index):
+            # a stream truncated right after the label must not index
+            # past the end (valid-prefix contract, not a task kill)
+            if (label == 0xF9 and sub_start + 4 < len(raw)
+                    and raw[sub_start] >= 4):
                 flags = raw[sub_start + 1]
                 disposal = (flags >> 2) & 0x07
                 transparent = raw[sub_start + 4] if flags & 0x01 else None
@@ -209,6 +225,8 @@ def decode_gif_frames(raw: bytes, max_frames: "int | None" = None):
             ct = gct
             if ipacked & 0x80:
                 n = 2 << (ipacked & 0x07)
+                if pos + 3 * n > len(raw):  # truncated local color table
+                    break
                 ct = np.frombuffer(
                     raw[pos:pos + 3 * n], dtype=np.uint8
                 ).reshape(-1, 3)

@@ -215,6 +215,7 @@ def sample_video_frames(
     bytes_col: str = "content",
     every_n: int = 30,
     fake: bool = False,
+    max_frames: int = 4096,
 ) -> DataFrame:
     """1-in-N-out frame sampling (UDTF shape).  GIF payloads decode
     for REAL (round 9: ``multimodal/gif.decode_gif_frames`` — the one
@@ -249,7 +250,13 @@ def sample_video_frames(
                 raw = bytes(data) if data is not None else b""
                 src = int(pdf[id_col].iloc[i]) if id_col else i
                 if raw[:6] in (b"GIF87a", b"GIF89a"):
-                    frames = decode_gif_frames(raw)
+                    try:
+                        # max_frames bounds decoded canvas copies per
+                        # clip (with the decoder's own pixel budget,
+                        # caps memory against hostile headers)
+                        frames = decode_gif_frames(raw, max_frames=max_frames)
+                    except Exception:
+                        frames = None  # corrupt clip: no rows
                     for fi in range(0, len(frames or []), every_n):
                         rows.append({
                             "source_row": src,

@@ -1477,16 +1477,27 @@ def video_frame_hashes(
         for pdf in iterator:
             rows = []
             for rid, raw in zip(pdf[id_col], pdf[binary_col]):
-                if rid is None or int(rid) < 0 or int(rid) >= 1 << 43:
+                if rid is None:
+                    # NULL id: skip like a NULL payload — one bad row
+                    # must not kill a 100 TB job (the raise below is
+                    # reserved for ids that would CORRUPT the
+                    # composite-key arithmetic)
+                    continue
+                if int(rid) < 0 or int(rid) >= 1 << 43:
                     raise ValueError(
                         f"clip id {rid!r} outside [0, 2^43): the "
                         "composite frame key (id*2^20 + frame) needs "
                         "non-negative ids"
                     )
-                frames = (
-                    decode_gif_frames(bytes(raw), max_frames=max_frames)
-                    if raw is not None else None
-                )
+                try:
+                    frames = (
+                        decode_gif_frames(bytes(raw), max_frames=max_frames)
+                        if raw is not None else None
+                    )
+                except Exception:
+                    # corrupt container: yield no rows for the clip
+                    # (same contract as decode_pixels' NULL policy)
+                    frames = None
                 for fi in range(0, len(frames or []), every_n):
                     rows.append(
                         (int(rid), fi, _dhash_pixels(frames[fi], hash_size))

@@ -295,3 +295,61 @@ def test_animation_truncated_tail_yields_valid_prefix():
     frames = decode_gif_frames(bytes(raw[: len(raw) - 12]))
     assert frames is not None and len(frames) >= 1
     assert (frames[0] == [255, 0, 0]).all()
+
+
+def test_corrupt_inputs_never_raise():
+    """Round-10 hardening: the verified crash repros (stream ending
+    right after an extension label; truncated local/global color
+    tables) must decode to None or a valid prefix, never raise — one
+    corrupt GIF must not kill a Spark task and its retries."""
+    import numpy as np
+
+    from muller_spark.multimodal.gif import decode_gif_frames
+
+    f1 = np.full((4, 4), 1)
+    good = _build_gif([(0, 0, f1, 1, None)], PAL)
+
+    # (a) ends right AFTER the extension label: raw[sub_start] was OOB
+    trunc_ext = good[:13 + 4 * 3] + b"\x21\xf9"
+    assert decode_gif_frames(trunc_ext) is None
+
+    # (b) GCE truncated mid-sub-block (size byte says 4, bytes absent)
+    trunc_gce = good[:13 + 4 * 3] + b"\x21\xf9\x04\x05"
+    assert decode_gif_frames(trunc_gce) is None
+
+    # (c) truncated GLOBAL color table: header promises 4 entries
+    trunc_gct = good[:13 + 5]
+    assert decode_gif_frames(trunc_gct) is None
+
+    # (d) truncated LOCAL color table: descriptor with local-table flag
+    # (size bits 1 -> 4 entries = 12 bytes) but only 2 bytes follow
+    local = (good[:13 + 4 * 3]
+             + b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x81"
+             + b"\xff\xff")
+    assert decode_gif_frames(local) is None
+
+    # (e) every prefix of a well-formed 2-frame animation decodes to
+    # None or a valid prefix without raising
+    f2 = np.full((4, 4), 2)
+    anim = _build_gif([(0, 0, f1, 1, None), (0, 0, f2, 1, None)], PAL)
+    for cut in range(len(anim)):
+        out = decode_gif_frames(anim[:cut])
+        assert out is None or len(out) >= 1
+
+
+def test_decompression_bomb_header_rejected():
+    """A 13-byte header claiming 65535x65535 (~12.9 GB canvas) must be
+    rejected by the pixel budget BEFORE any allocation."""
+    from muller_spark.multimodal.gif import decode_gif_frames
+
+    bomb = b"GIF89a" + struct.pack("<HH", 65535, 65535) + bytes([0, 0, 0])
+    assert decode_gif_frames(bomb) is None
+
+    # budget is configurable: a 64x64 screen passes the default but
+    # fails a tiny explicit budget
+    import numpy as np
+
+    f1 = np.zeros((4, 4), dtype=np.uint8)
+    small = _build_gif([(0, 0, f1, 1, None)], PAL, sw=4, sh=4)
+    assert decode_gif_frames(small) is not None
+    assert decode_gif_frames(small, max_pixels=8) is None
