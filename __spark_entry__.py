@@ -2061,18 +2061,22 @@ def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video near-dup pairs over animated GIFs
+    """Video near-dup pairs over MIXED containers — animated GIF and
+    MJPEG-in-AVI — through one pipeline
     (operators/dedup.video_frame_hashes + video_near_dups): 60
     deterministic clips synthesized from doc_ids — groups of 3 share a
     frame pool; member 1 is the full 8-frame cut, member 2 a 5-frame
     trim, member 3 the trim with per-pixel noise — so each group's
-    members are trim/re-encode near-dups.  The pipeline is the real
-    zero-dependency one: multi-frame GIF decode (canvas composition,
-    GCE semantics) → per-frame dHash → pigeonhole frame-pair join →
-    per-clip-pair match fractions.  GIF decoding is not
-    SQL-expressible → rows_only_queries(); frame parity, trim
-    detection, and sampling checksums are pinned in
-    tests/test_round9_ops.py."""
+    members are trim/re-encode near-dups.  EVEN groups encode as
+    animated GIF (multimodal/gif), ODD groups as MJPEG-AVI
+    (multimodal/avi over the repo's baseline JPEG codec, round 10) —
+    the container-sniffing decode_video_frames entry point routes
+    both, so this query certifies the second zero-dependency container
+    family end to end: container walk → per-frame decode → dHash →
+    pigeonhole frame-pair join → per-clip-pair match fractions.
+    Media decoding is not SQL-expressible → rows_only_queries();
+    frame parity, trim detection, and sampling checksums are pinned
+    in tests/test_round9_ops.py and tests/test_avi_codec.py."""
     from muller_spark.operators.dedup import video_near_dups
 
     ids = _t(spark, sf_dir, "documents").select(
@@ -2083,6 +2087,7 @@ def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        from muller_spark.multimodal.avi import encode_avi_mjpeg
         from muller_spark.multimodal.gif import encode_gif_frames
 
         for pdf in iterator:
@@ -2110,7 +2115,15 @@ def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         g[mask] = pal[rng2.randint(0, 24, int(mask.sum()))]
                         frames.append(g)
                 out_ids.append(i)
-                blobs.append(bytearray(encode_gif_frames(frames)))
+                # container per GROUP (members must share an encoder
+                # so shared frames decode to identical pixels): even
+                # groups lossless GIF, odd groups MJPEG-AVI
+                if (i // 3) % 2 == 0:
+                    blobs.append(bytearray(encode_gif_frames(frames)))
+                else:
+                    blobs.append(bytearray(
+                        encode_avi_mjpeg(frames, quality=95)
+                    ))
             yield pd.DataFrame({"clip_id": out_ids, "data": blobs})
 
     clips = ids.mapInPandas(make_gif, "clip_id long, data binary")

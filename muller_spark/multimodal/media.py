@@ -217,9 +217,10 @@ def sample_video_frames(
     fake: bool = False,
     max_frames: int = 4096,
 ) -> DataFrame:
-    """1-in-N-out frame sampling (UDTF shape).  GIF payloads decode
-    for REAL (round 9: ``multimodal/gif.decode_gif_frames`` — the one
-    animation container readable with zero dependencies), with
+    """1-in-N-out frame sampling (UDTF shape).  GIF and MJPEG-AVI
+    payloads decode for REAL (``multimodal/avi.decode_video_frames``
+    — the two containers readable with zero dependencies: round-9 GIF
+    + round-10 MJPEG-in-AVI over the repo's baseline JPEG codec), with
     ``frame_checksum`` = md5 of the composed RGB frame bytes.  Other
     containers need ``av`` (not installed → NotImplementedError unless
     ``fake=True``, which emits deterministic stub records so
@@ -242,19 +243,20 @@ def sample_video_frames(
     def run(iterator: Iterator):
         import pandas as pd
 
-        from muller_spark.multimodal.gif import decode_gif_frames
+        from muller_spark.multimodal.avi import decode_video_frames
 
         for pdf in iterator:
             rows = []
             for i, data in enumerate(pdf[bytes_col]):
                 raw = bytes(data) if data is not None else b""
                 src = int(pdf[id_col].iloc[i]) if id_col else i
-                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                if (raw[:6] in (b"GIF87a", b"GIF89a")
+                        or (raw[:4] == b"RIFF" and raw[8:12] == b"AVI ")):
                     try:
                         # max_frames bounds decoded canvas copies per
                         # clip (with the decoder's own pixel budget,
                         # caps memory against hostile headers)
-                        frames = decode_gif_frames(raw, max_frames=max_frames)
+                        frames = decode_video_frames(raw, max_frames=max_frames)
                     except Exception:
                         frames = None  # corrupt clip: no rows
                     for fi in range(0, len(frames or []), every_n):

@@ -1458,11 +1458,12 @@ def video_frame_hashes(
     hash_size: int = 8,
     max_frames: int = 256,
 ) -> DataFrame:
-    """Per-frame perceptual hashes of an animated-GIF binary column:
-    ``multimodal/gif.decode_gif_frames`` (the zero-dependency
-    animation decode — full canvas composition, GCE transparency +
-    disposal) → dHash per sampled frame (every ``every_n``-th, capped
-    at ``max_frames`` decoded).  Returns
+    """Per-frame perceptual hashes of a video binary column:
+    ``multimodal/avi.decode_video_frames`` (the zero-dependency
+    container sniff — animated GIF with full canvas composition, GCE
+    transparency + disposal, AND MJPEG-in-AVI through the repo's own
+    baseline JPEG decoder) → dHash per sampled frame (every
+    ``every_n``-th, capped at ``max_frames`` decoded).  Returns
     ``(id, frame_index int, dhash long)`` — clips that fail to decode
     yield no rows.  Map-only; the linear scan feeding
     :func:`video_near_dups`."""
@@ -1472,16 +1473,17 @@ def video_frame_hashes(
     def kernel(iterator):
         import pandas as pd
 
-        from muller_spark.multimodal.gif import decode_gif_frames
+        from muller_spark.multimodal.avi import decode_video_frames
 
         for pdf in iterator:
             rows = []
             for rid, raw in zip(pdf[id_col], pdf[binary_col]):
-                if rid is None:
-                    # NULL id: skip like a NULL payload — one bad row
-                    # must not kill a 100 TB job (the raise below is
-                    # reserved for ids that would CORRUPT the
-                    # composite-key arithmetic)
+                if rid is None or pd.isna(rid):
+                    # NULL id (None, or NaN once pandas floats the
+                    # nullable long column): skip like a NULL payload
+                    # — one bad row must not kill a 100 TB job (the
+                    # raise below is reserved for ids that would
+                    # CORRUPT the composite-key arithmetic)
                     continue
                 if int(rid) < 0 or int(rid) >= 1 << 43:
                     raise ValueError(
@@ -1491,7 +1493,7 @@ def video_frame_hashes(
                     )
                 try:
                     frames = (
-                        decode_gif_frames(bytes(raw), max_frames=max_frames)
+                        decode_video_frames(bytes(raw), max_frames=max_frames)
                         if raw is not None else None
                     )
                 except Exception:

@@ -247,3 +247,46 @@ def test_sq8_build_rejects_bad_bits(spark, emb, tmp_path_factory):
         build_graph_artifacts(
             emb, "embedding", "vec_id", path, quantize_bits=9
         )
+
+
+def test_quantize_bits_persisted_and_reused_on_append(
+    spark, emb, tmp_path_factory
+):
+    """Round 10: the build persists quantize_bits in a meta table and
+    append reads it back, so appended rows land on the SAME grid as
+    the build even for bits < 8 (before, append hard-coded qmax=127
+    and sub-8-bit artifacts silently mixed quantization grids)."""
+    from pyspark.sql import functions as F
+
+    from muller_spark.index.graph import append_graph_vectors
+
+    path = str(tmp_path_factory.mktemp("graphq4") / "idx")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    build_graph_artifacts(
+        half, "embedding", "vec_id", path, num_cells=4, R=8, quantize_bits=4
+    )
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    assert meta["quantize_bits"] == 4
+
+    append_graph_vectors(rest, "embedding", "vec_id", path)
+    v = spark.read.parquet(os.path.join(path, "vectors"))
+    # 4-bit grid: every stored component must be in [-7, 7] — an
+    # 8-bit-assuming append would write values up to 127
+    mx = v.select(
+        F.max(F.aggregate(
+            "qvec", F.lit(0), lambda acc, x: F.greatest(acc, F.abs(x))
+        )).alias("m")
+    ).first()["m"]
+    assert mx <= 7, mx
+    assert v.count() == emb.count()
+
+    # unquantized build records NULL bits and append stays float
+    path2 = str(tmp_path_factory.mktemp("graphf") / "idx")
+    build_graph_artifacts(half, "embedding", "vec_id", path2,
+                          num_cells=4, R=8)
+    meta2 = spark.read.parquet(os.path.join(path2, "meta")).first()
+    assert meta2["quantize_bits"] is None
+    append_graph_vectors(rest, "embedding", "vec_id", path2)
+    v2 = spark.read.parquet(os.path.join(path2, "vectors"))
+    assert "vec" in v2.columns and "qvec" not in v2.columns
