@@ -143,3 +143,27 @@ def test_oracle_types_match_spark(spark, name):
     assert set(duck) == set(mine), f"{name}: columns duck={sorted(duck)} spark={sorted(mine)}"
     bad = {c: (duck[c], mine[c]) for c in duck if duck[c] != mine[c]}
     assert not bad, f"{name}: oracle/spark result-type mismatch (duck, spark): {bad}"
+
+
+def test_parity_provenance_matches_live_registry():
+    """PARITY.md is the provenance file a draw audit trusts — its
+    totals line must track the live registry (round-9 verdict: it
+    drifted to 176 while queries() returned 177).  Regenerate with
+    tools/gen_provenance.py when this fails."""
+    import re
+
+    parity = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PARITY.md")
+    with open(parity) as fh:
+        doc = fh.read()
+    m = re.search(r"Totals: (\d+) registered", doc)
+    assert m, "PARITY.md totals line missing"
+    assert int(m.group(1)) == len(entrymod.queries()), (
+        f"PARITY.md says {m.group(1)} registered but queries() has "
+        f"{len(entrymod.queries())} — run tools/gen_provenance.py"
+    )
+    ro = re.search(r"Plus (\d+) rows-only queries", doc)
+    assert ro and int(ro.group(1)) == len(entrymod.rows_only_queries())
+    # every registered query appears in the provenance table
+    for name in entrymod.queries():
+        assert f"`{name}`" in doc, f"{name} missing from PARITY.md"
