@@ -778,8 +778,14 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from muller_spark.operators.dedup import prefix_verified_pairs
 
     docs = _t(spark, sf_dir, "documents")
+    # skew_probe off: the driver corpus is template-synthetic (mean
+    # shingle df 10.5 at sf0.1, measured) so the round-10 replication
+    # guard fires honestly on every run — the trade-off is already
+    # documented and priced here, and the envelope carries the LSH
+    # path for bulk dedup
     out = prefix_verified_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.5, metric="jaccard"
+        docs, "text", "doc_id", n=3, threshold=0.5, metric="jaccard",
+        skew_probe="off",
     )
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -3188,8 +3194,12 @@ def q_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from muller_spark.operators.dedup import prefix_verified_pairs
 
     docs = _t(spark, sf_dir, "documents")
+    # skew_probe off: see q_jaccard_prefix — the template-synthetic
+    # driver corpus trips the replication guard honestly; the cost is
+    # documented, the LSH twin carries bulk dedup
     return prefix_verified_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.6, metric="containment"
+        docs, "text", "doc_id", n=3, threshold=0.6, metric="containment",
+        skew_probe="off",
     ).orderBy("id_a", "id_b")
 
 

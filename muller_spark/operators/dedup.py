@@ -764,6 +764,8 @@ def prefix_verified_pairs(
     threshold: float = 0.5,
     metric: str = "jaccard",
     prefix_order: str = "df",
+    skew_probe: str = "warn",
+    skew_mean_df: float = 8.0,
 ) -> DataFrame:
     """Exact-COMPLETE near-dup pairs via prefix filtering (the
     AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.
@@ -808,13 +810,30 @@ def prefix_verified_pairs(
     low-skew corpora (measured 3.2 vs 3.9 s at sf0.1) but its prefixes
     sample frequency-blind, so hot shingles can enter them under
     skew.  Output is identical either way (order-invariance asserted
-    in tests)."""
+    in tests).
+
+    ``skew_probe`` (round 10) turns the documented worst case into a
+    runtime guard instead of a docstring: before building candidates,
+    one cheap aggregate measures the corpus's mean shingle document
+    frequency (postings / approx-distinct shingles — partial-agg
+    friendly, no exact distinct shuffle).  Clone-replicated corpora
+    are exactly the regime where that mean explodes (every shingle's
+    df ≥ clone count, so even the "rarest" prefix shingles fan out),
+    and the measured blowup is 276 s vs LSH's 7.2 s at 10×
+    replication.  When mean df > ``skew_mean_df``: ``"warn"``
+    (default) emits a UserWarning carrying the measured mean and
+    pointing at :func:`lsh_verified_pairs`; ``"error"`` raises;
+    ``"off"`` skips the probe (and its one extra job) entirely.
+    The guard never changes the output — completeness is a theorem
+    either way; it prices the run before you pay for it."""
     if metric not in ("jaccard", "containment"):
         raise ValueError(f"unknown metric {metric!r}")
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
     if prefix_order not in ("df", "lexical"):
         raise ValueError(f"unknown prefix_order {prefix_order!r}")
+    if skew_probe not in ("off", "warn", "error"):
+        raise ValueError(f"unknown skew_probe {skew_probe!r}")
     sh = df.select(
         F.col(id_col).alias("id"),
         _shingles(F.col(text_col), n).alias("shingles"),
@@ -823,6 +842,29 @@ def prefix_verified_pairs(
     # warm at sf0.1): the checkpoint materialized the arrays before the
     # narrow consumers could pipeline
     exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    if skew_probe != "off":
+        stats = exploded.agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.approx_count_distinct("shingle").alias("n_shingles"),
+        ).first()
+        mean_df = (stats["n_postings"] / max(stats["n_shingles"], 1)
+                   if stats["n_postings"] else 0.0)
+        if mean_df > skew_mean_df:
+            msg = (
+                f"prefix filter skew guard: mean shingle document "
+                f"frequency ~{mean_df:.1f} exceeds {skew_mean_df:.1f} — "
+                "replication-heavy corpus (prefix join traffic grows "
+                "with df even for the rarest shingles; measured 276 s "
+                "vs LSH 7.2 s at 10x clone replication). Output stays "
+                "exact, but consider lsh_verified_pairs for bulk dedup "
+                "and keep the prefix path for completeness audits, or "
+                "pass skew_probe='off' to silence."
+            )
+            if skew_probe == "error":
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, UserWarning, stacklevel=2)
     prefix_len_of = lambda col: (
         F.floor(F.lit(1.0 - threshold) * F.size(col)).cast("int") + F.lit(1)
     )

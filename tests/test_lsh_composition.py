@@ -275,3 +275,65 @@ def test_verified_pairs_never_emit_false_positives(spark):
     for r in out.collect():
         assert (r["id_a"], r["id_b"]) in truth
         assert r["jaccard"] >= 0.9
+
+
+def test_prefix_skew_guard_fires_and_output_stays_exact(spark):
+    """Round 10: the documented prefix-filter worst case (clone-
+    replicated corpora) now has a runtime guard.  On a 12x-cloned
+    corpus the mean-df probe must warn (or raise under
+    skew_probe='error'), the warning must point at the LSH
+    alternative, and the output must STILL equal the exact kernel's —
+    the guard prices the run, it never changes completeness."""
+    import warnings
+
+    from muller_spark.operators.dedup import (
+        ngram_jaccard_pairs, prefix_verified_pairs,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a completely different sentence about database systems here",
+        "spark catalyst optimizer rewrites logical plans into physical",
+    ]
+    rows = [(100 * c + i, t) for i, t in enumerate(base) for c in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with pytest.warns(UserWarning, match="lsh_verified_pairs"):
+        pfx = _pair_map(prefix_verified_pairs(
+            df, "text", "doc_id", n=3, threshold=0.5, metric="jaccard"
+        ))
+    exact = _pair_map(ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.5, max_shingle_freq=None
+    ))
+    assert pfx == exact and exact  # 12 clones x 3 families -> pairs
+
+    with pytest.raises(ValueError, match="skew guard"):
+        prefix_verified_pairs(
+            df, "text", "doc_id", skew_probe="error"
+        )
+    with pytest.raises(ValueError, match="skew_probe"):
+        prefix_verified_pairs(df, "text", "doc_id", skew_probe="loud")
+
+    # probe off: no warning, same output
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        quiet = _pair_map(prefix_verified_pairs(
+            df, "text", "doc_id", n=3, threshold=0.5, metric="jaccard",
+            skew_probe="off",
+        ))
+    assert quiet == exact
+
+
+def test_prefix_skew_guard_quiet_on_low_skew(corpus):
+    """The guard must NOT fire on an ordinary low-replication corpus
+    (the fixture's near-dup families keep mean df well under the
+    threshold)."""
+    import warnings
+
+    from muller_spark.operators.dedup import prefix_verified_pairs
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        prefix_verified_pairs(
+            corpus, "text", "doc_id", n=3, threshold=0.5
+        ).collect()
