@@ -298,6 +298,15 @@ def main() -> None:
     # one valid JSON object (key order is semantically irrelevant), and
     # the complete result is also written to BENCH_DETAIL.json.
     result: dict = {"protocol": "cold+warm_steady(median of 3); compare warm only"}
+    # round-10 bench discipline: BENCH_DETAIL.json is overwritten by
+    # ANY run, so the committed copy must say which run produced it —
+    # the driver's per-round run carries no env label, builder runs
+    # should set SPARK_GRAFT_SESSION (e.g. builder-r10).  Round-over-
+    # round comparisons must pair records with like session labels.
+    result["session"] = {
+        "label": os.environ.get("SPARK_GRAFT_SESSION", "unlabeled"),
+        "started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
     result["jvm_sections"] = {
         "headline": headline_jvm,
         "heavyweight": spark.sparkContext.applicationId,
@@ -363,6 +372,7 @@ def media_envelope(spark, cache_root: "str | None" = None) -> dict:
     from pyspark.sql import functions as F
 
     from muller_spark.operators.dedup import (
+        audio_fingerprint, audio_near_dups,
         image_dhash, image_near_dups, video_frame_hashes, video_near_dups,
     )
 
@@ -371,8 +381,12 @@ def media_envelope(spark, cache_root: "str | None" = None) -> dict:
     )
     png_path = os.path.join(root, "png20k")
     gif_path = os.path.join(root, "gif3k")
+    avi_path = os.path.join(root, "avi2k")
+    wav_path = os.path.join(root, "wav10k")
     m_png = os.path.join(root, "_PNG20K")
     m_gif = os.path.join(root, "_GIF3K")
+    m_avi = os.path.join(root, "_AVI2K")
+    m_wav = os.path.join(root, "_WAV10K")
 
     def gen_pngs():
         def gen(iterator):
@@ -443,9 +457,99 @@ def media_envelope(spark, cache_root: "str | None" = None) -> dict:
             .write.mode("overwrite").parquet(gif_path)
         )
 
+    def gen_avis():
+        """2k MJPEG-AVI clips in the GIF family's group-of-3 shape
+        (full / trim / noisy-trim) — the round-10 second container;
+        pure-python JPEG encode is the slow part, one-time cached."""
+        def gen(iterator):
+            import pandas as pd
+
+            from muller_spark.multimodal.avi import encode_avi_mjpeg
+
+            for pdf in iterator:
+                ids, blobs = [], []
+                for i in pdf["id"]:
+                    i = int(i)
+                    rng = np.random.RandomState(40_000 + i // 3)
+                    pal = rng.randint(0, 256, (24, 3), dtype=np.uint8)
+                    pool = [
+                        pal[np.random.RandomState(9_000 * (i // 3) + f)
+                            .randint(0, 24, (16, 16))]
+                        for f in range(6)
+                    ]
+                    member = i % 3
+                    if member == 0:
+                        frames = pool
+                    elif member == 1:
+                        frames = pool[1:5]
+                    else:
+                        rng2 = np.random.RandomState(5 + i)
+                        frames = []
+                        for fr in pool[1:5]:
+                            g = fr.copy()
+                            mask = rng2.rand(16, 16) < 0.02
+                            g[mask] = pal[rng2.randint(0, 24, int(mask.sum()))]
+                            frames.append(g)
+                    ids.append(i)
+                    blobs.append(bytearray(
+                        encode_avi_mjpeg(frames, quality=95)
+                    ))
+                yield pd.DataFrame({"clip_id": ids, "data": blobs})
+
+        (
+            spark.range(2_000, numPartitions=32)
+            .mapInPandas(gen, "clip_id long, data binary")
+            .write.mode("overwrite").parquet(avi_path)
+        )
+
+    def gen_wavs():
+        """10k one-second PCM WAV clips in groups of 4: each group is
+        a distinct 8-note random melody (time-VARYING band energies —
+        a stationary tone starves the Haitsma–Kalker gradient bits of
+        entropy and the whole corpus collides), and members differ by
+        GAIN only (0.9/0.45/0.225/0.1125) — the invariance the
+        fingerprint guarantees, so designed pairs are exact while
+        cross-group fingerprints stay far (measured: intra Hamming ≤1,
+        inter ≤6 on 0.06% of group pairs at 64 bits)."""
+        def gen(iterator):
+            import io
+            import wave
+
+            import pandas as pd
+
+            for pdf in iterator:
+                ids, blobs = [], []
+                for i in pdf["id"]:
+                    i = int(i)
+                    rng = np.random.RandomState(30_000 + i // 4)
+                    notes = 200 + 40 * rng.randint(1, 40, size=8)
+                    t = np.arange(8192) / 8000.0
+                    freq = notes[np.arange(8192) // 1024]
+                    sig = (0.5 * np.sin(2 * np.pi * freq * t)
+                           + 0.2 * np.sin(2 * np.pi * 2 * freq * t))
+                    gain = (0.9, 0.45, 0.225, 0.1125)[i % 4]
+                    pcm = (np.clip(gain * sig, -1, 1) * 32767).astype("<i2")
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(8000)
+                        wf.writeframes(pcm.tobytes())
+                    ids.append(i)
+                    blobs.append(bytearray(buf.getvalue()))
+                yield pd.DataFrame({"clip_id": ids, "data": blobs})
+
+        (
+            spark.range(10_000, numPartitions=32)
+            .mapInPandas(gen, "clip_id long, data binary")
+            .write.mode("overwrite").parquet(wav_path)
+        )
+
     out: dict = {}
     for marker, label, fn in ((m_png, "png_generate_s", gen_pngs),
-                              (m_gif, "gif_generate_s", gen_gifs)):
+                              (m_gif, "gif_generate_s", gen_gifs),
+                              (m_avi, "avi_generate_s", gen_avis),
+                              (m_wav, "wav_generate_s", gen_wavs)):
         if os.path.exists(marker):
             out[label] = 0.0
             continue
@@ -476,12 +580,39 @@ def media_envelope(spark, cache_root: "str | None" = None) -> dict:
         video_near_dups(gifs, "data", "clip_id", max_hamming=6,
                         min_match_fraction=0.8)
     ))
+    avis = spark.read.parquet(avi_path)
+    wavs = spark.read.parquet(wav_path)
+    out["video_frame_hashes_avi_2k"] = timed2(lambda: materialize(
+        video_frame_hashes(avis, "data", "clip_id")
+    ))
+    out["video_near_dups_avi_2k"] = timed2(lambda: materialize(
+        video_near_dups(avis, "data", "clip_id", max_hamming=6,
+                        min_match_fraction=0.8)
+    ))
+    # window=1024 fills all 8 gradient windows of the 64-bit print
+    # (8192 samples / 1024); the default 2048 leaves half the bits
+    # unused on one-second clips and the corpus collides
+    out["audio_fingerprint_10k"] = timed2(lambda: materialize(
+        audio_fingerprint(wavs, "data", "clip_id", window=1024)
+    ))
+    out["audio_near_dups_10k"] = timed2(lambda: materialize(
+        audio_near_dups(wavs, "data", "clip_id", max_hamming=6,
+                        window=1024)
+    ))
     out["image_pairs"] = int(
         image_near_dups(pngs, "data", "img_id", max_hamming=6).count()
     )
     out["video_pairs"] = int(
         video_near_dups(gifs, "data", "clip_id", max_hamming=6,
                         min_match_fraction=0.8).count()
+    )
+    out["video_pairs_avi"] = int(
+        video_near_dups(avis, "data", "clip_id", max_hamming=6,
+                        min_match_fraction=0.8).count()
+    )
+    out["audio_pairs"] = int(
+        audio_near_dups(wavs, "data", "clip_id", max_hamming=6,
+                        window=1024).count()
     )
     return out
 

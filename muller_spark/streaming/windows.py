@@ -434,6 +434,99 @@ def make_neardup_batch_handler(
     return land
 
 
+def hamming_dedup_stream(
+    stream: DataFrame,
+    hash_col: str,
+    id_col: str,
+    ledger_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+):
+    """Restart-durable streaming MEDIA near-dup dedup — the Hamming
+    fingerprint ledger's streaming twin (round 10, closing the
+    neardup/hamming asymmetry): each micro-batch of ``(id_col,
+    hash_col)`` perceptual fingerprints (``image_dhash``,
+    ``audio_fingerprint``, or ``video_frame_hashes`` output computed
+    upstream or inside the source query) is filtered to rows with NO
+    ledger fingerprint within the ledger's Hamming radius
+    (``operators/dedup.hamming_against_ledger(update=False)`` — the
+    SAME decision code as batch ingest, so stream and batch can never
+    drift); survivors land exactly-once under ``out_path`` and their
+    pigeonhole block postings append to the ledger so later batches
+    and batch ingest see them.
+
+    Same crash-safety contract as :func:`neardup_dedup_stream`:
+    ``_SUCCESS`` marker skip (a replay never rewrites landed output),
+    heal-or-advance (ledger append re-derived from the LANDED
+    survivors, so a crash between land and append heals on replay;
+    duplicate posting rows are decision-harmless because candidates
+    and dup ids are distinct-folded), run namespacing by checkpoint
+    hash, single-writer ledger discipline.  The ledger must exist
+    (``init_hamming_ledger``, possibly on an empty frame) — its meta
+    pins (max_hamming, nbits) so mixed-geometry state is impossible."""
+    import hashlib
+
+    run_ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:10]
+    land = make_hamming_batch_handler(
+        hash_col, id_col, ledger_path, out_path, run_ns
+    )
+    writer = stream.writeStream.foreachBatch(land).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def make_hamming_batch_handler(
+    hash_col: str,
+    id_col: str,
+    ledger_path: str,
+    out_path: str,
+    run_ns: str,
+):
+    """foreachBatch handler behind :func:`hamming_dedup_stream`,
+    exposed for the crash-replay contract test (mirrors
+    :func:`make_neardup_batch_handler`)."""
+    import os as _os
+
+    from muller_spark.operators.dedup import (
+        _hamming_block_rows,
+        hamming_against_ledger,
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_out = (
+            f"{out_path.rstrip('/')}/ingest_run={run_ns}/ingest_batch={batch_id}"
+        )
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(batch_out + "/_SUCCESS")
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        fp = batch_df.select(
+            F.col(id_col).alias("id"), F.col(hash_col).alias("dhash")
+        )
+        if not fs.exists(jvm_path):
+            if fp.filter(F.col("dhash").isNotNull()).isEmpty():
+                return
+            survivors = hamming_against_ledger(
+                fp, ledger_path, update=False
+            )
+            survivors.write.mode("overwrite").parquet(batch_out)
+        meta = spark.read.parquet(
+            _os.path.join(ledger_path, "meta")
+        ).first()
+        landed = spark.read.parquet(batch_out).localCheckpoint()
+        _hamming_block_rows(
+            landed, meta["nbits"], meta["max_hamming"]
+        ).write.mode("append").parquet(_os.path.join(ledger_path, "blocks"))
+
+    return land
+
+
 def drift_monitor_stream(
     stream: DataFrame,
     ref_df: DataFrame,

@@ -391,3 +391,147 @@ def test_hamming_ledger_validation(spark, tmp_path):
             spark.createDataFrame([(1, 0)], "id long, dhash long"),
             str(tmp_path / "bad"), max_hamming=64,
         )
+
+
+# ---------------------------------------------------------------------------
+# streaming Hamming ledger: the media twin of neardup_dedup_stream (round 10)
+# ---------------------------------------------------------------------------
+
+def _hamming(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def _write_fp_batch(spark, src_dir, name, rows):
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fp", T.LongType()),
+    ])
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src_dir}/{name}")
+
+
+def test_hamming_stream_dedups_within_and_across_runs(spark, tmp_path):
+    """Micro-batches drop fingerprints within the ledger's Hamming
+    radius, admit novelties, and a SECOND stream run (fresh
+    checkpoint, same ledger) rejects near-dups of run-1 survivors —
+    restart durability, mirroring the text stream's contract."""
+    import glob as _glob
+
+    import pyspark.sql.types as T
+
+    from muller_spark.operators.dedup import init_hamming_ledger
+    from muller_spark.streaming.windows import (
+        hamming_dedup_stream,
+        stream_from_directory,
+    )
+
+    seed = 0
+    near_seed = 0b11                     # ham 2 from seed
+    novel1 = int("1" * 20, 2)            # ham 20 from seed
+    near_novel1 = novel1 ^ 0b101000      # ham 2 from novel1
+    novel2 = 0x5555000000000000          # high bits: far from everything
+    assert _hamming(seed, near_seed) <= 6
+    assert _hamming(seed, novel1) > 6 and _hamming(novel1, novel2) > 6
+    assert _hamming(novel1, near_novel1) <= 6
+    assert _hamming(seed, novel2) > 6 and _hamming(near_novel1, novel2) > 6
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fp", T.LongType()),
+    ])
+    src = str(tmp_path / "src"); os.makedirs(src)
+    ledger = str(tmp_path / "hledger")
+    out = str(tmp_path / "out")
+    init_hamming_ledger(
+        spark.createDataFrame([(0, seed)], "id long, dhash long"),
+        ledger, max_hamming=6,
+    )
+
+    _write_fp_batch(spark, src, "b1", [(1, near_seed), (2, novel1)])
+
+    def drain(ckpt):
+        stream = stream_from_directory(spark, src + "/*/", schema)
+        q = hamming_dedup_stream(
+            stream, "fp", "media_id", ledger, out, ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    drain(str(tmp_path / "ckpt1"))
+    landed = spark.read.parquet(*_glob.glob(out + "/ingest_run=*/ingest_batch=*"))
+    assert {r["id"] for r in landed.collect()} == {2}
+
+    # run 2: a near-dup of run-1's SURVIVOR must now be rejected
+    _write_fp_batch(spark, src, "b2", [(3, near_novel1), (4, novel2)])
+    drain(str(tmp_path / "ckpt2"))
+    landed = spark.read.parquet(*_glob.glob(out + "/ingest_run=*/ingest_batch=*"))
+    assert {r["id"] for r in landed.collect()} == {2, 4}
+
+
+def test_hamming_stream_replay_marker_skip_and_heal(spark, tmp_path):
+    """Calling the handler twice with the same batch_id must not
+    rewrite the landed output and must re-append ledger block state
+    (the heal window between land and append), with decisions staying
+    correct despite the duplicate posting rows."""
+    from muller_spark.operators.dedup import (
+        hamming_against_ledger, init_hamming_ledger,
+    )
+    from muller_spark.streaming.windows import make_hamming_batch_handler
+
+    ledger = str(tmp_path / "hledger")
+    out = str(tmp_path / "out")
+    init_hamming_ledger(
+        spark.createDataFrame([(0, 0)], "id long, dhash long"),
+        ledger, max_hamming=6,
+    )
+    handler = make_hamming_batch_handler(
+        "fp", "media_id", ledger, out, run_ns="testns"
+    )
+    novel = int("1" * 20, 2)
+    batch = spark.createDataFrame([(10, novel)], "media_id long, fp long")
+    handler(batch, 0)
+    landed_dir = f"{out}/ingest_run=testns/ingest_batch=0"
+    first_mtime = os.path.getmtime(os.path.join(landed_dir, "_SUCCESS"))
+    n_block_rows = spark.read.parquet(os.path.join(ledger, "blocks")).count()
+
+    handler(batch, 0)  # replay
+    assert os.path.getmtime(
+        os.path.join(landed_dir, "_SUCCESS")
+    ) == first_mtime  # marker skip: output not rewritten
+    n_after = spark.read.parquet(os.path.join(ledger, "blocks")).count()
+    assert n_after > n_block_rows  # heal re-appended (duplicates harmless)
+
+    out2 = hamming_against_ledger(
+        spark.createDataFrame(
+            [(11, novel ^ 0b1), (12, 0x5555000000000000)],
+            "id long, dhash long",
+        ),
+        ledger, update=False,
+    )
+    assert {r["id"] for r in out2.collect()} == {12}
+
+
+def test_hamming_stream_empty_and_null_batches_no_op(spark, tmp_path):
+    """A batch of only NULL fingerprints must land nothing and append
+    nothing (no marker, no empty ledger churn)."""
+    from muller_spark.operators.dedup import init_hamming_ledger
+    from muller_spark.streaming.windows import make_hamming_batch_handler
+
+    ledger = str(tmp_path / "hledger")
+    out = str(tmp_path / "out")
+    init_hamming_ledger(
+        spark.createDataFrame([(0, 0)], "id long, dhash long"),
+        ledger, max_hamming=6,
+    )
+    handler = make_hamming_batch_handler(
+        "fp", "media_id", ledger, out, run_ns="ns2"
+    )
+    n0 = spark.read.parquet(os.path.join(ledger, "blocks")).count()
+    handler(
+        spark.createDataFrame([(1, None)], "media_id long, fp long"), 0
+    )
+    assert not os.path.exists(f"{out}/ingest_run=ns2/ingest_batch=0")
+    assert spark.read.parquet(os.path.join(ledger, "blocks")).count() == n0
