@@ -109,6 +109,7 @@ def decode_avi_frames(
     raw: bytes,
     max_frames: "int | None" = None,
     max_pixels: int = 1 << 26,
+    decoder: str = "exact",
 ):
     """Decode an MJPEG AVI to a list of ``(h, w, 3)`` uint8 RGB frames,
     or None if the container is unparseable / holds no decodable
@@ -118,9 +119,23 @@ def decode_avi_frames(
     (bomb-shaped SOF dims must not reach the pixel allocator);
     ``LIST rec `` groupings are descended.  Never raises on hostile
     bytes — the task-kill-proof contract shared with
-    :func:`muller_spark.multimodal.gif.decode_gif_frames`."""
+    :func:`muller_spark.multimodal.gif.decode_gif_frames`.
+
+    ``decoder="fast"`` decodes frames with PIL's libjpeg when
+    installed (same tiering and determinism contract as
+    ``codecs.decode_pixels_fast``: identical to ``"exact"`` when PIL
+    is absent; JPEG IDCT rounding may differ when present, so pin one
+    tier per fingerprint ledger)."""
+    if decoder not in ("exact", "fast"):
+        raise ValueError(f"unknown decoder {decoder!r}")
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
         return None
+    pil = None
+    if decoder == "fast":
+        try:
+            from PIL import Image as pil  # type: ignore
+        except ImportError:
+            pil = None
     frames: list = []
 
     def walk(lo: int, hi: int, depth: int) -> bool:
@@ -141,7 +156,15 @@ def decode_avi_frames(
                     dims = _sof_dims(payload)
                     if dims is not None and dims[0] * dims[1] <= max_pixels:
                         try:
-                            px = decode_jpeg(payload)
+                            if pil is not None:
+                                import io
+
+                                with pil.open(io.BytesIO(payload)) as img:
+                                    px = np.asarray(
+                                        img.convert("RGB"), dtype=np.uint8
+                                    )
+                            else:
+                                px = decode_jpeg(payload)
                         except Exception:
                             px = None  # corrupt frame: skip, keep walking
                         if px is not None:
@@ -188,12 +211,18 @@ def decode_video_frames(
     raw: bytes,
     max_frames: "int | None" = None,
     max_pixels: int = 1 << 26,
+    decoder: str = "exact",
 ):
     """Container-sniffing video decode: animated GIF and MJPEG AVI are
     the two zero-dependency families; anything else returns None (the
     ``av``-gated lane).  The single entry point the video near-dup /
     frame-sampling kernels call, so adding a container automatically
-    extends every video pipeline."""
+    extends every video pipeline.  ``decoder`` forwards to the AVI
+    frame decode (PIL fast tier); the GIF path is always the exact
+    zero-dep composition — PIL's own GIF canvas/disposal handling is
+    not guaranteed to match it bit-for-bit, and GIF decode is cheap
+    (LZW, no IDCT), so there is nothing worth trading determinism
+    for."""
     if raw is None:
         return None
     if raw[:6] in (b"GIF87a", b"GIF89a"):
@@ -203,5 +232,5 @@ def decode_video_frames(
                                  max_pixels=max_pixels)
     if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
         return decode_avi_frames(raw, max_frames=max_frames,
-                                 max_pixels=max_pixels)
+                                 max_pixels=max_pixels, decoder=decoder)
     return None

@@ -236,6 +236,40 @@ def encode_png(arr) -> bytes:
     )
 
 
+def decode_pixels_fast(raw: bytes):
+    """PIL-preferred pixel decode with the zero-dependency fallback —
+    the optional fast tier for the fingerprint kernels (round 10,
+    mirroring ``multimodal/media.resize_images``'s tiering): when PIL
+    is installed, libjpeg-backed decode is orders of magnitude faster
+    than the pure-Python IDCT on real photo corpora; when it is not
+    (this container), the call IS :func:`decode_pixels`, bit for bit.
+
+    Determinism contract: for LOSSLESS formats (PNG/BMP/GIF frame 1)
+    both tiers reconstruct the encoded RGB exactly, so fingerprints
+    are bit-identical across environments; baseline JPEG may differ by
+    IDCT rounding between libjpeg and the built-in decoder, so a
+    persisted fingerprint LEDGER must be built and queried with ONE
+    tier (the kernels default to the exact tier for that reason —
+    opt into ``decoder="fast"`` per deployment, not per job).  Never
+    raises; undecodable payloads return None."""
+    pil = None
+    try:
+        from PIL import Image as pil  # type: ignore
+    except ImportError:
+        pass
+    if pil is not None and raw:
+        import io
+
+        import numpy as np
+
+        try:
+            with pil.open(io.BytesIO(bytes(raw))) as img:
+                return np.asarray(img.convert("RGB"), dtype=np.uint8)
+        except Exception:
+            pass  # fall through: PIL rejects it, maybe we don't (PPM)
+    return decode_pixels(raw)
+
+
 def decode_pixels(raw: bytes):
     """numpy (h, w, c) uint8 array for the formats decodable without
     libraries (BMP 24-bit bottom-up, binary PPM P6, 8-bit

@@ -1417,6 +1417,7 @@ def image_dhash(
     binary_col: str,
     id_col: str,
     hash_size: int = 8,
+    decoder: str = "exact",
 ) -> DataFrame:
     """Perceptual difference hash (dHash) of an image ``binary``
     column: decode (the repo's zero-dep codecs —
@@ -1433,20 +1434,34 @@ def image_dhash(
     dhash for undecodable payloads (one corrupt file must yield a NULL
     row, never a task kill; the codec contract).  Arrow-batched
     mapInPandas, map-only — at 100 TB this is the linear scan that
-    feeds the bucketed pair stage (:func:`image_near_dups`)."""
+    feeds the bucketed pair stage (:func:`image_near_dups`).
+
+    ``decoder``: ``"exact"`` (default) decodes with the zero-dep
+    codecs — platform-deterministic, the tier a persisted fingerprint
+    ledger must standardize on; ``"fast"`` prefers PIL when installed
+    (``multimodal/codecs.decode_pixels_fast`` — libjpeg is orders of
+    magnitude faster on real JPEG photo corpora) and IS the exact tier
+    when PIL is absent.  Lossless formats hash bit-identically on both
+    tiers; baseline JPEG may differ by IDCT rounding, so pick one tier
+    per deployment (see decode_pixels_fast)."""
     if not 2 <= hash_size <= 8:
         raise ValueError("hash_size must be in [2, 8] (64-bit packing)")
+    if decoder not in ("exact", "fast"):
+        raise ValueError(f"unknown decoder {decoder!r}")
 
     def kernel(iterator):
         import pandas as pd
 
-        from muller_spark.multimodal.codecs import decode_pixels
+        from muller_spark.multimodal.codecs import (
+            decode_pixels, decode_pixels_fast,
+        )
 
+        decode = decode_pixels if decoder == "exact" else decode_pixels_fast
         for pdf in iterator:
             ids, hashes, hh, ww = [], [], [], []
             for rid, raw in zip(pdf[id_col], pdf[binary_col]):
                 ids.append(rid)
-                pix = decode_pixels(bytes(raw)) if raw is not None else None
+                pix = decode(bytes(raw)) if raw is not None else None
                 if pix is None:
                     hashes.append(None); hh.append(None); ww.append(None)
                     continue
@@ -1499,6 +1514,7 @@ def video_frame_hashes(
     every_n: int = 1,
     hash_size: int = 8,
     max_frames: int = 256,
+    decoder: str = "exact",
 ) -> DataFrame:
     """Per-frame perceptual hashes of a video binary column:
     ``multimodal/avi.decode_video_frames`` (the zero-dependency
@@ -1508,9 +1524,15 @@ def video_frame_hashes(
     ``every_n``-th, capped at ``max_frames`` decoded).  Returns
     ``(id, frame_index int, dhash long)`` — clips that fail to decode
     yield no rows.  Map-only; the linear scan feeding
-    :func:`video_near_dups`."""
+    :func:`video_near_dups`.
+
+    ``decoder="fast"`` forwards the PIL tier to the MJPEG-AVI frame
+    decode (see :func:`image_dhash` — same determinism contract; the
+    GIF path stays exact either way)."""
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
+    if decoder not in ("exact", "fast"):
+        raise ValueError(f"unknown decoder {decoder!r}")
 
     def kernel(iterator):
         import pandas as pd
@@ -1535,7 +1557,9 @@ def video_frame_hashes(
                     )
                 try:
                     frames = (
-                        decode_video_frames(bytes(raw), max_frames=max_frames)
+                        decode_video_frames(bytes(raw),
+                                            max_frames=max_frames,
+                                            decoder=decoder)
                         if raw is not None else None
                     )
                 except Exception:

@@ -197,3 +197,67 @@ def test_sample_video_frames_real_avi_path(spark):
     for r in out:
         want = hashlib.md5(decoded[r["frame_index"]].tobytes()).hexdigest()
         assert r["frame_checksum"] == want
+
+
+def _have_pil():
+    try:
+        import PIL  # type: ignore  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_fast_decoder_tier_contract(spark):
+    """Round 10: the fingerprint kernels gained a decoder='fast' PIL
+    tier.  In THIS environment PIL is absent, so the contract to pin
+    is: fast output is BIT-IDENTICAL to exact (the fallback IS the
+    exact path), and invalid decoder names are rejected everywhere."""
+    from muller_spark.multimodal.codecs import (
+        decode_pixels, decode_pixels_fast, encode_png,
+    )
+    from muller_spark.operators.dedup import image_dhash, video_frame_hashes
+
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (24, 24, 3), dtype=np.uint8)
+    png = encode_png(img)
+    assert np.array_equal(decode_pixels_fast(png), decode_pixels(png))
+    assert decode_pixels_fast(b"junk") is None
+
+    rows = [(1, bytearray(png)),
+            (2, bytearray(encode_avi_mjpeg(_blocky_frames(3, 16, 16))))]
+    imgs = spark.createDataFrame(rows[:1], "img_id long, data binary")
+    exact = image_dhash(imgs, "data", "img_id").collect()
+    fast = image_dhash(imgs, "data", "img_id", decoder="fast").collect()
+    assert [r.asDict() for r in exact] == [r.asDict() for r in fast]
+
+    clips = spark.createDataFrame(rows[1:], "clip_id long, data binary")
+    ve = {(r["id"], r["frame_index"]): r["dhash"]
+          for r in video_frame_hashes(clips, "data", "clip_id").collect()}
+    vf = {(r["id"], r["frame_index"]): r["dhash"]
+          for r in video_frame_hashes(
+              clips, "data", "clip_id", decoder="fast").collect()}
+    assert ve == vf and ve
+
+    with pytest.raises(ValueError, match="decoder"):
+        image_dhash(imgs, "data", "img_id", decoder="pil")
+    with pytest.raises(ValueError, match="decoder"):
+        video_frame_hashes(clips, "data", "clip_id", decoder="pil")
+    with pytest.raises(ValueError, match="decoder"):
+        decode_avi_frames(b"RIFF\x00\x00\x00\x00AVI ", decoder="pil")
+
+
+@pytest.mark.skipif(not _have_pil(), reason="PIL not installed here")
+def test_fast_tier_lossless_bit_identity_with_pil():
+    """Runs only where PIL IS installed: lossless formats (PNG) must
+    decode bit-identically on both tiers — the property that makes
+    fingerprints portable across environments for lossless corpora."""
+    from muller_spark.multimodal.codecs import (
+        decode_pixels, decode_pixels_fast, encode_png,
+    )
+
+    rng = np.random.RandomState(33)
+    for shape in ((8, 8, 3), (31, 17, 3)):
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        png = encode_png(img)
+        assert np.array_equal(decode_pixels_fast(png), decode_pixels(png))
