@@ -1307,6 +1307,63 @@ def q_neardup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id").orderBy("doc_id")
 
 
+def _synthetic_fingerprints(docs: DataFrame) -> DataFrame:
+    """Deterministic (id, dhash) frame for the Hamming-ledger oracle:
+    sibling docs 2m / 2m+1 share a Knuth-spread 32-bit base placed in
+    bits 8..39, and the odd sibling gets a planted low-byte
+    perturbation of popcount 1 / 3 / 6 / 8 by m % 4 — so at
+    max_hamming=6 three quarters of the odd batch are designed ledger
+    near-dups and the 8-bit quarter survives (modulo accidental
+    cross-sibling hits, which the brute-force oracle replays exactly).
+    Pure integer arithmetic, bit-identical in Spark and DuckDB."""
+    m = F.expr("doc_id DIV 2")
+    base = (m * F.lit(2654435761)) % F.lit(4294967296)
+    pert = F.expr(
+        "CASE (doc_id DIV 2) % 4 WHEN 0 THEN 1 WHEN 1 THEN 7 "
+        "WHEN 2 THEN 63 ELSE 255 END"
+    )
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        (base * 256 + (F.col("doc_id") % 2) * pert).alias("dhash"),
+    )
+
+
+def q_hamming_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Hamming fingerprint ledger
+    (operators/dedup.hamming_against_ledger — the MEDIA ingest flow:
+    image dHash / audio Haitsma-Kalker / video frame hashes land here
+    at 100 TB): seed the pigeonhole block-posting ledger from the even
+    ids' synthetic fingerprints, then filter the odd batch to rows
+    with NO ledger fingerprint within Hamming 6.  Candidates are
+    complete by the pigeonhole theorem (7 disjoint blocks, radius 6),
+    so the DuckDB oracle can brute-force the exact bit_count(xor)
+    relation — any candidate-generation recall loss hash-mismatches
+    here.  Fingerprints are SQL-expressible on purpose (the media
+    kernels' decode outputs aren't), built by _synthetic_fingerprints;
+    the ledger seed is session-cached, the batch decision runs live
+    (update=False: dry-run, ledger untouched)."""
+    from muller_spark.operators.dedup import (
+        hamming_against_ledger,
+        init_hamming_ledger,
+    )
+
+    fp = _synthetic_fingerprints(_t(spark, sf_dir, "documents"))
+
+    def build():
+        path = os.path.join(_demo_tmpdir("hamledger_"), "ledger")
+        init_hamming_ledger(
+            fp.filter(F.col("id") % 2 == 0), path,
+            max_hamming=6, nbits=64,
+        )
+        return path
+
+    path = _demo_cached("hamledger", sf_dir, spark, build)
+    out = hamming_against_ledger(
+        fp.filter(F.col("id") % 2 == 1), path, update=False,
+    )
+    return out.select("id", "dhash").orderBy("id")
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences (operators/analytics.event_transitions): one user-keyed
@@ -3633,7 +3690,7 @@ def _merge_scenario(spark: SparkSession, sf_dir: str):
             docs.filter((F.col("doc_id") >= 240) & (F.col("doc_id") < 260))
             .orderBy("doc_id")
         )
-        ds.commit("theirs edits")
+        c_theirs = ds.commit("theirs edits")
 
         ds.checkout("main")
         for d in (20, 40):
@@ -3643,7 +3700,7 @@ def _merge_scenario(spark: SparkSession, sf_dir: str):
             docs.filter((F.col("doc_id") >= 260) & (F.col("doc_id") < 280))
             .orderBy("doc_id")
         )
-        ds.commit("ours edits")
+        c_ours = ds.commit("ours edits")
 
         report = ds.detect_merge_conflict("theirs", as_dict=False)
         # materialize the report's plan against the pre-merge
@@ -3657,7 +3714,7 @@ def _merge_scenario(spark: SparkSession, sf_dir: str):
             update_resolution="theirs",
             pop_resolution="ours",
         )
-        return ds, report
+        return ds, report, c_theirs, c_ours
 
     return _demo_cached("merge3way", sf_dir, spark, build)
 
@@ -3672,7 +3729,7 @@ def q_merge_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     while our own pop stays dropped (doc 7), and append='both' lands
     both branches' appends (docs 240..279).  The oracle replays the
     matrix as CASE arms over the raw documents table."""
-    ds, _ = _merge_scenario(spark, sf_dir)
+    ds, _, _, _ = _merge_scenario(spark, sf_dir)
     return ds.to_df().select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_chars").cast("long").alias("n_chars"),
@@ -3692,11 +3749,33 @@ def q_merge_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     after its pop, doc_id-1 on theirs).  Uuids are salted-random by
     design (rowid._assign_ids) so the query projects the deterministic
     columns only."""
-    _, report = _merge_scenario(spark, sf_dir)
+    _, report, _, _ = _merge_scenario(spark, sf_dir)
     return report.select(
         "kind", "tensor", "our_index", "their_index",
         "our_value", "their_value",
     )
+
+
+def q_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit diff reports (Dataset.diff(as_dict=False) →
+    versioning/merge.snapshot_diff_df, the distributed never-collects
+    lane; reference operations/diff.py:188-355): both _merge_scenario
+    branch heads diffed against their LCA in one call, emitted as one
+    frame with a ``side`` label.  Value-checks every diff lane —
+    per-tensor updates with old/new values, pops at their BASE
+    position, appends at their branch-local (post-pop renumbered)
+    position — against a CASE-arm replay on the raw documents table.
+    Uuids are salted-random by design, so the query projects the
+    deterministic columns."""
+    ds, _, c_theirs, c_ours = _merge_scenario(spark, sf_dir)
+    reports = ds.diff(c_theirs, c_ours, as_dict=False)
+    parts = []
+    for side, commit_id in (("theirs", c_theirs), ("ours", c_ours)):
+        parts.append(reports[commit_id].select(
+            F.lit(side).alias("side"), "kind", "tensor", "index",
+            "old_value", "new_value",
+        ))
+    return parts[0].unionByName(parts[1])
 
 
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4061,6 +4140,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_version_drift": q_version_drift,
     "q_merge_resolution": q_merge_resolution,
     "q_merge_conflicts": q_merge_conflicts,
+    "q_diff_report": q_diff_report,
+    "q_hamming_ledger": q_hamming_ledger,
     "q_hll_distinct": q_hll_distinct,
     "q_hll_by_group": q_hll_by_group,
     "q_cms_topk": q_cms_topk,
@@ -5089,6 +5170,44 @@ _ORACLES: dict[str, str] = {
                CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
         FROM documents WHERE doc_id >= 240 AND doc_id < 260
         ORDER BY kind, our_index, their_index
+    """,
+    # replays both _merge_scenario branch diffs vs the LCA from the
+    # raw table: each branch's appends at branch-local post-pop
+    # positions (240 base rows - 1 pop = append start 239), its pop at
+    # the BASE position, and its n_chars updates at post-pop positions
+    # (every updated doc sits after the popped doc, so index is
+    # doc_id - 1 on both sides) with old = raw n_chars, new = the
+    # branch constant + doc_id
+    "q_diff_report": """
+        SELECT 'theirs' AS side, 'appended' AS kind,
+               CAST(NULL AS VARCHAR) AS tensor,
+               doc_id - 1 AS "index",
+               CAST(NULL AS VARCHAR) AS old_value,
+               CAST(NULL AS VARCHAR) AS new_value
+        FROM documents WHERE doc_id >= 240 AND doc_id < 260
+        UNION ALL
+        SELECT 'theirs', 'popped', CAST(NULL AS VARCHAR), doc_id,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM documents WHERE doc_id = 5
+        UNION ALL
+        SELECT 'theirs', 'updated', 'n_chars', doc_id - 1,
+               CAST(n_chars AS VARCHAR),
+               CAST(100000 + doc_id AS VARCHAR)
+        FROM documents WHERE doc_id IN (10, 20, 30)
+        UNION ALL
+        SELECT 'ours', 'appended', CAST(NULL AS VARCHAR), doc_id - 21,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM documents WHERE doc_id >= 260 AND doc_id < 280
+        UNION ALL
+        SELECT 'ours', 'popped', CAST(NULL AS VARCHAR), doc_id,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM documents WHERE doc_id = 7
+        UNION ALL
+        SELECT 'ours', 'updated', 'n_chars', doc_id - 1,
+               CAST(n_chars AS VARCHAR),
+               CAST(200000 + doc_id AS VARCHAR)
+        FROM documents WHERE doc_id IN (20, 40)
+        ORDER BY side, kind, "index"
     """,
     # replays q_version_drift's commit slices from the raw table:
     # v1 = doc_id < 300, HEAD = all rows — value-checks time travel
@@ -7704,6 +7823,31 @@ _ORACLES["q_neardup_ledger"] = f"""
     SELECT doc_id FROM od
     WHERE doc_id NOT IN (SELECT doc_id FROM dup)
     ORDER BY doc_id
+"""
+
+# q_hamming_ledger: the media ledger's admit set vs the brute-force
+# bit_count(xor) relation over the same synthetic fingerprints
+# (_synthetic_fingerprints' arithmetic replayed verbatim) — pigeonhole
+# candidate generation is complete by theorem, so hashing equal is an
+# implementation assertion, not a recall measurement.
+_ORACLES["q_hamming_ledger"] = """
+    WITH fp AS (
+      SELECT doc_id AS id,
+             ((doc_id // 2) * 2654435761) % 4294967296 * 256
+             + (doc_id % 2) * (CASE (doc_id // 2) % 4
+                               WHEN 0 THEN 1 WHEN 1 THEN 7
+                               WHEN 2 THEN 63 ELSE 255 END) AS dhash
+      FROM documents
+    ), ev AS (
+      SELECT dhash AS edhash FROM fp WHERE id % 2 = 0
+    ), od AS (
+      SELECT id, dhash FROM fp WHERE id % 2 = 1
+    )
+    SELECT id, dhash FROM od o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ev e WHERE bit_count(xor(o.dhash, e.edhash)) <= 6
+    )
+    ORDER BY id
 """
 
 
