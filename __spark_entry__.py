@@ -848,6 +848,56 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs).orderBy("id")
 
 
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diameter-independent connected components
+    (operators/components.connected_components — alternating
+    large-star/small-star, Kiveris et al. SoCC'14): the fixture links
+    rank-consecutive documents per source (rank = row_number over
+    doc_id), so every source is ONE chain whose diameter grows with sf
+    — 25 at sf0.01, 250 at sf0.1 — the exact shape where
+    dedup_clusters' one-hop-per-round min-label propagation needs
+    O(diameter) rounds and the star algorithm needs O(log n).  Oracle =
+    DuckDB recursive-CTE reachability, so labels are value-checked."""
+    from pyspark.sql import Window
+
+    from muller_spark.operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("rk")
+    )
+    edges = (
+        ranked.alias("a")
+        .join(
+            ranked.alias("b"),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("b.rk") == F.col("a.rk") + 1),
+        )
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+    )
+    return connected_components(edges).orderBy("id")
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p50/p90/p99 of document length through the mergeable
+    MRL quantile sketch (operators/quantiles.quantile_report): bounded
+    partial sketches per partition → one shuffle of sketch rows → per-
+    group merge → weighted-rank answers.  At this scale (≤ k rows per
+    group) the sketch is exact, so the oracle value-checks the full
+    pipeline against explicit rank selection; the compaction regime's
+    rank-error bound is pinned by tests/test_quantiles.py instead (an
+    approximate answer has no row-equal SQL oracle by construction)."""
+    from muller_spark.operators.quantiles import quantile_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return quantile_report(
+        docs, "n_chars", [0.5, 0.9, 0.99], group_cols=["source"], k=1024
+    ).orderBy("source", "q")
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination report
     (operators/dedup.contamination_report): documents from source
@@ -4214,6 +4264,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_hybrid": q_knn_hybrid,
     "q_dup_passages": q_dup_passages,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_connected_components": q_connected_components,
+    "q_quantile_sketch": q_quantile_sketch,
     "q_decontamination": q_decontamination,
     "q_funnel": q_funnel,
     "q_funnel_windowed": q_funnel_windowed,
@@ -5874,6 +5926,43 @@ _ORACLES: dict[str, str] = {
           FROM reach JOIN edges e ON e.src = reach.id
         )
         SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
+    """,
+    "q_connected_components": """
+        WITH RECURSIVE ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+          FROM documents
+        ), pairs AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM ranked a
+          JOIN ranked b ON a.source = b.source AND b.rk = a.rk + 1
+        ), edges AS (
+          SELECT src, dst FROM pairs
+          UNION
+          SELECT dst, src FROM pairs
+        ), reach AS (
+          SELECT DISTINCT src AS id, src AS r FROM edges
+          UNION
+          SELECT e.dst AS id, reach.r
+          FROM reach JOIN edges e ON e.src = reach.id
+        )
+        SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id
+    """,
+    "q_quantile_sketch": """
+        WITH qs AS (
+          SELECT cast(unnest([0.5, 0.9, 0.99]) AS double) AS q
+        ), ordered AS (
+          SELECT source, cast(n_chars AS double) AS v,
+                 row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM documents
+          WHERE n_chars IS NOT NULL
+        )
+        SELECT o.source, qs.q, min(o.v) AS value
+        FROM ordered o CROSS JOIN qs
+        WHERE o.rn >= greatest(1, ceil(qs.q * o.n))
+        GROUP BY o.source, qs.q
+        ORDER BY source, q
     """,
     "q_decontamination": f"""
         WITH toks AS (

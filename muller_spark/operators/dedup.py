@@ -1057,6 +1057,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: the stage
     after MinHash/SimHash pair generation that turns pairs into
@@ -1076,8 +1077,26 @@ def dedup_clusters(
     not converge — in that case this RAISES rather than silently
     returning the component split into several cluster_ids (which would
     let duplicates survive as multiple "canonical" rows); raise the cap
-    or pre-contract long chains with a large-star/small-star pass.
+    or pass ``algorithm="star"``.
+
+    ``algorithm="star"`` delegates to the alternating large-star /
+    small-star pass (:func:`muller_spark.operators.components.
+    connected_components`) — O(log n) rounds INDEPENDENT of component
+    diameter, the right choice when clusters may be chain-shaped
+    (drifting boilerplate, consecutive-crawl near-dups).  Output is
+    identical (min-member labels); ``max_iterations`` is ignored on
+    that path (the star pass has its own theorem-backed cap).
     """
+    if algorithm not in ("minlabel", "star"):
+        raise ValueError(
+            f"algorithm must be 'minlabel' or 'star', got {algorithm!r}"
+        )
+    if algorithm == "star":
+        from muller_spark.operators.components import connected_components
+
+        return connected_components(pairs, src=id_a, dst=id_b).select(
+            "id", F.col("component").alias("cluster_id")
+        )
     # localCheckpoint (not cache) each round: an iterative plan grows
     # lineage multiplicatively — by ~10 rounds the nested logical plan
     # overflows the analyzer stack and re-optimizes from scratch each

@@ -1,0 +1,115 @@
+"""connected_components (large-star/small-star) vs a Python union-find
+oracle, plus the convergence properties that justify its existence:
+diameter-independence (long chains) and the dedup_clusters parity.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from muller_spark.operators.components import connected_components
+from muller_spark.operators.dedup import dedup_clusters
+
+
+def _union_find(edges):
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    # min member per component
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in parent}
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, **kw)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 40, 25), (2, 60, 60), (3, 30, 90)])
+def test_random_graphs_match_union_find(spark, seed, n, m):
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    expect = _union_find(edges)
+    got = _run(spark, edges)
+    assert got == expect
+
+
+def test_long_chain_is_diameter_independent(spark):
+    # a 512-node chain has diameter 511: min-label would need 511
+    # rounds; the star algorithm must converge within ~log2(512)+slack
+    edges = [(i, i + 1) for i in range(511)]
+    got = _run(spark, edges, max_rounds=15)
+    assert got == {i: 0 for i in range(512)}
+
+
+def test_two_components_and_self_loops(spark):
+    edges = [(5, 3), (3, 9), (20, 21), (7, 7)]
+    got = _run(spark, edges)
+    # self-loop-only node 7 does not appear (documented contract)
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_string_ids(spark):
+    df = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], "src string, dst string"
+    )
+    out = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    out = connected_components(df)
+    assert out.columns == ["id", "component"]
+    assert out.count() == 0
+
+
+def test_nonconvergence_raises(spark):
+    # max_rounds=0 exhausts the loop without ever converging
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_rounds=0)
+
+
+def test_dedup_clusters_star_parity(spark):
+    """dedup_clusters(algorithm='star') must label identically to the
+    default min-label propagation on the same pair graph."""
+    rng = random.Random(7)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    minlabel = {
+        r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    star = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, algorithm="star").collect()
+    }
+    assert star == minlabel == _union_find(edges)
+
+
+def test_dedup_clusters_rejects_unknown_algorithm(spark):
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="algorithm"):
+        dedup_clusters(pairs, algorithm="bogus")

@@ -1,0 +1,150 @@
+"""MRL quantile sketch: exact-regime parity, compaction-regime rank
+error bounds, merge bounds, and determinism (the properties the
+module's docstring promises)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from muller_spark.operators.quantiles import (
+    _MRL,
+    quantile_report,
+    quantile_sketch,
+    quantile_values,
+)
+
+PHIS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+
+def _exact_lower_quantile(values, phi):
+    s = sorted(values)
+    return s[max(1, math.ceil(phi * len(s))) - 1]
+
+
+def _rank_error(values, phi, got):
+    """|rank(got) - phi*n| as a fraction of n, using the closest rank
+    any duplicate of `got` occupies."""
+    s = sorted(values)
+    n = len(s)
+    target = max(1, math.ceil(phi * n))
+    lo = np.searchsorted(s, got, side="left") + 1
+    hi = np.searchsorted(s, got, side="right")
+    if lo <= target <= hi:
+        return 0.0
+    return min(abs(lo - target), abs(hi - target)) / n
+
+
+# ---------------------------------------------------------------- _MRL unit
+
+
+def test_exact_regime_is_exact():
+    rng = random.Random(11)
+    vals = [rng.uniform(-50, 50) for _ in range(200)]
+    sk = _MRL(256)
+    sk.add(np.array(vals))
+    assert sk.total_weight() == 200
+    for phi, got in sk.quantiles(PHIS):
+        assert got == _exact_lower_quantile(vals, phi)
+
+
+@pytest.mark.parametrize("k,n,bound", [(64, 20000, 0.10), (256, 20000, 0.03)])
+def test_compaction_rank_error_bound(k, n, bound):
+    rng = random.Random(13)
+    vals = [rng.gauss(0, 1) for _ in range(n)]
+    sk = _MRL(k)
+    for i in range(0, n, 777):  # uneven batches exercise compaction paths
+        sk.add(np.array(vals[i:i + 777]))
+    assert sk.total_weight() == n
+    stored = sum(v.size for v in sk.levels)
+    assert stored <= k * (math.log2(n / k) + 3)  # bounded summary
+    for phi, got in sk.quantiles(PHIS):
+        assert _rank_error(vals, phi, got) <= bound, phi
+
+
+def test_merge_preserves_bound_and_weight():
+    rng = random.Random(17)
+    a = [rng.uniform(0, 1000) for _ in range(8000)]
+    b = [rng.uniform(500, 1500) for _ in range(12000)]
+    sa, sb = _MRL(128), _MRL(128)
+    sa.add(np.array(a))
+    sb.add(np.array(b))
+    sa.merge(sb)
+    assert sa.total_weight() == 20000
+    for phi, got in sa.quantiles(PHIS):
+        assert _rank_error(a + b, phi, got) <= 0.06, phi
+
+
+def test_determinism():
+    vals = np.array([math.sin(i) * 100 for i in range(5000)])
+    s1, s2 = _MRL(64), _MRL(64)
+    s1.add(vals)
+    s2.add(vals)
+    assert list(s1.rows()) == list(s2.rows())
+
+
+def test_nan_and_empty():
+    sk = _MRL(32)
+    sk.add(np.array([np.nan, np.nan]))
+    assert sk.total_weight() == 0
+    assert sk.quantiles([0.5]) == []
+
+
+def test_small_k_rejected():
+    with pytest.raises(ValueError, match="k must be"):
+        _MRL(4)
+
+
+# ------------------------------------------------------------- Spark level
+
+
+def test_spark_exact_regime_per_group(spark):
+    rng = random.Random(23)
+    rows = [
+        (f"g{i % 5}", float(rng.randrange(1000))) for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in quantile_report(
+            df, "v", [0.5, 0.9], group_cols=["g"], k=512
+        ).collect()
+    }
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        for phi in (0.5, 0.9):
+            assert got[(g, phi)] == _exact_lower_quantile(vals, phi)
+
+
+def test_spark_global_sketch_compaction_bound(spark):
+    rng = random.Random(29)
+    vals = [rng.gauss(100, 15) for _ in range(30000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(8)
+    sk = quantile_sketch(df, "v", k=128)
+    n_rows = sk.count()
+    assert n_rows <= 128 * (math.log2(30000 / 128) + 4)
+    got = {
+        r["q"]: r["value"]
+        for r in quantile_values(sk, [0.1, 0.5, 0.99]).collect()
+    }
+    for phi, val in got.items():
+        assert _rank_error(vals, phi, val) <= 0.05, phi
+
+
+def test_spark_nulls_dropped(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("a", 2.0)], "g string, v double"
+    )
+    got = quantile_report(df, "v", [1.0], group_cols=["g"], k=64).collect()
+    assert got[0]["value"] == 3.0
+
+
+def test_quantile_values_rejects_bad_phi(spark):
+    df = spark.createDataFrame([(0, 1.0)], "level int, value double")
+    with pytest.raises(ValueError, match="quantiles must be"):
+        quantile_values(df, [0.0])
