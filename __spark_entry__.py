@@ -898,6 +898,41 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "q")
 
 
+def q_agg_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental AGGREGATE ledger
+    (operators/aggregate.agg_ledger_report): documents ingested in
+    three doc_id%3 batches into an LSM-style partial-aggregate log
+    (ingest = one map-side aggregate of the batch, zero reads of prior
+    state), then compacted, then reported per source.  The oracle
+    recomputes the per-source statistics from the full table in one
+    shot — so batch-split invariance, decimal-sum exactness, AND
+    compaction equivalence are all value-checked by the hash.  Ledger
+    build is session-cached (_demo_cached); the merge-on-read report
+    runs live per call."""
+    from muller_spark.operators.aggregate import (
+        agg_ledger_ingest,
+        agg_ledger_report,
+        compact_agg_ledger,
+        init_agg_ledger,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def build():
+        path = os.path.join(_demo_tmpdir("aggledger_"), "ledger")
+        init_agg_ledger(
+            docs.filter(F.col("doc_id") % 3 == 0), ["source"], "n_chars",
+            path,
+        )
+        for r in (1, 2):
+            agg_ledger_ingest(docs.filter(F.col("doc_id") % 3 == r), path)
+        compact_agg_ledger(spark, path)
+        return path
+
+    path = _demo_cached("aggledger", sf_dir, spark, build)
+    return agg_ledger_report(spark, path).orderBy("source")
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination report
     (operators/dedup.contamination_report): documents from source
@@ -1451,6 +1486,22 @@ def q_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample(
         events, "user_id", "ts", "value", interval=3600, agg="avg",
         fill="ffill",
+    ).orderBy("user_id", "bucket")
+
+
+def q_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user resample with LINEAR interpolation of interior
+    gaps (operators/timeseries.resample fill='linear'): gap buckets
+    take prev + (next−prev)·(distance fraction) between the nearest
+    observed buckets; NULL-measured neighbors propagate NULL rather
+    than inventing data.  Oracle replays the same two ignore-nulls
+    windows and the identical double expression in DuckDB."""
+    from muller_spark.operators.timeseries import resample
+
+    events = _t(spark, sf_dir, "events")
+    return resample(
+        events, "user_id", "ts", "value", interval=3600, agg="avg",
+        fill="linear",
     ).orderBy("user_id", "bucket")
 
 
@@ -4266,6 +4317,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_connected_components": q_connected_components,
     "q_quantile_sketch": q_quantile_sketch,
+    "q_agg_ledger": q_agg_ledger,
     "q_decontamination": q_decontamination,
     "q_funnel": q_funnel,
     "q_funnel_windowed": q_funnel_windowed,
@@ -4336,6 +4388,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_curation_pipeline": q_curation_pipeline,
     "q_event_paths": q_event_paths,
     "q_resample_events": q_resample_events,
+    "q_resample_linear": q_resample_linear,
     "q_quality_filtered": q_quality_filtered,
     "q_source_overlap": q_source_overlap,
     "q_bigram_logprob": q_bigram_logprob,
@@ -5964,6 +6017,24 @@ _ORACLES: dict[str, str] = {
         GROUP BY o.source, qs.q
         ORDER BY source, q
     """,
+    "q_agg_ledger": """
+        WITH s AS (
+          SELECT source,
+                 count(*) AS cnt,
+                 count(n_chars) AS nn,
+                 cast(sum(n_chars) AS double) AS sum_d,
+                 cast(sum(n_chars * n_chars) AS double) AS sumsq_d,
+                 cast(min(n_chars) AS double) AS min_v,
+                 cast(max(n_chars) AS double) AS max_v
+          FROM documents GROUP BY source
+        )
+        SELECT source, cnt, nn, sum_d AS sum_v, min_v, max_v,
+               round(sum_d / nn, 6) AS mean_v,
+               round(sqrt(greatest(
+                 sumsq_d / nn - (sum_d / nn) * (sum_d / nn), 0.0)), 6
+               ) AS std_v
+        FROM s ORDER BY source
+    """,
     "q_decontamination": f"""
         WITH toks AS (
           SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents
@@ -7455,6 +7526,47 @@ _ORACLES: dict[str, str] = {
                ELSE v END AS value,
                was_gap
         FROM j
+        ORDER BY user_id, bucket
+    """,
+    "q_resample_linear": """
+        WITH per AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+                 round(avg(value), 6) AS v
+          FROM events GROUP BY user_id, bucket
+        ), rng AS (
+          SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+          FROM per GROUP BY user_id
+        ), spine AS (
+          SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket
+          FROM rng
+        ), j AS (
+          SELECT s.user_id, s.bucket, p.v,
+                 p.user_id IS NULL AS was_gap
+          FROM spine s LEFT JOIN per p
+            ON s.user_id = p.user_id AND s.bucket = p.bucket
+        ), w AS (
+          SELECT user_id, bucket, v, was_gap,
+                 last_value(
+                   CASE WHEN NOT was_gap THEN {'b': bucket, 'v': v} END
+                   IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS p,
+                 first_value(
+                   CASE WHEN NOT was_gap THEN {'b': bucket, 'v': v} END
+                   IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                 ) AS nx
+          FROM j
+        )
+        SELECT user_id, bucket,
+               CASE WHEN was_gap THEN
+                 p.v + (nx.v - p.v) * ((bucket - p.b) / (nx.b - p.b))
+               ELSE v END AS value,
+               was_gap
+        FROM w
         ORDER BY user_id, bucket
     """,
     "q_event_paths": """

@@ -639,3 +639,163 @@ def cms_frequency_report(
         .agg(F.min("c").alias("cms_estimate"))
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate ledger — materialized-view maintenance, LSM-style
+# ---------------------------------------------------------------------------
+
+def _agg_partials(df: DataFrame, key_cols: "Sequence[str]", value_col: str) -> DataFrame:
+    """One partial-aggregate row per key for a batch: the mergeable
+    tuple (cnt, nn, sum, sumsq, min, max).  Sums accumulate as
+    DECIMAL(38,6) — exact and order-independent for inputs with ≤ 6
+    fractional digits (integers always), so a report merged from any
+    batch split hashes identically to a one-shot aggregate."""
+    v = F.col(value_col)
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(value_col).alias("nn"),
+        F.sum(v.cast("decimal(38,6)")).cast("decimal(38,6)").alias("sum_v"),
+        F.sum(v.cast("decimal(19,6)") * v.cast("decimal(19,6)"))
+        .cast("decimal(38,6)")
+        .alias("sumsq_v"),
+        F.min(v).cast("double").alias("min_v"),
+        F.max(v).cast("double").alias("max_v"),
+    )
+
+
+def init_agg_ledger(
+    df: DataFrame,
+    key_cols: "Sequence[str]",
+    value_col: str,
+    path: str,
+) -> None:
+    """Seed a persistent incremental AGGREGATE ledger — materialized-
+    view maintenance for per-key statistics, the scalar twin of the
+    dedup/near-dup/Hamming ledgers in ``operators/dedup.py``.
+
+    A continuously-ingested corpus needs per-key reports (count, mean,
+    std, min, max per source/shard/day) without re-aggregating 100 TB
+    per batch.  The ledger stores PARTIAL aggregate rows, LSM-style:
+
+    - ``partials`` — one mergeable row per key per ingest
+      (``cnt, nn, sum_v, sumsq_v, min_v, max_v``); ingest APPENDS
+      partials — O(batch) map-side aggregation, zero reads of prior
+      state, no join, no shuffle of history;
+    - ``meta`` — one row pinning (key_cols, value_col); ingests sniff
+      the grouping from the artifact (the append_graph_vectors
+      discipline) so mixed-schema state is impossible.
+
+    Merge-on-read: :func:`agg_ledger_report` folds partials with a
+    keyed aggregate whose input is ≤ keys × ingests rows — never corpus
+    rows.  :func:`compact_agg_ledger` folds the log back to one row per
+    key when the ingest count grows.  Single-writer contract as
+    ``init_dedup_ledger``.
+    """
+    import json
+    import os
+
+    spark = df.sparkSession
+    keys = list(key_cols)
+    spark.createDataFrame(
+        [(json.dumps(keys), value_col)], "key_cols string, value_col string"
+    ).write.mode("error").parquet(os.path.join(path, "meta"))
+    _agg_partials(df, keys, value_col).write.mode("error").parquet(
+        os.path.join(path, "partials")
+    )
+
+
+def agg_ledger_ingest(batch: DataFrame, path: str) -> None:
+    """Fold one ingest batch into the ledger: one map-side partial
+    aggregate of the BATCH ONLY, appended to the partial log.  Never
+    reads prior partials — the O(batch) contract."""
+    import json
+    import os
+
+    spark = batch.sparkSession
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    keys = json.loads(meta["key_cols"])
+    _agg_partials(batch, keys, meta["value_col"]).write.mode(
+        "append"
+    ).parquet(os.path.join(path, "partials"))
+
+
+def agg_ledger_report(spark, path: str) -> DataFrame:
+    """Merge-on-read statistics: ``(keys…, cnt, nn, sum_v, min_v,
+    max_v, mean_v, std_v)`` folded from the partial log with one keyed
+    aggregate over ≤ keys × ingests rows.  ``mean_v`` = exact-decimal
+    sum / non-null count; ``std_v`` = population std from the sum-of-
+    squares identity, clamped at 0 against fp negativity — both rounded
+    to 6 dp (cross-engine stable).  Keys whose values were all NULL
+    report NULL sum/min/max/mean/std but keep their row counts."""
+    import json
+    import os
+
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    keys = json.loads(meta["key_cols"])
+    merged = (
+        spark.read.parquet(os.path.join(path, "partials"))
+        .groupBy(*keys)
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("nn").alias("nn"),
+            F.sum("sum_v").alias("sum_d"),
+            F.sum("sumsq_v").alias("sumsq_d"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+    nn = F.col("nn")
+    # exact decimal sums → double, then pure-double arithmetic: both
+    # engines perform the identical IEEE operations on identical inputs
+    mean = F.col("sum_d").cast("double") / nn
+    var = F.col("sumsq_d").cast("double") / nn - mean * mean
+    return merged.select(
+        *keys,
+        "cnt",
+        "nn",
+        F.col("sum_d").cast("double").alias("sum_v"),
+        "min_v",
+        "max_v",
+        F.round(F.when(nn > 0, mean), 6).alias("mean_v"),
+        F.round(F.when(nn > 0, F.sqrt(F.greatest(var, F.lit(0.0)))), 6).alias(
+            "std_v"
+        ),
+    )
+
+
+def compact_agg_ledger(spark, path: str) -> None:
+    """Fold the partial log back to ONE row per key (bounds merge-on-
+    read cost after many ingests).  Reports before and after compaction
+    are identical — decimal sums are order-independent by construction.
+    Write-temp-then-swap so a crashed compaction never loses the log."""
+    import json
+    import os
+    import shutil
+
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    keys = json.loads(meta["key_cols"])
+    part_dir = os.path.join(path, "partials")
+    folded = (
+        spark.read.parquet(part_dir)
+        .groupBy(*keys)
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("nn").alias("nn"),
+            F.sum("sum_v").alias("sum_v"),
+            F.sum("sumsq_v").alias("sumsq_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+        # restore the partial-log schema types (sum widened by the fold)
+        .select(
+            *keys, "cnt", "nn",
+            F.col("sum_v").cast("decimal(38,6)").alias("sum_v"),
+            F.col("sumsq_v").cast("decimal(38,6)").alias("sumsq_v"),
+            "min_v", "max_v",
+        )
+    )
+    tmp = part_dir + ".compact"
+    folded.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(part_dir)
+    os.replace(tmp, part_dir)

@@ -61,11 +61,23 @@ def resample(
     recent observed bucket's aggregate — including a NULL one (the
     fill repeats what was last measured; it never reaches past a NULL
     measurement to an older value); ``fill=None`` leaves gaps NULL.
+
+    ``fill='linear'`` interpolates GAP buckets between the nearest
+    observed bucket on each side, proportional to bucket distance —
+    the raw double expression over the already-rounded endpoints (not
+    re-rounded: it is bit-exact cross-engine as-is, while re-rounding
+    midpoints diverges per engine).  Both neighbors always
+    exist (the grid spans each key's observed range, so gaps are
+    strictly interior); when either neighbor's aggregate is NULL the
+    gap stays NULL (interpolating across a non-measurement would
+    invent data).
     """
     if agg not in _AGGS:
         raise ValueError(f"agg must be one of {sorted(_AGGS)}, got {agg!r}")
-    if fill not in (None, "ffill"):
-        raise ValueError(f"fill must be None or 'ffill', got {fill!r}")
+    if fill not in (None, "ffill", "linear"):
+        raise ValueError(
+            f"fill must be None, 'ffill' or 'linear', got {fill!r}"
+        )
     if interval <= 0:
         raise ValueError(f"interval must be positive seconds, got {interval}")
     epoch = F.col(ts_col).cast("double")
@@ -103,6 +115,31 @@ def resample(
             F.when(~was_gap, F.struct(F.col("_v"))), ignorenulls=True
         ).over(w)["_v"]
         value = F.when(was_gap, carried).otherwise(F.col("_v"))
+    elif fill == "linear":
+        w_prev = (
+            Window.partitionBy("key")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_next = (
+            Window.partitionBy("key")
+            .orderBy("bucket")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        obs = F.when(~was_gap, F.struct(F.col("bucket"), F.col("_v")))
+        prev = F.last(obs, ignorenulls=True).over(w_prev)
+        nxt = F.first(obs, ignorenulls=True).over(w_next)
+        frac = (F.col("bucket") - prev["bucket"]) / (
+            nxt["bucket"] - prev["bucket"]
+        )
+        # deliberately NOT re-rounded: the endpoints are already the
+        # round_to-rounded aggregates, so this is the identical IEEE
+        # double expression in any engine (bit-exact cross-engine) —
+        # while rounding it WOULD diverge: interpolation midpoints land
+        # exactly on .xxxxxx5 where HALF_UP / HALF_EVEN / DuckDB's
+        # multiply-then-std::round all disagree value-by-value
+        interp = prev["_v"] + (nxt["_v"] - prev["_v"]) * frac
+        value = F.when(was_gap, interp).otherwise(F.col("_v"))
     else:
         value = F.col("_v")
     return joined.select(

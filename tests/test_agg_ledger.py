@@ -1,0 +1,109 @@
+"""Incremental aggregate ledger: batch-split invariance (the whole
+point — any ingest split reports identically to a one-shot aggregate),
+compaction equivalence, NULL handling, and the meta sniff contract."""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from muller_spark.operators.aggregate import (
+    agg_ledger_ingest,
+    agg_ledger_report,
+    compact_agg_ledger,
+    init_agg_ledger,
+)
+
+
+def _report_dict(spark, path):
+    return {
+        r["g"]: (
+            r["cnt"], r["nn"], r["sum_v"], r["min_v"], r["max_v"],
+            r["mean_v"], r["std_v"],
+        )
+        for r in agg_ledger_report(spark, path).collect()
+    }
+
+
+def _expected(rows):
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    out = {}
+    for g, vals in by_g.items():
+        nn = [v for v in vals if v is not None]
+        if nn:
+            mean = sum(nn) / len(nn)
+            var = max(sum(v * v for v in nn) / len(nn) - mean * mean, 0.0)
+            out[g] = (
+                len(vals), len(nn), float(sum(nn)), float(min(nn)),
+                float(max(nn)), round(mean, 6), round(math.sqrt(var), 6),
+            )
+        else:
+            out[g] = (len(vals), 0, None, None, None, None, None)
+    return out
+
+
+def test_split_invariance_and_compaction(spark, tmp_path):
+    rng = random.Random(31)
+    rows = [
+        (f"g{rng.randrange(6)}", float(rng.randrange(10000)))
+        for _ in range(900)
+    ]
+    path = os.path.join(str(tmp_path), "ledger")
+    df = spark.createDataFrame(rows, "g string, v double")
+    init_agg_ledger(df.limit(0), ["g"], "v", path)  # empty seed
+    # ingest in 5 uneven batches
+    cuts = [0, 100, 350, 500, 880, 900]
+    for a, b in zip(cuts, cuts[1:]):
+        agg_ledger_ingest(
+            spark.createDataFrame(rows[a:b], "g string, v double"), path
+        )
+    got = _report_dict(spark, path)
+    assert got == _expected(rows)
+    # compaction folds the log to one row per key and changes nothing
+    compact_agg_ledger(spark, path)
+    n_partials = spark.read.parquet(os.path.join(path, "partials")).count()
+    assert n_partials == len({g for g, _ in rows})
+    assert _report_dict(spark, path) == got
+    # post-compaction ingest still appends cleanly (schema stable)
+    agg_ledger_ingest(
+        spark.createDataFrame([("g0", 1.0)], "g string, v double"), path
+    )
+    got2 = _report_dict(spark, path)
+    assert got2 == _expected(rows + [("g0", 1.0)])
+
+
+def test_nulls_and_all_null_keys(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "ledger")
+    rows = [("a", 2.0), ("a", None), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    init_agg_ledger(df, ["g"], "v", path)
+    got = _report_dict(spark, path)
+    assert got["a"] == (2, 1, 2.0, 2.0, 2.0, 2.0, 0.0)
+    assert got["b"] == (2, 0, None, None, None, None, None)
+
+
+def test_meta_sniff_ignores_caller_assumptions(spark, tmp_path):
+    """Ingest derives key/value columns from the artifact's meta, so a
+    batch with extra columns folds on the pinned grouping."""
+    path = os.path.join(str(tmp_path), "ledger")
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    init_agg_ledger(df, ["g"], "v", path)
+    batch = spark.createDataFrame(
+        [("a", 3.0, "noise")], "g string, v double, extra string"
+    )
+    agg_ledger_ingest(batch, path)
+    assert _report_dict(spark, path)["a"][:3] == (2, 2, 4.0)
+
+
+def test_init_refuses_existing_path(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "ledger")
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    init_agg_ledger(df, ["g"], "v", path)
+    with pytest.raises(Exception):
+        init_agg_ledger(df, ["g"], "v", path)

@@ -144,3 +144,48 @@ def test_rolling_anomalies_spike_excluded_from_own_baseline(spark):
     df = spark.createDataFrame(rows, "k string, ts double, value double")
     out = rolling_anomalies(df, "k", "ts", "value", window_n=5, threshold=3.0).collect()
     assert [(r["ts_epoch"], r["value"]) for r in out] == [(5, 100.0)]
+
+
+def test_resample_linear_interpolates_gaps(spark):
+    # observed at minutes 0 (value 10) and 3 (value 40): interior gap
+    # buckets interpolate proportionally to bucket distance
+    rows = [("a", _ts(0), 10.0), ("a", _ts(3), 40.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = sorted(
+        resample(df, "k", "ts", "value", interval=60, fill="linear").collect(),
+        key=lambda r: r["bucket"],
+    )
+    base = int(_ts(0).timestamp())
+    assert [(r["bucket"] - base, r["value"], r["was_gap"]) for r in out] == [
+        (0, 10.0, False),
+        (60, 20.0, True),
+        (120, 30.0, True),
+        (180, 40.0, False),
+    ]
+
+
+def test_resample_linear_null_neighbor_stays_null(spark):
+    # minute-0 bucket observed but its only value is NULL → gaps that
+    # would interpolate from it stay NULL (no invented measurements)
+    rows = [("a", _ts(0), None), ("a", _ts(2), 6.0), ("a", _ts(4), 8.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = sorted(
+        resample(df, "k", "ts", "value", interval=60, fill="linear").collect(),
+        key=lambda r: r["bucket"],
+    )
+    base = int(_ts(0).timestamp())
+    assert [(r["bucket"] - base, r["value"], r["was_gap"]) for r in out] == [
+        (0, None, False),
+        (60, None, True),     # left neighbor is a NULL observation
+        (120, 6.0, False),
+        (180, 7.0, True),     # both neighbors measured → interpolated
+        (240, 8.0, False),
+    ]
+
+
+def test_resample_rejects_unknown_fill(spark):
+    df = spark.createDataFrame(
+        [("a", _ts(0), 1.0)], "k string, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError, match="fill must be"):
+        resample(df, "k", "ts", "value", interval=60, fill="cubic")
