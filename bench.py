@@ -105,6 +105,10 @@ HEADLINE = [
     "q_event_transitions",
     "q_dedup_incremental",
     "q_neardup_ledger",
+    "q_agg_ledger",
+    "q_connected_components",
+    "q_quantile_sketch",
+    "q_resample_linear",
     "q_text_quality",
     "q_knn_cosine",
     "q_window_events",

@@ -734,7 +734,11 @@ def agg_ledger_report(spark, path: str) -> DataFrame:
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     keys = json.loads(meta["key_cols"])
     merged = (
-        spark.read.parquet(os.path.join(path, "partials"))
+        # recursive lookup: streaming ingests land partials in batch-
+        # namespaced SUBDIRECTORIES (exactly-once marker dirs) beside
+        # the flat batch-ingest files
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(path, "partials"))
         .groupBy(*keys)
         .agg(
             F.sum("cnt").alias("cnt"),
@@ -777,7 +781,8 @@ def compact_agg_ledger(spark, path: str) -> None:
     keys = json.loads(meta["key_cols"])
     part_dir = os.path.join(path, "partials")
     folded = (
-        spark.read.parquet(part_dir)
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(part_dir)
         .groupBy(*keys)
         .agg(
             F.sum("cnt").alias("cnt"),

@@ -595,3 +595,76 @@ def drift_monitor_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def agg_ledger_stream(
+    stream: DataFrame,
+    ledger_path: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+):
+    """Restart-durable streaming ingest into the incremental AGGREGATE
+    ledger (``operators/aggregate``) — materialized-view maintenance
+    over a stream: each micro-batch folds to ONE partial-aggregate row
+    per key (map-side, O(batch)) landed as a batch-namespaced
+    subdirectory of the ledger's partial log.
+
+    Crash-safety differs from the dedup/near-dup/Hamming stream twins
+    on purpose: aggregate partials are NOT duplicate-tolerant (a
+    re-appended posting row is decision-harmless, a re-appended partial
+    DOUBLE-COUNTS), so instead of heal-or-advance this handler is
+    single-artifact exactly-once — the partial subdir itself carries
+    the ``_SUCCESS`` marker, a replayed batch that sees the marker does
+    nothing, and a crash mid-write leaves no committed files for
+    :func:`agg_ledger_report`'s recursive read to see.  Grouping is
+    sniffed from the ledger meta (never caller-supplied), and the
+    single-writer discipline extends to compaction: never compact
+    while a stream run is live (compaction rewrites the log and drops
+    the markers).  Run-namespaced by checkpoint hash like the other
+    twins: re-using an out path with a FRESH checkpoint dir cannot
+    collide with old batch dirs."""
+    import hashlib
+
+    run_ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:10]
+    land = make_agg_ledger_batch_handler(ledger_path, run_ns)
+    writer = stream.writeStream.foreachBatch(land).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def make_agg_ledger_batch_handler(ledger_path: str, run_ns: str):
+    """foreachBatch handler behind :func:`agg_ledger_stream`, exposed
+    for the crash-replay contract test (mirrors
+    :func:`make_hamming_batch_handler`)."""
+    import json as _json
+    import os as _os
+
+    from muller_spark.operators.aggregate import _agg_partials
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_dir = _os.path.join(
+            ledger_path,
+            "partials",
+            f"ingest_run={run_ns}",
+            f"ingest_batch={batch_id}",
+        )
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(
+            batch_dir + "/_SUCCESS"
+        )
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jvm_path):
+            return  # replayed batch: partial already committed
+        meta = spark.read.parquet(_os.path.join(ledger_path, "meta")).first()
+        keys = _json.loads(meta["key_cols"])
+        _agg_partials(batch_df, keys, meta["value_col"]).write.mode(
+            "overwrite"
+        ).parquet(batch_dir)
+
+    return land

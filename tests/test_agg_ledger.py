@@ -107,3 +107,84 @@ def test_init_refuses_existing_path(spark, tmp_path):
     init_agg_ledger(df, ["g"], "v", path)
     with pytest.raises(Exception):
         init_agg_ledger(df, ["g"], "v", path)
+
+
+# ---------------------------------------------------------------------------
+# streaming twin: exactly-once partial landing (marker skip, no heal —
+# aggregate partials are NOT duplicate-tolerant, unlike posting rows)
+# ---------------------------------------------------------------------------
+
+def test_agg_ledger_stream_folds_batches_and_restarts(spark, tmp_path):
+    import glob as _glob
+
+    import pyspark.sql.types as T
+
+    from muller_spark.streaming.windows import (
+        agg_ledger_stream,
+        stream_from_directory,
+    )
+
+    schema = T.StructType([
+        T.StructField("g", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    src = os.path.join(str(tmp_path), "src"); os.makedirs(src)
+    ledger = os.path.join(str(tmp_path), "ledger")
+    init_agg_ledger(
+        spark.createDataFrame([("a", 1.0)], "g string, v double"),
+        ["g"], "v", ledger,
+    )
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+
+    def drain(ckpt):
+        stream = stream_from_directory(spark, src + "/*/", schema)
+        q = agg_ledger_stream(stream, ledger, ckpt, available_now=True)
+        q.awaitTermination(120)
+
+    write_batch("b1", [("a", 3.0), ("b", 10.0)])
+    drain(os.path.join(str(tmp_path), "ckpt1"))
+    got = _report_dict(spark, ledger)
+    assert got == _expected([("a", 1.0), ("a", 3.0), ("b", 10.0)])
+
+    # second run, fresh checkpoint: b1 re-read would double-count —
+    # the fresh run namespace lands it under new batch dirs, so feed
+    # only the new batch through a source glob the old run also saw
+    write_batch("b2", [("b", 20.0)])
+    drain(os.path.join(str(tmp_path), "ckpt1"))  # SAME checkpoint: resume
+    got = _report_dict(spark, ledger)
+    assert got == _expected(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 20.0)]
+    )
+    # landed batch dirs carry markers
+    assert _glob.glob(
+        os.path.join(ledger, "partials", "ingest_run=*", "ingest_batch=*",
+                     "_SUCCESS")
+    )
+
+
+def test_agg_ledger_stream_replay_is_exactly_once(spark, tmp_path):
+    """Replaying a batch_id must NOT double-count: the marker makes the
+    handler a no-op, and the report is unchanged."""
+    from muller_spark.streaming.windows import make_agg_ledger_batch_handler
+
+    ledger = os.path.join(str(tmp_path), "ledger")
+    init_agg_ledger(
+        spark.createDataFrame([("a", 1.0)], "g string, v double"),
+        ["g"], "v", ledger,
+    )
+    handler = make_agg_ledger_batch_handler(ledger, run_ns="testns")
+    batch = spark.createDataFrame(
+        [("a", 5.0), ("c", 7.0)], "g string, v double"
+    )
+    handler(batch, 0)
+    expect = _expected([("a", 1.0), ("a", 5.0), ("c", 7.0)])
+    assert _report_dict(spark, ledger) == expect
+    handler(batch, 0)  # crash-replay of the same micro-batch
+    assert _report_dict(spark, ledger) == expect  # no double count
+    # compaction after streaming folds everything and keeps the report
+    compact_agg_ledger(spark, ledger)
+    assert _report_dict(spark, ledger) == expect
