@@ -933,6 +933,23 @@ def q_agg_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_ledger_report(spark, path).orderBy("source")
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Misra–Gries heavy hitters per source over lang
+    (operators/heavyhitters.heavy_hitters): bounded k-counter partials
+    per partition → one shuffle of ≤ groups×(k+1) rows → per-group
+    merge.  The distinct-item count sits under k here, so the summary
+    is the exact frequency table with err_bound 0 — value-checked by
+    the oracle; the over-capacity guarantee (every item with freq >
+    N/(k+1) present, est ≤ true ≤ est+err) is pinned by
+    tests/test_heavyhitters.py, the CMS-vs-MG complement story."""
+    from muller_spark.operators.heavyhitters import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    return heavy_hitters(docs, "lang", k=64, group_cols=["source"]).orderBy(
+        "source", "item"
+    )
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination report
     (operators/dedup.contamination_report): documents from source
@@ -4318,6 +4335,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_connected_components": q_connected_components,
     "q_quantile_sketch": q_quantile_sketch,
     "q_agg_ledger": q_agg_ledger,
+    "q_heavy_hitters": q_heavy_hitters,
     "q_decontamination": q_decontamination,
     "q_funnel": q_funnel,
     "q_funnel_windowed": q_funnel_windowed,
@@ -6034,6 +6052,14 @@ _ORACLES: dict[str, str] = {
                  sumsq_d / nn - (sum_d / nn) * (sum_d / nn), 0.0)), 6
                ) AS std_v
         FROM s ORDER BY source
+    """,
+    "q_heavy_hitters": """
+        SELECT source, lang AS item, count(*) AS est_count,
+               CAST(0 AS BIGINT) AS err_bound
+        FROM documents
+        WHERE lang IS NOT NULL
+        GROUP BY source, lang
+        ORDER BY source, item
     """,
     "q_decontamination": f"""
         WITH toks AS (

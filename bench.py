@@ -109,6 +109,7 @@ HEADLINE = [
     "q_connected_components",
     "q_quantile_sketch",
     "q_resample_linear",
+    "q_heavy_hitters",
     "q_text_quality",
     "q_knn_cosine",
     "q_window_events",
