@@ -950,6 +950,57 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DISTINCT-count ledger
+    (operators/aggregate.hll_ledger_report): per-source HLL registers
+    over n_chars maintained across three doc_id%3 ingest batches, one
+    of them deliberately REPLAYED (max-merge makes duplicate register
+    rows harmless — the strongest crash class in the ledger family),
+    then compacted.  Registers are max-mergeable, so the ledger fold
+    equals one pass over the union — the oracle replays the ONE-SHOT
+    portable-HLL pipeline in SQL and the hash certifies split
+    invariance, replay idempotency and compaction equivalence at
+    once.  Build session-cached (_demo_cached); report runs live."""
+    from muller_spark.operators.aggregate import (
+        compact_hll_ledger,
+        hll_ledger_ingest,
+        init_hll_ledger,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def build():
+        path = os.path.join(_demo_tmpdir("hllledger_"), "ledger")
+        init_hll_ledger(
+            docs.filter(F.col("doc_id") % 3 == 0), ["source"], "n_chars",
+            path, precision=10,
+        )
+        for r in (1, 2, 1):  # the second r=1 ingest is a replay
+            hll_ledger_ingest(docs.filter(F.col("doc_id") % 3 == r), path)
+        compact_hll_ledger(spark, path)
+        return path
+
+    from muller_spark.operators.aggregate import hll_ledger_report
+
+    path = _demo_cached("hllledger", sf_dir, spark, build)
+    return hll_ledger_report(spark, path).orderBy("source")
+
+
+def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant containment search (index/fuzzy.fuzzy_term_docs):
+    documents containing any token within Levenshtein distance 1 of
+    the probe 'sow' (which has BOTH a substitution neighbor 'row' and
+    an insertion neighbor 'slow' in the corpus vocabulary).  Spark
+    plan = SymSpell deletion-key equi-join (vocabulary exploded into
+    ≤ len+1 keys, probe keys broadcast, exact levenshtein verify on
+    the candidate sliver — never a vocab scan); the oracle is the
+    brute-force scan, so key-theorem completeness is value-checked."""
+    from muller_spark.index.fuzzy import fuzzy_term_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_term_docs(docs, "text", "doc_id", "sow").orderBy("doc_id")
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination report
     (operators/dedup.contamination_report): documents from source
@@ -4336,6 +4387,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quantile_sketch": q_quantile_sketch,
     "q_agg_ledger": q_agg_ledger,
     "q_heavy_hitters": q_heavy_hitters,
+    "q_fuzzy_search": q_fuzzy_search,
+    "q_hll_ledger": q_hll_ledger,
     "q_decontamination": q_decontamination,
     "q_funnel": q_funnel,
     "q_funnel_windowed": q_funnel_windowed,
@@ -6060,6 +6113,56 @@ _ORACLES: dict[str, str] = {
         WHERE lang IS NOT NULL
         GROUP BY source, lang
         ORDER BY source, item
+    """,
+    "q_fuzzy_search": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents
+        )
+        SELECT DISTINCT doc_id FROM toks
+        WHERE levenshtein(t, 'sow') <= 1
+        ORDER BY doc_id
+    """,
+    # one-shot replay of the ledger-folded registers: max-mergeable
+    # registers make the three-batch (+replayed-batch) ledger fold
+    # equal one pass over all documents, so this oracle certifies the
+    # whole ingest history
+    "q_hll_ledger": f"""
+        WITH vals AS (
+          SELECT source, CAST(n_chars AS VARCHAR) AS v
+          FROM documents WHERE n_chars IS NOT NULL
+        ), h AS (
+          SELECT source, {_H60_SQL.format(v='v')} AS h FROM vals
+        ), r AS (
+          SELECT source,
+                 CAST(h // 1125899906842624 AS INT) AS bucket,
+                 CASE WHEN h % 1125899906842624 > 0
+                      THEN 50 - length(to_base(h % 1125899906842624, 2)) + 1
+                      ELSE 51 END AS rho
+          FROM h
+        ), regs AS (
+          SELECT source, bucket, max(rho) AS reg
+          FROM r GROUP BY source, bucket
+        ), packed AS (
+          SELECT source,
+                 list(struct_pack(bucket := bucket, reg := reg)
+                      ORDER BY bucket) AS rs,
+                 count(*) AS present
+          FROM regs GROUP BY source
+        ), calc AS (
+          SELECT source, present,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(rs, x -> pow(2.0, -x.reg)::DOUBLE)),
+                   (a, b) -> a + b) + (1024 - present) AS sum_z
+          FROM packed
+        )
+        SELECT source, 1024 AS m,
+               CAST(present AS BIGINT) AS nonzero_registers,
+               round(CASE WHEN 755541.746198293 / sum_z <= 2560.0
+                               AND present < 1024
+                          THEN 1024.0 * ln(1024.0 / (1024 - present))
+                          ELSE 755541.746198293 / sum_z END, 4) AS estimate
+        FROM calc
+        ORDER BY source
     """,
     "q_decontamination": f"""
         WITH toks AS (

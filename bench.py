@@ -110,6 +110,8 @@ HEADLINE = [
     "q_quantile_sketch",
     "q_resample_linear",
     "q_heavy_hitters",
+    "q_fuzzy_search",
+    "q_hll_ledger",
     "q_text_quality",
     "q_knn_cosine",
     "q_window_events",
@@ -1031,6 +1033,34 @@ def text_sf1_envelope(spark, sf_dir: str) -> dict:
             big.filter(F.col("doc_id") % 2 == 1), "text", "doc_id",
             nd_path, threshold=0.5, update=False,
         )
+    ))
+    # connected components at 10x: the replicated corpus has 10x the
+    # chain count at the SAME diameter-250 per chain (replication adds
+    # breadth, not depth), so the star algorithm's round count — the
+    # cost driver — must stay flat (~9 = log2(250)+1) while per-round
+    # data grows 10x; a diameter-bound algorithm (min-label) would need
+    # 250 rounds here regardless of width
+    from pyspark.sql import Window as _W
+
+    from muller_spark.operators.components import connected_components
+
+    _w = _W.partitionBy("source", (F.col("doc_id") % 10)).orderBy("doc_id")
+    _ranked = big.select(
+        "doc_id", "source", F.row_number().over(_w).alias("rk"),
+        (F.col("doc_id") % 10).alias("_lane"),
+    )
+    _edges = (
+        _ranked.alias("a")
+        .join(
+            _ranked.alias("b"),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a._lane") == F.col("b._lane"))
+            & (F.col("b.rk") == F.col("a.rk") + 1),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    out["connected_components_10x"] = timed2(lambda: materialize(
+        connected_components(_edges)
     ))
     out["rows"] = int(big.count())
     return out

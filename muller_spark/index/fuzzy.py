@@ -1,0 +1,118 @@
+"""Edit-distance fuzzy term matching via deletion keys (SymSpell).
+
+The reference's "fuzzy" search (`/root/reference/muller/core/query/
+inverted_index_vectorized.py:741-758`) is AND-of-tokenized-terms —
+no typo tolerance anywhere in the engine.  This module adds the
+scale-correct primitive for edit-distance-1 term matching: the
+SymSpell deletion-key construction (Garbe's symmetric delete
+algorithm, public domain).  Two terms are within Levenshtein
+distance 1 ONLY IF their {self} ∪ {single-char deletions} key sets
+intersect — a theorem that turns fuzzy matching into an equi-join:
+
+- vocabulary side: explode each distinct token into ≤ len+1 keys;
+- probe side: the probe's ≤ len+1 keys (computed driver-side, tiny,
+  broadcast);
+- verify: the key join is necessary-but-not-sufficient (e.g. "ab" and
+  "ba" share deletion keys at distance 2), so candidates pass through
+  an exact ``levenshtein() ≤ max_edits`` filter — complete by the
+  key theorem, exact by the verify.
+
+No stage ever scans the vocabulary against the probe: the plan is
+token explode → distinct → bounded key explode → broadcast-join the
+handful of probe keys → Levenshtein on the candidate sliver → semi-
+join back to documents.  At 100 TB the vocabulary key table is the
+only corpus-sized artifact, and it shuffles once on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from muller_spark.plans.conditions import TOKEN_SPLIT_REGEX
+
+
+def deletion_keys(term: str) -> list[str]:
+    """The probe-side key set: the term plus every single-character
+    deletion (driver-side twin of the Column expression below)."""
+    return [term] + [term[:i] + term[i + 1:] for i in range(len(term))]
+
+
+def _deletion_keys_col(t: Column) -> Column:
+    """{t} ∪ single-char deletions of t, as an array Column (JVM-side:
+    a transform over character positions, no Python round-trip)."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.concat(
+            F.substring(t, F.lit(1), i - F.lit(1)),
+            t.substr(i + F.lit(1), F.length(t)),
+        ),
+    )
+    return F.array_union(F.array(t), dels)
+
+
+def fuzzy_term_docs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    probe: str,
+    max_edits: int = 1,
+    max_token_len: int = 24,
+) -> DataFrame:
+    """Ids of documents containing any token within ``max_edits``
+    (Levenshtein) of ``probe`` — typo-tolerant containment search.
+
+    ``max_edits`` must be 1 (the deletion-key completeness theorem
+    used here covers one edit; higher radii need multi-deletion keys,
+    which explode combinatorially and want a different design).
+    Tokens longer than ``max_token_len`` are skipped on the vocabulary
+    side (bounds the key fan-out per token; a 25-char token is not a
+    plausible 1-edit neighbor of a short probe anyway — lengths may
+    differ by at most 1 for distance 1, enforced separately below).
+    """
+    if max_edits != 1:
+        raise ValueError(
+            "fuzzy_term_docs implements the single-edit deletion-key "
+            f"construction; got max_edits={max_edits}"
+        )
+    probe = probe.lower()
+    spark = df.sparkSession
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_REGEX)
+                )
+            ).alias("t"),
+        )
+        .where(F.col("t") != "")
+    )
+    vocab = (
+        toks.select("t")
+        .distinct()
+        # distance-1 neighbors differ in length by ≤ 1: prune before
+        # the key explode (also caps fan-out via max_token_len)
+        .where(
+            (F.length("t") <= F.lit(min(max_token_len, len(probe) + 1)))
+            & (F.length("t") >= F.lit(len(probe) - 1))
+        )
+    )
+    vkeys = vocab.select(
+        "t", F.explode(_deletion_keys_col(F.col("t"))).alias("k")
+    )
+    pkeys = spark.createDataFrame(
+        [(k,) for k in sorted(set(deletion_keys(probe)))], "k string"
+    )
+    matched = (
+        vkeys.join(F.broadcast(pkeys), "k")
+        .select("t")
+        .distinct()
+        .where(F.levenshtein(F.col("t"), F.lit(probe)) <= max_edits)
+    )
+    return (
+        toks.join(F.broadcast(matched), "t")
+        .select("id")
+        .distinct()
+        .withColumnRenamed("id", id_col)
+    )

@@ -467,21 +467,25 @@ def hll_distinct_by(
     primitives, so the oracle replays every group's registers and
     estimate (q_hll_by_group).  Returns
     (*group_cols, m, nonzero_registers, estimate)."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use hll_distinct)")
+    regs = _group_registers(df, col, group_cols, precision)
+    return _group_hll_estimate(regs, group_cols, precision)
+
+
+def _group_registers(
+    df: DataFrame,
+    col: str,
+    group_cols: "list[str]",
+    precision: int,
+) -> DataFrame:
+    """Per-group HLL register frame ``(*group_cols, bucket, reg)`` —
+    max-mergeable (union → groupBy → max(reg) of any splits equals one
+    pass over the union), the property the HLL ledger rests on."""
     from muller_spark.operators.dedup import portable_hash60
 
     if not 4 <= precision <= 14:
         raise ValueError("precision must be in [4, 14]")
-    if not group_cols:
-        raise ValueError("group_cols must be non-empty (use hll_distinct)")
-    m = 1 << precision
-    if m == 16:
-        alpha = 0.673
-    elif m == 32:
-        alpha = 0.697
-    elif m == 64:
-        alpha = 0.709
-    else:
-        alpha = 0.7213 / (1.0 + 1.079 / m)
     w = 60 - precision
     h = portable_hash60(F.col(col).cast("string"))
     rem = h % F.lit(1 << w)
@@ -489,7 +493,7 @@ def hll_distinct_by(
         rem > 0,
         F.lit(w) - F.length(F.conv(rem, 10, 2)) + F.lit(1),
     ).otherwise(F.lit(w + 1))
-    regs = (
+    return (
         df.filter(F.col(col).isNotNull())
         .select(
             *group_cols,
@@ -499,6 +503,24 @@ def hll_distinct_by(
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("reg"))
     )
+
+
+def _group_hll_estimate(
+    regs: DataFrame,
+    group_cols: "list[str]",
+    precision: int,
+) -> DataFrame:
+    """Per-group estimate fold over a register frame (the second half
+    of :func:`hll_distinct_by`, shared with the HLL ledger report)."""
+    m = 1 << precision
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
     packed = regs.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list(F.struct("bucket", "reg"))).alias("rs")
     )
@@ -804,3 +826,98 @@ def compact_agg_ledger(spark, path: str) -> None:
     folded.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(part_dir)
     os.replace(tmp, part_dir)
+
+
+def init_hll_ledger(
+    df: DataFrame,
+    key_cols: "Sequence[str]",
+    value_col: str,
+    path: str,
+    precision: int = 10,
+) -> None:
+    """Seed a persistent incremental DISTINCT-count ledger: per-key HLL
+    registers maintained across ingest batches — the cardinality twin
+    of :func:`init_agg_ledger` ("distinct users per source, updated
+    per batch, never a corpus rescan").
+
+    Layout at ``path`` (parquet): ``registers`` — an append-only log of
+    ``(*key_cols, bucket, reg)`` register rows; ``meta`` — one row
+    pinning (key_cols, value_col, precision).  Registers are
+    MAX-mergeable (``_group_registers``), so the log needs no
+    marker/heal machinery at all: duplicate register rows from any
+    replay are idempotent under the report's ``max(reg)`` fold — the
+    strongest crash-safety class of the ledger family (re-appending is
+    HARMLESS, not just detected).  Report = fold + estimate; compact =
+    fold-and-swap.  Same single-writer discipline as the other
+    ledgers."""
+    import json
+    import os
+
+    spark = df.sparkSession
+    keys = list(key_cols)
+    spark.createDataFrame(
+        [(json.dumps(keys), value_col, int(precision))],
+        "key_cols string, value_col string, precision int",
+    ).write.mode("error").parquet(os.path.join(path, "meta"))
+    _group_registers(df, value_col, keys, precision).write.mode(
+        "error"
+    ).parquet(os.path.join(path, "registers"))
+
+
+def hll_ledger_ingest(batch: DataFrame, path: str) -> None:
+    """Fold one batch into the distinct ledger: the batch's register
+    rows appended — O(batch) hash aggregate, zero reads of prior
+    state, and idempotent under replay (max-merge absorbs
+    duplicates)."""
+    import json
+    import os
+
+    spark = batch.sparkSession
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    keys = json.loads(meta["key_cols"])
+    _group_registers(
+        batch, meta["value_col"], keys, meta["precision"]
+    ).write.mode("append").parquet(os.path.join(path, "registers"))
+
+
+def hll_ledger_report(spark, path: str) -> DataFrame:
+    """Per-key distinct estimate from the ledger: fold the register log
+    (``max(reg)`` per (keys, bucket) — exactly the registers ONE pass
+    over the union of all ingests would produce, by max-mergeability)
+    then the shared estimate fold.  Returns ``(*key_cols, m,
+    nonzero_registers, estimate)`` — same columns and float discipline
+    as :func:`hll_distinct_by`, so the same SQL oracle construction
+    replays it."""
+    import json
+    import os
+
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    keys = json.loads(meta["key_cols"])
+    folded = (
+        spark.read.parquet(os.path.join(path, "registers"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    return _group_hll_estimate(folded, keys, meta["precision"])
+
+
+def compact_hll_ledger(spark, path: str) -> None:
+    """Fold the register log to one row per (keys, bucket).  Reports
+    before and after are identical (max is idempotent/associative).
+    Write-temp-then-swap like :func:`compact_agg_ledger`."""
+    import json
+    import os
+    import shutil
+
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    keys = json.loads(meta["key_cols"])
+    reg_dir = os.path.join(path, "registers")
+    folded = (
+        spark.read.parquet(reg_dir)
+        .groupBy(*keys, "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    tmp = reg_dir + ".compact"
+    folded.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(reg_dir)
+    os.replace(tmp, reg_dir)

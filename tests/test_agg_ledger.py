@@ -188,3 +188,99 @@ def test_agg_ledger_stream_replay_is_exactly_once(spark, tmp_path):
     # compaction after streaming folds everything and keeps the report
     compact_agg_ledger(spark, ledger)
     assert _report_dict(spark, ledger) == expect
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct ledger: register max-merge makes split/replay/compaction
+# all exactly equivalent to a one-shot hll_distinct_by
+# ---------------------------------------------------------------------------
+
+def _hll_report_rows(spark, path):
+    from muller_spark.operators.aggregate import hll_ledger_report
+
+    return sorted(
+        tuple(r) for r in hll_ledger_report(spark, path).collect()
+    )
+
+
+def test_hll_ledger_split_replay_compact_equivalence(spark, tmp_path):
+    import random
+
+    from muller_spark.operators.aggregate import (
+        compact_hll_ledger,
+        hll_distinct_by,
+        hll_ledger_ingest,
+        init_hll_ledger,
+    )
+
+    rng = random.Random(59)
+    rows = [
+        (f"g{rng.randrange(4)}", f"item{rng.randrange(500)}")
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    oneshot = sorted(
+        tuple(r) for r in hll_distinct_by(df, "v", ["g"], precision=8).collect()
+    )
+
+    path = os.path.join(str(tmp_path), "hll")
+    init_hll_ledger(
+        spark.createDataFrame(rows[:1000], "g string, v string"),
+        ["g"], "v", path, precision=8,
+    )
+    for a, b in ((1000, 2200), (2200, 3000)):
+        hll_ledger_ingest(
+            spark.createDataFrame(rows[a:b], "g string, v string"), path
+        )
+    assert _hll_report_rows(spark, path) == oneshot  # split invariance
+
+    # replaying an ingest is HARMLESS (max-merge absorbs duplicates) —
+    # the strongest crash class in the ledger family
+    hll_ledger_ingest(
+        spark.createDataFrame(rows[1000:2200], "g string, v string"), path
+    )
+    assert _hll_report_rows(spark, path) == oneshot
+
+    compact_hll_ledger(spark, path)
+    n = spark.read.parquet(os.path.join(path, "registers")).count()
+    distinct_pairs = (
+        spark.read.parquet(os.path.join(path, "registers"))
+        .select("g", "bucket").distinct().count()
+    )
+    assert n == distinct_pairs  # folded to one row per (key, bucket)
+    assert _hll_report_rows(spark, path) == oneshot
+
+    # post-compaction ingest still folds in
+    hll_ledger_ingest(
+        spark.createDataFrame([("g0", "brand-new-item")], "g string, v string"),
+        path,
+    )
+    est = {
+        r[0]: r[3]
+        for r in _hll_report_rows(spark, path)
+    }
+    base = {r[0]: r[3] for r in oneshot}
+    assert est["g0"] >= base["g0"]  # new item can only raise the estimate
+
+
+def test_hll_ledger_meta_pins_family(spark, tmp_path):
+    from muller_spark.operators.aggregate import (
+        hll_ledger_ingest,
+        hll_ledger_report,
+        init_hll_ledger,
+    )
+
+    path = os.path.join(str(tmp_path), "hll")
+    init_hll_ledger(
+        spark.createDataFrame([("a", "x")], "g string, v string"),
+        ["g"], "v", path, precision=6,
+    )
+    # a batch with extra columns folds on the pinned (keys, value)
+    hll_ledger_ingest(
+        spark.createDataFrame(
+            [("a", "y", 1.0)], "g string, v string, noise double"
+        ),
+        path,
+    )
+    row = hll_ledger_report(spark, path).collect()[0]
+    assert row["m"] == 64  # precision sniffed from meta, not caller

@@ -1,0 +1,87 @@
+"""SymSpell deletion-key fuzzy matching: key-set theorem coverage
+(sub/ins/del all caught, distance-2 false candidates filtered), parity
+with brute-force Levenshtein, and the guard rails."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from muller_spark.index.fuzzy import deletion_keys, fuzzy_term_docs
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)
+            ))
+        prev = cur
+    return prev[-1]
+
+
+def test_deletion_keys_shape():
+    assert deletion_keys("abc") == ["abc", "bc", "ac", "ab"]
+    assert deletion_keys("a") == ["a", ""]
+
+
+def test_key_intersection_is_necessary_for_distance_1():
+    """Random word pairs: whenever lev ≤ 1, key sets intersect (the
+    completeness direction the join relies on)."""
+    rng = random.Random(53)
+    words = [
+        "".join(rng.choice("abcd") for _ in range(rng.randrange(1, 6)))
+        for _ in range(300)
+    ]
+    for a in words[:60]:
+        for b in words[:60]:
+            if _lev(a, b) <= 1:
+                assert set(deletion_keys(a)) & set(deletion_keys(b)), (a, b)
+
+
+@pytest.mark.parametrize("probe,expect", [
+    ("sow", {"row", "slow"}),        # substitution + insertion neighbor
+    ("scan", {"scan"}),              # exact hit
+    ("scans", {"scan"}),             # deletion neighbor
+    ("zzzz", set()),                 # nothing close
+])
+def test_fuzzy_docs_match_bruteforce(spark, probe, expect):
+    rows = [
+        (1, "slow scan over the table"),
+        (2, "row by row merge"),
+        (3, "vector window batch"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]
+        for r in fuzzy_term_docs(df, "text", "doc_id", probe).collect()
+    }
+    brute = set()
+    for did, text in rows:
+        toks = {t for t in text.split() if t}
+        if any(_lev(t, probe) <= 1 for t in toks):
+            brute.add(did)
+        assert {t for t in toks if _lev(t, probe) <= 1} <= expect | set()
+    assert got == brute
+
+
+def test_distance_2_pair_is_rejected():
+    """'ab' and 'ba' share deletion keys but are distance 2 — the
+    verify filter must reject them."""
+    assert set(deletion_keys("ab")) & set(deletion_keys("ba"))
+    assert _lev("ab", "ba") == 2
+
+
+def test_fuzzy_docs_distance_2_not_returned(spark):
+    df = spark.createDataFrame([(1, "ab here")], "doc_id long, text string")
+    got = fuzzy_term_docs(df, "text", "doc_id", "ba").collect()
+    assert got == []
+
+
+def test_max_edits_guard(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="single-edit"):
+        fuzzy_term_docs(df, "text", "doc_id", "x", max_edits=2)
