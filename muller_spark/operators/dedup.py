@@ -1155,12 +1155,14 @@ def canonical_keep_list(
     id_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Per-document dedup verdict: (id, cluster_id, keep) — the minimum
     member of each near-dup cluster survives; documents in no cluster
     keep themselves.  Composes :func:`dedup_clusters` with a broadcast-
-    friendly left join back to the corpus."""
-    clusters = dedup_clusters(pairs, id_a, id_b)
+    friendly left join back to the corpus.  ``algorithm`` passes
+    through to the cluster stage ('star' for chain-shaped graphs)."""
+    clusters = dedup_clusters(pairs, id_a, id_b, algorithm=algorithm)
     return (
         df.select(F.col(id_col).alias("id"))
         .join(clusters, "id", "left")
@@ -1179,6 +1181,7 @@ def cluster_size_report(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Near-dup cluster size distribution — the dedup diagnostic run
     BEFORE committing a keep policy: (cluster_size, n_clusters,
@@ -1191,8 +1194,9 @@ def cluster_size_report(
     ≥1 pair), one count-by-cluster aggregate, one count-by-size
     aggregate — each strictly smaller than the last; the singleton row
     is two scalar aggregates cross-joined (1×1 frames), never a
-    corpus-side window."""
-    clusters = dedup_clusters(pairs, id_a, id_b)
+    corpus-side window.  ``algorithm`` passes through to the cluster
+    stage ('star' for chain-shaped graphs)."""
+    clusters = dedup_clusters(pairs, id_a, id_b, algorithm=algorithm)
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -2782,6 +2786,7 @@ def canonical_keep_best(
     score_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Quality-preferring dedup verdict: (id, cluster_id, keep_id,
     keep) — each near-dup cluster keeps its HIGHEST-``score_col``
@@ -2795,8 +2800,9 @@ def canonical_keep_best(
     signal never beats a scored one); an all-NULL cluster falls back
     to min id.  Scale shape: one cluster pass (iterative min-label
     propagation, bounded rounds), one per-cluster max_by aggregate,
-    one join back — all keyed on cluster/doc ids, no windows."""
-    clusters = dedup_clusters(pairs, id_a, id_b)
+    one join back — all keyed on cluster/doc ids, no windows.
+    ``algorithm`` passes through ('star' for chain-shaped graphs)."""
+    clusters = dedup_clusters(pairs, id_a, id_b, algorithm=algorithm)
     member = (
         df.select(
             F.col(id_col).alias("id"), F.col(score_col).alias("__score")

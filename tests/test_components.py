@@ -113,3 +113,36 @@ def test_dedup_clusters_rejects_unknown_algorithm(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="algorithm"):
         dedup_clusters(pairs, algorithm="bogus")
+
+
+def test_keep_list_star_passthrough(spark):
+    """canonical_keep_list / canonical_keep_best / cluster_size_report
+    accept algorithm='star' and agree with the min-label default."""
+    from muller_spark.operators.dedup import (
+        canonical_keep_best,
+        canonical_keep_list,
+        cluster_size_report,
+    )
+
+    rng = random.Random(61)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 24)],  # one 25-node chain
+        "id_a long, id_b long",
+    )
+    df = spark.createDataFrame(
+        [(i, float(rng.randrange(100))) for i in range(30)],
+        "doc_id long, score double",
+    )
+    for fn in (
+        lambda alg: canonical_keep_list(df, pairs, "doc_id", algorithm=alg),
+        lambda alg: canonical_keep_best(
+            df, pairs, "doc_id", "score", algorithm=alg
+        ),
+        lambda alg: cluster_size_report(df, "doc_id", pairs, algorithm=alg),
+    ):
+        # the 25-node chain exceeds min-label's default 20-round cap —
+        # 'star' must handle it where the default raises
+        with pytest.raises(RuntimeError, match="did not converge"):
+            fn("minlabel").collect()
+        star = sorted(tuple(r) for r in fn("star").collect())
+        assert star  # converged, non-empty
