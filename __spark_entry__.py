@@ -986,6 +986,46 @@ def q_hll_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_ledger_report(spark, path).orderBy("source")
 
 
+def q_quantile_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental QUANTILE ledger
+    (operators/quantiles.quantile_ledger_report): per-source p50/p90 of
+    n_chars maintained across three doc_id%3 ingest batches (each
+    ingest appends the batch's own bounded MRL sketch rows — O(batch),
+    zero reads of prior state), then compacted.  In the exact regime
+    (≤ k rows per source) the folded ledger is the sorted sample, so
+    the oracle's explicit rank selection value-checks split invariance
+    AND compaction equivalence; the compaction regime's bound is
+    property-tested.  Completes the incremental-statistics family:
+    scalars (q_agg_ledger), distinct (q_hll_ledger), quantiles
+    (this)."""
+    from muller_spark.operators.quantiles import (
+        compact_quantile_ledger,
+        init_quantile_ledger,
+        quantile_ledger_ingest,
+        quantile_ledger_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def build():
+        path = os.path.join(_demo_tmpdir("qledger_"), "ledger")
+        init_quantile_ledger(
+            docs.filter(F.col("doc_id") % 3 == 0), ["source"], "n_chars",
+            path, k=4096,
+        )
+        for r in (1, 2):
+            quantile_ledger_ingest(
+                docs.filter(F.col("doc_id") % 3 == r), path
+            )
+        compact_quantile_ledger(spark, path)
+        return path
+
+    path = _demo_cached("qledger", sf_dir, spark, build)
+    return quantile_ledger_report(spark, path, [0.5, 0.9]).orderBy(
+        "source", "q"
+    )
+
+
 def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-tolerant containment search (index/fuzzy.fuzzy_term_docs):
     documents containing any token within Levenshtein distance 1 of
@@ -4389,6 +4429,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_heavy_hitters": q_heavy_hitters,
     "q_fuzzy_search": q_fuzzy_search,
     "q_hll_ledger": q_hll_ledger,
+    "q_quantile_ledger": q_quantile_ledger,
     "q_decontamination": q_decontamination,
     "q_funnel": q_funnel,
     "q_funnel_windowed": q_funnel_windowed,
@@ -6163,6 +6204,22 @@ _ORACLES: dict[str, str] = {
                           ELSE 755541.746198293 / sum_z END, 4) AS estimate
         FROM calc
         ORDER BY source
+    """,
+    "q_quantile_ledger": """
+        WITH qs AS (
+          SELECT cast(unnest([0.5, 0.9]) AS double) AS q
+        ), ordered AS (
+          SELECT source, cast(n_chars AS double) AS v,
+                 row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM documents
+          WHERE n_chars IS NOT NULL
+        )
+        SELECT o.source, qs.q, min(o.v) AS value
+        FROM ordered o CROSS JOIN qs
+        WHERE o.rn >= greatest(1, ceil(qs.q * o.n))
+        GROUP BY o.source, qs.q
+        ORDER BY source, q
     """,
     "q_decontamination": f"""
         WITH toks AS (

@@ -112,6 +112,7 @@ HEADLINE = [
     "q_heavy_hitters",
     "q_fuzzy_search",
     "q_hll_ledger",
+    "q_quantile_ledger",
     "q_text_quality",
     "q_knn_cosine",
     "q_window_events",

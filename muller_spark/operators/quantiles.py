@@ -284,3 +284,125 @@ def quantile_report(
     within the MRL rank-error bound otherwise."""
     sk = quantile_sketch(df, value_col, group_cols=group_cols, k=k)
     return quantile_values(sk, quantiles, group_cols=group_cols)
+
+
+# ---------------------------------------------------------------------------
+# incremental quantile ledger — the third leg of the incremental-statistics
+# family (scalars: agg ledger; distinct: HLL ledger; quantiles: this)
+# ---------------------------------------------------------------------------
+
+def init_quantile_ledger(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    path: str,
+    k: int = 256,
+) -> None:
+    """Seed a persistent incremental QUANTILE ledger: per-key MRL
+    sketch rows maintained across ingest batches.
+
+    Layout at ``path`` (parquet): ``sketches`` — an append-only log of
+    ``(*key_cols, level, value)`` sketch rows (a value at level L
+    weighs 2^L); ``meta`` — one row pinning (key_cols, value_col, k).
+    Sketches merge by concatenation + compaction (the MRL merge), so
+    ingest = one bounded partial-sketch build of the batch appended to
+    the log — O(batch), zero reads of prior state.  UNLIKE the HLL
+    register log, sketch rows are weight-carrying: a replayed append
+    double-weights its batch, so the batch API shares the aggregate
+    ledger's single-writer discipline (a streaming twin would need its
+    marker construction, not the register ledger's nothing-at-all).
+
+    Report = per-key fold of the log (≤ keys × ingests × k·log n rows)
+    + weighted-rank answers; exact while a key's total row count stays
+    ≤ k, within the documented MRL rank-error bound after."""
+    import json
+    import os
+
+    spark = df.sparkSession
+    keys = list(key_cols)
+    spark.createDataFrame(
+        [(json.dumps(keys), value_col, int(k))],
+        "key_cols string, value_col string, k int",
+    ).write.mode("error").parquet(os.path.join(path, "meta"))
+    quantile_sketch(df, value_col, group_cols=keys, k=k).write.mode(
+        "error"
+    ).parquet(os.path.join(path, "sketches"))
+
+
+def quantile_ledger_ingest(batch: DataFrame, path: str) -> None:
+    """Fold one batch into the quantile ledger: the batch's own
+    bounded sketch rows appended (grouping/k sniffed from meta)."""
+    import json
+    import os
+
+    spark = batch.sparkSession
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    keys = json.loads(meta["key_cols"])
+    quantile_sketch(
+        batch, meta["value_col"], group_cols=keys, k=meta["k"]
+    ).write.mode("append").parquet(os.path.join(path, "sketches"))
+
+
+def _fold_sketch_log(spark, path: str) -> "tuple[DataFrame, list, int]":
+    """Merge the sketch log back to one sketch per key (shared by
+    report and compaction)."""
+    import json
+    import os
+
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    keys = json.loads(meta["key_cols"])
+    k = int(meta["k"])
+    log = spark.read.parquet(os.path.join(path, "sketches"))
+    src_fields = [log.schema[c] for c in keys]
+    out_schema = StructType(
+        src_fields
+        + [
+            StructField("level", IntegerType(), False),
+            StructField("value", DoubleType(), False),
+        ]
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = _MRL(k)
+        for lv in sorted(pdf["level"].unique()):
+            sk.add_level(
+                int(lv),
+                pdf.loc[pdf["level"] == lv, "value"].to_numpy(np.float64),
+            )
+        rows = list(sk.rows())
+        out = pd.DataFrame(rows, columns=["level", "value"])
+        for i, c in enumerate(keys):
+            out.insert(i, c, pdf[c].iloc[0])
+        out["level"] = out["level"].astype("int32")
+        return out
+
+    folded = log.groupBy(*keys).applyInPandas(merge_group, out_schema)
+    return folded, keys, k
+
+
+def quantile_ledger_report(
+    spark,
+    path: str,
+    quantiles: Sequence[float],
+) -> DataFrame:
+    """Per-key quantiles from the ledger: fold the sketch log per key,
+    then weighted-rank answers — ``(*key_cols, q, value)``, same
+    definition and float discipline as :func:`quantile_values`."""
+    folded, keys, _ = _fold_sketch_log(spark, path)
+    return quantile_values(folded, quantiles, group_cols=keys)
+
+
+def compact_quantile_ledger(spark, path: str) -> None:
+    """Fold the sketch log to one sketch per key.  Post-compaction
+    reports equal pre-compaction reports EXACTLY when no key has ever
+    compacted (raw level-0 rows just concatenate), and stay within the
+    MRL bound otherwise.  Write-temp-then-swap like the siblings."""
+    import os
+    import shutil
+
+    folded, _, _ = _fold_sketch_log(spark, path)
+    sk_dir = os.path.join(path, "sketches")
+    tmp = sk_dir + ".compact"
+    folded.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(sk_dir)
+    os.replace(tmp, sk_dir)

@@ -148,3 +148,83 @@ def test_quantile_values_rejects_bad_phi(spark):
     df = spark.createDataFrame([(0, 1.0)], "level int, value double")
     with pytest.raises(ValueError, match="quantiles must be"):
         quantile_values(df, [0.0])
+
+
+# ---------------------------------------------------------------- ledger
+
+
+def test_quantile_ledger_split_equals_oneshot_exact_regime(spark, tmp_path):
+    import os
+
+    from muller_spark.operators.quantiles import (
+        compact_quantile_ledger,
+        init_quantile_ledger,
+        quantile_ledger_ingest,
+        quantile_ledger_report,
+    )
+
+    rng = random.Random(67)
+    rows = [
+        (f"g{i % 4}", float(rng.randrange(100000))) for i in range(700)
+    ]
+    path = os.path.join(str(tmp_path), "qledger")
+    init_quantile_ledger(
+        spark.createDataFrame(rows[:200], "g string, v double"),
+        ["g"], "v", path, k=1024,
+    )
+    for a, b in ((200, 450), (450, 700)):
+        quantile_ledger_ingest(
+            spark.createDataFrame(rows[a:b], "g string, v double"), path
+        )
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in quantile_ledger_report(spark, path, [0.5, 0.9]).collect()
+    }
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        for phi in (0.5, 0.9):
+            assert got[(g, phi)] == _exact_lower_quantile(vals, phi), (g, phi)
+
+    # compaction: exact regime (no compaction fired at k=1024) keeps
+    # the report bit-identical, and the log folds to ≤ 700 rows total
+    compact_quantile_ledger(spark, path)
+    n = spark.read.parquet(os.path.join(path, "sketches")).count()
+    assert n <= 700
+    got2 = {
+        (r["g"], r["q"]): r["value"]
+        for r in quantile_ledger_report(spark, path, [0.5, 0.9]).collect()
+    }
+    assert got2 == got
+
+
+def test_quantile_ledger_compaction_regime_bound(spark, tmp_path):
+    import os
+
+    from muller_spark.operators.quantiles import (
+        init_quantile_ledger,
+        quantile_ledger_ingest,
+        quantile_ledger_report,
+    )
+
+    rng = random.Random(71)
+    vals = [rng.gauss(0, 100) for _ in range(12000)]
+    path = os.path.join(str(tmp_path), "qledger")
+    init_quantile_ledger(
+        spark.createDataFrame([("a", v) for v in vals[:4000]],
+                              "g string, v double"),
+        ["g"], "v", path, k=128,
+    )
+    for a, b in ((4000, 8000), (8000, 12000)):
+        quantile_ledger_ingest(
+            spark.createDataFrame([("a", v) for v in vals[a:b]],
+                                  "g string, v double"),
+            path,
+        )
+    got = {
+        r["q"]: r["value"]
+        for r in quantile_ledger_report(spark, path, [0.25, 0.5, 0.9]).collect()
+    }
+    for phi, val in got.items():
+        assert _rank_error(vals, phi, val) <= 0.06, phi
