@@ -76,6 +76,10 @@ def fuzzy_term_docs(
             f"construction; got max_edits={max_edits}"
         )
     probe = probe.lower()
+    if not probe:
+        # an empty probe would "match" every single-char token via the
+        # empty deletion key — a degenerate query, not a typo search
+        raise ValueError("probe must be a non-empty term")
     spark = df.sparkSession
     toks = (
         df.select(

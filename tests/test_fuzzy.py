@@ -85,3 +85,9 @@ def test_max_edits_guard(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="single-edit"):
         fuzzy_term_docs(df, "text", "doc_id", "x", max_edits=2)
+
+
+def test_empty_probe_rejected(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        fuzzy_term_docs(df, "text", "doc_id", "")
