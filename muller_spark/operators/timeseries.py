@@ -121,14 +121,25 @@ def resample(
             .orderBy("bucket")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
+        # descending RUNNING frame, not (0, unboundedFollowing): Spark's
+        # UnboundedFollowingWindowFunctionFrame re-scans the remainder of
+        # the partition per row — O(n²), measured 111 s vs sub-second on
+        # the sf0.1 events table; last-ignorenulls over the reversed
+        # running frame is the same value via the O(n) accumulating frame
         w_next = (
             Window.partitionBy("key")
-            .orderBy("bucket")
-            .rowsBetween(0, Window.unboundedFollowing)
+            .orderBy(F.col("bucket").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
         obs = F.when(~was_gap, F.struct(F.col("bucket"), F.col("_v")))
-        prev = F.last(obs, ignorenulls=True).over(w_prev)
-        nxt = F.first(obs, ignorenulls=True).over(w_next)
+        # one window column per direction, fields projected afterwards:
+        # inlining prev["bucket"] / prev["_v"] etc. makes Spark emit one
+        # window FUNCTION per field access (4× asc + 2× desc measured in
+        # the plan); withColumn evaluates each direction exactly once
+        joined = joined.withColumn(
+            "_prev", F.last(obs, ignorenulls=True).over(w_prev)
+        ).withColumn("_nxt", F.last(obs, ignorenulls=True).over(w_next))
+        prev, nxt = F.col("_prev"), F.col("_nxt")
         frac = (F.col("bucket") - prev["bucket"]) / (
             nxt["bucket"] - prev["bucket"]
         )
