@@ -54,12 +54,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("_mn"))
         .select("u", F.least("_mn", F.col("u")).alias("m"))
     )
+    # deliberately NOT distinct-ed: duplicate edges change neither the
+    # min aggregates nor the emitted pair set of the following
+    # small-star pass (whose output distinct restores set semantics),
+    # and dropping the dedup saves one shuffle stage per round
     return (
         nbrs.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -116,19 +119,39 @@ def connected_components(
         return cur.select(
             F.col("u").alias("id"), F.col("v").alias("component")
         )
-    for _ in range(max_rounds):
-        ls = _large_star(cur).localCheckpoint()
-        nxt = _small_star(ls).localCheckpoint()
-        # sets are distinct by construction: equal counts + empty
-        # one-sided difference ⇒ equal sets (two bounded count jobs)
-        same = (
-            nxt.count() == cur.count()
-            and nxt.subtract(cur).count() == 0
+
+    # Per-round cost discipline: ONE checkpoint (large-star + small-star
+    # composed in a single plan) and ONE aggregate job computing a
+    # (count, xxhash64-sum) set fingerprint.  A fingerprint match only
+    # TRIGGERS the exact set-equality check (subtract) — convergence is
+    # still decided by the exact check, the fingerprint merely keeps the
+    # expensive comparison off the per-round path, so a hash collision
+    # costs one wasted subtract, never a wrong answer.
+    def _stats(df: DataFrame) -> tuple:
+        # decimal sum: long-sum of 64-bit hashes overflows under ANSI
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).first()
         )
-        cur = nxt
-        if same:
+
+    prev = _stats(cur)
+    converged = False
+    for _ in range(max_rounds):
+        # lazy checkpoint + stats aggregate = ONE job per round: the
+        # fingerprint action is what materializes the checkpoint, so
+        # the per-round scheduling overhead (which dominates on small
+        # edge sets) is a single job, not checkpoint-then-count
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        stats = _stats(nxt)
+        if stats == prev and nxt.subtract(cur).count() == 0:
+            cur = nxt
+            converged = True
             break
-    else:
+        prev = stats
+        cur = nxt
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} "
             "large-star/small-star rounds — theoretically impossible "
