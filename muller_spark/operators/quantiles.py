@@ -352,7 +352,11 @@ def _fold_sketch_log(spark, path: str) -> "tuple[DataFrame, list, int]":
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     keys = json.loads(meta["key_cols"])
     k = int(meta["k"])
-    log = spark.read.parquet(os.path.join(path, "sketches"))
+    # recursive lookup: streaming ingests land sketch rows in batch-
+    # namespaced marker subdirectories beside the flat batch files
+    log = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(path, "sketches")
+    )
     src_fields = [log.schema[c] for c in keys]
     out_schema = StructType(
         src_fields

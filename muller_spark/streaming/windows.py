@@ -668,3 +668,66 @@ def make_agg_ledger_batch_handler(ledger_path: str, run_ns: str):
         ).parquet(batch_dir)
 
     return land
+
+
+def quantile_ledger_stream(
+    stream: DataFrame,
+    ledger_path: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+):
+    """Restart-durable streaming ingest into the incremental QUANTILE
+    ledger (``operators/quantiles``) — per-key percentile state
+    maintained over a stream.  Same crash-safety class as
+    :func:`agg_ledger_stream`, for the same reason: sketch rows are
+    weight-carrying (a replayed append double-weights its batch), so
+    the handler is single-artifact exactly-once — each micro-batch's
+    own bounded MRL sketch lands as a marker-guarded subdirectory of
+    the sketch log, and a replayed batch that sees the marker does
+    nothing.  Grouping and k sniffed from the ledger meta; compaction
+    remains a stop-the-stream operation (single-writer discipline)."""
+    import hashlib
+
+    run_ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:10]
+    land = make_quantile_ledger_batch_handler(ledger_path, run_ns)
+    writer = stream.writeStream.foreachBatch(land).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def make_quantile_ledger_batch_handler(ledger_path: str, run_ns: str):
+    """foreachBatch handler behind :func:`quantile_ledger_stream`,
+    exposed for the crash-replay contract test (mirrors
+    :func:`make_agg_ledger_batch_handler`)."""
+    import json as _json
+    import os as _os
+
+    from muller_spark.operators.quantiles import quantile_sketch
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_dir = _os.path.join(
+            ledger_path,
+            "sketches",
+            f"ingest_run={run_ns}",
+            f"ingest_batch={batch_id}",
+        )
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(
+            batch_dir + "/_SUCCESS"
+        )
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jvm_path):
+            return  # replayed batch: sketch already committed
+        meta = spark.read.parquet(_os.path.join(ledger_path, "meta")).first()
+        keys = _json.loads(meta["key_cols"])
+        quantile_sketch(
+            batch_df, meta["value_col"], group_cols=keys, k=int(meta["k"])
+        ).write.mode("overwrite").parquet(batch_dir)
+
+    return land

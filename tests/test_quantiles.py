@@ -228,3 +228,85 @@ def test_quantile_ledger_compaction_regime_bound(spark, tmp_path):
     }
     for phi, val in got.items():
         assert _rank_error(vals, phi, val) <= 0.06, phi
+
+
+def test_quantile_ledger_stream_exactly_once(spark, tmp_path):
+    """Streaming ingest lands marker-guarded sketch subdirs; a replayed
+    batch_id is a no-op (no double-weighting), and the report equals
+    the exact quantiles in the exact regime."""
+    import os
+
+    from muller_spark.operators.quantiles import (
+        init_quantile_ledger,
+        quantile_ledger_report,
+    )
+    from muller_spark.streaming.windows import (
+        make_quantile_ledger_batch_handler,
+    )
+
+    path = os.path.join(str(tmp_path), "qledger")
+    init_quantile_ledger(
+        spark.createDataFrame([("a", 1.0), ("a", 9.0)], "g string, v double"),
+        ["g"], "v", path, k=256,
+    )
+    handler = make_quantile_ledger_batch_handler(path, run_ns="testns")
+    batch = spark.createDataFrame(
+        [("a", 5.0), ("b", 2.0)], "g string, v double"
+    )
+    handler(batch, 0)
+    expect = {("a", 0.5): 5.0, ("a", 1.0): 9.0, ("b", 0.5): 2.0,
+              ("b", 1.0): 2.0}
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in quantile_ledger_report(spark, path, [0.5, 1.0]).collect()
+    }
+    assert got == expect
+    handler(batch, 0)  # crash-replay: marker skip, no double-weight
+    got2 = {
+        (r["g"], r["q"]): r["value"]
+        for r in quantile_ledger_report(spark, path, [0.5, 1.0]).collect()
+    }
+    assert got2 == expect
+    assert os.path.exists(os.path.join(
+        path, "sketches", "ingest_run=testns", "ingest_batch=0", "_SUCCESS"
+    ))
+
+
+def test_quantile_ledger_stream_end_to_end(spark, tmp_path):
+    import os
+
+    import pyspark.sql.types as T
+
+    from muller_spark.operators.quantiles import (
+        init_quantile_ledger,
+        quantile_ledger_report,
+    )
+    from muller_spark.streaming.windows import (
+        quantile_ledger_stream,
+        stream_from_directory,
+    )
+
+    schema = T.StructType([
+        T.StructField("g", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    src = os.path.join(str(tmp_path), "src"); os.makedirs(src)
+    path = os.path.join(str(tmp_path), "qledger")
+    init_quantile_ledger(
+        spark.createDataFrame([("a", 10.0)], "g string, v double"),
+        ["g"], "v", path, k=256,
+    )
+    spark.createDataFrame(
+        [("a", 30.0), ("a", 20.0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    q = quantile_ledger_stream(
+        stream_from_directory(spark, src + "/*/", schema),
+        path, os.path.join(str(tmp_path), "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {
+        r["q"]: r["value"]
+        for r in quantile_ledger_report(spark, path, [0.5, 1.0])
+        .where("g = 'a'").collect()
+    }
+    assert got == {0.5: 20.0, 1.0: 30.0}
