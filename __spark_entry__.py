@@ -950,6 +950,44 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mg_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HEAVY-HITTERS ledger
+    (operators/heavyhitters.mg_ledger_report, round 11 — the 4th
+    member of the ledger family): per-source Misra–Gries summaries
+    over lang maintained across three doc_id%3 ingest batches, with a
+    compaction BETWEEN ingests (fold-to-one-summary mid-history) and
+    one after.  The distinct-item count per source sits far below
+    k=64, so no decrement ever fires and the ledger fold is the exact
+    frequency table with err_bound 0 — the oracle recomputes it from
+    the full table in one shot, so batch-split invariance AND both
+    compactions are value-checked by the hash.  Over-capacity
+    guarantees are property-tested (tests/test_heavyhitters.py).
+    Build session-cached (_demo_cached); report runs live."""
+    from muller_spark.operators.heavyhitters import (
+        compact_mg_ledger,
+        init_mg_ledger,
+        mg_ledger_ingest,
+        mg_ledger_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def build():
+        path = os.path.join(_demo_tmpdir("mgledger_"), "ledger")
+        init_mg_ledger(
+            docs.filter(F.col("doc_id") % 3 == 0), ["source"], "lang",
+            path, k=64,
+        )
+        mg_ledger_ingest(docs.filter(F.col("doc_id") % 3 == 1), path)
+        compact_mg_ledger(spark, path)  # mid-history fold
+        mg_ledger_ingest(docs.filter(F.col("doc_id") % 3 == 2), path)
+        compact_mg_ledger(spark, path)
+        return path
+
+    path = _demo_cached("mgledger", sf_dir, spark, build)
+    return mg_ledger_report(spark, path).orderBy("source", "item")
+
+
 def q_hll_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental DISTINCT-count ledger
     (operators/aggregate.hll_ledger_report): per-source HLL registers
@@ -1039,6 +1077,26 @@ def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return fuzzy_term_docs(docs, "text", "doc_id", "sow").orderBy("doc_id")
+
+
+def q_fuzzy_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch typo-tolerant containment (index/fuzzy.fuzzy_terms_docs,
+    round 11): one pass answering a probe TABLE — the decontamination-
+    word-list / variant-dictionary shape — returning (probe, doc_id)
+    pairs.  Probes exercise a deletion neighbor ('qery'→'query'), a
+    substitution neighbor ('streem'→'stream'), an exact hit
+    ('vector'), and a miss ('zzzqqq').  Spark plan = ONE vocabulary
+    key explode (pruned to the global probe length window) joined
+    against the probe key frame, exact levenshtein verify on the
+    sliver — probe count scales the tiny probe side, never the corpus
+    side; the oracle is the brute-force probes × tokens scan, so
+    key-theorem completeness is value-checked per probe."""
+    from muller_spark.index.fuzzy import fuzzy_terms_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_terms_docs(
+        docs, "text", "doc_id", ["qery", "streem", "vector", "zzzqqq"]
+    ).orderBy("probe", "doc_id")
 
 
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4427,7 +4485,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quantile_sketch": q_quantile_sketch,
     "q_agg_ledger": q_agg_ledger,
     "q_heavy_hitters": q_heavy_hitters,
+    "q_mg_ledger": q_mg_ledger,
     "q_fuzzy_search": q_fuzzy_search,
+    "q_fuzzy_multi": q_fuzzy_multi,
     "q_hll_ledger": q_hll_ledger,
     "q_quantile_ledger": q_quantile_ledger,
     "q_decontamination": q_decontamination,
@@ -6155,6 +6215,17 @@ _ORACLES: dict[str, str] = {
         GROUP BY source, lang
         ORDER BY source, item
     """,
+    # exact regime: the three-batch + twice-compacted ledger fold must
+    # equal one groupBy count over the full table (split invariance +
+    # compaction equivalence under one hash)
+    "q_mg_ledger": """
+        SELECT source, lang AS item, count(*) AS est_count,
+               CAST(0 AS BIGINT) AS err_bound
+        FROM documents
+        WHERE lang IS NOT NULL
+        GROUP BY source, lang
+        ORDER BY source, item
+    """,
     "q_fuzzy_search": f"""
         WITH toks AS (
           SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents
@@ -6162,6 +6233,16 @@ _ORACLES: dict[str, str] = {
         SELECT DISTINCT doc_id FROM toks
         WHERE levenshtein(t, 'sow') <= 1
         ORDER BY doc_id
+    """,
+    "q_fuzzy_multi": f"""
+        WITH probes(probe) AS (
+          VALUES ('qery'), ('streem'), ('vector'), ('zzzqqq')
+        ), toks AS (
+          SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents
+        )
+        SELECT DISTINCT p.probe, toks.doc_id
+        FROM probes p JOIN toks ON levenshtein(toks.t, p.probe) <= 1
+        ORDER BY probe, doc_id
     """,
     # one-shot replay of the ledger-folded registers: max-mergeable
     # registers make the three-batch (+replayed-batch) ledger fold

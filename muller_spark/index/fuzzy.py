@@ -51,6 +51,129 @@ def _deletion_keys_col(t: Column) -> Column:
     return F.array_union(F.array(t), dels)
 
 
+def fuzzy_terms_docs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    probes,
+    max_edits: int = 1,
+    max_token_len: int = 24,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Typo-tolerant containment over a probe TABLE: ``(probe,
+    id_col)`` pairs where the document contains any token within
+    ``max_edits`` (Levenshtein) of that probe — the batch shape of
+    :func:`fuzzy_term_docs` for dictionaries of variant terms,
+    decontamination word lists, and PII term sweeps.
+
+    ``probes`` is either a sequence of strings or a single-column
+    DataFrame; probes are lower-cased and de-duplicated.  The plan is
+    the single-probe plan with the probe side generalized from a
+    broadcast literal list to a small keyed frame:
+
+    - probe keys: each probe explodes to ≤ len+1 deletion keys,
+      carried WITH its probe so matches stay keyed by probe;
+    - vocabulary keys: distinct corpus tokens pruned to the GLOBAL
+      probe length window [min_len−1, max_len+1] (lengths at distance
+      1 differ by ≤ 1) before the bounded key explode — one corpus-
+      sized artifact, shuffled once on the key, independent of probe
+      count;
+    - verify: exact ``levenshtein(t, probe) ≤ max_edits`` on the
+      candidate sliver (the per-probe length discipline rides the
+      verify — the global window only bounds the explode);
+    - output: document tokens joined to the matched (probe, term)
+      pairs, distinct per (probe, id).
+
+    Empty probes and probes longer than ``max_token_len`` are rejected
+    loudly (they would silently return zero or degenerate rows — the
+    single-probe guards, applied table-wide; for a DataFrame input the
+    validation is one bounded aggregate over the probe table).
+    ``broadcast_probes=False`` drops the broadcast hints for
+    dictionaries too large to broadcast — the key join then shuffles,
+    still never scanning vocabulary × probes.
+    """
+    if max_edits != 1:
+        raise ValueError(
+            "fuzzy_terms_docs implements the single-edit deletion-key "
+            f"construction; got max_edits={max_edits}"
+        )
+    spark = df.sparkSession
+    if isinstance(probes, DataFrame):
+        pcol = probes.columns[0]
+        probe_df = (
+            probes.select(F.lower(F.col(pcol).cast("string")).alias("probe"))
+            .where(F.col("probe").isNotNull())
+            .distinct()
+        )
+        n_probes, min_len, max_len = probe_df.agg(
+            F.count(F.lit(1)), F.min(F.length("probe")),
+            F.max(F.length("probe")),
+        ).first()
+        if not n_probes:
+            raise ValueError("probes table is empty")
+        if min_len == 0:
+            raise ValueError("probes table contains an empty term")
+        if max_len > max_token_len:
+            raise ValueError(
+                f"probes table contains a term of length {max_len} > "
+                f"max_token_len {max_token_len}; raise max_token_len"
+            )
+    else:
+        plist = sorted({str(p).lower() for p in probes})
+        if not plist:
+            raise ValueError("probes must contain at least one term")
+        for p in plist:
+            if not p:
+                raise ValueError("probes must be non-empty terms")
+            if len(p) > max_token_len:
+                raise ValueError(
+                    f"probe {p!r} length {len(p)} exceeds max_token_len "
+                    f"{max_token_len}; raise max_token_len"
+                )
+        min_len = min(len(p) for p in plist)
+        max_len = max(len(p) for p in plist)
+        probe_df = spark.createDataFrame([(p,) for p in plist], "probe string")
+
+    hint = F.broadcast if broadcast_probes else (lambda d: d)
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_REGEX)
+                )
+            ).alias("t"),
+        )
+        .where(F.col("t") != "")
+    )
+    vocab = (
+        toks.select("t")
+        .distinct()
+        .where(
+            (F.length("t") <= F.lit(min(max_token_len + 1, int(max_len) + 1)))
+            & (F.length("t") >= F.lit(int(min_len) - 1))
+        )
+    )
+    vkeys = vocab.select(
+        "t", F.explode(_deletion_keys_col(F.col("t"))).alias("k")
+    )
+    pkeys = probe_df.select(
+        "probe", F.explode(_deletion_keys_col(F.col("probe"))).alias("k")
+    )
+    matched = (
+        vkeys.join(hint(pkeys), "k")
+        .select("probe", "t")
+        .distinct()
+        .where(F.levenshtein(F.col("t"), F.col("probe")) <= max_edits)
+    )
+    return (
+        toks.join(hint(matched), "t")
+        .select("probe", "id")
+        .distinct()
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def fuzzy_term_docs(
     df: DataFrame,
     text_col: str,
@@ -80,6 +203,16 @@ def fuzzy_term_docs(
         # an empty probe would "match" every single-char token via the
         # empty deletion key — a degenerate query, not a typo search
         raise ValueError("probe must be a non-empty term")
+    if len(probe) > max_token_len:
+        # the vocabulary-side cap would make the length window empty
+        # (or exclude the probe's own length), silently returning zero
+        # rows even on a verbatim hit — reject loudly instead, like
+        # the empty-probe guard above
+        raise ValueError(
+            f"probe length {len(probe)} exceeds max_token_len "
+            f"{max_token_len}; raise max_token_len to search for "
+            "terms this long"
+        )
     spark = df.sparkSession
     toks = (
         df.select(

@@ -667,12 +667,59 @@ def cms_frequency_report(
 # incremental aggregate ledger — materialized-view maintenance, LSM-style
 # ---------------------------------------------------------------------------
 
+def _recover_log_swap(live_dir: str) -> None:
+    """Finish a compaction swap interrupted by a crash: if the live log
+    directory is missing but a fully-written ``.compact`` sibling
+    exists (its parquet ``_SUCCESS`` present), promote it.  Consulted
+    by every ledger read/ingest/compact before touching the log, so a
+    crash inside :func:`_swap_log_dir` self-heals on the next
+    operation instead of requiring manual recovery."""
+    import os
+    import shutil
+
+    tmp = live_dir + ".compact"
+    old = live_dir + ".old"
+    if not os.path.isdir(live_dir) and os.path.exists(
+        os.path.join(tmp, "_SUCCESS")
+    ):
+        os.rename(tmp, live_dir)
+    if os.path.isdir(live_dir) and os.path.isdir(old):
+        shutil.rmtree(old)
+
+
+def _swap_log_dir(live_dir: str) -> None:
+    """Promote ``live_dir + '.compact'`` (already fully written) to
+    ``live_dir`` via rename-rename-rmtree: the log is never deleted
+    before its replacement is complete on disk, and the only
+    no-live-dir window is between two renames — which
+    :func:`_recover_log_swap` closes on the next operation."""
+    import os
+    import shutil
+
+    old = live_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)  # stale from a prior crash
+    os.rename(live_dir, old)
+    os.rename(live_dir + ".compact", live_dir)
+    shutil.rmtree(old)
+
 def _agg_partials(df: DataFrame, key_cols: "Sequence[str]", value_col: str) -> DataFrame:
     """One partial-aggregate row per key for a batch: the mergeable
     tuple (cnt, nn, sum, sumsq, min, max).  Sums accumulate as
     DECIMAL(38,6) — exact and order-independent for inputs with ≤ 6
     fractional digits (integers always), so a report merged from any
-    batch split hashes identically to a one-shot aggregate."""
+    batch split hashes identically to a one-shot aggregate.
+
+    Input contract — two bounds, both from the decimal layout:
+
+    - ≤ 6 fractional digits (above);
+    - ``|value| < 1e13``: the square accumulates through a
+      decimal(19,6) cast (13 integer digits), so larger magnitudes
+      overflow it — a loud runtime error under ANSI mode (Spark 4's
+      default), or a silent NULL ``sumsq_v`` (corrupting ``std_v``
+      while ``sum_v`` stays correct) with ANSI off.  Per-key values
+      at 1e13 scale have no meaningful 6-dp std anyway; rescale the
+      column before ledgering it.
+    """
     v = F.col(value_col)
     return df.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -737,6 +784,7 @@ def agg_ledger_ingest(batch: DataFrame, path: str) -> None:
     spark = batch.sparkSession
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     keys = json.loads(meta["key_cols"])
+    _recover_log_swap(os.path.join(path, "partials"))
     _agg_partials(batch, keys, meta["value_col"]).write.mode(
         "append"
     ).parquet(os.path.join(path, "partials"))
@@ -755,6 +803,7 @@ def agg_ledger_report(spark, path: str) -> DataFrame:
 
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     keys = json.loads(meta["key_cols"])
+    _recover_log_swap(os.path.join(path, "partials"))
     merged = (
         # recursive lookup: streaming ingests land partials in batch-
         # namespaced SUBDIRECTORIES (exactly-once marker dirs) beside
@@ -794,14 +843,28 @@ def compact_agg_ledger(spark, path: str) -> None:
     """Fold the partial log back to ONE row per key (bounds merge-on-
     read cost after many ingests).  Reports before and after compaction
     are identical — decimal sums are order-independent by construction.
-    Write-temp-then-swap so a crashed compaction never loses the log."""
+    Write-temp-then-swap so a crashed compaction never loses the log,
+    and the swap is rename-rename-rmtree (:func:`_swap_log_dir`) so the
+    no-partials-dir window a plain rmtree-then-replace leaves is closed
+    by :func:`_recover_log_swap` on the next operation.
+
+    Compaction folds streaming batch subdirectories into flat files,
+    which drops their ``_SUCCESS`` markers — but NOT the ``landed``
+    manifest (``<path>/landed/``, one touch-file per (run, batch) the
+    stream twins maintain), which compaction never touches.  A stream
+    restart that replays a batch whose marker was compacted away still
+    finds its manifest entry and skips, so compacting a STOPPED stream
+    is always safe even when the final micro-batch landed without its
+    checkpoint commit.  Never compact while a run is LIVE (single-
+    writer discipline: a batch between its partial write and its
+    manifest write would lose the race with the fold)."""
     import json
     import os
-    import shutil
 
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     keys = json.loads(meta["key_cols"])
     part_dir = os.path.join(path, "partials")
+    _recover_log_swap(part_dir)
     folded = (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(part_dir)
@@ -822,10 +885,8 @@ def compact_agg_ledger(spark, path: str) -> None:
             "min_v", "max_v",
         )
     )
-    tmp = part_dir + ".compact"
-    folded.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(part_dir)
-    os.replace(tmp, part_dir)
+    folded.write.mode("overwrite").parquet(part_dir + ".compact")
+    _swap_log_dir(part_dir)
 
 
 def init_hll_ledger(
@@ -875,6 +936,7 @@ def hll_ledger_ingest(batch: DataFrame, path: str) -> None:
     spark = batch.sparkSession
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     keys = json.loads(meta["key_cols"])
+    _recover_log_swap(os.path.join(path, "registers"))
     _group_registers(
         batch, meta["value_col"], keys, meta["precision"]
     ).write.mode("append").parquet(os.path.join(path, "registers"))
@@ -893,6 +955,7 @@ def hll_ledger_report(spark, path: str) -> DataFrame:
 
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     keys = json.loads(meta["key_cols"])
+    _recover_log_swap(os.path.join(path, "registers"))
     folded = (
         spark.read.parquet(os.path.join(path, "registers"))
         .groupBy(*keys, "bucket")
@@ -904,20 +967,21 @@ def hll_ledger_report(spark, path: str) -> DataFrame:
 def compact_hll_ledger(spark, path: str) -> None:
     """Fold the register log to one row per (keys, bucket).  Reports
     before and after are identical (max is idempotent/associative).
-    Write-temp-then-swap like :func:`compact_agg_ledger`."""
+    Write-temp-then-swap like :func:`compact_agg_ledger` — and note
+    this ledger needs no ``landed`` manifest at all: register rows are
+    max-merge idempotent, so a replay after compaction re-appends
+    harmlessly instead of double-counting."""
     import json
     import os
-    import shutil
 
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     keys = json.loads(meta["key_cols"])
     reg_dir = os.path.join(path, "registers")
+    _recover_log_swap(reg_dir)
     folded = (
         spark.read.parquet(reg_dir)
         .groupBy(*keys, "bucket")
         .agg(F.max("reg").alias("reg"))
     )
-    tmp = reg_dir + ".compact"
-    folded.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(reg_dir)
-    os.replace(tmp, reg_dir)
+    folded.write.mode("overwrite").parquet(reg_dir + ".compact")
+    _swap_log_dir(reg_dir)

@@ -335,9 +335,12 @@ def quantile_ledger_ingest(batch: DataFrame, path: str) -> None:
     import json
     import os
 
+    from muller_spark.operators.aggregate import _recover_log_swap
+
     spark = batch.sparkSession
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     keys = json.loads(meta["key_cols"])
+    _recover_log_swap(os.path.join(path, "sketches"))
     quantile_sketch(
         batch, meta["value_col"], group_cols=keys, k=meta["k"]
     ).write.mode("append").parquet(os.path.join(path, "sketches"))
@@ -349,9 +352,12 @@ def _fold_sketch_log(spark, path: str) -> "tuple[DataFrame, list, int]":
     import json
     import os
 
+    from muller_spark.operators.aggregate import _recover_log_swap
+
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     keys = json.loads(meta["key_cols"])
     k = int(meta["k"])
+    _recover_log_swap(os.path.join(path, "sketches"))
     # recursive lookup: streaming ingests land sketch rows in batch-
     # namespaced marker subdirectories beside the flat batch files
     log = spark.read.option("recursiveFileLookup", "true").parquet(
@@ -400,13 +406,15 @@ def compact_quantile_ledger(spark, path: str) -> None:
     """Fold the sketch log to one sketch per key.  Post-compaction
     reports equal pre-compaction reports EXACTLY when no key has ever
     compacted (raw level-0 rows just concatenate), and stay within the
-    MRL bound otherwise.  Write-temp-then-swap like the siblings."""
+    MRL bound otherwise.  Crash-safe swap + ``landed`` manifest
+    preservation exactly as :func:`muller_spark.operators.aggregate.
+    compact_agg_ledger` — same weight-carrying state algebra, same
+    stopped-stream-replay hazard, same fix."""
     import os
-    import shutil
+
+    from muller_spark.operators.aggregate import _swap_log_dir
 
     folded, _, _ = _fold_sketch_log(spark, path)
     sk_dir = os.path.join(path, "sketches")
-    tmp = sk_dir + ".compact"
-    folded.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(sk_dir)
-    os.replace(tmp, sk_dir)
+    folded.write.mode("overwrite").parquet(sk_dir + ".compact")
+    _swap_log_dir(sk_dir)

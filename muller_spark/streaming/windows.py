@@ -617,11 +617,16 @@ def agg_ledger_stream(
     single-artifact exactly-once — the partial subdir itself carries
     the ``_SUCCESS`` marker, a replayed batch that sees the marker does
     nothing, and a crash mid-write leaves no committed files for
-    :func:`agg_ledger_report`'s recursive read to see.  Grouping is
-    sniffed from the ledger meta (never caller-supplied), and the
-    single-writer discipline extends to compaction: never compact
-    while a stream run is live (compaction rewrites the log and drops
-    the markers).  Run-namespaced by checkpoint hash like the other
+    :func:`agg_ledger_report`'s recursive read to see.  A second,
+    compaction-surviving guard — the ``landed`` manifest — makes it
+    safe to compact a STOPPED stream's state and restart it even when
+    the final micro-batch landed without its checkpoint commit (see
+    :func:`make_agg_ledger_batch_handler`).  Grouping is sniffed from
+    the ledger meta (never caller-supplied), and the single-writer
+    discipline still forbids compacting while a run is LIVE (a batch
+    between its partial write and its manifest write would lose the
+    race with the fold).  Run-namespaced by checkpoint hash like the
+    other
     twins: re-using an out path with a FRESH checkpoint dir cannot
     collide with old batch dirs."""
     import hashlib
@@ -641,7 +646,21 @@ def agg_ledger_stream(
 def make_agg_ledger_batch_handler(ledger_path: str, run_ns: str):
     """foreachBatch handler behind :func:`agg_ledger_stream`, exposed
     for the crash-replay contract test (mirrors
-    :func:`make_hamming_batch_handler`)."""
+    :func:`make_hamming_batch_handler`).
+
+    Two replay guards, because partials are NOT duplicate-tolerant:
+
+    - the batch subdir's own parquet ``_SUCCESS`` marker (primary,
+      free — but compaction folds subdirs into flat files and drops
+      it);
+    - a ``landed`` manifest (``<ledger>/landed/<run>_<batch>`` touch
+      files) that compaction PRESERVES, written after the partial
+      commits — so a stream stopped between its final partial write
+      and its checkpoint commit can be compacted and restarted without
+      double-counting that batch.  A crash between the partial write
+      and the manifest write heals on replay: the marker still
+      exists, so the handler skips the rewrite and records the
+      manifest entry (heal-or-advance)."""
     import json as _json
     import os as _os
 
@@ -655,17 +674,24 @@ def make_agg_ledger_batch_handler(ledger_path: str, run_ns: str):
             f"ingest_run={run_ns}",
             f"ingest_batch={batch_id}",
         )
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(
-            batch_dir + "/_SUCCESS"
+        hpath = spark._jvm.org.apache.hadoop.fs.Path
+        landed = hpath(
+            _os.path.join(ledger_path, "landed", f"{run_ns}_{batch_id}")
         )
-        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jvm_path):
-            return  # replayed batch: partial already committed
-        meta = spark.read.parquet(_os.path.join(ledger_path, "meta")).first()
-        keys = _json.loads(meta["key_cols"])
-        _agg_partials(batch_df, keys, meta["value_col"]).write.mode(
-            "overwrite"
-        ).parquet(batch_dir)
+        fs = landed.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(landed):
+            return  # replayed batch: manifest outlives compaction
+        marker = hpath(batch_dir + "/_SUCCESS")
+        if not fs.exists(marker):
+            meta = spark.read.parquet(
+                _os.path.join(ledger_path, "meta")
+            ).first()
+            keys = _json.loads(meta["key_cols"])
+            _agg_partials(batch_df, keys, meta["value_col"]).write.mode(
+                "overwrite"
+            ).parquet(batch_dir)
+        fs.mkdirs(landed.getParent())
+        fs.createNewFile(landed)
 
     return land
 
@@ -703,8 +729,11 @@ def quantile_ledger_stream(
 
 def make_quantile_ledger_batch_handler(ledger_path: str, run_ns: str):
     """foreachBatch handler behind :func:`quantile_ledger_stream`,
-    exposed for the crash-replay contract test (mirrors
-    :func:`make_agg_ledger_batch_handler`)."""
+    exposed for the crash-replay contract test.  Same two-level replay
+    guard as :func:`make_agg_ledger_batch_handler` — batch-subdir
+    ``_SUCCESS`` marker plus the compaction-surviving ``landed``
+    manifest — because sketch rows are weight-carrying and a
+    replayed append double-weights its batch."""
     import json as _json
     import os as _os
 
@@ -718,16 +747,100 @@ def make_quantile_ledger_batch_handler(ledger_path: str, run_ns: str):
             f"ingest_run={run_ns}",
             f"ingest_batch={batch_id}",
         )
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(
-            batch_dir + "/_SUCCESS"
+        hpath = spark._jvm.org.apache.hadoop.fs.Path
+        landed = hpath(
+            _os.path.join(ledger_path, "landed", f"{run_ns}_{batch_id}")
         )
-        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jvm_path):
-            return  # replayed batch: sketch already committed
-        meta = spark.read.parquet(_os.path.join(ledger_path, "meta")).first()
-        keys = _json.loads(meta["key_cols"])
-        quantile_sketch(
-            batch_df, meta["value_col"], group_cols=keys, k=int(meta["k"])
-        ).write.mode("overwrite").parquet(batch_dir)
+        fs = landed.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(landed):
+            return  # replayed batch: manifest outlives compaction
+        marker = hpath(batch_dir + "/_SUCCESS")
+        if not fs.exists(marker):
+            meta = spark.read.parquet(
+                _os.path.join(ledger_path, "meta")
+            ).first()
+            keys = _json.loads(meta["key_cols"])
+            quantile_sketch(
+                batch_df, meta["value_col"], group_cols=keys,
+                k=int(meta["k"]),
+            ).write.mode("overwrite").parquet(batch_dir)
+        fs.mkdirs(landed.getParent())
+        fs.createNewFile(landed)
+
+    return land
+
+
+def mg_ledger_stream(
+    stream: DataFrame,
+    ledger_path: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+):
+    """Restart-durable streaming ingest into the incremental
+    HEAVY-HITTERS ledger (``operators/heavyhitters``) — per-key top-k
+    state maintained over a stream, completing the streaming side of
+    the ledger family.  Same crash-safety class as
+    :func:`agg_ledger_stream`, for the same reason: Misra–Gries
+    summaries are mergeable but NOT replay-tolerant (a re-appended
+    summary double-counts its batch), so the handler is
+    single-artifact exactly-once — each micro-batch's own merged
+    summary lands as a marker-guarded subdirectory of the summary log,
+    with the compaction-surviving ``landed`` manifest as the second
+    guard.  Grouping and k sniffed from the ledger meta; compaction
+    remains a stop-the-stream operation (single-writer discipline)."""
+    import hashlib
+
+    run_ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:10]
+    land = make_mg_ledger_batch_handler(ledger_path, run_ns)
+    writer = stream.writeStream.foreachBatch(land).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def make_mg_ledger_batch_handler(ledger_path: str, run_ns: str):
+    """foreachBatch handler behind :func:`mg_ledger_stream`, exposed
+    for the crash-replay contract test.  Same two-level replay guard
+    as :func:`make_agg_ledger_batch_handler` — batch-subdir
+    ``_SUCCESS`` marker plus the compaction-surviving ``landed``
+    manifest."""
+    import json as _json
+    import os as _os
+
+    from muller_spark.operators.heavyhitters import _mg_summary_frame
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_dir = _os.path.join(
+            ledger_path,
+            "summaries",
+            f"ingest_run={run_ns}",
+            f"ingest_batch={batch_id}",
+        )
+        hpath = spark._jvm.org.apache.hadoop.fs.Path
+        landed = hpath(
+            _os.path.join(ledger_path, "landed", f"{run_ns}_{batch_id}")
+        )
+        fs = landed.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(landed):
+            return  # replayed batch: manifest outlives compaction
+        marker = hpath(batch_dir + "/_SUCCESS")
+        if not fs.exists(marker):
+            meta = spark.read.parquet(
+                _os.path.join(ledger_path, "meta")
+            ).first()
+            keys = _json.loads(meta["key_cols"])
+            src_fields = [batch_df.schema[c] for c in keys]
+            _mg_summary_frame(
+                batch_df, meta["value_col"], int(meta["k"]), keys,
+                src_fields,
+            ).write.mode("overwrite").parquet(batch_dir)
+        fs.mkdirs(landed.getParent())
+        fs.createNewFile(landed)
 
     return land

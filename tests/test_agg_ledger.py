@@ -188,6 +188,73 @@ def test_agg_ledger_stream_replay_is_exactly_once(spark, tmp_path):
     # compaction after streaming folds everything and keeps the report
     compact_agg_ledger(spark, ledger)
     assert _report_dict(spark, ledger) == expect
+    # THE r10-ADVICE hazard: the stream stopped after landing batch 0
+    # but before its checkpoint commit; compaction dropped the batch
+    # subdir's _SUCCESS marker (folded to flat files) — a restart
+    # replays batch 0, which must STILL be a no-op because the landed
+    # manifest survives compaction
+    handler(batch, 0)
+    assert _report_dict(spark, ledger) == expect
+    # and a genuinely new batch after compaction still ingests
+    handler(spark.createDataFrame([("c", 3.0)], "g string, v double"), 1)
+    assert _report_dict(spark, ledger) == _expected(
+        [("a", 1.0), ("a", 5.0), ("c", 7.0), ("c", 3.0)]
+    )
+
+
+def test_agg_ledger_marker_without_manifest_heals(spark, tmp_path):
+    """Crash between the partial write and the manifest write: the
+    replay must skip the rewrite (marker) AND record the manifest
+    entry, so a later compaction + second replay stays exactly-once."""
+    import glob as _glob
+
+    from muller_spark.streaming.windows import make_agg_ledger_batch_handler
+
+    ledger = os.path.join(str(tmp_path), "ledger")
+    init_agg_ledger(
+        spark.createDataFrame([("a", 1.0)], "g string, v double"),
+        ["g"], "v", ledger,
+    )
+    handler = make_agg_ledger_batch_handler(ledger, run_ns="healns")
+    batch = spark.createDataFrame([("a", 5.0)], "g string, v double")
+    handler(batch, 0)
+    # simulate the crash: delete the manifest entry, keep the marker
+    (manifest,) = _glob.glob(os.path.join(ledger, "landed", "healns_0"))
+    os.remove(manifest)
+    expect = _expected([("a", 1.0), ("a", 5.0)])
+    handler(batch, 0)  # replay: marker skip + manifest heal
+    assert _report_dict(spark, ledger) == expect
+    assert os.path.exists(manifest)
+    compact_agg_ledger(spark, ledger)
+    handler(batch, 0)  # post-compaction replay rides the healed manifest
+    assert _report_dict(spark, ledger) == expect
+
+
+def test_recover_log_swap_finishes_interrupted_compaction(spark, tmp_path):
+    """Crash between the two renames of the compaction swap: the live
+    log dir is missing, the .compact dir is complete — the next report
+    must self-heal instead of failing on a missing path."""
+    import shutil
+
+    from muller_spark.operators.aggregate import _recover_log_swap  # noqa: F401
+
+    ledger = os.path.join(str(tmp_path), "ledger")
+    init_agg_ledger(
+        spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0)], "g string, v double"
+        ),
+        ["g"], "v", ledger,
+    )
+    expect = _expected([("a", 1.0), ("b", 2.0)])
+    part = os.path.join(ledger, "partials")
+    # simulate: compaction wrote .compact fully, then crashed mid-swap
+    # (live dir already renamed away, replacement not yet promoted)
+    shutil.copytree(part, part + ".compact")
+    os.rename(part, part + ".old")
+    assert _report_dict(spark, ledger) == expect  # report self-heals
+    assert os.path.isdir(part)
+    assert not os.path.isdir(part + ".old")
+    assert not os.path.isdir(part + ".compact")
 
 
 # ---------------------------------------------------------------------------

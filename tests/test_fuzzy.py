@@ -8,7 +8,11 @@ import random
 
 import pytest
 
-from muller_spark.index.fuzzy import deletion_keys, fuzzy_term_docs
+from muller_spark.index.fuzzy import (
+    deletion_keys,
+    fuzzy_term_docs,
+    fuzzy_terms_docs,
+)
 
 
 def _lev(a: str, b: str) -> int:
@@ -91,3 +95,93 @@ def test_empty_probe_rejected(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="non-empty"):
         fuzzy_term_docs(df, "text", "doc_id", "")
+
+
+def test_overlong_probe_rejected(spark):
+    """r10 ADVICE: a probe longer than max_token_len used to make the
+    vocabulary length window empty and silently return zero rows even
+    on a verbatim hit — now a loud error."""
+    long = "a" * 30
+    df = spark.createDataFrame([(1, long)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_token_len"):
+        fuzzy_term_docs(df, "text", "doc_id", long)
+    got = fuzzy_term_docs(
+        df, "text", "doc_id", long, max_token_len=31
+    ).collect()  # lifting the cap finds the verbatim hit
+    assert [r["doc_id"] for r in got] == [1]
+
+
+# ---------------------------------------------------------------------------
+# multi-probe (round 11): fuzzy_terms_docs over a probe table
+# ---------------------------------------------------------------------------
+
+_CORPUS = [
+    (1, "slow scan over the table"),
+    (2, "row by row merge"),
+    (3, "vector window batch"),
+    (4, "the vectr pipeline lane"),
+    (5, "zzz qqq"),
+]
+
+
+def _brute_pairs(probes):
+    pairs = set()
+    for did, text in _CORPUS:
+        for t in {t for t in text.split() if t}:
+            for p in probes:
+                if _lev(t, p.lower()) <= 1:
+                    pairs.add((p.lower(), did))
+    return pairs
+
+
+def test_fuzzy_terms_docs_matches_bruteforce(spark):
+    probes = ["sow", "vector", "lanes", "nothing"]
+    df = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    got = {
+        (r["probe"], r["doc_id"])
+        for r in fuzzy_terms_docs(df, "text", "doc_id", probes).collect()
+    }
+    assert got == _brute_pairs(probes)
+
+
+def test_fuzzy_terms_docs_dataframe_probes_and_no_broadcast(spark):
+    df = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    probes_df = spark.createDataFrame(
+        [("SOW",), ("vector",), ("sow",)], "term string"
+    )
+    got = {
+        (r["probe"], r["doc_id"])
+        for r in fuzzy_terms_docs(
+            df, "text", "doc_id", probes_df, broadcast_probes=False
+        ).collect()
+    }
+    assert got == _brute_pairs(["sow", "vector"])
+
+
+def test_fuzzy_terms_docs_single_probe_agrees_with_sugar(spark):
+    df = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    multi = {
+        r["doc_id"]
+        for r in fuzzy_terms_docs(df, "text", "doc_id", ["sow"]).collect()
+    }
+    single = {
+        r["doc_id"]
+        for r in fuzzy_term_docs(df, "text", "doc_id", "sow").collect()
+    }
+    assert multi == single
+
+
+def test_fuzzy_terms_docs_guards(spark):
+    df = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="at least one"):
+        fuzzy_terms_docs(df, "text", "doc_id", [])
+    with pytest.raises(ValueError, match="non-empty"):
+        fuzzy_terms_docs(df, "text", "doc_id", ["ok", ""])
+    with pytest.raises(ValueError, match="max_token_len"):
+        fuzzy_terms_docs(df, "text", "doc_id", ["a" * 30])
+    empty_df = spark.createDataFrame([], "term string")
+    with pytest.raises(ValueError, match="empty"):
+        fuzzy_terms_docs(df, "text", "doc_id", empty_df)
+    long_df = spark.createDataFrame([("a" * 30,)], "term string")
+    with pytest.raises(ValueError, match="max_token_len"):
+        fuzzy_terms_docs(df, "text", "doc_id", long_df)

@@ -106,3 +106,146 @@ def test_spark_numeric_items_stringified(spark):
     df = spark.createDataFrame([(1,), (1,), (2,)], "v int")
     got = {r["item"]: r["est_count"] for r in heavy_hitters(df, "v", k=4).collect()}
     assert got == {"1": 2, "2": 1}
+
+
+# ---------------------------------------------------------------------------
+# incremental heavy-hitters ledger (round 11): split invariance in the
+# exact regime, guarantee preservation over capacity, compaction
+# equivalence, streaming replay + the stopped-stream compaction hazard
+# ---------------------------------------------------------------------------
+
+def _ledger_report(spark, path):
+    from muller_spark.operators.heavyhitters import mg_ledger_report
+
+    return {
+        (r["g"], r["item"]): (r["est_count"], r["err_bound"])
+        for r in mg_ledger_report(spark, path).collect()
+    }
+
+
+def test_mg_ledger_exact_regime_split_invariance(spark, tmp_path):
+    import os
+
+    from muller_spark.operators.heavyhitters import (
+        compact_mg_ledger,
+        init_mg_ledger,
+        mg_ledger_ingest,
+    )
+
+    rng = random.Random(41)
+    rows = [
+        (f"g{rng.randrange(3)}", f"item{rng.randrange(20)}")
+        for _ in range(1200)
+    ]
+    truth = Counter(rows)
+    path = os.path.join(str(tmp_path), "mg")
+    df0 = spark.createDataFrame(rows[:400], "g string, v string")
+    init_mg_ledger(df0, ["g"], "v", path, k=64)
+    for a, b in ((400, 900), (900, 1200)):
+        mg_ledger_ingest(
+            spark.createDataFrame(rows[a:b], "g string, v string"), path
+        )
+    got = _ledger_report(spark, path)
+    # 20 distinct items < k=64: exact frequency table, err_bound 0
+    assert got == {
+        (g, i): (n, 0) for (g, i), n in truth.items()
+    }
+    compact_mg_ledger(spark, path)
+    assert _ledger_report(spark, path) == got  # compaction equivalence
+
+
+def test_mg_ledger_over_capacity_guarantees(spark, tmp_path):
+    """Over capacity the ledger keeps the MG guarantees across any
+    ingest split: est ≤ true ≤ est + err_bound, and every item with
+    true frequency > N/(k+1) is present."""
+    import os
+
+    from muller_spark.operators.heavyhitters import (
+        init_mg_ledger,
+        mg_ledger_ingest,
+    )
+
+    k = 8
+    rng = random.Random(43)
+    # two heavy items + a long tail of 60 distinct light items
+    vals = (["big"] * 300 + ["mid"] * 120
+            + [f"t{rng.randrange(60)}" for _ in range(400)])
+    rng.shuffle(vals)
+    truth = Counter(vals)
+    n = len(vals)
+    path = os.path.join(str(tmp_path), "mg")
+    init_mg_ledger(
+        spark.createDataFrame([("a", v) for v in vals[:250]],
+                              "g string, v string"),
+        ["g"], "v", path, k=k,
+    )
+    for a, b in ((250, 600), (600, n)):
+        mg_ledger_ingest(
+            spark.createDataFrame([("a", v) for v in vals[a:b]],
+                                  "g string, v string"),
+            path,
+        )
+    got = _ledger_report(spark, path)
+    for (g, item), (est, err) in got.items():
+        assert est <= truth[item] <= est + err, (item, est, err)
+    for item, cnt in truth.items():
+        if cnt > n / (k + 1):
+            assert ("a", item) in got, (item, cnt)
+
+
+def test_mg_ledger_stream_replay_and_compaction_manifest(spark, tmp_path):
+    """Streaming handler contract: replayed batch is a no-op (marker),
+    and after compaction drops the marker the landed manifest still
+    blocks the double-count (the r10-ADVICE hazard, applied to the new
+    family member from day one)."""
+    import os
+
+    from muller_spark.operators.heavyhitters import (
+        compact_mg_ledger,
+        init_mg_ledger,
+    )
+    from muller_spark.streaming.windows import make_mg_ledger_batch_handler
+
+    path = os.path.join(str(tmp_path), "mg")
+    init_mg_ledger(
+        spark.createDataFrame([("a", "x")], "g string, v string"),
+        ["g"], "v", path, k=16,
+    )
+    handler = make_mg_ledger_batch_handler(path, run_ns="testns")
+    batch = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "z")], "g string, v string"
+    )
+    handler(batch, 0)
+    expect = {("a", "x"): (2, 0), ("a", "y"): (1, 0), ("b", "z"): (1, 0)}
+    assert _ledger_report(spark, path) == expect
+    handler(batch, 0)  # crash-replay: marker skip
+    assert _ledger_report(spark, path) == expect
+    compact_mg_ledger(spark, path)
+    handler(batch, 0)  # post-compaction replay rides the manifest
+    assert _ledger_report(spark, path) == expect
+    handler(spark.createDataFrame([("b", "z")], "g string, v string"), 1)
+    expect[("b", "z")] = (2, 0)
+    assert _ledger_report(spark, path) == expect
+
+
+def test_mg_ledger_global_key(spark, tmp_path):
+    """key_cols=[] — one global summary."""
+    import os
+
+    from muller_spark.operators.heavyhitters import (
+        init_mg_ledger,
+        mg_ledger_ingest,
+        mg_ledger_report,
+    )
+
+    path = os.path.join(str(tmp_path), "mg")
+    init_mg_ledger(
+        spark.createDataFrame([("x",), ("y",)], "v string"),
+        [], "v", path, k=8,
+    )
+    mg_ledger_ingest(spark.createDataFrame([("x",)], "v string"), path)
+    got = {
+        r["item"]: (r["est_count"], r["err_bound"])
+        for r in mg_ledger_report(spark, path).collect()
+    }
+    assert got == {"x": (2, 0), "y": (1, 0)}

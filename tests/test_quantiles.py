@@ -270,6 +270,18 @@ def test_quantile_ledger_stream_exactly_once(spark, tmp_path):
     assert os.path.exists(os.path.join(
         path, "sketches", "ingest_run=testns", "ingest_batch=0", "_SUCCESS"
     ))
+    # stopped-stream-then-compact hazard (r10 ADVICE): compaction drops
+    # the batch subdir markers, so a restart replaying batch 0 must
+    # ride the compaction-surviving landed manifest instead
+    from muller_spark.operators.quantiles import compact_quantile_ledger
+
+    compact_quantile_ledger(spark, path)
+    handler(batch, 0)
+    got3 = {
+        (r["g"], r["q"]): r["value"]
+        for r in quantile_ledger_report(spark, path, [0.5, 1.0]).collect()
+    }
+    assert got3 == expect
 
 
 def test_quantile_ledger_stream_end_to_end(spark, tmp_path):
