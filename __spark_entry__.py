@@ -881,6 +881,61 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).orderBy("id")
 
 
+def q_components_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CONNECTED-COMPONENTS ledger
+    (operators/components.components_ledger_report, round 11 — the
+    cluster-maintenance stage that completes the incremental dedup
+    story: near-dup ledgers emit candidate pairs in O(batch), this
+    folds pairs into clusters in O(affected) instead of re-running the
+    star algorithm on the full edge set).  The q_connected_components
+    chain fixture's edges are ingested in three src%3 batches — so
+    chain fragments MERGE across ingests — with one batch deliberately
+    REPLAYED (component merging is a join-semilattice, so replay is
+    absorbed by theorem — the HLL crash class), then compacted.
+    Oracle = the same DuckDB recursive-CTE reachability over ALL
+    edges: split invariance, replay absorption, and compaction
+    equivalence land under one value hash.  Build session-cached
+    (_demo_cached); the merge-on-read report runs live."""
+    from pyspark.sql import Window
+
+    from muller_spark.operators.components import (
+        compact_components_ledger,
+        components_ledger_ingest,
+        components_ledger_report,
+        init_components_ledger,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def build():
+        path = os.path.join(_demo_tmpdir("complledger_"), "ledger")
+        w = Window.partitionBy("source").orderBy("doc_id")
+        ranked = docs.select(
+            "doc_id", "source", F.row_number().over(w).alias("rk")
+        )
+        edges = (
+            ranked.alias("a")
+            .join(
+                ranked.alias("b"),
+                (F.col("a.source") == F.col("b.source"))
+                & (F.col("b.rk") == F.col("a.rk") + 1),
+            )
+            .select(
+                F.col("a.doc_id").alias("src"),
+                F.col("b.doc_id").alias("dst"),
+            )
+        )
+        init_components_ledger(edges.filter(F.col("src") % 3 == 0), path)
+        components_ledger_ingest(edges.filter(F.col("src") % 3 == 1), path)
+        components_ledger_ingest(edges.filter(F.col("src") % 3 == 1), path)
+        components_ledger_ingest(edges.filter(F.col("src") % 3 == 2), path)
+        compact_components_ledger(spark, path)
+        return path
+
+    path = _demo_cached("complledger", sf_dir, spark, build)
+    return components_ledger_report(spark, path).orderBy("id")
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source p50/p90/p99 of document length through the mergeable
     MRL quantile sketch (operators/quantiles.quantile_report): bounded
@@ -3398,6 +3453,35 @@ def q_mojibake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mojibake_scan(docs, "text", "doc_id").orderBy("id")
 
 
+def q_quantile_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVER-CAPACITY quantile sketch (round 11, VERDICT r10 #7): the
+    registered q_quantile_sketch/q_quantile_ledger oracles run in the
+    exact regime (≤ k rows/group — the DuckDB hash certifies the
+    plumbing but never a compaction), so this rows-only query drives
+    the COMPACTION path: k=64 over a seeded 100k-row group (100 000 ≫
+    64 → every partial and the merge all compact repeatedly).  Values
+    are pinned by tests/test_quantiles.py's numpy MRL replay golden
+    (same partition layout → bit-identical sketch) plus the rank-error
+    bound vs exact numpy quantiles; the driver records the weaker
+    rows-only check (quantiles of a compacted sketch are not
+    SQL-replayable — DuckDB has no MRL).  Deterministic input,
+    replayable integer arithmetic on both engines:
+    value = (id·2654435761 mod 1000003) / 997, 32 contiguous range
+    partitions (3125 rows each — one Arrow batch, so the numpy replay
+    sees the exact per-partition compaction points)."""
+    from muller_spark.operators.quantiles import quantile_report
+
+    df = spark.range(100_000, numPartitions=32).select(
+        F.lit(1).alias("g"),
+        ((F.col("id") * F.lit(2654435761)) % F.lit(1000003)
+         / F.lit(997.0)).alias("v"),
+    )
+    return quantile_report(
+        df, "v", [0.01, 0.25, 0.5, 0.75, 0.9, 0.99],
+        group_cols=["g"], k=64,
+    ).orderBy("q")
+
+
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal
     (operators/quality.compression_ratio): per-doc ratio of
@@ -4482,6 +4566,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dup_passages": q_dup_passages,
     "q_dedup_clusters": q_dedup_clusters,
     "q_connected_components": q_connected_components,
+    "q_components_ledger": q_components_ledger,
     "q_quantile_sketch": q_quantile_sketch,
     "q_agg_ledger": q_agg_ledger,
     "q_heavy_hitters": q_heavy_hitters,
@@ -4587,6 +4672,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # tests/test_classifier.py IRLS coefficient pins), and the local mirror
 # (tests/test_entry_oracle.py) still executes them rows-only every run.
 _ROWS_ONLY_QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
+    "q_quantile_compacted": q_quantile_compacted,
     "q_compression_ratio": q_compression_ratio,
     "q_semantic_dedup": q_semantic_dedup,
     "q_quality_classifier": q_quality_classifier,
@@ -6153,6 +6239,30 @@ _ORACLES: dict[str, str] = {
         SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
     """,
     "q_connected_components": """
+        WITH RECURSIVE ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+          FROM documents
+        ), pairs AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM ranked a
+          JOIN ranked b ON a.source = b.source AND b.rk = a.rk + 1
+        ), edges AS (
+          SELECT src, dst FROM pairs
+          UNION
+          SELECT dst, src FROM pairs
+        ), reach AS (
+          SELECT DISTINCT src AS id, src AS r FROM edges
+          UNION
+          SELECT e.dst AS id, reach.r
+          FROM reach JOIN edges e ON e.src = reach.id
+        )
+        SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id
+    """,
+    # the ledger (3-way split + replayed batch + compaction) must equal
+    # reachability over the UNION of all ingested edges — identical CTE
+    # to q_connected_components because the edge set is identical
+    "q_components_ledger": """
         WITH RECURSIVE ranked AS (
           SELECT doc_id, source,
                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk

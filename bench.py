@@ -104,6 +104,9 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_neardup_ledger",
     "q_agg_ledger",
+    "q_mg_ledger",
+    "q_components_ledger",
+    "q_fuzzy_multi",
     "q_connected_components",
     "q_quantile_sketch",
     "q_resample_linear",
@@ -476,10 +479,12 @@ def media_envelope(spark, cache_root: "str | None" = None) -> dict:
     png_path = os.path.join(root, "png20k")
     gif_path = os.path.join(root, "gif3k")
     avi_path = os.path.join(root, "avi2k")
+    mp4_path = os.path.join(root, "mp42k")
     wav_path = os.path.join(root, "wav10k")
     m_png = os.path.join(root, "_PNG20K")
     m_gif = os.path.join(root, "_GIF3K")
     m_avi = os.path.join(root, "_AVI2K")
+    m_mp4 = os.path.join(root, "_MP42K")
     m_wav = os.path.join(root, "_WAV10K")
 
     def gen_pngs():
@@ -596,6 +601,51 @@ def media_envelope(spark, cache_root: "str | None" = None) -> dict:
             .write.mode("overwrite").parquet(avi_path)
         )
 
+    def gen_mp4s():
+        """2k MJPEG-MP4 clips, the round-11 third container, in the
+        AVI family's group-of-3 shape (full / trim / noisy-trim) so
+        the near-dup contract is identical across containers."""
+        def gen(iterator):
+            import pandas as pd
+
+            from muller_spark.multimodal.mp4 import encode_mp4_mjpeg
+
+            for pdf in iterator:
+                ids, blobs = [], []
+                for i in pdf["id"]:
+                    i = int(i)
+                    rng = np.random.RandomState(50_000 + i // 3)
+                    pal = rng.randint(0, 256, (24, 3), dtype=np.uint8)
+                    pool = [
+                        pal[np.random.RandomState(11_000 * (i // 3) + f)
+                            .randint(0, 24, (16, 16))]
+                        for f in range(6)
+                    ]
+                    member = i % 3
+                    if member == 0:
+                        frames = pool
+                    elif member == 1:
+                        frames = pool[1:5]
+                    else:
+                        rng2 = np.random.RandomState(5 + i)
+                        frames = []
+                        for fr in pool[1:5]:
+                            g = fr.copy()
+                            mask = rng2.rand(16, 16) < 0.02
+                            g[mask] = pal[rng2.randint(0, 24, int(mask.sum()))]
+                            frames.append(g)
+                    ids.append(i)
+                    blobs.append(bytearray(
+                        encode_mp4_mjpeg(frames, quality=95)
+                    ))
+                yield pd.DataFrame({"clip_id": ids, "data": blobs})
+
+        (
+            spark.range(2_000, numPartitions=32)
+            .mapInPandas(gen, "clip_id long, data binary")
+            .write.mode("overwrite").parquet(mp4_path)
+        )
+
     def gen_wavs():
         """10k one-second PCM WAV clips in groups of 4: each group is
         a distinct 8-note random melody (time-VARYING band energies —
@@ -643,6 +693,7 @@ def media_envelope(spark, cache_root: "str | None" = None) -> dict:
     for marker, label, fn in ((m_png, "png_generate_s", gen_pngs),
                               (m_gif, "gif_generate_s", gen_gifs),
                               (m_avi, "avi_generate_s", gen_avis),
+                              (m_mp4, "mp4_generate_s", gen_mp4s),
                               (m_wav, "wav_generate_s", gen_wavs)):
         if os.path.exists(marker):
             out[label] = 0.0
@@ -675,12 +726,20 @@ def media_envelope(spark, cache_root: "str | None" = None) -> dict:
                         min_match_fraction=0.8)
     ))
     avis = spark.read.parquet(avi_path)
+    mp4s = spark.read.parquet(mp4_path)
     wavs = spark.read.parquet(wav_path)
     out["video_frame_hashes_avi_2k"] = timed2(lambda: materialize(
         video_frame_hashes(avis, "data", "clip_id")
     ))
     out["video_near_dups_avi_2k"] = timed2(lambda: materialize(
         video_near_dups(avis, "data", "clip_id", max_hamming=6,
+                        min_match_fraction=0.8)
+    ))
+    out["video_frame_hashes_mp4_2k"] = timed2(lambda: materialize(
+        video_frame_hashes(mp4s, "data", "clip_id")
+    ))
+    out["video_near_dups_mp4_2k"] = timed2(lambda: materialize(
+        video_near_dups(mp4s, "data", "clip_id", max_hamming=6,
                         min_match_fraction=0.8)
     ))
     # window=1024 fills all 8 gradient windows of the 64-bit print
@@ -702,6 +761,10 @@ def media_envelope(spark, cache_root: "str | None" = None) -> dict:
     )
     out["video_pairs_avi"] = int(
         video_near_dups(avis, "data", "clip_id", max_hamming=6,
+                        min_match_fraction=0.8).count()
+    )
+    out["video_pairs_mp4"] = int(
+        video_near_dups(mp4s, "data", "clip_id", max_hamming=6,
                         min_match_fraction=0.8).count()
     )
     out["audio_pairs"] = int(
@@ -1149,6 +1212,64 @@ def text_sf1_envelope(spark, sf_dir: str) -> dict:
     out["connected_components_10x"] = timed2(lambda: materialize(
         connected_components(_edges)
     ))
+
+    # round 11: the incremental components LEDGER's delta decision at
+    # 1x and 10x — the 100 TB claim is "cluster maintenance costs
+    # O(affected), never a full-edge-set re-run", so the measured unit
+    # is one fixed-size delta batch (500 new nodes linked into existing
+    # chains) against a 1x-seeded and a 10x-seeded ledger: the pair of
+    # rows must read ~flat.  Seeds are one-time costs outside the
+    # timers; each timed call ingests FRESH delta ids so the
+    # semilattice doesn't absorb the work being measured.
+    from muller_spark.operators.components import (
+        components_ledger_ingest, init_components_ledger,
+    )
+
+    _w1 = _W.partitionBy("source", (F.col("doc_id") % 10)).orderBy("doc_id")
+    _ranked_1x = docs.select(
+        "doc_id", "source", F.row_number().over(_w1).alias("rk"),
+        (F.col("doc_id") % 10).alias("_lane"),
+    )
+    _edges_1x = (
+        _ranked_1x.alias("a")
+        .join(
+            _ranked_1x.alias("b"),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a._lane") == F.col("b._lane"))
+            & (F.col("b.rk") == F.col("a.rk") + 1),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    cl_root = _tf.mkdtemp(prefix="bench_clledger_")
+    paths = {}
+    for label, e in (("1x", _edges_1x), ("10x", _edges)):
+        p = os.path.join(cl_root, label)
+        init_components_ledger(e, p)
+        paths[label] = p
+    seen_docs = [
+        r[0] for r in docs.select("doc_id").limit(2000).collect()
+    ]
+    delta_gen = {"n": 0}
+
+    def _ingest_delta(label):
+        # fresh src ids per call; dst ids exist in the target ledger
+        # (originals for 1x, their _rep=0 replicas for 10x) so every
+        # delta edge exercises the lookup + merge path
+        delta_gen["n"] += 1
+        base = 10_000_000_000 * delta_gen["n"]
+        mul = 1 if label == "1x" else 10
+        delta = spark.createDataFrame(
+            [(base + i, int(d) * mul) for i, d in enumerate(seen_docs)],
+            "src long, dst long",
+        )
+        components_ledger_ingest(delta, paths[label])
+
+    out["components_ledger_delta_1x"] = timed2(
+        lambda: _ingest_delta("1x")
+    )
+    out["components_ledger_delta_10x"] = timed2(
+        lambda: _ingest_delta("10x")
+    )
     out["rows"] = int(big.count())
     return out
 

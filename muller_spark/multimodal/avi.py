@@ -213,16 +213,16 @@ def decode_video_frames(
     max_pixels: int = 1 << 26,
     decoder: str = "exact",
 ):
-    """Container-sniffing video decode: animated GIF and MJPEG AVI are
-    the two zero-dependency families; anything else returns None (the
-    ``av``-gated lane).  The single entry point the video near-dup /
-    frame-sampling kernels call, so adding a container automatically
-    extends every video pipeline.  ``decoder`` forwards to the AVI
-    frame decode (PIL fast tier); the GIF path is always the exact
-    zero-dep composition — PIL's own GIF canvas/disposal handling is
-    not guaranteed to match it bit-for-bit, and GIF decode is cheap
-    (LZW, no IDCT), so there is nothing worth trading determinism
-    for."""
+    """Container-sniffing video decode: animated GIF, MJPEG AVI, and
+    MJPEG MP4 are the three zero-dependency families; anything else
+    returns None (the ``av``-gated lane, now mkv + non-MJPEG codecs).
+    The single entry point the video near-dup / frame-sampling kernels
+    call, so adding a container automatically extends every video
+    pipeline.  ``decoder`` forwards to the AVI/MP4 frame decodes (PIL
+    fast tier); the GIF path is always the exact zero-dep composition
+    — PIL's own GIF canvas/disposal handling is not guaranteed to
+    match it bit-for-bit, and GIF decode is cheap (LZW, no IDCT), so
+    there is nothing worth trading determinism for."""
     if raw is None:
         return None
     if raw[:6] in (b"GIF87a", b"GIF89a"):
@@ -232,5 +232,10 @@ def decode_video_frames(
                                  max_pixels=max_pixels)
     if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
         return decode_avi_frames(raw, max_frames=max_frames,
+                                 max_pixels=max_pixels, decoder=decoder)
+    from muller_spark.multimodal.mp4 import decode_mp4_frames, is_mp4
+
+    if is_mp4(raw):
+        return decode_mp4_frames(raw, max_frames=max_frames,
                                  max_pixels=max_pixels, decoder=decoder)
     return None

@@ -217,14 +217,16 @@ def sample_video_frames(
     fake: bool = False,
     max_frames: int = 4096,
 ) -> DataFrame:
-    """1-in-N-out frame sampling (UDTF shape).  GIF and MJPEG-AVI
-    payloads decode for REAL (``multimodal/avi.decode_video_frames``
-    — the two containers readable with zero dependencies: round-9 GIF
-    + round-10 MJPEG-in-AVI over the repo's baseline JPEG codec), with
-    ``frame_checksum`` = md5 of the composed RGB frame bytes.  Other
-    containers need ``av`` (not installed → NotImplementedError unless
-    ``fake=True``, which emits deterministic stub records so
-    downstream pipelines stay testable)."""
+    """1-in-N-out frame sampling (UDTF shape).  GIF, MJPEG-AVI, and
+    MJPEG-MP4 payloads decode for REAL
+    (``multimodal/avi.decode_video_frames`` — the three containers
+    readable with zero dependencies: round-9 GIF + round-10
+    MJPEG-in-AVI + round-11 MJPEG-in-MP4, all over the repo's baseline
+    JPEG codec), with ``frame_checksum`` = md5 of the composed RGB
+    frame bytes.  Other containers (mkv, non-MJPEG codecs) need ``av``
+    (not installed → NotImplementedError unless ``fake=True``, which
+    emits deterministic stub records so downstream pipelines stay
+    testable)."""
     try:
         import av  # type: ignore  # noqa: F401
 
@@ -251,7 +253,8 @@ def sample_video_frames(
                 raw = bytes(data) if data is not None else b""
                 src = int(pdf[id_col].iloc[i]) if id_col else i
                 if (raw[:6] in (b"GIF87a", b"GIF89a")
-                        or (raw[:4] == b"RIFF" and raw[8:12] == b"AVI ")):
+                        or (raw[:4] == b"RIFF" and raw[8:12] == b"AVI ")
+                        or (len(raw) >= 12 and raw[4:8] == b"ftyp")):
                     try:
                         # max_frames bounds decoded canvas copies per
                         # clip (with the decoder's own pixel budget,

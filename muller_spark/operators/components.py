@@ -26,6 +26,8 @@ into duplicate *clusters*.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -166,3 +168,317 @@ def connected_components(
         .withColumn("component", F.col("id"))
     )
     return leaves.union(roots)
+
+
+# ---------------------------------------------------------------------------
+# incremental connected components — cluster maintenance for the ledger flow
+# (ingest → candidate pairs via the near-dup ledgers → THIS → keep-list)
+# ---------------------------------------------------------------------------
+
+_LEDGER_BUCKETS_DEFAULT = 64
+
+
+def _bucket_expr(col: "F.Column | str", buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int")
+
+
+def init_components_ledger(
+    edges: DataFrame,
+    path: str,
+    src: str = "src",
+    dst: str = "dst",
+    buckets: int = _LEDGER_BUCKETS_DEFAULT,
+) -> None:
+    """Seed a persistent incremental CONNECTED-COMPONENTS ledger:
+    cluster labels maintained across edge-ingest batches without ever
+    re-running the star algorithm on the full edge set — the cluster-
+    maintenance stage the near-dup ledgers feed (their batch decisions
+    emit candidate PAIRS in O(batch); this turns pairs into CLUSTERS
+    in O(affected)).
+
+    Layout at ``path`` (parquet):
+
+    - ``labels`` — the star forest, ``(id, component)`` rows hash-
+      partitioned into ``bucket=`` directories so an ingest resolves
+      its delta endpoints with a PARTITION-PRUNED lookup (reads only
+      the buckets its batch touches, never the corpus); append-only —
+      a node's row is written once and never rewritten;
+    - ``remaps`` — a CLOSED mapping ``(old_root, root)`` for roots
+      demoted by later merges; values are always CURRENT roots (one
+      hop resolves), kept closed by re-resolving existing entries at
+      each ingest.  Bounded by the number of merges, not corpus size;
+      rewritten (crash-safe swap) per merging ingest;
+    - ``meta`` — pins (buckets, id type) so mixed-geometry state is
+      impossible.
+
+    Crash class: REPLAY-ABSORBING BY THEOREM, the HLL ledger's class
+    and the strongest in the family — component merging is a join-
+    semilattice (idempotent, commutative, associative), so re-ingesting
+    any batch maps every edge to endpoints that already share a root
+    (self-loops, dropped) and the ingest is a no-op.  The one ordered
+    crash window (labels appended, remaps not yet swapped) leaves the
+    batch half-absorbed and HEALS on the replay Structured Streaming
+    guarantees — so the streaming twin needs no marker machinery at
+    all.  Single-writer discipline as the other ledgers.
+
+    At 100 TB: ingest cost = bucket-pruned label lookup (O(batch
+    buckets)) + star rounds on the ROOT-SPACE reduced graph (≤ batch
+    edges, O(log affected) rounds) + a remap-table rewrite (O(merges
+    ever)) + a label append (O(new nodes)).  Nothing scales with
+    corpus edges; only report scans the label log, and report OUTPUT
+    is corpus-sized by definition.
+    """
+    spark = edges.sparkSession
+    canon = _canonical(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
+    labels = connected_components(canon, src="u", dst="v")
+    id_type = labels.schema["id"].dataType.simpleString()
+    spark.createDataFrame(
+        [(int(buckets), id_type)], "buckets int, id_type string"
+    ).write.mode("error").parquet(os.path.join(path, "meta"))
+    (
+        labels.withColumn("bucket", _bucket_expr("id", buckets))
+        # co-locate each bucket before the partitioned write: without
+        # this every task writes a file per bucket it holds (tasks ×
+        # buckets tiny files per ingest — a listing-cost leak)
+        .repartition(F.col("bucket"))
+        .write.mode("error")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "labels"))
+    )
+    spark.createDataFrame(
+        [], f"old_root {id_type}, root {id_type}"
+    ).write.mode("error").parquet(os.path.join(path, "remaps"))
+
+
+def _read_labels(spark, path: str) -> DataFrame:
+    """The label log with its ``bucket`` partition column.  An
+    all-empty log (seeded from an empty edge set, or never appended)
+    has no partition directories for schema inference, so fall back
+    to an empty frame with the meta-pinned schema."""
+    from pyspark.errors import AnalysisException
+
+    from muller_spark.operators.aggregate import _recover_log_swap
+
+    _recover_log_swap(os.path.join(path, "labels"))
+    try:
+        return spark.read.parquet(os.path.join(path, "labels"))
+    except AnalysisException:
+        t = spark.read.parquet(os.path.join(path, "meta")).first()["id_type"]
+        return spark.createDataFrame(
+            [], f"id {t}, component {t}, bucket int"
+        )
+
+
+def _resolved_labels(spark, path: str) -> DataFrame:
+    """labels ⟕ remaps, one hop (remaps are closed): the CURRENT
+    ``(id, component)`` view."""
+    from muller_spark.operators.aggregate import _recover_log_swap
+
+    _recover_log_swap(os.path.join(path, "remaps"))
+    labels = _read_labels(spark, path).select("id", "component")
+    remaps = spark.read.parquet(os.path.join(path, "remaps"))
+    return (
+        labels.join(
+            F.broadcast(remaps),
+            labels["component"] == remaps["old_root"],
+            "left",
+        )
+        .select(
+            labels["id"],
+            F.coalesce(remaps["root"], labels["component"]).alias(
+                "component"
+            ),
+        )
+    )
+
+
+def components_ledger_report(spark, path: str) -> DataFrame:
+    """Current cluster labels from the ledger: ``(id, component)``,
+    exactly what :func:`connected_components` over the union of every
+    ingested edge batch returns (component = min member id) — the
+    equivalence the tests and the driver oracle pin."""
+    return _resolved_labels(spark, path)
+
+
+def components_ledger_ingest(
+    edges: DataFrame,
+    path: str,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> None:
+    """Fold one edge batch into the ledger, touching only affected
+    components:
+
+    1. resolve the batch's endpoints to their current roots with a
+       bucket-pruned label lookup + the (closed, broadcast) remap
+       table; unseen ids are their own roots;
+    2. contract each delta edge to root space — edges whose endpoints
+       already share a root collapse to self-loops and vanish (this
+       is what makes replay free);
+    3. run the star algorithm on the tiny reduced graph → a mapping
+       ``node → new min root`` over affected roots and new ids;
+    4. append label rows for NEW ids (labels before remaps: the crash
+       window between the two writes heals on replay — see
+       :func:`init_components_ledger`);
+    5. rewrite the remap table: demoted roots gain entries, existing
+       entries whose value was demoted re-resolve (keeps the table
+       closed so reads stay one-hop).
+    """
+    spark = edges.sparkSession
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    buckets = int(meta["buckets"])
+    delta = _canonical(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint()
+    nodes = (
+        delta.select(F.col("u").alias("id"))
+        .union(delta.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    # bucket-pruned lookup: ≤ min(|nodes|, buckets) partition dirs read.
+    # ONE job decides emptiness AND the bucket list (bounded driver
+    # state: ≤ `buckets` ints)
+    hit = sorted(
+        r[0]
+        for r in nodes.select(
+            _bucket_expr("id", buckets).alias("b")
+        ).distinct().collect()
+    )
+    if not hit:
+        return  # empty batch after self-loop/dedup canonicalization
+    from muller_spark.operators.aggregate import (
+        _recover_log_swap,
+        _swap_log_dir,
+    )
+
+    _recover_log_swap(os.path.join(path, "remaps"))
+    labels_sub = (
+        _read_labels(spark, path)
+        .where(F.col("bucket").isin(hit))
+        .select("id", "component")
+    )
+    remaps = spark.read.parquet(os.path.join(path, "remaps"))
+    resolved = (
+        nodes.join(labels_sub, "id", "left")
+        .join(
+            F.broadcast(remaps),
+            F.col("component") == remaps["old_root"],
+            "left",
+        )
+        # unseen id → its own root (new node)
+        .select(
+            "id",
+            F.coalesce("root", "component", "id").alias("cur_root"),
+        )
+        .localCheckpoint()
+    )
+    reduced = (
+        delta.join(resolved.withColumnRenamed("id", "u"), "u")
+        .withColumnRenamed("cur_root", "ru")
+        .join(resolved.withColumnRenamed("id", "v"), "v")
+        .withColumnRenamed("cur_root", "rv")
+        .select(F.col("ru").alias("src"), F.col("rv").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    new_nodes = resolved.where(F.col("cur_root") == F.col("id")).join(
+        labels_sub.select("id"), "id", "left_anti"
+    ).select("id")
+    if reduced.take(1):
+        # no extra checkpoint: connected_components' own fixed point is
+        # already checkpointed; its output is two cheap projections
+        m = connected_components(reduced, max_rounds=max_rounds)
+    else:
+        m = None
+
+    # 4. label rows for new ids: their reduced-CC component, or (for a
+    # new id whose every edge collapsed — only possible on a healing
+    # replay, where it already resolves through nothing) itself
+    if m is not None:
+        new_labels = (
+            new_nodes.join(m, "id", "left")
+            .select(
+                "id", F.coalesce("component", "id").alias("component")
+            )
+        )
+    else:
+        new_labels = new_nodes.select(
+            "id", F.col("id").alias("component")
+        )
+    (
+        new_labels.withColumn("bucket", _bucket_expr("id", buckets))
+        .repartition(F.col("bucket"))  # one file per touched bucket
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "labels"))
+    )
+
+    # 5. remap rewrite: demoted EXISTING roots (identity rows excluded;
+    # new ids live in labels, not remaps) + re-resolve old entries
+    if m is not None:
+        demoted = (
+            m.where(F.col("id") != F.col("component"))
+            .join(new_nodes.withColumnRenamed("id", "_n"),
+                  F.col("id") == F.col("_n"), "left_anti")
+            .select(
+                F.col("id").alias("old_root"),
+                F.col("component").alias("root"),
+            )
+        )
+        refreshed = (
+            remaps.alias("r")
+            .join(
+                m.alias("m2"),
+                F.col("r.root") == F.col("m2.id"),
+                "left",
+            )
+            .select(
+                F.col("r.old_root").alias("old_root"),
+                F.coalesce(F.col("m2.component"), F.col("r.root")).alias(
+                    "root"
+                ),
+            )
+        )
+        remap_dir = os.path.join(path, "remaps")
+        refreshed.unionByName(demoted).write.mode("overwrite").parquet(
+            remap_dir + ".compact"
+        )
+        _swap_log_dir(remap_dir)
+
+
+def compact_components_ledger(spark, path: str) -> None:
+    """Fold the remap table into the label log (labels rewritten to
+    their current roots, remaps emptied) — bounds the remap table
+    after many merging ingests.  Reports before and after are
+    identical.  Crash-safe: the resolved label log swaps first
+    (rename-rename-rmtree + self-healing recovery); a crash before
+    the remap truncate leaves stale remap entries whose keys no
+    longer appear in any label — harmless (left-join misses; demoted
+    roots can never become roots again, since a component's root is
+    its min member and mins only decrease under merges)."""
+    from muller_spark.operators.aggregate import (
+        _recover_log_swap,
+        _swap_log_dir,
+    )
+
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    buckets = int(meta["buckets"])
+    labels_dir = os.path.join(path, "labels")
+    remap_dir = os.path.join(path, "remaps")
+    _recover_log_swap(labels_dir)
+    _recover_log_swap(remap_dir)
+    (
+        _resolved_labels(spark, path)
+        .withColumn("bucket", _bucket_expr("id", buckets))
+        .repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(labels_dir + ".compact")
+    )
+    _swap_log_dir(labels_dir)
+    id_type = meta["id_type"]
+    spark.createDataFrame(
+        [], f"old_root {id_type}, root {id_type}"
+    ).write.mode("overwrite").parquet(remap_dir)

@@ -2514,6 +2514,73 @@ def neardup_against_ledger(
     return survivors
 
 
+def neardup_pairs_against_ledger(
+    batch_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The PAIR view of :func:`neardup_against_ledger`'s decision:
+    ``(id_a, id_b, jaccard)`` where ``id_a`` is a batch document,
+    ``id_b`` a ledger document, and their exact n-gram Jaccard ≥
+    ``threshold`` — the edges the incremental cluster-maintenance
+    stage consumes (round 11: ingest → candidate pairs [this] →
+    ``operators/components.components_ledger_ingest`` → keep-list,
+    every stage O(batch)/O(affected)).
+
+    Same plan as the filter twin (batch signatures → band-keyed join
+    against the ledger postings → exact verify on the candidate
+    sliver), read-only (never appends; pair discovery and ledger
+    admission are separate decisions — compose with
+    ``neardup_against_ledger(update=True)`` or the streaming handler
+    for admission).  Intra-batch pairs are NOT included: union with
+    :func:`lsh_verified_pairs` over the batch when the batch can
+    contain its own duplicates."""
+    spark = batch_df.sparkSession
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    num_hashes, shingle_size, bands = (
+        meta["num_hashes"], meta["shingle_size"], meta["bands"]
+    )
+    rows = num_hashes // bands
+    sig = _portable_signature_frame(
+        batch_df.filter(F.col(text_col).isNotNull()),
+        text_col, id_col, num_hashes, shingle_size,
+    )
+    banded = sig.select(
+        "id", F.posexplode(_band_hash_expr(bands, rows)).alias(
+            "band", "band_hash"
+        )
+    )
+    ledger_bands = spark.read.parquet(os.path.join(path, "bands"))
+    ledger_sh = spark.read.parquet(os.path.join(path, "shingles"))
+    candidates = (
+        banded.join(
+            ledger_bands.withColumnRenamed("id", "ledger_id"),
+            ["band", "band_hash"],
+        )
+        .select("id", "ledger_id")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("hs", "ledger_hs"))
+    union = F.size("hs") + F.size("ledger_hs") - inter
+    return (
+        candidates.join(sig.select("id", "hs"), "id")
+        .join(
+            ledger_sh.select(
+                F.col("id").alias("ledger_id"), F.col("hs").alias("ledger_hs")
+            ),
+            "ledger_id",
+        )
+        .filter((inter / union) >= threshold)
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("ledger_id").alias("id_b"),
+            (inter / union).alias("jaccard"),
+        )
+    )
+
+
 def source_overlap(
     df: DataFrame,
     text_col: str,

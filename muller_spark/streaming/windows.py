@@ -844,3 +844,39 @@ def make_mg_ledger_batch_handler(ledger_path: str, run_ns: str):
         fs.createNewFile(landed)
 
     return land
+
+
+def components_ledger_stream(
+    stream: DataFrame,
+    ledger_path: str,
+    checkpoint_dir: str,
+    src: str = "src",
+    dst: str = "dst",
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+):
+    """Restart-durable streaming ingest into the incremental
+    CONNECTED-COMPONENTS ledger (``operators/components``): each
+    micro-batch of candidate-pair edges folds into the persisted star
+    forest in O(affected).  This twin needs NO marker or manifest
+    machinery at all — component merging is a join-semilattice, so a
+    replayed batch maps every edge to endpoints that already share a
+    root and the ingest is a no-op (the HLL ledger's crash class), and
+    the one internal ordered window (labels appended, remaps not yet
+    swapped) heals on exactly the replay Structured Streaming
+    guarantees.  Composes with the near-dup ledger streams: their
+    landed survivor pairs are this stream's edges — ingest →
+    candidate pairs → cluster maintenance, all O(batch)."""
+    from muller_spark.operators.components import components_ledger_ingest
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        components_ledger_ingest(batch_df, ledger_path, src=src, dst=dst)
+
+    writer = stream.writeStream.foreachBatch(land).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -164,6 +164,25 @@ def test_parity_provenance_matches_live_registry():
     )
     ro = re.search(r"Plus (\d+) rows-only queries", doc)
     assert ro and int(ro.group(1)) == len(entrymod.rows_only_queries())
-    # every registered query appears in the provenance table
+    # every registered query appears in the provenance table, with its
+    # registration round (round-10 verdict #6: never-drawn aging) from
+    # the checked-in ledger
+    import json
+
+    rounds_file = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "registry_rounds.json")
+    with open(rounds_file) as fh:
+        registered = json.load(fh)
     for name in entrymod.queries():
         assert f"`{name}`" in doc, f"{name} missing from PARITY.md"
+        assert name in registered, (
+            f"{name} missing from tools/registry_rounds.json — run "
+            "tools/gen_provenance.py"
+        )
+        assert f"| `{name}` | r{registered[name]} |" in doc, (
+            f"{name}: PARITY.md Registered column disagrees with "
+            "tools/registry_rounds.json — run tools/gen_provenance.py"
+        )
+    assert re.search(r"waiting ≥2 rounds", doc), (
+        "PARITY.md totals line missing the aged-mirror-only count"
+    )

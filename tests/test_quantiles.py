@@ -322,3 +322,76 @@ def test_quantile_ledger_stream_end_to_end(spark, tmp_path):
         .where("g = 'a'").collect()
     }
     assert got == {0.5: 20.0, 1.0: 30.0}
+
+
+# ---------------------------------------------------------------------------
+# over-capacity golden (round 11, VERDICT r10 #7): the registered sketch
+# oracles run in the exact regime, so this pins the COMPACTION path — a
+# numpy MRL replay over the same partition layout must reproduce the
+# distributed sketch bit-for-bit, and the answers must satisfy the MRL
+# rank-error bound vs exact numpy quantiles
+# ---------------------------------------------------------------------------
+
+def _q_compacted_values(i):
+    import numpy as np
+
+    ids = np.arange(*i, dtype=np.int64)
+    return ((ids * 2654435761) % 1000003) / 997.0
+
+
+def test_quantile_compacted_golden_replay(spark):
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from muller_spark.operators.quantiles import _MRL, quantile_sketch
+
+    from pyspark.sql import functions as F
+
+    n, parts, k = 100_000, 32, 64
+    # the distributed sketch over the q_quantile_compacted input (NB:
+    # F.lit(997.0) is a DOUBLE; the SQL literal 997.0 would be DECIMAL
+    # and silently round the values)
+    df = spark.range(n, numPartitions=parts).select(
+        F.lit(1).alias("g"),
+        ((F.col("id") * F.lit(2654435761)) % F.lit(1000003)
+         / F.lit(997.0)).alias("v"),
+    )
+    got = sorted(
+        (r["level"], r["value"])
+        for r in quantile_sketch(df, "v", group_cols=["g"], k=k).collect()
+    )
+
+    # numpy replay: one _MRL per contiguous range partition (3125 rows
+    # = one Arrow batch), merged exactly as merge_group does
+    partials = []
+    for p in range(parts):
+        lo = n * p // parts
+        hi = n * (p + 1) // parts
+        sk = _MRL(k)
+        sk.add(_q_compacted_values((lo, hi)))
+        partials.append(sk)
+    merged = _MRL(k)
+    by_level: dict = {}
+    for sk in partials:
+        for lv, v in sk.rows():
+            by_level.setdefault(lv, []).append(v)
+    for lv in sorted(by_level):
+        merged.add_level(lv, np.asarray(by_level[lv]))
+    want = sorted(merged.rows())
+    assert len(got) == len(want)
+    for (gl, gv), (wl, wv) in zip(got, want):
+        assert gl == wl and gv == wv  # bit-identical sketch
+
+    # compaction fired for real: weights above level 0 dominate
+    assert any(lv > 5 for lv, _ in got)
+
+    # rank-error bound vs exact quantiles on the query's outputs
+    vals = np.sort(_q_compacted_values((0, n)))
+    out = {
+        r["q"]: r["value"]
+        for r in entrymod.q_quantile_compacted(spark, "").collect()
+    }
+    assert set(out) == {0.01, 0.25, 0.5, 0.75, 0.9, 0.99}
+    for phi, v in out.items():
+        rank = np.searchsorted(vals, v, side="right") / n
+        assert abs(rank - phi) <= 0.05, (phi, v, rank)

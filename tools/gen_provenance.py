@@ -21,9 +21,15 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-MARK_START = "| Query | Oracle | Evidence | Draw-ready |"
-OLD_MARK = "| Query | Oracle | Evidence |"
+MARK_START = "| Query | Registered | Oracle | Evidence | Draw-ready |"
+OLD_MARKS = (
+    "| Query | Oracle | Evidence | Draw-ready |",
+    "| Query | Oracle | Evidence |",
+)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+ROUNDS_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "registry_rounds.json"
+)
 
 
 def type_sweep(entry, qs, osql) -> "dict[str, str]":
@@ -86,8 +92,10 @@ def main() -> None:
     osql = entry.oracle_sql()
 
     drawn: dict[str, int] = {}
+    cur_round = 1
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        cur_round = max(cur_round, rnd + 1)
         with open(path) as fh:
             rec = json.load(fh)
         for name, res in rec.items():
@@ -97,25 +105,49 @@ def main() -> None:
             if ok and name not in drawn:
                 drawn[name] = rnd
 
+    # registration-round ledger (round-10 verdict #6: age the never-
+    # drawn list): seeded once from git history, maintained here —
+    # names not yet in the file register in the CURRENT round
+    try:
+        with open(ROUNDS_FILE) as fh:
+            registered: dict[str, int] = json.load(fh)
+    except FileNotFoundError:
+        registered = {}
+    changed = False
+    for name in sorted(set(qs) | set(entry.rows_only_queries())):
+        if name not in registered:
+            registered[name] = cur_round
+            changed = True
+    if changed:
+        with open(ROUNDS_FILE, "w") as fh:
+            json.dump(registered, fh, indent=0, sort_keys=True)
+
     ready = type_sweep(entry, qs, osql)
 
-    lines = [MARK_START, "|---|---|---|---|"]
-    n_drawn = n_ready = 0
+    lines = [MARK_START, "|---|---|---|---|---|"]
+    n_drawn = n_ready = n_aged = 0
     for name in sorted(qs):
         oracle = "full-value" if name in osql else "rows-only"
+        reg = registered.get(name, cur_round)
         if name in drawn:
             ev = f"driver r{drawn[name]} + mirror"
             n_drawn += 1
         else:
-            ev = "**mirror-only**"
+            waited = cur_round - reg
+            if waited >= 2:
+                ev = f"**mirror-only** (waiting {waited} rounds)"
+                n_aged += 1
+            else:
+                ev = "**mirror-only**"
         rd = ready.get(name, "?")
         if rd == "✅":
             n_ready += 1
-        lines.append(f"| `{name}` | {oracle} | {ev} | {rd} |")
+        lines.append(f"| `{name}` | r{reg} | {oracle} | {ev} | {rd} |")
     lines.append("")
     lines.append(
         f"Totals: {len(qs)} registered; {n_drawn} ever driver-drawn, "
-        f"{len(qs) - n_drawn} mirror-only; {n_ready}/{len(qs)} draw-ready "
+        f"{len(qs) - n_drawn} mirror-only ({n_aged} waiting ≥2 rounds "
+        f"for a draw); {n_ready}/{len(qs)} draw-ready "
         f"(oracle type-sweep clean)."
     )
     ro = entry.rows_only_queries()
@@ -130,7 +162,7 @@ def main() -> None:
     parity_path = os.path.join(ROOT, "PARITY.md")
     with open(parity_path) as fh:
         doc = fh.read()
-    for mark in (MARK_START, OLD_MARK):
+    for mark in (MARK_START,) + OLD_MARKS:
         head, sep, rest = doc.partition(mark)
         if sep:
             break
