@@ -896,12 +896,20 @@ def q_components_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges: split invariance, replay absorption, and compaction
     equivalence land under one value hash.  Build session-cached
     (_demo_cached); the merge-on-read report runs live."""
+    from muller_spark.operators.components import components_ledger_report
+
+    path = _components_ledger_demo(spark, sf_dir)
+    return components_ledger_report(spark, path).orderBy("id")
+
+
+def _components_ledger_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached build of the chain-fixture components ledger
+    (shared by q_components_ledger and q_keep_best_ledger)."""
     from pyspark.sql import Window
 
     from muller_spark.operators.components import (
         compact_components_ledger,
         components_ledger_ingest,
-        components_ledger_report,
         init_components_ledger,
     )
 
@@ -932,8 +940,30 @@ def q_components_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_components_ledger(spark, path)
         return path
 
-    path = _demo_cached("complledger", sf_dir, spark, build)
-    return components_ledger_report(spark, path).orderBy("id")
+    return _demo_cached("complledger", sf_dir, spark, build)
+
+
+def q_keep_best_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best verdict read off the PERSISTED cluster state
+    (operators/dedup.keep_best_against_ledger, round 11 — the final
+    stage of the incremental flow: pairs → components ledger → this).
+    Uses the same session-cached chain-fixture ledger as
+    q_components_ledger; score = n_chars (NULLs rank below every real
+    score, all-NULL clusters fall back to min id), singletons keep
+    themselves.  The oracle recomputes the verdict from scratch —
+    recursive-CTE reachability + per-cluster argmax — so the WHOLE
+    flow (split ingests, replayed batch, two compactions, label read,
+    keep decision) lands under one value hash.  Read cost is one label
+    scan + two keyed aggregates; the graph work was amortized into the
+    ledger ingests."""
+    from muller_spark.operators.dedup import keep_best_against_ledger
+
+    path = _components_ledger_demo(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return keep_best_against_ledger(
+        docs.select("doc_id", F.col("n_chars").cast("double").alias("score")),
+        path, "doc_id", "score",
+    ).orderBy("id")
 
 
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1151,6 +1181,23 @@ def q_fuzzy_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return fuzzy_terms_docs(
         docs, "text", "doc_id", ["qery", "streem", "vector", "zzzqqq"]
+    ).orderBy("probe", "doc_id")
+
+
+def q_fuzzy_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-2 typo-tolerant containment (round 11): the depth-2
+    symmetric-delete construction — each term/probe explodes to
+    1 + L + L(L−1)/2 deletion keys, intersection is necessary for
+    Levenshtein ≤ 2 (the SymSpell theorem at radius 2), exact verify
+    on the candidate sliver.  Probes: 'qerry' (two substitutions from
+    'query'), 'strm' (two deletions from 'stream').  Oracle = the
+    brute-force Levenshtein scan, value-checking the radius-2 key
+    completeness the property tests pin combinatorially."""
+    from muller_spark.index.fuzzy import fuzzy_terms_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_terms_docs(
+        docs, "text", "doc_id", ["qerry", "strm"], max_edits=2
     ).orderBy("probe", "doc_id")
 
 
@@ -4567,12 +4614,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_connected_components": q_connected_components,
     "q_components_ledger": q_components_ledger,
+    "q_keep_best_ledger": q_keep_best_ledger,
     "q_quantile_sketch": q_quantile_sketch,
     "q_agg_ledger": q_agg_ledger,
     "q_heavy_hitters": q_heavy_hitters,
     "q_mg_ledger": q_mg_ledger,
     "q_fuzzy_search": q_fuzzy_search,
     "q_fuzzy_multi": q_fuzzy_multi,
+    "q_fuzzy_d2": q_fuzzy_d2,
     "q_hll_ledger": q_hll_ledger,
     "q_quantile_ledger": q_quantile_ledger,
     "q_decontamination": q_decontamination,
@@ -6283,6 +6332,47 @@ _ORACLES: dict[str, str] = {
         )
         SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id
     """,
+    # the flow's final stage under the same hash: recursive-CTE labels
+    # + per-cluster argmax (NULL scores below all reals, tie → min id,
+    # singletons keep themselves)
+    "q_keep_best_ledger": """
+        WITH RECURSIVE ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+          FROM documents
+        ), pairs AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM ranked a
+          JOIN ranked b ON a.source = b.source AND b.rk = a.rk + 1
+        ), edges AS (
+          SELECT src, dst FROM pairs
+          UNION
+          SELECT dst, src FROM pairs
+        ), reach AS (
+          SELECT DISTINCT src AS id, src AS r FROM edges
+          UNION
+          SELECT e.dst AS id, reach.r
+          FROM reach JOIN edges e ON e.src = reach.id
+        ), labels AS (
+          SELECT id, min(r) AS component FROM reach GROUP BY id
+        ), member AS (
+          SELECT d.doc_id AS id,
+                 coalesce(l.component, d.doc_id) AS cluster_id,
+                 cast(d.n_chars AS double) AS score
+          FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+        ), keeps AS (
+          SELECT cluster_id, id AS keep_id,
+                 row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY coalesce(score, -1e308) DESC, id
+                 ) AS rn
+          FROM member
+        )
+        SELECT m.id, m.cluster_id, k.keep_id, m.id = k.keep_id AS keep
+        FROM member m
+        JOIN keeps k ON m.cluster_id = k.cluster_id AND k.rn = 1
+        ORDER BY id
+    """,
     "q_quantile_sketch": """
         WITH qs AS (
           SELECT cast(unnest([0.5, 0.9, 0.99]) AS double) AS q
@@ -6352,6 +6442,16 @@ _ORACLES: dict[str, str] = {
         )
         SELECT DISTINCT p.probe, toks.doc_id
         FROM probes p JOIN toks ON levenshtein(toks.t, p.probe) <= 1
+        ORDER BY probe, doc_id
+    """,
+    "q_fuzzy_d2": f"""
+        WITH probes(probe) AS (
+          VALUES ('qerry'), ('strm')
+        ), toks AS (
+          SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents
+        )
+        SELECT DISTINCT p.probe, toks.doc_id
+        FROM probes p JOIN toks ON levenshtein(toks.t, p.probe) <= 2
         ORDER BY probe, doc_id
     """,
     # one-shot replay of the ledger-folded registers: max-mergeable

@@ -106,7 +106,9 @@ HEADLINE = [
     "q_agg_ledger",
     "q_mg_ledger",
     "q_components_ledger",
+    "q_keep_best_ledger",
     "q_fuzzy_multi",
+    "q_fuzzy_d2",
     "q_connected_components",
     "q_quantile_sketch",
     "q_resample_linear",

@@ -3,11 +3,13 @@
 The reference's "fuzzy" search (`/root/reference/muller/core/query/
 inverted_index_vectorized.py:741-758`) is AND-of-tokenized-terms —
 no typo tolerance anywhere in the engine.  This module adds the
-scale-correct primitive for edit-distance-1 term matching: the
+scale-correct primitive for edit-distance term matching: the
 SymSpell deletion-key construction (Garbe's symmetric delete
 algorithm, public domain).  Two terms are within Levenshtein
-distance 1 ONLY IF their {self} ∪ {single-char deletions} key sets
-intersect — a theorem that turns fuzzy matching into an equi-join:
+distance d ONLY IF their depth-≤d deletion neighborhoods intersect —
+a theorem that turns fuzzy matching into an equi-join (d ∈ {1, 2}
+here; the depth-2 fan-out is 1 + L + L(L−1)/2 keys per token,
+bounded by the token-length cap):
 
 - vocabulary side: explode each distinct token into ≤ len+1 keys;
 - probe side: the probe's ≤ len+1 keys (computed driver-side, tiny,
@@ -32,10 +34,19 @@ from pyspark.sql import functions as F
 from muller_spark.plans.conditions import TOKEN_SPLIT_REGEX
 
 
-def deletion_keys(term: str) -> list[str]:
-    """The probe-side key set: the term plus every single-character
-    deletion (driver-side twin of the Column expression below)."""
-    return [term] + [term[:i] + term[i + 1:] for i in range(len(term))]
+def deletion_keys(term: str, max_edits: int = 1) -> list[str]:
+    """The probe-side key set: the term plus every deletion of up to
+    ``max_edits`` characters (driver-side twin of the Column
+    expressions below).  Depth 2 is the full symmetric-delete
+    neighborhood for Levenshtein radius 2."""
+    keys = {term}
+    frontier = {term}
+    for _ in range(max_edits):
+        frontier = {
+            t[:i] + t[i + 1:] for t in frontier for i in range(len(t))
+        }
+        keys |= frontier
+    return sorted(keys)
 
 
 def _deletion_keys_col(t: Column) -> Column:
@@ -49,6 +60,38 @@ def _deletion_keys_col(t: Column) -> Column:
         ),
     )
     return F.array_union(F.array(t), dels)
+
+
+def _deletion_keys2_col(t: Column) -> Column:
+    """{t} ∪ 1-char ∪ 2-char deletions of t (JVM-side).  The 2-char
+    layer deletes positions i<j in one pass (three-way substring
+    concat), so the fan-out is 1 + L + L(L-1)/2 keys per token —
+    bounded by max_token_len before this is ever evaluated.  Guarded
+    for L<2 (Spark's sequence() runs DESCENDING when start > stop, so
+    an unguarded sequence(2, L) would fabricate keys)."""
+    two = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - F.lit(1)),
+            lambda i: F.transform(
+                F.sequence(i + F.lit(1), F.length(t)),
+                lambda j: F.concat(
+                    F.substring(t, F.lit(1), i - F.lit(1)),
+                    t.substr(i + F.lit(1), j - i - F.lit(1)),
+                    t.substr(j + F.lit(1), F.length(t)),
+                ),
+            ),
+        )
+    )
+    return F.array_union(
+        _deletion_keys_col(t),
+        F.when(F.length(t) >= 2, F.array_distinct(two)).otherwise(
+            F.array()
+        ),
+    )
+
+
+def _keys_col(t: Column, max_edits: int) -> Column:
+    return _deletion_keys_col(t) if max_edits == 1 else _deletion_keys2_col(t)
 
 
 def fuzzy_terms_docs(
@@ -92,10 +135,10 @@ def fuzzy_terms_docs(
     dictionaries too large to broadcast — the key join then shuffles,
     still never scanning vocabulary × probes.
     """
-    if max_edits != 1:
+    if max_edits not in (1, 2):
         raise ValueError(
-            "fuzzy_terms_docs implements the single-edit deletion-key "
-            f"construction; got max_edits={max_edits}"
+            "fuzzy_terms_docs implements the symmetric-delete "
+            f"construction for max_edits in (1, 2); got {max_edits}"
         )
     spark = df.sparkSession
     if isinstance(probes, DataFrame):
@@ -150,15 +193,17 @@ def fuzzy_terms_docs(
         toks.select("t")
         .distinct()
         .where(
-            (F.length("t") <= F.lit(min(max_token_len + 1, int(max_len) + 1)))
-            & (F.length("t") >= F.lit(int(min_len) - 1))
+            (F.length("t") <= F.lit(
+                min(max_token_len + max_edits, int(max_len) + max_edits)
+            ))
+            & (F.length("t") >= F.lit(int(min_len) - max_edits))
         )
     )
     vkeys = vocab.select(
-        "t", F.explode(_deletion_keys_col(F.col("t"))).alias("k")
+        "t", F.explode(_keys_col(F.col("t"), max_edits)).alias("k")
     )
     pkeys = probe_df.select(
-        "probe", F.explode(_deletion_keys_col(F.col("probe"))).alias("k")
+        "probe", F.explode(_keys_col(F.col("probe"), max_edits)).alias("k")
     )
     matched = (
         vkeys.join(hint(pkeys), "k")
@@ -184,72 +229,15 @@ def fuzzy_term_docs(
 ) -> DataFrame:
     """Ids of documents containing any token within ``max_edits``
     (Levenshtein) of ``probe`` — typo-tolerant containment search.
-
-    ``max_edits`` must be 1 (the deletion-key completeness theorem
-    used here covers one edit; higher radii need multi-deletion keys,
-    which explode combinatorially and want a different design).
-    Tokens longer than ``max_token_len`` are skipped on the vocabulary
-    side (bounds the key fan-out per token; a 25-char token is not a
-    plausible 1-edit neighbor of a short probe anyway — lengths may
-    differ by at most 1 for distance 1, enforced separately below).
-    """
-    if max_edits != 1:
-        raise ValueError(
-            "fuzzy_term_docs implements the single-edit deletion-key "
-            f"construction; got max_edits={max_edits}"
-        )
-    probe = probe.lower()
-    if not probe:
-        # an empty probe would "match" every single-char token via the
-        # empty deletion key — a degenerate query, not a typo search
-        raise ValueError("probe must be a non-empty term")
-    if len(probe) > max_token_len:
-        # the vocabulary-side cap would make the length window empty
-        # (or exclude the probe's own length), silently returning zero
-        # rows even on a verbatim hit — reject loudly instead, like
-        # the empty-probe guard above
-        raise ValueError(
-            f"probe length {len(probe)} exceeds max_token_len "
-            f"{max_token_len}; raise max_token_len to search for "
-            "terms this long"
-        )
-    spark = df.sparkSession
-    toks = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.array_distinct(
-                    F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_REGEX)
-                )
-            ).alias("t"),
-        )
-        .where(F.col("t") != "")
-    )
-    vocab = (
-        toks.select("t")
-        .distinct()
-        # distance-1 neighbors differ in length by ≤ 1: prune before
-        # the key explode (also caps fan-out via max_token_len)
-        .where(
-            (F.length("t") <= F.lit(min(max_token_len, len(probe) + 1)))
-            & (F.length("t") >= F.lit(len(probe) - 1))
-        )
-    )
-    vkeys = vocab.select(
-        "t", F.explode(_deletion_keys_col(F.col("t"))).alias("k")
-    )
-    pkeys = spark.createDataFrame(
-        [(k,) for k in sorted(set(deletion_keys(probe)))], "k string"
-    )
-    matched = (
-        vkeys.join(F.broadcast(pkeys), "k")
-        .select("t")
-        .distinct()
-        .where(F.levenshtein(F.col("t"), F.lit(probe)) <= max_edits)
-    )
-    return (
-        toks.join(F.broadcast(matched), "t")
-        .select("id")
-        .distinct()
-        .withColumnRenamed("id", id_col)
-    )
+    Sugar over :func:`fuzzy_terms_docs` with a one-row probe table
+    (same plan: the probe keys broadcast, the vocabulary explodes
+    once, the verify is exact); ``max_edits`` ∈ {1, 2} — depth-2
+    symmetric deletes fan out to 1 + L + L(L−1)/2 keys per token,
+    bounded by ``max_token_len``.  Probes that are empty or longer
+    than ``max_token_len`` are rejected loudly (an empty probe would
+    "match" every short token via the empty key; an overlong one
+    would silently return zero rows even on a verbatim hit)."""
+    return fuzzy_terms_docs(
+        df, text_col, id_col, [probe],
+        max_edits=max_edits, max_token_len=max_token_len,
+    ).select(id_col)

@@ -271,6 +271,27 @@ def _read_labels(spark, path: str) -> DataFrame:
         )
 
 
+_BROADCAST_REMAPS_MAX_BYTES = 128 << 20
+
+
+def _remaps_df(spark, path: str) -> DataFrame:
+    """The remap table, broadcast-hinted only while it is small on
+    disk.  Remaps are bounded by merges-ever between compactions —
+    usually tiny, but a long-uncompacted ledger under a merge-heavy
+    workload can outgrow a safe broadcast, so the hint is size-gated
+    (the uuid→position join's discipline); past the gate the join
+    shuffles on the root key and AQE takes over.  Compaction folds the
+    table into the labels and resets it to empty."""
+    remap_dir = os.path.join(path, "remaps")
+    size = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d, _, fs in os.walk(remap_dir) for f in fs
+    )
+    remaps = spark.read.parquet(remap_dir)
+    return F.broadcast(remaps) if size <= _BROADCAST_REMAPS_MAX_BYTES \
+        else remaps
+
+
 def _resolved_labels(spark, path: str) -> DataFrame:
     """labels ⟕ remaps, one hop (remaps are closed): the CURRENT
     ``(id, component)`` view."""
@@ -278,10 +299,10 @@ def _resolved_labels(spark, path: str) -> DataFrame:
 
     _recover_log_swap(os.path.join(path, "remaps"))
     labels = _read_labels(spark, path).select("id", "component")
-    remaps = spark.read.parquet(os.path.join(path, "remaps"))
+    remaps = _remaps_df(spark, path)
     return (
         labels.join(
-            F.broadcast(remaps),
+            remaps,
             labels["component"] == remaps["old_root"],
             "left",
         )
@@ -360,11 +381,11 @@ def components_ledger_ingest(
         .where(F.col("bucket").isin(hit))
         .select("id", "component")
     )
-    remaps = spark.read.parquet(os.path.join(path, "remaps"))
+    remaps = _remaps_df(spark, path)
     resolved = (
         nodes.join(labels_sub, "id", "left")
         .join(
-            F.broadcast(remaps),
+            remaps,
             F.col("component") == remaps["old_root"],
             "left",
         )

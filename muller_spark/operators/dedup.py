@@ -2870,6 +2870,17 @@ def canonical_keep_best(
     one join back — all keyed on cluster/doc ids, no windows.
     ``algorithm`` passes through ('star' for chain-shaped graphs)."""
     clusters = dedup_clusters(pairs, id_a, id_b, algorithm=algorithm)
+    return _keep_best_from_clusters(df, clusters, id_col, score_col)
+
+
+def _keep_best_from_clusters(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """The keep-best verdict given a ``(id, cluster_id)`` label table
+    (shared by the pair-driven and ledger-driven entry points)."""
     member = (
         df.select(
             F.col(id_col).alias("id"), F.col(score_col).alias("__score")
@@ -2905,6 +2916,30 @@ def canonical_keep_best(
             (F.col("id") == F.col("keep_id")).alias("keep"),
         )
     )
+
+
+def keep_best_against_ledger(
+    df: DataFrame,
+    ledger_path: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """:func:`canonical_keep_best` against the PERSISTED cluster state
+    (``operators/components`` ledger) instead of a pair re-cluster —
+    the final stage of the round-11 incremental flow (near-dup ledger
+    pairs → ``components_ledger_ingest`` → this).  The cluster pass
+    that ``canonical_keep_best`` pays on every call (iterative label
+    propagation over the FULL pair graph) is already amortized into
+    the ledger's O(affected) ingests, so the keep decision is one
+    label read + two keyed aggregates — no graph work at read time.
+    Documents absent from the label table (never in any pair) keep
+    themselves, same contract as the pair-driven twin."""
+    from muller_spark.operators.components import _resolved_labels
+
+    clusters = _resolved_labels(df.sparkSession, ledger_path).select(
+        "id", F.col("component").alias("cluster_id")
+    )
+    return _keep_best_from_clusters(df, clusters, id_col, score_col)
 
 
 def lsh_tuning_report(

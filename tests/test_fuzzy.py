@@ -28,8 +28,12 @@ def _lev(a: str, b: str) -> int:
 
 
 def test_deletion_keys_shape():
-    assert deletion_keys("abc") == ["abc", "bc", "ac", "ab"]
-    assert deletion_keys("a") == ["a", ""]
+    assert set(deletion_keys("abc")) == {"abc", "bc", "ac", "ab"}
+    assert set(deletion_keys("a")) == {"a", ""}
+    # depth 2: all 0/1/2-char deletions
+    assert set(deletion_keys("abc", max_edits=2)) == {
+        "abc", "bc", "ac", "ab", "a", "b", "c"
+    }
 
 
 def test_key_intersection_is_necessary_for_distance_1():
@@ -87,8 +91,8 @@ def test_fuzzy_docs_distance_2_not_returned(spark):
 
 def test_max_edits_guard(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-    with pytest.raises(ValueError, match="single-edit"):
-        fuzzy_term_docs(df, "text", "doc_id", "x", max_edits=2)
+    with pytest.raises(ValueError, match="max_edits"):
+        fuzzy_term_docs(df, "text", "doc_id", "x", max_edits=3)
 
 
 def test_empty_probe_rejected(spark):
@@ -185,3 +189,63 @@ def test_fuzzy_terms_docs_guards(spark):
     long_df = spark.createDataFrame([("a" * 30,)], "term string")
     with pytest.raises(ValueError, match="max_token_len"):
         fuzzy_terms_docs(df, "text", "doc_id", long_df)
+
+
+# ---------------------------------------------------------------------------
+# distance 2 (round 11): depth-2 symmetric deletes
+# ---------------------------------------------------------------------------
+
+def test_key_intersection_is_necessary_for_distance_2():
+    """Random word pairs: whenever lev ≤ 2, the depth-2 deletion
+    neighborhoods intersect (the completeness direction for d=2)."""
+    rng = random.Random(59)
+    words = [
+        "".join(rng.choice("abc") for _ in range(rng.randrange(1, 7)))
+        for _ in range(200)
+    ]
+    for a in words[:50]:
+        ka = set(deletion_keys(a, max_edits=2))
+        for b in words[:50]:
+            if _lev(a, b) <= 2:
+                assert ka & set(deletion_keys(b, max_edits=2)), (a, b)
+
+
+def test_fuzzy_docs_distance_2_matches_bruteforce(spark):
+    rows = [
+        (1, "slow scan over the table"),
+        (2, "row by row merge"),
+        (3, "vector window batch"),
+        (4, "the vectr pipeline lane"),
+        (5, "sc and nothing else"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for probe in ("sow", "vecto", "scan", "zzzz"):
+        got = {
+            r["doc_id"]
+            for r in fuzzy_term_docs(
+                df, "text", "doc_id", probe, max_edits=2
+            ).collect()
+        }
+        brute = {
+            did for did, text in rows
+            if any(_lev(t, probe) <= 2 for t in text.split() if t)
+        }
+        assert got == brute, probe
+
+
+def test_fuzzy_terms_docs_distance_2_matches_bruteforce(spark):
+    probes = ["sow", "vecto", "zzzzzz"]
+    df = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    got = {
+        (r["probe"], r["doc_id"])
+        for r in fuzzy_terms_docs(
+            df, "text", "doc_id", probes, max_edits=2
+        ).collect()
+    }
+    brute = set()
+    for did, text in _CORPUS:
+        for t in {t for t in text.split() if t}:
+            for p in probes:
+                if _lev(t, p) <= 2:
+                    brute.add((p, did))
+    assert got == brute

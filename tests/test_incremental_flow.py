@@ -96,27 +96,24 @@ def test_incremental_flow_pairs_to_clusters_to_keeplist(spark, tmp_path):
     }
 
     # keep-list: best score per cluster + untouched singletons — the
-    # keep decision never rescans text, only the label table
+    # keep decision never rescans text or pairs, only the label table
+    # (keep_best_against_ledger = the flow's final one-call stage)
+    from muller_spark.operators.dedup import keep_best_against_ledger
+
     all_docs = frame([m for b in batches for m in b]).withColumn(
         "score", (F.col("doc_id") % 97).cast("double")
     )
-    lab_df = components_ledger_report(spark, cl_path)
-    scored = all_docs.join(
-        lab_df.withColumnRenamed("id", "doc_id"), "doc_id", "left"
-    ).withColumn("component", F.coalesce("component", "doc_id"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("component").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    keep = {
-        r["doc_id"]
-        for r in scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1).collect()
-    }
+    verdict = keep_best_against_ledger(
+        all_docs, cl_path, "doc_id", "score"
+    ).collect()
+    keep = {r["id"] for r in verdict if r["keep"]}
     # fam0 members {0,1,2} scores {0,1,2} → keep 2; fam1 {100,101} →
     # 101 (100%97=3 < 101%97=4); fam2 {200,201} → 201; singleton 300
     assert keep == {2, 101, 201, 300}
+    assert all(
+        r["keep_id"] in keep and (r["id"] == r["keep_id"]) == r["keep"]
+        for r in verdict
+    )
 
     # replay absorption end-to-end: re-running the LAST batch's pair
     # ingest changes nothing (the semilattice theorem at flow level)
