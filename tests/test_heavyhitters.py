@@ -249,3 +249,51 @@ def test_mg_ledger_global_key(spark, tmp_path):
         for r in mg_ledger_report(spark, path).collect()
     }
     assert got == {"x": (2, 0), "y": (1, 0)}
+
+
+def test_mg_ledger_stream_end_to_end(spark, tmp_path):
+    """File-source stream of batches → MG ledger; restart with the
+    same checkpoint continues; report equals the exact frequency
+    table (exact regime)."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from muller_spark.operators.heavyhitters import init_mg_ledger
+    from muller_spark.streaming.windows import (
+        mg_ledger_stream,
+        stream_from_directory,
+    )
+
+    schema = T.StructType([
+        T.StructField("g", T.StringType()),
+        T.StructField("v", T.StringType()),
+    ])
+    src = os.path.join(str(tmp_path), "src"); os.makedirs(src)
+    path = os.path.join(str(tmp_path), "mg")
+    init_mg_ledger(
+        spark.createDataFrame([("a", "x")], "g string, v string"),
+        ["g"], "v", path, k=16,
+    )
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+
+    def drain():
+        stream = stream_from_directory(spark, src + "/*/", schema)
+        q = mg_ledger_stream(stream, path, ckpt, available_now=True)
+        q.awaitTermination(120)
+
+    write_batch("b1", [("a", "x"), ("b", "z")])
+    drain()
+    assert _ledger_report(spark, path) == {
+        ("a", "x"): (2, 0), ("b", "z"): (1, 0)
+    }
+    write_batch("b2", [("a", "y")])
+    drain()  # same checkpoint: resume, b1 not re-counted
+    assert _ledger_report(spark, path) == {
+        ("a", "x"): (2, 0), ("a", "y"): (1, 0), ("b", "z"): (1, 0)
+    }
