@@ -213,16 +213,17 @@ def decode_video_frames(
     max_pixels: int = 1 << 26,
     decoder: str = "exact",
 ):
-    """Container-sniffing video decode: animated GIF, MJPEG AVI, and
-    MJPEG MP4 are the three zero-dependency families; anything else
-    returns None (the ``av``-gated lane, now mkv + non-MJPEG codecs).
-    The single entry point the video near-dup / frame-sampling kernels
-    call, so adding a container automatically extends every video
-    pipeline.  ``decoder`` forwards to the AVI/MP4 frame decodes (PIL
-    fast tier); the GIF path is always the exact zero-dep composition
-    — PIL's own GIF canvas/disposal handling is not guaranteed to
-    match it bit-for-bit, and GIF decode is cheap (LZW, no IDCT), so
-    there is nothing worth trading determinism for."""
+    """Container-sniffing video decode: animated GIF, MJPEG AVI, MJPEG
+    MP4, and MJPEG Matroska are the four zero-dependency families;
+    anything else returns None (the ``av``-gated lane, now non-MJPEG
+    codecs only).  The single entry point the video near-dup /
+    frame-sampling kernels call, so adding a container automatically
+    extends every video pipeline.  ``decoder`` forwards to the
+    AVI/MP4/MKV frame decodes (PIL fast tier); the GIF path is always
+    the exact zero-dep composition — PIL's own GIF canvas/disposal
+    handling is not guaranteed to match it bit-for-bit, and GIF decode
+    is cheap (LZW, no IDCT), so there is nothing worth trading
+    determinism for."""
     if raw is None:
         return None
     if raw[:6] in (b"GIF87a", b"GIF89a"):
@@ -237,5 +238,10 @@ def decode_video_frames(
 
     if is_mp4(raw):
         return decode_mp4_frames(raw, max_frames=max_frames,
+                                 max_pixels=max_pixels, decoder=decoder)
+    from muller_spark.multimodal.mkv import decode_mkv_frames, is_mkv
+
+    if is_mkv(raw):
+        return decode_mkv_frames(raw, max_frames=max_frames,
                                  max_pixels=max_pixels, decoder=decoder)
     return None

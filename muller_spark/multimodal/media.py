@@ -217,16 +217,16 @@ def sample_video_frames(
     fake: bool = False,
     max_frames: int = 4096,
 ) -> DataFrame:
-    """1-in-N-out frame sampling (UDTF shape).  GIF, MJPEG-AVI, and
-    MJPEG-MP4 payloads decode for REAL
-    (``multimodal/avi.decode_video_frames`` — the three containers
+    """1-in-N-out frame sampling (UDTF shape).  GIF, MJPEG-AVI,
+    MJPEG-MP4, and MJPEG-Matroska payloads decode for REAL
+    (``multimodal/avi.decode_video_frames`` — the four containers
     readable with zero dependencies: round-9 GIF + round-10
-    MJPEG-in-AVI + round-11 MJPEG-in-MP4, all over the repo's baseline
-    JPEG codec), with ``frame_checksum`` = md5 of the composed RGB
-    frame bytes.  Other containers (mkv, non-MJPEG codecs) need ``av``
-    (not installed → NotImplementedError unless ``fake=True``, which
-    emits deterministic stub records so downstream pipelines stay
-    testable)."""
+    MJPEG-in-AVI + round-11 MJPEG-in-MP4/MKV, all over the repo's
+    baseline JPEG codec), with ``frame_checksum`` = md5 of the
+    composed RGB frame bytes.  Other payloads (non-MJPEG codecs) need
+    ``av`` (not installed → NotImplementedError unless ``fake=True``,
+    which emits deterministic stub records so downstream pipelines
+    stay testable)."""
     try:
         import av  # type: ignore  # noqa: F401
 
@@ -254,7 +254,8 @@ def sample_video_frames(
                 src = int(pdf[id_col].iloc[i]) if id_col else i
                 if (raw[:6] in (b"GIF87a", b"GIF89a")
                         or (raw[:4] == b"RIFF" and raw[8:12] == b"AVI ")
-                        or (len(raw) >= 12 and raw[4:8] == b"ftyp")):
+                        or (len(raw) >= 12 and raw[4:8] == b"ftyp")
+                        or raw[:4] == b"\x1a\x45\xdf\xa3"):
                     try:
                         # max_frames bounds decoded canvas copies per
                         # clip (with the decoder's own pixel budget,

@@ -9,8 +9,8 @@ offsets from the ``stbl`` sample tables (``stsc`` sample-to-chunk runs
 each Motion-JPEG sample with the repo's own baseline JPEG codec
 (`multimodal/jpeg.py`).  The reference decodes video by shelling out
 to installed codec libraries (``/root/reference/muller/
-compression.py:82``); with this module the ``av`` gate shrinks to
-mkv + non-MJPEG codecs.
+compression.py:82``); with this module (and the `multimodal/mkv.py`
+sibling) the ``av`` gate shrinks to non-MJPEG codecs only.
 
 Contracts match the AVI/GIF decoders (they feed the same container-
 blind video near-dup kernels):
