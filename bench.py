@@ -482,11 +482,13 @@ def media_envelope(spark, cache_root: "str | None" = None) -> dict:
     gif_path = os.path.join(root, "gif3k")
     avi_path = os.path.join(root, "avi2k")
     mp4_path = os.path.join(root, "mp42k")
+    mkv_path = os.path.join(root, "mkv2k")
     wav_path = os.path.join(root, "wav10k")
     m_png = os.path.join(root, "_PNG20K")
     m_gif = os.path.join(root, "_GIF3K")
     m_avi = os.path.join(root, "_AVI2K")
     m_mp4 = os.path.join(root, "_MP42K")
+    m_mkv = os.path.join(root, "_MKV2K")
     m_wav = os.path.join(root, "_WAV10K")
 
     def gen_pngs():
@@ -648,6 +650,50 @@ def media_envelope(spark, cache_root: "str | None" = None) -> dict:
             .write.mode("overwrite").parquet(mp4_path)
         )
 
+    def gen_mkvs():
+        """2k MJPEG-Matroska clips (round-11 fourth container), same
+        group-of-3 near-dup construction as the AVI/MP4 twins."""
+        def gen(iterator):
+            import pandas as pd
+
+            from muller_spark.multimodal.mkv import encode_mkv_mjpeg
+
+            for pdf in iterator:
+                ids, blobs = [], []
+                for i in pdf["id"]:
+                    i = int(i)
+                    rng = np.random.RandomState(60_000 + i // 3)
+                    pal = rng.randint(0, 256, (24, 3), dtype=np.uint8)
+                    pool = [
+                        pal[np.random.RandomState(13_000 * (i // 3) + f)
+                            .randint(0, 24, (16, 16))]
+                        for f in range(6)
+                    ]
+                    member = i % 3
+                    if member == 0:
+                        frames = pool
+                    elif member == 1:
+                        frames = pool[1:5]
+                    else:
+                        rng2 = np.random.RandomState(5 + i)
+                        frames = []
+                        for fr in pool[1:5]:
+                            g = fr.copy()
+                            mask = rng2.rand(16, 16) < 0.02
+                            g[mask] = pal[rng2.randint(0, 24, int(mask.sum()))]
+                            frames.append(g)
+                    ids.append(i)
+                    blobs.append(bytearray(
+                        encode_mkv_mjpeg(frames, quality=95)
+                    ))
+                yield pd.DataFrame({"clip_id": ids, "data": blobs})
+
+        (
+            spark.range(2_000, numPartitions=32)
+            .mapInPandas(gen, "clip_id long, data binary")
+            .write.mode("overwrite").parquet(mkv_path)
+        )
+
     def gen_wavs():
         """10k one-second PCM WAV clips in groups of 4: each group is
         a distinct 8-note random melody (time-VARYING band energies —
@@ -696,6 +742,7 @@ def media_envelope(spark, cache_root: "str | None" = None) -> dict:
                               (m_gif, "gif_generate_s", gen_gifs),
                               (m_avi, "avi_generate_s", gen_avis),
                               (m_mp4, "mp4_generate_s", gen_mp4s),
+                              (m_mkv, "mkv_generate_s", gen_mkvs),
                               (m_wav, "wav_generate_s", gen_wavs)):
         if os.path.exists(marker):
             out[label] = 0.0
@@ -744,6 +791,14 @@ def media_envelope(spark, cache_root: "str | None" = None) -> dict:
         video_near_dups(mp4s, "data", "clip_id", max_hamming=6,
                         min_match_fraction=0.8)
     ))
+    mkvs = spark.read.parquet(mkv_path)
+    out["video_frame_hashes_mkv_2k"] = timed2(lambda: materialize(
+        video_frame_hashes(mkvs, "data", "clip_id")
+    ))
+    out["video_near_dups_mkv_2k"] = timed2(lambda: materialize(
+        video_near_dups(mkvs, "data", "clip_id", max_hamming=6,
+                        min_match_fraction=0.8)
+    ))
     # window=1024 fills all 8 gradient windows of the 64-bit print
     # (8192 samples / 1024); the default 2048 leaves half the bits
     # unused on one-second clips and the corpus collides
@@ -767,6 +822,10 @@ def media_envelope(spark, cache_root: "str | None" = None) -> dict:
     )
     out["video_pairs_mp4"] = int(
         video_near_dups(mp4s, "data", "clip_id", max_hamming=6,
+                        min_match_fraction=0.8).count()
+    )
+    out["video_pairs_mkv"] = int(
+        video_near_dups(mkvs, "data", "clip_id", max_hamming=6,
                         min_match_fraction=0.8).count()
     )
     out["audio_pairs"] = int(
