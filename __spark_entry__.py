@@ -1201,6 +1201,43 @@ def q_fuzzy_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe", "doc_id")
 
 
+_TYPO_IDX_CACHE: dict = {}
+
+
+def _typo_index(spark: SparkSession, sf_dir: str):
+    """Session-scoped typo-keyed inverted index over documents (same
+    caching rationale as _bm25_index)."""
+    from muller_spark.index.inverted import InvertedIndex
+
+    idx = _TYPO_IDX_CACHE.get(sf_dir)
+    if idx is None:
+        docs = _t(spark, sf_dir, "documents")
+        path = os.path.join(_demo_tmpdir("typo_idx_"), "idx")
+        idx = InvertedIndex.build(docs, "text", path, id_col="doc_id",
+                                  typo_keys=1)
+        _TYPO_IDX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q_typo_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant search on the INDEX surface (round 12:
+    InvertedIndex.search(search_type='typo_match'), the integration of
+    index/fuzzy.py's SymSpell primitive into the reference's
+    user-facing search API — mixins/query.py:79 ds.query → search).
+    AND-of-terms semantics like the reference's fuzzy_match
+    (inverted_index_vectorized.py:741-758), but each query token
+    tolerates 1 Levenshtein edit, answered from the deletion-key table
+    the index derives from its OWN term dictionary at build/update
+    time.  'streem' (typo of 'stream') AND 'hash' — the oracle is the
+    brute-force per-token Levenshtein scan with the same AND fold."""
+    idx = _typo_index(spark, sf_dir)
+    return (
+        idx.search("streem hash", "typo_match")
+        .select(F.col("id").alias("doc_id"))
+        .orderBy("doc_id")
+    )
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination report
     (operators/dedup.contamination_report): documents from source
@@ -4622,6 +4659,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fuzzy_search": q_fuzzy_search,
     "q_fuzzy_multi": q_fuzzy_multi,
     "q_fuzzy_d2": q_fuzzy_d2,
+    "q_typo_match": q_typo_match,
     "q_hll_ledger": q_hll_ledger,
     "q_quantile_ledger": q_quantile_ledger,
     "q_decontamination": q_decontamination,
@@ -6453,6 +6491,22 @@ _ORACLES: dict[str, str] = {
         SELECT DISTINCT p.probe, toks.doc_id
         FROM probes p JOIN toks ON levenshtein(toks.t, p.probe) <= 2
         ORDER BY probe, doc_id
+    """,
+    # AND-of-query-tokens with per-token Levenshtein 1: a doc qualifies
+    # iff EVERY query token has some document token within distance 1 —
+    # the brute-force mirror of the index's deletion-key plan
+    "q_typo_match": f"""
+        WITH qt(qt) AS (
+          VALUES ('streem'), ('hash')
+        ), toks AS (
+          SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents
+        ), m AS (
+          SELECT DISTINCT toks.doc_id, q.qt
+          FROM toks JOIN qt q ON levenshtein(toks.t, q.qt) <= 1
+        )
+        SELECT doc_id FROM m
+        GROUP BY doc_id HAVING count(DISTINCT qt) = 2
+        ORDER BY doc_id
     """,
     # one-shot replay of the ledger-folded registers: max-mergeable
     # registers make the three-batch (+replayed-batch) ledger fold

@@ -243,6 +243,88 @@ def calibration_anchor(spark) -> dict:
     return rec
 
 
+def _prior_bench_detail() -> "dict | None":
+    """The committed BENCH_DETAIL.json as the re-measure prior (the
+    working-tree copy at session start IS last round's committed
+    record for a driver run; for a repeat builder run it is the
+    previous run of this same session — either way an anchored
+    same-code prior)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(path) as fh:
+            prior = json.load(fh)
+        if prior.get("queries_protocol") and prior.get("calibration"):
+            return prior
+    except Exception:
+        pass
+    return None
+
+
+# Re-measure pass tuning (round-12, VERDICT r11 #1): a query whose warm
+# median exceeds OUTLIER_FACTOR × its anchored committed prior (fallback
+# when no prior row: × its own same-session cold) is treated as a
+# within-session burst suspect and re-measured as a median of
+# OUTLIER_REPS fresh warm runs.  The anchor normalizes SESSIONS (steady
+# host speed); this normalizes ROWS (noisy-neighbor bursts that hit a
+# handful of queries mid-sweep — r11's q_neardup_ledger read 9.97 s on a
+# host the anchor proved FAST, vs 3.37 s on identical code).
+OUTLIER_FACTOR = 1.5
+OUTLIER_REPS = 5
+OUTLIER_MAX_QUERIES = 12  # bound the pass; worst offenders first
+
+
+def remeasure_outliers(spark, sf_dir: str, timings: dict, protocol: dict,
+                       calibration: "dict | None", sf_val) -> None:
+    """Mutates timings/protocol in place: burst-suspect queries get a
+    fresh median-of-``OUTLIER_REPS`` warm measurement recorded under a
+    ``remeasured`` flag (the first sweep's value is kept alongside)."""
+    prior = _prior_bench_detail()
+    prior_rows: dict = {}
+    ratio = None
+    if prior is not None and calibration and prior.get("sf") == sf_val:
+        try:
+            ratio = (
+                float(calibration["warm_steady_s"])
+                / float(prior["calibration"]["warm_steady_s"])
+            )
+            prior_rows = prior["queries_protocol"]
+        except (KeyError, TypeError, ValueError, ZeroDivisionError):
+            ratio = None
+    suspects = []
+    for name, warm in timings.items():
+        if ratio is not None and name in prior_rows:
+            base = float(prior_rows[name]["warm_steady_s"]) * ratio
+            kind = "anchored_prior"
+        else:
+            base = float(protocol[name]["cold_s"])
+            kind = "same_session_cold"
+        if base > 0 and warm > OUTLIER_FACTOR * base:
+            suspects.append((warm / base, name, base, kind))
+    suspects.sort(reverse=True)
+    all_queries = dict(entrymod.queries())
+    for n in HEADLINE:
+        if n not in all_queries and hasattr(entrymod, n):
+            all_queries[n] = getattr(entrymod, n)
+    for rank, (ratio_over, name, base, kind) in enumerate(suspects):
+        if rank >= OUTLIER_MAX_QUERIES or name not in all_queries:
+            protocol[name]["remeasure_skipped"] = True
+            continue
+        reps = []
+        for _ in range(OUTLIER_REPS):
+            start = time.perf_counter()
+            materialize(all_queries[name](spark, sf_dir))
+            reps.append(time.perf_counter() - start)
+        new_warm = round(_median(reps), 4)
+        protocol[name]["remeasured"] = True
+        protocol[name]["first_warm_steady_s"] = timings[name]
+        protocol[name]["remeasure_baseline_s"] = round(base, 4)
+        protocol[name]["remeasure_baseline_kind"] = kind
+        protocol[name]["warm_steady_s"] = new_warm
+        timings[name] = new_warm
+
+
 def run_headline(spark, sf_dir: str) -> "tuple[dict, dict]":
     """The headline per-query section: returns (warm-steady timings,
     full protocol records)."""
@@ -329,12 +411,16 @@ def main() -> None:
         spark = get_spark("muller_spark_bench_headline")
         spark.sparkContext.setLogLevel("ERROR")
         timings, protocol = run_headline(spark, sf_dir)
+        # anchor measured AFTER the headline in the same JVM: fully
+        # warm steady-state host speed, the normalization basis
+        calibration = calibration_anchor(spark)
+        # burst guard AFTER the anchor (needs it for the prior ratio)
+        remeasure_outliers(spark, sf_dir, timings, protocol,
+                           calibration, sf_val)
         payload = {
             "queries": timings,
             "queries_protocol": protocol,
-            # anchor measured AFTER the headline in the same JVM: fully
-            # warm steady-state host speed, the normalization basis
-            "calibration": calibration_anchor(spark),
+            "calibration": calibration,
             "jvm": spark.sparkContext.applicationId,
         }
         with open(os.environ["SPARK_GRAFT_SECTION_OUT"], "w") as fh:
@@ -355,6 +441,8 @@ def main() -> None:
     else:
         timings, protocol = run_headline(spark, sf_dir)
         calibration = calibration_anchor(spark)
+        remeasure_outliers(spark, sf_dir, timings, protocol,
+                           calibration, sf_val)
         headline_jvm = spark.sparkContext.applicationId
 
     total = round(sum(timings.values()), 4)
@@ -364,7 +452,11 @@ def main() -> None:
     # a front-truncated capture still shows the metric.  The line stays
     # one valid JSON object (key order is semantically irrelevant), and
     # the complete result is also written to BENCH_DETAIL.json.
-    result: dict = {"protocol": "cold+warm_steady(median of 3); compare warm only"}
+    result: dict = {
+        "protocol": "cold+warm_steady(median of 3); compare warm only; "
+        "warm >1.5x anchored committed prior re-measured median-of-5 "
+        "(queries_protocol[q].remeasured)"
+    }
     # round-11 bench discipline: EVERY session self-identifies — label
     # from SPARK_GRAFT_SESSION / --session-label when set (builder runs:
     # e.g. builder-r11), else a generated auto-<utc>-<pid> so driver

@@ -630,11 +630,15 @@ class Dataset:
         stop_words_list: Sequence[str] | None = None,
         case_sensitive: bool = False,
         positions: bool = False,
+        typo_keys: "int | None" = None,
         **_: Any,
     ):
         """Build a sharded inverted (posting-table) index on a tensor.
         ``positions=True`` keeps token positions so ``search(...,
-        'phrase_match')`` answers exact-adjacency phrase queries."""
+        'phrase_match')`` answers exact-adjacency phrase queries.
+        ``typo_keys=1`` (or 2) also builds the SymSpell deletion-key
+        table from the index's term dictionary so ``ds.query(tensor,
+        q, search_type='typo_match')`` answers typo-tolerant lookups."""
         from muller_spark.index.inverted import InvertedIndex
 
         self._require_tensor(tensor)
@@ -651,6 +655,7 @@ class Dataset:
             commit_id=self._snapshot.commit_id,
             is_text=is_text,
             positions=positions,
+            typo_keys=typo_keys,
         )
 
     create_index = create_index_vectorized

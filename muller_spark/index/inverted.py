@@ -42,6 +42,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from muller_spark.errors import MullerSparkError
 from muller_spark.fs import get_fs
 from muller_spark.plans.conditions import TOKEN_SPLIT_REGEX
 from muller_spark.schema import ROW_ID_COL
@@ -118,6 +119,7 @@ class InvertedIndex:
         commit_id: str | None = None,
         is_text: bool = True,
         positions: bool = False,
+        typo_keys: "int | None" = None,
         _write_stats: bool = True,
     ) -> "InvertedIndex":
         spark = df.sparkSession
@@ -238,6 +240,8 @@ class InvertedIndex:
         out._manifest = manifest
         if positions and _write_stats:
             out._write_docstats()
+        if typo_keys:
+            out.enable_typo_match(max_edits=int(typo_keys))
         return out
 
     @property
@@ -252,12 +256,20 @@ class InvertedIndex:
         return self.spark.read.parquet(os.path.join(self.path, "postings"))
 
     # -- search ----------------------------------------------------------
-    def search(self, query, search_type: str = "fuzzy_match") -> DataFrame:
-        """Returns a DataFrame with a single ``id`` column of matches."""
+    def search(self, query, search_type: str = "fuzzy_match",
+               max_edits: "int | None" = None) -> DataFrame:
+        """Returns a DataFrame with a single ``id`` column of matches.
+        ``search_type='typo_match'`` is AND-of-terms like
+        ``fuzzy_match`` but tolerates up to ``max_edits`` Levenshtein
+        edits per query token (default: the key table's depth) —
+        requires typo keys (``build(..., typo_keys=d)`` or
+        :meth:`enable_typo_match`)."""
         if search_type == "exact_match":
             return self._exact(query)
         if search_type == "fuzzy_match":
             return self._fuzzy(query)
+        if search_type == "typo_match":
+            return self._typo(query, max_edits)
         if search_type == "complex_fuzzy_match":
             return self._complex(query)
         if search_type == "range_match":
@@ -486,6 +498,160 @@ class InvertedIndex:
             .select("id")
         )
 
+    # -- typo tolerance (round-12, VERDICT r11 #5) -------------------------
+
+    # loud bound on the verified candidate-term collect: deletion
+    # neighborhoods are tiny in practice (tens of terms per probe), but a
+    # pathological vocabulary dense around very short probes could blow
+    # the driver-side grouping — refuse instead of OOMing
+    _TYPO_CANDIDATE_CAP = 50_000
+
+    def enable_typo_match(self, max_edits: int = 1,
+                          max_token_len: int = 24) -> "InvertedIndex":
+        """Build the SymSpell deletion-key table from THIS index's own
+        term dictionary, enabling ``search(..., 'typo_match')`` — the
+        typo-tolerant twin of the reference's AND-of-terms fuzzy search
+        (``muller/core/query/inverted_index_vectorized.py:741-758``,
+        which has no edit tolerance anywhere).
+
+        Layout: ``<index>/typo_keys`` parquet ``(term, k)`` partitioned
+        by ``kshard = pmod(xxhash64(k), num_shards)`` — probe lookups
+        prune to the probe keys' shards exactly like posting lookups.
+        Terms longer than ``max_token_len`` contribute only their
+        identity key (they can still be matched exactly, never fuzzily
+        — the depth-2 fan-out is quadratic in token length, so the cap
+        is the documented cost bound, same contract as
+        ``index/fuzzy.py``).  The manifest records the key table's
+        geometry AND the posting count it was derived from — the
+        staleness contract ``typo_match`` checks (``update`` refreshes
+        the keys, so staleness only means out-of-band tampering)."""
+        if max_edits not in (1, 2):
+            raise ValueError(
+                f"typo keys support max_edits in (1, 2); got {max_edits}"
+            )
+        m = dict(self.manifest)
+        self._write_typo_keys(max_edits, max_token_len, m["num_shards"])
+        m["typo_keys"] = {
+            "max_edits": int(max_edits),
+            "max_token_len": int(max_token_len),
+            "n_postings": m["n_postings"],
+        }
+        self.fs.write_text(
+            os.path.join(self.path, "manifest.json"), json.dumps(m)
+        )
+        self._manifest = m
+        return self
+
+    def _write_typo_keys(self, max_edits: int, max_token_len: int,
+                         num_shards: int) -> None:
+        from muller_spark.index.fuzzy import _keys_col
+
+        terms = self._postings().select("term").distinct()
+        keys = terms.select(
+            "term",
+            F.explode(
+                F.when(
+                    F.length("term") <= max_token_len,
+                    _keys_col(F.col("term"), max_edits),
+                ).otherwise(F.array(F.col("term")))
+            ).alias("k"),
+        ).withColumn("kshard", F.pmod(F.xxhash64("k"), F.lit(num_shards)))
+        out_path = os.path.join(self.path, "typo_keys_new")
+        (
+            keys.repartition(num_shards, "kshard")
+            .sortWithinPartitions("k", "term")
+            .write.mode("overwrite")
+            .partitionBy("kshard")
+            .parquet(out_path)
+        )
+        live = os.path.join(self.path, "typo_keys")
+        if self.fs.exists(live):
+            self.fs.rmtree(live)
+        self.fs.rename(out_path, live)
+
+    def _typo(self, query: str, max_edits: "int | None" = None) -> DataFrame:
+        """AND-of-query-tokens with per-token Levenshtein tolerance: a
+        document matches iff for EVERY query token it contains at least
+        one vocabulary term within ``max_edits`` of it.  Plan: driver-
+        side probe keys (tiny) → kshard-pruned key-table join → exact
+        Levenshtein verify on the candidate sliver → bounded collect of
+        the (token, term) map → shard-pruned posting lookup of the
+        candidate terms only.  Never scans the posting table, never
+        joins vocabulary × probes."""
+        from muller_spark.index.fuzzy import deletion_keys
+
+        m = self.manifest
+        tk = m.get("typo_keys")
+        if not tk:
+            raise MullerSparkError(
+                "typo_match needs a deletion-key table: build the index "
+                "with typo_keys=1 (or 2), or call enable_typo_match()"
+            )
+        if tk["n_postings"] != m["n_postings"]:
+            raise MullerSparkError(
+                "typo keys are stale (built over "
+                f"{tk['n_postings']} postings, index now has "
+                f"{m['n_postings']}): call enable_typo_match() to refresh"
+            )
+        d = tk["max_edits"] if max_edits is None else int(max_edits)
+        if d > tk["max_edits"]:
+            raise ValueError(
+                f"max_edits={d} exceeds the key table depth "
+                f"{tk['max_edits']}; rebuild with enable_typo_match("
+                f"max_edits={d})"
+            )
+        tokens = self._terms_of(query)
+        if not tokens:
+            return self.spark.createDataFrame([], "id long")
+        qset = sorted(set(tokens))
+        probe_rows = [
+            (t, k) for t in qset for k in deletion_keys(t, d)
+        ]
+        probes = self.spark.createDataFrame(probe_rows, "qt string, k string")
+        num_shards = m["num_shards"]
+        shard_vals = [
+            r["kshard"]
+            for r in probes.select(
+                F.pmod(F.xxhash64("k"), F.lit(num_shards)).alias("kshard")
+            ).distinct().collect()
+        ]
+        keys = self.spark.read.parquet(os.path.join(self.path, "typo_keys"))
+        cand = (
+            keys.filter(F.col("kshard").isin(shard_vals))
+            .join(F.broadcast(probes), "k")
+            .select("qt", "term")
+            .distinct()
+            .where(F.levenshtein(F.col("term"), F.col("qt")) <= d)
+        )
+        cand_rows = cand.limit(self._TYPO_CANDIDATE_CAP + 1).collect()
+        if len(cand_rows) > self._TYPO_CANDIDATE_CAP:
+            raise MullerSparkError(
+                f"typo_match candidate set exceeds "
+                f"{self._TYPO_CANDIDATE_CAP} (query tokens too "
+                "short/dense for this vocabulary); tighten the query or "
+                "lower max_edits"
+            )
+        per_qt: dict = {}
+        for r in cand_rows:
+            per_qt.setdefault(r["qt"], set()).add(r["term"])
+        if len(per_qt) < len(qset):
+            # some query token has NO in-tolerance vocabulary term:
+            # AND-of-tokens can never hold
+            return self.spark.createDataFrame([], "id long")
+        all_terms = sorted({t for ts in per_qt.values() for t in ts})
+        hits = self._lookup_terms(all_terms).select("term", "id")
+        mapping = self.spark.createDataFrame(
+            [(t, qt) for qt, ts in per_qt.items() for t in ts],
+            "term string, qt string",
+        )
+        return (
+            hits.join(F.broadcast(mapping), "term")
+            .groupBy("id")
+            .agg(F.countDistinct("qt").alias("nq"))
+            .filter(F.col("nq") == len(qset))
+            .select("id")
+        )
+
     def _complex(self, query: str) -> DataFrame:
         parts = [p for p in query.split("||") if p.strip()]
         out = None
@@ -554,6 +720,15 @@ class InvertedIndex:
             self._write_docstats()
         m["commit_id"] = commit_id
         m["n_postings"] = int(self.spark.read.parquet(old).count())
+        if m.get("typo_keys"):
+            # the deletion-key table derives from the term dictionary —
+            # refresh it from the merged postings and re-pin the count
+            # (staleness contract: typo_keys.n_postings == n_postings)
+            tk = m["typo_keys"]
+            self._write_typo_keys(
+                tk["max_edits"], tk["max_token_len"], m["num_shards"]
+            )
+            m["typo_keys"] = dict(tk, n_postings=m["n_postings"])
         self.fs.write_text(os.path.join(self.path, "manifest.json"), json.dumps(m))
         self._manifest = m
         if m.get("hot_terms"):

@@ -84,6 +84,15 @@ def _parse_image_header(raw: bytes) -> "tuple[int, int, int, str] | None":
             return h, w, 3 if raw[:2] == b"P6" else 1, "ppm"
         except (IndexError, ValueError):
             return None
+    # TIFF: II*\0 (little-endian) or MM\0* (big-endian) + first IFD
+    # walk (reference parity: muller/compression.py:21-80 lists tiff
+    # among the supported image sample compressions)
+    if raw[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return _parse_tiff_header(raw)
+    # WebP: RIFF container, VP8 (lossy) / VP8L (lossless) / VP8X
+    # (extended) dimension layouts (same reference list)
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+        return _parse_webp_header(raw)
     # DICOM: 128-byte preamble + "DICM"
     if len(raw) > 132 and raw[128:132] == b"DICM":
         return parse_dicom_header(raw)
@@ -105,6 +114,85 @@ def _parse_image_header(raw: bytes) -> "tuple[int, int, int, str] | None":
             seg_len = struct.unpack(">H", raw[pos + 2:pos + 4])[0]
             pos += 2 + seg_len
         return None
+    return None
+
+
+def _parse_tiff_header(raw: bytes) -> "tuple[int, int, int, str] | None":
+    """(h, w, channels, 'tiff') from the first IFD — TIFF 6.0 baseline
+    tags: 256 ImageWidth, 257 ImageLength, 277 SamplesPerPixel (falls
+    back to 262 PhotometricInterpretation: RGB→3, else 1).  Both byte
+    orders; inline SHORT/LONG values only (offset-valued dimension
+    tags do not occur for single-count dimensions).  The entry count
+    is clamped to what the buffer holds — same bomb-guard discipline
+    as the video container walks."""
+    bo = "<" if raw[:2] == b"II" else ">"
+    ifd_off = struct.unpack(bo + "I", raw[4:8])[0]
+    if ifd_off + 2 > len(raw):
+        return None
+    n = struct.unpack(bo + "H", raw[ifd_off:ifd_off + 2])[0]
+    n = min(n, max(0, (len(raw) - ifd_off - 2) // 12))
+    w = h = None
+    spp = None
+    photometric = None
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        tag, typ = struct.unpack(bo + "HH", raw[e:e + 4])
+        count = struct.unpack(bo + "I", raw[e + 4:e + 8])[0]
+        if count != 1:
+            continue
+        if typ == 3:    # SHORT, inline in the first 2 value bytes
+            val = struct.unpack(bo + "H", raw[e + 8:e + 10])[0]
+        elif typ == 4:  # LONG, inline in all 4 value bytes
+            val = struct.unpack(bo + "I", raw[e + 8:e + 12])[0]
+        else:
+            continue
+        if tag == 256:
+            w = val
+        elif tag == 257:
+            h = val
+        elif tag == 262:
+            photometric = val
+        elif tag == 277:
+            spp = val
+    if w is None or h is None:
+        return None
+    if spp is None:
+        spp = 3 if photometric == 2 else 1
+    return h, w, spp, "tiff"
+
+
+def _parse_webp_header(raw: bytes) -> "tuple[int, int, int, str] | None":
+    """(h, w, channels, 'webp') from the first WebP chunk:
+
+    - ``VP8 `` (lossy): 3-byte frame tag, 3-byte sync 9D 01 2A, then
+      14-bit width / height (uint16 LE & 0x3FFF each);
+    - ``VP8L`` (lossless): 0x2F signature byte, then width-1 in bits
+      0–13 and height-1 in bits 14–27 of the next 4 LE bytes; bit 28
+      is the alpha hint (channels 4);
+    - ``VP8X`` (extended): flags byte (0x10 = alpha), 3 reserved
+      bytes, then 24-bit canvas width-1 / height-1 LE.
+    """
+    fourcc = raw[12:16]
+    body = raw[20:]
+    if fourcc == b"VP8 " and len(body) >= 10:
+        if body[3:6] != b"\x9d\x01\x2a":
+            return None
+        w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+        h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+        return h, w, 3, "webp"
+    if fourcc == b"VP8L" and len(body) >= 5:
+        if body[0] != 0x2F:
+            return None
+        bits = struct.unpack("<I", body[1:5])[0]
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        alpha = (bits >> 28) & 1
+        return h, w, 4 if alpha else 3, "webp"
+    if fourcc == b"VP8X" and len(body) >= 10:
+        flags = body[0]
+        w = int.from_bytes(body[4:7], "little") + 1
+        h = int.from_bytes(body[7:10], "little") + 1
+        return h, w, 4 if flags & 0x10 else 3, "webp"
     return None
 
 

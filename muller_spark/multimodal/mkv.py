@@ -142,10 +142,39 @@ def _read_vint(raw: bytes, pos: int, hi: int, keep_marker: bool):
     return (-1 if val == mask else val), pos + n
 
 
+def _unknown_size_end(raw: bytes, lo: int, hi: int) -> int:
+    """End offset of an unknown-size Cluster per RFC 8794 §6.2: walk
+    its child elements until an ID that is NOT a Cluster child (the
+    next Cluster or another Segment-level element) — that ID starts
+    the next sibling.  A malformed or nested-unknown-size child ends
+    the scan at the enclosure end (tolerant, like the rest of the
+    walk)."""
+    pos = lo
+    while pos < hi:
+        rid = _read_vint(raw, pos, hi, keep_marker=True)
+        if rid is None:
+            return hi
+        eid, p2 = rid
+        if eid not in _CLUSTER_CHILDREN:
+            return pos  # sibling starts here
+        rsz = _read_vint(raw, p2, hi, keep_marker=False)
+        if rsz is None:
+            return hi
+        size, body_lo = rsz
+        if size == -1:
+            return hi  # nested unknown-size child: give up tolerantly
+        pos = min(body_lo + size, hi)
+    return hi
+
+
 def _elements(raw: bytes, lo: int, hi: int):
-    """Yield (element_id, body_lo, body_hi) tolerantly; unknown-size
-    elements extend to the enclosure end; malformed input ends the
-    walk."""
+    """Yield (element_id, body_lo, body_hi) tolerantly; malformed
+    input ends the walk.  Unknown-size elements (the normal output of
+    live/streamed muxing, RFC 8794): an unknown-size Cluster is
+    bounded at the start of its next sibling (so LATER clusters still
+    decode — the walk continues); any other unknown-size element
+    extends to the enclosure end and ends the walk (correct for
+    Segment, the only other unknown-size element real muxers emit)."""
     pos = lo
     while pos < hi:
         rid = _read_vint(raw, pos, hi, keep_marker=True)
@@ -156,12 +185,18 @@ def _elements(raw: bytes, lo: int, hi: int):
         if rsz is None:
             return
         size, body_lo = rsz
-        body_hi = hi if size == -1 else min(body_lo + size, hi)
+        if size == -1:
+            if eid == _CLUSTER:
+                body_hi = _unknown_size_end(raw, body_lo, hi)
+                yield eid, body_lo, body_hi
+                pos = body_hi
+                continue
+            yield eid, body_lo, hi
+            return  # non-Cluster unknown size consumes the enclosure
+        body_hi = min(body_lo + size, hi)
         if body_hi < body_lo:
             return
         yield eid, body_lo, body_hi
-        if size == -1:
-            return  # unknown-size element consumes the enclosure
         pos = body_hi
 
 
@@ -184,6 +219,20 @@ _CLUSTER = 0x1F43B675
 _SIMPLE_BLOCK = 0xA3
 _BLOCK_GROUP = 0xA0
 _BLOCK = 0xA1
+# Valid direct children of Cluster (Matroska v4) plus the two global
+# elements (CRC-32, Void) legal anywhere — anything else seen while
+# scanning an unknown-size Cluster starts the next sibling.
+_CLUSTER_CHILDREN = frozenset({
+    0xE7,    # Timestamp
+    0xA7,    # Position
+    0xAB,    # PrevSize
+    0xA3,    # SimpleBlock
+    0xA0,    # BlockGroup
+    0xAF,    # EncryptedBlock
+    0x5854,  # SilentTracks
+    0xBF,    # CRC-32 (global)
+    0xEC,    # Void (global)
+})
 
 
 def _mjpeg_tracks(raw: bytes, seg_lo: int, seg_hi: int) -> set:

@@ -159,6 +159,13 @@ def _sample_locs(raw: bytes, stbl_lo: int, stbl_hi: int):
             if typ == b"stsz" and len(body) >= 8:
                 fixed, count = struct.unpack(">II", body[:8])
                 if fixed:
+                    # Bomb guard: count is a verbatim 32-bit field; a
+                    # ~100-byte hostile file claiming 0xFFFFFFFF samples
+                    # must not materialize a multi-GB list. No sample can
+                    # start past end-of-file, so the file physically holds
+                    # at most len(raw)//fixed samples (+1 slack for a
+                    # truncated tail sample).
+                    count = min(count, len(raw) // max(fixed, 1) + 1)
                     sizes = [fixed] * count
                 else:
                     count = min(count, (len(body) - 8) // 4)

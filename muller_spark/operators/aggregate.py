@@ -702,6 +702,69 @@ def _swap_log_dir(live_dir: str) -> None:
     os.rename(live_dir + ".compact", live_dir)
     shutil.rmtree(old)
 
+
+def _writer_lease(path: str, lock):
+    """Opt-in single-writer lease for a ledger mutation (round-12,
+    VERDICT r11 #3).  Every ledger in the family documents single-
+    writer discipline; this turns the documented contract into an
+    enforced one for callers that face scheduler retries (two ingests
+    of the same batch racing = silent double-count for the
+    marker-class ledgers).
+
+    ``lock`` is the per-call opt-in:
+
+    - falsy (default) — no-op, the caller owns serialization;
+    - ``True`` — acquire the ledger's lease with defaults: a second
+      concurrent writer RAISES ``BranchLockedError`` immediately;
+    - a dict — ``BranchLock`` kwargs passthrough (``owner``, ``ttl``,
+      ``timeout`` — give a timeout to QUEUE instead of raising,
+      ``poll_interval``).
+
+    The lease file lives at ``<ledger>/locks/writer.lock`` — same
+    atomic-exclusive-create + stale-lease-takeover machinery as branch
+    commits (``versioning/locks.py``), so a crashed writer's lease is
+    reclaimed after its TTL instead of wedging the ledger."""
+    import contextlib
+
+    if not lock:
+        return contextlib.nullcontext()
+    from muller_spark.versioning.locks import BranchLock
+
+    kwargs = dict(lock) if isinstance(lock, dict) else {}
+    return BranchLock(path, "writer", **kwargs)
+
+
+def _manifest_folded_batches(path: str, log_name: str) -> None:
+    """Record a ``landed`` manifest entry for every COMMITTED streaming
+    batch subdir (``<log>/ingest_run=*/ingest_batch=*`` with its
+    parquet ``_SUCCESS``) that lacks one, before compaction folds the
+    subdirs into flat files and drops their markers.
+
+    Closes the last double-count window of the marker crash class: a
+    stream that crashed between its partial commit and its manifest
+    touch, followed by compaction BEFORE the restart, used to leave the
+    restarted batch with neither marker nor manifest — so the handler
+    rewrote (double-counted) it.  Manifesting at fold time is always
+    sound: a committed subdir's rows are in the log (subdir or folded
+    form) from this point on, so "do not rewrite" is exactly right,
+    and writing the manifest BEFORE the fold keeps a crashed compaction
+    harmless (the subdir still exists and still counts once)."""
+    import glob
+    import os
+
+    landed_dir = os.path.join(path, "landed")
+    pattern = os.path.join(
+        path, log_name, "ingest_run=*", "ingest_batch=*", "_SUCCESS"
+    )
+    for marker in glob.glob(pattern):
+        bdir = os.path.dirname(marker)
+        batch = os.path.basename(bdir).split("=", 1)[1]
+        run = os.path.basename(os.path.dirname(bdir)).split("=", 1)[1]
+        os.makedirs(landed_dir, exist_ok=True)
+        entry = os.path.join(landed_dir, f"{run}_{batch}")
+        if not os.path.exists(entry):
+            open(entry, "a").close()
+
 def _agg_partials(df: DataFrame, key_cols: "Sequence[str]", value_col: str) -> DataFrame:
     """One partial-aggregate row per key for a batch: the mergeable
     tuple (cnt, nn, sum, sumsq, min, max).  Sums accumulate as
@@ -738,6 +801,7 @@ def init_agg_ledger(
     key_cols: "Sequence[str]",
     value_col: str,
     path: str,
+    lock=False,
 ) -> None:
     """Seed a persistent incremental AGGREGATE ledger — materialized-
     view maintenance for per-key statistics, the scalar twin of the
@@ -759,8 +823,13 @@ def init_agg_ledger(
     keyed aggregate whose input is ≤ keys × ingests rows — never corpus
     rows.  :func:`compact_agg_ledger` folds the log back to one row per
     key when the ingest count grows.  Single-writer contract as
-    ``init_dedup_ledger``.
+    ``init_dedup_ledger`` — pass ``lock=`` (True or BranchLock kwargs)
+    to ENFORCE it with a lease instead of trusting the scheduler
+    (:func:`_writer_lease`).
     """
+    if lock:
+        with _writer_lease(path, lock):
+            return init_agg_ledger(df, key_cols, value_col, path)
     import json
     import os
 
@@ -774,10 +843,16 @@ def init_agg_ledger(
     )
 
 
-def agg_ledger_ingest(batch: DataFrame, path: str) -> None:
+def agg_ledger_ingest(batch: DataFrame, path: str, lock=False) -> None:
     """Fold one ingest batch into the ledger: one map-side partial
     aggregate of the BATCH ONLY, appended to the partial log.  Never
-    reads prior partials — the O(batch) contract."""
+    reads prior partials — the O(batch) contract.  ``lock=`` opts into
+    the enforced single-writer lease (:func:`_writer_lease`): a
+    scheduler retry racing this ingest raises instead of silently
+    double-counting the batch."""
+    if lock:
+        with _writer_lease(path, lock):
+            return agg_ledger_ingest(batch, path)
     import json
     import os
 
@@ -839,7 +914,7 @@ def agg_ledger_report(spark, path: str) -> DataFrame:
     )
 
 
-def compact_agg_ledger(spark, path: str) -> None:
+def compact_agg_ledger(spark, path: str, lock=False) -> None:
     """Fold the partial log back to ONE row per key (bounds merge-on-
     read cost after many ingests).  Reports before and after compaction
     are identical — decimal sums are order-independent by construction.
@@ -849,15 +924,22 @@ def compact_agg_ledger(spark, path: str) -> None:
     by :func:`_recover_log_swap` on the next operation.
 
     Compaction folds streaming batch subdirectories into flat files,
-    which drops their ``_SUCCESS`` markers — but NOT the ``landed``
-    manifest (``<path>/landed/``, one touch-file per (run, batch) the
-    stream twins maintain), which compaction never touches.  A stream
-    restart that replays a batch whose marker was compacted away still
-    finds its manifest entry and skips, so compacting a STOPPED stream
-    is always safe even when the final micro-batch landed without its
-    checkpoint commit.  Never compact while a run is LIVE (single-
-    writer discipline: a batch between its partial write and its
-    manifest write would lose the race with the fold)."""
+    which drops their ``_SUCCESS`` markers — so BEFORE folding it
+    writes a ``landed`` manifest entry (``<path>/landed/``, the
+    touch-files the stream twins maintain) for every committed batch
+    subdir that lacks one (:func:`_manifest_folded_batches`), and never
+    deletes existing entries.  A stream restart that replays a batch
+    whose marker was compacted away therefore always finds its manifest
+    entry and skips — INCLUDING the batch a stream committed without
+    its checkpoint commit OR its own manifest touch (crash between the
+    two), so compacting a STOPPED stream is always safe.  Never compact
+    while a run is LIVE (single-writer discipline: a batch between its
+    partial write and its manifest write would lose the race with the
+    fold).  ``lock=`` enforces the discipline against a concurrent
+    batch writer (:func:`_writer_lease`)."""
+    if lock:
+        with _writer_lease(path, lock):
+            return compact_agg_ledger(spark, path)
     import json
     import os
 
@@ -865,6 +947,7 @@ def compact_agg_ledger(spark, path: str) -> None:
     keys = json.loads(meta["key_cols"])
     part_dir = os.path.join(path, "partials")
     _recover_log_swap(part_dir)
+    _manifest_folded_batches(path, "partials")
     folded = (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(part_dir)
@@ -895,6 +978,7 @@ def init_hll_ledger(
     value_col: str,
     path: str,
     precision: int = 10,
+    lock=False,
 ) -> None:
     """Seed a persistent incremental DISTINCT-count ledger: per-key HLL
     registers maintained across ingest batches — the cardinality twin
@@ -910,7 +994,11 @@ def init_hll_ledger(
     strongest crash-safety class of the ledger family (re-appending is
     HARMLESS, not just detected).  Report = fold + estimate; compact =
     fold-and-swap.  Same single-writer discipline as the other
-    ledgers."""
+    ledgers; ``lock=`` enforces it (:func:`_writer_lease`)."""
+    if lock:
+        with _writer_lease(path, lock):
+            return init_hll_ledger(df, key_cols, value_col, path,
+                                   precision=precision)
     import json
     import os
 
@@ -925,11 +1013,16 @@ def init_hll_ledger(
     ).parquet(os.path.join(path, "registers"))
 
 
-def hll_ledger_ingest(batch: DataFrame, path: str) -> None:
+def hll_ledger_ingest(batch: DataFrame, path: str, lock=False) -> None:
     """Fold one batch into the distinct ledger: the batch's register
     rows appended — O(batch) hash aggregate, zero reads of prior
     state, and idempotent under replay (max-merge absorbs
-    duplicates)."""
+    duplicates).  ``lock=`` serializes against a concurrent compaction
+    swap (:func:`_writer_lease`) — replay-idempotence protects against
+    duplicate APPENDS, not against appending into a dir mid-swap."""
+    if lock:
+        with _writer_lease(path, lock):
+            return hll_ledger_ingest(batch, path)
     import json
     import os
 
@@ -964,13 +1057,17 @@ def hll_ledger_report(spark, path: str) -> DataFrame:
     return _group_hll_estimate(folded, keys, meta["precision"])
 
 
-def compact_hll_ledger(spark, path: str) -> None:
+def compact_hll_ledger(spark, path: str, lock=False) -> None:
     """Fold the register log to one row per (keys, bucket).  Reports
     before and after are identical (max is idempotent/associative).
     Write-temp-then-swap like :func:`compact_agg_ledger` — and note
     this ledger needs no ``landed`` manifest at all: register rows are
     max-merge idempotent, so a replay after compaction re-appends
-    harmlessly instead of double-counting."""
+    harmlessly instead of double-counting.  ``lock=`` serializes
+    against concurrent appends (:func:`_writer_lease`)."""
+    if lock:
+        with _writer_lease(path, lock):
+            return compact_hll_ledger(spark, path)
     import json
     import os
 

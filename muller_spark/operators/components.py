@@ -188,6 +188,7 @@ def init_components_ledger(
     src: str = "src",
     dst: str = "dst",
     buckets: int = _LEDGER_BUCKETS_DEFAULT,
+    lock=False,
 ) -> None:
     """Seed a persistent incremental CONNECTED-COMPONENTS ledger:
     cluster labels maintained across edge-ingest batches without ever
@@ -227,7 +228,17 @@ def init_components_ledger(
     ever)) + a label append (O(new nodes)).  Nothing scales with
     corpus edges; only report scans the label log, and report OUTPUT
     is corpus-sized by definition.
+
+    ``lock=`` enforces the single-writer discipline with a lease
+    (``operators.aggregate._writer_lease``).
     """
+    if lock:
+        from muller_spark.operators.aggregate import _writer_lease
+
+        with _writer_lease(path, lock):
+            return init_components_ledger(
+                edges, path, src=src, dst=dst, buckets=buckets
+            )
     spark = edges.sparkSession
     canon = _canonical(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -329,6 +340,7 @@ def components_ledger_ingest(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 30,
+    lock=False,
 ) -> None:
     """Fold one edge batch into the ledger, touching only affected
     components:
@@ -347,13 +359,50 @@ def components_ledger_ingest(
     5. rewrite the remap table: demoted roots gain entries, existing
        entries whose value was demoted re-resolve (keeps the table
        closed so reads stay one-hop).
+
+    ``lock=`` enforces the single-writer discipline with a lease —
+    NOTE: replay of a COMPLETED ingest is absorbed by the semilattice,
+    but two ingests racing mid-flight can interleave the label/remap
+    writes, which the lease prevents.
     """
+    if lock:
+        from muller_spark.operators.aggregate import _writer_lease
+
+        with _writer_lease(path, lock):
+            return components_ledger_ingest(
+                edges, path, src=src, dst=dst, max_rounds=max_rounds
+            )
     spark = edges.sparkSession
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     buckets = int(meta["buckets"])
-    delta = _canonical(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint()
+    # Geometry guard: bucketing hashes with xxhash64, which is
+    # TYPE-sensitive — an int-typed batch against a long-seeded ledger
+    # buckets the same ids differently, missing existing label rows and
+    # silently appending duplicate (id, component) rows with conflicting
+    # components.  Widen integrals to the pinned type; anything lossy or
+    # cross-family raises instead of corrupting state.
+    pinned = meta["id_type"]
+    _INT_WIDTH = {"tinyint": 1, "smallint": 2, "int": 4, "bigint": 8}
+    batch = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    for c in ("u", "v"):
+        got = batch.schema[c].dataType.simpleString()
+        if got == pinned:
+            continue
+        if (
+            got in _INT_WIDTH
+            and pinned in _INT_WIDTH
+            and _INT_WIDTH[got] <= _INT_WIDTH[pinned]
+        ):
+            batch = batch.withColumn(c, F.col(c).cast(pinned))
+        else:
+            raise TypeError(
+                f"components ledger at {path!r} is keyed by id type "
+                f"{pinned!r} but the batch column "
+                f"{src if c == 'u' else dst!r} is {got!r}; xxhash64 "
+                "bucketing is type-sensitive, so mixed geometry would "
+                "silently fork labels — cast the batch explicitly"
+            )
+    delta = _canonical(batch).localCheckpoint()
     nodes = (
         delta.select(F.col("u").alias("id"))
         .union(delta.select(F.col("v").alias("id")))
@@ -469,7 +518,7 @@ def components_ledger_ingest(
         _swap_log_dir(remap_dir)
 
 
-def compact_components_ledger(spark, path: str) -> None:
+def compact_components_ledger(spark, path: str, lock=False) -> None:
     """Fold the remap table into the label log (labels rewritten to
     their current roots, remaps emptied) — bounds the remap table
     after many merging ingests.  Reports before and after are
@@ -478,11 +527,17 @@ def compact_components_ledger(spark, path: str) -> None:
     the remap truncate leaves stale remap entries whose keys no
     longer appear in any label — harmless (left-join misses; demoted
     roots can never become roots again, since a component's root is
-    its min member and mins only decrease under merges)."""
+    its min member and mins only decrease under merges).  ``lock=``
+    enforces the no-compact-while-ingesting discipline with a lease."""
     from muller_spark.operators.aggregate import (
         _recover_log_swap,
         _swap_log_dir,
+        _writer_lease,
     )
+
+    if lock:
+        with _writer_lease(path, lock):
+            return compact_components_ledger(spark, path)
 
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     buckets = int(meta["buckets"])
@@ -499,7 +554,14 @@ def compact_components_ledger(spark, path: str) -> None:
         .parquet(labels_dir + ".compact")
     )
     _swap_log_dir(labels_dir)
+    # Reset the remap table through the same crash-safe swap as the
+    # label log: write the empty frame to a `.compact` sibling and
+    # promote it.  A plain overwrite has a window (old dir deleted,
+    # new dir uncommitted) where a crash leaves `remaps/` missing and
+    # _recover_log_swap cannot heal it (no .compact sibling) — every
+    # subsequent report/ingest would raise until manual repair.
     id_type = meta["id_type"]
     spark.createDataFrame(
         [], f"old_root {id_type}, root {id_type}"
-    ).write.mode("overwrite").parquet(remap_dir)
+    ).write.mode("overwrite").parquet(remap_dir + ".compact")
+    _swap_log_dir(remap_dir)

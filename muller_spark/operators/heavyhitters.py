@@ -234,6 +234,7 @@ def init_mg_ledger(
     value_col: str,
     path: str,
     k: int = 64,
+    lock=False,
 ) -> None:
     """Seed a persistent incremental HEAVY-HITTERS ledger: per-key
     Misra–Gries summaries maintained across ingest batches — top-k
@@ -261,7 +262,14 @@ def init_mg_ledger(
     Below capacity (≤ k distinct items per key across ALL ingests) no
     decrement ever fires, so the report is the exact frequency table
     with ``err_bound`` 0 — the regime the driver oracle value-checks;
-    over-capacity guarantees are property-tested."""
+    over-capacity guarantees are property-tested.  ``lock=`` enforces
+    the single-writer discipline with a lease
+    (``operators.aggregate._writer_lease``)."""
+    if lock:
+        from muller_spark.operators.aggregate import _writer_lease
+
+        with _writer_lease(path, lock):
+            return init_mg_ledger(df, key_cols, value_col, path, k=k)
     import json
     import os
 
@@ -277,12 +285,17 @@ def init_mg_ledger(
     ).parquet(os.path.join(path, "summaries"))
 
 
-def mg_ledger_ingest(batch: DataFrame, path: str) -> None:
+def mg_ledger_ingest(batch: DataFrame, path: str, lock=False) -> None:
     """Fold one batch into the heavy-hitters ledger: the batch's own
     merged summary rows appended (grouping/k sniffed from meta) —
     O(batch), bounded output, no reads of prior state.  NOT
     replay-safe: single-writer discipline (the streaming twin adds the
-    marker machinery)."""
+    marker machinery); ``lock=`` enforces it with a lease."""
+    if lock:
+        from muller_spark.operators.aggregate import _writer_lease
+
+        with _writer_lease(path, lock):
+            return mg_ledger_ingest(batch, path)
     import json
     import os
 
@@ -367,17 +380,27 @@ def mg_ledger_report(spark, path: str) -> DataFrame:
     )
 
 
-def compact_mg_ledger(spark, path: str) -> None:
+def compact_mg_ledger(spark, path: str, lock=False) -> None:
     """Fold the summary log to one summary per key.  Reports before
     and after compaction are IDENTICAL — the report fold and the
     compaction fold are the same single merge over the same row
     multiset.  Crash-safe swap + ``landed`` manifest preservation as
     :func:`muller_spark.operators.aggregate.compact_agg_ledger` (same
-    marker crash class)."""
+    marker crash class).  ``lock=`` enforces the
+    no-compact-while-ingesting discipline with a lease."""
     import os
 
-    from muller_spark.operators.aggregate import _swap_log_dir
+    from muller_spark.operators.aggregate import (
+        _manifest_folded_batches,
+        _swap_log_dir,
+        _writer_lease,
+    )
 
+    if lock:
+        with _writer_lease(path, lock):
+            return compact_mg_ledger(spark, path)
+
+    _manifest_folded_batches(path, "summaries")
     folded, _, _, _ = _fold_summary_log(spark, path)
     sm_dir = os.path.join(path, "summaries")
     folded.write.mode("overwrite").parquet(sm_dir + ".compact")

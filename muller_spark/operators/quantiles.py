@@ -297,6 +297,7 @@ def init_quantile_ledger(
     value_col: str,
     path: str,
     k: int = 256,
+    lock=False,
 ) -> None:
     """Seed a persistent incremental QUANTILE ledger: per-key MRL
     sketch rows maintained across ingest batches.
@@ -314,7 +315,14 @@ def init_quantile_ledger(
 
     Report = per-key fold of the log (≤ keys × ingests × k·log n rows)
     + weighted-rank answers; exact while a key's total row count stays
-    ≤ k, within the documented MRL rank-error bound after."""
+    ≤ k, within the documented MRL rank-error bound after.  ``lock=``
+    enforces the single-writer discipline with a lease
+    (``operators.aggregate._writer_lease``)."""
+    if lock:
+        from muller_spark.operators.aggregate import _writer_lease
+
+        with _writer_lease(path, lock):
+            return init_quantile_ledger(df, key_cols, value_col, path, k=k)
     import json
     import os
 
@@ -329,9 +337,16 @@ def init_quantile_ledger(
     ).parquet(os.path.join(path, "sketches"))
 
 
-def quantile_ledger_ingest(batch: DataFrame, path: str) -> None:
+def quantile_ledger_ingest(batch: DataFrame, path: str, lock=False) -> None:
     """Fold one batch into the quantile ledger: the batch's own
-    bounded sketch rows appended (grouping/k sniffed from meta)."""
+    bounded sketch rows appended (grouping/k sniffed from meta).
+    ``lock=`` opts into the enforced single-writer lease — a racing
+    retry of the same batch double-weights it silently otherwise."""
+    if lock:
+        from muller_spark.operators.aggregate import _writer_lease
+
+        with _writer_lease(path, lock):
+            return quantile_ledger_ingest(batch, path)
     import json
     import os
 
@@ -402,18 +417,28 @@ def quantile_ledger_report(
     return quantile_values(folded, quantiles, group_cols=keys)
 
 
-def compact_quantile_ledger(spark, path: str) -> None:
+def compact_quantile_ledger(spark, path: str, lock=False) -> None:
     """Fold the sketch log to one sketch per key.  Post-compaction
     reports equal pre-compaction reports EXACTLY when no key has ever
     compacted (raw level-0 rows just concatenate), and stay within the
     MRL bound otherwise.  Crash-safe swap + ``landed`` manifest
     preservation exactly as :func:`muller_spark.operators.aggregate.
     compact_agg_ledger` — same weight-carrying state algebra, same
-    stopped-stream-replay hazard, same fix."""
+    stopped-stream-replay hazard, same fix.  ``lock=`` enforces the
+    no-compact-while-ingesting discipline with a lease."""
     import os
 
-    from muller_spark.operators.aggregate import _swap_log_dir
+    from muller_spark.operators.aggregate import (
+        _manifest_folded_batches,
+        _swap_log_dir,
+        _writer_lease,
+    )
 
+    if lock:
+        with _writer_lease(path, lock):
+            return compact_quantile_ledger(spark, path)
+
+    _manifest_folded_batches(path, "sketches")
     folded, _, _ = _fold_sketch_log(spark, path)
     sk_dir = os.path.join(path, "sketches")
     folded.write.mode("overwrite").parquet(sk_dir + ".compact")

@@ -33,6 +33,13 @@ _AGGS = {
     "max": F.max,
 }
 
+# Spine chunking: sequence() builds a key's whole grid as ONE array
+# value before explode, so an unguarded span is a single-task OOM (and
+# sequence() hard-caps at 2^31 elements with an opaque error).  The
+# spine is generated in chunks of this many buckets — no single array
+# exceeds it, regardless of span.
+_SPINE_CHUNK_BUCKETS = 65536
+
 
 def resample(
     df: DataFrame,
@@ -43,6 +50,7 @@ def resample(
     agg: str = "avg",
     fill: "str | None" = "ffill",
     round_to: int = 6,
+    max_buckets: "int | None" = 10_000_000,
 ) -> DataFrame:
     """Resample ``value_col`` onto a regular ``interval``-second grid
     per key: ``(key, bucket, value, was_gap)`` where ``bucket`` is the
@@ -71,6 +79,15 @@ def resample(
     strictly interior); when either neighbor's aggregate is NULL the
     gap stays NULL (interpolating across a non-measurement would
     invent data).
+
+    ``max_buckets`` guards the spine against timestamp dirt: a key
+    whose observed span exceeds ``max_buckets`` grid points (one
+    1970-epoch row under a hot key at interval=1 is a ~1.7-billion
+    bucket span) raises a clear per-key error instead of generating
+    an OOM-sized grid — widen ``interval``, raise the guard, or clean
+    the outlier rows.  ``None`` disables the guard.  Independently of
+    the guard, the spine is generated in ≤ 64k-element sequence
+    chunks, so no single task ever materializes a span-sized array.
     """
     if agg not in _AGGS:
         raise ValueError(f"agg must be one of {sorted(_AGGS)}, got {agg!r}")
@@ -94,10 +111,51 @@ def resample(
     rng = per.groupBy("key").agg(
         F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
     )
+    if max_buckets is not None:
+        n_buckets = (
+            (F.col("_hi") - F.col("_lo")) / F.lit(int(interval))
+        ).cast("long") + 1
+        rng = rng.withColumn(
+            "_lo",
+            F.when(
+                n_buckets > int(max_buckets),
+                F.raise_error(F.concat(
+                    F.lit("resample: key "),
+                    F.col("key").cast("string"),
+                    F.lit(" spans "),
+                    n_buckets.cast("string"),
+                    F.lit(
+                        f" buckets at interval={int(interval)}s, over "
+                        f"max_buckets={int(max_buckets)}; widen interval,"
+                        " raise max_buckets, or clean outlier timestamps"
+                    ),
+                )).cast("long"),
+            ).otherwise(F.col("_lo")),
+        )
+    # two-level explode: chunk starts, then ≤ _SPINE_CHUNK_BUCKETS
+    # buckets per chunk — bounded task memory at any span (a one-chunk
+    # key degenerates to the single-sequence shape)
+    chunk_span = int(interval) * _SPINE_CHUNK_BUCKETS
     spine = rng.select(
         "key",
+        "_hi",
         F.explode(
-            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(interval)))
+            F.sequence(
+                F.col("_lo"), F.col("_hi"), F.lit(chunk_span).cast("long")
+            )
+        ).alias("_chunk"),
+    ).select(
+        "key",
+        F.explode(
+            F.sequence(
+                F.col("_chunk"),
+                F.least(
+                    F.col("_chunk")
+                    + F.lit(chunk_span - int(interval)).cast("long"),
+                    F.col("_hi"),
+                ),
+                F.lit(int(interval)).cast("long"),
+            )
         ).alias("bucket"),
     )
     joined = spine.join(per, ["key", "bucket"], "left")

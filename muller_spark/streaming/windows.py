@@ -660,7 +660,12 @@ def make_agg_ledger_batch_handler(ledger_path: str, run_ns: str):
       double-counting that batch.  A crash between the partial write
       and the manifest write heals on replay: the marker still
       exists, so the handler skips the rewrite and records the
-      manifest entry (heal-or-advance)."""
+      manifest entry (heal-or-advance).  If compaction runs BEFORE
+      that replay (stopped stream), it manifests every committed
+      batch subdir it folds
+      (``operators.aggregate._manifest_folded_batches``), so the
+      marker-compacted-away + no-manifest double-count window cannot
+      occur either."""
     import json as _json
     import os as _os
 

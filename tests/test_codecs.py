@@ -538,3 +538,102 @@ def test_dicom_corrupt_inputs_return_none():
     assert decode_dicom(raw[:150]) is None
     truncated_px = raw[:-6]
     assert decode_dicom(truncated_px) is None
+
+
+# ---------------------------------------------------------------------------
+# TIFF + WebP header parsing (round-12, VERDICT r11 #6 — metadata
+# parity with the reference's supported image sample compressions,
+# muller/compression.py:21-80)
+
+def make_tiff(w, h, spp=None, photometric=None, bo="<"):
+    import struct as _s
+
+    hdr = (b"II\x2a\x00" if bo == "<" else b"MM\x00\x2a") + _s.pack(bo + "I", 8)
+    entries = [(256, 4, 1, w), (257, 3, 1, h)]
+    if photometric is not None:
+        entries.append((262, 3, 1, photometric))
+    if spp is not None:
+        entries.append((277, 3, 1, spp))
+    body = _s.pack(bo + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        valb = (_s.pack(bo + "H", val) + b"\x00\x00" if typ == 3
+                else _s.pack(bo + "I", val))
+        body += _s.pack(bo + "HH", tag, typ) + _s.pack(bo + "I", cnt) + valb
+    body += _s.pack(bo + "I", 0)  # no next IFD
+    return hdr + body
+
+
+def make_webp_lossy(w, h):
+    import struct as _s
+
+    payload = b"\x00\x00\x00\x9d\x01\x2a" + _s.pack("<HH", w, h)
+    chunk = b"VP8 " + _s.pack("<I", len(payload)) + payload
+    return b"RIFF" + _s.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def make_webp_lossless(w, h, alpha=False):
+    import struct as _s
+
+    bits = (w - 1) | ((h - 1) << 14) | (int(alpha) << 28)
+    payload = b"\x2f" + _s.pack("<I", bits)
+    chunk = b"VP8L" + _s.pack("<I", len(payload)) + payload
+    return b"RIFF" + _s.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def make_webp_extended(w, h, alpha=False):
+    import struct as _s
+
+    payload = (bytes([0x10 if alpha else 0]) + b"\x00\x00\x00"
+               + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+    chunk = b"VP8X" + _s.pack("<I", len(payload)) + payload
+    return b"RIFF" + _s.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_parse_tiff_headers_both_byte_orders():
+    assert parse_image_header(make_tiff(640, 480, spp=3)) == (480, 640, 3, "tiff")
+    assert parse_image_header(make_tiff(640, 480, spp=3, bo=">")) == (480, 640, 3, "tiff")
+    # SamplesPerPixel absent: photometric RGB → 3, grayscale → 1
+    assert parse_image_header(make_tiff(10, 20, photometric=2)) == (20, 10, 3, "tiff")
+    assert parse_image_header(make_tiff(10, 20, photometric=1)) == (20, 10, 1, "tiff")
+    assert parse_image_header(make_tiff(10, 20)) == (20, 10, 1, "tiff")
+
+
+def test_parse_webp_headers_all_three_layouts():
+    assert parse_image_header(make_webp_lossy(320, 200)) == (200, 320, 3, "webp")
+    assert parse_image_header(make_webp_lossless(33, 44)) == (44, 33, 3, "webp")
+    assert parse_image_header(make_webp_lossless(33, 44, alpha=True)) == (44, 33, 4, "webp")
+    assert parse_image_header(make_webp_extended(1000, 2000)) == (2000, 1000, 3, "webp")
+    assert parse_image_header(make_webp_extended(7, 9, alpha=True)) == (9, 7, 4, "webp")
+
+
+def test_tiff_webp_truncation_and_bombs_never_raise():
+    for fx in (make_tiff(99, 88, spp=3), make_webp_lossy(99, 88),
+               make_webp_lossless(99, 88), make_webp_extended(99, 88)):
+        for cut in range(len(fx)):
+            r = parse_image_header(fx[:cut])
+            assert r is None or r[3] in ("tiff", "webp")
+    # hostile TIFF: entry count 0xFFFF in a tiny buffer — clamped walk
+    import struct as _s
+    bomb = b"II\x2a\x00" + _s.pack("<I", 8) + _s.pack("<H", 0xFFFF) + b"\x00" * 24
+    assert parse_image_header(bomb) is None  # no dims found, no crash
+
+
+def test_decode_image_batch_yields_tiff_webp_shape_rows(spark):
+    """The image-statistics surface (decode_image_batch → image_meta)
+    now produces shape metadata for TIFF and WebP cells through the
+    builtin header tier."""
+    from muller_spark.multimodal.media import decode_image_batch
+
+    rows = [
+        (0, bytearray(make_tiff(64, 32, spp=3))),
+        (1, bytearray(make_webp_lossy(16, 8))),
+        (2, bytearray(make_webp_lossless(5, 6, alpha=True))),
+        (3, bytearray(b"garbage bytes")),
+    ]
+    df = spark.createDataFrame(rows, "i long, content binary")
+    out = {r["i"]: r["image_meta"]
+           for r in decode_image_batch(df).collect()}
+    assert (out[0]["height"], out[0]["width"], out[0]["channels"]) == (32, 64, 3)
+    assert (out[1]["height"], out[1]["width"], out[1]["channels"]) == (8, 16, 3)
+    assert (out[2]["height"], out[2]["width"], out[2]["channels"]) == (6, 5, 4)
+    assert out[3]["height"] is None

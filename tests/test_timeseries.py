@@ -189,3 +189,50 @@ def test_resample_rejects_unknown_fill(spark):
     )
     with pytest.raises(ValueError, match="fill must be"):
         resample(df, "k", "ts", "value", interval=60, fill="cubic")
+
+
+def test_resample_span_guard_raises_on_pathological_key(spark):
+    """One 1970-epoch dirt row under a hot key: the spine would be a
+    ~1.7-billion-bucket grid at interval=1 — the guard must raise a
+    clear error naming the key instead of OOMing a task."""
+    from datetime import datetime as _dt
+
+    rows = [
+        ("hot", _ts(0), 1.0),
+        ("hot", _dt(1970, 1, 1, tzinfo=timezone.utc), 2.0),  # dirt
+        ("clean", _ts(0), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    with pytest.raises(Exception, match="max_buckets"):
+        resample(df, "k", "ts", "value", interval=1).collect()
+    # the guard is configurable, and None disables it entirely (the
+    # chunked spine still protects task memory; we keep the span tiny)
+    ok = resample(
+        df.where("k = 'clean'"), "k", "ts", "value",
+        interval=1, max_buckets=None,
+    ).collect()
+    assert len(ok) == 1
+
+
+def test_resample_chunked_spine_matches_single_sequence(spark, monkeypatch):
+    """Force multi-chunk spine generation (chunk=4 buckets) on a span
+    of 11 buckets: the grid, gap flags, and both fill policies must be
+    identical to the normal one-chunk shape."""
+    import muller_spark.operators.timeseries as ts_mod
+
+    rows = [("a", _ts(0), 2.0), ("a", _ts(10), 12.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+
+    def run():
+        return sorted(
+            resample(df, "k", "ts", "value", interval=60,
+                     fill="linear").collect(),
+            key=lambda r: r["bucket"],
+        )
+
+    want = [(r["bucket"], r["value"], r["was_gap"]) for r in run()]
+    monkeypatch.setattr(ts_mod, "_SPINE_CHUNK_BUCKETS", 4)
+    got = [(r["bucket"], r["value"], r["was_gap"]) for r in run()]
+    assert got == want
+    assert len(got) == 11  # full grid, nothing dropped at chunk seams
+    assert [v for _, v, _ in got] == [2.0 + i for i in range(11)]
