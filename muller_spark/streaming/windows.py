@@ -597,6 +597,93 @@ def drift_monitor_stream(
     return writer.start()
 
 
+def incremental_dedup_flow_stream(
+    stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+):
+    """Restart-durable STREAMING twin of the round-12 incremental dedup
+    flow facade (``operators/flow.IncrementalDedupFlow`` — same ledger
+    layout at ``root``: ``neardup`` + ``clusters`` + exactly-once
+    ``admitted`` output): each micro-batch runs pairs → cluster ingest →
+    admission, so a firehose maintains BOTH the near-dup ledger and the
+    cluster labels without any batch job.
+
+    Crash classes compose cleanly, per stage:
+
+    - cluster ingest first, and it is replay-ABSORBING by the
+      components ledger's semilattice theorem — a replayed batch's
+      pair edges (even the superset a replay derives after admission
+      mutated the near-dup ledger: self-loops vanish in
+      canonicalization, survivor-vs-its-own-ledger-copy edges
+      re-contract to existing roots) change no label;
+    - admission is the proven neardup handler verbatim
+      (:func:`make_neardup_batch_handler`): marker-guarded exactly-once
+      output, heal-or-advance ledger append.
+
+    Note the replay nondeterminism this inherits (documented, not a
+    correctness issue): two same-batch survivors that are near-dups of
+    EACH OTHER pair only on a replay (the first pass sees neither in
+    the ledger) — cluster state is monotone under the flow's
+    semantics either way.  ``flow.init(seed)`` (or the two ledger init
+    calls) must run before the stream starts."""
+    import hashlib
+
+    run_ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:10]
+    land = make_flow_batch_handler(
+        text_col, id_col, root, run_ns, threshold=threshold
+    )
+    writer = stream.writeStream.foreachBatch(land).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def make_flow_batch_handler(
+    text_col: str,
+    id_col: str,
+    root: str,
+    run_ns: str,
+    threshold: float = 0.5,
+):
+    """foreachBatch handler behind :func:`incremental_dedup_flow_stream`,
+    exposed for the crash-replay contract test.  Stage order is pinned:
+    pair discovery BEFORE admission mutates the near-dup ledger (same
+    ordering the batch facade pins), cluster ingest before the landed
+    write so a crash anywhere leaves only replay-absorbable state."""
+    import os as _os
+
+    from muller_spark.operators.components import components_ledger_ingest
+    from muller_spark.operators.dedup import neardup_pairs_against_ledger
+
+    nd_path = _os.path.join(root, "neardup")
+    cl_path = _os.path.join(root, "clusters")
+    admit = make_neardup_batch_handler(
+        text_col, id_col, nd_path, _os.path.join(root, "admitted"),
+        run_ns, threshold=threshold,
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.filter(F.col(text_col).isNotNull()).isEmpty():
+            return
+        pairs = neardup_pairs_against_ledger(
+            batch_df, text_col, id_col, nd_path, threshold=threshold
+        ).localCheckpoint()
+        components_ledger_ingest(pairs, cl_path, src="id_a", dst="id_b")
+        admit(batch_df, batch_id)
+
+    return land
+
+
 def agg_ledger_stream(
     stream: DataFrame,
     ledger_path: str,

@@ -126,3 +126,156 @@ def test_incremental_flow_pairs_to_clusters_to_keeplist(spark, tmp_path):
         for r in components_ledger_report(spark, cl_path).collect()
     }
     assert labels2 == labels
+
+
+def test_incremental_dedup_flow_facade_matches_handwired(spark, tmp_path):
+    """The round-12 facade (operators/flow.IncrementalDedupFlow) runs
+    the SAME chain the hand-wired test above pins — same admits, same
+    clusters, same keep-list — so the capstone is reachable in four
+    calls without reading four modules."""
+    from muller_spark.operators.flow import IncrementalDedupFlow
+
+    batches = [
+        [(0, 0), (1, 0)],
+        [(0, 1), (2, 0), (3, 0)],
+        [(1, 1), (2, 1), (0, 2)],
+    ]
+
+    def frame(members):
+        return spark.createDataFrame(
+            [(f * 100 + m, _family_text(f, m)) for f, m in members],
+            "doc_id long, text string",
+        )
+
+    flow = IncrementalDedupFlow(
+        os.path.join(str(tmp_path), "flow"), "text", "doc_id",
+        threshold=0.5,
+    )
+    flow.init(frame(batches[0]))
+    admitted = {f * 100 + m for f, m in batches[0]}
+    for members in batches[1:]:
+        survivors = flow.ingest(frame(members))
+        admitted |= {r["doc_id"] for r in survivors.collect()}
+    assert admitted == {0, 100, 200, 300}
+
+    labels = {r["id"]: r["component"] for r in flow.labels().collect()}
+    assert labels == {
+        0: 0, 1: 0, 2: 0, 100: 100, 101: 100, 200: 200, 201: 200,
+    }
+
+    all_docs = frame([m for b in batches for m in b]).withColumn(
+        "score", (F.col("doc_id") % 97).cast("double")
+    )
+    verdict = flow.keep_best(all_docs, "score").collect()
+    assert {r["id"] for r in verdict if r["keep"]} == {2, 101, 201, 300}
+
+    # compaction keeps reports identical and the flow keeps working
+    flow.compact()
+    assert {r["id"]: r["component"]
+            for r in flow.labels().collect()} == labels
+    flow.ingest(frame([(3, 1)]))  # late dup of the singleton family
+    labels2 = {r["id"]: r["component"] for r in flow.labels().collect()}
+    assert labels2 == {**labels, 300: 300, 301: 300}
+
+
+def test_incremental_dedup_flow_facade_with_lock(spark, tmp_path):
+    """lock= reaches every mutation in the chain: a held lease refuses
+    the cluster ingest inside flow.ingest()."""
+    import pytest
+
+    from muller_spark.operators.aggregate import _writer_lease
+    from muller_spark.operators.flow import IncrementalDedupFlow
+    from muller_spark.versioning.locks import BranchLockedError
+
+    def frame(members):
+        return spark.createDataFrame(
+            [(f * 100 + m, _family_text(f, m)) for f, m in members],
+            "doc_id long, text string",
+        )
+
+    flow = IncrementalDedupFlow(
+        os.path.join(str(tmp_path), "flowl"), "text", "doc_id",
+        threshold=0.5, lock=True,
+    )
+    flow.init(frame([(0, 0)]))
+    with _writer_lease(flow.clusters_path, {"owner": "other"}):
+        with pytest.raises(BranchLockedError):
+            flow.ingest(frame([(0, 1)]))
+    flow.ingest(frame([(0, 1)]))  # released: proceeds
+    assert {r["id"] for r in flow.labels().collect()} == {0, 1}
+
+
+def test_incremental_dedup_flow_stream_twin(spark, tmp_path):
+    """The streaming twin maintains BOTH ledgers per micro-batch and
+    matches the batch facade's end state on the same batch sequence;
+    a handler replay (crash between checkpoint commit and restart)
+    changes neither the admitted output nor the labels."""
+    import glob as _glob
+
+    from muller_spark.operators.flow import IncrementalDedupFlow
+    from muller_spark.streaming.windows import (
+        make_flow_batch_handler,
+        stream_from_directory,
+    )
+
+    def frame(members):
+        return spark.createDataFrame(
+            [(f * 100 + m, _family_text(f, m)) for f, m in members],
+            "doc_id long, text string",
+        )
+
+    root = os.path.join(str(tmp_path), "sflow")
+    flow = IncrementalDedupFlow(root, "text", "doc_id", threshold=0.5)
+    flow.init(frame([(0, 0), (1, 0)]))
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    for i, members in enumerate([[(0, 1), (2, 0), (3, 0)],
+                                 [(1, 1), (2, 1), (0, 2)]]):
+        frame(members).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"b{i}")
+        )
+    q = flow.stream(
+        # one file per micro-batch so the two batches ingest in order
+        # (the default 10-files trigger would fold them into one batch,
+        # and intra-batch survivors never pair against each other —
+        # the documented replay/intra-batch semantics)
+        stream_from_directory(spark, src + "/*", schema,
+                              max_files_per_trigger=1),
+        os.path.join(str(tmp_path), "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    labels = {r["id"]: r["component"] for r in flow.labels().collect()}
+    assert labels == {
+        0: 0, 1: 0, 2: 0, 100: 100, 101: 100, 200: 200, 201: 200,
+    }
+    admitted = {
+        r["doc_id"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(root, "admitted")).select("doc_id").collect()
+    }
+    assert admitted == {200, 300}  # heads not already in the seed ledger
+
+    # crash-replay: re-fire a batch through the handler with its
+    # original batch_id — marker skips the rewrite, semilattice absorbs
+    # the (superset) pair re-ingest
+    import hashlib
+
+    run_ns = hashlib.md5(
+        os.path.join(str(tmp_path), "ckpt").encode()
+    ).hexdigest()[:10]
+    handler = make_flow_batch_handler("text", "doc_id", root, run_ns,
+                                      threshold=0.5)
+    n_files_before = len(_glob.glob(
+        os.path.join(root, "admitted", "**", "*.parquet"), recursive=True
+    ))
+    handler(frame([(1, 1), (2, 1), (0, 2)]), 1)
+    assert {r["id"]: r["component"]
+            for r in flow.labels().collect()} == labels
+    n_files_after = len(_glob.glob(
+        os.path.join(root, "admitted", "**", "*.parquet"), recursive=True
+    ))
+    assert n_files_after == n_files_before  # marker skip: no rewrite

@@ -1,0 +1,88 @@
+"""Round-12 (VERDICT r11 #7): the never-driver-drawn queries replayed
+under a SECOND independent session config — different shuffle
+partitioning (7, coprime to nothing in the data layout) and AQE OFF —
+so a config-sensitive bug (a plan that is only correct under AQE
+re-planning, a partitioning-dependent ordering assumption) cannot hide
+behind the one fixed local[32] shape every other mirror run uses.
+
+The draw is driver-controlled and the r10/r11 draws were identical, so
+the never-drawn list only shrinks when the driver samples differently;
+this module is the builder-side mitigation — each registered-but-
+never-drawn query gets two independent mirror configs instead of one.
+The set is computed from the committed CORRECTNESS_r*.json records, so
+it tightens automatically as draws land."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tests.oracle_utils import compare_query  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+_ROWS_ONLY = entrymod.rows_only_queries()
+
+
+def _ever_drawn() -> set:
+    drawn: set = set()
+    for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as fh:
+                drawn |= set(json.load(fh))
+        except (OSError, ValueError):
+            pass
+    return drawn
+
+_DRAWN = _ever_drawn()
+NEVER_DRAWN = sorted(set(_QUERIES) - _DRAWN)
+NEVER_DRAWN_ROWS_ONLY = sorted(set(_ROWS_ONLY) - _DRAWN)
+
+
+@pytest.fixture(scope="module")
+def spark_alt(spark):
+    """Second config on the SAME JVM: shuffle partitions and AQE are
+    session-local SQL confs, so newSession() gives a genuinely
+    different execution shape without a second context."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "7")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    return s2
+
+
+def test_alt_config_is_live(spark_alt, spark):
+    assert spark_alt.conf.get("spark.sql.shuffle.partitions") == "7"
+    assert spark_alt.conf.get("spark.sql.adaptive.enabled") == "false"
+    # and the primary session is untouched (session-local confs)
+    assert spark.conf.get("spark.sql.shuffle.partitions") != "7"
+
+
+def test_never_drawn_set_is_current():
+    """The set this module certifies must cover exactly the registered
+    queries with no driver evidence — if a draw lands, the set shrinks
+    and this stays true automatically."""
+    assert set(NEVER_DRAWN) == set(_QUERIES) - _DRAWN
+    assert not set(NEVER_DRAWN) & _DRAWN
+
+
+@pytest.mark.parametrize("name", NEVER_DRAWN)
+def test_never_drawn_matches_oracle_under_alt_config(spark_alt, name):
+    problems = compare_query(
+        spark_alt, name, _QUERIES[name], _ORACLES[name], SF_DIR
+    )
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", NEVER_DRAWN_ROWS_ONLY)
+def test_never_drawn_rows_only_runs_under_alt_config(spark_alt, name):
+    assert _ROWS_ONLY[name](spark_alt, SF_DIR).count() > 0
