@@ -520,7 +520,9 @@ def main() -> None:
         result["text_sf1_equivalent"] = text_sf1_envelope(spark, sf_dir)
     if sf_val == 0.1 and os.environ.get("SPARK_GRAFT_SF1_SCALING", "1") != "0":
         try:
-            result["sf1_scaling"] = sf1_scaling(spark, sf_dir)
+            result["sf1_scaling"] = sf1_scaling(
+                spark, sf_dir, headline_timings=timings
+            )
         except Exception as e:
             result["sf1_scaling"] = {"error": repr(e)[:300]}
     if sf_val == 0.1 and os.environ.get("SPARK_GRAFT_MEDIA", "1") != "0":
@@ -1201,7 +1203,7 @@ def sf1_envelope(spark, sf_dir: str) -> dict:
 
 
 
-def sf1_scaling(spark, sf_dir: str) -> dict:
+def sf1_scaling(spark, sf_dir: str, headline_timings: "dict | None" = None) -> dict:
     """Round-12 (VERDICT r11 #2): scaling-exponent envelope — the FULL
     TPC-H suite plus the LSH dedup family, each run at the bench SF and
     at a materialized 10× sf1-equivalent, recorded as ``t_sf1/t_sf0.1``
@@ -1233,6 +1235,13 @@ def sf1_scaling(spark, sf_dir: str) -> dict:
     import shutil
     import tempfile
 
+    started = time.perf_counter()
+    # wall-clock budget so the per-round driver bench cannot balloon:
+    # measured rows stay, unmeasured names are RECORDED as skipped
+    # (no silent caps) — builder-r12's full sweep took ~20 min, so the
+    # default budget keeps the driver's run to the most useful prefix
+    budget_s = float(os.environ.get("SPARK_GRAFT_SF1_SCALING_BUDGET_S",
+                                    "900"))
     root = tempfile.mkdtemp(prefix="bench_sf1dir_")
     atexit.register(shutil.rmtree, root, True)
     sf1_dir = os.path.join(root, "sf1")
@@ -1285,13 +1294,26 @@ def sf1_scaling(spark, sf_dir: str) -> dict:
         },
         "queries": {},
     }
-    for name in tpch + pair_family:
+    out["build_s"] = round(time.perf_counter() - started, 1)
+    names = tpch + pair_family
+    for i, name in enumerate(names):
+        if time.perf_counter() - started > budget_s:
+            out["budget_exhausted_skipped"] = names[i:]
+            break
         q = all_q[name]
-        t_small = one_warm(lambda q=q: materialize(q(spark, sf_dir)))
+        if headline_timings and name in headline_timings:
+            # sf0.1 warm already measured this run (headline protocol,
+            # median of 3) — reuse instead of re-running
+            t_small = float(headline_timings[name])
+            small_src = "headline"
+        else:
+            t_small = one_warm(lambda q=q: materialize(q(spark, sf_dir)))
+            small_src = "measured"
         t_big = one_warm(lambda q=q: materialize(q(spark, sf1_dir)))
         ratio = round(t_big / t_small, 2) if t_small > 0 else None
         row = {
             "sf0.1_warm_s": round(t_small, 4),
+            "sf0.1_source": small_src,
             "sf1_warm_s": round(t_big, 4),
             "ratio": ratio,
         }
@@ -1302,6 +1324,7 @@ def sf1_scaling(spark, sf_dir: str) -> dict:
         out["queries"][name] = row
     flagged = [n for n, r in out["queries"].items() if r.get("super_linear")]
     out["super_linear_queries"] = flagged
+    out["elapsed_s"] = round(time.perf_counter() - started, 1)
     return out
 
 
