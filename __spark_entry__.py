@@ -966,6 +966,55 @@ def q_keep_best_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def _dedup_flow_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached build of the full incremental dedup flow
+    (operators/flow.IncrementalDedupFlow, round 12): near-dup ledger
+    seeded from doc_id%3==0, two batch ingests (%3==1 then %3==2) each
+    running pair discovery → components ingest → admission, then a
+    cluster-ledger compaction — the whole capstone chain under one
+    persisted state tree."""
+    from muller_spark.operators.flow import IncrementalDedupFlow
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def build():
+        root = os.path.join(_demo_tmpdir("dedupflow_"), "flow")
+        flow = IncrementalDedupFlow(root, "text", "doc_id", threshold=0.5)
+        flow.init(docs.filter(F.col("doc_id") % 3 == 0))
+        flow.ingest(docs.filter(F.col("doc_id") % 3 == 1))
+        flow.ingest(docs.filter(F.col("doc_id") % 3 == 2))
+        flow.compact()
+        return root
+
+    return _demo_cached("dedupflow", sf_dir, spark, build)
+
+
+def q_flow_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END incremental dedup flow (round 12 —
+    operators/flow.IncrementalDedupFlow): documents ingested in three
+    splits through the FULL chain (near-dup ledger admission + pair
+    discovery → components-ledger cluster maintenance → compaction),
+    then the keep-best verdict read off the persisted labels.  The
+    oracle replays the flow's EXACT semantics from scratch in SQL —
+    batch-vs-ledger-state exact-Jaccard pairs with the ledger state
+    unrolled per batch (seed ∪ prior survivors), recursive-CTE
+    components over the discovered pairs, per-cluster argmax (NULL
+    scores below all reals, tie → min id, singletons keep themselves)
+    — so LSH recall, admission order, cluster maintenance, compaction,
+    and the keep decision all land under ONE value hash.  The flow
+    build is session-cached; the keep read (one label scan + two keyed
+    aggregates) runs live."""
+    from muller_spark.operators.flow import IncrementalDedupFlow
+
+    root = _dedup_flow_demo(spark, sf_dir)
+    flow = IncrementalDedupFlow(root, "text", "doc_id", threshold=0.5)
+    docs = _t(spark, sf_dir, "documents")
+    return flow.keep_best(
+        docs.select("doc_id", F.col("n_chars").cast("double").alias("score")),
+        "score",
+    ).orderBy("id")
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source p50/p90/p99 of document length through the mergeable
     MRL quantile sketch (operators/quantiles.quantile_report): bounded
@@ -4652,6 +4701,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_connected_components": q_connected_components,
     "q_components_ledger": q_components_ledger,
     "q_keep_best_ledger": q_keep_best_ledger,
+    "q_flow_keeplist": q_flow_keeplist,
     "q_quantile_sketch": q_quantile_sketch,
     "q_agg_ledger": q_agg_ledger,
     "q_heavy_hitters": q_heavy_hitters,
@@ -8555,6 +8605,81 @@ _ORACLES["q_neardup_ledger"] = f"""
     SELECT doc_id FROM od
     WHERE doc_id NOT IN (SELECT doc_id FROM dup)
     ORDER BY doc_id
+"""
+
+# q_flow_keeplist: the ENTIRE incremental flow replayed from scratch —
+# the per-batch ledger state is unrolled (l0 = seed, l1 = seed ∪ batch-1
+# survivors), pairs are the exact batch-vs-state Jaccard relation the
+# flow's LSH+verify stage must equal (recall-1.0 assertion), components
+# are the recursive-CTE reachability over those pairs, and the keep
+# verdict is the per-cluster argmax with the q_keep_best_ledger NULL /
+# tie discipline.
+_ORACLES["q_flow_keeplist"] = f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             ELSE [array_to_string(t, ' ')] END AS shingles
+      FROM toks
+    ), hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> {_H60_SQL.format(v='s')} % 2147483647)) AS hs
+      FROM sh
+    ), l0 AS (
+      SELECT doc_id, hs FROM hs WHERE doc_id % 3 = 0
+    ), b1 AS (
+      SELECT doc_id, hs FROM hs WHERE doc_id % 3 = 1
+    ), p1 AS (
+      SELECT b.doc_id AS src, l.doc_id AS dst
+      FROM b1 b JOIN l0 l ON
+        len(list_intersect(b.hs, l.hs))
+          / CAST(len(b.hs) + len(l.hs)
+                 - len(list_intersect(b.hs, l.hs)) AS DOUBLE) >= 0.5
+    ), l1 AS (
+      SELECT doc_id, hs FROM l0
+      UNION ALL
+      SELECT doc_id, hs FROM b1
+      WHERE doc_id NOT IN (SELECT src FROM p1)
+    ), b2 AS (
+      SELECT doc_id, hs FROM hs WHERE doc_id % 3 = 2
+    ), p2 AS (
+      SELECT b.doc_id AS src, l.doc_id AS dst
+      FROM b2 b JOIN l1 l ON
+        len(list_intersect(b.hs, l.hs))
+          / CAST(len(b.hs) + len(l.hs)
+                 - len(list_intersect(b.hs, l.hs)) AS DOUBLE) >= 0.5
+    ), pairs AS (
+      SELECT src, dst FROM p1 UNION SELECT src, dst FROM p2
+    ), edges AS (
+      SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ), reach AS (
+      SELECT DISTINCT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.dst AS id, reach.r
+      FROM reach JOIN edges e ON e.src = reach.id
+    ), labels AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    ), member AS (
+      SELECT d.doc_id AS id,
+             coalesce(l.component, d.doc_id) AS cluster_id,
+             cast(d.n_chars AS double) AS score
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+    ), keeps AS (
+      SELECT cluster_id, id AS keep_id,
+             row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY coalesce(score, -1e308) DESC, id
+             ) AS rn
+      FROM member
+    )
+    SELECT m.id, m.cluster_id, k.keep_id, m.id = k.keep_id AS keep
+    FROM member m
+    JOIN keeps k ON m.cluster_id = k.cluster_id AND k.rn = 1
+    ORDER BY id
 """
 
 # q_hamming_ledger: the media ledger's admit set vs the brute-force

@@ -107,8 +107,10 @@ HEADLINE = [
     "q_mg_ledger",
     "q_components_ledger",
     "q_keep_best_ledger",
+    "q_flow_keeplist",
     "q_fuzzy_multi",
     "q_fuzzy_d2",
+    "q_typo_match",
     "q_connected_components",
     "q_quantile_sketch",
     "q_resample_linear",
