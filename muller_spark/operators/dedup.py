@@ -1325,30 +1325,31 @@ def contamination_report(
     )
 
 
-def embedding_near_dups(
+def _srp_bucket_frame(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    threshold: float = 0.95,
-    num_planes: int = 10,
-    num_tables: int = 6,
-    seed: int = 42,
-    dim: "int | None" = None,
+    num_planes: int,
+    num_tables: int,
+    seed: int,
+    dim: int,
 ) -> DataFrame:
-    """Cosine-similarity ≥ threshold pairs via hyperplane-LSH buckets +
-    exact re-rank (same tables as index.vector.ann_knn)."""
+    """Sign-random-projection bucket rows ``(id long, table int,
+    bucket long, vec array<double>)`` — one row per (vector, table),
+    where ``bucket`` packs the table's ``num_planes`` hyperplane sign
+    bits and ``vec`` is the UNIT-normalized vector (the exact-verify
+    operand).  The shared candidate-generation kernel of
+    :func:`embedding_near_dups` and the embedding ledger: map-only
+    (Arrow-batched ``mapInPandas``, the matmul runs one BLAS call per
+    batch), so bucketing 100 TB of vectors is an embarrassingly
+    parallel scan.  Rows whose vector is NULL or whose width differs
+    from ``dim`` raise — silently bucketing a ragged vector column
+    would poison every later cosine verify."""
     import numpy as np
 
     from muller_spark.index.vector import _hyperplanes, fast_matrix
 
     spark = df.sparkSession
-    if dim is None:
-        # fallback probe — one extra job; callers that know the
-        # embedding width should pass ``dim`` explicitly
-        first = df.select(vec_col).first()
-        if first is None:
-            return spark.createDataFrame([], "id_a long, id_b long, cosine double")
-        dim = len(first[0])
     planes = [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
     bp = spark.sparkContext.broadcast(planes)
 
@@ -1359,7 +1360,17 @@ def embedding_near_dups(
         for pdf in iterator:
             if pdf.empty:
                 continue
+            if pdf[vec_col].isnull().any():
+                raise ValueError(
+                    f"NULL vector in column {vec_col!r}: drop or impute "
+                    "NULL embeddings before bucketing"
+                )
             mat = fast_matrix(pdf[vec_col])
+            if mat.ndim != 2 or mat.shape[1] != len(ps[0][0]):
+                raise ValueError(
+                    f"vector width mismatch in column {vec_col!r}: "
+                    f"expected dim {len(ps[0][0])}, got shape {mat.shape}"
+                )
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
             unit = mat / norms[:, None]
@@ -1383,8 +1394,33 @@ def embedding_near_dups(
         T.StructField("bucket", T.LongType()),
         T.StructField("vec", T.ArrayType(T.DoubleType())),
     ])
-    buckets = ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
-        lambda it: bucketize(it), schema
+    return ensure_parallelism(
+        df.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+    ).mapInPandas(lambda it: bucketize(it), schema)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 10,
+    num_tables: int = 6,
+    seed: int = 42,
+    dim: "int | None" = None,
+) -> DataFrame:
+    """Cosine-similarity ≥ threshold pairs via hyperplane-LSH buckets +
+    exact re-rank (same tables as index.vector.ann_knn)."""
+    spark = df.sparkSession
+    if dim is None:
+        # fallback probe — one extra job; callers that know the
+        # embedding width should pass ``dim`` explicitly
+        first = df.select(vec_col).first()
+        if first is None:
+            return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+        dim = len(first[0])
+    buckets = _srp_bucket_frame(
+        df, vec_col, id_col, num_planes, num_tables, seed, dim
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
@@ -2578,6 +2614,246 @@ def neardup_pairs_against_ledger(
             F.col("ledger_id").alias("id_b"),
             (inter / union).alias("jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental EMBEDDING near-dup ledger — semantic dedup joins the
+# O(batch) ingest flow (text/MinHash + media/Hamming + embedding/SRP)
+# ---------------------------------------------------------------------------
+
+def init_embedding_ledger(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    num_planes: int = 10,
+    num_tables: int = 6,
+    seed: int = 42,
+    dim: "int | None" = None,
+    lock=False,
+) -> None:
+    """Seed a persistent EMBEDDING near-dup ledger — the semantic
+    (cosine) member of the incremental ledger family, closing the
+    modality matrix: text near-dups ingest through the MinHash ledger
+    (:func:`init_neardup_ledger`), media fingerprints through the
+    Hamming ledger (:func:`init_hamming_ledger`), and embeddings —
+    SemDeDup-style semantic duplicates — through this one.  A
+    continuously-ingested corpus runs :func:`embedding_near_dups`
+    corpus-wide once; every later batch queries the ledger
+    (:func:`embedding_against_ledger`) in O(batch) signatures + one
+    candidate-bounded keyed join — never a corpus re-scan, never a
+    batch × corpus distance matrix.
+
+    Ledger layout at ``path`` (all parquet):
+
+    - ``buckets`` — ``(table int, bucket long, id long)``: the
+      sign-random-projection posting table (``num_tables`` independent
+      hyperplane tables of ``num_planes`` sign bits each — the same
+      geometry as :func:`embedding_near_dups` /
+      ``index.vector.ann_knn``), the candidate-generation state;
+    - ``vectors`` — ``(id long, vec array<double>)``: each admitted
+      vector UNIT-normalized, the exact-verify operand (cosine = plain
+      dot product of stored rows);
+    - ``meta`` — one row pinning ``(num_planes, num_tables, seed,
+      dim)``: queries and appends sniff the projection family from the
+      artifact (the append_graph_vectors discipline) so mixed-family
+      state is impossible, and ids are cast to long at every entry
+      point so mixed-id-geometry state is too.
+
+    Recall is the SRP-LSH amplification at the pinned family:
+    P(candidate) = 1 − (1 − p^num_planes)^num_tables with
+    p = 1 − θ/π — size the family for the verify threshold you will
+    query at (e.g. ≥ 0.95 cosine with the 10×6 default misses < 1e-6
+    of true pairs); every admit/reject IS exact given the candidates.
+    NULL or wrong-width vectors raise (:func:`_srp_bucket_frame`).
+    Single-writer contract as :func:`init_dedup_ledger`; pass
+    ``lock=`` (True or BranchLock kwargs) to enforce it with the
+    ledger's lease (``<path>/locks/writer.lock``) instead of trusting
+    the scheduler."""
+    from muller_spark.operators.aggregate import _writer_lease
+
+    if lock:
+        with _writer_lease(path, lock):
+            return init_embedding_ledger(
+                df, vec_col, id_col, path, num_planes=num_planes,
+                num_tables=num_tables, seed=seed, dim=dim,
+            )
+    spark = df.sparkSession
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            raise ValueError(
+                "cannot infer dim from an empty frame: pass dim= to "
+                "seed an empty embedding ledger"
+            )
+        dim = len(first[0])
+    sig = _srp_bucket_frame(
+        df, vec_col, id_col, num_planes, num_tables, seed, dim
+    ).cache()
+    try:
+        sig.select("table", "bucket", "id").write.mode("overwrite").parquet(
+            os.path.join(path, "buckets")
+        )
+        sig.filter(F.col("table") == 0).select("id", "vec").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "vectors"))
+        spark.createDataFrame(
+            [(int(num_planes), int(num_tables), int(seed), int(dim))],
+            "num_planes int, num_tables int, seed long, dim int",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "meta")
+        )
+    finally:
+        sig.unpersist()
+
+
+def _embedding_ledger_dups(
+    batch_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    threshold: float,
+):
+    """Shared decision plan of the embedding ledger's filter and pair
+    views: batch SRP buckets (map-only, checkpoint barrier) →
+    (table, bucket)-keyed join against the posting table (candidates
+    only — bounded by bucket collisions, never batch × corpus) → exact
+    unit-dot cosine ≥ ``threshold`` on the candidate sliver.  Returns
+    ``(sig, verified)`` where ``sig`` is the batch bucket frame and
+    ``verified`` the surviving ``(id, ledger_id, cosine)`` rows."""
+    spark = batch_df.sparkSession
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    num_planes, num_tables, seed, dim = (
+        meta["num_planes"], meta["num_tables"], meta["seed"], meta["dim"]
+    )
+    sig = _srp_bucket_frame(
+        batch_df, vec_col, id_col, num_planes, num_tables, int(seed), dim
+    ).localCheckpoint()  # barrier: candidates + verify + append all re-read
+    ledger_buckets = spark.read.parquet(os.path.join(path, "buckets"))
+    ledger_vecs = spark.read.parquet(os.path.join(path, "vectors"))
+    candidates = (
+        sig.select("table", "bucket", "id")
+        .join(
+            ledger_buckets.withColumnRenamed("id", "ledger_id"),
+            ["table", "bucket"],
+        )
+        .select("id", "ledger_id")
+        .distinct()
+    )
+    cosine = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("ledger_vec"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    verified = (
+        candidates.join(
+            sig.filter(F.col("table") == 0).select("id", "vec"), "id"
+        )
+        .join(
+            ledger_vecs.select(
+                F.col("id").alias("ledger_id"), F.col("vec").alias("ledger_vec")
+            ),
+            "ledger_id",
+        )
+        .select("id", "ledger_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return sig, verified
+
+
+def embedding_against_ledger(
+    batch_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    threshold: float = 0.95,
+    update: bool = True,
+    lock=False,
+) -> DataFrame:
+    """Filter a new batch to rows that are NOT semantic near-dups
+    (exact cosine ≥ ``threshold``) of any ledger vector, then
+    optionally append the survivors' buckets + unit vectors so the
+    next batch sees them — :func:`neardup_against_ledger` for the
+    embedding modality.
+
+    The decision pipeline is :func:`embedding_near_dups` against
+    persisted state: batch SRP signatures (map-only) → bucket-keyed
+    join against the ledger's posting table → exact unit-dot cosine on
+    the candidate sliver → anti-join.  Completeness is the SRP recall
+    at the ledger's pinned (num_planes, num_tables) — size the family
+    for the query threshold (docstring of
+    :func:`init_embedding_ledger`); every surviving admit/reject is
+    exact given the candidates.
+
+    Returns the surviving batch rows (original columns).  Intra-batch
+    near-dups are NOT collapsed (same policy as the text/media
+    ledgers: admitted rows enter the ledger and the NEXT batch's
+    near-dups of them are rejected; pre-collapse with
+    :func:`semantic_dedup` / :func:`canonical_keep_best` when wanted).
+
+    **Single-writer contract** as :func:`dedup_against_ledger` —
+    ``lock=`` opts into the enforced lease.  Retry semantics: a crash
+    between the two appends (vectors, then buckets) leaves those rows
+    half-indexed, and a RETRY of the same batch rejects
+    already-appended rows as dups of themselves — at-least-once ledger
+    state, at-most-once survivor output."""
+    from muller_spark.operators.aggregate import _writer_lease
+
+    if lock and update:
+        with _writer_lease(path, lock):
+            return embedding_against_ledger(
+                batch_df, vec_col, id_col, path, threshold=threshold,
+                update=update,
+            )
+    sig, verified = _embedding_ledger_dups(
+        batch_df, vec_col, id_col, path, threshold
+    )
+    dup_ids = verified.select("id").distinct()
+    survivor_ids = (
+        sig.select("id").distinct().join(dup_ids, "id", "left_anti")
+    )
+    survivors = batch_df.join(
+        survivor_ids.withColumnRenamed("id", id_col), id_col, "semi"
+    )
+    if update:
+        staged = sig.join(
+            survivor_ids, "id", "semi"
+        ).localCheckpoint()  # materialize BEFORE appending to the tables
+        staged.filter(F.col("table") == 0).select("id", "vec").write.mode(
+            "append"
+        ).parquet(os.path.join(path, "vectors"))
+        staged.select("table", "bucket", "id").write.mode("append").parquet(
+            os.path.join(path, "buckets")
+        )
+    return survivors
+
+
+def embedding_pairs_against_ledger(
+    batch_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """The PAIR view of :func:`embedding_against_ledger`'s decision:
+    ``(id_a, id_b, cosine)`` where ``id_a`` is a batch vector, ``id_b``
+    a ledger vector, and their exact cosine ≥ ``threshold`` — the edge
+    feed the incremental cluster-maintenance stage consumes
+    (:func:`neardup_pairs_against_ledger` for the embedding modality:
+    ingest → semantic pairs [this] →
+    ``operators/components.components_ledger_ingest`` → keep-list,
+    every stage O(batch)/O(affected)).  Read-only — never appends;
+    compose with ``embedding_against_ledger(update=True)`` for
+    admission.  Intra-batch pairs are NOT included: union with
+    :func:`embedding_near_dups` over the batch when the batch can
+    contain its own duplicates."""
+    _, verified = _embedding_ledger_dups(
+        batch_df, vec_col, id_col, path, threshold
+    )
+    return verified.select(
+        F.col("id").alias("id_a"),
+        F.col("ledger_id").alias("id_b"),
+        "cosine",
     )
 
 

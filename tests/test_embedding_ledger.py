@@ -1,0 +1,283 @@
+"""Incremental EMBEDDING near-dup ledger (operators/dedup.py:
+init_embedding_ledger / embedding_against_ledger /
+embedding_pairs_against_ledger) — the semantic (cosine) member of the
+ledger family, closing the modality matrix: text ingests through the
+MinHash ledger, media fingerprints through the Hamming ledger, and
+embeddings through this one.
+
+Parity target: the batch-vs-ledger decision must equal the exact
+cross-corpus cosine relation (unit-dot ≥ threshold) whenever SRP-LSH
+recall is 1.0 — asserted here against a numpy brute-force replay on a
+planted construction whose duplicate pairs sit at cosine ≥ 0.99 (where
+the default 10×6 family's miss probability is < 1e-9 per pair), the
+q_keep_best_lsh discipline applied to the embedding modality."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from muller_spark.operators.dedup import (  # noqa: E402
+    embedding_against_ledger,
+    embedding_pairs_against_ledger,
+    init_embedding_ledger,
+)
+
+DIM = 16
+THRESHOLD = 0.9
+
+
+def _planted_matrix(seed: int = 7) -> "tuple[np.ndarray, np.ndarray]":
+    """(ids, vectors): 6 families of 4 near-identical vectors (pairwise
+    cosine ≥ 0.99 — tiny additive noise on a shared random direction)
+    plus 8 singletons.  Ids interleave even/odd inside every family so
+    the even/odd split always crosses family lines."""
+    rng = np.random.default_rng(seed)
+    rows, ids = [], []
+    for fam in range(6):
+        base = rng.normal(size=DIM)
+        base /= np.linalg.norm(base)
+        for v in range(4):
+            noise = rng.normal(size=DIM) * 0.01
+            rows.append(base + noise)
+            ids.append(fam * 100 + v)
+    for i in range(8):
+        vec = rng.normal(size=DIM)
+        rows.append(vec / np.linalg.norm(vec))
+        ids.append(901 + i)
+    return np.array(ids, dtype=np.int64), np.array(rows)
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def _df(spark, ids, mat):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in zip(ids, mat)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _brute_cross_dups(seed_ids, seed_mat, batch_ids, batch_mat):
+    """Truth: batch ids with ≥1 seed vector at cosine ≥ THRESHOLD."""
+    cos = _unit(batch_mat) @ _unit(seed_mat).T
+    return {int(b) for k, b in enumerate(batch_ids) if (cos[k] >= THRESHOLD).any()}
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return _planted_matrix()
+
+
+def _split(ids, mat):
+    even = ids % 2 == 0
+    return (ids[even], mat[even]), (ids[~even], mat[~even])
+
+
+def test_batch_decision_matches_exact_cross_relation(spark, corpus, tmp_path):
+    ids, mat = corpus
+    (eids, emat), (oids, omat) = _split(ids, mat)
+    path = str(tmp_path / "ledger")
+    init_embedding_ledger(_df(spark, eids, emat), "embedding", "vec_id", path, dim=DIM)
+    out = embedding_against_ledger(
+        _df(spark, oids, omat), "embedding", "vec_id", path,
+        threshold=THRESHOLD, update=False,
+    )
+    got = {r["vec_id"] for r in out.collect()}
+    dups = _brute_cross_dups(eids, emat, oids, omat)
+    assert dups, "fixture must produce cross-split near-dups"
+    assert got == set(int(i) for i in oids) - dups
+    # survivors keep their original columns
+    assert set(out.columns) == {"vec_id", "embedding"}
+
+
+def test_pairs_view_matches_filter_decision(spark, corpus, tmp_path):
+    """The pair view's id_a set IS the filter twin's reject set, every
+    pair is a true cross-split dup, and cosines match numpy."""
+    ids, mat = corpus
+    (eids, emat), (oids, omat) = _split(ids, mat)
+    path = str(tmp_path / "ledger")
+    init_embedding_ledger(_df(spark, eids, emat), "embedding", "vec_id", path, dim=DIM)
+    pairs = embedding_pairs_against_ledger(
+        _df(spark, oids, omat), "embedding", "vec_id", path, threshold=THRESHOLD
+    ).collect()
+    dups = _brute_cross_dups(eids, emat, oids, omat)
+    assert {r["id_a"] for r in pairs} == dups
+    ue, uo = _unit(emat), _unit(omat)
+    epos = {int(i): k for k, i in enumerate(eids)}
+    opos = {int(i): k for k, i in enumerate(oids)}
+    for r in pairs:
+        want = float(uo[opos[r["id_a"]]] @ ue[epos[r["id_b"]]])
+        assert r["cosine"] >= THRESHOLD
+        assert abs(r["cosine"] - want) < 1e-9
+
+
+def test_update_makes_next_batch_see_survivors(spark, corpus, tmp_path):
+    """An admitted batch-1 vector rejects its batch-2 near-dup even
+    though the SEED never contained either."""
+    ids, mat = corpus
+    (eids, emat), _ = _split(ids, mat)
+    path = str(tmp_path / "ledger")
+    init_embedding_ledger(_df(spark, eids, emat), "embedding", "vec_id", path, dim=DIM)
+    rng = np.random.default_rng(99)
+    fresh = rng.normal(size=DIM)
+    fresh /= np.linalg.norm(fresh)
+    assert not _brute_cross_dups(eids, emat, np.array([1]), fresh[None, :]), \
+        "fresh direction must not collide with the seed"
+    b1 = _df(spark, np.array([2001]), fresh[None, :])
+    admitted = embedding_against_ledger(
+        b1, "embedding", "vec_id", path, threshold=THRESHOLD, update=True
+    )
+    assert {r["vec_id"] for r in admitted.collect()} == {2001}
+    b2 = _df(spark, np.array([2003]), (fresh + 0.01)[None, :])
+    out = embedding_against_ledger(
+        b2, "embedding", "vec_id", path, threshold=THRESHOLD, update=False
+    )
+    assert out.count() == 0  # rejected against the batch-1 admit
+
+
+def test_replay_of_admitted_batch_rejects_itself(spark, corpus, tmp_path):
+    """At-least-once ledger state: re-running an admitted batch rejects
+    every row as a dup of its own prior append (the documented
+    scheduler-retry semantics)."""
+    ids, mat = corpus
+    (eids, emat), (oids, omat) = _split(ids, mat)
+    path = str(tmp_path / "ledger")
+    init_embedding_ledger(_df(spark, eids, emat), "embedding", "vec_id", path, dim=DIM)
+    batch = _df(spark, oids, omat)
+    first = embedding_against_ledger(
+        batch, "embedding", "vec_id", path, threshold=THRESHOLD, update=True
+    )
+    assert first.count() > 0
+    replay = embedding_against_ledger(
+        batch, "embedding", "vec_id", path, threshold=THRESHOLD, update=False
+    )
+    assert replay.count() == 0
+
+
+def test_dry_run_leaves_ledger_untouched(spark, corpus, tmp_path):
+    ids, mat = corpus
+    (eids, emat), (oids, omat) = _split(ids, mat)
+    path = str(tmp_path / "ledger")
+    init_embedding_ledger(_df(spark, eids, emat), "embedding", "vec_id", path, dim=DIM)
+    before = spark.read.parquet(os.path.join(path, "vectors")).count()
+    embedding_against_ledger(
+        _df(spark, oids, omat), "embedding", "vec_id", path,
+        threshold=THRESHOLD, update=False,
+    ).collect()
+    assert spark.read.parquet(os.path.join(path, "vectors")).count() == before
+
+
+def test_family_config_sniffed_from_meta(spark, corpus, tmp_path):
+    """A non-default (num_planes, num_tables, seed) pinned at init is
+    replayed from meta on query — the decision still matches brute
+    force, so the batch was bucketed with the LEDGER's family, not the
+    function defaults."""
+    ids, mat = corpus
+    (eids, emat), (oids, omat) = _split(ids, mat)
+    path = str(tmp_path / "ledger")
+    init_embedding_ledger(
+        _df(spark, eids, emat), "embedding", "vec_id", path,
+        num_planes=5, num_tables=9, seed=1234, dim=DIM,
+    )
+    meta = spark.read.parquet(os.path.join(path, "meta")).first()
+    assert (meta["num_planes"], meta["num_tables"], meta["seed"]) == (5, 9, 1234)
+    out = embedding_against_ledger(
+        _df(spark, oids, omat), "embedding", "vec_id", path,
+        threshold=THRESHOLD, update=False,
+    )
+    got = {r["vec_id"] for r in out.collect()}
+    dups = _brute_cross_dups(eids, emat, oids, omat)
+    assert got == set(int(i) for i in oids) - dups
+
+
+def test_null_vector_raises(spark, corpus, tmp_path):
+    ids, mat = corpus
+    (eids, emat), _ = _split(ids, mat)
+    path = str(tmp_path / "ledger")
+    init_embedding_ledger(_df(spark, eids, emat), "embedding", "vec_id", path, dim=DIM)
+    bad = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="NULL vector"):
+        embedding_against_ledger(
+            bad, "embedding", "vec_id", path, update=False
+        ).collect()
+
+
+def test_width_mismatch_raises(spark, corpus, tmp_path):
+    """A batch whose vectors are narrower than the ledger's pinned dim
+    raises loudly instead of silently mis-bucketing (the components
+    id-type lesson applied to vector geometry)."""
+    ids, mat = corpus
+    (eids, emat), _ = _split(ids, mat)
+    path = str(tmp_path / "ledger")
+    init_embedding_ledger(_df(spark, eids, emat), "embedding", "vec_id", path, dim=DIM)
+    bad = spark.createDataFrame(
+        [(1, [1.0] * (DIM - 3))], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="width mismatch"):
+        embedding_against_ledger(
+            bad, "embedding", "vec_id", path, update=False
+        ).collect()
+
+
+def test_empty_init_requires_dim(spark, tmp_path):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        init_embedding_ledger(
+            empty, "embedding", "vec_id", str(tmp_path / "ledger")
+        )
+
+
+def test_lock_blocks_concurrent_writer(spark, corpus, tmp_path):
+    """lock=True enforces the single-writer discipline with the
+    ledger's lease (round-12 contract shared across the family)."""
+    from muller_spark.operators.aggregate import _writer_lease
+    from muller_spark.versioning.locks import BranchLockedError
+
+    ids, mat = corpus
+    (eids, emat), (oids, omat) = _split(ids, mat)
+    path = str(tmp_path / "ledger")
+    init_embedding_ledger(
+        _df(spark, eids, emat), "embedding", "vec_id", path, dim=DIM, lock=True
+    )
+    batch = _df(spark, oids, omat)
+    with _writer_lease(path, {"owner": "other-writer"}):
+        with pytest.raises(BranchLockedError):
+            embedding_against_ledger(
+                batch, "embedding", "vec_id", path, update=True, lock=True
+            )
+        # dry-run is read-only: never takes the lease
+        embedding_against_ledger(
+            batch, "embedding", "vec_id", path, update=False, lock=True
+        ).collect()
+    # lease released: the mutation proceeds
+    embedding_against_ledger(
+        batch, "embedding", "vec_id", path, update=True, lock=True
+    ).collect()
+
+
+def test_no_cartesian_in_decision_plan(spark, corpus, tmp_path):
+    """Candidates come from the (table, bucket)-keyed join — the plan
+    must contain no cartesian/broadcast-nested-loop batch × corpus
+    product."""
+    ids, mat = corpus
+    (eids, emat), (oids, omat) = _split(ids, mat)
+    path = str(tmp_path / "ledger")
+    init_embedding_ledger(_df(spark, eids, emat), "embedding", "vec_id", path, dim=DIM)
+    pairs = embedding_pairs_against_ledger(
+        _df(spark, oids, omat), "embedding", "vec_id", path, threshold=THRESHOLD
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
