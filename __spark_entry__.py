@@ -1803,6 +1803,87 @@ def q_hamming_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "dhash").orderBy("id")
 
 
+_EMB_P = 1_000_000_007  # prime modulus of the planted-vector mix
+
+
+def _synthetic_embeddings(docs: DataFrame) -> DataFrame:
+    """Deterministic (doc_id, vec) frame for the embedding-ledger
+    oracle: sibling docs 2m / 2m+1 share a pseudo-random 64-dim base
+    vector (coordinates in [-2^20, 2^20), drawn by a Pollard-rho-style
+    x²+c mod p double-squaring — NONLINEAR in (m, j) on purpose: a
+    single Knuth multiply leaves cross-doc cosines up to 0.999 from
+    the stride structure, measured), and the odd sibling adds a
+    pseudo-random ±64 perturbation at scale 400 / 800 / 1600 / 33000
+    by m % 4 — planted cosines ≥ 0.991 for three quarters of the odd
+    batch (designed ledger near-dups at threshold 0.9) and ≈ 0.44 for
+    the surviving quarter, with all cross-sibling cosines ≤ 0.65
+    (measured at sf0.01 and sf0.1), so the 0.9 decision sits ≥ 0.24
+    from every value either engine computes and float-order skew can
+    never flip it.  Pure int64 arithmetic (every intermediate < 2^63
+    under ANSI), bit-identical in Spark and DuckDB."""
+    m = F.expr("doc_id DIV 2")
+    odd = F.col("doc_id") % 2
+    scale = F.expr(
+        "CASE (doc_id DIV 2) % 4 WHEN 0 THEN 400 WHEN 1 THEN 800 "
+        "WHEN 2 THEN 1600 ELSE 33000 END"
+    )
+
+    def mix(x0, c1, c2):
+        h1 = (x0 * x0 + F.lit(c1)) % _EMB_P
+        return (h1 * h1 + F.lit(c2)) % _EMB_P
+
+    def coord(j):
+        base = mix(
+            (m * 1000003 + j * 7919 + 12345) % _EMB_P, 416001523, 987654323
+        ) % 2097152 - 1048576
+        pert = mix(
+            (m * 999983 + j * 104729 + 54321) % _EMB_P, 789456119, 321654871
+        ) % 128 - 64
+        return (base + odd * scale * pert).cast("double")
+
+    vec = F.transform(F.sequence(F.lit(0), F.lit(63)), coord)
+    return docs.select("doc_id", vec.alias("vec"))
+
+
+def q_embedding_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING near-dup ledger
+    (operators/dedup.embedding_against_ledger — semantic dedup joins
+    the O(batch) ingest flow, closing the ledger family's modality
+    matrix next to the MinHash text ledger and the Hamming media
+    ledger): seed the SRP-LSH bucket/vector ledger from the even ids'
+    synthetic embeddings, then filter the odd batch to rows with NO
+    ledger vector at exact cosine ≥ 0.9.  The oracle replays the full
+    cross-split brute-force cosine relation, so an SRP recall loss
+    would hash-mismatch here — the planted construction keeps every
+    true pair at cosine ≥ 0.991, where the 6-plane × 12-table family's
+    per-pair miss probability is < 1e-6 (verified zero misses at
+    sf0.01 and sf0.1 against the committed hyperplanes).  Embeddings
+    are SQL-expressible on purpose (_synthetic_embeddings); the ledger
+    seed is session-cached, the batch decision runs live (update=False:
+    dry-run, ledger untouched)."""
+    from muller_spark.operators.dedup import (
+        embedding_against_ledger,
+        init_embedding_ledger,
+    )
+
+    emb = _synthetic_embeddings(_t(spark, sf_dir, "documents"))
+
+    def build():
+        path = os.path.join(_demo_tmpdir("embledger_"), "ledger")
+        init_embedding_ledger(
+            emb.filter(F.col("doc_id") % 2 == 0), "vec", "doc_id", path,
+            num_planes=6, num_tables=12, dim=64,
+        )
+        return path
+
+    path = _demo_cached("embledger", sf_dir, spark, build)
+    out = embedding_against_ledger(
+        emb.filter(F.col("doc_id") % 2 == 1), "vec", "doc_id", path,
+        threshold=0.9, update=False,
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences (operators/analytics.event_transitions): one user-keyed
@@ -4724,6 +4805,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_event_transitions": q_event_transitions,
     "q_dedup_incremental": q_dedup_incremental,
     "q_neardup_ledger": q_neardup_ledger,
+    "q_embedding_ledger": q_embedding_ledger,
     "q_sessions": q_sessions,
     "q_histogram": q_histogram,
     "q_random_access": q_random_access,
@@ -8601,6 +8683,52 @@ _ORACLES["q_neardup_ledger"] = f"""
         len(list_intersect(od.hs, ev.ehs))
           / CAST(len(od.hs) + len(ev.ehs)
                  - len(list_intersect(od.hs, ev.ehs)) AS DOUBLE) >= 0.5
+    )
+    SELECT doc_id FROM od
+    WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+    ORDER BY doc_id
+"""
+
+# q_embedding_ledger: the ledger's admit/reject set vs the full
+# cross-split brute-force cosine relation over the planted integer
+# vectors — SRP bucketing only generates candidates, the verify is
+# exact, so this hashing equal IS the recall-1.0 assertion for the
+# persisted embedding state.  The vector mix is replayed coordinate
+# by coordinate in pure int64 arithmetic (see _synthetic_embeddings);
+# cosines are doubles in both engines but every planted value sits
+# ≥ 0.24 from the 0.9 threshold, so float-order skew cannot flip a
+# decision.
+def _emb_mix_sql(x0: str, c1: int, c2: int) -> str:
+    h0 = f"(({x0}) % {_EMB_P})"
+    h1 = f"(({h0} * {h0} + {c1}) % {_EMB_P})"
+    return f"(({h1} * {h1} + {c2}) % {_EMB_P})"
+
+
+_EMB_VEC_SQL = (
+    "list_transform(range(0, 64), j -> CAST("
+    + _emb_mix_sql("(doc_id // 2) * 1000003 + j * 7919 + 12345",
+                   416001523, 987654323)
+    + " % 2097152 - 1048576 + (doc_id % 2) * "
+    "(CASE ((doc_id // 2) % 4) WHEN 0 THEN 400 WHEN 1 THEN 800 "
+    "WHEN 2 THEN 1600 ELSE 33000 END) * ("
+    + _emb_mix_sql("(doc_id // 2) * 999983 + j * 104729 + 54321",
+                   789456119, 321654871)
+    + " % 128 - 64) AS DOUBLE))"
+)
+
+_ORACLES["q_embedding_ledger"] = f"""
+    WITH v AS (
+      SELECT doc_id, {_EMB_VEC_SQL} AS vec FROM documents
+    ), ev AS (
+      SELECT doc_id AS eid, vec AS evec FROM v WHERE doc_id % 2 = 0
+    ), od AS (
+      SELECT doc_id, vec FROM v WHERE doc_id % 2 = 1
+    ), dup AS (
+      SELECT DISTINCT od.doc_id
+      FROM od JOIN ev ON
+        list_dot_product(od.vec, ev.evec)
+          / sqrt(list_dot_product(od.vec, od.vec)
+                 * list_dot_product(ev.evec, ev.evec)) >= 0.9
     )
     SELECT doc_id FROM od
     WHERE doc_id NOT IN (SELECT doc_id FROM dup)

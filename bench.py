@@ -103,6 +103,7 @@ HEADLINE = [
     "q_event_transitions",
     "q_dedup_incremental",
     "q_neardup_ledger",
+    "q_embedding_ledger",
     "q_agg_ledger",
     "q_mg_ledger",
     "q_components_ledger",

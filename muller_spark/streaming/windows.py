@@ -527,6 +527,106 @@ def make_hamming_batch_handler(
     return land
 
 
+def embedding_dedup_stream(
+    stream: DataFrame,
+    vec_col: str,
+    id_col: str,
+    ledger_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.95,
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+):
+    """Restart-durable streaming SEMANTIC dedup — the
+    :func:`ledger_dedup_stream` contract over the embedding near-dup
+    ledger (``operators/dedup.embedding_against_ledger``): each
+    micro-batch is filtered to rows with no ledger vector at exact
+    cosine ≥ ``threshold``; survivors land exactly-once under
+    ``out_path`` and their SRP buckets + unit vectors append to the
+    ledger so later batches (and batch ingest sharing the same ledger)
+    see them.  Completes the streaming ledger family's modality matrix
+    next to the text (:func:`neardup_dedup_stream`) and media
+    (:func:`hamming_dedup_stream`) twins.  Same crash-safety ordering,
+    marker skip, run namespacing, and single-writer reasoning;
+    duplicate ledger rows from a heal replay are decision-harmless
+    (candidates and dup ids are distinct-folded).  The ledger must
+    exist (``init_embedding_ledger`` — on an empty frame pass ``dim=``).
+    NULL-vector rows are DROPPED here (a poison row must not kill the
+    stream); a wrong-width vector still raises, because silently
+    bucketing corrupted geometry would poison every later verify."""
+    import hashlib
+
+    run_ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:10]
+    land = make_embedding_batch_handler(
+        vec_col, id_col, ledger_path, out_path, run_ns, threshold=threshold,
+    )
+    writer = stream.writeStream.foreachBatch(land).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def make_embedding_batch_handler(
+    vec_col: str,
+    id_col: str,
+    ledger_path: str,
+    out_path: str,
+    run_ns: str,
+    threshold: float = 0.95,
+):
+    """foreachBatch handler behind :func:`embedding_dedup_stream`,
+    exposed for the crash-replay contract test: a second call with the
+    same ``batch_id`` must not rewrite the landed output (marker skip)
+    and must re-append the ledger state (heal).  The batch decision is
+    the SAME code as batch ingest —
+    ``operators/dedup.embedding_against_ledger(update=False)`` — so
+    stream and batch can never drift; the ledger append is re-derived
+    from the LANDED survivors (which keep ``vec_col``), the
+    heal-or-advance discipline."""
+    import os as _os
+
+    from muller_spark.operators.dedup import (
+        _srp_bucket_frame,
+        embedding_against_ledger,
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_out = (
+            f"{out_path.rstrip('/')}/ingest_run={run_ns}/ingest_batch={batch_id}"
+        )
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(batch_out + "/_SUCCESS")
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        batch_df = batch_df.filter(F.col(vec_col).isNotNull())
+        if not fs.exists(jvm_path):
+            if batch_df.isEmpty():
+                return
+            survivors = embedding_against_ledger(
+                batch_df, vec_col, id_col, ledger_path,
+                threshold=threshold, update=False,
+            )
+            survivors.write.mode("overwrite").parquet(batch_out)
+        meta = spark.read.parquet(_os.path.join(ledger_path, "meta")).first()
+        landed = spark.read.parquet(batch_out)
+        sig = _srp_bucket_frame(
+            landed, vec_col, id_col, meta["num_planes"], meta["num_tables"],
+            int(meta["seed"]), meta["dim"],
+        ).localCheckpoint()
+        sig.filter(F.col("table") == 0).select("id", "vec").write.mode(
+            "append"
+        ).parquet(_os.path.join(ledger_path, "vectors"))
+        sig.select("table", "bucket", "id").write.mode("append").parquet(
+            _os.path.join(ledger_path, "buckets")
+        )
+
+    return land
+
+
 def drift_monitor_stream(
     stream: DataFrame,
     ref_df: DataFrame,

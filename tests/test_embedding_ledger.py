@@ -281,3 +281,124 @@ def test_no_cartesian_in_decision_plan(spark, corpus, tmp_path):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# streaming twin: embedding_dedup_stream / make_embedding_batch_handler
+# ---------------------------------------------------------------------------
+
+def _write_vec_batch(spark, src_dir, name, rows):
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src_dir}/{name}")
+
+
+def _vlist(vec):
+    return [float(x) for x in vec]
+
+
+def test_embedding_stream_dedups_within_and_across_runs(spark, tmp_path):
+    """Micro-batches drop semantic near-dups of the ledger, admit
+    novelties, and a SECOND stream run (fresh checkpoint, same ledger)
+    rejects near-dups of batch-1 survivors — restart durability for
+    the embedding modality."""
+    import glob as _glob
+
+    import pyspark.sql.types as T
+
+    from muller_spark.streaming.windows import (
+        embedding_dedup_stream,
+        stream_from_directory,
+    )
+
+    rng = np.random.default_rng(5)
+    seed_vec = rng.normal(size=DIM); seed_vec /= np.linalg.norm(seed_vec)
+    novel1 = rng.normal(size=DIM); novel1 /= np.linalg.norm(novel1)
+    novel2 = rng.normal(size=DIM); novel2 /= np.linalg.norm(novel2)
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    src = str(tmp_path / "src"); os.makedirs(src)
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "out")
+
+    init_embedding_ledger(
+        _df(spark, np.array([0]), seed_vec[None, :]),
+        "embedding", "vec_id", ledger, dim=DIM,
+    )
+
+    _write_vec_batch(spark, src, "b1", [
+        (1, _vlist(seed_vec + 0.005)),   # near-dup of the ledger seed
+        (2, _vlist(novel1)),             # novel direction
+        (3, None),                       # poison NULL row: dropped, not fatal
+    ])
+
+    def drain(ckpt):
+        stream = stream_from_directory(spark, src + "/*/", schema)
+        q = embedding_dedup_stream(
+            stream, "embedding", "vec_id", ledger, out, ckpt,
+            threshold=THRESHOLD, available_now=True,
+        )
+        q.awaitTermination(120)
+
+    drain(str(tmp_path / "ckpt1"))
+    landed = spark.read.parquet(*_glob.glob(out + "/ingest_run=*/ingest_batch=*"))
+    assert {r["vec_id"] for r in landed.collect()} == {2}
+
+    # run 2: a near-dup of batch-1's SURVIVOR must now be rejected
+    _write_vec_batch(spark, src, "b2", [
+        (4, _vlist(novel1 + 0.005)),     # near-dup of admitted vec 2
+        (5, _vlist(novel2)),             # genuinely new
+    ])
+    drain(str(tmp_path / "ckpt2"))
+    landed = spark.read.parquet(*_glob.glob(out + "/ingest_run=*/ingest_batch=*"))
+    assert {r["vec_id"] for r in landed.collect()} == {2, 5}
+
+
+def test_embedding_stream_replay_marker_skip_and_heal(spark, tmp_path):
+    """Calling the handler twice with the same batch_id must not
+    rewrite the landed output and must re-append ledger state (the
+    heal window between land and append) — and decisions stay correct
+    despite the duplicate ledger rows."""
+    from muller_spark.streaming.windows import make_embedding_batch_handler
+
+    rng = np.random.default_rng(6)
+    seed_vec = rng.normal(size=DIM); seed_vec /= np.linalg.norm(seed_vec)
+    fresh = rng.normal(size=DIM); fresh /= np.linalg.norm(fresh)
+
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "out")
+    init_embedding_ledger(
+        _df(spark, np.array([0]), seed_vec[None, :]),
+        "embedding", "vec_id", ledger, dim=DIM,
+    )
+    handler = make_embedding_batch_handler(
+        "embedding", "vec_id", ledger, out, run_ns="testns",
+        threshold=THRESHOLD,
+    )
+    handler(_df(spark, np.array([10]), fresh[None, :]), 0)
+    landed_dir = f"{out}/ingest_run=testns/ingest_batch=0"
+    first_mtime = os.path.getmtime(os.path.join(landed_dir, "_SUCCESS"))
+    n_bucket_rows = spark.read.parquet(os.path.join(ledger, "buckets")).count()
+
+    handler(_df(spark, np.array([10]), fresh[None, :]), 0)  # replay
+    assert os.path.getmtime(
+        os.path.join(landed_dir, "_SUCCESS")
+    ) == first_mtime  # marker skip: output not rewritten
+    n_after = spark.read.parquet(os.path.join(ledger, "buckets")).count()
+    assert n_after > n_bucket_rows  # heal re-appended (duplicates harmless)
+
+    out2 = embedding_against_ledger(
+        _df(spark, np.array([11, 12]),
+            np.stack([fresh + 0.005, rng.normal(size=DIM)])),
+        "embedding", "vec_id", ledger, threshold=THRESHOLD, update=False,
+    )
+    assert {r["vec_id"] for r in out2.collect()} == {12}
