@@ -2353,6 +2353,7 @@ def hamming_against_ledger(
     wanted).  Single-writer contract as
     :func:`dedup_against_ledger`."""
     spark = fingerprints.sparkSession
+    _recover_ledger_log(path, ["blocks"])
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     max_hamming, nbits = meta["max_hamming"], meta["nbits"]
     fp = fingerprints.select("id", "dhash").filter(
@@ -2488,6 +2489,7 @@ def neardup_against_ledger(
     heal-or-advance contract replays the append from the landed
     parquet."""
     spark = batch_df.sparkSession
+    _recover_ledger_log(path, ["shingles", "bands"])
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     num_hashes, shingle_size, bands = (
         meta["num_hashes"], meta["shingle_size"], meta["bands"]
@@ -2574,6 +2576,7 @@ def neardup_pairs_against_ledger(
     :func:`lsh_verified_pairs` over the batch when the batch can
     contain its own duplicates."""
     spark = batch_df.sparkSession
+    _recover_ledger_log(path, ["shingles", "bands"])
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     num_hashes, shingle_size, bands = (
         meta["num_hashes"], meta["shingle_size"], meta["bands"]
@@ -2723,6 +2726,7 @@ def _embedding_ledger_dups(
     ``(sig, verified)`` where ``sig`` is the batch bucket frame and
     ``verified`` the surviving ``(id, ledger_id, cosine)`` rows."""
     spark = batch_df.sparkSession
+    _recover_ledger_log(path, ["vectors", "buckets"])
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     num_planes, num_tables, seed, dim = (
         meta["num_planes"], meta["num_tables"], meta["seed"], meta["dim"]
@@ -2826,6 +2830,83 @@ def embedding_against_ledger(
             os.path.join(path, "buckets")
         )
     return survivors
+
+
+def _compact_ledger_log(spark, path: str, names: "list[str]") -> None:
+    """Distinct-fold each listed ledger table through the family's
+    crash-safe swap (``aggregate._swap_log_dir``): the replacement is
+    fully written to ``<table>.compact`` before the live dir is
+    touched, and the only no-live-dir window (between two renames) is
+    healed by ``_recover_log_swap`` on the next operation.  Tables are
+    folded one at a time — a crash between two tables leaves one
+    folded and one not, which is CORRECT (folding is logically a
+    no-op: duplicate rows are decision-harmless, compaction only
+    reclaims their space and file count)."""
+    from muller_spark.operators.aggregate import (
+        _recover_log_swap,
+        _swap_log_dir,
+    )
+
+    for name in names:
+        live = os.path.join(path, name)
+        _recover_log_swap(live)
+        spark.read.parquet(live).distinct().write.mode("overwrite").parquet(
+            live + ".compact"
+        )
+        _swap_log_dir(live)
+
+
+def _recover_ledger_log(path: str, names: "list[str]") -> None:
+    """Heal interrupted compaction swaps for the listed tables before
+    a read — consulted by every against/pairs entry point so a crash
+    inside :func:`_compact_ledger_log` self-repairs instead of leaving
+    the ledger unreadable (the components-ledger remap lesson)."""
+    from muller_spark.operators.aggregate import _recover_log_swap
+
+    for name in names:
+        _recover_log_swap(os.path.join(path, name))
+
+
+def compact_neardup_ledger(spark, path: str, lock=False) -> None:
+    """Rewrite the MinHash near-dup ledger's ``bands`` + ``shingles``
+    logs to distinct rows — heals the harmless duplicates that
+    ``neardup_dedup_stream``'s heal-or-advance replays and batch-retry
+    half-appends accumulate, and folds many small append files into
+    compact tables (the pair view also stops emitting duplicate edges
+    for crash-doubled ledger rows).  Run between ingests under the
+    family's single-writer contract; ``lock=`` enforces it with the
+    ledger's lease.  Crash-safe per table via the ``.compact`` sibling
+    swap; an interrupted swap heals on the next query or compaction."""
+    from muller_spark.operators.aggregate import _writer_lease
+
+    if lock:
+        with _writer_lease(path, lock):
+            return compact_neardup_ledger(spark, path)
+    _compact_ledger_log(spark, path, ["shingles", "bands"])
+
+
+def compact_hamming_ledger(spark, path: str, lock=False) -> None:
+    """Rewrite the Hamming ledger's ``blocks`` posting log to distinct
+    rows — the :func:`compact_neardup_ledger` contract for the media
+    ledger."""
+    from muller_spark.operators.aggregate import _writer_lease
+
+    if lock:
+        with _writer_lease(path, lock):
+            return compact_hamming_ledger(spark, path)
+    _compact_ledger_log(spark, path, ["blocks"])
+
+
+def compact_embedding_ledger(spark, path: str, lock=False) -> None:
+    """Rewrite the embedding ledger's ``vectors`` + ``buckets`` logs to
+    distinct rows — the :func:`compact_neardup_ledger` contract for
+    the semantic ledger."""
+    from muller_spark.operators.aggregate import _writer_lease
+
+    if lock:
+        with _writer_lease(path, lock):
+            return compact_embedding_ledger(spark, path)
+    _compact_ledger_log(spark, path, ["vectors", "buckets"])
 
 
 def embedding_pairs_against_ledger(

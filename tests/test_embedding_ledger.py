@@ -402,3 +402,84 @@ def test_embedding_stream_replay_marker_skip_and_heal(spark, tmp_path):
         "embedding", "vec_id", ledger, threshold=THRESHOLD, update=False,
     )
     assert {r["vec_id"] for r in out2.collect()} == {12}
+
+
+# ---------------------------------------------------------------------------
+# compaction: distinct-fold + crash-safe swap + recover-on-read
+# ---------------------------------------------------------------------------
+
+def test_compact_folds_heal_duplicates(spark, corpus, tmp_path):
+    """A heal-replayed stream batch leaves duplicate bucket/vector
+    rows; compact folds them to distinct and the decision is
+    unchanged."""
+    from muller_spark.operators.dedup import compact_embedding_ledger
+    from muller_spark.streaming.windows import make_embedding_batch_handler
+
+    ids, mat = corpus
+    (eids, emat), (oids, omat) = _split(ids, mat)
+    path = str(tmp_path / "ledger")
+    init_embedding_ledger(_df(spark, eids, emat), "embedding", "vec_id", path, dim=DIM)
+    handler = make_embedding_batch_handler(
+        "embedding", "vec_id", path, str(tmp_path / "out"), run_ns="c",
+        threshold=THRESHOLD,
+    )
+    rng = np.random.default_rng(11)
+    fresh = rng.normal(size=DIM); fresh /= np.linalg.norm(fresh)
+    handler(_df(spark, np.array([500]), fresh[None, :]), 0)
+    handler(_df(spark, np.array([500]), fresh[None, :]), 0)  # heal replay
+    buckets = os.path.join(path, "buckets")
+    vectors = os.path.join(path, "vectors")
+    nb, nv = (spark.read.parquet(buckets).count(),
+              spark.read.parquet(vectors).count())
+    assert nb > spark.read.parquet(buckets).distinct().count()
+    compact_embedding_ledger(spark, path)
+    assert spark.read.parquet(buckets).count() < nb
+    assert spark.read.parquet(vectors).count() < nv
+    # decision unchanged: near-dup of the healed admit still rejected
+    out = embedding_against_ledger(
+        _df(spark, np.array([501, 502]),
+            np.stack([fresh + 0.005, rng.normal(size=DIM)])),
+        "embedding", "vec_id", path, threshold=THRESHOLD, update=False,
+    )
+    assert {r["vec_id"] for r in out.collect()} == {502}
+
+
+def test_compact_crash_heals_on_next_read(spark, corpus, tmp_path):
+    """Simulate a crash inside the swap (live dir renamed away, fully
+    written .compact sibling present): the next query heals the table
+    and answers correctly instead of raising until manual repair."""
+    import shutil
+
+    ids, mat = corpus
+    (eids, emat), (oids, omat) = _split(ids, mat)
+    path = str(tmp_path / "ledger")
+    init_embedding_ledger(_df(spark, eids, emat), "embedding", "vec_id", path, dim=DIM)
+    buckets = os.path.join(path, "buckets")
+    spark.read.parquet(buckets).distinct().write.mode("overwrite").parquet(
+        buckets + ".compact"
+    )
+    os.rename(buckets, buckets + ".old")  # crash between the two renames
+    out = embedding_against_ledger(
+        _df(spark, oids, omat), "embedding", "vec_id", path,
+        threshold=THRESHOLD, update=False,
+    )
+    got = {r["vec_id"] for r in out.collect()}
+    dups = _brute_cross_dups(eids, emat, oids, omat)
+    assert got == set(int(i) for i in oids) - dups
+    assert os.path.isdir(buckets)
+    assert not os.path.isdir(buckets + ".old")
+
+
+def test_compact_lock_blocks_concurrent_writer(spark, corpus, tmp_path):
+    from muller_spark.operators.aggregate import _writer_lease
+    from muller_spark.operators.dedup import compact_embedding_ledger
+    from muller_spark.versioning.locks import BranchLockedError
+
+    ids, mat = corpus
+    (eids, emat), _ = _split(ids, mat)
+    path = str(tmp_path / "ledger")
+    init_embedding_ledger(_df(spark, eids, emat), "embedding", "vec_id", path, dim=DIM)
+    with _writer_lease(path, {"owner": "other-writer"}):
+        with pytest.raises(BranchLockedError):
+            compact_embedding_ledger(spark, path, lock=True)
+    compact_embedding_ledger(spark, path, lock=True)

@@ -535,3 +535,107 @@ def test_hamming_stream_empty_and_null_batches_no_op(spark, tmp_path):
     )
     assert not os.path.exists(f"{out}/ingest_run=ns2/ingest_batch=0")
     assert spark.read.parquet(os.path.join(ledger, "blocks")).count() == n0
+
+
+# ---------------------------------------------------------------------------
+# compaction: distinct-fold + crash-safe swap + recover-on-read
+# (round-12 continuation: the docstrings said "compact offline when
+# churn accumulates" but only the exact-hash ledger had the function)
+# ---------------------------------------------------------------------------
+
+def test_neardup_compact_folds_heal_duplicates(spark, corpus, tmp_path):
+    from muller_spark.operators.dedup import compact_neardup_ledger
+    from muller_spark.streaming.windows import make_neardup_batch_handler
+
+    path = str(tmp_path / "ledger")
+    init_neardup_ledger(
+        corpus.filter(F.col("doc_id") % 2 == 0), "text", "doc_id", path,
+        bands=32,
+    )
+    handler = make_neardup_batch_handler(
+        "text", "doc_id", path, str(tmp_path / "out"), run_ns="c",
+        threshold=0.5,
+    )
+    batch = spark.createDataFrame(
+        [(7001, "a wholly novel passage regarding glacier dynamics")],
+        "doc_id long, text string",
+    )
+    handler(batch, 0)
+    handler(batch, 0)  # heal replay duplicates bands + shingles rows
+    bands = os.path.join(path, "bands")
+    shingles = os.path.join(path, "shingles")
+    nb, ns = (spark.read.parquet(bands).count(),
+              spark.read.parquet(shingles).count())
+    assert nb > spark.read.parquet(bands).distinct().count()
+    compact_neardup_ledger(spark, path)
+    assert spark.read.parquet(bands).count() < nb
+    assert spark.read.parquet(shingles).count() < ns
+    # decision unchanged after the fold
+    out = neardup_against_ledger(
+        spark.createDataFrame(
+            [(7003, "a wholly novel passage regarding glacier dynamics too"),
+             (7005, "unrelated sentence about tidal harmonics and buoys")],
+            "doc_id long, text string",
+        ),
+        "text", "doc_id", path, threshold=0.5, update=False,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {7005}
+
+
+def test_neardup_compact_crash_heals_on_next_read(spark, corpus, tmp_path):
+    path = str(tmp_path / "ledger")
+    seed = corpus.filter(F.col("doc_id") % 2 == 0)
+    batch = corpus.filter(F.col("doc_id") % 2 == 1)
+    init_neardup_ledger(seed, "text", "doc_id", path, bands=32)
+    bands = os.path.join(path, "bands")
+    spark.read.parquet(bands).distinct().write.mode("overwrite").parquet(
+        bands + ".compact"
+    )
+    os.rename(bands, bands + ".old")  # crash between the two renames
+    out = neardup_against_ledger(
+        batch, "text", "doc_id", path, threshold=0.5, update=False
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    dups = _exact_cross_dups(spark, seed, batch)
+    assert got == {r["doc_id"] for r in batch.collect()} - dups
+    assert os.path.isdir(bands)
+    assert not os.path.isdir(bands + ".old")
+
+
+def test_hamming_compact_folds_and_heals(spark, tmp_path):
+    from muller_spark.operators.dedup import (
+        compact_hamming_ledger,
+        hamming_against_ledger,
+        init_hamming_ledger,
+    )
+    from muller_spark.streaming.windows import make_hamming_batch_handler
+
+    path = str(tmp_path / "ledger")
+    init_hamming_ledger(
+        spark.createDataFrame([(0, 0)], "id long, dhash long"), path,
+        max_hamming=2, nbits=64,
+    )
+    handler = make_hamming_batch_handler(
+        "dhash", "id", path, str(tmp_path / "out"), run_ns="c"
+    )
+    batch = spark.createDataFrame([(10, 0x3F)], "id long, dhash long")
+    handler(batch, 0)
+    handler(batch, 0)  # heal replay duplicates block rows
+    blocks = os.path.join(path, "blocks")
+    nb = spark.read.parquet(blocks).count()
+    assert nb > spark.read.parquet(blocks).distinct().count()
+    compact_hamming_ledger(spark, path)
+    assert spark.read.parquet(blocks).count() < nb
+    # crash-heal: simulate interrupted swap, next read repairs
+    spark.read.parquet(blocks).distinct().write.mode("overwrite").parquet(
+        blocks + ".compact"
+    )
+    os.rename(blocks, blocks + ".old")
+    out = hamming_against_ledger(
+        spark.createDataFrame(
+            [(11, 0x3F ^ 1), (12, 0xF000000000)], "id long, dhash long"
+        ),
+        path, update=False,
+    )
+    assert {r["id"] for r in out.collect()} == {12}
+    assert os.path.isdir(blocks)
