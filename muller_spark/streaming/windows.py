@@ -784,6 +784,84 @@ def make_flow_batch_handler(
     return land
 
 
+def semantic_dedup_flow_stream(
+    stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+):
+    """Restart-durable streaming twin of the EMBEDDING dedup flow
+    facade (``operators/flow.IncrementalSemanticDedupFlow`` — same
+    ledger layout at ``root``: ``embeddings`` + ``clusters`` +
+    exactly-once ``admitted`` output): each micro-batch runs semantic
+    pairs → cluster ingest → admission, so a firehose of embeddings
+    maintains BOTH the SRP ledger and the cluster labels without any
+    batch job.  The crash-class composition is
+    :func:`incremental_dedup_flow_stream`'s verbatim — cluster ingest
+    first (replay-absorbing by the semilattice theorem), admission via
+    the marker-guarded embedding handler
+    (:func:`make_embedding_batch_handler`) — and the same documented
+    replay nondeterminism for intra-batch mutual near-dups.
+    ``flow.init(seed)`` must run before the stream starts."""
+    import hashlib
+
+    run_ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:10]
+    land = make_semantic_flow_batch_handler(
+        vec_col, id_col, root, run_ns, threshold=threshold
+    )
+    writer = stream.writeStream.foreachBatch(land).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def make_semantic_flow_batch_handler(
+    vec_col: str,
+    id_col: str,
+    root: str,
+    run_ns: str,
+    threshold: float = 0.95,
+):
+    """foreachBatch handler behind :func:`semantic_dedup_flow_stream`,
+    exposed for the crash-replay contract test.  Stage order pinned as
+    in :func:`make_flow_batch_handler`: pair discovery BEFORE admission
+    mutates the embedding ledger, cluster ingest before the landed
+    write so a crash anywhere leaves only replay-absorbable state.
+    NULL-vector rows are dropped up front (handler contract shared
+    with :func:`make_embedding_batch_handler`)."""
+    import os as _os
+
+    from muller_spark.operators.components import components_ledger_ingest
+    from muller_spark.operators.dedup import embedding_pairs_against_ledger
+
+    emb_path = _os.path.join(root, "embeddings")
+    cl_path = _os.path.join(root, "clusters")
+    admit = make_embedding_batch_handler(
+        vec_col, id_col, emb_path, _os.path.join(root, "admitted"),
+        run_ns, threshold=threshold,
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.filter(F.col(vec_col).isNotNull())
+        if batch_df.isEmpty():
+            return
+        pairs = embedding_pairs_against_ledger(
+            batch_df, vec_col, id_col, emb_path, threshold=threshold
+        ).select("id_a", "id_b").localCheckpoint()
+        components_ledger_ingest(pairs, cl_path, src="id_a", dst="id_b")
+        admit(batch_df, batch_id)
+
+    return land
+
+
 def agg_ledger_stream(
     stream: DataFrame,
     ledger_path: str,

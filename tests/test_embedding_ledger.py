@@ -483,3 +483,108 @@ def test_compact_lock_blocks_concurrent_writer(spark, corpus, tmp_path):
         with pytest.raises(BranchLockedError):
             compact_embedding_ledger(spark, path, lock=True)
     compact_embedding_ledger(spark, path, lock=True)
+
+
+# ---------------------------------------------------------------------------
+# IncrementalSemanticDedupFlow: the O(batch) semantic chain end-to-end
+# ---------------------------------------------------------------------------
+
+def _directions(n, seed=21):
+    rng = np.random.default_rng(seed)
+    dirs = rng.normal(size=(n, DIM))
+    return dirs / np.linalg.norm(dirs, axis=1)[:, None]
+
+
+def test_semantic_flow_end_to_end(spark, tmp_path):
+    """Seed → two ingests → labels → keep-list, with flow-level replay
+    absorption: the embedding twin of the round-12 text facade."""
+    from muller_spark.operators.flow import IncrementalSemanticDedupFlow
+
+    A, B, C = _directions(3)
+    flow = IncrementalSemanticDedupFlow(
+        str(tmp_path / "flow"), "embedding", "vec_id",
+        threshold=THRESHOLD, dim=DIM,
+    )
+    flow.init(_df(spark, np.array([2, 4]), np.stack([A, A + 0.005])))
+
+    # batch 1: one near-dup of the seed family, one novel direction
+    s1 = flow.ingest(_df(spark, np.array([11, 13]),
+                         np.stack([A + 0.008, B])))
+    assert {r["vec_id"] for r in s1.collect()} == {13}
+
+    # batch 2: near-dup of batch-1's ADMITTED vector + a fresh one
+    s2 = flow.ingest(_df(spark, np.array([21, 23]),
+                         np.stack([B + 0.005, C])))
+    assert {r["vec_id"] for r in s2.collect()} == {23}
+
+    labels = {r["id"]: r["component"] for r in flow.labels().collect()}
+    assert labels[2] == labels[4] == labels[11]
+    assert labels[13] == labels[21]
+    assert labels[13] != labels[2]
+    assert 23 not in labels  # singleton: never paired
+
+    # keep-list: highest score wins inside each cluster, singletons keep
+    scored = spark.createDataFrame(
+        [(2, 1.0), (4, 9.0), (11, 3.0), (13, 5.0), (21, 7.0), (23, 2.0)],
+        "vec_id long, score double",
+    )
+    keep = {r["id"]: (r["keep_id"], r["keep"])
+            for r in flow.keep_best(scored, "score").collect()}
+    assert keep[4] == (4, True) and keep[2] == (4, False) and keep[11] == (4, False)
+    assert keep[21] == (21, True) and keep[13] == (21, False)
+    assert keep[23] == (23, True)
+
+    # flow-level replay absorption: re-ingesting batch 2 changes nothing
+    r = flow.ingest(_df(spark, np.array([21, 23]),
+                        np.stack([B + 0.005, C])))
+    assert r.count() == 0  # both reject against their own prior admits
+    labels2 = {r["id"]: r["component"] for r in flow.labels().collect()}
+    # 23 now pairs with its replayed self's ledger copy is NOT possible
+    # (self-loops vanish in canonicalization); 21/13 unchanged
+    assert {k: v for k, v in labels2.items() if k != 23} == labels
+
+    flow.compact()  # folds both ledgers; reads still correct
+    labels3 = {r["id"]: r["component"] for r in flow.labels().collect()}
+    assert labels3 == labels2
+
+
+def test_semantic_flow_stream_twin(spark, tmp_path):
+    """The streaming handler maintains the same state as batch ingest:
+    survivors land exactly-once, clusters fold per micro-batch, and a
+    handler replay changes no label."""
+    import glob as _glob
+
+    from muller_spark.operators.flow import IncrementalSemanticDedupFlow
+    from muller_spark.streaming.windows import (
+        make_semantic_flow_batch_handler,
+    )
+
+    A, B = _directions(2, seed=22)
+    root = str(tmp_path / "flow")
+    flow = IncrementalSemanticDedupFlow(
+        root, "embedding", "vec_id", threshold=THRESHOLD, dim=DIM,
+    )
+    flow.init(_df(spark, np.array([0]), A[None, :]))
+
+    handler = make_semantic_flow_batch_handler(
+        "embedding", "vec_id", root, run_ns="sns", threshold=THRESHOLD
+    )
+    handler(_df(spark, np.array([5, 7]),
+                np.stack([A + 0.006, B])), 0)
+    landed = spark.read.parquet(
+        *_glob.glob(root + "/admitted/ingest_run=*/ingest_batch=*")
+    )
+    assert {r["vec_id"] for r in landed.collect()} == {7}
+    labels = {r["id"]: r["component"] for r in flow.labels().collect()}
+    assert labels[0] == labels[5] == 0
+
+    handler(_df(spark, np.array([5, 7]),
+                np.stack([A + 0.006, B])), 0)  # crash replay
+    labels2 = {r["id"]: r["component"] for r in flow.labels().collect()}
+    # replay absorption up to the documented nondeterminism: 7's replay
+    # pairs with its own ledger copy → self-loop → vanishes; labels equal
+    assert labels2 == labels
+    landed2 = spark.read.parquet(
+        *_glob.glob(root + "/admitted/ingest_run=*/ingest_batch=*")
+    )
+    assert {r["vec_id"] for r in landed2.collect()} == {7}  # marker skip
