@@ -1015,6 +1015,64 @@ def q_flow_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def _semantic_flow_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached build of the full incremental SEMANTIC dedup flow
+    (operators/flow.IncrementalSemanticDedupFlow): embedding ledger
+    seeded from doc_id%3==0's planted vectors, two batch ingests
+    (%3==1 then %3==2) each running cosine-pair discovery → components
+    ingest → admission, then compaction of both ledgers — the
+    embedding twin of :func:`_dedup_flow_demo` under one persisted
+    state tree."""
+    from muller_spark.operators.flow import IncrementalSemanticDedupFlow
+
+    emb = _synthetic_embeddings(_t(spark, sf_dir, "documents"))
+
+    def build():
+        root = os.path.join(_demo_tmpdir("semflow_"), "flow")
+        flow = IncrementalSemanticDedupFlow(
+            root, "vec", "doc_id", threshold=0.9,
+            num_planes=6, num_tables=12, dim=64,
+        )
+        flow.init(emb.filter(F.col("doc_id") % 3 == 0))
+        flow.ingest(emb.filter(F.col("doc_id") % 3 == 1))
+        flow.ingest(emb.filter(F.col("doc_id") % 3 == 2))
+        flow.compact()
+        return root
+
+    return _demo_cached("semflow", sf_dir, spark, build)
+
+
+def q_flow_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END incremental SEMANTIC dedup flow
+    (operators/flow.IncrementalSemanticDedupFlow): the q_flow_keeplist
+    discipline for the embedding modality — planted integer vectors
+    ingested in three splits through the FULL chain (embedding-ledger
+    admission + cosine-pair discovery → components-ledger cluster
+    maintenance → compaction of both ledgers), then the keep-best
+    verdict read off the persisted labels.  The oracle replays the
+    flow's exact semantics from scratch in SQL: batch-vs-ledger-state
+    cosine pairs with the state unrolled per batch (seed ∪ prior
+    survivors), recursive-CTE components, per-cluster argmax — so SRP
+    recall, admission order, cluster maintenance, compaction, and the
+    keep decision land under ONE value hash.  Sibling docs 2m/2m+1
+    always fall in different %3 splits (2m ≡ 2m+1 (mod 3) is
+    impossible), so every planted pair is a cross-state pair and the
+    flow's documented intra-batch non-collapse never diverges from the
+    oracle."""
+    from muller_spark.operators.flow import IncrementalSemanticDedupFlow
+
+    root = _semantic_flow_demo(spark, sf_dir)
+    flow = IncrementalSemanticDedupFlow(
+        root, "vec", "doc_id", threshold=0.9,
+        num_planes=6, num_tables=12, dim=64,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return flow.keep_best(
+        docs.select("doc_id", F.col("n_chars").cast("double").alias("score")),
+        "score",
+    ).orderBy("id")
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source p50/p90/p99 of document length through the mergeable
     MRL quantile sketch (operators/quantiles.quantile_report): bounded
@@ -4783,6 +4841,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_components_ledger": q_components_ledger,
     "q_keep_best_ledger": q_keep_best_ledger,
     "q_flow_keeplist": q_flow_keeplist,
+    "q_flow_semantic": q_flow_semantic,
     "q_quantile_sketch": q_quantile_sketch,
     "q_agg_ledger": q_agg_ledger,
     "q_heavy_hitters": q_heavy_hitters,
@@ -8733,6 +8792,69 @@ _ORACLES["q_embedding_ledger"] = f"""
     SELECT doc_id FROM od
     WHERE doc_id NOT IN (SELECT doc_id FROM dup)
     ORDER BY doc_id
+"""
+
+# q_flow_semantic: the ENTIRE incremental semantic flow replayed from
+# scratch — per-batch embedding-ledger state unrolled (l0 = seed,
+# l1 = seed ∪ batch-1 survivors), pairs are the exact batch-vs-state
+# cosine relation the flow's SRP+verify stage must equal (recall-1.0
+# assertion), components are recursive-CTE reachability over those
+# pairs, and the keep verdict is the per-cluster argmax with the
+# q_flow_keeplist NULL / tie discipline.
+_ORACLES["q_flow_semantic"] = f"""
+    WITH RECURSIVE v AS (
+      SELECT doc_id, {_EMB_VEC_SQL} AS vec FROM documents
+    ), l0 AS (
+      SELECT doc_id, vec FROM v WHERE doc_id % 3 = 0
+    ), b1 AS (
+      SELECT doc_id, vec FROM v WHERE doc_id % 3 = 1
+    ), p1 AS (
+      SELECT b.doc_id AS src, l.doc_id AS dst
+      FROM b1 b JOIN l0 l ON
+        list_dot_product(b.vec, l.vec)
+          / sqrt(list_dot_product(b.vec, b.vec)
+                 * list_dot_product(l.vec, l.vec)) >= 0.9
+    ), l1 AS (
+      SELECT doc_id, vec FROM l0
+      UNION ALL
+      SELECT doc_id, vec FROM b1
+      WHERE doc_id NOT IN (SELECT src FROM p1)
+    ), b2 AS (
+      SELECT doc_id, vec FROM v WHERE doc_id % 3 = 2
+    ), p2 AS (
+      SELECT b.doc_id AS src, l.doc_id AS dst
+      FROM b2 b JOIN l1 l ON
+        list_dot_product(b.vec, l.vec)
+          / sqrt(list_dot_product(b.vec, b.vec)
+                 * list_dot_product(l.vec, l.vec)) >= 0.9
+    ), pairs AS (
+      SELECT src, dst FROM p1 UNION SELECT src, dst FROM p2
+    ), edges AS (
+      SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ), reach AS (
+      SELECT DISTINCT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.dst AS id, reach.r
+      FROM reach JOIN edges e ON e.src = reach.id
+    ), labels AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    ), member AS (
+      SELECT d.doc_id AS id,
+             coalesce(l.component, d.doc_id) AS cluster_id,
+             cast(d.n_chars AS double) AS score
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+    ), keeps AS (
+      SELECT cluster_id, id AS keep_id,
+             row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY coalesce(score, -1e308) DESC, id
+             ) AS rn
+      FROM member
+    )
+    SELECT m.id, m.cluster_id, k.keep_id, m.id = k.keep_id AS keep
+    FROM member m
+    JOIN keeps k ON m.cluster_id = k.cluster_id AND k.rn = 1
+    ORDER BY id
 """
 
 # q_flow_keeplist: the ENTIRE incremental flow replayed from scratch —
