@@ -657,6 +657,32 @@ def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed table-to-table kNN JOIN (index/vector.knn_join —
+    round-12 continuation): every fifth embedding row is a QUERY TABLE
+    (not a broadcast matrix — both sides stay DataFrames), each
+    finding its top-5 corpus neighbors through IVF cell
+    co-partitioning: corpus rows cell-assigned map-only, query rows
+    exploded to their probe cells, one cell-keyed shuffle join, JVM
+    squared-L2 on the candidate sliver, one window per query id.
+    Registered with ``nprobe == num_centroids`` (exhaustive probes →
+    EXACT result, the q_knn_ivf discipline), so the brute-force SQL
+    oracle applies while the query still drives the whole co-partition
+    machinery; the approximate regime is recall-tested in
+    tests/test_knn_join.py."""
+    from muller_spark.index.vector import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 5 == 1).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = knn_join(
+        q, "qvec", "qid", emb, "embedding", "vec_id",
+        k=5, metric="l2", num_centroids=8, nprobe=8,
+    )
+    return out.select("query_id", "id", "rank").orderBy("query_id", "rank")
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (coarse-quantizer) top-10 KNN for 3 query vectors, registered
     with ``nprobe == num_centroids``: every inverted cell is probed, so
@@ -4813,6 +4839,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fingerprint": q_fingerprint,
     "q_knn_l2": q_knn_l2,
     "q_knn_ivf": q_knn_ivf,
+    "q_knn_join": q_knn_join,
     "q_embedding_pairs": q_embedding_pairs,
     "q_knn_hnsw": q_knn_hnsw,
     "q_minhash_portable": q_minhash_portable,
@@ -5066,6 +5093,22 @@ _KEEP_BEST_ORACLE = f"""
 
 _ORACLES: dict[str, str] = {
     "q_knn_ivf": _KNN_EXACT_ORACLE,
+    "q_knn_join": """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id % 5 = 1
+        ), scored AS (
+          SELECT q.query_id, e.vec_id AS id,
+                 list_distance(e.embedding::DOUBLE[], q.qv) AS d
+          FROM embeddings e, q
+        )
+        SELECT query_id, id, rank FROM (
+          SELECT query_id, id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
     "q_knn_hnsw": _KNN_EXACT_ORACLE,
     "q_tpch_q3_shipping": """
         SELECT l_orderkey,

@@ -128,6 +128,7 @@ HEADLINE = [
     "q_quality_score",
     "q_lang_id",
     "q_knn_l2",
+    "q_knn_join",
     "q_minhash_pairs",
     "q_simhash",
     "q_embedding_near_dups",

@@ -505,6 +505,183 @@ def hnsw_knn(
     )
 
 
+def _cell_assign_frame(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids,
+    probes: int,
+    normalize: bool,
+) -> DataFrame:
+    """(cell int, id long, vec array<double>) rows: each vector
+    assigned to its ``probes`` nearest IVF cells (one row per cell) —
+    the map-only half of :func:`knn_join`.  One BLAS distance block
+    per Arrow batch; ``normalize=True`` unit-normalizes vectors first
+    (the cosine regime: cells and distances both live on the unit
+    sphere).  NULL vectors raise — silently dropping a query row would
+    truncate its result set with no signal."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    probes = int(probes)
+
+    def assign(iterator):
+        cents = bc.value
+        cn2 = (cents * cents).sum(axis=1)
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            if pdf[vec_col].isnull().any():
+                raise ValueError(
+                    f"NULL vector in column {vec_col!r}: drop or impute "
+                    "NULL embeddings before knn_join"
+                )
+            mat = fast_matrix(pdf[vec_col])
+            if normalize:
+                norms = np.linalg.norm(mat, axis=1)
+                norms[norms == 0] = 1.0
+                mat = mat / norms[:, None]
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is rank-constant
+            d2 = cn2[None, :] - 2.0 * (mat @ cents.T)
+            p = min(probes, d2.shape[1])
+            cells = np.argpartition(d2, p - 1, axis=1)[:, :p]
+            frames = []
+            for j in range(p):
+                frames.append(pd.DataFrame({
+                    "cell": cells[:, j].astype(np.int32),
+                    "id": pdf[id_col],
+                    "vec": list(mat),
+                }))
+            yield pd.concat(frames)
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("vec", T.ArrayType(T.DoubleType())),
+    ])
+    from muller_spark.partitioning import ensure_parallelism
+
+    return ensure_parallelism(
+        df.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+    ).mapInPandas(assign, schema)
+
+
+def knn_join(
+    queries: DataFrame,
+    query_vec_col: str,
+    query_id_col: str,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    metric: str = "l2",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """Distributed table-to-table kNN JOIN: for EVERY query row, its
+    ``k`` nearest corpus rows — with BOTH sides unbounded.
+    :func:`exact_knn`/:func:`ivf_knn`/:func:`hnsw_knn` broadcast a
+    bounded query matrix (the interactive-search regime) and
+    ``operators/embedding.hard_negatives`` caps its anchor batch at
+    4096; this is the remaining scale shape — mine neighbors for a
+    whole corpus (all-corpus hard negatives, retrieval augmentation,
+    kNN-graph construction) without collecting either side.
+
+    Plan: IVF cell co-partitioning.  Centroids train on a bounded
+    uniform corpus sample (:func:`train_centroids` — driver-side
+    k-means, the FAISS regime); each CORPUS row is assigned map-only
+    to its single nearest cell, each QUERY row to its ``nprobe``
+    nearest cells (one Arrow-batched BLAS block per batch); one
+    cell-keyed shuffle join produces candidates (query × its probed
+    cells' occupants — never queries × corpus); squared-L2 runs
+    JVM-side on the candidate sliver; one window per query id ranks
+    ≤ candidates rows.  (query, corpus) candidate pairs are unique by
+    construction (the corpus side holds ONE cell per row), so no
+    dedup pass is needed.
+
+    Returns ``(query_id, id, distance, rank)``, rank 1 = nearest,
+    ties broken by corpus id ascending.  ``metric="cosine"``
+    unit-normalizes both sides and reports ``distance`` = squared
+    Euclidean on the unit sphere = 2 − 2·cosine (rank-equivalent,
+    float-stable).  ``metric="inner_product"`` is not offered: MIPS
+    does not quantize into Voronoi cells without the reduction tricks
+    this module doesn't implement — raise rather than silently return
+    wrong neighbors.
+
+    Recall is the IVF probe recall at (num_centroids, nprobe) —
+    ``nprobe=num_centroids`` is exhaustive (exact, candidates = one
+    full co-partitioned pass, still never a broadcast); measure the
+    approximate regime on a sample against :func:`exact_knn` before
+    committing a corpus run.  A query lands in at most ``nprobe``
+    cells, so a row's result may hold FEWER than k rows when its
+    probed cells are under-occupied — the recall contract, not a bug.
+    Hot cells (dense regions) skew the join; AQE's skew-join split
+    handles the shuffle side, and raising ``num_centroids`` thins
+    cells structurally."""
+    if metric not in ("l2", "cosine"):
+        raise ValueError(
+            "knn_join supports metric='l2' or 'cosine' (inner_product "
+            "does not cell-quantize; see docstring)"
+        )
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
+    normalize = metric == "cosine"
+    # train on the same geometry the cells will index: for cosine the
+    # sample is unit-normalized in numpy (cheaper and simpler than a
+    # normalize expression evaluated corpus-side pre-sample).  The
+    # sample skips NULL vectors so a dirty corpus fails in the
+    # assignment kernel with its clear contract error, not inside the
+    # driver-side sample collection
+    nonnull = corpus.select(vec_col).filter(F.col(vec_col).isNotNull())
+    if nonnull.isEmpty():
+        # empty corpus: no neighbors for anyone — an empty result with
+        # the contract schema, not a k-means crash
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, id long, distance double, rank int"
+        )
+    mat = sample_matrix(nonnull, vec_col, sample_size, seed)
+    if normalize and len(mat):
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+    centroids = _kmeans(mat, num_centroids, iters=8, seed=seed)
+    right = _cell_assign_frame(
+        corpus, vec_col, id_col, centroids, probes=1, normalize=normalize
+    ).select(
+        "cell", F.col("id").alias("__rid"), F.col("vec").alias("__rvec")
+    )
+    left = _cell_assign_frame(
+        queries, query_vec_col, query_id_col, centroids,
+        probes=min(nprobe, num_centroids), normalize=normalize,
+    ).select(
+        "cell", F.col("id").alias("query_id"), F.col("vec").alias("__qvec")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("__qvec"), F.col("__rvec"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    candidates = left.join(right, "cell").select(
+        "query_id", F.col("__rid").alias("id"), dist2.alias("distance")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "distance", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # persisted IVF artifacts (index lifecycle backing store)
 # ---------------------------------------------------------------------------

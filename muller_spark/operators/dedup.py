@@ -2684,11 +2684,13 @@ def init_embedding_ledger(
             )
     spark = df.sparkSession
     if dim is None:
-        first = df.select(vec_col).first()
+        first = df.select(vec_col).filter(
+            F.col(vec_col).isNotNull()
+        ).first()
         if first is None:
             raise ValueError(
-                "cannot infer dim from an empty frame: pass dim= to "
-                "seed an empty embedding ledger"
+                "cannot infer dim from an empty (or all-NULL) frame: "
+                "pass dim= to seed an empty embedding ledger"
             )
         dim = len(first[0])
     sig = _srp_bucket_frame(

@@ -588,3 +588,25 @@ def test_semantic_flow_stream_twin(spark, tmp_path):
         *_glob.glob(root + "/admitted/ingest_run=*/ingest_batch=*")
     )
     assert {r["vec_id"] for r in landed2.collect()} == {7}  # marker skip
+
+
+def test_init_dim_probe_skips_null_rows(spark, tmp_path):
+    """dim inference must not trip over a NULL first row (driver-side
+    len(None)); an all-NULL frame raises the clear dim= contract."""
+    df = spark.createDataFrame(
+        [(1, None), (2, [1.0] * DIM)], "vec_id long, embedding array<double>"
+    )
+    # the NULL row still fails the bucketing contract loudly...
+    with pytest.raises(Exception, match="NULL vector"):
+        init_embedding_ledger(
+            df, "embedding", "vec_id", str(tmp_path / "a")
+        )
+    # ...but dim probing itself worked (the error is the kernel's, not
+    # a len(None) TypeError), and an all-NULL frame names the fix
+    allnull = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim="):
+        init_embedding_ledger(
+            allnull, "embedding", "vec_id", str(tmp_path / "b")
+        )
