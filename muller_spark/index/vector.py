@@ -682,6 +682,99 @@ def knn_join(
     )
 
 
+def knn_join_prebuilt(
+    queries: DataFrame,
+    query_vec_col: str,
+    query_id_col: str,
+    path: str,
+    k: int = 10,
+    nprobe: int = 4,
+    corpus: "DataFrame | None" = None,
+    vec_col: "str | None" = None,
+    id_col: "str | None" = None,
+) -> DataFrame:
+    """:func:`knn_join` against PERSISTED IVF artifacts
+    (:func:`build_ivf_artifacts`) — build the index once, join many
+    query tables against it without ever re-assigning the corpus.
+    The corpus side is the artifact's ``assign`` table itself
+    (partitioned by cell): the probed cells are collected (≤ nlist
+    ints) and pushed as a partition filter, so a bounded query set
+    reads ~nprobe/nlist of the corpus and a space-covering query
+    table degrades gracefully to the full co-partitioned scan —
+    never a broadcast, never queries × corpus.
+
+    All three artifact layouts work: ``store_vectors=True`` reads the
+    inverted lists' own vectors (FAISS layout — no corpus join at
+    all); ``quantize_bits=8`` dequantizes JVM-side (one multiply per
+    component — ranks carry the documented SQ8 error); the bare
+    ``(id, cell)`` layout semi-joins ``corpus`` on id for the re-rank
+    vectors (pass ``corpus``/``vec_col``/``id_col``, else a clear
+    error).  Metric is L2 — the artifact's training geometry;
+    normalize upstream and rebuild for cosine.  Returns
+    ``(query_id, id, distance, rank)`` with the :func:`knn_join`
+    contract (short results for under-occupied probes included)."""
+    import os
+
+    spark = queries.sparkSession
+    centroids = load_ivf_centroids(spark, path)
+    left = _cell_assign_frame(
+        queries, query_vec_col, query_id_col, centroids,
+        probes=min(nprobe, len(centroids)), normalize=False,
+    ).select(
+        "cell", F.col("id").alias("query_id"), F.col("vec").alias("__qvec")
+    ).localCheckpoint()  # probed-cell collect + join both consume it
+    cells = sorted(r["cell"] for r in left.select("cell").distinct().collect())
+    assign = spark.read.parquet(os.path.join(path, "assign")).filter(
+        F.col("cell").isin(cells)  # partition pruning on probed cells
+    )
+    cols = set(assign.columns)
+    if "vec" in cols:
+        right = assign.select(
+            "cell", F.col("id").alias("__rid"),
+            F.col("vec").cast("array<double>").alias("__rvec"),
+        )
+    elif "qvec" in cols:
+        right = assign.select(
+            "cell", F.col("id").alias("__rid"),
+            F.transform(
+                "qvec", lambda x: x.cast("double") * F.col("scale")
+            ).alias("__rvec"),
+        )
+    else:
+        if corpus is None or vec_col is None or id_col is None:
+            raise ValueError(
+                "this artifact stores (id, cell) only: pass corpus=, "
+                "vec_col=, id_col= so the re-rank can fetch vectors "
+                "(or rebuild with store_vectors=True)"
+            )
+        right = assign.select("cell", F.col("id").alias("__rid")).join(
+            corpus.select(
+                F.col(id_col).cast("long").alias("__rid"),
+                F.col(vec_col).cast("array<double>").alias("__rvec"),
+            ),
+            "__rid",
+        )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("__qvec"), F.col("__rvec"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    candidates = left.join(right, "cell").select(
+        "query_id", F.col("__rid").alias("id"), dist2.alias("distance")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "distance", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # persisted IVF artifacts (index lifecycle backing store)
 # ---------------------------------------------------------------------------

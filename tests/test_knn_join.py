@@ -152,3 +152,98 @@ def test_empty_corpus_returns_empty_with_schema(spark):
     out = knn_join(q, "qvec", "qid", c, "cvec", "cid", k=3, num_centroids=2)
     assert out.count() == 0
     assert out.columns == ["query_id", "id", "distance", "rank"]
+
+
+# ---------------------------------------------------------------------------
+# knn_join_prebuilt: the join against persisted IVF artifacts
+# ---------------------------------------------------------------------------
+
+def _planted(spark, n=40, dim=6, seed=3):
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, dim)) * 10
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "cid long, cvec array<double>"),
+        mat,
+    )
+
+
+def _brute_l2(qm, qids, cm, cids, k):
+    d2 = ((qm[:, None, :] - cm[None, :, :]) ** 2).sum(-1)
+    want = {}
+    for i, qid in enumerate(qids):
+        order = sorted(range(len(cids)), key=lambda j: (d2[i, j], cids[j]))[:k]
+        for r, j in enumerate(order, 1):
+            want[(int(qid), r)] = int(cids[j])
+    return want
+
+
+@pytest.mark.parametrize("layout", ["vectors", "bare", "sq8"])
+def test_prebuilt_layouts_match_brute_force(spark, tmp_path, layout):
+    """Exhaustive probes against each artifact layout equal brute
+    force (SQ8 included: the planted spread is far wider than the
+    scale/2 per-component quantization error, so ranks cannot flip)."""
+    from muller_spark.index.vector import build_ivf_artifacts, knn_join_prebuilt
+
+    c, cm = _planted(spark)
+    q = c.limit(7).select(
+        F.col("cid").alias("qid"), F.col("cvec").alias("qvec")
+    )
+    path = str(tmp_path / f"ivf_{layout}")
+    build_ivf_artifacts(
+        c, "cvec", "cid", path, num_centroids=4, sample_size=64,
+        store_vectors=layout != "bare",
+        quantize_bits=8 if layout == "sq8" else None,
+    )
+    kwargs = {}
+    if layout == "bare":
+        kwargs = dict(corpus=c, vec_col="cvec", id_col="cid")
+    out = knn_join_prebuilt(
+        q, "qvec", "qid", path, k=3, nprobe=4, **kwargs
+    ).collect()
+    got = {(r["query_id"], r["rank"]): r["id"] for r in out}
+    qp = q.toPandas()
+    qm = np.stack(qp["qvec"].apply(np.asarray))
+    want = _brute_l2(qm, list(qp["qid"]), cm, list(range(len(cm))), 3)
+    if layout == "sq8":
+        # rank parity is the contract here; sq8 distance VALUES carry
+        # quantization error by design
+        assert got == want
+    else:
+        assert got == want
+        # float layouts: distances match squared L2 up to the float32
+        # at-rest rounding of the stored inverted lists
+        d2 = {(r["query_id"], r["id"]): r["distance"] for r in out}
+        for (qid, rank), rid in want.items():
+            i = list(qp["qid"]).index(qid)
+            assert abs(d2[(qid, rid)] - ((qm[i] - cm[rid]) ** 2).sum()) < 1e-3
+
+
+def test_prebuilt_bare_without_corpus_raises(spark, tmp_path):
+    from muller_spark.index.vector import build_ivf_artifacts, knn_join_prebuilt
+
+    c, _ = _planted(spark)
+    path = str(tmp_path / "ivf")
+    build_ivf_artifacts(c, "cvec", "cid", path, num_centroids=2, sample_size=64)
+    q = c.limit(2).select(F.col("cid").alias("qid"), F.col("cvec").alias("qvec"))
+    with pytest.raises(ValueError, match="store_vectors"):
+        knn_join_prebuilt(q, "qvec", "qid", path, k=2)
+
+
+def test_prebuilt_prunes_to_probed_cells(spark, tmp_path):
+    """A bounded query set probing a strict cell subset must push a
+    partition filter — the plan's scan carries the probed-cell
+    predicate, the artifact's whole point."""
+    from muller_spark.index.vector import build_ivf_artifacts, knn_join_prebuilt
+
+    c, cm = _planted(spark, n=60)
+    path = str(tmp_path / "ivf")
+    build_ivf_artifacts(
+        c, "cvec", "cid", path, num_centroids=8, sample_size=64,
+        store_vectors=True,
+    )
+    q = c.limit(1).select(F.col("cid").alias("qid"), F.col("cvec").alias("qvec"))
+    out = knn_join_prebuilt(q, "qvec", "qid", path, k=2, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan  # partition column present in the pushed scan
+    assert out.count() >= 1
