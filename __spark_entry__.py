@@ -1968,6 +1968,30 @@ def q_embedding_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id").orderBy("doc_id")
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination
+    (operators/dedup.semantic_decontaminate — the embedding member of
+    the decontamination family next to q_bloom_decontaminate's exact
+    n-gram screen): docs with doc_id % 10 == 0 act as the held-out
+    benchmark, the rest as the training corpus over the planted
+    integer vectors; training rows within cosine 0.9 of any held-out
+    row are dropped through the two-table SRP bucket join + exact
+    unit-dot verify (never train × held-out).  The oracle brute-forces
+    the full cross cosine relation, so SRP recall loss on this split
+    hash-mismatches — the planted siblings sit at cosine ≥ 0.991
+    (zero misses verified for this hyperplane family at both SFs)."""
+    from muller_spark.operators.dedup import semantic_decontaminate
+
+    emb = _synthetic_embeddings(_t(spark, sf_dir, "documents"))
+    out = semantic_decontaminate(
+        emb.filter(F.col("doc_id") % 10 != 0),
+        emb.filter(F.col("doc_id") % 10 == 0),
+        "vec", "doc_id", threshold=0.9,
+        num_planes=6, num_tables=12, dim=64,
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences (operators/analytics.event_transitions): one user-keyed
@@ -4892,6 +4916,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_incremental": q_dedup_incremental,
     "q_neardup_ledger": q_neardup_ledger,
     "q_embedding_ledger": q_embedding_ledger,
+    "q_semantic_decontaminate": q_semantic_decontaminate,
     "q_sessions": q_sessions,
     "q_histogram": q_histogram,
     "q_random_access": q_random_access,
@@ -8833,6 +8858,28 @@ _ORACLES["q_embedding_ledger"] = f"""
                  * list_dot_product(ev.evec, ev.evec)) >= 0.9
     )
     SELECT doc_id FROM od
+    WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+    ORDER BY doc_id
+"""
+
+# q_semantic_decontaminate: surviving train rows vs the brute-force
+# cross cosine relation against the held-out tenth — the two-table SRP
+# stage's recall-1.0 assertion on the planted vectors.
+_ORACLES["q_semantic_decontaminate"] = f"""
+    WITH v AS (
+      SELECT doc_id, {_EMB_VEC_SQL} AS vec FROM documents
+    ), held AS (
+      SELECT doc_id AS hid, vec AS hvec FROM v WHERE doc_id % 10 = 0
+    ), train AS (
+      SELECT doc_id, vec FROM v WHERE doc_id % 10 != 0
+    ), dup AS (
+      SELECT DISTINCT t.doc_id
+      FROM train t JOIN held h ON
+        list_dot_product(t.vec, h.hvec)
+          / sqrt(list_dot_product(t.vec, t.vec)
+                 * list_dot_product(h.hvec, h.hvec)) >= 0.9
+    )
+    SELECT doc_id FROM train
     WHERE doc_id NOT IN (SELECT doc_id FROM dup)
     ORDER BY doc_id
 """

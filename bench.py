@@ -61,6 +61,7 @@ HEADLINE = [
     "q_cms_topk",
     "q_rolling_anomalies",
     "q_bloom_decontaminate",
+    "q_semantic_decontaminate",
     "q_skew_report",
     "q_shuffle_shards",
     "q_mixture_plan",

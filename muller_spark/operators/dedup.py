@@ -2620,6 +2620,114 @@ def neardup_pairs_against_ledger(
     )
 
 
+def embedding_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 10,
+    num_tables: int = 6,
+    seed: int = 42,
+    dim: "int | None" = None,
+) -> DataFrame:
+    """Cosine-similarity ≥ threshold pairs ACROSS two frames —
+    :func:`embedding_near_dups` for the two-table case (train vs
+    held-out, crawl A vs crawl B), sharing its SRP kernel and exact
+    unit-dot verify.  Both sides are bucketed map-only with the SAME
+    hyperplane family, candidates come from the (table, bucket)-keyed
+    join (never left × right), and the exact verify runs on the
+    candidate sliver.  Returns ``(id_a, id_b, cosine)`` with ``id_a``
+    from ``left``; recall is the SRP amplification at (num_planes,
+    num_tables) — size it for the threshold as in
+    :func:`init_embedding_ledger`."""
+    spark = left.sparkSession
+    if dim is None:
+        first = left.select(vec_col).filter(
+            F.col(vec_col).isNotNull()
+        ).first() or right.select(vec_col).filter(
+            F.col(vec_col).isNotNull()
+        ).first()
+        if first is None:
+            return spark.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = len(first[0])
+    lb = _srp_bucket_frame(
+        left, vec_col, id_col, num_planes, num_tables, seed, dim
+    )
+    rb = _srp_bucket_frame(
+        right, vec_col, id_col, num_planes, num_tables, seed, dim
+    )
+    candidates = (
+        lb.select("table", "bucket", "id")
+        .join(
+            rb.select(
+                "table", "bucket", F.col("id").alias("id_b")
+            ),
+            ["table", "bucket"],
+        )
+        .select(F.col("id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    cosine = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        candidates.join(
+            lb.filter(F.col("table") == 0).select(
+                F.col("id").alias("id_a"), F.col("vec").alias("va")
+            ),
+            "id_a",
+        )
+        .join(
+            rb.filter(F.col("table") == 0).select(
+                F.col("id").alias("id_b"), F.col("vec").alias("vb")
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_decontaminate(
+    train_df: DataFrame,
+    heldout_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 10,
+    num_tables: int = 6,
+    seed: int = 42,
+    dim: "int | None" = None,
+) -> DataFrame:
+    """Drop training rows whose embedding sits within cosine
+    ``threshold`` of ANY held-out (benchmark/test) row — the SEMANTIC
+    member of the decontamination family next to
+    :func:`bloom_decontaminate` (exact n-gram) and
+    :func:`contamination_report`: paraphrased or re-rendered benchmark
+    leakage carries no shared n-grams but lands at high embedding
+    cosine, which is exactly what the n-gram members cannot see.
+
+    Plan: one :func:`embedding_cross_pairs` candidate stage (both
+    sides bucketed map-only, keyed join, exact verify on the sliver)
+    feeding a left-anti join — train is never broadcast, held-out is
+    never collected, and the held-out side is typically tiny so its
+    bucket table is broadcast by size.  NULL train vectors raise (the
+    bucketing contract); returns surviving train rows with their
+    original columns.  Recall caveat as the SRP family — for
+    completeness-critical audits run the exact
+    :func:`embedding_near_dups` brute pair stage on a sample to size
+    (num_planes, num_tables) first."""
+    contaminated = embedding_cross_pairs(
+        train_df, heldout_df, vec_col, id_col, threshold=threshold,
+        num_planes=num_planes, num_tables=num_tables, seed=seed, dim=dim,
+    ).select(F.col("id_a").alias(id_col)).distinct()
+    return train_df.join(contaminated, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # incremental EMBEDDING near-dup ledger — semantic dedup joins the
 # O(batch) ingest flow (text/MinHash + media/Hamming + embedding/SRP)

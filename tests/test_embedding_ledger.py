@@ -610,3 +610,55 @@ def test_init_dim_probe_skips_null_rows(spark, tmp_path):
         init_embedding_ledger(
             allnull, "embedding", "vec_id", str(tmp_path / "b")
         )
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination: the embedding member of the decontamination
+# family (bloom_decontaminate = exact n-gram; this = paraphrase leakage)
+# ---------------------------------------------------------------------------
+
+def test_cross_pairs_match_two_table_brute_force(spark, corpus):
+    from muller_spark.operators.dedup import embedding_cross_pairs
+
+    ids, mat = corpus
+    (eids, emat), (oids, omat) = _split(ids, mat)
+    pairs = embedding_cross_pairs(
+        _df(spark, oids, omat), _df(spark, eids, emat),
+        "embedding", "vec_id", threshold=THRESHOLD, dim=DIM,
+    ).collect()
+    cos = _unit(omat) @ _unit(emat).T
+    want = {
+        (int(oids[i]), int(eids[j]))
+        for i in range(len(oids)) for j in range(len(eids))
+        if cos[i, j] >= THRESHOLD
+    }
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == want
+    assert want, "fixture must produce cross pairs"
+    for r in pairs:
+        assert r["cosine"] >= THRESHOLD
+
+
+def test_semantic_decontaminate_drops_exactly_contaminated(spark, corpus):
+    from muller_spark.operators.dedup import semantic_decontaminate
+
+    ids, mat = corpus
+    (eids, emat), (oids, omat) = _split(ids, mat)
+    out = semantic_decontaminate(
+        _df(spark, oids, omat), _df(spark, eids, emat),
+        "embedding", "vec_id", threshold=THRESHOLD, dim=DIM,
+    )
+    got = {r["vec_id"] for r in out.collect()}
+    dups = _brute_cross_dups(eids, emat, oids, omat)
+    assert got == set(int(i) for i in oids) - dups
+    assert set(out.columns) == {"vec_id", "embedding"}
+
+
+def test_cross_pairs_empty_both_sides(spark):
+    from muller_spark.operators.dedup import embedding_cross_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = embedding_cross_pairs(
+        empty, empty, "embedding", "vec_id", threshold=0.9
+    )
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cosine"]
