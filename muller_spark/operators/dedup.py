@@ -1119,24 +1119,30 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        )
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nbr_label"), F.col("label")),
-                ).alias("label"),
+                new_label.alias("label"),
+                # convergence flag carried THROUGH the propagation: the
+                # old label is already on this row, so "did anything
+                # change" needs no join of consecutive label tables —
+                # the round-12 shape drops one shuffle join + one
+                # scheduled job per round vs the old
+                # checkpoint-then-join-then-count (per-round latency
+                # dominates on small pair graphs; at scale it removes a
+                # labels-sized shuffle per round)
+                (new_label != F.col("label")).alias("_chg"),
             )
-            .localCheckpoint()
+            # lazy: the changed-count action below is what materializes
+            # the checkpoint, so each round schedules ONE job
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     else:
@@ -1294,20 +1300,31 @@ def contamination_report(
 
     train_w = windows(train_df, "train")
     test_w = windows(test_df, "test")
-    # per-test-doc distinct window counts (denominator)
-    test_sizes = test_w.groupBy("test_id").agg(
-        F.countDistinct("w").alias("test_total")
-    )
     train_d = train_w.dropDuplicates(["train_id", "w"])
     test_d = test_w.dropDuplicates(["test_id", "w"])
+    # per-test-doc distinct window counts (denominator) — derived from
+    # the SAME deduped frame the join consumes, so the (test_id, w)
+    # exchange is planned once and reused at runtime instead of the
+    # test side being scanned + exploded twice (round-12 optimization:
+    # countDistinct(w) over raw windows ≡ count(*) over the distinct
+    # frame, identical values by construction)
+    test_sizes = test_d.groupBy("test_id").agg(
+        F.count(F.lit(1)).alias("test_total")
+    )
     if max_window_freq is not None:
         hot = (
             train_d.groupBy("w")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > max_window_freq)
         )
+        # anti-join the cutoff on the TRAIN side only: `shared` below is
+        # an INNER join on w, so dropping a hot window from one side
+        # already removes every pair it would produce — filtering the
+        # test side too only re-ran the whole census subtree a second
+        # time for zero semantic effect (round-12: 2 window-census
+        # builds → 1; the denominator is deliberately computed from the
+        # UNFILTERED test windows, unchanged)
         train_d = train_d.join(F.broadcast(hot), "w", "left_anti")
-        test_d = test_d.join(F.broadcast(hot), "w", "left_anti")
     join_rhs = F.broadcast(test_d) if broadcast_test else test_d
     shared = (
         train_d.join(join_rhs, "w")

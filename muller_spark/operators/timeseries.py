@@ -108,15 +108,37 @@ def resample(
             F.count(F.lit(1)).alias("_n"),
         )
     )
-    rng = per.groupBy("key").agg(
-        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    # Round-12 shape: the grid is generated from CONSECUTIVE OBSERVED
+    # buckets — each observed row emits itself plus the gap buckets up
+    # to (excluding) the key's next observed bucket, with both fill
+    # policies computed in closed form from the (this, next) endpoint
+    # pair.  This replaces the old dense-spine construction (explode
+    # the full [min, max] grid, left-join the aggregates back, then
+    # TWO full-grid ignorenulls window sorts for linear fill) with ONE
+    # lead() window over observed rows only: the join and both
+    # grid-sized sorts disappear, and everything after the lead is
+    # map-side.  Values are identical by construction: every gap lies
+    # strictly between two consecutive observed buckets, so the old
+    # prev/next ignorenulls scans resolve to exactly this row's
+    # (bucket, _v) and its lead — the interpolation expression below
+    # is the same IEEE double arithmetic on the same operands.
+    step = int(interval)
+    w_lead = Window.partitionBy("key").orderBy("bucket")
+    base = per.withColumn("_nb", F.lead("bucket").over(w_lead)).withColumn(
+        "_nv", F.lead("_v").over(w_lead)
     )
     if max_buckets is not None:
+        w_span = (
+            Window.partitionBy("key")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
         n_buckets = (
-            (F.col("_hi") - F.col("_lo")) / F.lit(int(interval))
+            (F.max("bucket").over(w_span) - F.min("bucket").over(w_span))
+            / F.lit(step)
         ).cast("long") + 1
-        rng = rng.withColumn(
-            "_lo",
+        base = base.withColumn(
+            "bucket",
             F.when(
                 n_buckets > int(max_buckets),
                 F.raise_error(F.concat(
@@ -125,81 +147,47 @@ def resample(
                     F.lit(" spans "),
                     n_buckets.cast("string"),
                     F.lit(
-                        f" buckets at interval={int(interval)}s, over "
+                        f" buckets at interval={step}s, over "
                         f"max_buckets={int(max_buckets)}; widen interval,"
                         " raise max_buckets, or clean outlier timestamps"
                     ),
                 )).cast("long"),
-            ).otherwise(F.col("_lo")),
+            ).otherwise(F.col("bucket")),
         )
-    # two-level explode: chunk starts, then ≤ _SPINE_CHUNK_BUCKETS
-    # buckets per chunk — bounded task memory at any span (a one-chunk
-    # key degenerates to the single-sequence shape)
-    chunk_span = int(interval) * _SPINE_CHUNK_BUCKETS
-    spine = rng.select(
-        "key",
-        "_hi",
+    # two-level explode of each observed row's half-open [bucket, _nb)
+    # range (the last observed bucket emits only itself): chunk starts,
+    # then ≤ _SPINE_CHUNK_BUCKETS buckets per chunk — bounded task
+    # memory however long a single gap is
+    chunk_span = step * _SPINE_CHUNK_BUCKETS
+    hi = F.coalesce(F.col("_nb") - F.lit(step).cast("long"), F.col("bucket"))
+    hi2 = F.coalesce(F.col("_nb") - F.lit(step).cast("long"), F.col("_ob"))
+    grid = base.select(
+        "key", F.col("bucket").alias("_ob"), "_v", "_nb", "_nv",
         F.explode(
-            F.sequence(
-                F.col("_lo"), F.col("_hi"), F.lit(chunk_span).cast("long")
-            )
+            F.sequence(F.col("bucket"), hi, F.lit(chunk_span).cast("long"))
         ).alias("_chunk"),
     ).select(
-        "key",
+        "key", "_ob", "_v", "_nb", "_nv",
         F.explode(
             F.sequence(
                 F.col("_chunk"),
                 F.least(
-                    F.col("_chunk")
-                    + F.lit(chunk_span - int(interval)).cast("long"),
-                    F.col("_hi"),
+                    F.col("_chunk") + F.lit(chunk_span - step).cast("long"),
+                    hi2,
                 ),
-                F.lit(int(interval)).cast("long"),
+                F.lit(step).cast("long"),
             )
         ).alias("bucket"),
     )
-    joined = spine.join(per, ["key", "bucket"], "left")
-    was_gap = F.col("_n").isNull()
+    was_gap = F.col("bucket") != F.col("_ob")
     if fill == "ffill":
-        w = (
-            Window.partitionBy("key")
-            .orderBy("bucket")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        # struct-wrap observed aggregates so last(ignorenulls) carries
-        # the most recent OBSERVED value even when that value is NULL,
-        # instead of reaching past it to an older measurement
-        carried = F.last(
-            F.when(~was_gap, F.struct(F.col("_v"))), ignorenulls=True
-        ).over(w)["_v"]
-        value = F.when(was_gap, carried).otherwise(F.col("_v"))
+        # the most recent observed bucket before a gap IS this row's
+        # own aggregate (including a NULL one — the fill repeats what
+        # was last measured, never reaching past a NULL measurement)
+        value = F.col("_v")
     elif fill == "linear":
-        w_prev = (
-            Window.partitionBy("key")
-            .orderBy("bucket")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        # descending RUNNING frame, not (0, unboundedFollowing): Spark's
-        # UnboundedFollowingWindowFunctionFrame re-scans the remainder of
-        # the partition per row — O(n²), measured 111 s vs sub-second on
-        # the sf0.1 events table; last-ignorenulls over the reversed
-        # running frame is the same value via the O(n) accumulating frame
-        w_next = (
-            Window.partitionBy("key")
-            .orderBy(F.col("bucket").desc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        obs = F.when(~was_gap, F.struct(F.col("bucket"), F.col("_v")))
-        # one window column per direction, fields projected afterwards:
-        # inlining prev["bucket"] / prev["_v"] etc. makes Spark emit one
-        # window FUNCTION per field access (4× asc + 2× desc measured in
-        # the plan); withColumn evaluates each direction exactly once
-        joined = joined.withColumn(
-            "_prev", F.last(obs, ignorenulls=True).over(w_prev)
-        ).withColumn("_nxt", F.last(obs, ignorenulls=True).over(w_next))
-        prev, nxt = F.col("_prev"), F.col("_nxt")
-        frac = (F.col("bucket") - prev["bucket"]) / (
-            nxt["bucket"] - prev["bucket"]
+        frac = (F.col("bucket") - F.col("_ob")) / (
+            F.col("_nb") - F.col("_ob")
         )
         # deliberately NOT re-rounded: the endpoints are already the
         # round_to-rounded aggregates, so this is the identical IEEE
@@ -207,11 +195,13 @@ def resample(
         # while rounding it WOULD diverge: interpolation midpoints land
         # exactly on .xxxxxx5 where HALF_UP / HALF_EVEN / DuckDB's
         # multiply-then-std::round all disagree value-by-value
-        interp = prev["_v"] + (nxt["_v"] - prev["_v"]) * frac
+        interp = F.col("_v") + (F.col("_nv") - F.col("_v")) * frac
         value = F.when(was_gap, interp).otherwise(F.col("_v"))
     else:
-        value = F.col("_v")
-    return joined.select(
+        value = F.when(was_gap, F.lit(None).cast("double")).otherwise(
+            F.col("_v")
+        )
+    return grid.select(
         F.col("key").alias(key_col),
         "bucket",
         value.alias("value"),
