@@ -1350,18 +1350,29 @@ def _srp_bucket_frame(
     num_tables: int,
     seed: int,
     dim: int,
+    with_vec: bool = True,
 ) -> DataFrame:
     """Sign-random-projection bucket rows ``(id long, table int,
-    bucket long, vec array<double>)`` — one row per (vector, table),
+    bucket long[, vec array<double>])`` — one row per (vector, table),
     where ``bucket`` packs the table's ``num_planes`` hyperplane sign
-    bits and ``vec`` is the UNIT-normalized vector (the exact-verify
-    operand).  The shared candidate-generation kernel of
-    :func:`embedding_near_dups` and the embedding ledger: map-only
-    (Arrow-batched ``mapInPandas``, the matmul runs one BLAS call per
-    batch), so bucketing 100 TB of vectors is an embarrassingly
-    parallel scan.  Rows whose vector is NULL or whose width differs
-    from ``dim`` raise — silently bucketing a ragged vector column
-    would poison every later cosine verify."""
+    bits and ``vec`` (only when ``with_vec=True``) is the
+    UNIT-normalized vector (the exact-verify operand).  The shared
+    candidate-generation kernel of :func:`embedding_near_dups` and the
+    embedding ledger: map-only (Arrow-batched ``mapInPandas``, the
+    matmul runs one BLAS call per batch), so bucketing 100 TB of
+    vectors is an embarrassingly parallel scan.  Rows whose vector is
+    NULL or whose width differs from ``dim`` raise — silently
+    bucketing a ragged vector column would poison every later cosine
+    verify.
+
+    ``with_vec=False`` (round-12) emits the candidate-generation
+    columns only: the unit vector was being serialized ``num_tables``
+    times per input row through Arrow and every downstream exchange,
+    while the verify stage only ever read the ``table == 0`` copy —
+    pair it with :func:`_unit_vec_frame` (identical numpy
+    normalization, so cosines stay bit-for-bit) for the verify side.
+    Bucket bits are computed from the SAME normalized matrix either
+    way, so candidate sets are unchanged."""
     import numpy as np
 
     from muller_spark.index.vector import _hyperplanes, fast_matrix
@@ -1397,23 +1408,68 @@ def _srp_bucket_frame(
                 bucket = np.zeros(len(mat), dtype=np.int64)
                 for c in range(bits.shape[1]):
                     bucket = (bucket << 1) | bits[:, c]
-                frames.append(pd.DataFrame({
-                    "id": pdf[id_col], "table": t, "bucket": bucket,
-                    "vec": list(unit),
-                }))
+                cols = {"id": pdf[id_col], "table": t, "bucket": bucket}
+                if with_vec:
+                    cols["vec"] = list(unit)
+                frames.append(pd.DataFrame(cols))
             yield pd.concat(frames)
 
     import pyspark.sql.types as T
 
-    schema = T.StructType([
+    fields = [
         T.StructField("id", T.LongType()),
         T.StructField("table", T.IntegerType()),
         T.StructField("bucket", T.LongType()),
-        T.StructField("vec", T.ArrayType(T.DoubleType())),
-    ])
+    ]
+    if with_vec:
+        fields.append(T.StructField("vec", T.ArrayType(T.DoubleType())))
+    schema = T.StructType(fields)
     return ensure_parallelism(
         df.select(F.col(id_col).cast("long").alias(id_col), vec_col)
     ).mapInPandas(lambda it: bucketize(it), schema)
+
+
+def _unit_vec_frame(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+) -> DataFrame:
+    """One ``(id long, vec array<double>)`` row per input row, ``vec``
+    UNIT-normalized with the IDENTICAL numpy operations as
+    :func:`_srp_bucket_frame` (fast_matrix → linalg.norm → divide), so
+    cosines computed from either frame agree bit-for-bit.  The verify
+    companion of ``_srp_bucket_frame(with_vec=False)``: vectors cross
+    the Arrow boundary ONCE instead of once per table."""
+    import numpy as np
+
+    from muller_spark.index.vector import fast_matrix
+
+    def normalize(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            if pdf[vec_col].isnull().any():
+                raise ValueError(
+                    f"NULL vector in column {vec_col!r}: drop or impute "
+                    "NULL embeddings before bucketing"
+                )
+            mat = fast_matrix(pdf[vec_col])
+            if mat.ndim != 2 or mat.shape[1] != dim:
+                raise ValueError(
+                    f"vector width mismatch in column {vec_col!r}: "
+                    f"expected dim {dim}, got shape {mat.shape}"
+                )
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            unit = mat / norms[:, None]
+            yield pd.DataFrame({"id": pdf[id_col], "vec": list(unit)})
+
+    return ensure_parallelism(
+        df.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+    ).mapInPandas(lambda it: normalize(it), "id long, vec array<double>")
 
 
 def embedding_near_dups(
@@ -1436,6 +1492,14 @@ def embedding_near_dups(
         if first is None:
             return spark.createDataFrame([], "id_a long, id_b long, cosine double")
         dim = len(first[0])
+    # Deliberately the single-pass shape (round-12 note): an attempted
+    # candidates-then-attach-vectors split (dedup pairs before the
+    # cosine, vectors joined back from a one-row-per-vector frame)
+    # measured 2.3 s → 7 s warm at sf0.1 — the two extra keyed joins
+    # against Python-kernel output cost more than the 6× vector
+    # payload saves at this table size.  The cross-table twin
+    # (:func:`embedding_cross_pairs`) and the ledger paths DO use the
+    # split kernels because their verify join already existed.
     buckets = _srp_bucket_frame(
         df, vec_col, id_col, num_planes, num_tables, seed, dim
     )
@@ -2670,11 +2734,18 @@ def embedding_cross_pairs(
                 [], "id_a long, id_b long, cosine double"
             )
         dim = len(first[0])
+    # round-12 shape: candidate generation joins (table, bucket, id)
+    # rows only; the unit vectors are attached to the deduped candidate
+    # sliver from per-side vector frames (one Arrow crossing per
+    # vector, not one per table — same numpy normalization, so cosines
+    # are bit-identical)
     lb = _srp_bucket_frame(
-        left, vec_col, id_col, num_planes, num_tables, seed, dim
+        left, vec_col, id_col, num_planes, num_tables, seed, dim,
+        with_vec=False,
     )
     rb = _srp_bucket_frame(
-        right, vec_col, id_col, num_planes, num_tables, seed, dim
+        right, vec_col, id_col, num_planes, num_tables, seed, dim,
+        with_vec=False,
     )
     candidates = (
         lb.select("table", "bucket", "id")
@@ -2693,13 +2764,13 @@ def embedding_cross_pairs(
     )
     return (
         candidates.join(
-            lb.filter(F.col("table") == 0).select(
+            _unit_vec_frame(left, vec_col, id_col, dim).select(
                 F.col("id").alias("id_a"), F.col("vec").alias("va")
             ),
             "id_a",
         )
         .join(
-            rb.filter(F.col("table") == 0).select(
+            _unit_vec_frame(right, vec_col, id_col, dim).select(
                 F.col("id").alias("id_b"), F.col("vec").alias("vb")
             ),
             "id_b",
@@ -2818,24 +2889,26 @@ def init_embedding_ledger(
                 "pass dim= to seed an empty embedding ledger"
             )
         dim = len(first[0])
-    sig = _srp_bucket_frame(
-        df, vec_col, id_col, num_planes, num_tables, seed, dim
-    ).cache()
-    try:
-        sig.select("table", "bucket", "id").write.mode("overwrite").parquet(
-            os.path.join(path, "buckets")
-        )
-        sig.filter(F.col("table") == 0).select("id", "vec").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(path, "vectors"))
-        spark.createDataFrame(
-            [(int(num_planes), int(num_tables), int(seed), int(dim))],
-            "num_planes int, num_tables int, seed long, dim int",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, "meta")
-        )
-    finally:
-        sig.unpersist()
+    # round-12: buckets and vectors come from two lean kernels instead
+    # of one wide frame — the bucket write no longer carries (and then
+    # drops) num_tables copies of every unit vector, and the vector
+    # write normalizes once per row (identical numpy ops, identical
+    # file contents)
+    _srp_bucket_frame(
+        df, vec_col, id_col, num_planes, num_tables, seed, dim,
+        with_vec=False,
+    ).select("table", "bucket", "id").write.mode("overwrite").parquet(
+        os.path.join(path, "buckets")
+    )
+    _unit_vec_frame(df, vec_col, id_col, dim).select(
+        "id", "vec"
+    ).write.mode("overwrite").parquet(os.path.join(path, "vectors"))
+    spark.createDataFrame(
+        [(int(num_planes), int(num_tables), int(seed), int(dim))],
+        "num_planes int, num_tables int, seed long, dim int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "meta")
+    )
 
 
 def _embedding_ledger_dups(
@@ -2850,17 +2923,26 @@ def _embedding_ledger_dups(
     (table, bucket)-keyed join against the posting table (candidates
     only — bounded by bucket collisions, never batch × corpus) → exact
     unit-dot cosine ≥ ``threshold`` on the candidate sliver.  Returns
-    ``(sig, verified)`` where ``sig`` is the batch bucket frame and
-    ``verified`` the surviving ``(id, ledger_id, cosine)`` rows."""
+    ``(sig, uv, verified)`` where ``sig`` is the batch bucket frame
+    (no vectors), ``uv`` the batch's one-row-per-vector unit frame,
+    and ``verified`` the surviving ``(id, ledger_id, cosine)`` rows."""
     spark = batch_df.sparkSession
     _recover_ledger_log(path, ["vectors", "buckets"])
     meta = spark.read.parquet(os.path.join(path, "meta")).first()
     num_planes, num_tables, seed, dim = (
         meta["num_planes"], meta["num_tables"], meta["seed"], meta["dim"]
     )
+    # round-12: the barrier holds (id, table, bucket) + a one-row-per-
+    # vector unit frame instead of num_tables copies of every unit
+    # vector — same candidates, bit-identical cosines (identical numpy
+    # normalization), num_tables× less checkpointed vector payload
     sig = _srp_bucket_frame(
-        batch_df, vec_col, id_col, num_planes, num_tables, int(seed), dim
-    ).localCheckpoint()  # barrier: candidates + verify + append all re-read
+        batch_df, vec_col, id_col, num_planes, num_tables, int(seed), dim,
+        with_vec=False,
+    ).localCheckpoint()  # barrier: candidates + append both re-read
+    uv = _unit_vec_frame(
+        batch_df, vec_col, id_col, dim
+    ).localCheckpoint()  # barrier: verify + append both re-read
     ledger_buckets = spark.read.parquet(os.path.join(path, "buckets"))
     ledger_vecs = spark.read.parquet(os.path.join(path, "vectors"))
     candidates = (
@@ -2877,9 +2959,7 @@ def _embedding_ledger_dups(
         F.lit(0.0), lambda acc, x: acc + x,
     )
     verified = (
-        candidates.join(
-            sig.filter(F.col("table") == 0).select("id", "vec"), "id"
-        )
+        candidates.join(uv.select("id", "vec"), "id")
         .join(
             ledger_vecs.select(
                 F.col("id").alias("ledger_id"), F.col("vec").alias("ledger_vec")
@@ -2889,7 +2969,7 @@ def _embedding_ledger_dups(
         .select("id", "ledger_id", cosine.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
-    return sig, verified
+    return sig, uv, verified
 
 
 def embedding_against_ledger(
@@ -2936,7 +3016,7 @@ def embedding_against_ledger(
                 batch_df, vec_col, id_col, path, threshold=threshold,
                 update=update,
             )
-    sig, verified = _embedding_ledger_dups(
+    sig, uv, verified = _embedding_ledger_dups(
         batch_df, vec_col, id_col, path, threshold
     )
     dup_ids = verified.select("id").distinct()
@@ -2947,15 +3027,15 @@ def embedding_against_ledger(
         survivor_ids.withColumnRenamed("id", id_col), id_col, "semi"
     )
     if update:
-        staged = sig.join(
-            survivor_ids, "id", "semi"
-        ).localCheckpoint()  # materialize BEFORE appending to the tables
-        staged.filter(F.col("table") == 0).select("id", "vec").write.mode(
+        # both source frames are already checkpointed (the decision
+        # barrier), so the appends re-read materialized rows — same
+        # crash window as before: vectors first, then buckets
+        uv.join(survivor_ids, "id", "semi").select("id", "vec").write.mode(
             "append"
         ).parquet(os.path.join(path, "vectors"))
-        staged.select("table", "bucket", "id").write.mode("append").parquet(
-            os.path.join(path, "buckets")
-        )
+        sig.join(survivor_ids, "id", "semi").select(
+            "table", "bucket", "id"
+        ).write.mode("append").parquet(os.path.join(path, "buckets"))
     return survivors
 
 
@@ -3055,7 +3135,7 @@ def embedding_pairs_against_ledger(
     admission.  Intra-batch pairs are NOT included: union with
     :func:`embedding_near_dups` over the batch when the batch can
     contain its own duplicates."""
-    _, verified = _embedding_ledger_dups(
+    _, _, verified = _embedding_ledger_dups(
         batch_df, vec_col, id_col, path, threshold
     )
     return verified.select(
@@ -3243,9 +3323,15 @@ def bloom_decontaminate(
     def _partial_bitmaps(iterator):
         bits = np.zeros(num_bits, dtype=np.uint8)
         for pdf in iterator:
-            for doc in pdf["pos"]:
-                if doc is not None and len(doc) > 0:
-                    bits[np.asarray(doc, dtype=np.int64)] = 1
+            # one concatenated scatter per batch, not a per-doc loop
+            # (round-12: the Python row loop dominated the build stage)
+            docs = [
+                np.asarray(d, dtype=np.int64)
+                for d in pdf["pos"]
+                if d is not None and len(d) > 0
+            ]
+            if docs:
+                bits[np.concatenate(docs)] = 1
         yield pd.DataFrame({"bm": [np.packbits(bits).tobytes()]})
 
     pos_flat = ensure_parallelism(test_df.select(text_col)).select(
@@ -3280,12 +3366,30 @@ def bloom_decontaminate(
     def _hits(iterator):
         bitmap = np.unpackbits(bc.value)
         for pdf in iterator:
+            # vectorized over the whole batch (round-12): concatenate
+            # every doc's positions, one bitmap gather, per-window AND
+            # across the k hash lanes, then a segmented per-doc sum via
+            # reduceat — the per-doc Python loop was the probe stage's
+            # hot spot
             out = np.zeros(len(pdf), dtype=np.int32)
-            for i, doc in enumerate(pdf["pos"]):
-                if doc is None or len(doc) == 0:
-                    continue
-                hit = bitmap[np.asarray(doc, dtype=np.int64)].reshape(-1, k)
-                out[i] = int(hit.all(axis=1).sum())
+            lens = np.fromiter(
+                (0 if d is None else len(d) for d in pdf["pos"]),
+                dtype=np.int64, count=len(pdf),
+            )
+            nz = np.nonzero(lens)[0]
+            if len(nz):
+                flat = np.concatenate(
+                    [np.asarray(pdf["pos"].iloc[i], dtype=np.int64)
+                     for i in nz]
+                )
+                win_hits = bitmap[flat].reshape(-1, k).all(axis=1)
+                # per-doc window counts = segment boundaries in windows
+                nwins = lens[nz] // k
+                starts = np.zeros(len(nz), dtype=np.int64)
+                starts[1:] = np.cumsum(nwins)[:-1]
+                out[nz] = np.add.reduceat(
+                    win_hits.astype(np.int32), starts
+                )
             yield pd.DataFrame({"cid": pdf["cid"], "hits": out})
 
     # ONE Arrow pass, carrying only (id, positions) — never the full

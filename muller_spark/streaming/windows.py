@@ -592,6 +592,7 @@ def make_embedding_batch_handler(
 
     from muller_spark.operators.dedup import (
         _srp_bucket_frame,
+        _unit_vec_frame,
         embedding_against_ledger,
     )
 
@@ -613,14 +614,15 @@ def make_embedding_batch_handler(
             survivors.write.mode("overwrite").parquet(batch_out)
         meta = spark.read.parquet(_os.path.join(ledger_path, "meta")).first()
         landed = spark.read.parquet(batch_out)
-        sig = _srp_bucket_frame(
+        _unit_vec_frame(
+            landed, vec_col, id_col, meta["dim"]
+        ).select("id", "vec").write.mode("append").parquet(
+            _os.path.join(ledger_path, "vectors")
+        )
+        _srp_bucket_frame(
             landed, vec_col, id_col, meta["num_planes"], meta["num_tables"],
-            int(meta["seed"]), meta["dim"],
-        ).localCheckpoint()
-        sig.filter(F.col("table") == 0).select("id", "vec").write.mode(
-            "append"
-        ).parquet(_os.path.join(ledger_path, "vectors"))
-        sig.select("table", "bucket", "id").write.mode("append").parquet(
+            int(meta["seed"]), meta["dim"], with_vec=False,
+        ).select("table", "bucket", "id").write.mode("append").parquet(
             _os.path.join(ledger_path, "buckets")
         )
 
