@@ -515,10 +515,18 @@ def bigram_logprob(
         .agg(F.count(F.lit(1)).alias("uc"))
     )
     total = uni.agg(F.sum(F.col("uc").cast("long")).alias("total"))
-    bic = bi.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("bc"))
     prevc = uni.select(F.col("tok").alias("prev"), F.col("uc").alias("pc"))
     # per-(doc, prev, tok) multiplicities so joins move distinct keys
     per = bi.groupBy("id", "prev", "tok").agg(F.count(F.lit(1)).alias("k"))
+    # corpus bigram counts FOLD the per-doc table (sum of per-doc
+    # multiplicities == the raw occurrence count, exactly) instead of
+    # re-exploding every bigram occurrence — one corpus-wide
+    # pair-generation pass instead of two, and the (prev, tok) shuffle
+    # moves distinct per-doc keys, not occurrences (round 12, guide
+    # §2.3 "aggregate before you shuffle")
+    bic = per.groupBy("prev", "tok").agg(
+        F.sum("k").cast("long").alias("bc")
+    )
     scored = (
         per.join(bic, ["prev", "tok"])
         .join(prevc, "prev")
@@ -537,9 +545,10 @@ def bigram_logprob(
             F.sum(F.col("k") * F.col("_lp")).alias("_slp"),
         )
     )
-    n_tok = df.select(
-        F.col(id_col).alias("id"), F.size(tokens_of(F.col(text_col))).alias("n_tokens")
-    )
+    # n_tokens comes from the SAME tokenized projection (identical
+    # expression, so identical values) — re-tokenizing df here cost a
+    # third full normalize+regex-split pass over the corpus (round 12)
+    n_tok = toked.select("id", F.size(tk).alias("n_tokens"))
     return (
         n_tok.join(scored, "id", "left")
         .select(
