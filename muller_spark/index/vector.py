@@ -569,6 +569,81 @@ def _cell_assign_frame(
     ).mapInPandas(assign, schema)
 
 
+def _cogroup_blas_topk(left: DataFrame, right: DataFrame, k: int) -> DataFrame:
+    """Candidate scoring for the :func:`knn_join` family: per probed
+    cell, ONE BLAS distance block (cogrouped Arrow kernel) with an
+    in-kernel partial top-k, replacing a row-per-pair JVM join + an
+    interpreted per-element ``aggregate(zip_with(...))`` fold —
+    |pairs|·dim lambda evaluations become ~|cells| matmuls, and the
+    downstream per-query window ranks ≤ k·nprobe rows instead of every
+    candidate pair.  Boundary TIES at the per-cell k-th distance are
+    all kept (mask ``d2 <= k-th smallest``, not a hard cut), so the
+    global (distance, id) ranking selects pair-for-pair the same ids
+    as ranking the full candidate set.  ``distance`` is squared L2 via
+    the expanded form ``||q||² − 2q·r + ||r||²`` on float64, clipped
+    at 0 — ranks are identical to the sequential fold on any input
+    whose k-boundary gaps exceed ~1e-9 relative error (the recall
+    contract already demands far more margin than that); absolute
+    values may differ from the old fold in the last couple of ulps.
+
+    The query-block tile bounds kernel memory at ~32 MB of distances
+    per step regardless of cell occupancy, so a hot cell degrades to
+    more matmul steps, never to an occupancy² allocation."""
+    import pandas as pd
+
+    k = int(k)
+
+    def score(lpdf, rpdf):
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype="int64"),
+                "id": pd.Series(dtype="int64"),
+                "distance": pd.Series(dtype="float64"),
+            })
+        Q = fast_matrix(lpdf["__qvec"])
+        R = fast_matrix(rpdf["__rvec"])
+        qid = lpdf["query_id"].to_numpy(dtype=np.int64)
+        rid = rpdf["__rid"].to_numpy(dtype=np.int64)
+        rn2 = (R * R).sum(axis=1)
+        kk = min(k, len(rid))
+        block = max(1, 4_194_304 // len(rid))
+        outs = []
+        for s in range(0, len(Q), block):
+            qb = Q[s:s + block]
+            d2 = (qb * qb).sum(axis=1)[:, None] - 2.0 * (qb @ R.T) + rn2[None, :]
+            np.maximum(d2, 0.0, out=d2)
+            thr = np.partition(d2, kk - 1, axis=1)[:, kk - 1:kk]
+            rows, cols = np.nonzero(d2 <= thr)
+            outs.append(pd.DataFrame({
+                "query_id": qid[s + rows],
+                "id": rid[cols],
+                "distance": d2[rows, cols],
+            }))
+        return pd.concat(outs)
+
+    return (
+        left.groupBy("cell")
+        .cogroup(right.groupBy("cell"))
+        .applyInPandas(score, "query_id long, id long, distance double")
+    )
+
+
+def _rank_topk(candidates: DataFrame, k: int) -> DataFrame:
+    """(distance asc, id asc) row_number ranking shared by the
+    knn_join family — runs over the per-cell partial top-k, so each
+    query id carries ≤ k·nprobe rows into the window."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "distance", "rank")
+    )
+
+
 def knn_join(
     queries: DataFrame,
     query_vec_col: str,
@@ -596,11 +671,12 @@ def knn_join(
     uniform corpus sample (:func:`train_centroids` — driver-side
     k-means, the FAISS regime); each CORPUS row is assigned map-only
     to its single nearest cell, each QUERY row to its ``nprobe``
-    nearest cells (one Arrow-batched BLAS block per batch); one
-    cell-keyed shuffle join produces candidates (query × its probed
-    cells' occupants — never queries × corpus); squared-L2 runs
-    JVM-side on the candidate sliver; one window per query id ranks
-    ≤ candidates rows.  (query, corpus) candidate pairs are unique by
+    nearest cells (one Arrow-batched BLAS block per batch); a
+    cell-keyed COGROUP scores candidates (query × its probed cells'
+    occupants — never queries × corpus) with one BLAS distance block
+    and an in-kernel partial top-k per cell
+    (:func:`_cogroup_blas_topk`); one window per query id then ranks
+    ≤ k·nprobe rows.  (query, corpus) candidate pairs are unique by
     construction (the corpus side holds ONE cell per row), so no
     dedup pass is needed.
 
@@ -661,25 +737,7 @@ def knn_join(
     ).select(
         "cell", F.col("id").alias("query_id"), F.col("vec").alias("__qvec")
     )
-    dist2 = F.aggregate(
-        F.zip_with(
-            F.col("__qvec"), F.col("__rvec"), lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    candidates = left.join(right, "cell").select(
-        "query_id", F.col("__rid").alias("id"), dist2.alias("distance")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("distance").asc(), F.col("id").asc()
-    )
-    return (
-        candidates.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "id", "distance", "rank")
-    )
+    return _rank_topk(_cogroup_blas_topk(left, right, k), k)
 
 
 def knn_join_prebuilt(
@@ -754,25 +812,7 @@ def knn_join_prebuilt(
             ),
             "__rid",
         )
-    dist2 = F.aggregate(
-        F.zip_with(
-            F.col("__qvec"), F.col("__rvec"), lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    candidates = left.join(right, "cell").select(
-        "query_id", F.col("__rid").alias("id"), dist2.alias("distance")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("distance").asc(), F.col("id").asc()
-    )
-    return (
-        candidates.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "id", "distance", "rank")
-    )
+    return _rank_topk(_cogroup_blas_topk(left, right, k), k)
 
 
 # ---------------------------------------------------------------------------
