@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -47,21 +47,26 @@ def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u}).
 
     Output edges are already large→small oriented: the emitted pair is
-    (v, m) with v > u ≥ m, so no re-orientation pass is needed."""
-    nbrs = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    mins = (
-        nbrs.groupBy("u")
-        .agg(F.min("v").alias("_mn"))
-        .select("u", F.least("_mn", F.col("u")).alias("m"))
-    )
-    # deliberately NOT distinct-ed: duplicate edges change neither the
-    # min aggregates nor the emitted pair set of the following
-    # small-star pass (whose output distinct restores set semantics),
-    # and dropping the dedup saves one shuffle stage per round
+    (v, m) with v > u ≥ m, so no re-orientation pass is needed.
+
+    Shape: min(Γ(u)) is a partitionBy-only window over the symmetrized
+    edge list — ONE exchange on u and one in-partition pass, where the
+    groupBy(u).min + join-back-on-u shape paid the same exchange PLUS a
+    join (sort-merge = two more sorts, and a second AQE query stage per
+    round).  The symmetrization itself is a single-pass explode instead
+    of a union of two scans."""
+    nbrs = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("n"), F.col("v").alias("w")),
+                F.struct(F.col("v").alias("n"), F.col("u").alias("w")),
+            )
+        ).alias("e")
+    ).select(F.col("e.n").alias("u"), F.col("e.w").alias("v"))
+    win = Window.partitionBy("u")
+    m = F.least(F.min("v").over(win), F.col("u"))
     return (
-        nbrs.join(mins, "u")
+        nbrs.select("u", "v", m.alias("m"))
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -71,16 +76,26 @@ def _large_star(edges: DataFrame) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     """Connect every smaller-or-equal neighbor of u (and u itself) to
     min(Γ⁻(u) ∪ {u}).  Input must be large→small oriented (u > v);
-    output stays oriented."""
-    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
-    joined = edges.join(mins, "u")
-    leaf_edges = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
-    self_edges = mins.select("u", F.col("m").alias("v"))
-    return (
-        leaf_edges.union(self_edges)
-        .where(F.col("u") != F.col("v"))
-        .distinct()
+    output stays oriented.
+
+    Same window shape as :func:`_large_star`; the per-node self edge
+    (u, m) is emitted per ROW and deduped by the closing ``distinct``
+    (which the algorithm needs anyway to restore set semantics), so no
+    separate aggregate or union branch exists."""
+    win = Window.partitionBy("u")
+    pairs = (
+        edges.select("u", "v", F.min("v").over(win).alias("m"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                    F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
     )
+    return pairs.where(F.col("u") != F.col("v")).distinct()
 
 
 def connected_components(
@@ -114,13 +129,12 @@ def connected_components(
     min-label algorithm's worst case — contract exponentially (a
     diameter-10 000 chain converges in ~15 rounds, not 10 000).
     """
+    # lazy checkpoint: the initial fingerprint below materializes it,
+    # so setup is one scheduled job instead of three (eager checkpoint
+    # + take(1) emptiness probe + fingerprint)
     cur = _canonical(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint()
-    if not cur.take(1):
-        return cur.select(
-            F.col("u").alias("id"), F.col("v").alias("component")
-        )
+    ).localCheckpoint(eager=False)
 
     # Per-round cost discipline: ONE checkpoint (large-star + small-star
     # composed in a single plan) and ONE aggregate job computing a
@@ -139,6 +153,10 @@ def connected_components(
         )
 
     prev = _stats(cur)
+    if not prev[0]:  # empty edge set: no components
+        return cur.select(
+            F.col("u").alias("id"), F.col("v").alias("component")
+        )
     converged = False
     for _ in range(max_rounds):
         # lazy checkpoint + stats aggregate = ONE job per round: the
