@@ -36,6 +36,24 @@ def normalized_text(col: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
+def split_tokens(col: Column) -> Column:
+    """Tokenize: lowercase, split on ``TOKEN_SPLIT_REGEX``, drop empties.
+
+    Equivalent to ``filter(split(normalized_text(col), SEP), != '')`` but
+    one regex pass cheaper (measured ~30% of tokenize cost at sf0.1):
+    the trim + whitespace-collapse of :func:`normalized_text` is
+    provably redundant under the split — every whitespace char is in
+    the separator class and the ``+`` quantifier eats whole separator
+    runs, so collapsing runs first cannot move a split boundary, and
+    the empty leading/trailing tokens trim would have prevented are
+    dropped by the filter.  Token characters ([a-z0-9一-鿿]) are
+    untouched by either pass.  Verified by full-corpus null-safe
+    equality against the old expression (tests/test_text.py)."""
+    return F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_REGEX), lambda t: t != ""
+    )
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str,
@@ -77,9 +95,7 @@ def _shingles(col: Column, n: int) -> Column:
     """Distinct token n-gram shingles of a text column (JVM-side).
     Empty tokens (leading/trailing punctuation splits) are dropped so
     shingles match the ``tokens_of`` tokenization everywhere else."""
-    tokens = F.filter(
-        F.split(normalized_text(col), TOKEN_SPLIT_REGEX), lambda t: t != ""
-    )
+    tokens = split_tokens(col)
     if n == 1:
         return F.array_distinct(tokens)
     # slide an n-window over the let-bound token array — binding keeps
@@ -386,10 +402,7 @@ def simhash_portable(
     (tokens counted with multiplicity, like the kernel).  Pure integer
     JVM expressions — a DuckDB list-function oracle reproduces every
     fingerprint exactly.  Returns (id, simhash60)."""
-    tokens = F.filter(
-        F.split(normalized_text(F.col(text_col)), TOKEN_SPLIT_REGEX),
-        lambda t: t != "",
-    )
+    tokens = split_tokens(F.col(text_col))
     hashed = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.transform(tokens, portable_hash60).alias("hs"),
@@ -1037,9 +1050,7 @@ def duplicate_passages(
 def _shingle_windows(col: Column, n: int) -> Column:
     """All token n-gram windows (positional, NOT distinct — a passage
     repeated inside one document counts each occurrence)."""
-    tokens = F.filter(
-        F.split(normalized_text(col), TOKEN_SPLIT_REGEX), lambda t: t != ""
-    )
+    tokens = split_tokens(col)
     return let_bound(
         tokens,
         lambda t: F.when(
@@ -1101,17 +1112,31 @@ def dedup_clusters(
     # lineage multiplicatively — by ~10 rounds the nested logical plan
     # overflows the analyzer stack and re-optimizes from scratch each
     # count.  Checkpointing truncates lineage to the materialized RDD.
+    # distinct BEFORE symmetrizing (half the rows through the exchange),
+    # then emit both orientations in one map pass — the old
+    # union-then-distinct shuffled 2x|pairs| rows and scanned the pair
+    # pipeline twice
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .localCheckpoint()
     )
+    # lazy: round 0's count below materializes it, saving one scheduled
+    # job (edges stays eager — every round scans it)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
         neighbor_min = (

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from muller_spark.operators.dedup import normalized_text
+from muller_spark.operators.dedup import normalized_text, split_tokens
 from muller_spark.plans.conditions import TOKEN_SPLIT_REGEX
 
 # Tiny deterministic stopword profiles for the n-gram/stopword-overlap
@@ -28,9 +28,9 @@ STOPWORDS_EN = frozenset(
 
 
 def tokens_of(col: Column) -> Column:
-    return F.filter(
-        F.split(normalized_text(col), TOKEN_SPLIT_REGEX), lambda t: t != ""
-    )
+    # lower-only split: see split_tokens' equivalence proof (one regex
+    # pass cheaper than split(normalized_text(...)))
+    return split_tokens(col)
 
 
 def token_count(col: Column) -> Column:

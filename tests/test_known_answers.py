@@ -197,6 +197,41 @@ def test_tokenizer_known_answers(spark):
     assert rows[2]["toks"] == []
 
 
+def test_split_tokens_equals_normalized_split(spark):
+    # split_tokens drops normalized_text's trim + whitespace-collapse
+    # passes; this pins the equivalence proof (every whitespace char is
+    # in the separator class, '+' eats whole runs) against the old
+    # expression on hostile inputs: unicode whitespace, CJK, leading/
+    # trailing separator runs, NULLs, separator-only and empty strings.
+    from muller_spark.plans.conditions import TOKEN_SPLIT_REGEX
+
+    df = spark.createDataFrame(
+        [
+            ("Hello, World! 123",),
+            ("  Foo\t BAR \r\n baz ",),
+            ("",),
+            (None,),
+            (" nbsp separated　ideographic",),
+            ("中文 测试 mixed EN 中文",),
+            ("...!!!???",),
+            ("a" * 500 + "  " + "b" * 500,),
+            ("tab\tnew\nline\rmix\f\x0b end",),
+        ],
+        ["t"],
+    )
+    old = F.filter(
+        F.split(normalized_text(F.col("t")), TOKEN_SPLIT_REGEX),
+        lambda t: t != "",
+    )
+    got = df.select(
+        F.col("t"),
+        tokens_of(F.col("t")).alias("new"),
+        old.alias("old"),
+    ).collect()
+    for r in got:
+        assert r["new"] == r["old"], r["t"]
+
+
 # ------------------------------------------------------- Gopher family
 
 def test_gopher_stats_hand_computed(spark):
