@@ -1139,28 +1139,40 @@ def dedup_clusters(
         .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+        # one join + ONE aggregate per round: neighbor labels travel
+        # through the edges⋈labels join (fundamental — labels must
+        # reach neighbors), but the old second join (labels ⋈
+        # neighbor_min on id) folds into the min-aggregate by unioning
+        # a self row per node — min(own ∪ neighbors) in the same
+        # exchange that grouped the neighbor candidates, and the old
+        # label rides along as min(self-row) for the convergence flag.
+        # Round-12 probe: 20 → 16 scheduled jobs for the keep-best
+        # pair graph, identical labels; at scale each round saves a
+        # labels-sized shuffle join.
+        cand = edges.join(labels, edges.dst == labels.id).select(
+            F.col("src").alias("nid"),
+            F.col("label").alias("cand"),
+            F.lit(False).alias("is_self"),
         )
-        new_label = F.least(
-            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        selfr = labels.select(
+            F.col("id").alias("nid"),
+            F.col("label").alias("cand"),
+            F.lit(True).alias("is_self"),
+        )
+        agg = cand.unionByName(selfr).groupBy("nid").agg(
+            F.min("cand").alias("new_label"),
+            F.min(F.when(F.col("is_self"), F.col("cand"))).alias("old_label"),
         )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                new_label.alias("label"),
+            agg.select(
+                F.col("nid").alias("id"),
+                F.col("new_label").alias("label"),
                 # convergence flag carried THROUGH the propagation: the
-                # old label is already on this row, so "did anything
-                # change" needs no join of consecutive label tables —
-                # the round-12 shape drops one shuffle join + one
-                # scheduled job per round vs the old
-                # checkpoint-then-join-then-count (per-round latency
-                # dominates on small pair graphs; at scale it removes a
-                # labels-sized shuffle per round)
-                (new_label != F.col("label")).alias("_chg"),
+                # old label arrives as the self row's min, so "did
+                # anything change" needs no join of consecutive label
+                # tables (per-round latency dominates on small pair
+                # graphs; at scale this keeps the round at one shuffle)
+                (F.col("new_label") != F.col("old_label")).alias("_chg"),
             )
             # lazy: the changed-count action below is what materializes
             # the checkpoint, so each round schedules ONE job
