@@ -4254,19 +4254,18 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count alongside — unlike approx_count_distinct's opaque
     binary sketch, every register and the estimate replay in the
     oracle (md5-60bit hash + binary-string bit length + bucket-ordered
-    power-of-two fold)."""
-    from muller_spark.operators.aggregate import hll_distinct
+    power-of-two fold).  Registers are duplicate-invariant, so sketch
+    AND exact count derive from one distinct aggregate
+    (aggregate._hll_with_exact): one corpus scan, zero joins —
+    identical integers to the two-pass crossJoin shape."""
+    from muller_spark.operators.aggregate import _hll_with_exact
     from muller_spark.operators.dedup import _shingles
 
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select(
         F.explode(_shingles(F.col("text"), 3)).alias("shingle")
     )
-    est = hll_distinct(sh, "shingle", precision=10)
-    exact = sh.agg(
-        F.count_distinct("shingle").alias("exact_distinct")
-    )
-    return est.crossJoin(F.broadcast(exact))
+    return _hll_with_exact(sh, "shingle", precision=10)
 
 
 def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4288,6 +4287,12 @@ def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sh.groupBy("source").agg(
         F.count_distinct("shingle").alias("exact_distinct")
     )
+    # Deliberately TWO passes: the q_hll_distinct register/exact fusion
+    # applied per group measured consistently slower here (ABAB medians
+    # 1.91 s two-pass vs 2.37 s fused at sf0.1) — the two sides are
+    # independent stage trees the scheduler overlaps, while the fused
+    # plan is one serial chain whose big per-(group, value) exchange
+    # the exact side pays either way.
     return est.join(exact, "source").orderBy("source")
 
 

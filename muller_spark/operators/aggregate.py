@@ -587,6 +587,84 @@ def _hll_estimate_from_registers(regs: DataFrame, precision: int) -> DataFrame:
     return out
 
 
+def _hll_with_exact(
+    df: DataFrame,
+    col: str,
+    precision: int = 10,
+) -> DataFrame:
+    """:func:`hll_distinct` with the exact distinct count riding along
+    in ONE linear plan — registers are duplicate-invariant (rho depends
+    only on the value's hash), so both the sketch and the truth derive
+    from the distinct values: scan → distinct → per-bucket
+    ``max(rho) + count(1)`` → global fold with ``exact_distinct =
+    sum(count)``.  Identical integers to running :func:`hll_distinct`
+    and ``count_distinct`` separately (duplicate-invariance +
+    associativity), with one corpus scan and zero joins instead of two
+    scans and a crossJoin.  Contract: ``col`` must cast to string
+    injectively (it is hashed and counted AS the cast string — a
+    string column trivially qualifies).  Returns one row:
+    (m, nonzero_registers, estimate, exact_distinct); the empty-input
+    edge matches ``count_distinct``'s 0 via a coalesce."""
+    from muller_spark.operators.dedup import portable_hash60
+
+    if not 4 <= precision <= 14:
+        raise ValueError("precision must be in [4, 14]")
+    m = 1 << precision
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    w = 60 - precision
+    dist = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).cast("string").alias("__v"))
+        .distinct()
+    )
+    h = portable_hash60(F.col("__v"))
+    rem = h % F.lit(1 << w)
+    rho = F.when(
+        rem > 0,
+        F.lit(w) - F.length(F.conv(rem, 10, 2)) + F.lit(1),
+    ).otherwise(F.lit(w + 1))
+    regs = (
+        dist.select(
+            F.shiftright(h, w).cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"), F.count(F.lit(1)).alias("cnt"))
+    )
+    packed = regs.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "reg"))).alias("rs"),
+        F.sum("cnt").alias("__exact"),
+    )
+    sum_present = F.aggregate(
+        F.col("rs"),
+        F.lit(0.0).cast("double"),
+        lambda acc, r: acc + F.pow(F.lit(2.0), -r["reg"]),
+    )
+    present = F.size(F.col("rs"))
+    zeros = (F.lit(m) - present).cast("double")
+    sum_z = sum_present + zeros
+    raw = F.lit(alpha * m * m) / sum_z
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return packed.select(
+        F.lit(m).alias("m"),
+        present.cast("long").alias("nonzero_registers"),
+        F.round(est, 4).alias("estimate"),
+        F.coalesce(F.col("__exact"), F.lit(0).cast("long")).alias(
+            "exact_distinct"
+        ),
+    )
+
+
 def cms_frequency_report(
     df: DataFrame,
     col: str,
@@ -604,11 +682,17 @@ def cms_frequency_report(
     counters are EXACT INTEGERS, so a SQL oracle replays the whole
     sketch bit-for-bit.
 
-    Scale shape: ``depth`` map-side bucket projections unioned into ONE
-    (row, bucket) hash aggregate — sketch size depth·width rows
-    regardless of corpus; the report side is an exact top-k
-    (TakeOrderedAndProject) whose ≤ k·depth probes join the tiny
-    sketch."""
+    Scale shape: ONE corpus pass — ``groupBy(v).count()`` — feeds BOTH
+    sides: the sketch counter for (row, bucket) is ``sum(exact_cnt)``
+    over the values hashing there (identical integers to counting the
+    occurrences directly, by sum associativity), with the ``depth``
+    bucket projections exploding the ≤ |vocabulary| count rows instead
+    of the corpus; the report side is an exact top-k
+    (TakeOrderedAndProject) over the SAME count frame, whose ≤ k·depth
+    probes join the tiny sketch.  The corpus is never scanned more
+    than the two branch reads (the per-value exchange is shared when
+    AQE reuses the stage), and the sketch-side shuffle carries
+    depth × |vocabulary| rows, not depth × corpus."""
     from muller_spark.operators.dedup import portable_hash60
 
     if k <= 0 or width <= 1 or not 1 <= depth <= 8:
@@ -623,21 +707,30 @@ def cms_frequency_report(
             portable_hash60(F.concat(v, F.lit(f"#cms{i}"))) % F.lit(width)
         ).cast("int")
 
-    counters = None
-    for i in range(depth):
-        part = vals.select(
-            F.lit(i).alias("row"), bucket_of_row(F.col("v"), i).alias("bucket")
+    # the one corpus pass both branches read
+    counts = vals.groupBy("v").agg(F.count(F.lit(1)).alias("exact_cnt"))
+
+    sketch = (
+        counts.select(
+            "exact_cnt",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        bucket_of_row(F.col("v"), i).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ])
+            ).alias("p"),
         )
-        counters = part if counters is None else counters.unionByName(part)
-    sketch = counters.groupBy("row", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
+        .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .agg(F.sum("exact_cnt").alias("c"))
     )
 
     from pyspark.sql import Window
 
     top = (
-        vals.groupBy("v")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        counts
         .orderBy(F.col("exact_cnt").desc(), F.col("v").asc())
         .limit(k)
     )
