@@ -268,14 +268,18 @@ def _prior_bench_detail() -> "dict | None":
     return None
 
 
-# Re-measure pass tuning (round-12, VERDICT r11 #1): a query whose warm
-# median exceeds OUTLIER_FACTOR × its anchored committed prior (fallback
-# when no prior row: × its own same-session cold) is treated as a
-# within-session burst suspect and re-measured as a median of
-# OUTLIER_REPS fresh warm runs.  The anchor normalizes SESSIONS (steady
-# host speed); this normalizes ROWS (noisy-neighbor bursts that hit a
-# handful of queries mid-sweep — r11's q_neardup_ledger read 9.97 s on a
-# host the anchor proved FAST, vs 3.37 s on identical code).
+# Re-measure pass tuning (round-12, VERDICT r11 #1; made SYMMETRIC in
+# round 13 per VERDICT r12 #7): a query whose warm median deviates from
+# its anchored committed prior (fallback when no prior row: its own
+# same-session cold) by more than OUTLIER_FACTOR in EITHER direction
+# (|log ratio| > log OUTLIER_FACTOR) is treated as a within-session
+# burst/luck suspect and re-measured as a median of OUTLIER_REPS fresh
+# warm runs.  The anchor normalizes SESSIONS (steady host speed); this
+# normalizes ROWS in both directions — slow bursts (r11's
+# q_neardup_ledger read 9.97 s on a host the anchor proved FAST) no
+# longer get kept, and fast-luck rows no longer keep their luck
+# (the r12 one-sided pass biased totals downward).  The raw first-sweep
+# total is reported alongside as ``total_raw``.
 OUTLIER_FACTOR = 1.5
 OUTLIER_REPS = 5
 OUTLIER_MAX_QUERIES = 12  # bound the pass; worst offenders first
@@ -306,8 +310,15 @@ def remeasure_outliers(spark, sf_dir: str, timings: dict, protocol: dict,
         else:
             base = float(protocol[name]["cold_s"])
             kind = "same_session_cold"
-        if base > 0 and warm > OUTLIER_FACTOR * base:
-            suspects.append((warm / base, name, base, kind))
+        # symmetric trigger (round 13): suspect when the row deviates
+        # from its baseline by >OUTLIER_FACTOR in EITHER direction, so
+        # fast luck is re-measured exactly like slow bursts; rank by
+        # the magnitude of the deviation.
+        if base > 0 and warm > 0 and (
+            warm > OUTLIER_FACTOR * base or warm * OUTLIER_FACTOR < base
+        ):
+            dev = max(warm / base, base / warm)
+            suspects.append((dev, name, base, kind))
     suspects.sort(reverse=True)
     all_queries = dict(entrymod.queries())
     for n in HEADLINE:
@@ -493,6 +504,13 @@ def main() -> None:
         headline_jvm = spark.sparkContext.applicationId
 
     total = round(sum(timings.values()), 4)
+    # VERDICT r12 #7: the raw FIRST-SWEEP total rides alongside the
+    # remeasured total, so the remeasure pass can never silently move
+    # the headline — both numbers are in the parseable line.
+    total_raw = round(sum(
+        rec.get("first_warm_steady_s", timings[name])
+        for name, rec in protocol.items() if name in timings
+    ), 4)
     # Key order matters: the driver records only the LAST 2000 chars of
     # stdout, so the bulky sections (baseline sweeps, per-query map) go
     # FIRST and the headline scalars (sf/unit/value/metric) go LAST —
@@ -501,8 +519,9 @@ def main() -> None:
     # the complete result is also written to BENCH_DETAIL.json.
     result: dict = {
         "protocol": "cold+warm_steady(median of 3); compare warm only; "
-        "warm >1.5x anchored committed prior re-measured median-of-5 "
-        "(queries_protocol[q].remeasured)"
+        "warm deviating >1.5x from anchored committed prior in EITHER "
+        "direction re-measured median-of-5 "
+        "(queries_protocol[q].remeasured); total_raw = first-sweep sum"
     }
     # round-11 bench discipline: EVERY session self-identifies — label
     # from SPARK_GRAFT_SESSION / --session-label when set (builder runs:
@@ -578,6 +597,7 @@ def main() -> None:
         except Exception as e:
             result["media_envelope"] = {"error": repr(e)[:300]}
     result["queries"] = timings
+    result["total_raw"] = total_raw
     result["sf"] = sf_val
     result["unit"] = "sec"
     result["value"] = total
@@ -590,17 +610,25 @@ def main() -> None:
     except OSError:
         pass  # the printed line is the contract; the file is a courtesy
     print(json.dumps(result))
-    # The driver keeps only the LAST 2000 chars of stdout; the big line
-    # above front-truncates to unparseable JSON in that capture.  This
-    # compact line goes last so any truncated capture still ends with
-    # one fully parseable JSON object carrying the headline scalars.
+    # The driver parses the FINAL stdout line as the bench contract
+    # line; round 12's final line carried only the total, which left
+    # PERF_r12.per_query empty (VERDICT r12 "What's wrong #1").  The
+    # final line now carries the full per-query map (additions-only vs
+    # r12: same names, same protocol).  Key order: the bulky queries
+    # map FIRST and the headline scalars LAST, so a capture that keeps
+    # only the tail of stdout still ends with the metric/value pair.
     print(json.dumps({
-        "metric": "headline_queries_total", "value": total,
-        "unit": "sec", "sf": sf_val, "n_queries": len(timings),
+        "queries": timings,
+        "session": label,
         "calibration_warm_s": (
             calibration.get("warm_steady_s") if calibration else None
         ),
-        "session": label,
+        "n_queries": len(timings),
+        "total_raw": total_raw,
+        "sf": sf_val,
+        "unit": "sec",
+        "value": total,
+        "metric": "headline_queries_total",
     }))
 
 
