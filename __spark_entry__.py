@@ -1950,7 +1950,13 @@ def q_embedding_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         init_embedding_ledger,
     )
 
-    emb = _synthetic_embeddings(_t(spark, sf_dir, "documents"))
+    # Round 13 (guide §1.2 — don't recompute what one pass already
+    # holds): the synthetic vec expression is an interpreted transform()
+    # HOF (~0.7 s per evaluation at sf0.1) and the query's lineage
+    # evaluates it once for the batch kernel and once for the survivor
+    # join — cache it WITHIN the query (built fresh on every run; no
+    # cross-run state).  Same rows bit-for-bit.
+    emb = _synthetic_embeddings(_t(spark, sf_dir, "documents")).cache()
 
     def build():
         path = os.path.join(_demo_tmpdir("embledger_"), "ledger")
@@ -1982,7 +1988,10 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zero misses verified for this hyperplane family at both SFs)."""
     from muller_spark.operators.dedup import semantic_decontaminate
 
-    emb = _synthetic_embeddings(_t(spark, sf_dir, "documents"))
+    # cached within the query lineage: the interpreted vec expression
+    # otherwise evaluates 3× (train kernel, held-out kernel, anti-join
+    # return scan) — see q_embedding_ledger's note
+    emb = _synthetic_embeddings(_t(spark, sf_dir, "documents")).cache()
     out = semantic_decontaminate(
         emb.filter(F.col("doc_id") % 10 != 0),
         emb.filter(F.col("doc_id") % 10 == 0),

@@ -463,16 +463,22 @@ class InvertedIndex:
                 .select(*cols)
             )
         if cold:
+            from muller_spark.xxh64 import shard_of
+
             num_shards = self.manifest["num_shards"]
             p = self._postings()
-            shards = (
-                self.spark.createDataFrame([(t,) for t in cold], ["term"])
-                .withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(num_shards)))
+            # shard routing computed on the DRIVER (xxh64 twin pinned
+            # bit-equal to F.xxhash64 by test): the probe terms are
+            # already driver-side strings, so the LocalRelation →
+            # distinct → collect job this used to schedule was pure
+            # scheduling latency on every warm lookup (guide §2.4)
+            shard_vals = sorted({shard_of(t, num_shards) for t in cold})
+            terms_df = self.spark.createDataFrame(
+                [(t,) for t in cold], ["term"]
             )
-            shard_vals = [r["shard"] for r in shards.select("shard").distinct().collect()]
             parts.append(
                 p.filter(F.col("shard").isin(shard_vals))
-                .join(F.broadcast(shards.select("term")), "term", "inner")
+                .join(F.broadcast(terms_df), "term", "inner")
                 .select(*cols)
             )
         if not parts:
@@ -607,14 +613,14 @@ class InvertedIndex:
         probe_rows = [
             (t, k) for t in qset for k in deletion_keys(t, d)
         ]
+        from muller_spark.xxh64 import shard_of
+
         probes = self.spark.createDataFrame(probe_rows, "qt string, k string")
         num_shards = m["num_shards"]
-        shard_vals = [
-            r["kshard"]
-            for r in probes.select(
-                F.pmod(F.xxhash64("k"), F.lit(num_shards)).alias("kshard")
-            ).distinct().collect()
-        ]
+        # driver-side kshard routing (bit-equal xxh64 twin; see
+        # _lookup_terms) — the probe keys are driver-side strings, so
+        # no job is scheduled to learn which shards to read
+        shard_vals = sorted({shard_of(k, num_shards) for _, k in probe_rows})
         keys = self.spark.read.parquet(os.path.join(self.path, "typo_keys"))
         cand = (
             keys.filter(F.col("kshard").isin(shard_vals))
@@ -663,16 +669,14 @@ class InvertedIndex:
         return out.distinct()
 
     def _exact(self, query) -> DataFrame:
+        from muller_spark.xxh64 import shard_of
+
         p = self._postings()
         term = str(query) if not self.manifest["is_text"] else (
             query if self.manifest["case_sensitive"] else str(query).lower()
         )
-        num_shards = self.manifest["num_shards"]
-        shard = None
-        for r in self.spark.createDataFrame([(term,)], ["term"]).withColumn(
-            "shard", F.pmod(F.xxhash64("term"), F.lit(num_shards))
-        ).collect():
-            shard = r["shard"]
+        # driver-side shard math (bit-equal xxh64 twin; see _lookup_terms)
+        shard = shard_of(term, self.manifest["num_shards"])
         return (
             p.filter((F.col("shard") == shard) & (F.col("term") == term))
             .select("id")

@@ -30,6 +30,23 @@ from muller_spark.partitioning import ensure_parallelism
 from muller_spark.plans.conditions import TOKEN_SPLIT_REGEX
 
 
+def _persist_corpus(df: DataFrame) -> DataFrame:
+    """Corpus-sized reuse pin — the dedup family's cache policy
+    (round 13, guide §5 / VERDICT r12 #8).  Explicitly
+    ``MEMORY_AND_DISK_DESER`` (the DataFrame default, spelled out so
+    the policy is visible and greppable): a pinned frame that outgrows
+    the storage pool SPILLS TO LOCAL DISK and, past that, evicted
+    partitions DEGRADE TO RECOMPUTE of their narrow upstream lineage —
+    never an executor OOM.  The recompute price on eviction is one
+    extra pass of the frame's own kernel (tokenize/shingle ~0.5 s per
+    sf0.1 pass locally; the SRP embed kernel is the expensive one —
+    its uncached variant measured 2.3 → 7 s warm in round 12, which is
+    the bound on what a fully-evicted 100 TB run pays per consumer)."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+
+
 def normalized_text(col: Column) -> Column:
     """Case-fold + collapse whitespace — the canonical form used for
     exact/near dedup."""
@@ -196,7 +213,9 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size).cache()
+    sig = _persist_corpus(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    )
 
     band_arr = F.array(*[
         F.xxhash64(F.concat_ws(",",
@@ -359,10 +378,9 @@ def minhash_portable_pairs(
     # cache: the 16 band hashes and both sides of the self-join each
     # re-reference `signature` — without a materialization barrier the
     # whole pipeline re-runs ~30×
-    sig = (
+    sig = _persist_corpus(
         _portable_signature_frame(df, text_col, id_col, num_hashes, shingle_size)
         .select("id", "signature")
-        .cache()
     )
     banded = sig.select(
         "id", "signature",
@@ -451,7 +469,7 @@ def simhash_portable_near_dups(
     Returns (id_a, id_b, hamming)."""
     if max_hamming >= num_blocks:
         raise ValueError("completeness requires max_hamming < num_blocks")
-    sh = simhash_portable(df, text_col, id_col).cache()
+    sh = _persist_corpus(simhash_portable(df, text_col, id_col))
     width = 60 // num_blocks
     blocks = F.array(*[
         F.shiftright(F.col("simhash60"), i * width)
@@ -562,7 +580,7 @@ def simhash_near_dups(
             f"({num_blocks}) for the pigeonhole completeness guarantee "
             "(a pair can otherwise differ in every block and be missed)"
         )
-    sh = simhash(df, text_col, id_col).cache()
+    sh = _persist_corpus(simhash(df, text_col, id_col))
     width = 64 // num_blocks
     blocks = F.array(*[
         F.shiftright(F.col("simhash"), i * width)
@@ -612,7 +630,8 @@ def _shingle_intersections(
     sh = df.select(
         F.col(id_col).alias("id"),
         _shingles(F.col(text_col), n).alias("shingles"),
-    ).withColumn("size", F.size("shingles")).cache()
+    ).withColumn("size", F.size("shingles"))
+    sh = _persist_corpus(sh)
     exploded = sh.select("id", "size", F.explode("shingles").alias("shingle"))
     if max_shingle_freq is not None:
         # stop-shingle cutoff: a shingle present in a large fraction of
@@ -850,10 +869,11 @@ def prefix_verified_pairs(
     sh = df.select(
         F.col(id_col).alias("id"),
         _shingles(F.col(text_col), n).alias("shingles"),
-    ).cache()  # reused by df-agg, prefix, posting, and verify — lazy
-    # cache beats an eager localCheckpoint here (measured 3.9 vs 6.8 s
-    # warm at sf0.1): the checkpoint materialized the arrays before the
-    # narrow consumers could pipeline
+    )
+    sh = _persist_corpus(sh)  # reused by df-agg, prefix, posting, and verify
+    # — lazy cache beats an eager localCheckpoint here (measured 3.9 vs
+    # 6.8 s warm at sf0.1): the checkpoint materialized the arrays
+    # before the narrow consumers could pipeline
     exploded = sh.select("id", F.explode("shingles").alias("shingle"))
     if skew_probe != "off":
         stats = exploded.agg(
@@ -881,6 +901,22 @@ def prefix_verified_pairs(
     prefix_len_of = lambda col: (
         F.floor(F.lit(1.0 - threshold) * F.size(col)).cast("int") + F.lit(1)
     )
+    # Round-13 NEGATIVE result (kept as documentation, guide §1): the
+    # PPJoin positional filter (VERDICT r12 #3) was implemented,
+    # proven output-identical at sf0.1 (256 rows both shapes, both
+    # metrics), and REJECTED on measurement.  Candidates did drop —
+    # containment 393k → 341k, Jaccard 512k → 125k (positional +
+    # size + prefix⋈prefix) — but every variant ran SLOWER end to end
+    # (containment 4.0 → 5.2–7.0 s, Jaccard 4.5 → 5.0–7.9 s warm,
+    # same-session ABAB): the posting side below is a bare projection
+    # of `exploded`, so its shuffle for the candidate join REUSES the
+    # dfreq aggregate's exchange (ReuseExchange), and any extra
+    # column (size, position) on that side breaks the canonical match
+    # and re-pays a corpus-posting shuffle that costs more than the
+    # filtered verify saves (verify ≈ 2.0 s of the 3.7 s total, ~5 µs
+    # per candidate — already cheap per pair).  Sorted-position
+    # variants additionally re-pay the (df, shingle) sort once per
+    # join side (uncached) or serialize the pipeline (cached).
     if prefix_order == "lexical":
         # map-only: the doc's own lexically-sorted shingle prefix
         prefix = sh.select(
@@ -1585,6 +1621,38 @@ def _unit_vec_frame(
     ).mapInPandas(lambda it: normalize(it), "id long, vec array<double>")
 
 
+def _srp_hot_bucket_guard(
+    tb: DataFrame, max_bucket_size: "int | None"
+) -> DataFrame:
+    """Degenerate-bucket guard for the SRP posting rows (round 13,
+    guide §2.5 / VERDICT r12 #1): a (table, bucket) cell holding B
+    postings contributes B² candidate rows to the pair join — one
+    near-zero-variance direction in the embedding distribution (a
+    cluster of near-identical vectors, a zero-padded modality) makes a
+    bucket corpus-sized and the join quadratic.  With
+    ``max_bucket_size`` set, postings in cells larger than the cap are
+    dropped from CANDIDATE GENERATION ONLY (broadcast left_anti on the
+    over-cap cells — the simhash pair stage's guard pattern).  This is
+    a recall trade exactly like ``simhash_pairs(max_bucket_size=)``:
+    a pair whose every shared cell is over-cap is missed, so the
+    default ``None`` keeps the exact contract (the declared queries
+    run unguarded; completeness there is the SRP recall only).  Size
+    the cap so P(true pair shares only over-cap cells) is negligible:
+    with T tables a true pair must lose all T collisions, and hot
+    cells are precisely the low-information ones."""
+    if max_bucket_size is None:
+        return tb
+    if max_bucket_size < 1:
+        raise ValueError("max_bucket_size must be >= 1")
+    hot = (
+        tb.groupBy("table", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select("table", "bucket")
+    )
+    return tb.join(F.broadcast(hot), ["table", "bucket"], "left_anti")
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str,
@@ -1594,9 +1662,12 @@ def embedding_near_dups(
     num_tables: int = 6,
     seed: int = 42,
     dim: "int | None" = None,
+    max_bucket_size: "int | None" = None,
 ) -> DataFrame:
     """Cosine-similarity ≥ threshold pairs via hyperplane-LSH buckets +
-    exact re-rank (same tables as index.vector.ann_knn)."""
+    exact re-rank (same tables as index.vector.ann_knn).
+    ``max_bucket_size`` opts into the degenerate-bucket guard
+    (:func:`_srp_hot_bucket_guard` — recall trade, default off)."""
     spark = df.sparkSession
     if dim is None:
         # fallback probe — one extra job; callers that know the
@@ -1615,10 +1686,10 @@ def embedding_near_dups(
     # kernel re-ran once per consumer; with the cache the split wins
     # (8.0 → 6.2 s warm on the same probe) and the result is
     # row-identical (collected-set equality at sf0.1).
-    be = _srp_embed_frame(
+    be = _persist_corpus(_srp_embed_frame(
         df, vec_col, id_col, num_planes, num_tables, seed, dim
-    ).cache()
-    tb = _table_bucket_rows(be)
+    ))
+    tb = _srp_hot_bucket_guard(_table_bucket_rows(be), max_bucket_size)
     a, b = tb.alias("a"), tb.alias("b")
     cand = (
         a.join(b, (F.col("a.table") == F.col("b.table"))
@@ -2400,7 +2471,7 @@ def semantic_dedup(
     # corpus-wide broadcast-centroid assignment pass would re-execute
     # up to 4x (same materialization-barrier rationale as
     # minhash_portable_pairs)
-    assigned = assign_clusters(df, vec_col, id_col, centroids).cache()
+    assigned = _persist_corpus(assign_clusters(df, vec_col, id_col, centroids))
     pairs = semantic_dup_pairs(
         df, vec_col, id_col, threshold=threshold, centroids=centroids,
         max_cluster_size=max_cluster_size, assigned=assigned,
@@ -2630,9 +2701,9 @@ def init_neardup_ledger(
         raise ValueError("num_hashes must be divisible by bands")
     spark = df.sparkSession
     df = df.filter(F.col(text_col).isNotNull())
-    sig = _portable_signature_frame(
+    sig = _persist_corpus(_portable_signature_frame(
         df, text_col, id_col, num_hashes, shingle_size
-    ).cache()
+    ))
     try:
         sig.select("id", "hs").write.mode("overwrite").parquet(
             os.path.join(path, "shingles")
@@ -2835,6 +2906,7 @@ def embedding_cross_pairs(
     num_tables: int = 6,
     seed: int = 42,
     dim: "int | None" = None,
+    max_bucket_size: "int | None" = None,
 ) -> DataFrame:
     """Cosine-similarity ≥ threshold pairs ACROSS two frames —
     :func:`embedding_near_dups` for the two-table case (train vs
@@ -2865,16 +2937,18 @@ def embedding_cross_pairs(
     # candidate join explodes the bucket array JVM-side and carries
     # (table, bucket, id) rows only; the verify joins re-read the same
     # cached frames.  Same candidates, bit-identical cosines.
-    le = _srp_embed_frame(
+    le = _persist_corpus(_srp_embed_frame(
         left, vec_col, id_col, num_planes, num_tables, seed, dim
-    ).cache()
-    re_ = _srp_embed_frame(
+    ))
+    re_ = _persist_corpus(_srp_embed_frame(
         right, vec_col, id_col, num_planes, num_tables, seed, dim
-    ).cache()
+    ))
     candidates = (
-        _table_bucket_rows(le)
+        _srp_hot_bucket_guard(_table_bucket_rows(le), max_bucket_size)
         .join(
-            _table_bucket_rows(re_).withColumnRenamed("id", "id_b"),
+            _srp_hot_bucket_guard(
+                _table_bucket_rows(re_), max_bucket_size
+            ).withColumnRenamed("id", "id_b"),
             ["table", "bucket"],
         )
         .select(F.col("id").alias("id_a"), "id_b")
@@ -2908,6 +2982,7 @@ def semantic_decontaminate(
     num_tables: int = 6,
     seed: int = 42,
     dim: "int | None" = None,
+    max_bucket_size: "int | None" = None,
 ) -> DataFrame:
     """Drop training rows whose embedding sits within cosine
     ``threshold`` of ANY held-out (benchmark/test) row — the SEMANTIC
@@ -2930,6 +3005,7 @@ def semantic_decontaminate(
     contaminated = embedding_cross_pairs(
         train_df, heldout_df, vec_col, id_col, threshold=threshold,
         num_planes=num_planes, num_tables=num_tables, seed=seed, dim=dim,
+        max_bucket_size=max_bucket_size,
     ).select(F.col("id_a").alias(id_col)).distinct()
     return train_df.join(contaminated, id_col, "left_anti")
 
@@ -3059,7 +3135,10 @@ def _embedding_ledger_dups(
     # payload than the pre-round-12 with_vec frame
     emb = _srp_embed_frame(
         batch_df, vec_col, id_col, num_planes, num_tables, int(seed), dim
-    ).localCheckpoint()  # barrier: candidates, verify + append all re-read
+    ).localCheckpoint(eager=False)  # barrier: candidates, verify + append
+    # all re-read the materialized blocks; LAZY so the first consumer's
+    # action materializes it (one scheduled job fewer per ingest — the
+    # round-12 minlabel discipline)
     sig = _table_bucket_rows(emb)
     uv = emb.select("id", "vec")
     ledger_buckets = spark.read.parquet(os.path.join(path, "buckets"))
@@ -3139,9 +3218,10 @@ def embedding_against_ledger(
         batch_df, vec_col, id_col, path, threshold
     )
     dup_ids = verified.select("id").distinct()
-    survivor_ids = (
-        sig.select("id").distinct().join(dup_ids, "id", "left_anti")
-    )
+    # batch ids come from the one-row-per-vector unit frame, not from a
+    # distinct over the num_tables× posting explode — same id set (every
+    # batch row carries a full bucket array), one exchange fewer
+    survivor_ids = uv.select("id").join(dup_ids, "id", "left_anti")
     survivors = batch_df.join(
         survivor_ids.withColumnRenamed("id", id_col), id_col, "semi"
     )

@@ -61,7 +61,97 @@ def test_bench_remeasure_within_band_untouched(monkeypatch):
         assert timings[name] == warm
 
 
-# ------------------------------------- 2. final-line contract (VERDICT #2)
+# ------------------------------------- 2. driver-side xxh64 shard routing
+
+def test_xxh64_matches_spark_bit_for_bit(spark):
+    """The pure-Python xxh64 twin must agree with F.xxhash64 on a
+    hostile vocabulary — shard routing may only live on the driver
+    because the two implementations are bit-identical."""
+    from pyspark.sql import functions as F
+
+    from muller_spark.xxh64 import shard_of, xxhash64
+
+    vocab = [
+        "", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+        "stream", "streem", "hash", "x" * 31, "y" * 32, "z" * 33,
+        "w" * 100, "嗨你好世界", "naïve café", "a\x00b", "\x00",
+        "tab\tsep", "line\nbreak", "🚀🔥", "mixed漢字and latin",
+        "0123456789" * 13,
+    ]
+    df = spark.createDataFrame([(v,) for v in vocab], ["term"])
+    got = {
+        r["term"]: (r["h"], r["s"])
+        for r in df.select(
+            "term",
+            F.xxhash64("term").alias("h"),
+            F.pmod(F.xxhash64("term"), F.lit(16)).alias("s"),
+        ).collect()
+    }
+    for v in vocab:
+        assert got[v][0] == xxhash64(v.encode("utf-8")), repr(v)
+        assert got[v][1] == shard_of(v, 16), repr(v)
+
+
+def test_lookup_terms_shard_pruning_unchanged(spark, tmp_path):
+    """Index lookups must return identical rows after the shard math
+    moved driver-side (same shards read, same terms matched)."""
+    from muller_spark.index.inverted import InvertedIndex
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta delta"), (3, "gamma epsilon"),
+         (4, "zeta alpha"), (5, "beta beta gamma")],
+        ["id", "text"],
+    )
+    idx = InvertedIndex.build(
+        docs, "text", str(tmp_path / "idx"), id_col="id", num_shards=4,
+    )
+    hits = idx._lookup_terms(["beta", "gamma", "missing"]).collect()
+    got = sorted((r["term"], r["id"]) for r in hits)
+    assert got == [
+        ("beta", 1), ("beta", 2), ("beta", 5),
+        ("gamma", 1), ("gamma", 3), ("gamma", 5),
+    ]
+    exact = sorted(r["id"] for r in idx.search("alpha", "exact_match").collect())
+    assert exact == [1, 4]
+
+
+# ------------------------------------- 3. SRP degenerate-bucket guard
+
+def test_srp_hot_bucket_guard(spark):
+    """With max_bucket_size set, a degenerate SRP bucket (here: many
+    IDENTICAL vectors — every table's bucket is corpus-sized) is
+    excluded from candidate generation; default None keeps the exact
+    candidate set."""
+    import numpy as np
+
+    from muller_spark.operators.dedup import embedding_near_dups
+
+    rng = np.random.RandomState(7)
+    hot = [float(x) for x in rng.randn(16)]
+    rows = [(i, hot) for i in range(50)]           # degenerate cluster
+    a = [float(x) for x in rng.randn(16)]
+    rows += [(100, a), (101, [x * 1.001 for x in a])]  # one true pair
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    unguarded = embedding_near_dups(
+        df, "embedding", "vec_id", threshold=0.98,
+        num_planes=4, num_tables=8,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in unguarded}
+    assert (100, 101) in found
+    assert sum(1 for p in found if p[0] < 50 and p[1] < 50) == 50 * 49 // 2
+
+    guarded = embedding_near_dups(
+        df, "embedding", "vec_id", threshold=0.98,
+        num_planes=4, num_tables=8, max_bucket_size=10,
+    ).collect()
+    gfound = {(r["id_a"], r["id_b"]) for r in guarded}
+    # the quadratic cluster is gone; the small-bucket true pair stays
+    assert (100, 101) in gfound
+    assert not any(p[0] < 50 and p[1] < 50 for p in gfound)
+
+
+# ------------------------------------- 4. final-line contract (VERDICT #2)
 
 def test_bench_final_line_source_carries_queries_and_total_raw():
     """The driver parses the FINAL stdout line; it must carry the
