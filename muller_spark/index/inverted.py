@@ -103,6 +103,19 @@ class InvertedIndex:
         self.path = path
         self.fs = get_fs(path)
         self._manifest: dict | None = None
+        # memoized lazy table plans (round 13, guide §2.4): every
+        # spark.read.parquet call schedules a footer/schema-inference
+        # job, which on the warm lookup path was one job per search
+        # just to re-learn an unchanged schema.  Plans are lazy, so
+        # reuse is safe; every in-instance mutation (update, swap,
+        # reshard, typo-key rewrite) calls _invalidate_reads().
+        # External writers are excluded by the single-writer contract.
+        self._postings_df: DataFrame | None = None
+        self._typo_keys_df: DataFrame | None = None
+
+    def _invalidate_reads(self) -> None:
+        self._postings_df = None
+        self._typo_keys_df = None
 
     # -- build -----------------------------------------------------------
     @classmethod
@@ -253,7 +266,18 @@ class InvertedIndex:
         return self._manifest
 
     def _postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "postings"))
+        if self._postings_df is None:
+            self._postings_df = self.spark.read.parquet(
+                os.path.join(self.path, "postings")
+            )
+        return self._postings_df
+
+    def _typo_keys(self) -> DataFrame:
+        if self._typo_keys_df is None:
+            self._typo_keys_df = self.spark.read.parquet(
+                os.path.join(self.path, "typo_keys")
+            )
+        return self._typo_keys_df
 
     # -- search ----------------------------------------------------------
     def search(self, query, search_type: str = "fuzzy_match",
@@ -496,11 +520,28 @@ class InvertedIndex:
         if not terms:
             return self.spark.createDataFrame([], "id long")
         hits = self._lookup_terms(terms)
-        # AND-of-terms: id must appear under all |terms| distinct terms
+        uniq = sorted(set(terms))
+        if len(uniq) > 63:
+            # bitmask would overflow a long: keep the distinct aggregate
+            return (
+                hits.groupBy("id")
+                .agg(F.countDistinct("term").alias("nt"))
+                .filter(F.col("nt") == len(uniq))
+                .select("id")
+            )
+        # AND-of-terms as one bit_or aggregate (round 13): term → bit is
+        # a tiny driver-built CASE, so the two-phase countDistinct
+        # exchange collapses to a single exchange on id — identical
+        # semantics (OR of bits full ⟺ every distinct term present)
+        bit = F.lit(None).cast("long")
+        for i, t in enumerate(uniq):
+            bit = F.when(F.col("term") == t, F.lit(1 << i)).otherwise(bit)
+        full = (1 << len(uniq)) - 1
         return (
-            hits.groupBy("id")
-            .agg(F.countDistinct("term").alias("nt"))
-            .filter(F.col("nt") == len(set(terms)))
+            hits.select("id", bit.alias("_b"))
+            .groupBy("id")
+            .agg(F.bit_or("_b").alias("_m"))
+            .filter(F.col("_m") == full)
             .select("id")
         )
 
@@ -574,6 +615,7 @@ class InvertedIndex:
         if self.fs.exists(live):
             self.fs.rmtree(live)
         self.fs.rename(out_path, live)
+        self._invalidate_reads()
 
     def _typo(self, query: str, max_edits: "int | None" = None) -> DataFrame:
         """AND-of-query-tokens with per-token Levenshtein tolerance: a
@@ -621,12 +663,18 @@ class InvertedIndex:
         # _lookup_terms) — the probe keys are driver-side strings, so
         # no job is scheduled to learn which shards to read
         shard_vals = sorted({shard_of(k, num_shards) for _, k in probe_rows})
-        keys = self.spark.read.parquet(os.path.join(self.path, "typo_keys"))
+        keys = self._typo_keys()
+        # no distinct here (round 13): the (qt, term) dedup runs on the
+        # driver below — the distinct's exchange was a whole AQE stage
+        # job on the warm path for rows the collect dedups anyway.  The
+        # candidate cap now counts pre-dedup rows (a term contributes
+        # once per shared deletion key, a small constant) — it is a
+        # loud OOM guard, and triggering marginally earlier is the safe
+        # direction.
         cand = (
             keys.filter(F.col("kshard").isin(shard_vals))
             .join(F.broadcast(probes), "k")
             .select("qt", "term")
-            .distinct()
             .where(F.levenshtein(F.col("term"), F.col("qt")) <= d)
         )
         cand_rows = cand.limit(self._TYPO_CANDIDATE_CAP + 1).collect()
@@ -646,15 +694,26 @@ class InvertedIndex:
             return self.spark.createDataFrame([], "id long")
         all_terms = sorted({t for ts in per_qt.values() for t in ts})
         hits = self._lookup_terms(all_terms).select("term", "id")
+        # AND-of-query-tokens as ONE bit_or aggregate (round 13): each
+        # candidate term carries the bitmask of query tokens it covers
+        # (a term can sit within tolerance of several), and a document
+        # matches iff the OR of its terms' masks is full — identical to
+        # countDistinct(qt) == len(qset), one exchange instead of the
+        # two-phase distinct aggregate.
+        qbit = {qt: 1 << i for i, qt in enumerate(qset)}
+        term_mask: dict = {}
+        for qt, ts in per_qt.items():
+            for t in ts:
+                term_mask[t] = term_mask.get(t, 0) | qbit[qt]
         mapping = self.spark.createDataFrame(
-            [(t, qt) for qt, ts in per_qt.items() for t in ts],
-            "term string, qt string",
+            sorted(term_mask.items()), "term string, qtmask long",
         )
+        full = (1 << len(qset)) - 1
         return (
             hits.join(F.broadcast(mapping), "term")
             .groupBy("id")
-            .agg(F.countDistinct("qt").alias("nq"))
-            .filter(F.col("nq") == len(qset))
+            .agg(F.bit_or("qtmask").alias("_m"))
+            .filter(F.col("_m") == full)
             .select("id")
         )
 
@@ -716,6 +775,7 @@ class InvertedIndex:
         self.fs.rmtree(old)
         self.fs.rename(out_path, old)
         self.fs.rmtree(tmp_path)
+        self._invalidate_reads()
         if m.get("positions"):
             # refresh docstats BEFORE the fresh manifest lands: a crash
             # in between leaves old-manifest + new-stats (harmlessly
@@ -750,6 +810,7 @@ class InvertedIndex:
         old = os.path.join(self.path, "postings")
         self.fs.rmtree(old)
         self.fs.rename(out_path, old)
+        self._invalidate_reads()
         m = dict(self.manifest)
         m.update(manifest_updates)
         m["n_postings"] = int(self.spark.read.parquet(old).count())

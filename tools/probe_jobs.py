@@ -40,9 +40,8 @@ def main() -> None:
     jsc = sc._jsc.sc()
 
     def n_jobs() -> int:
-        # jobProgressListener is gone in 3.x; the status store keeps
-        # every job id — use the next job id counter via dagScheduler
-        return jsc.dagScheduler().nextJobId().get()
+        # the DAGScheduler's job counter
+        return int(jsc.dagScheduler().numTotalJobs())
 
     for i in range(reps + 1):
         bench._isolate_between_queries(spark)
