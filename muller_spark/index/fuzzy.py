@@ -189,6 +189,13 @@ def fuzzy_terms_docs(
         )
         .where(F.col("t") != "")
     )
+    # round 13 (guide §1.2): the token frame feeds BOTH the vocabulary
+    # branch and the final containment join — pin it so the tokenize
+    # pass runs once, not twice (MEMORY_AND_DISK_DESER: eviction
+    # degrades to a recompute of the map-only explode, never an OOM)
+    from pyspark import StorageLevel
+
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     vocab = (
         toks.select("t")
         .distinct()
