@@ -3,6 +3,8 @@ stream, sharing apply_changelog with the batch path."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import sys
 
@@ -26,6 +28,11 @@ SCHEMA = T.StructType([
     T.StructField("seq", T.LongType()),
 ])
 
+
+
+# round-13 test tiering (VERDICT r12 #6): end-to-end tier, excluded
+# from the driver-window default run; run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
 
 def _snap_dict(spark, path):
     df = read_cdc_snapshot(spark, path)

@@ -5,6 +5,8 @@ before, and compact_dedup_ledger heals duplicate hash rows."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import sys
 
@@ -26,6 +28,11 @@ SCHEMA = T.StructType([
     T.StructField("text", T.StringType()),
 ])
 
+
+
+# round-13 test tiering (VERDICT r12 #6): end-to-end tier, excluded
+# from the driver-window default run; run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
 
 def _write_batch(spark, src_dir, name, rows):
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(

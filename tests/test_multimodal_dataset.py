@@ -20,6 +20,11 @@ CLASS_NAMES = ["airplane", "automobile", "bird", "cat", "deer",
                "dog", "frog", "horse", "ship", "truck"]
 
 
+
+# round-13 test tiering (VERDICT r12 #6): end-to-end tier, excluded
+# from the driver-window default run; run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
 @pytest.fixture()
 def mds(spark, tmp_path):
     ds = ds_mod.dataset(str(tmp_path / "mm"), spark)

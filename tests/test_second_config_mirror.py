@@ -34,6 +34,11 @@ _ORACLES = entrymod.oracle_sql()
 _ROWS_ONLY = entrymod.rows_only_queries()
 
 
+
+# round-13 test tiering (VERDICT r12 #6): end-to-end tier, excluded
+# from the driver-window default run; run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
 def _ever_drawn() -> set:
     drawn: set = set()
     for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):

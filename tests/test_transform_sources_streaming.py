@@ -31,6 +31,11 @@ from muller_spark.transform import Pipeline, compute  # noqa: E402
 
 
 # ---------------------------------------------------------------- transform
+
+# round-13 test tiering (VERDICT r12 #6): end-to-end tier, excluded
+# from the driver-window default run; run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
 def test_compute_one_to_one(spark):
     @compute
     def double_it(sample_in, sample_out, factor=2):
